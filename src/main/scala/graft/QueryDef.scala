@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator demonstration: a Spark query over the driver's
+  * test tables plus (when SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * `name` keys both `SparkEntry.queries` and `SparkEntry.oracleSql`; the
+  * driver compares column-sorted value hashes, so the Spark plan and the
+  * oracle must agree on column NAMES as well as values. All doubles that
+  * pass through an aggregate are rounded in BOTH dialects to erase
+  * summation-order noise.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** SURVEY.md §2 operator ids this query exercises (for COVERAGE.md). */
+    covers: Seq[String] = Nil)
+
+object QueryDef {
+  /** Convenience table reader used by every query. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are assembled from per-category registries; each QueryDef carries
+  * its Spark plan, its DuckDB oracle (when SQL-expressible) and the
+  * SURVEY.md §2 operator ids it covers (see COVERAGE.md).
+  */
 object SparkEntry {
+
+  def all: Seq[QueryDef] =
+    queries_relational ++ queries_ext
+
+  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
+  private def queries_ext: Seq[QueryDef] =
+    graft.queries.Text.defs ++ graft.queries.Dedup.defs ++ graft.queries.Similarity.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
 }

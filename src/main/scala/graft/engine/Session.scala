@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory + table access for the graft engine.
+  *
+  * Settings are chosen for the driver harness (local[32], 128 GiB) but the
+  * same knobs are what a 1000-executor cluster run would set:
+  *   - AQE on (runtime coalesce, skew-join split, broadcast demotion),
+  *   - shuffle partitions sized to cores locally (a cluster deployment
+  *     overrides via --conf; AQE coalesces down from there),
+  *   - UTC session time zone so results are stable across environments
+  *     (and match the DuckDB oracle).
+  */
+object Session {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); without this Spark refuses
+      // the file outright. With it, `ts` reads as LongType epoch-nanos.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Read one of the driver-provided test tables from a scale-factor dir.
+    * Sets the nanos-as-long escape hatch on the live session too, so it
+    * works under the driver's own SparkSession (Verify/Bench mains may be
+    * launched with a builder we don't control).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with `ts` as a proper TimestampType (micros, truncated from ns)
+    * and `ts_ns` preserving full nano precision for ordering.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures + LSH banding for near-duplicate detection at scale.
+  *
+  * Hash family: h_i(x) = (a_i * (x mod P) + b_i) mod P over a 60-bit
+  * content hash x (first 15 hex digits of md5). P is a prime > 2^32; a_i
+  * stays < 2^16 so every intermediate fits in a signed 64-bit integer with
+  * no overflow in either Spark or DuckDB (DuckDB errors on i64 overflow).
+  *
+  * The constants and the shingle definition are shared between the Spark
+  * column builders and the generated DuckDB oracle so both engines compute
+  * bit-identical signatures.
+  *
+  * Scale design: signatures are one explode + one groupBy (shuffle keyed on
+  * doc_id, partial min() map-side). Candidate pairs via [[lshCandidatePairs]]
+  * shuffle on (band, bandKey) — linear in corpus + output pairs, never the
+  * quadratic all-pairs join.
+  */
+object MinHash {
+
+  val K = 16
+  val P = 4294967311L // prime > 2^32
+  def a(i: Int): Long = 97L + 31L * i // < 2^16 ⇒ a*(x mod P) < 2^49
+  def b(i: Int): Long = 911L + 257L * i
+
+  /** 60-bit deterministic content hash of a shingle string. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def minhashCol(h: Column, i: Int): Column =
+    min((h % P * a(i) + b(i)) % P).as(s"m$i")
+
+  def minhashCols(h: Column, is: Seq[Int]): Seq[Column] =
+    is.map(minhashCol(h, _))
+
+  /** lowercase whitespace words, empties dropped. */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** distinct word n-gram shingles (array input must have size >= n). */
+  def shingles(ws: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+
+  /** docs(idCol, textCol) → (idCol, s) exploded distinct 2-gram shingles. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(shingles(col("ws"), 2)).as("s"))
+
+  /** docs(idCol, textCol) → (idCol, m0..m{K-1}) MinHash signature. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = shingleRows(docs, idCol, textCol)
+      .withColumn("h", shingleHash(col("s")))
+    hashed.groupBy(idCol).agg(minhashCol(col("h"), 0), minhashCols(col("h"), 1 until K): _*)
+  }
+
+  /** LSH banding: docs sharing any band of `rowsPerBand` consecutive
+    * signature components become a candidate pair. bands = K / rowsPerBand.
+    * Output: (id_a, id_b) distinct, id_a < id_b.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame = {
+    require(K % rowsPerBand == 0, s"K=$K must divide by rowsPerBand=$rowsPerBand")
+    val bands = K / rowsPerBand
+    val bandKeys = (0 until bands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
+          .as("key"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    exploded.as("a")
+      .join(
+        exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs re-ranked with exact shingle Jaccard; keeps j >= thr. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol).cache()
+    val sig = signatures(docs, idCol, textCol)
+    val cands = lshCandidatePairs(sig, idCol, rowsPerBand)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val pairInter = cands
+      .join(sh.toDF("id_a", "s"), "id_a")
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s")) // same shingle on both sides
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairInter
+      .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** DuckDB SQL computing identical signatures (oracle for q_dedup_minhash). */
+  val signatureOracle: String = {
+    val mins = (0 until K)
+      .map(i => s"min((h % $P * ${a(i)} + ${b(i)}) % $P) AS m$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS s
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |          x -> x != '') AS ws
+       |        FROM documents)
+       |  WHERE len(ws) >= 2),
+       |hashed AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |  FROM sh)
+       |SELECT doc_id,
+       |    $mins
+       |FROM hashed GROUP BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.operators.MinHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`: exact,
+  * n-gram-Jaccard, MinHash signatures (+ LSH pairing in
+  * [[graft.operators.Dedup]]), SimHash, and embedding-cosine near-dup.
+  *
+  * The quadratic variants here are the CORRECTNESS baselines; the scale
+  * path for 100 TB is MinHash-LSH banding (candidate generation is a
+  * shuffle on band-hash, linear in data + candidate pairs) — see
+  * graft.operators.Dedup and its spec.
+  */
+object Dedup {
+
+  /** lowercase whitespace words, empties dropped — shared with oracle. */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** distinct word 2-gram shingles of a ws array (needs size >= 2). */
+  private def shingles2(ws: Column): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+
+  private val ShinglesSql =
+    """SELECT doc_id, unnest(list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |          x -> x != '') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Exact dedup: hash-groupBy on content digest; canonical id = min id.
+    // One shuffle on the digest; at 100 TB pre-aggregation makes the
+    // shuffle carry one row per distinct digest per partition.
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS canonical_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin),
+      covers = Seq("ext-dedup-exact")),
+
+    // ------------------------------------------------------------------
+    // n-gram Jaccard near-dup pairs (the exact quadratic baseline):
+    // word-2-gram shingle sets, candidate pairs via shingle co-occurrence
+    // self-join, J = |A∩B| / (|A|+|B|-|A∩B|), threshold 0.5. The planted
+    // near-dup pairs in the test data sit at J >= 0.9; background noise
+    // tops out ~0.13, so 0.5 separates cleanly.
+    QueryDef(
+      "q_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(shingles2(col("ws"))).as("s"))
+          .cache()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")), "id_a")
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")), "id_b")
+          .select(
+            col("id_a"),
+            col("id_b"),
+            // single int→double division: bit-exact across engines, no round
+            (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(s"""WITH sh AS (
+              |  $ShinglesSql
+              |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  inter * 1.0 / (na.n + nb.n - inter) AS jaccard
+              |FROM pairs
+              |JOIN sizes na ON id_a = na.doc_id
+              |JOIN sizes nb ON id_b = nb.doc_id
+              |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.5""".stripMargin),
+      covers = Seq("ext-dedup-ngram")),
+
+    // ------------------------------------------------------------------
+    // MinHash signatures: k=16 permutations h_i(x) = (a_i*x + b_i) mod P
+    // over md5-derived 60-bit shingle hashes. The signature itself is the
+    // verifiable artifact; LSH banding over it (graft.operators.Dedup)
+    // produces candidate pairs without the quadratic join.
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(shingles2(col("ws"))).as("s"))
+        val hashed = sh.withColumn("h", MinHash.shingleHash(col("s")))
+        hashed
+          .groupBy("doc_id")
+          .agg(
+            MinHash.minhashCol(col("h"), 0),
+            MinHash.minhashCols(col("h"), 1 until MinHash.K): _*)
+      },
+      Some(MinHash.signatureOracle),
+      covers = Seq("ext-dedup-minhash")),
+
+    // ------------------------------------------------------------------
+    // SimHash (16-bit): per distinct word, a 60-bit md5 hash votes +1/-1 on
+    // each of 16 bit positions; the sign vector packs into one integer.
+    // Near-dups differ in few bits (hamming distance on the signature).
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+          .withColumn("h", MinHash.shingleHash(col("w")))
+        val votes = tok
+          .groupBy("doc_id")
+          .agg(
+            SimHash.voteCol(col("h"), 0),
+            (1 until SimHash.Bits).map(j => SimHash.voteCol(col("h"), j)): _*)
+        votes.select(col("doc_id"), SimHash.packBits().as("simhash"))
+      },
+      Some(SimHash.oracle),
+      covers = Seq("ext-dedup-simhash")),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup pairs, label-blocked (realistic blocking
+    // key keeps the pair space linear-ish; the unblocked scale path is the
+    // random-projection LSH in graft.operators.Similarity).
+    QueryDef(
+      "q_dedup_embed_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn(
+            "norm",
+            sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        e.as("a")
+          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("id_a"),
+            col("b.vec_id").as("id_b"),
+            round(
+              aggregate(
+                zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+                lit(0.0),
+                (acc, x) => acc + x) / (col("a.norm") * col("b.norm")),
+              3).as("cos"))
+          .filter(col("cos") >= 0.4)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+             |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) >= 0.4""".stripMargin),
+      covers = Seq("ext-dedup-embed"))
+  )
+}
+
+/** SimHash column builders shared between the Spark plan and the generated
+  * DuckDB oracle so both sides use identical constants.
+  */
+object SimHash {
+  val Bits = 16
+
+  import org.apache.spark.sql.functions._
+
+  def voteCol(h: Column, j: Int): Column =
+    sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      .as(s"s$j")
+
+  /** packs the vote signs s0..s15 into a single BIGINT. */
+  def packBits(): Column =
+    (0 until Bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+      .cast("long")
+
+  val oracle: String = {
+    val votes = (0 until Bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val pack = (0 until Bits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.operators.{Similarity => Sim}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings`. The brute-force top-k has a
+  * full DuckDB oracle; the LSH-bucketed ANN variant is approximate by
+  * construction, so it ships without an oracle (driver rows-only check) and
+  * its recall is asserted in SimilaritySpec against the brute-force answer.
+  */
+object Similarity {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-10 vs the vec_id=0 vector. Both engines do the
+    // dot product in double; ordering uses round(cos, 6) + id tie-break so
+    // last-ulp noise can't reorder the cut line.
+    QueryDef(
+      "q_knn_brute",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = Sim.withNorm(e).filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("norm").as("qnorm"))
+        Sim.withNorm(e)
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            round(Sim.dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6)
+              .as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT e.vec_id,
+             |    round(list_dot_product(e.v, q.qv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+             |  FROM e, q WHERE e.vec_id != 0)
+             |SELECT vec_id, round(cos, 3) AS cos FROM scored
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+      covers = Seq("ext-knn-brute")),
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN top-10 (approximate — no SQL oracle; recall asserted
+    // in SimilaritySpec). Demonstrates the 100 TB path: bucket once, probe
+    // O(nPlanes) buckets per query.
+    QueryDef(
+      "q_knn_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val dim = 64
+        val query = Sim.withNorm(e).filter(col("vec_id") === 0)
+          .select(col("v")).head().getSeq[Double](0)
+        val bucketed = Sim.lshBuckets(e.filter(col("vec_id") =!= 0), nPlanes = 8, dim = dim)
+        Sim.annTopK(bucketed, "vec_id", query, k = 10, nPlanes = 8)
+          .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+      },
+      None,
+      covers = Seq("ext-knn-lsh"))
+  )
+}

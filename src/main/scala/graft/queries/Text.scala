@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.t
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: quality stats,
+  * token counting, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is a native column expression (whole-stage codegen'd, no
+  * UDFs), so at 100 TB these run as a single parquet scan + project with
+  * the text column pruned to exactly what's read.
+  */
+object Text {
+
+  /** whitespace words, lowercased, empties dropped. */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  private val TokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private val StopEn = Seq("the", "a", "and", "of", "to", "is")
+  private val StopDe = Seq("der", "die", "und", "das", "ist")
+  private val StopFr = Seq("le", "la", "et", "les", "est")
+  private val StopEs = Seq("el", "los", "que", "es", "las")
+
+  private def hitCount(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, x => x.isin(stop.map(_.asInstanceOf[Any]): _*)))
+
+  private def sqlHits(stop: Seq[String]): String =
+    s"CAST(length(list_filter(ws, x -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], x))) AS INT)"
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Quality scoring + token counting: length/punct/stopword ratios and a
+    // composite score, all derived from integer counts so the arithmetic is
+    // bit-identical across engines.
+    QueryDef(
+      "q_text_stats",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).as("len"),
+            size(words(col("text"))).as("n_words"),
+            size(regexp_extract_all(lower(col("text")), lit(TokenPat), lit(0)))
+              .as("n_tokens"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+              .as("punct_cnt"),
+            hitCount(words(col("text")), StopEn).as("stop_cnt"))
+        base.select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_tokens"),
+          col("punct_cnt"),
+          col("stop_cnt"),
+          // all ratios are row-level arithmetic over integer counts — the op
+          // trees are identical in both engines, so doubles are bit-exact
+          // with NO rounding (round() is the only divergent op; see
+          // Relational for the half-boundary analysis).
+          (col("punct_cnt") * lit(1.0) / col("len")).as("punct_ratio"),
+          (col("stop_cnt") * lit(1.0) / col("n_words")).as("stop_ratio"),
+          (least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
+            (lit(1.0) - least(lit(1.0), col("punct_cnt") * lit(10.0) / col("len"))) * 0.3 +
+            least(lit(1.0), col("stop_cnt") * lit(5.0) / col("n_words")) * 0.2)
+            .as("quality"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, length(text) AS len,
+              |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> x != '')) AS INT) AS n_words,
+              |    CAST(length(regexp_extract_all(lower(text), '$TokenPat')) AS INT) AS n_tokens,
+              |    CAST(length(text) -
+              |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS punct_cnt,
+              |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> list_contains([${StopEn.map("'" + _ + "'").mkString(", ")}], x))) AS INT) AS stop_cnt
+              |  FROM documents)
+              |SELECT doc_id, n_words, n_tokens, punct_cnt, stop_cnt,
+              |  punct_cnt * 1.0 / len AS punct_ratio,
+              |  stop_cnt * 1.0 / n_words AS stop_ratio,
+              |  least(1.0, n_words / 100.0) * 0.5
+              |      + (1.0 - least(1.0, punct_cnt * 10.0 / len)) * 0.3
+              |      + least(1.0, stop_cnt * 5.0 / n_words) * 0.2 AS quality
+              |FROM base""".stripMargin),
+      covers = Seq("ext-quality", "ext-tokens")),
+
+    // ------------------------------------------------------------------
+    // Language-ID: marker-word hit counts per language, argmax with a fixed
+    // tie-break order (en > de > fr > es).
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(
+            col("doc_id"),
+            hitCount(col("ws"), StopEn).as("c_en"),
+            hitCount(col("ws"), StopDe).as("c_de"),
+            hitCount(col("ws"), StopFr).as("c_fr"),
+            hitCount(col("ws"), StopEs).as("c_es"))
+        base.withColumn(
+          "pred_lang",
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+            col("c_en") >= col("c_es"), "en")
+            .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+            .when(col("c_fr") >= col("c_es"), "fr")
+            .otherwise("es"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |    ${sqlHits(StopEn)} AS c_en, ${sqlHits(StopDe)} AS c_de,
+              |    ${sqlHits(StopFr)} AS c_fr, ${sqlHits(StopEs)} AS c_es
+              |  FROM (SELECT doc_id,
+              |          list_filter(string_split_regex(lower(text), '\\s+'),
+              |            x -> x != '') AS ws
+              |        FROM documents))
+              |SELECT doc_id, c_en, c_de, c_fr, c_es,
+              |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+              |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+              |       WHEN c_fr >= c_es THEN 'fr'
+              |       ELSE 'es' END AS pred_lang
+              |FROM base""".stripMargin),
+      covers = Seq("ext-langid")),
+
+    // ------------------------------------------------------------------
+    // Document fingerprint: md5 over whitespace-normalized lowercase text —
+    // the exact-dedup key that survives formatting noise.
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+              .as("fp")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin),
+      covers = Seq("ext-fingerprint"))
+  )
+}
