@@ -63,7 +63,7 @@ object Similarity {
   }
 
   /** ANN top-k: probe the query's bucket plus all buckets within hamming
-    * distance 1 (multi-probe keeps recall up without widening the scan
+    * distance <= 2 (multi-probe keeps recall up without widening the scan
     * much), exact re-rank inside the candidate set.
     */
   def annTopK(
@@ -78,7 +78,11 @@ object Similarity {
       val d = p.zip(query).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
-    val probe = qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    val flips1 = (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    val flips2 = for {
+      i <- 0 until nPlanes; j <- (i + 1) until nPlanes
+    } yield qBucket ^ (1L << i) ^ (1L << j)
+    val probe = (qBucket +: (flips1 ++ flips2)).distinct
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val qCol = array(query.map(lit): _*)
     bucketed
@@ -86,6 +90,94 @@ object Similarity {
       .select(
         col(idCol),
         (dot(col("v"), qCol) / (col("norm") * lit(qNorm))).as("cos"))
+      .orderBy(round(col("cos"), 6).desc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) index: spherical k-means coarse quantizer.
+  // Sign-LSH recall collapses when "neighbors" are near-orthogonal (as in
+  // uniform random embeddings); IVF partitions by direction regardless, so
+  // it is the default ANN scale path. At 100 TB: train on a driver-side
+  // sample, write the table partitioned by `cell`, probe nProbe cells per
+  // query — a partition-pruned scan instead of a full pass.
+  // ------------------------------------------------------------------
+
+  /** Train k spherical-k-means centroids on a deterministic sample
+    * (vectors with id < sampleN; swap for df.sample(seed) on real data).
+    */
+  def trainIvf(
+      df: DataFrame,
+      idCol: String,
+      k: Int = 16,
+      sampleN: Int = 256,
+      iters: Int = 8): Seq[Seq[Double]] = {
+    val sample = withNorm(df)
+      .filter(col(idCol) < sampleN)
+      .select(transform(col("v"), x => x / col("norm")).as("u"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = sample.take(k).map(_.clone())
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val best = centroids.indices.maxBy(c => dot(v, centroids(c)))
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val n = math.sqrt(dot(sums(c), sums(c)))
+          sums(c).map(_ / n)
+        }
+      }.toArray
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Adds a `cell` column: argmax_c (v·centroid_c), 0-based. */
+  def ivfAssign(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val normed = withNorm(df)
+    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    normed
+      .withColumn("cell_dots", dots)
+      .withColumn(
+        "cell",
+        (array_position(col("cell_dots"), array_max(col("cell_dots"))) - 1).cast("int"))
+      .drop("cell_dots")
+  }
+
+  /** IVF ANN top-k: probe the nProbe cells whose centroids are closest to
+    * the query, exact cosine re-rank inside them.
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 4): DataFrame = {
+    def ddot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qn = math.sqrt(ddot(query, query))
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -ddot(c, query) / qn }
+      .take(nProbe)
+      .map(_._2)
+    val qCol = array(query.map(lit): _*)
+    assigned
+      .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+      .select(
+        col(idCol),
+        (dot(col("v"), qCol) / (col("norm") * lit(qn))).as("cos"))
       .orderBy(round(col("cos"), 6).desc, col(idCol))
       .limit(k)
   }

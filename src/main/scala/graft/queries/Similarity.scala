@@ -61,6 +61,23 @@ object Similarity {
           .select(col("vec_id"), round(col("cos"), 3).as("cos"))
       },
       None,
-      covers = Seq("ext-knn-lsh"))
+      covers = Seq("ext-knn-lsh")),
+
+    // ------------------------------------------------------------------
+    // IVF ANN top-10: spherical-k-means cells, probe the 6 nearest of 16
+    // (approximate — no SQL oracle; recall asserted in SimilaritySpec).
+    QueryDef(
+      "q_knn_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val query = Sim.withNorm(e).filter(col("vec_id") === 0)
+          .select(col("v")).head().getSeq[Double](0).toSeq
+        val centroids = Sim.trainIvf(e, "vec_id", k = 16)
+        val assigned = Sim.ivfAssign(e.filter(col("vec_id") =!= 0), centroids)
+        Sim.ivfTopK(assigned, "vec_id", query, k = 10, centroids, nProbe = 6)
+          .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+      },
+      None,
+      covers = Seq("ext-knn-ivf"))
   )
 }
