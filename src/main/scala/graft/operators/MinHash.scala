@@ -47,12 +47,14 @@ object MinHash {
         sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
 
-  /** docs(idCol, textCol) → (idCol, s) exploded distinct 2-gram shingles. */
+  /** docs(idCol, textCol) → (idCol, s) exploded distinct 2-gram shingles.
+    * Uses the native [[graft.functions.WordShingles]] kernel — identical
+    * output to `explode(shingles(words(text), 2))` but one codegen'd call
+    * per row instead of four interpreted higher-order functions.
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col(idCol), explode(shingles(col("ws"), 2)).as("s"))
+      .select(col(idCol), explode(graft.functions.TextExprs.wordShingles(col(textCol), 2)).as("s"))
 
   /** docs(idCol, textCol) → (idCol, m0..m{K-1}) MinHash signature. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact Jaccard set-similarity self-join — the engine's near-duplicate
+  * detector. Two physical strategies behind one logical operator, chosen
+  * by a measured property of the data (vocabulary size), not guessed:
+  *
+  * '''Sparse path (prefix filtering, PPJoin).''' The naive plan self-joins
+  * the (id, token) table on token: every token in k docs contributes k²
+  * join rows — one common bigram in 100k docs alone is 10^10 rows. Prefix
+  * filtering keeps it exact while generating candidates only from each
+  * set's globally-rarest tokens:
+  *
+  *   1. order tokens by (document frequency asc, hash);
+  *   2. explode only each set's PREFIX — its first |x| − ⌈t·|x|⌉ + 1
+  *      ordered tokens. Lemma (AllPairs/PPJoin): J(A,B) ≥ t ⇒
+  *      |A∩B| ≥ ⌈t·|A|⌉, so the globally-smallest common element lies in
+  *      both prefixes; pairs sharing only frequent suffix tokens are never
+  *      generated;
+  *   3. length filter (t·|B| ≤ |A| ≤ |B|/t) inside the candidate join;
+  *   4. verify candidates exactly with array_intersect.
+  *
+  * This is the 100 TB default: every stage is a keyed shuffle linear in
+  * corpus + candidates, and heavy-hitter tokens drop out of all prefixes.
+  *
+  * '''Dense path (dictionary bitmaps).''' When the DISTINCT-token count is
+  * small (measured with one cheap agg), prefix filtering cannot prune —
+  * every token is frequent, nearly every pair shares prefix tokens, and
+  * candidate generation degenerates to all-pairs through a shuffle. The
+  * engine instead dictionary-encodes each set as a V-bit bitmap
+  * (V = vocabulary size, e.g. 931 tokens → 15 longs), broadcasts the
+  * encoded table, and evaluates ALL length-compatible pairs in one
+  * BroadcastNestedLoopJoin stage with a codegen'd AND+popcount
+  * ([[graft.functions.BitmapAndCount]]) — no shuffle, no candidate
+  * materialization, ~1ns per 64 vocabulary bits per pair. The broadcast
+  * is V/8 bytes per row; the guard on row count keeps it sane.
+  */
+object SetSimJoin {
+
+  /** tokens: (idCol, hCol) rows, DISTINCT (id, token-hash) pairs.
+    * Returns (id_a, id_b, inter, na, nb) for exactly the pairs with
+    * inter·1.0/(na+nb−inter) ≥ t (the same IEEE predicate an external
+    * verifier would apply to the integers; recompute J downstream from the
+    * integers for bit-stable output).
+    */
+  def jaccardSelfJoin(
+      tokens: DataFrame,
+      idCol: String,
+      hCol: String,
+      t: Double,
+      denseVocabMax: Long = 1L << 16,
+      denseRowsMax: Long = 1L << 17): DataFrame = {
+    val tok = tokens.select(col(idCol).as("id"), col(hCol).as("h")).cache()
+    try {
+      // one probe job decides the strategy AND (when dense) yields the
+      // dictionary: collect distinct tokens, bailing out past the cap.
+      val probe = tok.select("h").distinct()
+        .limit((denseVocabMax + 1).toInt).collect().map(_.getLong(0))
+      // dense is quadratic in doc count (broadcast NLJ) and broadcasts
+      // docCount * V/8 bitmap bytes — both must stay bounded.
+      val nWords = (probe.length + 63) >> 6
+      lazy val docCount = tok.select("id").distinct().count()
+      val broadcastBytes = () => docCount * (nWords * 8L + 24L)
+      if (probe.length <= denseVocabMax && docCount <= denseRowsMax &&
+        broadcastBytes() <= (256L << 20))
+        denseSelfJoin(tok, t, Some(probe.sorted))
+      else
+        prefixSelfJoin(tok, t)
+    } finally tok.unpersist(blocking = false)
+  }
+
+  /** Sparse/prefix strategy; exact for any vocabulary. */
+  def prefixSelfJoin(tok: DataFrame, t: Double): DataFrame = {
+    val dfc = tok.groupBy("h").agg(count(lit(1)).as("dfc"))
+
+    // per-set token array in global (dfc asc, h) order + set size
+    val ordered = tok
+      .join(dfc, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("dfc"), col("h")))).as("a"))
+      .select(
+        col("id"),
+        transform(col("a"), x => x("h")).as("arr"),
+        size(col("a")).as("n"))
+
+    val plen = (col("n") - ceil(col("n") * lit(t)) + 1).cast("int")
+    val pre = ordered.select(
+      col("id"), col("n"), explode(slice(col("arr"), lit(1), plen)).as("h"))
+
+    val cand = pre.as("a")
+      .join(
+        pre.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.n") >= col("b.n") * lit(t) && col("b.n") >= col("a.n") * lit(t))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    cand
+      .join(
+        ordered.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n").as("na")),
+        "id_a")
+      .join(
+        ordered.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n").as("nb")),
+        "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).as("inter"),
+        col("na"),
+        col("nb"))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= lit(t))
+  }
+
+  /** Dense/bitmap strategy; requires small vocabulary + broadcastable
+    * encoded table. One BroadcastNestedLoopJoin, zero shuffles after the
+    * per-set groupBy.
+    */
+  def denseSelfJoin(
+      tok: DataFrame,
+      t: Double,
+      knownVocab: Option[Array[Long]] = None): DataFrame = {
+    val vocab: Array[Long] = knownVocab.getOrElse(
+      tok.select("h").distinct().orderBy("h").collect().map(_.getLong(0)))
+    val nWords = (vocab.length + 63) >> 6
+    val idx: Map[Long, Int] = vocab.zipWithIndex.toMap
+    val bIdx = tok.sparkSession.sparkContext.broadcast(idx)
+    val toBitmap = udf((hs: Seq[Long]) => {
+      val bm = new Array[Long](nWords)
+      hs.foreach { h =>
+        val i = bIdx.value(h)
+        bm(i >> 6) |= 1L << (i & 63)
+      }
+      bm
+    })
+    val sets = tok
+      .groupBy("id")
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("id"), toBitmap(col("hs")).as("bm"), size(col("hs")).as("n"))
+
+    val a = sets.select(col("id").as("id_a"), col("bm").as("bm_a"), col("n").as("na"))
+    val b = sets.select(col("id").as("id_b"), col("bm").as("bm_b"), col("n").as("nb"))
+    a.join(
+        broadcast(b),
+        col("id_a") < col("id_b") &&
+          col("na") >= col("nb") * lit(t) && col("nb") >= col("na") * lit(t))
+      .withColumn("inter", VectorExprs.bitmapAndCount(col("bm_a"), col("bm_b")))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= lit(t))
+      .select("id_a", "id_b", "inter", "na", "nb")
+  }
+}

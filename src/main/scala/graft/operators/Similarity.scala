@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding as double array + L2 norm, reusable fragment. */
-  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame =
-    df.withColumn("v", transform(col(embCol), _.cast("double")))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  /** embedding as double array + L2 norm, reusable fragment. Cast (not
+    * `transform(_.cast)`) and the native [[graft.functions.DotProduct]]
+    * kernel keep the whole fragment inside WholeStageCodegen — the
+    * higher-order-function formulation is CodegenFallback and interpreted.
+    */
+  def withNorm(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val d = df.withColumn("v", col(embCol).cast("array<double>"))
+    d.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotProduct(a, b)
 
   /** Exact cosine top-k of `df` vs one query vector (driver-side Seq). */
   def bruteForceTopK(

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.QueryDef.t
-import graft.operators.MinHash
+import graft.operators.{MinHash, SetSimJoin}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -53,27 +53,22 @@ object Dedup {
       covers = Seq("ext-dedup-exact")),
 
     // ------------------------------------------------------------------
-    // n-gram Jaccard near-dup pairs (the exact quadratic baseline):
-    // word-2-gram shingle sets, candidate pairs via shingle co-occurrence
-    // self-join, J = |A∩B| / (|A|+|B|-|A∩B|), threshold 0.5. The planted
+    // n-gram Jaccard near-dup pairs, EXACT but prefix-filtered (PPJoin —
+    // see graft.operators.SetSimJoin): word-2-gram shingle sets hashed to
+    // 64-bit, candidates only from each set's rare-token prefix, exact
+    // array-intersect verification. The oracle keeps the quadratic
+    // formulation — identical output, wildly different plan. The planted
     // near-dup pairs in the test data sit at J >= 0.9; background noise
     // tops out ~0.13, so 0.5 separates cleanly.
     QueryDef(
       "q_dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), explode(shingles2(col("ws"))).as("s"))
-          .cache()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")), "id_a")
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")), "id_b")
+        val tok = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 2)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        SetSimJoin.jaccardSelfJoin(tok, "doc_id", "h", 0.5)
           .select(
             col("id_a"),
             col("id_b"),
@@ -105,10 +100,7 @@ object Dedup {
     QueryDef(
       "q_dedup_minhash",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), explode(shingles2(col("ws"))).as("s"))
+        val sh = MinHash.shingleRows(t(s, dir, "documents"), "doc_id", "text")
         val hashed = sh.withColumn("h", MinHash.shingleHash(col("s")))
         hashed
           .groupBy("doc_id")
@@ -127,7 +119,9 @@ object Dedup {
       "q_dedup_simhash",
       (s, dir) => {
         val tok = t(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 1)).as("w"))
           .withColumn("h", MinHash.shingleHash(col("w")))
         val votes = tok
           .groupBy("doc_id")
@@ -146,24 +140,23 @@ object Dedup {
     QueryDef(
       "q_dedup_embed_cosine",
       (s, dir) => {
+        import graft.functions.VectorExprs.dotProduct
+        // cast + native dot_product keep the pair loop whole-stage
+        // codegen'd; the HOF formulation (zip_with/aggregate lambdas) is
+        // interpreted per element per pair.
         val e = t(s, dir, "embeddings")
           .select(
             col("vec_id"),
             col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn(
-            "norm",
-            sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
         e.as("a")
           .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("id_a"),
             col("b.vec_id").as("id_b"),
             round(
-              aggregate(
-                zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-                lit(0.0),
-                (acc, x) => acc + x) / (col("a.norm") * col("b.norm")),
+              dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")),
               3).as("cos"))
           .filter(col("cos") >= 0.4)
       },

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column a backend-agnostic ColumnNode wrapper; building a
+  * Column from a custom Catalyst Expression goes through the classic
+  * converter, which is `private[sql]`. This one-file subpackage of
+  * org.apache.spark.sql is the supported-in-practice way libraries bridge
+  * that gap (same pattern as frameless / spark-daria).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.MinHash
+import org.apache.spark.sql.functions._
+
+/** The native WordShingles kernel must be indistinguishable from the
+  * built-in higher-order-function formulation it replaces.
+  */
+class TextExprsSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("wordShingles(2) == HOF shingles over real documents") {
+    val hof = docs
+      .select(col("doc_id"), MinHash.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(MinHash.shingles(col("ws"), 2)).as("s"))
+    val native = docs
+      .select(col("doc_id"), explode(TextExprs.wordShingles(col("text"), 2)).as("s"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("wordShingles(1) == distinct lowercased words") {
+    val hof = docs
+      .select(col("doc_id"), explode(array_distinct(MinHash.words(col("text")))).as("s"))
+    val native = docs
+      .select(col("doc_id"), explode(TextExprs.wordShingles(col("text"), 1)).as("s"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("wordShingles edge cases") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "  Hello   WORLD  hello world "),
+      ("b", "one"),
+      ("c", ""),
+      ("d", "x y x y x")).toDF("id", "text")
+    val got = df.select(col("id"), TextExprs.wordShingles(col("text"), 2).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a") === Seq("hello world", "world hello"))
+    assert(got("b") === Seq.empty)
+    assert(got("c") === Seq.empty)
+    assert(got("d") === Seq("x y", "y x"))
+  }
+
+  test("dot_product SQL registration via GraftExtensions") {
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r === 11.0)
+  }
+}
