@@ -385,6 +385,52 @@ object Relational {
       covers = Seq("2.9")),
 
     // ------------------------------------------------------------------
+    // §2.9 ext: batch sessionization (gaps-and-islands) — the exact batch
+    // analogue of the streaming session_window in graft.streaming
+    // .EventStream. lag marks session starts (gap >= 1h), a running sum
+    // numbers sessions, then one agg per session. All in integer
+    // nanoseconds so both engines agree bit-for-bit. One shuffle on
+    // user_id serves both windows AND the final agg (same key).
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        // microseconds on both sides: DuckDB reads the parquet NANOS
+        // timestamps at micro precision, so micros is the shared grain
+        val gapUs = 3600L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Session.table(s, dir, "events")
+          // integer div: epoch-nanos (~1.7e18) overflows double precision
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .withColumn(
+            "is_new",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum("is_new").over(w))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"),
+            max("ts_us").as("end_us"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |sess AS (
+             |  SELECT user_id, ts_us,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id
+             |  FROM marked)
+             |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(ts_us) AS start_us, max(ts_us) AS end_us
+             |FROM sess GROUP BY user_id, sess_id""".stripMargin),
+      covers = Seq("2.9", "ext-sessionize")),
+
+    // ------------------------------------------------------------------
     // §2.9/A2: event dedup — first event per (user, type) by event time,
     // full nano precision via the raw ns column.
     QueryDef(

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream (SURVEY.md
+  * §2.9). The reference's only "streaming" is a poll-directory batch loop;
+  * these are the event-stream extensions a large-scale pipeline needs,
+  * expressed with the engine-native streaming primitives so state,
+  * watermarks and recovery are Spark's problem, not ours:
+  *
+  *   - event-time tumbling/sliding window aggregation under a watermark
+  *     (late data beyond the watermark is dropped, state is bounded);
+  *   - streaming deduplication by event id within the watermark horizon
+  *     (`dropDuplicatesWithinWatermark` — state expires, unlike plain
+  *     `dropDuplicates` whose state grows forever);
+  *   - session windows via the native `session_window` aggregation;
+  *   - custom per-key state via `flatMapGroupsWithState` (running
+  *     per-user counters with idle timeout) for semantics the built-in
+  *     operators can't express.
+  *
+  * All transforms are source-agnostic: they accept any DataFrame with the
+  * events schema (streaming or batch — same code path powers the batch
+  * oracle-checked queries), which is exactly how Structured Streaming is
+  * meant to be used: one declarative plan, incrementalized by the engine.
+  *
+  * Scale notes: windowed aggs shuffle on (window, key) with partial
+  * aggregation map-side; state store size is bounded by watermark horizon
+  * × key cardinality; at 100 TB/day the knobs that matter are watermark
+  * delay (state bound), `spark.sql.shuffle.partitions` (state store
+  * parallelism) and RocksDB state backend — none of which change the plan
+  * shape declared here.
+  */
+object EventStream {
+
+  /** Raw events (`ts_ns` bigint) → event-time frame (`ts` timestamp). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+
+  /** Tumbling event-time window counts + value sums per event type. */
+  def windowedAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value"))
+
+  /** Streaming dedup on event_id with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, state for old ids expires.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session-window aggregation: events of one user belong to one session
+    * while gaps stay under `gap`; a quiet period >= gap closes the session.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"))
+
+  // ---------------------------------------------------------------------
+  // Custom state: running per-user counters with idle-timeout flush.
+  // ---------------------------------------------------------------------
+
+  case class UserEvent(user_id: Long, event_id: String, ts: java.sql.Timestamp, value: Double)
+  case class UserState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+  /** flatMapGroupsWithState: emits an updated per-user snapshot on every
+    * batch that touches the user, and a final `closed` snapshot when the
+    * user goes idle past the processing-time timeout (idleTimeoutMs <= 0
+    * disables timers; run the query in update output mode).
+    */
+  def runningUserStats(
+      events: Dataset[UserEvent],
+      idleTimeoutMs: Long = 60000L): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Update(),
+        timeoutConf) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSnapshot(user, s.nEvents, s.totalValue, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+            val (n, tot, last) = rows.foldLeft((prev.nEvents, prev.totalValue, prev.lastTs)) {
+              case ((cn, ct, cl), e) => (cn + 1, ct + e.value, math.max(cl, e.ts.getTime))
+            }
+            state.update(UserState(n, tot, last))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator(UserSnapshot(user, n, tot, closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** MemoryStream-driven checks of the streaming operators: tumbling-window
+  * agg, watermark-bounded dedup, session windows, custom state.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  case class Ev(event_id: String, user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+  private def t(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowedAgg counts tumbling event-time windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev("e1", 1, "click", t(10), 1.0),
+      Ev("e2", 1, "click", t(20), 2.0),
+      Ev("e3", 2, "view", t(75), 5.0))
+    val q = EventStream.windowedAgg(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("win_agg")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate event ids across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.dedupWithinWatermark(in.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData(Ev("a", 1, "click", t(10), 1.0), Ev("a", 1, "click", t(11), 1.0),
+        Ev("b", 1, "click", t(12), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev("a", 1, "click", t(13), 1.0), Ev("c", 2, "view", t(14), 1.0))
+      q.processAllAvailable()
+      val ids = s.table("dedup_out").collect().map(_.getString(0)).sorted
+      assert(ids === Array("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("sessionAgg closes sessions after the gap, under the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionAgg(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData(
+        Ev("e1", 1, "c", t(0), 1.0), Ev("e2", 1, "c", t(10), 1.0),
+        Ev("e3", 2, "c", t(5), 1.0))
+      q.processAllAvailable()
+      // watermark jumps to 10:00-1h = 09:00 — far past both sessions' ends
+      in.addData(Ev("e4", 1, "c", t(600), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("sess_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getTimestamp(2).getTime / 60000, r.getLong(3)))
+        .toSet
+      assert(rows === Set((1L, 0L, 40L, 2L), (2L, 5L, 35L, 1L)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats keeps per-user state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserStats(in.toDS(), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    try {
+      in.addData(EventStream.UserEvent(1, "e1", t(0), 2.0), EventStream.UserEvent(1, "e2", t(1), 3.0))
+      q.processAllAvailable()
+      in.addData(EventStream.UserEvent(1, "e3", t(2), 5.0), EventStream.UserEvent(2, "e4", t(2), 7.0))
+      q.processAllAvailable()
+      val snaps = s.table("user_stats")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // batch 1: user 1 at (2, 5.0); batch 2: user 1 at (3, 10.0), user 2 at (1, 7.0)
+      assert(snaps.toSet === Set((1L, 2L, 5.0, false), (1L, 3L, 10.0, false), (2L, 1L, 7.0, false)))
+    } finally q.stop()
+  }
+}
