@@ -1,0 +1,103 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+
+/** Integration spec against embedded Derby: FK-ordered load, idempotent
+  * re-load, per-table failure isolation, audit log, dialect rendering.
+  */
+class MergeJdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:mergedb;create=true"
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def freshSchema(): Unit = withConn { c =>
+    val st = c.createStatement()
+    for (t <- Seq("UPDATELOG", "CUSTOMER", "NATION", "REGION"))
+      try st.execute(s"DROP TABLE $t") catch { case _: java.sql.SQLException => () }
+    st.execute("CREATE TABLE Region (r_id INT PRIMARY KEY, r_name VARCHAR(32))")
+    st.execute("""CREATE TABLE Nation (n_id INT PRIMARY KEY, n_name VARCHAR(32),
+                 |  n_region INT REFERENCES Region (r_id))""".stripMargin)
+    st.execute("""CREATE TABLE Customer (c_id INT PRIMARY KEY, c_name VARCHAR(32),
+                 |  c_nation INT REFERENCES Nation (n_id))""".stripMargin)
+  }
+
+  private def frames = {
+    val s = spark
+    import s.implicits._
+    Map(
+      "CUSTOMER" -> Seq((1, "alice", 10), (2, "bob", 11)).toDF("c_id", "c_name", "c_nation"),
+      "NATION" -> Seq((10, "fr", 100), (11, "de", 100)).toDF("n_id", "n_name", "n_region"),
+      "REGION" -> Seq((100, "eu")).toDF("r_id", "r_name"))
+  }
+
+  test("FK reflection orders referenced tables first") {
+    freshSchema()
+    val cons = withConn(JdbcConstraints.reflect(_))
+    val order = cons.topoOrder(Seq("CUSTOMER", "NATION", "REGION"))
+    assert(order.indexOf("REGION") < order.indexOf("NATION"))
+    assert(order.indexOf("NATION") < order.indexOf("CUSTOMER"))
+    assert(cons.primaryKeys("NATION") === Seq("N_ID"))
+  }
+
+  test("loadAll inserts in dependency order and is idempotent") {
+    freshSchema()
+    val cons = withConn(JdbcConstraints.reflect(_))
+    val first = MergeJdbc.loadAll(frames, cons, url, MergeJdbc.Derby)
+    assert(first.forall(!_.failed), first.filter(_.failed).mkString("; "))
+    assert(first.map(r => r.table -> r.inserted).toMap ===
+      Map("REGION" -> 1L, "NATION" -> 2L, "CUSTOMER" -> 2L))
+
+    val second = MergeJdbc.loadAll(frames, cons, url, MergeJdbc.Derby)
+    assert(second.forall(!_.failed))
+    assert(second.forall(_.inserted === 0L), "re-load must be a no-op")
+
+    val audits = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT TableName, Changes, ChangeType FROM UpdateLog ORDER BY UpdateDate")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), r.getLong(2), r.getString(3))).toList
+    }
+    assert(audits.size === 6)
+    assert(audits.count(_._2 == 0L) === 3)
+  }
+
+  test("merge tolerates pre-existing rows (partial overlap)") {
+    freshSchema()
+    withConn(_.createStatement().execute("INSERT INTO Region VALUES (100, 'eu')"))
+    val cons = withConn(JdbcConstraints.reflect(_))
+    val res = MergeJdbc.mergeTable(frames("REGION"), "REGION", Seq("R_ID"), url, MergeJdbc.Derby)
+    assert(!res.failed && res.inserted === 0L)
+  }
+
+  test("per-table failure is isolated and reported") {
+    freshSchema()
+    val cons = withConn(JdbcConstraints.reflect(_))
+    // Customer referencing a missing nation violates the FK at merge time
+    val s = spark
+    import s.implicits._
+    val bad = frames.updated(
+      "CUSTOMER", Seq((3, "carol", 99)).toDF("c_id", "c_name", "c_nation"))
+    val res = MergeJdbc.loadAll(bad, cons, url, MergeJdbc.Derby)
+    val byTable = res.map(r => r.table -> r).toMap
+    assert(!byTable("REGION").failed && !byTable("NATION").failed)
+    assert(byTable("CUSTOMER").failed)
+    // the failed table rolled back; others landed
+    withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM Customer")
+      rs.next(); assert(rs.getLong(1) === 0L)
+    }
+  }
+
+  test("SQL Server dialect renders the reference MERGE shape") {
+    val sql = MergeJdbc.SqlServer.mergeSql(
+      "Plot", "STG_Plot", Seq("PlotID", "Name"), Seq("PlotID"))
+    assert(sql.contains("MERGE INTO Plot t USING STG_Plot s ON (t.PlotID = s.PlotID)"))
+    assert(sql.contains("WHEN NOT MATCHED THEN INSERT (PlotID, Name) VALUES (s.PlotID, s.Name)"))
+  }
+}
