@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
   private def queries_ext: Seq[QueryDef] =
-    graft.queries.Text.defs ++ graft.queries.Dedup.defs ++ graft.queries.Similarity.defs
+    graft.queries.Text.defs ++ graft.queries.Dedup.defs ++
+      graft.queries.Similarity.defs ++ graft.queries.MultimodalQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
