@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     queries_relational ++ queries_ext
 
-  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
+  private def queries_relational: Seq[QueryDef] =
+    graft.queries.Relational.defs ++ graft.queries.Relational2.defs
   private def queries_ext: Seq[QueryDef] =
     graft.queries.Text.defs ++ graft.queries.Dedup.defs ++
       graft.queries.Similarity.defs ++ graft.queries.MultimodalQ.defs

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.engine.Session
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational coverage beyond the reference's literal operator
+  * set: semi/anti joins, distinct aggregation, rollup, top-k per group,
+  * as-of join, running-window frames, set operations. The reference never
+  * needs these (SURVEY.md §2.3/§2.7 note their absence) but a drop-in
+  * analytics engine does; each is declared Spark-first and oracle-checked.
+  */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Semi/anti joins: existence tests WITHOUT join fan-out — at scale the
+    // build side ships only the key column and dedups during the join,
+    // never multiplying rows like an inner join + distinct would.
+    QueryDef(
+      "q_semi_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select("o_custkey")
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey")).withColumn("has_orders", lit(1))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("has_orders", lit(0))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT c_custkey, CAST(1 AS INT) AS has_orders FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, CAST(0 AS INT) AS has_orders FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+      covers = Seq("ext-semi-anti")),
+
+    // ------------------------------------------------------------------
+    // Distinct aggregation: count(DISTINCT) plans as a two-phase expand +
+    // partial agg in Spark — the exact form; the approximate HLL variant
+    // (approx_count_distinct) is asserted within 5% in Relational2Spec.
+    QueryDef(
+      "q_count_distinct",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            countDistinct("o_custkey").as("n_cust"),
+            count(lit(1)).as("n_orders")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders GROUP BY 1""".stripMargin),
+      covers = Seq("ext-count-distinct")),
+
+    // ------------------------------------------------------------------
+    // Rollup: subtotal + grand-total rows in ONE pass (Expand operator),
+    // vs N separate aggregations. grouping() flags disambiguate subtotal
+    // NULLs from data NULLs.
+    QueryDef(
+      "q_rollup",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"),
+            grouping("o_orderstatus").cast("int").as("g_status"),
+            grouping("o_orderpriority").cast("int").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
+      covers = Seq("ext-rollup")),
+
+    // ------------------------------------------------------------------
+    // Top-k per group: rank window + filter. The filter on row_number
+    // means each partition only RETAINS k rows after the sort — the
+    // standard scale pattern (never a global sort + driver-side head).
+    QueryDef(
+      "q_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY o_orderpriority
+             |         ORDER BY o_totalprice DESC, o_orderkey) rk
+             |      FROM orders) WHERE rk <= 3""".stripMargin),
+      covers = Seq("ext-topk")),
+
+    // ------------------------------------------------------------------
+    // As-of join: each event matched to the user's latest order at or
+    // before the event time. Spark lacks a native as-of; the engine
+    // expresses it as an equi-join on the key (hash-partitioned, the
+    // range predicate applied as a join filter) + max(struct) argmax —
+    // one shuffle, no window re-sort. Tie-break on orderkey keeps both
+    // engines deterministic.
+    QueryDef(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = Session.events(s, dir).select("event_id", "user_id", "ts")
+        val o = t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+        ev.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+          .groupBy("event_id", "user_id")
+          .agg(
+            max(struct(col("o_orderdate"), col("o_orderkey")))
+              .getField("o_orderkey").as("last_order"))
+      },
+      Some("""SELECT event_id, user_id, o_orderkey AS last_order
+             |FROM (SELECT e.event_id, e.user_id, o.o_orderkey,
+             |        row_number() OVER (PARTITION BY e.event_id
+             |          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+             |      FROM events e
+             |      JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+             |WHERE rn = 1""".stripMargin),
+      covers = Seq("ext-asof")),
+
+    // ------------------------------------------------------------------
+    // Running aggregate with an explicit ROWS frame: prefix sums in one
+    // pass per partition. Rounded at the values' own decimal count —
+    // engines differ in sliding-sum accumulation strategy at the ulp.
+    QueryDef(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("running_rev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-window-frame")),
+
+    // ------------------------------------------------------------------
+    // Set operations: INTERSECT / EXCEPT with SQL bag-to-set semantics.
+    QueryDef(
+      "q_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val bld = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
+        bld.intersect(auto).withColumn("which", lit("both"))
+          .unionByName(bld.except(auto).withColumn("which", lit("building_only")))
+      },
+      Some("""SELECT c_nationkey, 'both' AS which FROM (
+             |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  INTERSECT
+             |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+             |UNION ALL
+             |SELECT c_nationkey, 'building_only' AS which FROM (
+             |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  EXCEPT
+             |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin),
+      covers = Seq("ext-set-ops"))
+  )
+}
