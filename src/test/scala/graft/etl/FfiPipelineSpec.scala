@@ -331,6 +331,41 @@ class FfiPipelineSpec extends SparkSpec {
     assert(s(0).getString(2).matches("[0-9A-F-]{36}"))
   }
 
+  test("CSV sink dumps every catalog table with headers (S11)") {
+    val out = Files.createTempDirectory("ffi_csv")
+    FfiCatalog(Map(
+      "MacroPlot" -> transformed("MacroPlot").select("MacroPlot_GUID", "PlotID")))
+      .toCsv(out.toString)
+    val back = spark.read.option("header", "true").csv(s"$out/MacroPlot")
+    assert(back.columns.toSeq === Seq("MacroPlot_GUID", "PlotID"))
+    assert(back.count() === 2)
+  }
+
+  test("archive-on-success moves clean files only (S12)") {
+    val dir = Files.createTempDirectory("ffi_archive")
+    val f = dir.resolve("export.xml")
+    Files.writeString(f, "<x/>")
+    assert(Archive.archiveIfClean(f, Seq("SomeTable")) === None)
+    assert(Files.exists(f))
+    val moved = Archive.archiveIfClean(f, Nil)
+    assert(moved.exists(Files.exists(_)))
+    assert(!Files.exists(f))
+    assert(moved.get.getParent.getFileName.toString === "processed")
+  }
+
+  test("Mapping.fromCsv reads whitespace-padded rename maps (S5)") {
+    val dir = Files.createTempDirectory("ffi_maps")
+    Files.writeString(dir.resolve("TableMap.csv"),
+      "FFITable,NewTable\nMacroPlot , Plot\nSampleEvent,Event\n")
+    Files.writeString(dir.resolve("FieldMap.csv"),
+      "TableName,ColumnName,OldColumn\nPlot, PlotID , PlotID\nPlot,PlotName,MacroPlot_Name\nPlot,OnlyInDb,\n")
+    val m = Mapping.fromCsv(
+      spark, dir.resolve("TableMap.csv").toString, dir.resolve("FieldMap.csv").toString)
+    assert(m.outputTable("MacroPlot") === Some("Plot"))
+    val projected = m.project("Plot", transformed("MacroPlot"))
+    assert(projected.columns.toSeq === Seq("PlotID", "PlotName"))
+  }
+
   test("mapped tables MERGE-load into Derby idempotently, FK-ordered") {
     val url = "jdbc:derby:memory:ffidb;create=true"
     val c0 = DriverManager.getConnection(url)
