@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan assertions — the properties that matter at 100 TB, so a
+  * regression that silently de-optimizes a plan (lost pushdown, a
+  * broadcast degrading to sort-merge, partial aggregation disappearing)
+  * fails CI, not the cluster bill.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // settle AQE so we assert the FINAL plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_project pushes filters and prunes columns at the scan") {
+    val plan = finalPlan("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), "filters must reach the parquet scan")
+    assert(plan.contains("IsNotNull"), "pushed filter list should be non-trivial")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"unused columns must be pruned: $readSchema")
+    assert(readSchema.contains("l_orderkey"))
+  }
+
+  test("q_join_chain6 broadcasts every dimension side (no sort-merge)") {
+    val plan = finalPlan("q_join_chain6")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dimension joins must not shuffle-sort")
+  }
+
+  test("q_agg_pricing aggregates partially before the exchange") {
+    val plan = finalPlan("q_agg_pricing")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      "map-side combine must precede the shuffle")
+    // whole-stage codegen renders as "*(n)" stage markers in plan strings
+    assert(plan.contains("*("), "agg pipeline must be codegen'd")
+  }
+
+  test("native dot_product stays inside whole-stage codegen") {
+    val plan = finalPlan("q_dedup_embed_cosine")
+    val projLine = plan.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    assert(projLine.contains("*("),
+      s"dot_product projection must sit inside a codegen stage: $projLine")
+    // the interpreted HOF formulation this replaced planned an
+    // aggregate(zip_with(...)) projection outside any codegen stage
+    assert(!plan.contains("zip_with"))
+  }
+
+  test("q_semi_anti plans existence joins, not inner join + distinct") {
+    val plan = finalPlan("q_semi_anti")
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"))
+    assert(plan.contains("LeftAnti"))
+  }
+}
