@@ -27,6 +27,10 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // local[32]/128 GiB: mid-size fact tables (orders at sf0.1 ≈ 15 MB)
+      // should broadcast rather than sort-merge; a cluster deployment
+      // re-tunes this per executor memory. AQE demotes oversized builds.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); without this Spark refuses
