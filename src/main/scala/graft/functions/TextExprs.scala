@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared row kernel for [[WordShingles]] — called from both interpreted
@@ -39,6 +39,45 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** Winnowing fingerprints of an (already whitespace-normalized) text:
+    * 60-bit md5 k-gram hashes → sliding-window-w minima → distinct, in
+    * first-occurrence order. The 60-bit value equals DuckDB/Spark
+    * `conv(substr(md5(gram), 1, 15), 16, 10)` — i.e. the big-endian first
+    * 8 digest bytes shifted right 4 — so the oracle computes identical
+    * fingerprints.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val m = s.length - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = v >>> 4
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= m - w) {
+      var min = hashes(j)
+      var x = j + 1
+      while (x < j + w) { if (hashes(x) < min) min = hashes(x); x += 1 }
+      out.add(min)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var n = 0
+    while (it.hasNext) { arr(n) = it.next(); n += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
 }
 
 /** Distinct word n-gram shingles of a text column as one native codegen'd
@@ -66,9 +105,38 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Winnowing fingerprint set of a normalized text column as one native
+  * expression — the HOF formulation (two nested `transform`s over
+  * `sequence` with an md5/conv per element) is interpreted per k-gram and
+  * dominates the whole fingerprint pass.
+  */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextExprs {
 
   /** distinct word n-gram shingles (lowercased, ws-split) of a text col. */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** winnowing fingerprint set of a (normalized) text col. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprintsExpr(Bridge.expression(text), k, w))
 }

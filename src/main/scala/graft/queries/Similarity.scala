@@ -64,6 +64,28 @@ object Similarity {
       covers = Seq("ext-knn-lsh")),
 
     // ------------------------------------------------------------------
+    // Per-label centroid, long form: posexplode + avg per (label, dim) —
+    // partial aggregation makes the shuffle carry one (sum, count) per
+    // group per partition, never the vectors. The array-form equivalent
+    // via the custom VectorMean Aggregator is asserted against this in
+    // VectorMeanSpec.
+    QueryDef(
+      "q_embed_centroid",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(round(avg("v"), 6).as("avg_v")),
+      Some("""SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(v), 6) AS avg_v
+             |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             |        generate_subscripts(embedding::DOUBLE[], 1) AS i
+             |      FROM embeddings)
+             |GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-centroid", "2.10")),
+
+    // ------------------------------------------------------------------
     // IVF ANN top-10: spherical-k-means cells, probe the 6 nearest of 16
     // (approximate — no SQL oracle; recall asserted in SimilaritySpec).
     QueryDef(

@@ -126,6 +126,18 @@ object Text {
       covers = Seq("ext-langid")),
 
     // ------------------------------------------------------------------
+    // Winnowing fingerprints (rolling-hash sketch with a substring-
+    // containment guarantee — see graft.operators.Winnow): k-gram hashes,
+    // sliding-window minima, distinct. Exploded (doc_id, fp) rows are the
+    // inverted-index layout the 100 TB dedup path partitions on.
+    QueryDef(
+      "q_text_winnow",
+      (s, dir) =>
+        graft.operators.Winnow.fingerprintRows(t(s, dir, "documents"), "doc_id", "text"),
+      Some(graft.operators.Winnow.oracleSql()),
+      covers = Seq("ext-fingerprint-winnow")),
+
+    // ------------------------------------------------------------------
     // Document fingerprint: md5 over whitespace-normalized lowercase text —
     // the exact-dedup key that survives formatting noise.
     QueryDef(

@@ -47,6 +47,19 @@ class TextExprsSpec extends SparkSpec {
     assert(got("d") === Seq("x y", "y x"))
   }
 
+  test("native winnowFingerprints == HOF formulation over real documents") {
+    import graft.operators.Winnow
+    val norm = docs.select(col("doc_id"), Winnow.normalize(col("text")).as("t"))
+      .filter(length(col("t")) >= 11)
+    val hof = norm.select(
+      col("doc_id"),
+      explode(Winnow.fingerprints(Winnow.kgramHashes(col("t"), 8), 4)).as("fp"))
+    val native = norm.select(
+      col("doc_id"), explode(TextExprs.winnowFingerprints(col("t"), 8, 4)).as("fp"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
   test("dot_product SQL registration via GraftExtensions") {
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
