@@ -149,6 +149,39 @@ object Relational2 {
       covers = Seq("ext-window-frame")),
 
     // ------------------------------------------------------------------
+    // The SQL surface: every table registered as a temp view, the query
+    // submitted as one spark.sql() string (TPC-H Q3 shape) — same text
+    // modulo dialect runs on the DuckDB oracle. Catalyst treats it
+    // identically to the DataFrame plans above.
+    QueryDef(
+      "q_sql_revenue",
+      (s, dir) => {
+        for (n <- Seq("customer", "orders", "lineitem"))
+          t(s, dir, n).createOrReplaceTempView(n)
+        s.sql("""SELECT l_orderkey,
+                |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+                |  o_shippriority
+                |FROM customer JOIN orders ON c_custkey = o_custkey
+                |JOIN lineitem ON l_orderkey = o_orderkey
+                |WHERE c_mktsegment = 'BUILDING'
+                |  AND o_orderdate < TIMESTAMP '1995-03-15'
+                |  AND l_shipdate > TIMESTAMP '1995-03-15'
+                |GROUP BY l_orderkey, o_orderdate, o_shippriority""".stripMargin)
+      },
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             |  o_shippriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_shippriority""".stripMargin),
+      covers = Seq("ext-sql-surface")),
+
+    // ------------------------------------------------------------------
     // Set operations: INTERSECT / EXCEPT with SQL bag-to-set semantics.
     QueryDef(
       "q_set_ops",

@@ -79,6 +79,17 @@ object EventStream {
         col("w.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-static enrichment: each streaming event joined to a static
+    * dimension (broadcast per micro-batch; the static side re-plans per
+    * trigger so slowly-changing dims pick up refreshes).
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey), "left")
+
   // ---------------------------------------------------------------------
   // Custom state: running per-user counters with idle-timeout flush.
   // ---------------------------------------------------------------------

@@ -74,6 +74,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins a streaming source to a static dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val in = MemoryStream[Ev]
+    val q = EventStream.enrich(in.toDF(), dim, "user_id", "dim_user")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(Ev("e1", 1, "c", t(0), 1.0), Ev("e2", 3, "c", t(1), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("enriched").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows === Map("e1" -> Some("gold"), "e2" -> None))
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across batches") {
     val s = spark
     import s.implicits._
