@@ -54,6 +54,21 @@ object EventStream {
         col("n"),
         col("total_value"))
 
+  /** Sliding event-time windows: each event lands in windowLen/slide
+    * overlapping windows (state multiplies accordingly — size slide to
+    * what the dashboard actually needs).
+    */
+  def slidingAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped, state for old ids expires.
     */

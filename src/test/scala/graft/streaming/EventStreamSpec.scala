@@ -33,6 +33,22 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingAgg lands each event in windowLen/slide windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(Ev("e1", 1, "click", t(10), 1.0))
+    val q = EventStream.slidingAgg(in.toDF(), "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("slide_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val starts = s.table("slide_agg").collect()
+        .map(r => r.getTimestamp(0).getTime / 60000).sorted
+      assert(starts.toSeq === Seq(-30L, 0L)) // [23:30,00:30) and [00:00,01:00)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate event ids across batches") {
     val s = spark
     import s.implicits._
