@@ -54,22 +54,29 @@ object SetSimJoin {
       denseVocabMax: Long = 1L << 16,
       denseRowsMax: Long = 1L << 17): DataFrame = {
     val tok = tokens.select(col(idCol).as("id"), col(hCol).as("h")).cache()
-    try {
-      // one probe job decides the strategy AND (when dense) yields the
-      // dictionary: collect distinct tokens, bailing out past the cap.
-      val probe = tok.select("h").distinct()
-        .limit((denseVocabMax + 1).toInt).collect().map(_.getLong(0))
-      // dense is quadratic in doc count (broadcast NLJ) and broadcasts
-      // docCount * V/8 bitmap bytes — both must stay bounded.
+    // one probe job decides the strategy AND (when dense) yields the
+    // dictionary: collect distinct tokens, bailing out past the cap.
+    val probe = tok.select("h").distinct()
+      .limit((denseVocabMax + 1).toInt).collect().map(_.getLong(0))
+    if (probe.length <= denseVocabMax) {
+      // encode + CACHE the per-set bitmaps; the guard count materializes
+      // them, so the NLJ's two sides (probe + broadcast build) both read
+      // the cache instead of recomputing the tokenize pipeline, and tok
+      // can unpersist immediately. dense is quadratic in doc count and
+      // broadcasts docCount * V/8 bitmap bytes — both must stay bounded.
+      val sets = encodeBitmaps(tok, probe.sorted).cache()
+      val docCount = sets.count()
+      tok.unpersist(blocking = false)
       val nWords = (probe.length + 63) >> 6
-      lazy val docCount = tok.select("id").distinct().count()
-      val broadcastBytes = () => docCount * (nWords * 8L + 24L)
-      if (probe.length <= denseVocabMax && docCount <= denseRowsMax &&
-        broadcastBytes() <= (256L << 20))
-        denseSelfJoin(tok, t, Some(probe.sorted))
-      else
+      if (docCount <= denseRowsMax && docCount * (nWords * 8L + 24L) <= (256L << 20))
+        denseSelfJoin(sets, t)
+      else {
+        sets.unpersist(blocking = false)
         prefixSelfJoin(tok, t)
-    } finally tok.unpersist(blocking = false)
+      }
+    } else prefixSelfJoin(tok, t)
+    // note: the strategy's working cache (sets / prefix's `ordered`) stays
+    // persisted for the caller's execution; Spark evicts LRU under pressure.
   }
 
   /** Sparse/prefix strategy; exact for any vocabulary. */
@@ -114,16 +121,10 @@ object SetSimJoin {
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= lit(t))
   }
 
-  /** Dense/bitmap strategy; requires small vocabulary + broadcastable
-    * encoded table. One BroadcastNestedLoopJoin, zero shuffles after the
-    * per-set groupBy.
+  /** (id, h) tokens → (id, bm: array<long> bitmap, n) via a sorted-vocab
+    * dictionary broadcast to executors.
     */
-  def denseSelfJoin(
-      tok: DataFrame,
-      t: Double,
-      knownVocab: Option[Array[Long]] = None): DataFrame = {
-    val vocab: Array[Long] = knownVocab.getOrElse(
-      tok.select("h").distinct().orderBy("h").collect().map(_.getLong(0)))
+  def encodeBitmaps(tok: DataFrame, vocab: Array[Long]): DataFrame = {
     val nWords = (vocab.length + 63) >> 6
     val idx: Map[Long, Int] = vocab.zipWithIndex.toMap
     val bIdx = tok.sparkSession.sparkContext.broadcast(idx)
@@ -135,11 +136,17 @@ object SetSimJoin {
       }
       bm
     })
-    val sets = tok
+    tok
       .groupBy("id")
       .agg(collect_list(col("h")).as("hs"))
       .select(col("id"), toBitmap(col("hs")).as("bm"), size(col("hs")).as("n"))
+  }
 
+  /** Dense/bitmap strategy over pre-encoded (id, bm, n) sets; requires a
+    * broadcastable encoded table. One BroadcastNestedLoopJoin, zero
+    * shuffles.
+    */
+  def denseSelfJoin(sets: DataFrame, t: Double): DataFrame = {
     val a = sets.select(col("id").as("id_a"), col("bm").as("bm_a"), col("n").as("na"))
     val b = sets.select(col("id").as("id_b"), col("bm").as("bm_b"), col("n").as("nb"))
     a.join(

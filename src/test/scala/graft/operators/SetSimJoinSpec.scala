@@ -37,7 +37,11 @@ class SetSimJoinSpec extends SparkSpec {
 
   private def strategyPairs(t: Double, dense: Boolean): Set[(Long, Long, Long)] = {
     val tok = tokens.select(col("doc_id").as("id"), col("h"))
-    val res = if (dense) SetSimJoin.denseSelfJoin(tok, t) else SetSimJoin.prefixSelfJoin(tok, t)
+    val res =
+      if (dense) {
+        val vocab = tok.select("h").distinct().orderBy("h").collect().map(_.getLong(0))
+        SetSimJoin.denseSelfJoin(SetSimJoin.encodeBitmaps(tok, vocab), t)
+      } else SetSimJoin.prefixSelfJoin(tok, t)
     res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
   }
 
