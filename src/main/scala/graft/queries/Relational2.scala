@@ -161,24 +161,24 @@ object Relational2 {
         s.sql("""SELECT l_orderkey,
                 |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
                 |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
-                |  o_shippriority
+                |  o_orderpriority
                 |FROM customer JOIN orders ON c_custkey = o_custkey
                 |JOIN lineitem ON l_orderkey = o_orderkey
                 |WHERE c_mktsegment = 'BUILDING'
                 |  AND o_orderdate < TIMESTAMP '1995-03-15'
                 |  AND l_shipdate > TIMESTAMP '1995-03-15'
-                |GROUP BY l_orderkey, o_orderdate, o_shippriority""".stripMargin)
+                |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin)
       },
       Some("""SELECT l_orderkey,
              |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
              |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-             |  o_shippriority
+             |  o_orderpriority
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
              |WHERE c_mktsegment = 'BUILDING'
              |  AND o_orderdate < TIMESTAMP '1995-03-15'
              |  AND l_shipdate > TIMESTAMP '1995-03-15'
-             |GROUP BY l_orderkey, o_orderdate, o_shippriority""".stripMargin),
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin),
       covers = Seq("ext-sql-surface")),
 
     // ------------------------------------------------------------------

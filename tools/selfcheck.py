@@ -40,6 +40,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # a query that threw during planning writes no result dir — that must
+    # FAIL, not silently skip (the oracle key proves it was declared)
+    present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - present):
+        print(f"[FAIL-run] {name}: declared oracle but no result written")
+        failures += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
