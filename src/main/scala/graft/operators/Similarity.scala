@@ -147,6 +147,49 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Distributed spherical-k-means: each iteration is ONE Spark job —
+    * assign every vector to its nearest centroid (broadcast literals,
+    * native dot_product) and re-estimate centroids with the VectorMean
+    * Aggregator (map-side partial sums; the shuffle carries k buffers per
+    * partition, never the vectors). This is the 100 TB trainer —
+    * [[trainIvf]]'s driver-side sample variant stays for tiny inputs.
+    * Initialization: the k lexicographically-first vector ids
+    * (deterministic).
+    */
+  def trainIvfDistributed(
+      df: DataFrame,
+      idCol: String,
+      k: Int = 16,
+      iters: Int = 4): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.UserDefinedFunction
+    val vmean: UserDefinedFunction = udaf(graft.functions.VectorMean)
+    val unit = withNorm(df)
+      .select(col(idCol).as("_id"), transform(col("v"), x => x / col("norm")).as("u"))
+      .cache()
+    var centroids: Seq[Seq[Double]] =
+      unit.orderBy("_id").limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val dots = array(centroids.map(c => dot(col("u"), array(c.map(lit): _*))): _*)
+      val means = unit
+        .withColumn("cell", array_position(dots, array_max(dots)) - 1)
+        .groupBy("cell")
+        .agg(vmean(col("u")).as("m"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
+        .toMap
+      centroids = centroids.indices.map { c =>
+        means.get(c) match {
+          case Some(m) if m.nonEmpty =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            m.map(_ / n)
+          case _ => centroids(c)
+        }
+      }
+    }
+    unit.unpersist(blocking = false)
+    centroids
+  }
+
   /** Adds a `cell` column: argmax_c (v·centroid_c), 0-based. */
   def ivfAssign(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val normed = withNorm(df)

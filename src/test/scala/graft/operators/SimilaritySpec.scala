@@ -34,6 +34,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall=$recall truth=$truth got=$got")
   }
 
+  test("distributed IVF training reaches comparable recall to sampled training") {
+    val q = queryVec(0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val truth = Similarity.bruteForceTopK(rest, "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val centroids = Similarity.trainIvfDistributed(emb, "vec_id", k = 16, iters = 4)
+    assert(centroids.length === 16)
+    // every centroid is unit-norm
+    centroids.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val assigned = Similarity.ivfAssign(rest, centroids).cache()
+    val got = Similarity.ivfTopK(assigned, "vec_id", q, 10, centroids, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (truth intersect got).size / 10.0
+    assert(recall >= 0.5, s"distributed-IVF recall=$recall")
+  }
+
   test("sign-LSH ANN returns plausible candidates (recall is data-dependent)") {
     // uniform random embeddings have near-orthogonal "neighbors" (max cos
     // ~0.4), the worst case for sign-LSH — we assert mechanics (k results
