@@ -47,6 +47,19 @@ object Multimodal {
       : org.apache.spark.sql.Column =
     array((0 until n).map(i => substring(bin, 1 + i * stride, frameLen)): _*)
 
+  /** ??? real resample goes here ??? — stride-`factor` downsample stub
+    * (keep every factor-th byte): the payload-side shape of a
+    * nearest-neighbor thumbnail resize, as a pure projection. The capture
+    * group regex keeps byte 1 of every `factor`-byte run — identical
+    * semantics in the oracle dialect.
+    */
+  def resampleStub(payload: org.apache.spark.sql.Column, factor: Int)
+      : org.apache.spark.sql.Column = {
+    require(factor >= 2, s"downsample factor must be >= 2, got $factor")
+    regexp_replace(payload.cast("string"), s"(.)(.{0,${factor - 1}})", "$1")
+      .cast("binary")
+  }
+
   /** Output schema of [[decodeFeatures]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -57,6 +57,24 @@ object MultimodalQ {
       covers = Seq("ext-multimodal-frames")),
 
     // ------------------------------------------------------------------
+    // Resize/downsample as projection: keep every 4th payload byte (the
+    // nearest-neighbor thumbnail shape — a real resize swaps the stub
+    // kernel, the plumbing is identical).
+    QueryDef(
+      "q_multimodal_resize",
+      (s, dir) =>
+        media(s, dir)
+          .select(
+            col("doc_id"),
+            octet_length(Multimodal.resampleStub(col("media"), 4)).as("thumb_len"),
+            md5(Multimodal.resampleStub(col("media"), 4)).as("thumb_digest")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(regexp_replace(text, '(.)(.{0,3})', '\1', 'g'))) AS INT) AS thumb_len,
+             |  md5(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS thumb_digest
+             |FROM documents""".stripMargin),
+      covers = Seq("ext-multimodal-resize")),
+
+    // ------------------------------------------------------------------
     // Batch decode (mapPartitions micro-batches): the oracle reproduces
     // the stub's deterministic dimensions; features are spec-tested.
     QueryDef(
