@@ -431,6 +431,27 @@ object Relational {
       covers = Seq("2.9", "ext-sessionize")),
 
     // ------------------------------------------------------------------
+    // §2.9: the STREAMING operator itself (EventStream.windowedAgg —
+    // watermark + window() aggregation), executed in batch mode against
+    // the oracle. Structured Streaming plans are source-agnostic; this
+    // pins that the declared streaming plan computes exactly what the
+    // equivalent batch SQL does.
+    QueryDef(
+      "q_stream_window_parity",
+      (s, dir) =>
+        graft.streaming.EventStream.windowedAgg(Session.events(s, dir), "1 hour", "2 hours")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("event_type"),
+            col("n"),
+            round(col("total_value"), 2).as("total_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+             |  event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      covers = Seq("2.9", "ext-stream-batch-parity")),
+
+    // ------------------------------------------------------------------
     // §2.9/A2: event dedup — first event per (user, type) by event time,
     // full nano precision via the raw ns column.
     QueryDef(
