@@ -20,11 +20,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: shuffle + agg + parquet scan machinery (JIT, codegen cache,
-    // block manager), charged to no query.
+    // Warmup, charged to no query: shuffle + agg machinery (JIT, codegen
+    // cache, block manager), every table's parquet footer, and one
+    // broadcast join.
     spark.range(1 << 20).selectExpr("sum(id)", "count(distinct id % 100)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try graft.engine.Session.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count().collect()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
