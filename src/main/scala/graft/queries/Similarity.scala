@@ -91,8 +91,10 @@ object Similarity {
     QueryDef(
       "q_knn_ivf",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val query = Sim.withNorm(e).filter(col("vec_id") === 0)
+        // normalized vectors cached once: the query-vector lookup, trainer
+        // sample and cell-probe scan are separate jobs over the same frame
+        val e = Sim.withNorm(t(s, dir, "embeddings")).cache()
+        val query = e.filter(col("vec_id") === 0)
           .select(col("v")).head().getSeq[Double](0).toSeq
         val centroids = Sim.trainIvf(e, "vec_id", k = 16)
         val assigned = Sim.ivfAssign(e.filter(col("vec_id") =!= 0), centroids)
