@@ -126,6 +126,108 @@ object Text {
       covers = Seq("ext-langid")),
 
     // ------------------------------------------------------------------
+    // Repetition stats (C4-style filter signal): duplicate-word fraction
+    // per document from total vs distinct word counts — integer ops, so
+    // the derived double is bit-exact across engines.
+    QueryDef(
+      "q_text_repetition",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(words(col("text"))).as("n_words"),
+            size(graft.functions.TextExprs.wordShingles(col("text"), 1)).as("n_distinct"))
+          .filter(col("n_words") > 0)
+          .withColumn(
+            "dup_fraction",
+            lit(1.0) - col("n_distinct") * lit(1.0) / col("n_words")),
+      Some("""SELECT doc_id,
+             |  CAST(len(ws) AS INT) AS n_words,
+             |  CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+             |  1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dup_fraction
+             |FROM (SELECT doc_id,
+             |        list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+             |      FROM documents)
+             |WHERE len(ws) > 0""".stripMargin),
+      covers = Seq("ext-repetition")),
+
+    // ------------------------------------------------------------------
+    // Corpus vocabulary stats: global top-20 tokens (count desc, token
+    // tie-break). The explode shuffles once with map-side combine; the
+    // top-k is a TakeOrdered, never a global sort.
+    QueryDef(
+      "q_token_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(words(col("text"))).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+          .limit(20),
+      Some("""SELECT w, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(list_filter(
+             |        string_split_regex(lower(text), '\s+'), x -> x != '')) AS w
+             |      FROM documents)
+             |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin),
+      covers = Seq("ext-token-freq")),
+
+    // ------------------------------------------------------------------
+    // Composed cleaning pass — the actual shape of a training-data
+    // pipeline stage: keep each exact-dup cluster's canonical doc (min id
+    // per normalized fingerprint) that also clears the quality bar.
+    // One window over fp + row-level scoring; quality doubles are
+    // bit-exact (same op tree both engines, proven by q_text_stats).
+    QueryDef(
+      "q_corpus_clean",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+              .as("fp"),
+            length(col("text")).as("len"),
+            size(words(col("text"))).as("n_words"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+              .as("punct_cnt"),
+            hitCount(words(col("text")), StopEn).as("stop_cnt"))
+          .withColumn(
+            "quality",
+            least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
+              (lit(1.0) - least(lit(1.0), col("punct_cnt") * lit(10.0) / col("len"))) * 0.3 +
+              least(lit(1.0), col("stop_cnt") * lit(5.0) / col("n_words")) * 0.2)
+        base
+          .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep") && col("quality") >= 0.5)
+          .select(col("doc_id"), col("n_words"), col("quality"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              |    length(text) AS len,
+              |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              |      x -> x != '')) AS INT) AS n_words,
+              |    CAST(length(text) -
+              |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS punct_cnt,
+              |    ${sqlHits(StopEn)} AS stop_cnt
+              |  FROM (SELECT doc_id, text,
+              |          list_filter(string_split_regex(lower(text), '\\s+'),
+              |            x -> x != '') AS ws
+              |        FROM documents)),
+              |scored AS (
+              |  SELECT doc_id, fp, n_words,
+              |    least(1.0, n_words / 100.0) * 0.5
+              |      + (1.0 - least(1.0, punct_cnt * 10.0 / len)) * 0.3
+              |      + least(1.0, stop_cnt * 5.0 / n_words) * 0.2 AS quality
+              |  FROM base),
+              |canon AS (SELECT fp, min(doc_id) AS keep FROM scored GROUP BY fp)
+              |SELECT doc_id, n_words, quality
+              |FROM scored JOIN canon USING (fp)
+              |WHERE doc_id = keep AND quality >= 0.5""".stripMargin),
+      covers = Seq("ext-corpus-clean")),
+
+    // ------------------------------------------------------------------
     // Winnowing fingerprints (rolling-hash sketch with a substring-
     // containment guarantee — see graft.operators.Winnow): k-gram hashes,
     // sliding-window minima, distinct. Exploded (doc_id, fp) rows are the
