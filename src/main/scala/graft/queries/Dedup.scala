@@ -17,17 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** lowercase whitespace words, empties dropped — shared with oracle. */
-  private def words(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
-
-  /** distinct word 2-gram shingles of a ws array (needs size >= 2). */
-  private def shingles2(ws: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-
+  /** DuckDB-side shingling, mirroring graft.functions.WordShingles. */
   private val ShinglesSql =
     """SELECT doc_id, unnest(list_distinct(
       |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS s

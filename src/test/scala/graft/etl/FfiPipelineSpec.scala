@@ -63,6 +63,25 @@ class FfiPipelineSpec extends SparkSpec {
     assert(r.toSeq === Seq("BIGPAPLOT0120210607", "1", "90", "5", "75"))
   }
 
+  test("unit-system split fans the fine-fuels method into per-system tables (V3)") {
+    // "Surface Fuels - Fine" appears in English (m-2) and Metric (m-3):
+    // English keeps the bare name, Metric gets the infix, and the
+    // attribute path keeps Method_UnitSystem on split tables
+    assert(transformed.contains("SurfaceFuels_Fine_Attribute"))
+    assert(transformed.contains("SurfaceFuels_Fine_Metric_Attribute"))
+    val eng = transformed("SurfaceFuels_Fine_Attribute")
+    val met = transformed("SurfaceFuels_Fine_Metric_Attribute")
+    assert(eng.columns.contains("Method_UnitSystem"))
+    assert(eng.select("EventID").head().getString(0) === "BIGPAPLOT0120210607")
+    assert(met.select("EventID", "Transect", "Azimuth").head().toSeq ===
+      Seq("BIGPAPLOT0220210608", "2", "180"))
+    // sample path: Metric sample table exists, and it is NOT a team source
+    assert(transformed.contains("SurfaceFuels_Fine_Metric_Sample"))
+    val se2 = transformed("SampleEvent")
+      .filter(col("SampleEvent_GUID") === "SE-2").select("FuelsObserver").head()
+    assert(se2.getString(0) === "") // metric team never merges (reference joins fixed names)
+  }
+
   test("team merge: delimiters, set-union, EntryTeam fallback") {
     val se = transformed("SampleEvent")
       .filter(col("SampleEvent_GUID") === "SE-1")
