@@ -48,20 +48,40 @@ object TextKernels {
     * fingerprints.
     */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val m = s.length - k + 1
+    val nChars = text.numChars()
+    val m = nChars - k + 1
     if (m < w) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = new Array[Byte](16)
     val hashes = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      md.reset()
-      val d = md.digest(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def pack(): Long = {
       var v = 0L
       var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      hashes(i) = v >>> 4
-      i += 1
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      v >>> 4
+    }
+    if (text.numBytes() == nChars) {
+      // ASCII fast path: char k-grams == byte ranges — hash in place, no
+      // substring/array allocation per gram
+      val bytes = text.getBytes
+      var i = 0
+      while (i < m) {
+        md.reset()
+        md.update(bytes, i, k)
+        md.digest(digest, 0, 16)
+        hashes(i) = pack()
+        i += 1
+      }
+    } else {
+      val s = text.toString
+      var i = 0
+      while (i < m) {
+        md.reset()
+        md.update(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.digest(digest, 0, 16)
+        hashes(i) = pack()
+        i += 1
+      }
     }
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
