@@ -40,6 +40,16 @@ object TextKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** all lowercased whitespace-split words (empties dropped), in order —
+    * the non-distinct companion of [[wordShingles]].
+    */
+  def wordTokens(text: UTF8String): ArrayData = {
+    val parts = Ws.split(text.toString.toLowerCase)
+    val out = new java.util.ArrayList[Any](parts.length)
+    parts.foreach(w => if (w.nonEmpty) out.add(UTF8String.fromString(w)))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing fingerprints of an (already whitespace-normalized) text:
     * 60-bit md5 k-gram hashes → sliding-window-w minima → distinct, in
     * first-occurrence order. The 60-bit value equals DuckDB/Spark
@@ -125,6 +135,28 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** All words of a text column (lowercased, ws-split, empties dropped) as
+  * one native codegen'd expression — replaces the interpreted
+  * `filter(split(lower(text), "\\s+"), _ != "")` HOF pair.
+  */
+case class WordTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordTokens(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_tokens"
+}
+
 /** Winnowing fingerprint set of a normalized text column as one native
   * expression — the HOF formulation (two nested `transform`s over
   * `sequence` with an md5/conv per element) is interpreted per k-gram and
@@ -155,6 +187,10 @@ object TextExprs {
   /** distinct word n-gram shingles (lowercased, ws-split) of a text col. */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** all words of a text col (lowercased, ws-split, empties dropped). */
+  def wordTokens(text: Column): Column =
+    Bridge.column(WordTokens(Bridge.expression(text)))
 
   /** winnowing fingerprint set of a (normalized) text col. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** whitespace words, lowercased, empties dropped. */
-  private def words(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+  /** whitespace words, lowercased, empties dropped — native kernel
+    * (the filter(split(lower)) HOF pair is interpreted per element).
+    */
+  private def words(c: Column): Column = graft.functions.TextExprs.wordTokens(c)
 
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
   private val TokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

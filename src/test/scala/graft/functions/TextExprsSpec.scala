@@ -47,6 +47,13 @@ class TextExprsSpec extends SparkSpec {
     assert(got("d") === Seq("x y", "y x"))
   }
 
+  test("native wordTokens == HOF words over real documents") {
+    val hof = docs.select(col("doc_id"), explode(MinHash.words(col("text"))).as("w"))
+    val native = docs.select(col("doc_id"), explode(TextExprs.wordTokens(col("text"))).as("w"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
   test("native winnowFingerprints == HOF formulation over real documents") {
     import graft.operators.Winnow
     val norm = docs.select(col("doc_id"), Winnow.normalize(col("text")).as("t"))
