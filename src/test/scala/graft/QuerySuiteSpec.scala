@@ -11,6 +11,12 @@ class QuerySuiteSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("query names are unique (Map construction would silently drop dups)") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size === names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
