@@ -55,6 +55,8 @@ object Session {
     import org.apache.spark.sql.functions._
     table(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      // integer `div`, not `/1000.0`: epoch-nanos (~1.7e18) overflow double
+      // precision, so the FP path can truncate to a microsecond off by one.
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

@@ -24,7 +24,9 @@ object TextKernels {
     * instead of an interpreted lambda per element.
     */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    val parts = Ws.split(text.toString.toLowerCase)
+    // Locale.ROOT: match Spark lower() / DuckDB lower() semantics on any
+    // JVM default locale (e.g. Turkish 'I' -> 'ı' under the default).
+    val parts = Ws.split(text.toString.toLowerCase(java.util.Locale.ROOT))
     val words = new java.util.ArrayList[String](parts.length)
     parts.foreach(w => if (w.nonEmpty) words.add(w))
     val m = words.size - n + 1
@@ -44,7 +46,7 @@ object TextKernels {
     * the non-distinct companion of [[wordShingles]].
     */
   def wordTokens(text: UTF8String): ArrayData = {
-    val parts = Ws.split(text.toString.toLowerCase)
+    val parts = Ws.split(text.toString.toLowerCase(java.util.Locale.ROOT))
     val out = new java.util.ArrayList[Any](parts.length)
     parts.foreach(w => if (w.nonEmpty) out.add(UTF8String.fromString(w)))
     new GenericArrayData(out.toArray)

@@ -56,7 +56,11 @@ object Multimodal {
   def resampleStub(payload: org.apache.spark.sql.Column, factor: Int)
       : org.apache.spark.sql.Column = {
     require(factor >= 2, s"downsample factor must be >= 2, got $factor")
-    regexp_replace(payload.cast("string"), s"(.)(.{0,${factor - 1}})", "$1")
+    // (?s): '.' must match newlines — Java regex '.' excludes \r and
+    // Unicode line terminators by default while RE2 (the oracle dialect)
+    // excludes only \n, so without DOTALL the two sides disagree on any
+    // payload containing \r.
+    regexp_replace(payload.cast("string"), s"(?s)(.)(.{0,${factor - 1}})", "$1")
       .cast("binary")
   }
 

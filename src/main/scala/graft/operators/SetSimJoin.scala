@@ -58,25 +58,27 @@ object SetSimJoin {
     // dictionary: collect distinct tokens, bailing out past the cap.
     val probe = tok.select("h").distinct()
       .limit((denseVocabMax + 1).toInt).collect().map(_.getLong(0))
-    if (probe.length <= denseVocabMax) {
-      // encode + CACHE the per-set bitmaps; the guard count materializes
-      // them, so the NLJ's two sides (probe + broadcast build) both read
-      // the cache instead of recomputing the tokenize pipeline, and tok
-      // can unpersist immediately. dense is quadratic in doc count and
-      // broadcasts docCount * V/8 bitmap bytes — both must stay bounded.
-      val sets = encodeBitmaps(tok, probe.sorted).cache()
-      val docCount = sets.count()
-      tok.unpersist(blocking = false)
-      val nWords = (probe.length + 63) >> 6
-      if (docCount <= denseRowsMax && docCount * (nWords * 8L + 24L) <= (256L << 20))
-        denseSelfJoin(sets, t)
-      else {
-        sets.unpersist(blocking = false)
-        prefixSelfJoin(tok, t)
-      }
-    } else prefixSelfJoin(tok, t)
-    // note: the strategy's working cache (sets / prefix's `ordered`) stays
-    // persisted for the caller's execution; Spark evicts LRU under pressure.
+    val (result, working) =
+      if (probe.length <= denseVocabMax) {
+        // encode + CACHE the per-set bitmaps; the guard count materializes
+        // them, so the NLJ's two sides (probe + broadcast build) both read
+        // the cache instead of recomputing the tokenize pipeline. dense is
+        // quadratic in doc count and broadcasts docCount * V/8 bitmap
+        // bytes — both must stay bounded.
+        val sets = encodeBitmaps(tok, probe.sorted).cache()
+        val docCount = sets.count()
+        val nWords = (probe.length + 63) >> 6
+        if (docCount <= denseRowsMax && docCount * (nWords * 8L + 24L) <= (256L << 20))
+          (denseSelfJoin(sets, t), Seq(sets, tok))
+        else (prefixSelfJoin(tok, t), Seq(sets, tok))
+      } else (prefixSelfJoin(tok, t), Seq(tok))
+    // materialize the (pairs-above-threshold, i.e. orders-of-magnitude
+    // smaller than the input) result eagerly, then release the working
+    // caches — repeated invocations must not accumulate persisted
+    // partitions for the session's lifetime.
+    val out = result.localCheckpoint()
+    working.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Sparse/prefix strategy; exact for any vocabulary. */
@@ -93,7 +95,10 @@ object SetSimJoin {
         transform(col("a"), x => x("h")).as("arr"),
         size(col("a")).as("n"))
 
-    val plen = (col("n") - ceil(col("n") * lit(t)) + 1).cast("int")
+    // ⌈t·n⌉ computed on a 9-decimal rounding of the FP product: when t·n is
+    // exactly integral, the raw double can land epsilon above it and ceil
+    // would overshoot, under-sizing the prefix and silently losing recall.
+    val plen = (col("n") - ceil(round(col("n") * lit(t), 9)) + 1).cast("int")
     val pre = ordered.select(
       col("id"), col("n"), explode(slice(col("arr"), lit(1), plen)).as("h"))
 

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * checks — metadata, frame sampling, stub-decode dimensions — exercises
   * the REAL Spark plumbing: binary columns, typed metadata structs,
   * projection-only frame slicing, and the mapPartitions batch decode.
+  *
+  * ORACLE PARITY ASSUMPTION: the oracles slice characters (DuckDB has no
+  * byte-level blob substr) while the engine slices bytes, so hash parity
+  * requires ASCII, CR-free payloads. The fixture corpus satisfies this and
+  * MultimodalSpec enforces it ("oracle parity precondition" test).
   */
 object MultimodalQ {
 
@@ -69,8 +74,8 @@ object MultimodalQ {
             octet_length(Multimodal.resampleStub(col("media"), 4)).as("thumb_len"),
             md5(Multimodal.resampleStub(col("media"), 4)).as("thumb_digest")),
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(regexp_replace(text, '(.)(.{0,3})', '\1', 'g'))) AS INT) AS thumb_len,
-             |  md5(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS thumb_digest
+             |  CAST(octet_length(encode(regexp_replace(text, '(?s)(.)(.{0,3})', '\1', 'g'))) AS INT) AS thumb_len,
+             |  md5(regexp_replace(text, '(?s)(.)(.{0,3})', '\1', 'g')) AS thumb_digest
              |FROM documents""".stripMargin),
       covers = Seq("ext-multimodal-resize")),
 

@@ -37,7 +37,7 @@ object EventStream {
   /** Raw events (`ts_ns` bigint) → event-time frame (`ts` timestamp). */
   def withEventTime(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
   /** Tumbling event-time window counts + value sums per event type. */
   def windowedAgg(

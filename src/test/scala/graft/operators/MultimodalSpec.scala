@@ -48,6 +48,19 @@ class MultimodalSpec extends SparkSpec {
     assert(exp.exceptAll(got).count() === 0)
   }
 
+  test("oracle parity precondition: document payloads are ASCII and CR-free") {
+    // The q_multimodal_* oracles slice with char-based substr()/ascii()
+    // while the engine slices bytes; DuckDB has no byte-level blob substr,
+    // so parity is byte-exact only for ASCII, CR-free payloads. Enforce
+    // that assumption on the fixture corpus instead of assuming silently.
+    val bad = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(
+        octet_length(col("text")) =!= length(col("text")) ||
+          col("text").contains("\r"))
+      .count()
+    assert(bad === 0L, "documents.text must be ASCII and CR-free for the multimodal oracles")
+  }
+
   test("withFeatureNorm computes the L2 norm of features") {
     val r = Multimodal.withFeatureNorm(Multimodal.decodeFeatures(media).limit(5))
       .select(col("features"), col("feat_norm")).head()
