@@ -241,6 +241,29 @@ object Text {
       covers = Seq("ext-fingerprint-winnow")),
 
     // ------------------------------------------------------------------
+    // PII scrub + pseudonymization — the privacy pass of a training-data
+    // pipeline: numeric literals redacted from the free-form props payload
+    // (the digit-run regex stands in for SSN/phone patterns) and the user
+    // key replaced by a stable one-way pseudonym so joins still work but
+    // the identifier never leaves the pipeline. Pure row-level projection:
+    // zero shuffles, whole-stage codegen'd, embarrassingly parallel.
+    QueryDef(
+      "q_pii_scrub",
+      (s, dir) =>
+        graft.engine.Session.table(s, dir, "events")
+          .select(
+            col("event_id"),
+            substring(md5(col("user_id").cast("string")), 1, 12).as("user_pseud"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("props_clean"),
+            size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("n_redacted")),
+      Some("""SELECT event_id,
+             |  substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS user_pseud,
+             |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_clean,
+             |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+             |FROM events""".stripMargin),
+      covers = Seq("ext-pii-scrub")),
+
+    // ------------------------------------------------------------------
     // Document fingerprint: md5 over whitespace-normalized lowercase text —
     // the exact-dedup key that survives formatting noise.
     QueryDef(

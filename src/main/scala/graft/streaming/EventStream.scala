@@ -94,6 +94,35 @@ object EventStream {
         col("w.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream interval self-join: pairs of events of the same user
+    * where the right event lands within (0, maxGap] after the left one —
+    * follow-on behavior detection (click→purchase funnels, retry bursts).
+    *
+    * Both sides carry a watermark and the join condition bounds event time
+    * on BOTH ends, which is exactly what Spark needs to size the join
+    * state: a left row can be dropped once the right watermark passes
+    * `l.ts + maxGap`, so state is bounded by (watermark delay + maxGap) ×
+    * arrival rate, regardless of stream length. The same plan runs in
+    * batch (watermark is a no-op there) — that parity is oracle-checked as
+    * `q_interval_join`.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+        r,
+        expr(s"""l.user_id = r.user_id AND
+                 r.ts > l.ts AND r.ts <= l.ts + INTERVAL $maxGap"""))
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.event_id").as("ev_a"),
+        col("r.event_id").as("ev_b"))
+  }
+
   /** Stream-static enrichment: each streaming event joined to a static
     * dimension (broadcast per micro-batch; the static side re-plans per
     * trigger so slowly-changing dims pick up refreshes).

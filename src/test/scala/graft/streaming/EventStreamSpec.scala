@@ -4,12 +4,15 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 
+/** Top-level so Spark can build its deserializer without an outer-scope
+  * instance (inner-class encoders fail analysis for batch self-joins).
+  */
+case class Ev(event_id: String, user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
 /** MemoryStream-driven checks of the streaming operators: tumbling-window
   * agg, watermark-bounded dedup, session windows, custom state.
   */
 class EventStreamSpec extends SparkSpec {
-
-  case class Ev(event_id: String, user_id: Long, event_type: String, ts: Timestamp, value: Double)
 
   private def t(min: Long): Timestamp = new Timestamp(min * 60000L)
 
@@ -87,6 +90,59 @@ class EventStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getTimestamp(2).getTime / 60000, r.getLong(3)))
         .toSet
       assert(rows === Set((1L, 0L, 40L, 2L), (2L, 5L, 35L, 1L)))
+    } finally q.stop()
+  }
+
+  /** Interval-join fixtures sit a year past the epoch: the initial global
+    * watermark is epoch-0, and the join's unmatchable-late filter drops
+    * input rows within `maxGap` of it (their only possible partners are
+    * already below the watermark) — epoch-adjacent times are pathological,
+    * not a join bug.
+    */
+  private def tOff(min: Long): Timestamp = t(min + 366L * 24 * 60)
+
+  test("intervalJoin pairs same-user events within the gap, stream-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val q = EventStream.intervalJoin(l.toDF(), r.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      l.addData(Ev("a1", 1, "c", tOff(0), 1.0), Ev("a2", 2, "c", tOff(0), 1.0))
+      r.addData(
+        Ev("b1", 1, "c", tOff(30), 1.0),   // within 1h of a1 -> pair
+        Ev("b2", 1, "c", tOff(90), 1.0),   // beyond 1h of a1 -> no pair
+        Ev("b3", 3, "c", tOff(10), 1.0),   // no left user 3 -> no pair
+        Ev("b4", 2, "c", tOff(0), 1.0))    // equal ts (not strictly after) -> no pair
+      q.processAllAvailable()
+      val pairs = s.table("ij_out").collect()
+        .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+      assert(pairs === Set((1L, "a1", "b1")))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch run equals the streaming run on the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Seq(
+      Ev("a1", 1, "c", tOff(0), 1.0), Ev("a2", 1, "c", tOff(30), 1.0),
+      Ev("a3", 1, "c", tOff(200), 1.0), Ev("a4", 2, "c", tOff(5), 1.0),
+      Ev("a5", 2, "c", tOff(64), 1.0))
+    val batch = EventStream.intervalJoin(rows.toDF(), rows.toDF()).collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+    val l = MemoryStream[Ev]; val r = MemoryStream[Ev]
+    val q = EventStream.intervalJoin(l.toDF(), r.toDF())
+      .writeStream.format("memory").queryName("ij_parity").outputMode("append").start()
+    try {
+      l.addData(rows: _*); r.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.table("ij_parity").collect()
+        .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
     } finally q.stop()
   }
 
