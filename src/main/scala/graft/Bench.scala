@@ -37,6 +37,25 @@ object Bench {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").count().collect()
     } catch { case _: Throwable => () }
+    try {
+      // native-kernel classes (tokenizers, winnow, dot/popcount): load +
+      // JIT them on a 10-row frame so query timings measure plans, not
+      // first-call class initialization.
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextExprs, VectorExprs}
+      spark.range(10)
+        .select(
+          concat_ws(" ", lit("warm"), col("id"), lit("kernel run")).as("txt"),
+          array(col("id"), col("id") + 1).cast("array<long>").as("bm"),
+          array(col("id").cast("float"), lit(1.0f)).as("v"))
+        .select(
+          size(TextExprs.wordTokens(col("txt"))) +
+            size(TextExprs.wordShingles(col("txt"), 2)) +
+            size(TextExprs.winnowFingerprints(col("txt"), 4, 3)) +
+            VectorExprs.bitmapAndCount(col("bm"), col("bm")) +
+            VectorExprs.dotProduct(col("v"), col("v")).cast("int"))
+        .collect()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()

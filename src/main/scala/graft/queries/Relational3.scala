@@ -170,6 +170,72 @@ object Relational3 {
       covers = Seq("ext-window-analytics")),
 
     // ------------------------------------------------------------------
+    // UNPIVOT — the inverse of the reference's signature wide-table pivot
+    // (SURVEY.md §2.5): measure columns melted to (measure, val) rows in
+    // one Expand pass, no shuffle. Project the id+measure columns FIRST so
+    // the scan reads only what melts.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure",
+            "val"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+             |      FROM lineitem)
+             |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))""".stripMargin),
+      covers = Seq("ext-unpivot")),
+
+    // ------------------------------------------------------------------
+    // Collect + serialize: per-group sorted key list as one string column
+    // (the denormalized export shape). collect_list is the one agg whose
+    // state grows with group size — safe here because groups are bounded
+    // (orders per customer), the caveat that matters at 100 TB.
+    QueryDef(
+      "q_collect_list",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(col("o_orderkey"))), _.cast("string")),
+              ",").as("order_keys"),
+            count(lit(1)).as("n")),
+      Some("""SELECT o_custkey,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1""".stripMargin),
+      covers = Seq("ext-collect-serialize")),
+
+    // ------------------------------------------------------------------
+    // Bloom-filter semi-join reduction (operators.BloomJoin): build-side
+    // keys folded into a bloom sketch, probe side thinned at the scan by
+    // codegen'd might_contain, exactness restored by the final semi join.
+    // The oracle is the plain EXISTS — the bloom path must be invisible
+    // in the result.
+    QueryDef(
+      "q_bloom_semi",
+      (s, dir) => {
+        val hot = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+          .select("o_orderkey")
+        graft.operators.BloomJoin.semiJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_orderkey",
+          hot,
+          "o_orderkey",
+          expectedItems = 1L << 16)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin),
+      covers = Seq("ext-bloom-semi")),
+
+    // ------------------------------------------------------------------
     // Explicit GROUPING SETS: two independent dimension rollups in one
     // Expand pass over the fact table instead of two scans + union.
     QueryDef(

@@ -94,6 +94,51 @@ class MergeJdbcSpec extends SparkSpec {
     }
   }
 
+  test("S10 overwrite sink replaces the table wholesale") {
+    // the reference's Last_Modified_Date path (`parser/xml.py:82-99`,
+    // if_exists='replace'): built-in df.write.mode("overwrite").jdbc.
+    val s = spark
+    import s.implicits._
+    val props = new java.util.Properties()
+    Seq((1, "old")).toDF("id", "v")
+      .write.mode("overwrite").jdbc(url, "LASTMOD", props)
+    Seq((2, "new"), (3, "newer")).toDF("id", "v")
+      .write.mode("overwrite").jdbc(url, "LASTMOD", props)
+    val rows = spark.read.jdbc(url, "LASTMOD", props)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows === Set((2, "new"), (3, "newer")), "overwrite must not append")
+  }
+
+  test("streaming foreachBatch + MERGE is an idempotent streaming upsert") {
+    // the streaming face of the reference's poll-directory loop: each
+    // micro-batch MERGEs into the target, so replayed/overlapping batches
+    // (at-least-once delivery) land exactly once — PK-guarded idempotence
+    // turns foreachBatch into an effectively-exactly-once sink.
+    freshSchema()
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+    val q = in.toDF().toDF("r_id", "r_name")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = MergeJdbc.mergeTable(batch, "REGION", Seq("R_ID"), url, MergeJdbc.Derby)
+        assert(!res.failed, res.error.toString)
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      in.addData((100, "eu"), (101, "na"))
+      q.processAllAvailable()
+      in.addData((101, "na"), (102, "apac")) // overlap: 101 replayed
+      q.processAllAvailable()
+      withConn { c =>
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM Region")
+        rs.next(); assert(rs.getLong(1) === 3L)
+      }
+    } finally q.stop()
+  }
+
   test("SQL Server dialect renders the reference MERGE shape") {
     val sql = MergeJdbc.SqlServer.mergeSql(
       "Plot", "STG_Plot", Seq("PlotID", "Name"), Seq("PlotID"))
