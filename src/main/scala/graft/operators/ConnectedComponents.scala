@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair graph — the clustering step
+  * that turns near-duplicate PAIRS (from [[SetSimJoin]] / [[MinHash]] LSH)
+  * into dedup CLUSTERS, so a corpus keeps exactly one canonical document
+  * per group of mutual near-dups.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * shuffle-native formulation:
+  *
+  *   - '''large-star''': every node connects its strictly-larger neighbors
+  *     to its smallest neighbor (or itself if smaller);
+  *   - '''small-star''': every node connects its smaller-or-equal neighbors
+  *     (and itself) to the group minimum.
+  *
+  * Each operation is ONE aggregation (`groupBy(src).agg(min(dst))`) plus a
+  * re-join — no `collect_set`, so a 100M-degree hub node never materializes
+  * its neighbor list in one task; the per-round shuffle volume is O(|E|).
+  * The edge set converges to per-component stars rooted at the component
+  * minimum in O(log n) rounds (each round at least halves the height of the
+  * implicit forest), vs O(diameter) for naive min-label propagation — the
+  * difference between 8 rounds and 10,000 on a 100 TB pair graph with long
+  * chains. `localCheckpoint` per round cuts the lineage so the plan stays
+  * flat instead of doubling each iteration.
+  *
+  * Convergence is detected from a 2-row aggregate per round (edge count +
+  * order-insensitive hash), not by comparing materialized edge sets.
+  */
+object ConnectedComponents {
+
+  /** edges(srcCol, dstCol): undirected pair graph over long ids (self loops
+    * and duplicate/reversed pairs tolerated). Returns (id, component) for
+    * every id that appears in `edges`, component = min id reachable.
+    */
+  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val cols = edges.columns
+    require(cols.length >= 2, "edges needs (src, dst) columns")
+    var e = edges
+      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var round = 0
+    var prev = signature(e)
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val sig = signature(e)
+      converged = sig == prev
+      prev = sig
+      round += 1
+    }
+
+    // At the star fixpoint every edge is (child, root) with root < child;
+    // the root itself has no outgoing edge, so add its identity row.
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id")
+      .agg(min("component").as("component"))
+  }
+
+  /** Components for ALL vertices: ids absent from the pair graph become
+    * singleton components of themselves (the common dedup case — most
+    * documents have no near-duplicate).
+    */
+  def withVertices(vertices: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val labels = run(edges)
+    vertices
+      .select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** large-star: for each node u, connect every neighbor v > u to
+    * m = min(N(u) ∪ {u}). Keeps all inter-component connectivity (every
+    * dropped edge is re-derivable through m) while pointing large nodes at
+    * ever-smaller ones.
+    */
+  def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym
+      .join(mins, "u")
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: orient every edge toward the smaller endpoint, then for
+    * each node u connect its smaller neighbors (and u itself) to the group
+    * minimum.
+    */
+  def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    val reattached = oriented
+      .join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    reattached
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-insensitive convergence signature: (|E|, hash sum). Hashes are
+    * folded to 31 bits before summing so the sum of up to 2^31 edges stays
+    * inside a long under ANSI overflow checking.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 31))), lit(0L)).as("h"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Driver-side reference union-find (specs only — not a distributed path). */
+  private[graft] def unionFindReference(
+      vertices: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    (vertices ++ edges.flatMap(e => Seq(e._1, e._2))).foreach(v => parent.getOrElseUpdate(v, v))
+    edges.foreach { case (a, b) => union(a, b) }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+}

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** DuckDB-side shingling, mirroring graft.functions.WordShingles. */
-  private val ShinglesSql =
+  private[queries] val ShinglesSql =
     """SELECT doc_id, unnest(list_distinct(
       |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS s
       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -158,7 +158,80 @@ object Dedup {
              |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE round(list_dot_product(a.v, b.v) /
              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) >= 0.4""".stripMargin),
-      covers = Seq("ext-dedup-embed"))
+      covers = Seq("ext-dedup-embed")),
+
+    // ------------------------------------------------------------------
+    // LSH banding candidates, oracle-checked end to end: both engines
+    // compute the SAME 16-component MinHash signatures, then pair docs
+    // agreeing on any 4-component band. Spark shuffles on (band, key) —
+    // linear in corpus + pairs; the oracle keeps the quadratic self-join
+    // (exact same output, a plan only viable at oracle scale).
+    QueryDef(
+      "q_dedup_lsh_pairs",
+      (s, dir) => {
+        val sig = MinHash.signatures(t(s, dir, "documents"), "doc_id", "text")
+        MinHash.lshCandidatePairs(sig, "doc_id", rowsPerBand = 4)
+      },
+      Some {
+        val bandEq = (0 until MinHash.K / 4)
+          .map { bnd =>
+            (0 until 4)
+              .map(r => s"a.m${bnd * 4 + r} = b.m${bnd * 4 + r}")
+              .mkString("(", " AND ", ")")
+          }
+          .mkString("\n     OR ")
+        s"""WITH sigs AS (
+           |${MinHash.signatureOracle}
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           |WHERE $bandEq""".stripMargin
+      },
+      covers = Seq("ext-dedup-lsh-pairs")),
+
+    // ------------------------------------------------------------------
+    // Near-dup CLUSTERING: pairs → components → canonical id per document
+    // (operators.ConnectedComponents, alternating large-star/small-star —
+    // O(log n) keyed-shuffle rounds, no collect_set, the 100 TB-safe
+    // formulation). The oracle computes the identical transitive closure
+    // with a recursive CTE — viable only at oracle scale.
+    QueryDef(
+      "q_dedup_components",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tok = docs
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 2)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        val pairs = SetSimJoin.jaccardSelfJoin(tok, "doc_id", "h", 0.5)
+          .filter(
+            col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.ConnectedComponents
+          .withVertices(docs.select("doc_id"), "doc_id", pairs)
+          .select(col("doc_id"), col("component").as("canonical_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  $ShinglesSql
+              |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  JOIN sizes na ON id_a = na.doc_id
+              |  JOIN sizes nb ON id_b = nb.doc_id
+              |  WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.5),
+              |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.id)
+              |SELECT id AS doc_id, min(r) AS canonical_id
+              |FROM reach GROUP BY 1""".stripMargin),
+      covers = Seq("ext-dedup-components"))
   )
 }
 

@@ -86,6 +86,42 @@ object Similarity {
       covers = Seq("ext-centroid", "2.10")),
 
     // ------------------------------------------------------------------
+    // L2-normalize + int8 quantization, long form — the storage-compression
+    // pass before ANN indexing (4× smaller than float32, 8× than float64).
+    // q = round(x/‖v‖ · 127): the normalize-then-scale op tree is identical
+    // IEEE arithmetic in both engines, and round-half-away-from-zero at
+    // integer grain agrees between Spark HALF_UP and DuckDB. Row-level
+    // projection: zero shuffles, scale-free.
+    QueryDef(
+      "q_embed_quantize",
+      (s, dir) => {
+        import graft.functions.VectorExprs.dotProduct
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
+          .filter(col("norm") > 0)
+          .select(
+            col("vec_id"),
+            col("norm"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .select(
+            col("vec_id"),
+            col("dim"),
+            round(col("x") / col("norm") * lit(127.0), 0).cast("int").as("q"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM embeddings)
+             |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             |  CAST(round(x / norm * 127.0, 0) AS INT) AS q
+             |FROM (SELECT vec_id, norm, unnest(v) AS x,
+             |        generate_subscripts(v, 1) AS i
+             |      FROM e)
+             |WHERE norm > 0""".stripMargin),
+      covers = Seq("ext-embed-quantize")),
+
+    // ------------------------------------------------------------------
     // IVF ANN top-10: spherical-k-means cells, probe the 6 nearest of 16
     // (approximate — no SQL oracle; recall asserted in SimilaritySpec).
     QueryDef(

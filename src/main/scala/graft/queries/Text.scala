@@ -264,6 +264,56 @@ object Text {
       covers = Seq("ext-pii-scrub")),
 
     // ------------------------------------------------------------------
+    // TF-IDF: term frequencies per doc, document frequencies per term, and
+    // the top-3 salient terms per document. Ranking is on the INTEGER key
+    // (tf desc, df asc, term) — deterministic across engines — while the
+    // real-valued tfidf = tf·ln(N/df) is emitted rounded (ln differs at the
+    // ulp between libm and the JVM). Corpus size N is a 1-row broadcast,
+    // never a driver constant, so the plan is scale-independent: explode →
+    // two keyed shuffles (doc, term) → window top-k, all partial-agg'd.
+    QueryDef(
+      "q_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.select(countDistinct("doc_id").as("n_docs"))
+        val rankW = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+        tf.join(dfreq, "w")
+          .crossJoin(broadcast(n))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") <= 3)
+          .select(
+            col("doc_id"),
+            col("rk"),
+            col("w"),
+            col("tf"),
+            col("df"),
+            round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(lower(text), '\s+'), x -> x != '')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) n_docs FROM documents)
+             |SELECT doc_id, CAST(rk AS INT) AS rk, w, tf, df,
+             |  round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+             |FROM (SELECT doc_id, w, tf, df, n_docs,
+             |        row_number() OVER
+             |          (PARTITION BY doc_id ORDER BY tf DESC, df ASC, w ASC) AS rk
+             |      FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+             |WHERE rk <= 3""".stripMargin),
+      covers = Seq("ext-tfidf")),
+
+    // ------------------------------------------------------------------
     // Document fingerprint: md5 over whitespace-normalized lowercase text —
     // the exact-dedup key that survives formatting noise.
     QueryDef(
