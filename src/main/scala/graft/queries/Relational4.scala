@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Relational4 {
 
+  // Declared before `defs`: a val referenced from the Seq initializer must
+  // already be initialized (forward reference would be null at object init).
+  private val ScalarSubquerySql =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT max(l_extendedprice) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey) AS max_line_price
+      |FROM orders""".stripMargin
+
+  private val LateralTopkSql =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // CUBE: all four grouping-set combinations of (status, priority) in one
@@ -119,6 +134,37 @@ object Relational4 {
              |        AS bucket, o_totalprice
              |      FROM orders)
              |GROUP BY bucket""".stripMargin),
-      covers = Seq("ext-histogram"))
+      covers = Seq("ext-histogram")),
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery — submitted as SQL; Catalyst DECORRELATES
+    // it (RewriteCorrelatedScalarSubquery) into an aggregate + left join,
+    // so execution is one keyed shuffle, never a per-row probe. The same
+    // text runs verbatim on the oracle. max() of 2-decimal prices is exact:
+    // no rounding.
+    QueryDef(
+      "q_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(ScalarSubquerySql)
+      },
+      Some(ScalarSubquerySql),
+      covers = Seq("ext-scalar-subquery")),
+
+    // ------------------------------------------------------------------
+    // LATERAL join: per-nation top-2 customers by balance — the correlated
+    // table subquery form of q_topk_per_group. Spark decorrelates the
+    // correlated ORDER BY ... LIMIT into a ranked window join; same text on
+    // the oracle.
+    QueryDef(
+      "q_lateral_topk",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(LateralTopkSql)
+      },
+      Some(LateralTopkSql),
+      covers = Seq("ext-lateral-join"))
   )
 }
