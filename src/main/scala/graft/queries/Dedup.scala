@@ -231,7 +231,47 @@ object Dedup {
               |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.id)
               |SELECT id AS doc_id, min(r) AS canonical_id
               |FROM reach GROUP BY 1""".stripMargin),
-      covers = Seq("ext-dedup-components"))
+      covers = Seq("ext-dedup-components")),
+
+    // ------------------------------------------------------------------
+    // Benchmark DECONTAMINATION: for every corpus document, the fraction
+    // of its word-2-gram shingles that collide with a held-out benchmark
+    // set (here: a deterministic md5-keyed 25% of docs standing in for an
+    // eval suite). The real-world shape at 100 TB: the benchmark shingle
+    // set is tiny (MBs even for a full eval harness) → broadcast it and
+    // the whole pass is one corpus scan + hash-probe per shingle, no
+    // shuffle on the 100 TB side except the per-doc count agg.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isBench =
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+        def shingles(d: org.apache.spark.sql.DataFrame) =
+          d.select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 2)).as("s"))
+        val benchSet = shingles(docs.filter(isBench)).select("s").distinct()
+        shingles(docs.filter(!isBench))
+          .join(broadcast(benchSet.withColumn("hit", lit(1))), Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+          // single int→double division: bit-exact across engines, no round
+          .withColumn("contam", col("n_hit") * lit(1.0) / col("n_shingles"))
+      },
+      Some(s"""WITH sh AS (
+              |  $ShinglesSql
+              |),
+              |bench AS (SELECT DISTINCT s FROM sh
+              |          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+              |corpus AS (SELECT doc_id, s FROM sh
+              |           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '4')
+              |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(count(b.s) AS BIGINT) AS n_hit,
+              |  count(b.s) * 1.0 / count(*) AS contam
+              |FROM corpus c LEFT JOIN bench b ON c.s = b.s
+              |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-decontaminate"))
   )
 }
 

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.engine.Session
+import graft.operators.Skew
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth relational wave: the remaining join/subquery/window surfaces —
+  * EXISTS/NOT EXISTS decorrelation, FULL OUTER join, event-time RANGE
+  * window frames, and salted aggregation inside the oracle-checked surface
+  * (the skew-mitigation path proving result-identity with the plain agg).
+  */
+object Relational5 {
+
+  // Declared before `defs` (a forward val reference is null at object init).
+  private val ExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 250000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // EXISTS / NOT EXISTS correlated subqueries — the SQL surface of
+    // q_semi_anti. Catalyst rewrites both to existence joins (LeftSemi +
+    // LeftAnti on o_custkey), so execution is two keyed joins, never a
+    // per-row probe; same text runs verbatim on the oracle.
+    QueryDef(
+      "q_exists_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(ExistsSql)
+      },
+      Some(ExistsSql),
+      covers = Seq("ext-exists-subquery")),
+
+    // ------------------------------------------------------------------
+    // FULL OUTER join of two aggregates over the same fact table: big
+    // spenders vs frequent orderers, with rows unique to each side (nulls
+    // on the other). Thresholds on the UNROUNDED sum; the displayed spend
+    // rounds at 2 — exact sums of 2-decimal money have at most 2 decimals,
+    // so the round never sits on a .005 tie. Both branches share one
+    // shuffle on o_custkey (Catalyst reuses the exchange).
+    QueryDef(
+      "q_full_outer",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = o
+          .groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("s"))
+          .filter(col("s") > 3000000)
+          .select(col("o_custkey"), round(col("s"), 2).as("spend"))
+        val freq = o
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 13)
+        big
+          .join(freq, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey").as("custkey"), col("spend"), col("n_orders"))
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+             |  FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 3000000),
+             |freq AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1 HAVING count(*) >= 13)
+             |SELECT coalesce(b.o_custkey, f.o_custkey) AS custkey,
+             |  b.spend, f.n_orders
+             |FROM big b FULL OUTER JOIN freq f ON b.o_custkey = f.o_custkey""".stripMargin),
+      covers = Seq("ext-full-outer")),
+
+    // ------------------------------------------------------------------
+    // Event-time RANGE window frame: per user, count + revenue of the
+    // trailing hour at every event. The frame is value-based (micros on
+    // both engines — the shared grain, see q_sessionize), so tied
+    // timestamps are frame peers in both engines by definition of RANGE.
+    // One shuffle on user_id; sum of 2-decimal values rounds safely at 2.
+    QueryDef(
+      "q_window_range",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy("ts_us")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Session
+          .table(s, dir, "events")
+          // integer div: epoch-nanos overflow double precision
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum("value").over(w), 2).as("value_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  round(sum(value) OVER w, 2) AS value_1h
+             |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      covers = Seq("ext-window-range", "2.6")),
+
+    // ------------------------------------------------------------------
+    // Salted two-phase aggregation INSIDE the oracle-checked surface: the
+    // skew-mitigation path (operators.Skew.saltedAgg — phase 1 groups on
+    // (key, salt) spreading a hot key over 16 reducers, phase 2 merges
+    // partials) must be result-identical to the plain GROUP BY the oracle
+    // runs. l_returnflag is a 3-value key — exactly the cardinality where
+    // a plain agg's final merge concentrates on 3 reducers at 100 TB.
+    // l_quantity is integer-valued, so double summation is exact in any
+    // order and needs no rounding.
+    QueryDef(
+      "q_skew_salted_agg",
+      (s, dir) =>
+        Skew
+          .saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
+          .select(col("l_returnflag"), col("n"), col("total")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  sum(l_quantity) AS total
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      covers = Seq("ext-skew-salting"))
+  )
+}
