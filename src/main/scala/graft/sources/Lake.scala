@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned data-lake table layout — the physical design that makes the
+  * 100 TB math work. A table partitioned on a low-cardinality predicate
+  * column (date, source, language) turns `WHERE dt = ...` into directory
+  * pruning: the scan never opens non-matching files, so cost tracks the
+  * queried slice, not the table.
+  *
+  * Two layout decisions both matter at scale:
+  *
+  *   1. '''Partition directories''' (`partitionBy`): coarse pruning via
+  *      `PartitionFilters` — zero I/O for excluded partitions.
+  *   2. '''In-file clustering''' (`sortWithinPartitions` before write):
+  *      parquet row-group min/max stats on the sort column become
+  *      effective zone maps, so selective predicates inside a partition
+  *      skip row groups too (`PushedFilters` + rowgroup stats).
+  *
+  * The repartition-on-partition-columns before write is the small-file
+  * compaction step: without it every upstream task writes a file into
+  * every partition directory (tasks × partitions files — the classic
+  * small-file explosion); with it each partition directory gets exactly
+  * one writer task, and `maxRecordsPerFile` re-splits only genuinely
+  * oversized partitions.
+  *
+  * Mirrors the reference's one-directory-per-run archive layout
+  * (`/root/reference/xml_to_rdb.py:35-52`) re-expressed as a columnar
+  * lake table instead of a processed-files folder.
+  */
+object Lake {
+
+  /** Write `df` as a partitioned parquet table with one compacted file per
+    * partition directory (capped by `maxRecordsPerFile`), clustered within
+    * files on `clusterBy` for row-group stat pruning.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      parts: Seq[String],
+      clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit = {
+    val one = df.repartition(parts.map(col): _*)
+    val clustered =
+      if (clusterBy.isEmpty) one
+      else one.sortWithinPartitions((parts ++ clusterBy).map(col): _*)
+    clustered.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(parts: _*)
+      .parquet(path)
+  }
+
+  /** Read a lake table back; partition columns come from directory names,
+    * so predicates on them prune at planning time (assert via
+    * `PartitionFilters` in the plan / `df.inputFiles`).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

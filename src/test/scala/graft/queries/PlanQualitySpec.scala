@@ -54,4 +54,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"))
     assert(plan.contains("LeftAnti"))
   }
+
+  test("q_exists_subquery decorrelates to broadcast semi/anti joins") {
+    val plan = finalPlan("q_exists_subquery")
+    assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(!plan.contains("SortMergeJoin"),
+      "small filtered build sides must broadcast, not shuffle-sort")
+  }
+
+  test("q_window_range plans a RANGE frame over exactly one shuffle") {
+    val plan = finalPlan("q_window_range")
+    assert(plan.contains("RangeFrame"), "frame must be value-based, not ROWS")
+    // plan.toString appends the pre-AQE "Initial Plan" — count only the final
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"one shuffle on user_id expected, saw $exchanges")
+  }
+
+  test("q_decontaminate broadcasts the benchmark set; corpus side never pre-shuffles") {
+    val plan = finalPlan("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark probe must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB corpus side must not shuffle before the probe")
+    assert(plan.contains("partial_count"), "per-doc counts must pre-aggregate")
+  }
+
+  test("q_full_outer pre-aggregates both sides before the full outer join") {
+    val plan = finalPlan("q_full_outer")
+    assert(plan.contains("FullOuter"))
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      "both aggregate branches must map-side combine before their exchange")
+  }
 }
