@@ -134,10 +134,89 @@ object Similarity {
           .select(col("v")).head().getSeq[Double](0).toSeq
         val centroids = Sim.trainIvf(e, "vec_id", k = 16)
         val assigned = Sim.ivfAssign(e.filter(col("vec_id") =!= 0), centroids)
-        Sim.ivfTopK(assigned, "vec_id", query, k = 10, centroids, nProbe = 6)
+        // materialize the 10-row answer, then release the working cache —
+        // repeated invocations must not accumulate persisted partitions
+        val out = Sim.ivfTopK(assigned, "vec_id", query, k = 10, centroids, nProbe = 6)
           .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
       },
       None,
-      covers = Seq("ext-knn-ivf"))
+      covers = Seq("ext-knn-ivf")),
+
+    // ------------------------------------------------------------------
+    // Product-quantization encode (operators.Pq): 64-dim float vectors →
+    // 8 int codes (nearest of 16 seeded centroids per 8-dim subspace).
+    // Fully oracle-checked: the ‖w‖² − 2·v·w argmin op tree is generated
+    // into DuckDB SQL from the SAME codebook literals. Pure projection —
+    // encoding 100 TB is one scan, zero shuffles.
+    QueryDef(
+      "q_embed_pq",
+      (s, dir) => {
+        val b = graft.operators.Pq.seededBooks(64)
+        graft.operators.Pq
+          .encode(
+            t(s, dir, "embeddings")
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+            b)
+          .select(col("vec_id") +: (0 until b.m).map(j => col(s"code$j")): _*)
+      },
+      Some {
+        val b = graft.operators.Pq.seededBooks(64)
+        val codeCols = (0 until b.m).map(j => s"code$j").mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${graft.operators.Pq.encodeOracleCte(b)}
+           |SELECT vec_id, $codeCols FROM enc""".stripMargin
+      },
+      covers = Seq("ext-embed-pq")),
+
+    // ------------------------------------------------------------------
+    // PQ ADC top-10: approximate scores from per-subspace lookup tables
+    // over the COMPRESSED codes (Σ_j lut_j[code_j] — m int probes per
+    // vector instead of a dim-wide dot product), exact cosine re-rank of
+    // the top-40 candidates. Also fully oracle-checked — both engines run
+    // the identical two-stage plan from the same codebook literals.
+    QueryDef(
+      "q_knn_pq",
+      (s, dir) => {
+        val b = graft.operators.Pq.seededBooks(64)
+        val e = Sim.withNorm(t(s, dir, "embeddings"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("norm").as("qnorm"))
+        val enc = graft.operators.Pq.encode(e.filter(col("vec_id") =!= 0), b)
+        graft.operators.Pq.adcTopK(enc, "vec_id", q, k = 10, b)
+          .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+      },
+      Some {
+        val b = graft.operators.Pq.seededBooks(64)
+        val luts = (0 until b.m)
+          .map { j =>
+            val ls = (0 until b.ksub)
+              .map(c => graft.operators.Pq.subDistSql("qv", j, b.books(j)(c), b.dsub))
+            s"[${ls.mkString(",\n      ")}] AS l$j"
+          }
+          .mkString(",\n    ")
+        val adcSum = (0 until b.m).map(j => s"lut.l$j[c.code$j + 1]").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${graft.operators.Pq.encodeOracleCte(b)},
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |lut AS (
+           |  SELECT qv,
+           |    $luts
+           |  FROM q),
+           |scored AS (
+           |  SELECT c.vec_id, c.v, round($adcSum, 6) AS adc
+           |  FROM enc c, lut WHERE c.vec_id != 0),
+           |cand AS (SELECT vec_id, v FROM scored ORDER BY adc ASC, vec_id LIMIT 40),
+           |rer AS (
+           |  SELECT cand.vec_id,
+           |    round(list_dot_product(cand.v, q.qv) /
+           |      (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+           |  FROM cand, q)
+           |SELECT vec_id, round(cos, 3) AS cos FROM rer
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      },
+      covers = Seq("ext-knn-pq"))
   )
 }
