@@ -65,4 +65,20 @@ class PqSpec extends SparkSpec {
     val recall = (exact & approx).size / 10.0
     assert(recall >= 0.5, s"recall@10 = $recall (exact=$exact approx=$approx)")
   }
+
+  test("IVF-PQ composed index recalls most of the exact answer") {
+    val query = Similarity.withNorm(emb)
+      .filter(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+    val exact = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val cents = Similarity.trainIvf(Similarity.withNorm(emb), "vec_id", k = 16)
+    val books = Pq.train(emb)
+    val approx = Pq
+      .ivfPqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", query, k = 10,
+        cents, books, nProbe = 8, refine = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.4, s"recall@10 = $recall (exact=$exact approx=$approx)")
+  }
 }
