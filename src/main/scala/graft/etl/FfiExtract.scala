@@ -69,6 +69,47 @@ object FfiExtract {
       .withColumn(IngestId, monotonically_increasing_id())
   }
 
+  /** Like [[readTable]] but malformed-row tolerant: PERMISSIVE parse with
+    * a corrupt-record column, split into (clean, quarantined). One broken
+    * export in a 100 TB backfill lands in the quarantine frame (the audit
+    * artifact to re-extract from) instead of failing the job — the
+    * reference's whole-DOM `ET.parse` dies on the first bad byte
+    * (`/root/reference/parser/xml.py:39`).
+    */
+  def readTableTolerant(
+      spark: SparkSession,
+      path: String,
+      tag: String,
+      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .format("xml")
+      .option("rowTag", tag)
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .load(path)
+    // the corrupt column only exists if the source saw the option AND the
+    // schema pass surfaced it; guard for the all-clean case
+    val hasCorrupt = raw.columns.contains(corruptCol)
+    val flagged =
+      if (hasCorrupt) raw
+      else raw.withColumn(corruptCol, lit(null).cast(StringType))
+    val clean = flagged.filter(col(corruptCol).isNull).drop(corruptCol)
+    // eager localCheckpoint: (a) quarantine is tiny by assumption, so
+    // materializing costs one extra parse of this file only; (b) Spark
+    // forbids lazy queries whose referenced columns reduce to the corrupt
+    // column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the checkpoint
+    // materializes full rows, making any downstream audit query legal.
+    val quarantined = flagged.filter(col(corruptCol).isNotNull).localCheckpoint()
+    val cols = clean.schema.fields.map {
+      case f if f.dataType == StringType => col(f.name)
+      case f                             => col(f.name).cast(StringType).as(f.name)
+    }
+    (applyColumnRules(clean.select(cols.toSeq: _*))
+       .withColumn(IngestId, monotonically_increasing_id()),
+     quarantined)
+  }
+
   /** The reference's per-column normalization heuristics
     * (`parser/xml.py:119-123`): GUID columns uppercased, Date/Time columns
     * run through convert_datetime.

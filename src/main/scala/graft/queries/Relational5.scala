@@ -125,6 +125,73 @@ object Relational5 {
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  sum(l_quantity) AS total
              |FROM lineitem GROUP BY 1""".stripMargin),
-      covers = Seq("ext-skew-salting"))
+      covers = Seq("ext-skew-salting")),
+
+    // ------------------------------------------------------------------
+    // Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicity (min / difference of per-key counts), a
+    // different operator from the DISTINCT forms in q_set_ops. Spark plans
+    // both as one aggregate computing the two counts + a generate — no
+    // join. Output collapsed to (key, multiplicity) so it's deterministic.
+    QueryDef(
+      "q_set_ops_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val inter = a.intersectAll(b)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        val exc = a.exceptAll(b)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        inter.unionByName(exc)
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+             |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+             |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+             |FROM ia GROUP BY 1
+             |UNION ALL
+             |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+             |FROM ea GROUP BY 1""".stripMargin),
+      covers = Seq("ext-set-ops-all", "2.7")),
+
+    // ------------------------------------------------------------------
+    // Navigation window functions: first/last/nth over the full partition
+    // frame, plus IGNORE NULLS (first qualifying event) — the remaining
+    // §2.6 navigation surface beyond lag/lead (q_window_analytics).
+    // Deterministic ordering via the unique (ts_us, event_id) pair; value
+    // is 2-decimal money, untouched by arithmetic → exact equality.
+    QueryDef(
+      "q_window_nav",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Session
+          .table(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            first("value").over(w).as("first_v"),
+            last("value").over(w).as("last_v"),
+            nth_value(col("value"), 2).over(w).as("second_v"),
+            first(when(col("value") >= 400, col("value")), ignoreNulls = true)
+              .over(w).as("first_big"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(value) OVER w AS first_v,
+             |  last_value(value) OVER w AS last_v,
+             |  nth_value(value, 2) OVER w AS second_v,
+             |  first_value(CASE WHEN value >= 400 THEN value END IGNORE NULLS)
+             |    OVER w AS first_big
+             |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+      covers = Seq("ext-window-nav", "2.6"))
   )
 }
