@@ -314,6 +314,43 @@ object Text {
       covers = Seq("ext-tfidf")),
 
     // ------------------------------------------------------------------
+    // Context-window CHUNKING: overlapping fixed-size word windows
+    // (size 64, stride 48 → 16-word overlap) — the prep step that turns
+    // variable-length documents into trainable sequences. One generate per
+    // doc (sequence + posexplode of slice), no shuffle at all: chunking
+    // 100 TB is a pure scan, and chunk rows inherit the input partitioning.
+    QueryDef(
+      "q_doc_chunks",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .withColumn("n", size(col("ws")))
+          .filter(col("n") >= 1)
+          .select(
+            col("doc_id"),
+            col("ws"),
+            col("n"),
+            explode(sequence(lit(1), col("n"), lit(48))).as("start"))
+          .select(
+            col("doc_id"),
+            col("start"),
+            concat_ws(" ", slice(col("ws"), col("start"), lit(64))).as("chunk"),
+            size(slice(col("ws"), col("start"), lit(64))).as("n_chunk")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    x -> x != '') AS ws
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, ws, len(ws) AS n,
+             |    unnest(range(1, len(ws) + 1, 48)) AS start
+             |  FROM t WHERE len(ws) >= 1)
+             |SELECT doc_id, CAST(start AS INT) AS start,
+             |  array_to_string(ws[start:least(start + 63, n)], ' ') AS chunk,
+             |  CAST(len(ws[start:least(start + 63, n)]) AS INT) AS n_chunk
+             |FROM s""".stripMargin),
+      covers = Seq("ext-doc-chunks")),
+
+    // ------------------------------------------------------------------
     // Document fingerprint: md5 over whitespace-normalized lowercase text —
     // the exact-dedup key that survives formatting noise.
     QueryDef(

@@ -40,13 +40,36 @@ object Lake {
       path: String,
       parts: Seq[String],
       clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
+    write(df, path, parts, clusterBy, maxRecordsPerFile, "overwrite")
+
+  /** Same layout, append mode — the `foreachBatch` body for a streaming
+    * ingest into the lake: each micro-batch adds at most one file per
+    * touched partition directory, so the layout stays compacted without a
+    * separate compaction job (file count grows with batches, not tasks ×
+    * batches; periodic rewrite handles the long tail).
+    */
+  def appendPartitioned(
+      df: DataFrame,
+      path: String,
+      parts: Seq[String],
+      clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit =
+    write(df, path, parts, clusterBy, maxRecordsPerFile, "append")
+
+  private def write(
+      df: DataFrame,
+      path: String,
+      parts: Seq[String],
+      clusterBy: Seq[String],
+      maxRecordsPerFile: Long,
+      mode: String): Unit = {
     val one = df.repartition(parts.map(col): _*)
     val clustered =
       if (clusterBy.isEmpty) one
       else one.sortWithinPartitions((parts ++ clusterBy).map(col): _*)
     clustered.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(parts: _*)
       .parquet(path)
