@@ -15,6 +15,11 @@ run / fork := true
 // Bench's one-line JSON from process output, and sbt's default logger
 // prefix ("[info] ") would make that line unparseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: the driver
+// reads only the LAST ~2000 chars of output, so every char after Bench's
+// JSON line shrinks the window the line itself must fit in (round 3's
+// 69-query line overflowed it and parsed as null).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,15 +57,51 @@ object Bench {
         .collect()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.all.map { q =>
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries;
+    // SPARK_GRAFT_EXPLAIN=1 also prints each formatted plan first.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.all)(names => SparkEntry.all.filter(q => names(q.name)))
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      selected.foreach { q =>
+        println(s"==== ${q.name}")
+        q.fn(spark, sfDir).explain("formatted")
+      }
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The driver recovers this line from only the LAST ~2000 chars of
+    // process output, so the whole line must fit there with room to spare
+    // (round 3's full-precision 69-query line overflowed the window and
+    // parsed as null). Budget 1900 chars: shrink per-query precision
+    // 3 -> 2 -> 1 decimals, then as a last resort keep only the slowest
+    // queries and say how many were dropped.
+    def fmt(v: Double, dec: Int): String =
+      BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
+    def render(dec: Int, entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+    }
+    val Budget = 1900
+    val line = Seq(3, 2, 1).map(render(_, results, 0)).find(_.length <= Budget)
+      .getOrElse {
+        val slowestFirst = results.sortBy(-_._2)
+        Iterator.range(results.size, 0, -1)
+          .map(n => render(1, slowestFirst.take(n), results.size - n))
+          .find(_.length <= Budget).get
+      }
+
+    // Print LAST, with logging off and the session stopped, so no
+    // stderr/stdout straggler lands after the JSON and eats window chars.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

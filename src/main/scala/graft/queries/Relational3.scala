@@ -99,15 +99,16 @@ object Relational3 {
 
     // ------------------------------------------------------------------
     // Event-time interval self-join — the batch face of the stream-stream
-    // join (EventStream.intervalJoin, watermark a no-op in batch): pairs
-    // of same-user events within (0, 1 hour]. In streaming the two-sided
-    // time bound is what lets Spark expire join state; in batch it plans
-    // as an equi-join on user_id with the range as a join filter — one
-    // shuffle, never a cartesian.
+    // join: pairs of same-user events within (0, 1 hour]. In streaming
+    // (EventStream.intervalJoin) the two-sided time bound is what lets
+    // Spark expire join state; in batch the bucketed variant joins on
+    // (user_id, time-bucket) so per-group pair generation is bounded by
+    // bucket occupancy, not a user's total event count — the difference
+    // between O(k²) and O(k²/buckets) per user at 100 TB.
     QueryDef(
       "q_interval_join",
       (s, dir) =>
-        graft.streaming.EventStream.intervalJoin(
+        graft.streaming.EventStream.intervalJoinBatch(
           Session.events(s, dir),
           Session.events(s, dir)),
       Some("""SELECT a.user_id AS user_id, a.event_id AS ev_a, b.event_id AS ev_b

@@ -46,9 +46,14 @@ object Similarity {
       covers = Seq("ext-knn-brute")),
 
     // ------------------------------------------------------------------
-    // LSH-bucketed ANN top-10 (approximate — no SQL oracle; recall asserted
-    // in SimilaritySpec). Demonstrates the 100 TB path: bucket once, probe
-    // O(nPlanes) buckets per query.
+    // LSH-bucketed ANN top-10. Fully oracle-checked even though the index
+    // is "approximate": the hyperplanes are seed-deterministic
+    // (Similarity.planes), so the same plane literals are generated into
+    // the DuckDB SQL and the multi-probe set (hamming distance <= 2 from
+    // the query's bucket, annTopK's explicit flip enumeration) becomes
+    // `bit_count(xor(bucket, qbucket)) <= 2` — identical candidates,
+    // identical scores. Demonstrates the 100 TB path: bucket once, probe
+    // O(nPlanes²) buckets per query.
     QueryDef(
       "q_knn_lsh",
       (s, dir) => {
@@ -60,7 +65,29 @@ object Similarity {
         Sim.annTopK(bucketed, "vec_id", query, k = 10, nPlanes = 8)
           .select(col("vec_id"), round(col("cos"), 3).as("cos"))
       },
-      None,
+      Some {
+        val ps = Sim.planes(nPlanes = 8, dim = 64)
+        def bucketExpr(vcol: String): String = ps.zipWithIndex
+          .map { case (p, i) =>
+            val lits = p.map(String.valueOf).mkString("[", ", ", "]")
+            s"CASE WHEN list_dot_product($vcol, $lits) >= 0 THEN ${1L << i} ELSE 0 END"
+          }
+          .mkString("(", "\n     + ", ")")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |qb AS (SELECT ${bucketExpr("qv")} AS qbucket FROM q),
+           |b AS (
+           |  SELECT vec_id, v, ${bucketExpr("v")} AS bucket
+           |  FROM e WHERE vec_id != 0),
+           |scored AS (
+           |  SELECT b.vec_id,
+           |    list_dot_product(b.v, q.qv) /
+           |      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           |  FROM b, q, qb
+           |  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2)
+           |SELECT vec_id, round(cos, 3) AS cos FROM scored
+           |ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
+      },
       covers = Seq("ext-knn-lsh")),
 
     // ------------------------------------------------------------------
