@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Companion to
+  * [[ConnectedComponents]] (which owns the near-dup clustering path): this
+  * file holds the rank/centrality side.
+  *
+  * PageRank here is the classic synchronous power iteration:
+  *
+  *   r₀(v)    = 1/N
+  *   rₖ₊₁(v) = (1−d)/N + d · Σ_{(u,v)∈E} rₖ(u)/outdeg(u)
+  *
+  * expressed per iteration as ONE join + ONE aggregation — the contribution
+  * join shuffles on src, the gather on dst; with the edge table
+  * pre-partitioned by src the join side of every iteration reuses the same
+  * exchange. Iteration state is a tiny (id, rank) frame; each step is
+  * `localCheckpoint`ed so the lineage (and the task closure) stays O(1) in
+  * the iteration count instead of growing a plan tree per step — the thing
+  * that kills driver memory at iteration 30 on a real cluster — and the
+  * previous step's cache is released eagerly.
+  *
+  * Ranks are rounded to 12 decimals each iteration: the per-node
+  * contribution sum is FP-order-dependent, and re-rounding at every step
+  * keeps the engines (and any external re-implementation, e.g. the DuckDB
+  * oracle) bit-identical throughout instead of letting ulp noise compound.
+  */
+object Graph {
+
+  /** Synchronous PageRank over a directed edge list (`src`, `dst`).
+    * Callers wanting undirected semantics pass both edge directions.
+    * Every node must appear as a `src` (undirected graphs satisfy this
+    * trivially); otherwise dangling mass is dropped, matching the oracle.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id")).distinct()
+      .union(e.select(col("dst").as("id")).distinct())
+      .distinct()
+      .cache()
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble)).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("d")).as("s"))
+      val next = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(
+          col("id"),
+          round(
+            lit((1.0 - damping) / n.toDouble) +
+              lit(damping) * coalesce(col("s"), lit(0.0)),
+            12).as("r"))
+        .localCheckpoint()
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+}

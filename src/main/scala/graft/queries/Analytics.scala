@@ -217,6 +217,50 @@ object Analytics {
              |FROM (SELECT unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS tok
              |      FROM documents)
              |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin),
-      covers = Seq("ext-bpe-pretokenize"))
+      covers = Seq("ext-bpe-pretokenize")),
+
+    // ------------------------------------------------------------------
+    // PageRank (operators.Graph): 3 synchronous power iterations over the
+    // undirected customer↔supplier trade graph (supplier ids offset by 1M
+    // to disjoint the key spaces). Each iteration is one join + one
+    // aggregation with localCheckpoint'ed state — O(1) lineage per step.
+    // The oracle replays the identical iterations as chained CTEs; the
+    // per-iteration round(r, 12) in BOTH engines is what keeps three
+    // rounds of FP-order-dependent sums bit-aligned.
+    QueryDef(
+      "q_pagerank",
+      (s, dir) => {
+        val co = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val edges = co.union(co.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
+          .select(col("id"), round(col("r"), 8).as("r"))
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id, sum(p.r / dg.d) AS s
+             |       FROM edges e JOIN r${k - 1} p ON p.id = e.src
+             |       JOIN deg dg ON dg.src = e.src
+             |       GROUP BY 1),
+             |r$k AS (SELECT nd.id, round((1 - 0.85) / n + 0.85 * coalesce(c$k.s, 0), 12) AS r
+             |       FROM nodes nd CROSS JOIN nn LEFT JOIN c$k ON c$k.id = nd.id)""".stripMargin
+        s"""WITH co AS (
+           |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, round(r, 8) AS r FROM r3""".stripMargin
+      },
+      covers = Seq("ext-pagerank"))
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank must agree with a driver-side reference power iteration
+  * (including the per-iteration 12-decimal rounding contract) and satisfy
+  * the conservation/centrality properties on known shapes.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def sparkRanks(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Double] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 4)).toDF("src", "dst")
+    Graph.pageRank(df, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Reference implementation: same recurrence, same rounding. */
+  private def refRanks(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n.toDouble).toMap
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => r(u) / out(u) }.sum)
+        .toMap
+      r = nodes.map { v =>
+        v -> BigDecimal((1.0 - d) / n.toDouble + d * contrib.getOrElse(v, 0.0))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  private def undirected(pairs: (Long, Long)*): Seq[(Long, Long)] =
+    pairs.flatMap(p => Seq(p, p.swap))
+
+  test("matches the reference power iteration exactly (12-decimal contract)") {
+    val edges = undirected(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 1L), (6L, 5L))
+    val got = sparkRanks(edges)
+    val want = refRanks(edges, iters = 3)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+  }
+
+  test("rank mass is conserved on an undirected graph") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val total = sparkRanks(edges).values.sum
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("star center outranks the leaves") {
+    val edges = undirected((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r = sparkRanks(edges)
+    assert((1L to 4L).forall(leaf => r(0L) > r(leaf)))
+    assert((1L to 4L).map(r).distinct.size === 1)
+  }
+}

@@ -146,6 +146,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinBatch equals the naive interval join, incl. boundary pairs") {
+    val s = spark
+    import s.implicits._
+    // exact boundary (gap-inclusive), equal-ts exclusion, bucket-crossing
+    // pairs (events in adjacent hour buckets), and the dense same-user case
+    // the bucketing exists for
+    val rows = Seq(
+      Ev("a1", 1, "c", tOff(0), 1.0), Ev("a2", 1, "c", tOff(60), 1.0),   // exactly 1h apart
+      Ev("a3", 1, "c", tOff(59), 1.0),  // bucket-crossing: 59min vs 60min
+      Ev("a4", 1, "c", tOff(61), 1.0),
+      Ev("a5", 2, "c", tOff(10), 1.0), Ev("a6", 2, "c", tOff(10), 1.0),  // equal ts
+      Ev("a7", 3, "c", tOff(300), 1.0)) ++
+      (0 until 40).map(i => Ev(s"d$i", 4, "c", tOff(i * 2L), 1.0))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+    val naive = key(EventStream.intervalJoin(rows.toDF(), rows.toDF()))
+    val bucketed = key(EventStream.intervalJoinBatch(rows.toDF(), rows.toDF()))
+    assert(bucketed === naive)
+    assert(bucketed.contains((1L, "a1", "a2")), "gap boundary is inclusive")
+    assert(!bucketed.exists(p => p._2 == "a5" && p._3 == "a6"), "equal ts excluded")
+  }
+
   test("enrich joins a streaming source to a static dimension") {
     val s = spark
     import s.implicits._
