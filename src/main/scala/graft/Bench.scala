@@ -86,7 +86,8 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+      val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omit,"sf":"$sfName"}"""
     }
     val Budget = 1900
     val line = Seq(3, 2, 1).map(render(_, results, 0)).find(_.length <= Budget)

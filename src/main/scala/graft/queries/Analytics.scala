@@ -261,6 +261,130 @@ object Analytics {
            |${iter(3)}
            |SELECT id, round(r, 8) AS r FROM r3""".stripMargin
       },
-      covers = Seq("ext-pagerank"))
+      covers = Seq("ext-pagerank")),
+
+    // ------------------------------------------------------------------
+    // Gap-filled time series: event counts per 5-minute bin INCLUDING
+    // empty bins. The bin dimension is generated distributed-side with
+    // sequence()+explode from the aggregated bounds — never a driver loop
+    // building a frame of literals. Left join densifies; at scale the
+    // dimension is trivially broadcast.
+    QueryDef(
+      "q_gapfill_bins",
+      (s, dir) => {
+        val agg = Session.table(s, dir, "events")
+          .select(expr("(ts div 1000) div 300000000").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("c"))
+        val bins = agg.agg(min("bin").as("lo"), max("bin").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("bin"))
+        bins.join(agg, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("c"), lit(0L)).as("n"))
+      },
+      Some("""WITH a AS (SELECT epoch_us(ts) // 300000000 AS bin, count(*) AS c
+             |           FROM events GROUP BY 1),
+             |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM a),
+             |h AS (SELECT unnest(generate_series(lo, hi)) AS bin FROM b)
+             |SELECT h.bin, CAST(coalesce(a.c, 0) AS BIGINT) AS n
+             |FROM h LEFT JOIN a USING (bin)""".stripMargin),
+      covers = Seq("ext-gapfill")),
+
+    // ------------------------------------------------------------------
+    // Event-type transition matrix (first-order Markov statistics — the
+    // sequence-modeling feature prep): per user, each event paired with
+    // its successor via lead() (one shuffle on user_id), then global
+    // (from, to) counts and per-source transition probabilities. The
+    // probability is an exact long/long division of identical integers in
+    // both engines — no rounding needed.
+    QueryDef(
+      "q_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Session.table(s, dir, "events")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn(
+            "p",
+            col("n").cast("double") /
+              sum("n").over(Window.partitionBy("event_type")).cast("double"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) AS DOUBLE) /
+             |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+             |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-markov-transitions")),
+
+    // ------------------------------------------------------------------
+    // Global rank (operators.GlobalRank): contiguous row_number over a
+    // total order WITHOUT the single-partition window that
+    // `row_number() OVER (ORDER BY ...)` plans — RangePartitioning sort,
+    // per-partition ordinals from monotonically_increasing_id, partition
+    // offsets cumulated from a one-row-per-partition aggregate, broadcast
+    // back. One full shuffle total; the hash compare against DuckDB's
+    // actual row_number proves the distributed rank is the true global one.
+    QueryDef(
+      "q_global_sort",
+      (s, dir) =>
+        graft.operators.GlobalRank.withRank(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "rank",
+          col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-global-sort")),
+
+    // ------------------------------------------------------------------
+    // Bigram collocations (phrase mining): adjacent-token pairs scored by
+    // lift = c(ab)·T / (c(a)·c(b)) — PMI without the log, keeping the
+    // score an exact integer-derived division identical across engines.
+    // Bigrams are built with a zip of the token array against its own
+    // tail, INSIDE the row (zero shuffle); only (bigram, count) pairs are
+    // shuffled. Unigram counts broadcast back onto the bigram frame.
+    QueryDef(
+      "q_collocations",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("ts"))
+        val uni = tok
+          .select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum("c").as("t"))
+        val bg = tok
+          .select(explode(expr(
+            "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        bg
+          .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+          .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+          .crossJoin(broadcast(total))
+          .select(
+            col("w1"), col("w2"), col("n"),
+            (col("n").cast("double") * col("t").cast("double") /
+              (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |t AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok),
+             |uni AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+             |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n
+             |       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |       GROUP BY 1, 2)
+             |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+             |  CAST(n AS DOUBLE) * CAST(tt AS DOUBLE) /
+             |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+             |FROM bg JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN tot
+             |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin),
+      covers = Seq("ext-collocations"))
   )
 }

@@ -86,4 +86,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_sum") && plan.contains("partial_count"),
       "both aggregate branches must map-side combine before their exchange")
   }
+
+  test("q_anomaly_zscore broadcasts the 5-row stats frame over the scan") {
+    val plan = finalPlan("q_anomaly_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-type stats must broadcast back over the events scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB fact side must not shuffle to meet a 5-row frame")
+  }
+
+  test("q_interval_join joins on (user, bucket), not user alone") {
+    val plan = finalPlan("q_interval_join")
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("user_id")).getOrElse("")
+    assert(joinLine.contains("lb") || joinLine.contains("rb"),
+      s"time bucket must be part of the join key, bounding per-group pairs: $joinLine")
+  }
+
+  test("q_funnel_stages is two aggregations, no self-joins of events") {
+    val plan = finalPlan("q_funnel_stages")
+    assert(!plan.contains("Join"), "funnel must not self-join the events table")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      "conditional mins must combine map-side")
+  }
+
+  test("q_markov_transitions shuffles events once (window), then tiny frames") {
+    val plan = finalPlan("q_markov_transitions")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // one exchange for the user_id window; the (from,to) count and the
+    // per-source window run over a ≤25-row frame, coalesced by AQE
+    val bigExchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(bigExchanges === 1,
+      s"events must shuffle exactly once on user_id, saw $bigExchanges")
+  }
+
+  test("q_global_sort never plans a single-partition window stage") {
+    // the RangePartitioning exchange itself sits behind GlobalRank's
+    // localCheckpoint (the final plan reads the checkpointed RDD), so the
+    // assertable property here is the absence of the anti-pattern: no
+    // Window operator anywhere (a global row_number would need one with
+    // an empty partition spec = all rows through one task)
+    val plan = finalPlan("q_global_sort")
+    assert(!plan.contains("Window"),
+      "global rank must not fall back to a single-partition window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "partition offsets must broadcast, not shuffle the ranked table again")
+  }
 }
