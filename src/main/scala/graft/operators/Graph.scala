@@ -37,23 +37,31 @@ object Graph {
       edges: DataFrame,
       iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
+    // cache the edge list FIRST: nodes, degrees and the adjacency all
+    // derive from it, and without the cache each one re-executes the
+    // caller's (possibly join-heavy) edge construction pipeline.
     val e = edges.select(col("src"), col("dst")).cache()
-    val nodes = e.select(col("src").as("id")).distinct()
-      .union(e.select(col("dst").as("id")).distinct())
-      .distinct()
-      .cache()
+    // every node appears as a src (the documented contract, trivially true
+    // for undirected input) — so ONE distinct over src is the node set; a
+    // second distinct + union over dst would double the heaviest
+    // pre-iteration shuffle for nothing.
+    val nodes = e.select(col("src").as("id")).distinct().cache()
     val n = nodes.count()
+    // adjacency with out-degree attached ONCE and cached. No pre-partition
+    // on src: the per-iteration rank frame is tiny and broadcasts, so the
+    // contribution join streams the cache with zero exchanges on the edge
+    // side regardless of its partitioning.
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val adj = e.join(deg, "src").cache()
 
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble)).localCheckpoint()
     for (_ <- 0 until iters) {
-      val contribs = e
-        .join(deg, "src")
+      val contribs = adj
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("d")).as("s"))
       val next = nodes
-        .join(contribs, Seq("id"), "left")
+        .join(broadcast(contribs), Seq("id"), "left")
         .select(
           col("id"),
           round(
@@ -63,8 +71,9 @@ object Graph {
         .localCheckpoint()
       ranks = next
     }
-    e.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks
   }
 }

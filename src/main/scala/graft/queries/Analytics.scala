@@ -230,15 +230,23 @@ object Analytics {
     QueryDef(
       "q_pagerank",
       (s, dir) => {
+        // Multi-edges are KEPT (no distinct): a customer trading with a
+        // supplier across k line items contributes k-fold — trade-volume-
+        // weighted PageRank, and one less corpus-size shuffle. The
+        // directed half is cached because the undirected union reads it
+        // twice; pageRank's result is eagerly checkpointed, so the cache
+        // can be dropped on return.
         val co = t(s, dir, "orders")
           .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(
             col("o_custkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst"))
-          .distinct()
+          .cache()
         val edges = co.union(co.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
+        val out = graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
           .select(col("id"), round(col("r"), 8).as("r"))
+        co.unpersist(blocking = false)
+        out
       },
       Some {
         def iter(k: Int): String =
@@ -249,7 +257,7 @@ object Analytics {
              |r$k AS (SELECT nd.id, round((1 - 0.85) / n + 0.85 * coalesce(c$k.s, 0), 12) AS r
              |       FROM nodes nd CROSS JOIN nn LEFT JOIN c$k ON c$k.id = nd.id)""".stripMargin
         s"""WITH co AS (
-           |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+           |  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
            |edges AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
            |nodes AS (SELECT DISTINCT src AS id FROM edges),
