@@ -7,13 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * with the SQL function registry, so `spark.sql("... dot_product(a, b)")`
-  * works alongside the Column API
+  * works alongside the Column API, and installs the optimizer rule that
+  * rewrites the portable HOF dot-product shape into the codegen'd kernel
+  * ([[graft.plans.NativeKernelRules]])
   * (`spark.sql.extensions=graft.GraftExtensions`, set by
   * graft.engine.Session.builder).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.NativeKernelRules)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -393,6 +393,29 @@ object Analytics {
              |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
              |FROM bg JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN tot
              |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin),
-      covers = Seq("ext-collocations"))
+      covers = Seq("ext-collocations")),
+
+    // ------------------------------------------------------------------
+    // Calendar seasonality: order volume/revenue by (month, day-of-week).
+    // Exercises the calendar-function surface; the dow convention differs
+    // between engines (Spark dayofweek: Sunday=1, DuckDB: Sunday=0) so the
+    // Spark side normalizes with −1. Pure partial-agg rollup: the shuffle
+    // carries 84 groups.
+    QueryDef(
+      "q_seasonality",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(
+            month(col("o_orderdate")).as("mo"),
+            (dayofweek(col("o_orderdate")) - 1).as("dow"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue")),
+      Some("""SELECT CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-seasonality", "F6"))
   )
 }
