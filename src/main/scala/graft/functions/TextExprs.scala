@@ -110,6 +110,17 @@ object TextKernels {
     while (it.hasNext) { arr(n) = it.next(); n += 1 }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
   }
+
+  /** Unicode NFC normalization (canonical composition). ASCII and
+    * already-composed inputs take the `isNormalized` fast path — a single
+    * scan, no allocation — so the common 100 TB case (mostly-NFC web text)
+    * pays nothing. Matches DuckDB `nfc_normalize` (both implement UAX #15).
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Distinct word n-gram shingles of a text column as one native codegen'd
@@ -184,6 +195,30 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * canonicalization every text-dedup key needs (decomposed "é" and
+  * precomposed "é" must fingerprint identically). No Spark built-in
+  * exposes java.text.Normalizer; a Scala UDF would break whole-stage
+  * codegen on the hottest scan.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextExprs {
 
   /** distinct word n-gram shingles (lowercased, ws-split) of a text col. */
@@ -197,4 +232,8 @@ object TextExprs {
   /** winnowing fingerprint set of a (normalized) text col. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprintsExpr(Bridge.expression(text), k, w))
+
+  /** Unicode NFC canonical composition of a text col. */
+  def nfc(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 }

@@ -76,4 +76,69 @@ object Graph {
     e.unpersist(blocking = false)
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list (`a`, `b`;
+    * either orientation, self-loops and duplicates tolerated).
+    *
+    * Classic compact-forward: orient every edge from the lower-(degree,id)
+    * endpoint to the higher, so each triangle {a,b,c} materializes exactly
+    * one wedge (a→b, a→c with rank(b)<rank(c)) closed by exactly one
+    * stored edge b→c. Orienting by DEGREE (id as tie-break) is the part
+    * that scales: a skewed graph's hub node has huge in-rank but tiny
+    * out-rank, so wedge counts are Σ min-degree-bounded — O(E^1.5) total
+    * work instead of Σ deg² blowing up on the hottest key. Both joins are
+    * equi-joins on edge keys (shuffle or broadcast as AQE chooses); the
+    * (deg,id) comparison rides along as a post-join filter, never a join
+    * condition, so no BNL sneaks in.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: low id first, dedup, drop self-loops
+    val und = edges
+      .select(
+        least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .cache()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("d"))
+    // orient u→v iff (deg,id)(u) < (deg,id)(v)
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .cache()
+    // wedges around the lowest-rank corner; rank order on the two tips
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s"))
+      .filter(
+        col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    // close the wedge with the stored b→c edge (b outranks nothing: it is
+    // the middle rank, so the closing edge is oriented b→c by construction)
+    val tris = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c"))
+    val counts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("tri"))
+    // densify: every node of the graph, 0 when triangle-free
+    val out = deg.select(col("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("tri"), lit(0L)).as("tri"))
+    val materialized = out.localCheckpoint()
+    oriented.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    materialized
+  }
 }

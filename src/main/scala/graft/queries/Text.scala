@@ -364,6 +364,70 @@ object Text {
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents""".stripMargin),
-      covers = Seq("ext-fingerprint"))
+      covers = Seq("ext-fingerprint")),
+
+    // ------------------------------------------------------------------
+    // Unicode NFC canonicalization (graft.functions.NfcNormalize, a native
+    // codegen expression over java.text.Normalizer — no Spark built-in
+    // exposes UAX #15). The test corpus is pure ASCII, so the query
+    // manufactures decomposed input both engines can reproduce exactly:
+    // every 'e' becomes 'e' + U+0301 (combining acute); NFC must compose
+    // the pair back to precomposed 'é' (U+00E9), shortening the string by
+    // one codepoint per 'e'. Hash is over the normalized UTF-8 bytes, so
+    // a composition mismatch anywhere flips `fp`.
+    QueryDef(
+      "q_unicode_norm",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            // NB: Spark chr() is mod-256 ASCII — it can NOT build U+0301;
+            // the combining mark comes in as a Scala \u escape instead.
+            regexp_replace(col("text"), "e", "e\u0301").as("decomposed"))
+          .select(
+            col("doc_id"),
+            md5(graft.functions.TextExprs.nfc(col("decomposed")).cast("binary")).as("fp"),
+            length(col("decomposed")).as("n_raw"),
+            length(graft.functions.TextExprs.nfc(col("decomposed"))).as("n_nfc")),
+      Some("""SELECT doc_id,
+             |  md5(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS fp,
+             |  CAST(length(replace(text, 'e', 'e' || chr(769))) AS INT) AS n_raw,
+             |  CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS INT) AS n_nfc
+             |FROM documents""".stripMargin),
+      covers = Seq("ext-unicode-nfc")),
+
+    // ------------------------------------------------------------------
+    // Unigram language-model quality score: train P(w) = c(w)/total on the
+    // corpus itself, score each document by its mean token log-probability
+    // — the classic perplexity-based quality filter of LLM data pipelines.
+    // Scale shape: the exploded token stream shuffles ONCE (map-side
+    // combined to vocabulary size); the trained model is vocabulary-sized
+    // and broadcast back over the stream, so scoring is shuffle-free and
+    // the final per-doc agg moves only (doc_id, partial-sum) pairs. The
+    // mean of logs is FP-order-dependent → round(6) in both engines.
+    QueryDef(
+      "q_lm_quality",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum("c").cast("double").as("n"))
+        toks
+          .join(broadcast(uni), "w")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("c") / col("n"))), 6).as("lm_score"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni)
+             |SELECT doc_id, round(avg(ln(c / n)), 6) AS lm_score
+             |FROM toks JOIN uni USING (w) CROSS JOIN tot
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-lm-quality"))
   )
 }

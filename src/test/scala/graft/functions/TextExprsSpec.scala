@@ -72,4 +72,33 @@ class TextExprsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r === 11.0)
   }
+
+  test("nfc composes decomposed sequences and is a no-op on NFC input") {
+    val s = spark
+    import s.implicits._
+    val decomposedE = "e\u0301" // e + combining acute
+    val precomposedE = "\u00e9" // e-acute, single codepoint
+    val angstromSign = "\u212b" // ANGSTROM SIGN, NFC-composes to U+00C5
+    val df = Seq(
+      ("dec", s"caf$decomposedE"),
+      ("pre", s"caf$precomposedE"),
+      ("ascii", "plain ascii"),
+      ("angstrom", angstromSign),
+      ("empty", "")).toDF("id", "text")
+    val got = df
+      .select(
+        col("id"),
+        TextExprs.nfc(col("text")).as("t"),
+        length(TextExprs.nfc(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got("dec") === ((s"caf$precomposedE", 4)))
+    assert(got("pre") === ((s"caf$precomposedE", 4)))
+    assert(got("ascii") === (("plain ascii", 11)))
+    assert(got("angstrom") === (("\u00c5", 1)))
+    assert(got("empty") === (("", 0)))
+    // null-safe
+    val n = Seq(("x", null: String)).toDF("id", "text")
+      .select(TextExprs.nfc(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
 }

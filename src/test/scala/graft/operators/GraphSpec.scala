@@ -61,4 +61,35 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(leaf => r(0L) > r(leaf)))
     assert((1L to 4L).map(r).distinct.size === 1)
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 4)).toDF("a", "b")
+    Graph.triangleCounts(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: K4 — every node in C(3,2)=3 triangles") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triangles(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: triangle + pendant, noisy input") {
+    // duplicates, reversed orientation and self-loops must not change counts
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (1L, 2L), (3L, 3L), (1L, 4L))
+    assert(triangles(edges) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts: bipartite graph has none") {
+    val edges = for (l <- 0L to 2L; r <- 10L to 12L) yield (l, r)
+    assert(triangles(edges).values.forall(_ == 0L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // {1,2,3} and {2,3,4}: shared edge (2,3) participates in both
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L))
+    assert(triangles(edges) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
