@@ -462,6 +462,87 @@ object Analytics {
              |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
              |    UNION ALL SELECT c FROM tri)
              |  GROUP BY 1) cnt ON cnt.id = deg.id""".stripMargin),
-      covers = Seq("ext-triangles"))
+      covers = Seq("ext-triangles")),
+
+    // ------------------------------------------------------------------
+    // Weight-proportional sampling without replacement (Duffield–Lund–
+    // Thorup priority sampling): priority = w / u with u uniform in (0,1],
+    // keep the k largest. u derives from a 60-bit md5 prefix of the row
+    // key, so the sample is DETERMINISTIC — reproducible pipelines and an
+    // exact oracle — and the scheme needs only IEEE division (no ln/pow,
+    // whose libm implementations differ across engines by an ulp). Plan
+    // shape: one scan + TakeOrdered(k) — no shuffle of the data, no
+    // global sort; at 100 TB each task keeps a k-row heap.
+    QueryDef(
+      "q_weighted_sample",
+      (s, dir) => {
+        val v = conv(
+          substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber")).cast("binary")), 1, 15),
+          16, 10).cast("bigint")
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity"),
+            (col("l_quantity") /
+              ((v + lit(1L)).cast("double") / lit(1152921504606846976.0))).as("pri"))
+          .orderBy(col("pri").desc)
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_quantity / ((CAST(concat('0x',
+             |      substr(md5(l_orderkey || '_' || l_linenumber), 1, 15)) AS BIGINT) + 1)
+             |    / 1152921504606846976.0) AS pri
+             |FROM lineitem
+             |ORDER BY pri DESC LIMIT 100""".stripMargin),
+      covers = Seq("ext-weighted-sample")),
+
+    // ------------------------------------------------------------------
+    // Blocked sorted-neighborhood entity blocking: sort within a coarse
+    // block (4-char name prefix), compare each record only to its w=2
+    // sorted predecessors, keep near-matches (1 <= levenshtein <= 5;
+    // distance-0 exact dups are q_dedup_exact's job). This is the
+    // CLASSIC scale answer to fuzzy joins: candidate pairs are O(n·w)
+    // instead of O(n²), the window sort shuffles on the block key (never
+    // a single global partition), and q_fuzzy_join's dictionary approach
+    // stays for the small-dimension case.
+    QueryDef(
+      "q_sorted_neighborhood",
+      (s, dir) => {
+        val win = Window
+          .partitionBy(col("blk"))
+          .orderBy(col("p_name"), col("p_partkey"))
+        val w = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), substring(col("p_name"), 1, 4).as("blk"))
+          .select(
+            col("p_partkey"), col("p_name"),
+            lag(col("p_name"), 1).over(win).as("n1"),
+            lag(col("p_partkey"), 1).over(win).as("k1"),
+            lag(col("p_name"), 2).over(win).as("n2"),
+            lag(col("p_partkey"), 2).over(win).as("k2"))
+        val p1 = w.filter(col("k1").isNotNull)
+          .select(col("k1").as("a_key"), col("p_partkey").as("b_key"),
+            col("n1").as("a_name"), col("p_name").as("b_name"))
+        val p2 = w.filter(col("k2").isNotNull)
+          .select(col("k2").as("a_key"), col("p_partkey").as("b_key"),
+            col("n2").as("a_name"), col("p_name").as("b_name"))
+        p1.unionAll(p2)
+          .withColumn("d", levenshtein(col("a_name"), col("b_name")))
+          .filter(col("d").between(1, 5))
+      },
+      Some("""WITH s AS (SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part),
+             |w AS (SELECT s.*,
+             |        lag(p_name, 1) OVER win AS n1, lag(p_partkey, 1) OVER win AS k1,
+             |        lag(p_name, 2) OVER win AS n2, lag(p_partkey, 2) OVER win AS k2
+             |      FROM s WINDOW win AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+             |pairs AS (
+             |  SELECT k1 AS a_key, p_partkey AS b_key, n1 AS a_name, p_name AS b_name
+             |  FROM w WHERE k1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT k2, p_partkey, n2, p_name FROM w WHERE k2 IS NOT NULL)
+             |SELECT a_key, b_key, a_name, b_name,
+             |  CAST(levenshtein(a_name, b_name) AS INT) AS d
+             |FROM pairs WHERE levenshtein(a_name, b_name) BETWEEN 1 AND 5""".stripMargin),
+      covers = Seq("ext-sorted-neighborhood"))
   )
 }
