@@ -543,6 +543,28 @@ object Analytics {
              |SELECT a_key, b_key, a_name, b_name,
              |  CAST(levenshtein(a_name, b_name) AS INT) AS d
              |FROM pairs WHERE levenshtein(a_name, b_name) BETWEEN 1 AND 5""".stripMargin),
-      covers = Seq("ext-sorted-neighborhood"))
+      covers = Seq("ext-sorted-neighborhood")),
+
+    // ------------------------------------------------------------------
+    // 2-D Pareto front (operators.Pareto): the (quantity, price) points no
+    // other line item beats on both axes. The single-pass skyline needs a
+    // GLOBAL running max — a single-partition window as written naively;
+    // Pareto.front2D replaces it with range partitioning + per-partition
+    // running max + a driver-side prefix-max broadcast (the GlobalRank
+    // treatment), so no stage sees all rows. Oracle: the textbook window
+    // formulation, which DuckDB can afford at oracle scale.
+    QueryDef(
+      "q_pareto_front",
+      (s, dir) =>
+        graft.operators.Pareto.front2D(
+          t(s, dir, "lineitem")
+            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))),
+      Some("""WITH d AS (SELECT DISTINCT l_quantity AS x, l_extendedprice AS y
+             |           FROM lineitem WHERE x IS NOT NULL AND y IS NOT NULL),
+             |w AS (SELECT x, y, max(y) OVER (ORDER BY x DESC, y DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+             |      FROM d)
+             |SELECT x, y FROM w WHERE m IS NULL OR y > m""".stripMargin),
+      covers = Seq("ext-pareto"))
   )
 }
