@@ -565,6 +565,28 @@ object Analytics {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
              |      FROM d)
              |SELECT x, y FROM w WHERE m IS NULL OR y > m""".stripMargin),
-      covers = Seq("ext-pareto"))
+      covers = Seq("ext-pareto")),
+
+    // ------------------------------------------------------------------
+    // Exact whole-table quantiles WITHOUT a global sort or a per-group
+    // value buffer (operators.ExactQuantile): histogram bisection — each
+    // round is one parallel scan producing <=4096 bin counts, narrowing
+    // geometrically onto the target rank; the final rank selection touches
+    // only the last bin. Spark's exact `percentile` buffers every value in
+    // the agg (q_percentiles uses it on SMALL groups); this is the path
+    // that stays exact on a 100 TB column. Results are elements of the
+    // data (no interpolation arithmetic) so the compare is bit-exact.
+    QueryDef(
+      "q_exact_quantiles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val med = graft.operators.ExactQuantile.quantileDisc(li, "l_extendedprice", 0.5)
+        val p90 = graft.operators.ExactQuantile.quantileDisc(li, "l_extendedprice", 0.9)
+        s.range(1).select(lit(med).as("med"), lit(p90).as("p90"))
+      },
+      Some("""SELECT quantile_disc(l_extendedprice, 0.5) AS med,
+             |  quantile_disc(l_extendedprice, 0.9) AS p90
+             |FROM lineitem""".stripMargin),
+      covers = Seq("ext-exact-quantile"))
   )
 }
