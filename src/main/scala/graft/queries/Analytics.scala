@@ -587,6 +587,33 @@ object Analytics {
       Some("""SELECT quantile_disc(l_extendedprice, 0.5) AS med,
              |  quantile_disc(l_extendedprice, 0.9) AS p90
              |FROM lineitem""".stripMargin),
-      covers = Seq("ext-exact-quantile"))
+      covers = Seq("ext-exact-quantile")),
+
+    // ------------------------------------------------------------------
+    // Per-key top-k through the custom PartialTopK physical operator
+    // (plans.PartialTopK: LogicalPlan + Strategy + SparkPlan injected via
+    // GraftExtensions) — hash-heap map-side pruning over UNSORTED input,
+    // one step below Spark's own sort-requiring WindowGroupLimit. The
+    // window above re-ranks the tiny survivor set, so results are exactly
+    // the row_number formulation the oracle runs.
+    QueryDef(
+      "q_topk_pruned",
+      (s, dir) =>
+        graft.operators.TopK.perKey(
+          t(s, dir, "lineitem")
+            .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber")),
+          Seq("l_suppkey"), "l_extendedprice", "tie", 3)
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("rn")),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |  CAST(rn AS INT) AS rn
+             |FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 3""".stripMargin),
+      covers = Seq("ext-topk-pruned"))
   )
 }

@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** TopK.perKey (custom PartialTopK plan) must be row-identical to the
+  * plain window formulation, actually prune before the exchange, and
+  * plan through the injected strategy.
+  */
+class PartialTopKSpec extends SparkSpec {
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber"))
+
+  private def windowed(desc: Boolean) = {
+    val ord = if (desc) col("l_extendedprice").desc else col("l_extendedprice").asc
+    li.withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("l_suppkey")).orderBy(ord, col("tie").asc)))
+      .filter(col("rn") <= 3)
+  }
+
+  test("identical to the window formulation (desc)") {
+    val fast = TopK.perKey(li, Seq("l_suppkey"), "l_extendedprice", "tie", 3)
+    val slow = windowed(desc = true)
+    assert(fast.exceptAll(slow).count() === 0)
+    assert(slow.exceptAll(fast).count() === 0)
+  }
+
+  test("identical to the window formulation (asc)") {
+    val fast = TopK.perKey(
+      li, Seq("l_suppkey"), "l_extendedprice", "tie", 3, descending = false)
+    val slow = windowed(desc = false)
+    assert(fast.exceptAll(slow).count() === 0)
+    assert(slow.exceptAll(fast).count() === 0)
+  }
+
+  test("the physical plan contains PartialTopKExec and prunes the shuffle") {
+    val src = li
+    val fast = TopK.perKey(src, Seq("l_suppkey"), "l_extendedprice", "tie", 3)
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(fast.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    // pruned row count is bounded by k * keys * input partitions, far
+    // below the table size
+    val lp = Bridge.logicalPlan(src)
+    def attr(n: String) = lp.output.find(_.name == n).get
+    val pruned = Bridge.ofRows(
+      spark,
+      PartialTopK(
+        Seq(attr("l_suppkey")), attr("l_extendedprice"), attr("tie"),
+        descending = true, 3, lp))
+    val total = li.count()
+    val kept = pruned.count()
+    assert(kept < total, s"pruning kept everything ($kept of $total)")
+    val parts = li.rdd.getNumPartitions
+    val nKeys = li.select("l_suppkey").distinct().count()
+    assert(kept <= 3L * nKeys * parts)
+  }
+
+  test("null order values pass through and rank by the window's null rule") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(5.0), 1L),
+      (1L, null.asInstanceOf[java.lang.Double], 2L),
+      (1L, java.lang.Double.valueOf(3.0), 3L),
+      (2L, null.asInstanceOf[java.lang.Double], 4L),
+      (2L, null.asInstanceOf[java.lang.Double], 5L)
+    ).toDF("k", "v", "tie")
+    val fast = TopK.perKey(df, Seq("k"), "v", "tie", 2)
+    val slow = df.withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v").desc, col("tie").asc)))
+      .filter(col("rn") <= 2)
+    assert(fast.exceptAll(slow).count() === 0)
+    assert(slow.exceptAll(fast).count() === 0)
+  }
+}
