@@ -54,13 +54,18 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val adj = e.join(deg, "src").cache()
 
+    // checkpoint cadence: lineage must stay O(1) in ITERS on a long run,
+    // but each localCheckpoint is a full materialization — at 3-5
+    // iterations checkpointing every step just multiplies job count. Every
+    // 4th step (and always the last, so the returned frame is computed
+    // work, not a pending 4-deep plan) keeps both properties.
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble)).localCheckpoint()
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contribs = adj
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("d")).as("s"))
-      val next = nodes
+      var next = nodes
         .join(broadcast(contribs), Seq("id"), "left")
         .select(
           col("id"),
@@ -68,7 +73,7 @@ object Graph {
             lit((1.0 - damping) / n.toDouble) +
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12).as("r"))
-        .localCheckpoint()
+      if (i % 4 == 3 || i == iters - 1) next = next.localCheckpoint()
       ranks = next
     }
     adj.unpersist(blocking = false)

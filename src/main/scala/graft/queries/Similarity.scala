@@ -244,6 +244,20 @@ object Similarity {
            |SELECT vec_id, round(cos, 3) AS cos FROM rer
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       },
-      covers = Seq("ext-knn-pq"))
+      covers = Seq("ext-knn-pq")),
+
+    // ------------------------------------------------------------------
+    // MMR diversified retrieval (operators.Mmr): distributed cosine
+    // shortlist (broadcast query, TakeOrdered(m)) then the greedy
+    // λ·relevance − (1−λ)·max-redundancy re-rank over the m survivors.
+    // Every similarity is rounded to 6 decimals before any comparison and
+    // ties break on vec_id, so the DuckDB oracle replays the exact greedy
+    // as one CTE per selection step.
+    QueryDef(
+      "q_mmr_rerank",
+      (s, dir) =>
+        graft.operators.Mmr.diversifiedTopK(s, t(s, dir, "embeddings")),
+      Some(graft.operators.Mmr.oracleSql()),
+      covers = Seq("ext-mmr"))
   )
 }
