@@ -133,4 +133,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "partition offsets must broadcast, not shuffle the ranked table again")
   }
+
+  test("q_topk_pruned plans the custom PartialTopK exec below the window") {
+    val plan = finalPlan("q_topk_pruned")
+    assert(plan.contains("PartialTopK"),
+      "the strategy-injected hash-heap prune must be in the physical plan")
+    // the prune feeds the exchange: PartialTopK must appear below the
+    // hashpartitioning exchange in the tree (deeper = later in the string)
+    val pruneAt = plan.indexOf("PartialTopK")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeAt >= 0 && exchangeAt < pruneAt,
+      "prune must sit below (after, in tree print) the shuffle it shrinks")
+  }
+
+  test("q_lm_quality broadcasts the trained model; tokens shuffle for training only") {
+    val plan = finalPlan("q_lm_quality")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-sized model must broadcast back over the token stream")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "vocabulary counts must map-side combine")
+  }
+
+  test("q_weighted_sample is a scan + TakeOrdered, no shuffle of the data") {
+    val plan = finalPlan("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k by priority must plan as TakeOrdered (per-task heaps), not a sort")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "priority sampling must not shuffle the table")
+  }
+
+  test("q_pareto_front windows only within partitions (no global window)") {
+    val plan = finalPlan("q_pareto_front")
+    // the running max is partitioned by _pid — a window with a partition
+    // spec — never an empty-partition (single task) window over all rows
+    val winLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("_pid"),
+      s"running max must be partitioned by the range-partition id: $winLine")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-partition prefix maxes must broadcast")
+  }
 }
