@@ -29,11 +29,32 @@ object Pareto {
 
   /** Skyline of the distinct (`x`, `y`) points of `df`, maximizing both.
     * Output columns: `x`, `y`.
+    *
+    * Two-phase: each partition first reduces to its LOCAL skyline in
+    * memory (any global-front point is on its partition's front, so this
+    * loses nothing) — the exchange then carries only local-front points,
+    * typically orders of magnitude fewer than the input. The exact global
+    * pass below runs on that residue.
     */
   def front2D(df: DataFrame): DataFrame = {
-    val d = df
-      .select(col("x"), col("y"))
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val local = df
+      .select(col("x").cast("double"), col("y").cast("double"))
       .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(Double, Double)]
+      .mapPartitions { it =>
+        val pts = it.toArray
+        // sort x desc, y desc; keep strictly-rising y = local front
+        java.util.Arrays.sort(pts, Ordering.Tuple2(
+          Ordering.Double.TotalOrdering.reverse, Ordering.Double.TotalOrdering.reverse))
+        var best = Double.NegativeInfinity
+        pts.iterator.filter { case (_, y) =>
+          if (y > best) { best = y; true } else false
+        }
+      }
+      .toDF("x", "y")
+    val d = local
       .distinct()
     val sorted = d
       .repartitionByRange(col("x").desc, col("y").desc)
@@ -53,8 +74,6 @@ object Pareto {
       }
       .drop(1)
       .map { case (pid, _, before) => (pid, before) }
-    val spark = df.sparkSession
-    import spark.implicits._
     val offDf = prefixes.toSeq.toDF("_pid", "_before")
     val win = Window
       .partitionBy("_pid")
