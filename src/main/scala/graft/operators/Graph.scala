@@ -47,10 +47,9 @@ object Graph {
     // pre-iteration shuffle for nothing.
     val nodes = e.select(col("src").as("id")).distinct().cache()
     val n = nodes.count()
-    // adjacency with out-degree attached ONCE and cached. No pre-partition
-    // on src: the per-iteration rank frame is tiny and broadcasts, so the
-    // contribution join streams the cache with zero exchanges on the edge
-    // side regardless of its partitioning.
+    // adjacency with out-degree attached ONCE and cached. The groupBy
+    // leaves it hash-partitioned on src — the same key every iteration's
+    // contribution join uses — so the edge side never re-shuffles.
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val adj = e.join(deg, "src").cache()
 
@@ -65,8 +64,15 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("d")).as("s"))
+      // NO broadcast hint on the gather: `contribs` is one row per node
+      // with in-edges — O(N), i.e. tiny at sf0.1 but a guaranteed OOM on a
+      // billion-node graph. Both sides arrive hash-partitioned on id
+      // (nodes from its distinct, contribs from its groupBy), so the join
+      // is exchange-free co-partitioned work; AQE may still choose to
+      // broadcast when the frame really is small, which is the right call
+      // at BOTH scales — made at runtime, not hard-coded.
       var next = nodes
-        .join(broadcast(contribs), Seq("id"), "left")
+        .join(contribs, Seq("id"), "left")
         .select(
           col("id"),
           round(

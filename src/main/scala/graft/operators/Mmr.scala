@@ -57,6 +57,12 @@ object Mmr {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3)))
 
+    import spark.implicits._
+    // empty shortlist (no vectors besides the query, or an empty table):
+    // zero diversified picks, not a head-of-empty crash.
+    if (shortlist.isEmpty)
+      return Seq.empty[(Int, Long, Double)].toDF("rank", "vec_id", "qs")
+
     val selected = scala.collection.mutable.ArrayBuffer(shortlist.head)
     while (selected.size < k && selected.size < shortlist.length) {
       val remaining = shortlist.filterNot(c => selected.exists(_._1 == c._1))
@@ -68,7 +74,6 @@ object Mmr {
       }
       selected += best._2
     }
-    import spark.implicits._
     selected.zipWithIndex
       .map { case ((id, _, _, qs), i) => (i + 1, id, round6(qs)) }
       .toSeq.toDF("rank", "vec_id", "qs")

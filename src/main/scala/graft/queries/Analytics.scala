@@ -26,12 +26,15 @@ object Analytics {
     // ------------------------------------------------------------------
     // Heavy hitters with count-min-sketch pruning. The 100 TB shape: ONE
     // pass folds the corpus into a fixed-size CMS (mergeable partial
-    // sketches, no shuffle of raw keys); the key dictionary (here: the
-    // distinct user ids — in production the users dimension) is probed
-    // against the sketch on the driver, and only the candidate keys go
-    // through the exact count. CMS never underestimates, so candidates ⊇
-    // true heavy hitters and the exact HAVING filter restores exactness —
-    // the oracle is the plain GROUP BY ... HAVING, blind to the sketch.
+    // sketches, no shuffle of raw keys); the sketch — a few KB regardless
+    // of corpus size — is then BROADCAST and probed on the executors, so
+    // the key dictionary (the distinct user ids) is filtered where it
+    // lives and never collect()ed to the driver. Only the (few, by
+    // definition) candidate heavy hitters surface, and they prune the
+    // exact count via a broadcast semi-join. CMS never underestimates, so
+    // candidates ⊇ true heavy hitters and the exact HAVING filter restores
+    // exactness — the oracle is the plain GROUP BY ... HAVING, blind to
+    // the sketch.
     QueryDef(
       "q_heavy_hitters",
       (s, dir) => {
@@ -39,10 +42,11 @@ object Analytics {
         val threshold = 75L
         val cms = ev.stat.countMinSketch(
           "user_id", eps = 0.001, confidence = 0.99, seed = 42)
-        val candidates = ev.select("user_id").distinct().collect()
-          .map(_.getLong(0))
-          .filter(u => cms.estimateCount(u) >= threshold)
-        ev.filter(col("user_id").isin(candidates.map(_.asInstanceOf[Any]): _*))
+        val cmsBc = s.sparkContext.broadcast(cms)
+        val probe = udf((u: Long) => cmsBc.value.estimateCount(u) >= threshold)
+        val candidates = ev.select("user_id").distinct()
+          .filter(probe(col("user_id")))
+        ev.join(broadcast(candidates), Seq("user_id"), "left_semi")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n"))
           .filter(col("n") >= threshold)

@@ -100,21 +100,40 @@ object Relational2 {
 
     // ------------------------------------------------------------------
     // As-of join: each event matched to the user's latest order at or
-    // before the event time. Spark lacks a native as-of; the engine
-    // expresses it as an equi-join on the key (hash-partitioned, the
-    // range predicate applied as a join filter) + max(struct) argmax —
-    // one shuffle, no window re-sort. Tie-break on orderkey keeps both
-    // engines deterministic.
+    // before the event time. Spark lacks a native as-of; the scale-safe
+    // plan is NOT an equi-join with the range predicate as a join filter
+    // (that materializes events×orders per user — quadratic on a hot key)
+    // but a merge of the two timelines: union events+orders tagged, ONE
+    // window sorted by (user, time) carrying the latest order forward
+    // with last(ignoreNulls). Single shuffle on user_id, intermediate
+    // linear in |events|+|orders|. Orders sort before events at the same
+    // instant (kind 0 < 1) so the `<=` bound is inclusive; among same-
+    // instant orders the ascending o_orderkey order makes the carried
+    // value the max orderkey — the argmax tie-break both engines use.
     QueryDef(
       "q_asof_join",
       (s, dir) => {
-        val ev = Session.events(s, dir).select("event_id", "user_id", "ts")
-        val o = t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
-        ev.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-          .groupBy("event_id", "user_id")
-          .agg(
-            max(struct(col("o_orderdate"), col("o_orderkey")))
-              .getField("o_orderkey").as("last_order"))
+        val ev = Session.events(s, dir)
+          .select(
+            col("user_id"),
+            col("ts").as("t"),
+            lit(1).as("kind"),
+            col("event_id"),
+            lit(null).cast("long").as("o_orderkey"))
+        val o = t(s, dir, "orders")
+          .select(
+            col("o_custkey").as("user_id"),
+            col("o_orderdate").as("t"),
+            lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"),
+            col("o_orderkey"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("kind"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(ev)
+          .withColumn("last_order", last("o_orderkey", ignoreNulls = true).over(w))
+          .filter(col("kind") === 1 && col("last_order").isNotNull)
+          .select("event_id", "user_id", "last_order")
       },
       Some("""SELECT event_id, user_id, o_orderkey AS last_order
              |FROM (SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -130,21 +130,29 @@ object Relational5 {
     // ------------------------------------------------------------------
     // Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // duplicate multiplicity (min / difference of per-key counts), a
-    // different operator from the DISTINCT forms in q_set_ops. Spark plans
-    // both as one aggregate computing the two counts + a generate — no
-    // join. Output collapsed to (key, multiplicity) so it's deterministic.
+    // different operator from the DISTINCT forms in q_set_ops. Because the
+    // output is already collapsed to (key, multiplicity), both operators
+    // reduce to arithmetic over ONE per-key count pair — min(ca,cb) and
+    // max(ca−cb,0) — so the whole query is a single aggregation of orders
+    // (one shuffle; Catalyst reuses the exchange across the two branches)
+    // instead of the 4-shuffle intersectAll/exceptAll rewrite.
     QueryDef(
       "q_set_ops_all",
       (s, dir) => {
-        val o = t(s, dir, "orders")
-        val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
-        val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
-        val inter = a.intersectAll(b)
-          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-          .withColumn("op", lit("intersect_all"))
-        val exc = a.exceptAll(b)
-          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-          .withColumn("op", lit("except_all"))
+        val counts = t(s, dir, "orders")
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy("o_custkey")
+          .agg(
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("cb"))
+        val inter = counts
+          .select(col("o_custkey"), least(col("ca"), col("cb")).as("n"),
+            lit("intersect_all").as("op"))
+          .filter(col("n") > 0)
+        val exc = counts
+          .select(col("o_custkey"), greatest(col("ca") - col("cb"), lit(0L)).as("n"),
+            lit("except_all").as("op"))
+          .filter(col("n") > 0)
         inter.unionByName(exc)
       },
       Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

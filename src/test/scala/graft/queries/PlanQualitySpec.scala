@@ -162,6 +162,37 @@ class PlanQualitySpec extends SparkSpec {
       "priority sampling must not shuffle the table")
   }
 
+  test("q_asof_join merges timelines — no pair-exploding join, one shuffle") {
+    val plan = finalPlan("q_asof_join")
+    assert(!plan.contains("Join"),
+      "as-of must not equi-join events×orders (quadratic intermediate on a hot user)")
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"one shuffle on user_id expected, saw $exchanges")
+  }
+
+  test("q_set_ops_all aggregates orders once; second branch reuses the exchange") {
+    val plan = finalPlan("q_set_ops_all")
+    assert(!plan.contains("Join"))
+    val finalSection = plan.split("== Initial Plan ==").head
+    val fresh = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(fresh === 1, s"orders must shuffle exactly once, saw $fresh")
+    assert(finalSection.contains("ReusedExchange"),
+      "intersect/except branches must share the single aggregation exchange")
+  }
+
+  test("q_heavy_hitters probes the sketch on executors, no driver key dictionary") {
+    val plan = finalPlan("q_heavy_hitters")
+    assert(plan.contains("LeftSemi"), "candidate pruning must be a semi join")
+    assert(plan.contains("BroadcastHashJoin"), "the few candidates must broadcast")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.linesIterator
+        .exists(l => l.contains("Filter") && l.contains("UDF")),
+      "the CMS probe must run as an executor-side filter, never a collected isin literal")
+  }
+
   test("q_pareto_front windows only within partitions (no global window)") {
     val plan = finalPlan("q_pareto_front")
     // the running max is partitioned by _pid — a window with a partition
