@@ -16,7 +16,15 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     /** SURVEY.md §2 operator ids this query exercises (for COVERAGE.md). */
-    covers: Seq[String] = Nil)
+    covers: Seq[String] = Nil,
+    /** Late-bound oracle for queries whose SQL embeds DATA-derived
+      * literals (e.g. k-means centroids trained inside `fn`): evaluated
+      * when [[SparkEntry.oracleSql]] is rendered — Verify dumps
+      * oracle_sql.json AFTER running every query, so by then `fn` has
+      * frozen its model and the generated SQL replays it exactly.
+      * Returns None until the model exists (falls back to rows-only).
+      */
+    oracleDyn: () => Option[String] = () => None)
 
 object QueryDef {
   /** Convenience table reader used by every query. */

@@ -33,5 +33,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
+    all.flatMap(d => d.oracle.orElse(d.oracleDyn()).map(d.name -> _)).toMap
 }

@@ -205,6 +205,20 @@ object Similarity {
   /** IVF ANN top-k: probe the nProbe cells whose centroids are closest to
     * the query, exact cosine re-rank inside them.
     */
+  private def ddot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** The nProbe cells whose centroids best align with the query — factored
+    * out so the frozen-literal oracle replays the IDENTICAL probe list.
+    */
+  def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(ddot(query, query))
+    centroids.zipWithIndex
+      .sortBy { case (c, _) => -ddot(c, query) / qn }
+      .take(nProbe)
+      .map(_._2)
+  }
+
   def ivfTopK(
       assigned: DataFrame,
       idCol: String,
@@ -212,13 +226,8 @@ object Similarity {
       k: Int,
       centroids: Seq[Seq[Double]],
       nProbe: Int = 4): DataFrame = {
-    def ddot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => x * y }.sum
     val qn = math.sqrt(ddot(query, query))
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -ddot(c, query) / qn }
-      .take(nProbe)
-      .map(_._2)
+    val probeCells = this.probeCells(query, centroids, nProbe)
     val qCol = array(query.map(lit): _*)
     assigned
       .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))

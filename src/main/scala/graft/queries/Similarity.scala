@@ -5,12 +5,47 @@ import graft.QueryDef.t
 import graft.operators.{Similarity => Sim}
 import org.apache.spark.sql.functions._
 
-/** Similarity-search queries over `embeddings`. The brute-force top-k has a
-  * full DuckDB oracle; the LSH-bucketed ANN variant is approximate by
-  * construction, so it ships without an oracle (driver rows-only check) and
-  * its recall is asserted in SimilaritySpec against the brute-force answer.
+/** Similarity-search queries over `embeddings`. Every ANN variant is fully
+  * oracle-checked despite being "approximate": the index parameters are
+  * frozen as literals into the generated DuckDB SQL — seed-deterministic
+  * ones (LSH planes, PQ codebooks) at class init, data-TRAINED ones (the
+  * IVF k-means centroids) late-bound after the query fn runs (IvfState +
+  * QueryDef.oracleDyn). Recall quality is separately asserted against the
+  * brute-force answer in SimilaritySpec.
   */
 object Similarity {
+
+  /** Frozen IVF model for the late-bound q_knn_ivf oracle: the query fn
+    * deposits the centroids it trained and the probe list it derived; the
+    * oracle renderer replays cell assignment (first-argmax over the same
+    * sequential-sum dot products — bit-identical in both engines), the
+    * literal probe filter, and the exact cosine re-rank.
+    */
+  private[queries] object IvfState {
+    @volatile private var state: Option[(Seq[Seq[Double]], Seq[Int])] = None
+
+    def freeze(query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Unit =
+      state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
+
+    def oracleSql: Option[String] = state.map { case (centroids, probe) =>
+      val dots = centroids
+        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+         |a AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
+         |  FROM (SELECT vec_id, v, $dots AS dots FROM e WHERE vec_id != 0)),
+         |scored AS (
+         |  SELECT a.vec_id,
+         |    list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * q.qn) AS cos
+         |  FROM a, q
+         |  WHERE cell IN (${probe.mkString(", ")}))
+         |SELECT vec_id, round(cos, 3) AS cos FROM scored
+         |ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
+    }
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -149,8 +184,15 @@ object Similarity {
       covers = Seq("ext-embed-quantize")),
 
     // ------------------------------------------------------------------
-    // IVF ANN top-10: spherical-k-means cells, probe the 6 nearest of 16
-    // (approximate — no SQL oracle; recall asserted in SimilaritySpec).
+    // IVF ANN top-10: spherical-k-means cells, probe the 6 nearest of 16.
+    // Fully oracle-checked even though the index is DATA-trained: the fn
+    // freezes the centroids it trained (and the probe-cell list it derived)
+    // into [[IvfState]], and the late-bound oracle renders them as DuckDB
+    // literals — the same freeze-the-model trick as the LSH planes and PQ
+    // codebooks, just bound after training instead of at class init. Cell
+    // assignment replays bit-identically: both engines compute the 16 dot
+    // products with a sequential left-to-right sum and take the FIRST
+    // argmax (array_position / list_position).
     QueryDef(
       "q_knn_ivf",
       (s, dir) => {
@@ -160,6 +202,7 @@ object Similarity {
         val query = e.filter(col("vec_id") === 0)
           .select(col("v")).head().getSeq[Double](0).toSeq
         val centroids = Sim.trainIvf(e, "vec_id", k = 16)
+        IvfState.freeze(query, centroids, nProbe = 6)
         val assigned = Sim.ivfAssign(e.filter(col("vec_id") =!= 0), centroids)
         // materialize the 10-row answer, then release the working cache —
         // repeated invocations must not accumulate persisted partitions
@@ -170,7 +213,8 @@ object Similarity {
         out
       },
       None,
-      covers = Seq("ext-knn-ivf")),
+      covers = Seq("ext-knn-ivf"),
+      oracleDyn = () => IvfState.oracleSql),
 
     // ------------------------------------------------------------------
     // Product-quantization encode (operators.Pq): 64-dim float vectors →
