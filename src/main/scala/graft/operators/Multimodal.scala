@@ -22,11 +22,15 @@ import org.apache.spark.sql.types._
   *     load, GPU transfer) across `batchSize` rows — the Scala analogue
   *     of a vectorized/Arrow UDF.
   *
-  * STUB NOTE: this container has no image/audio codecs, so the decode in
-  * [[decodeFeatures]] is a clearly-marked deterministic fake (byte
-  * statistics standing in for pixels). The Spark-side contract — schema,
-  * batching, partitioning, null passthrough — is real and tested; swap
-  * `fakeDecode` for a codec call to productionize.
+  * CODEC NOTE: this container has no image/audio codec libraries, so
+  * [[decodeFeatures]] dispatches per payload: binary-PPM (P6) images
+  * decode for REAL via the pure-Scala [[decodePpm]] (header parse +
+  * luminance histogram over actual pixels — proving the micro-batch path
+  * end-to-end on a genuine format); anything else falls back to the
+  * clearly-marked deterministic fake (byte statistics standing in for
+  * pixels). The Spark-side contract — schema, batching, partitioning,
+  * null passthrough — is identical on both paths; swap/extend the
+  * dispatch for more formats to productionize.
   */
 object Multimodal {
 
@@ -72,9 +76,10 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** ??? real decode goes here ??? — deterministic fake standing in for a
-    * codec: "dimensions" from the first payload bytes, "features" = a
-    * 16-bin byte histogram normalized to frequencies.
+  /** Fallback for payloads that are not a recognized image format —
+    * deterministic fake standing in for the codecs this container lacks:
+    * "dimensions" from the first payload bytes, "features" = a 16-bin
+    * byte histogram normalized to frequencies.
     */
   private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
     val w = 1 + (if (bytes.length > 0) bytes(0) & 0x7f else 0)
@@ -84,6 +89,61 @@ object Multimodal {
     val n = math.max(1, bytes.length)
     (w, h, 3, hist.map(_ / n))
   }
+
+  /** Strict pure-Scala binary-PPM (P6) decoder — the one real codec in the
+    * pipeline. Accepts only a COMPLETE valid image: `P6` magic,
+    * whitespace/`#`-comment-separated width/height/maxval (maxval <= 255),
+    * one whitespace byte, then exactly width*height*3 pixel bytes — so a
+    * text payload can never misparse as an image. Features: the 16-bin
+    * histogram of per-pixel luminance (Rec.601 integer luma), normalized
+    * to frequencies — a real decoded-pixel statistic, same shape as the
+    * fallback's byte histogram.
+    */
+  private[operators] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') i += 1
+        else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def int(): Int = { // -1 = malformed
+      skipWs()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) -1 else v.toInt
+    }
+    val w = int(); val h = int(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    // exactly one whitespace byte between header and pixel data
+    if (i >= bytes.length || !(bytes(i) == '\n' || bytes(i) == '\r' ||
+        bytes(i) == ' ' || bytes(i) == '\t')) return None
+    i += 1
+    if (bytes.length - i != w.toLong * h * 3) return None
+    val hist = new Array[Double](16)
+    var p = i
+    while (p + 2 < bytes.length) {
+      val luma = ((bytes(p) & 0xff) * 299 + (bytes(p + 1) & 0xff) * 587 +
+        (bytes(p + 2) & 0xff) * 114) / 1000
+      hist(luma >> 4) += 1.0
+      p += 3
+    }
+    val n = w.toDouble * h
+    Some((w, h, 3, hist.map(_ / n)))
+  }
+
+  /** Per-payload decode dispatch: real PPM first, deterministic fake
+    * stand-in otherwise.
+    */
+  private[operators] def decodeAny(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
+    decodePpm(bytes).getOrElse(fakeDecode(bytes))
 
   /** (id, media) → (doc_id, width, height, channels, features), decoding
     * in micro-batches of `batchSize` rows per partition.
@@ -102,7 +162,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.collect {
           case r if !r.isNullAt(1) =>
-            val (w, h, c, feat) = fakeDecode(r.getAs[Array[Byte]](1))
+            val (w, h, c, feat) = decodeAny(r.getAs[Array[Byte]](1))
             Row(r.getLong(0), w, h, c, feat.toSeq)
         }
       }

@@ -61,6 +61,37 @@ class MultimodalSpec extends SparkSpec {
     assert(bad === 0L, "documents.text must be ASCII and CR-free for the multimodal oracles")
   }
 
+  test("decodePpm decodes a real binary-PPM image through the batch path") {
+    val s = spark
+    import s.implicits._
+    // 2x2 P6 with a header comment: black, white, red, blue pixels →
+    // Rec.601 lumas 0, 255, 76, 29 → histogram bins 0, 15, 4, 1.
+    val header = "P6\n# tiny fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    val txt = "hello world".getBytes("US-ASCII")
+    val df = Seq((1L, header ++ pixels), (2L, txt)).toDF("doc_id", "media")
+    val out = Multimodal.decodeFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    val img = out(1L)
+    assert((img.getInt(1), img.getInt(2), img.getInt(3)) === ((2, 2, 3)))
+    val feats = img.getSeq[Double](4)
+    assert(feats(0) === 0.25 && feats(1) === 0.25 && feats(4) === 0.25 && feats(15) === 0.25)
+    assert(feats.sum === 1.0)
+    // non-image payload falls back to the deterministic stand-in
+    val fb = out(2L)
+    assert(fb.getInt(1) === 1 + ('h' & 0x7f))
+    assert(fb.getInt(2) === 1 + ('e' & 0x7f))
+  }
+
+  test("decodePpm rejects malformed payloads instead of misparsing") {
+    val cases = Seq(
+      "P6\n2 2\n255\n".getBytes("US-ASCII"), // header only, no pixels
+      "P6\n2 2\n70000\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte), // maxval > 255
+      "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte), // wrong magic
+      ("P6\n2 2\n255\n" + "x" * 11).getBytes("US-ASCII"), // short pixel data
+      ("P6\n2 2\n255\n" + "x" * 13).getBytes("US-ASCII")) // trailing junk
+    cases.foreach(b => assert(Multimodal.decodePpm(b).isEmpty, b.length.toString))
+  }
+
   test("withFeatureNorm computes the L2 norm of features") {
     val r = Multimodal.withFeatureNorm(Multimodal.decodeFeatures(media).limit(5))
       .select(col("features"), col("feat_norm")).head()
