@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Relational5.defs ++ graft.queries.Analytics.defs
   private def queries_ext: Seq[QueryDef] =
     graft.queries.Text.defs ++ graft.queries.Dedup.defs ++
-      graft.queries.Similarity.defs ++ graft.queries.MultimodalQ.defs
+      graft.queries.Similarity.defs ++ graft.queries.MultimodalQ.defs ++
+      graft.queries.Training.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
