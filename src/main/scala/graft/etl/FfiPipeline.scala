@@ -52,9 +52,10 @@ object FfiPipeline {
       mapping: Mapping,
       constraints: JdbcConstraints,
       url: String,
-      dialect: MergeJdbc.Dialect): FileResult = {
+      dialect: MergeJdbc.Dialect,
+      props: Map[String, String] = Map.empty): FileResult = {
     val frames = outputFrames(spark, xmlFile.toString, mapping, constraints)
-    val results = MergeJdbc.loadAll(frames, constraints, url, dialect)
+    val results = MergeJdbc.loadAll(frames, constraints, url, dialect, props = props)
     val failed = results.filter(_.failed).map(_.table)
     FileResult(xmlFile, results, Archive.archiveIfClean(xmlFile, failed))
   }
@@ -67,17 +68,43 @@ object FfiPipeline {
       dataDir: Path,
       mapping: Mapping,
       url: String,
-      dialect: MergeJdbc.Dialect): Seq[FileResult] = {
+      dialect: MergeJdbc.Dialect,
+      props: Map[String, String] = Map.empty): Seq[FileResult] = {
     val files = Files.list(dataDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".xml"))
       .toSeq.sortBy(_.getFileName.toString)
     if (files.isEmpty) Seq.empty
     else {
       val constraints = {
-        val c = java.sql.DriverManager.getConnection(url)
+        val c = MergeJdbc.connect(url, props)
         try JdbcConstraints.reflect(c) finally c.close()
       }
-      files.map(runFile(spark, _, mapping, constraints, url, dialect))
+      files.map(runFile(spark, _, mapping, constraints, url, dialect, props))
     }
   }
+
+  /** The reference's end-to-end entry (`/root/reference/xml_to_rdb.py:22-34`
+    * reads config.ini, builds the URL, connects, then loops the data dir):
+    * same flow from an INI text — section → [[graft.engine.DbConfig]]
+    * connection → dialect dispatch from the built URL → directory batch.
+    * None when the section is missing or its dialect is unrecognized
+    * (the reference's empty-URL case).
+    */
+  def runFromConfig(
+      spark: SparkSession,
+      iniText: String,
+      section: String,
+      dataDir: Path,
+      mapping: Mapping): Option[Seq[FileResult]] =
+    graft.engine.DbConfig.fromIni(iniText, section).map { c =>
+      // DbConfig only ever builds these two forms; unknown dialects were
+      // already None before this point
+      val dialect =
+        if (c.url.startsWith("jdbc:sqlserver")) MergeJdbc.SqlServer
+        else MergeJdbc.Postgres
+      import scala.jdk.CollectionConverters._
+      val props = c.props.stringPropertyNames().asScala
+        .map(k => k -> c.props.getProperty(k)).toMap
+      runDirectory(spark, dataDir, mapping, c.url, dialect, props)
+    }
 }

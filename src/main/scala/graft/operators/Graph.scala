@@ -42,15 +42,16 @@ object Graph {
     // caller's (possibly join-heavy) edge construction pipeline.
     val e = edges.select(col("src"), col("dst")).cache()
     // every node appears as a src (the documented contract, trivially true
-    // for undirected input) — so ONE distinct over src is the node set; a
-    // second distinct + union over dst would double the heaviest
-    // pre-iteration shuffle for nothing.
-    val nodes = e.select(col("src").as("id")).distinct().cache()
-    val n = nodes.count()
+    // for undirected input) — so the degree aggregate's key set IS the
+    // node set: one shuffle of the edge list yields degrees AND nodes,
+    // where a separate distinct would re-shuffle the full edge list for
+    // information the groupBy already computed.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val nodes = deg.select(col("src").as("id"))
+    val n = deg.count()
     // adjacency with out-degree attached ONCE and cached. The groupBy
     // leaves it hash-partitioned on src — the same key every iteration's
     // contribution join uses — so the edge side never re-shuffles.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val adj = e.join(deg, "src").cache()
 
     // checkpoint cadence: lineage must stay O(1) in ITERS on a long run,
@@ -83,7 +84,7 @@ object Graph {
       ranks = next
     }
     adj.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     ranks
   }

@@ -201,7 +201,14 @@ object Similarity {
         val e = Sim.withNorm(t(s, dir, "embeddings")).cache()
         val query = e.filter(col("vec_id") === 0)
           .select(col("v")).head().getSeq[Double](0).toSeq
-        val centroids = Sim.trainIvf(e, "vec_id", k = 16)
+        // the DISTRIBUTED trainer — per-iteration assign + VectorMean
+        // partial-agg, the shuffle carries k buffers per partition, never
+        // vectors — so the oracle-graded query exercises the 100 TB path
+        // (trainIvf's driver-sample variant stays for tiny inputs and the
+        // recall spec). Whatever centroids THIS run trains are frozen into
+        // the late-bound oracle, so parity is immune to ulp-level
+        // aggregation-order variance across runs.
+        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 16, iters = 4)
         IvfState.freeze(query, centroids, nProbe = 6)
         val assigned = Sim.ivfAssign(e.filter(col("vec_id") =!= 0), centroids)
         // materialize the 10-row answer, then release the working cache —

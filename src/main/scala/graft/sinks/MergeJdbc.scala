@@ -62,6 +62,24 @@ object MergeJdbc {
       s"CREATE TABLE $staging AS SELECT * FROM $target WITH NO DATA"
   }
 
+  /** PostgreSQL (>= 15 has standard MERGE; CTAS WITH NO DATA staging) —
+    * the reference's other supported target (`parser/functions.py:18-19`).
+    */
+  case object Postgres extends Dialect {
+    override def createStagingSql(target: String, staging: String): String =
+      s"CREATE TABLE $staging AS SELECT * FROM $target WITH NO DATA"
+  }
+
+  /** JDBC connect with optional properties (credentials from
+    * [[graft.engine.DbConfig]]); an empty map is identical to the
+    * property-less form.
+    */
+  private[graft] def connect(url: String, props: Map[String, String]): Connection = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    DriverManager.getConnection(url, p)
+  }
+
   final case class TableResult(
       table: String,
       rowsBefore: Long,
@@ -89,11 +107,12 @@ object MergeJdbc {
       pks: Seq[String],
       url: String,
       dialect: Dialect,
-      batchSize: Int = 500): TableResult = {
+      batchSize: Int = 500,
+      props: Map[String, String] = Map.empty): TableResult = {
     require(pks.nonEmpty, s"$table has no primary key — MERGE needs a PK guard")
     val staging = s"STG_$table"
     val cols = df.columns.toSeq
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url, props)
     try {
       conn.setAutoCommit(false)
       val before = scalarLong(conn, s"SELECT COUNT(*) FROM $table")
@@ -108,7 +127,7 @@ object MergeJdbc {
           s"INSERT INTO $staging (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
         df.foreachPartition { (rows: Iterator[Row]) =>
           if (rows.nonEmpty) {
-            val c = DriverManager.getConnection(url)
+            val c = connect(url, props)
             try {
               c.setAutoCommit(false)
               val ps = c.prepareStatement(insertSql)
@@ -184,14 +203,15 @@ object MergeJdbc {
       url: String,
       dialect: Dialect,
       user: String = sys.props.getOrElse("user.name", "unknown"),
-      host: String = java.net.InetAddress.getLocalHost.getHostName): Seq[TableResult] = {
+      host: String = java.net.InetAddress.getLocalHost.getHostName,
+      props: Map[String, String] = Map.empty): Seq[TableResult] = {
     val order = constraints.topoOrder(tables.keys.toSeq)
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url, props)
     try {
       conn.setAutoCommit(false)
       order.map { t =>
         val res = constraints.primaryKeys.get(t).filter(_.nonEmpty) match {
-          case Some(pks) => mergeTable(tables(t), t, pks, url, dialect)
+          case Some(pks) => mergeTable(tables(t), t, pks, url, dialect, props = props)
           case None => TableResult(t, 0, 0, Some(s"no primary key reflected for $t"))
         }
         if (!res.failed) appendUpdateLog(conn, res, user, host)

@@ -133,6 +133,16 @@ class FfiPipelineSpec extends SparkSpec {
     assert(moved.get.getParent.getFileName.toString === "processed")
   }
 
+  test("runFromConfig refuses missing sections and unknown dialects (S4/F14)") {
+    val dir = Files.createTempDirectory("ffi_cfg")
+    val ini = "[Weird]\ntype = oracle\nserver = x\ndatabase = y\n"
+    val mapping = Mapping(Map.empty, Map.empty)
+    assert(FfiPipeline.runFromConfig(
+      graft.SparkSpec.spark, ini, "NoSuch", dir, mapping).isEmpty)
+    assert(FfiPipeline.runFromConfig(
+      graft.SparkSpec.spark, ini, "Weird", dir, mapping).isEmpty)
+  }
+
   test("Mapping.fromCsv reads whitespace-padded rename maps (S5)") {
     val dir = Files.createTempDirectory("ffi_maps")
     Files.writeString(dir.resolve("TableMap.csv"),

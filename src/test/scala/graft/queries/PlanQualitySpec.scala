@@ -193,6 +193,15 @@ class PlanQualitySpec extends SparkSpec {
       "the CMS probe must run as an executor-side filter, never a collected isin literal")
   }
 
+  test("q_pack_sequences computes its global prefix without a single-partition window") {
+    val plan = finalPlan("q_pack_sequences")
+    val winLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("_pid"),
+      s"the running token offset must window per partition id, never globally: $winLine")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-partition offsets must broadcast back, not shuffle the corpus again")
+  }
+
   test("q_pareto_front windows only within partitions (no global window)") {
     val plan = finalPlan("q_pareto_front")
     // the running max is partitioned by _pid — a window with a partition

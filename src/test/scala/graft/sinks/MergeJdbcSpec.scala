@@ -145,4 +145,22 @@ class MergeJdbcSpec extends SparkSpec {
     assert(sql.contains("MERGE INTO Plot t USING STG_Plot s ON (t.PlotID = s.PlotID)"))
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT (PlotID, Name) VALUES (s.PlotID, s.Name)"))
   }
+
+  test("Postgres dialect stages via ANSI CTAS and shares the standard MERGE") {
+    assert(MergeJdbc.Postgres.createStagingSql("Plot", "STG_Plot") ===
+      "CREATE TABLE STG_Plot AS SELECT * FROM Plot WITH NO DATA")
+    val sql = MergeJdbc.Postgres.mergeSql("Plot", "STG_Plot", Seq("PlotID"), Seq("PlotID"))
+    assert(sql.contains("MERGE INTO Plot t USING STG_Plot s ON (t.PlotID = s.PlotID)"))
+  }
+
+  test("connect with credential props reaches the same embedded database") {
+    // Derby ignores user/password by default — what this pins is that the
+    // properties path connects and operates identically to the plain form.
+    val c = MergeJdbc.connect(url, Map("user" -> "app", "password" -> "pw"))
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM REGION")
+      rs.next()
+      assert(rs.getLong(1) >= 0L)
+    } finally c.close()
+  }
 }
