@@ -63,6 +63,87 @@ object Training {
       covers = Seq("ext-pack-sequences")),
 
     // ------------------------------------------------------------------
+    // One-pass multi-column profiling: per-column count/min/max/avg/stddev
+    // computed in a SINGLE aggregation over ONE scan (no per-column
+    // passes), then unpivoted to long form with stack(). The corpus-health
+    // check every ingest runs; at 100 TB the single-scan property is the
+    // whole point — PlanQualitySpec pins exactly one FileScan. Oracle
+    // re-derives the same stats per column (its 4 scans are irrelevant —
+    // only the values are compared). avg/stddev rounded at 6; min/max/sum
+    // of these columns are exact decimals.
+    QueryDef(
+      "q_profile_columns",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"n_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"),
+          round(avg(col(c)), 6).as(s"avg_$c"),
+          round(stddev_samp(col(c)), 6).as(s"sd_$c")))
+        val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        val stacked = cols
+          .map(c => s"'$c', n_$c, min_$c, max_$c, avg_$c, sd_$c")
+          .mkString(", ")
+        one.selectExpr(
+          s"stack(${cols.size}, $stacked) as (col, n_nonnull, min_v, max_v, avg_v, sd_v)")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col, CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  min($c) AS min_v, max($c) AS max_v,
+             |  round(avg($c), 6) AS avg_v, round(stddev_samp($c), 6) AS sd_v
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      },
+      covers = Seq("ext-profile-columns")),
+
+    // ------------------------------------------------------------------
+    // Corpus snapshot diff (the CDC/versioning op): two corpus versions —
+    // derived deterministically from the fixture so both engines build the
+    // identical pair — full-outer joined on the key, each doc classified
+    // added/removed/changed by content digest. One shuffle per side at any
+    // scale; output is the non-identical rows plus per-status counts a
+    // pipeline would alert on.
+    QueryDef(
+      "q_corpus_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(
+            col("doc_id").as("k"),
+            md5(when(col("doc_id") % 5 === 0, upper(col("text")))
+              .otherwise(col("text"))).as("old_digest"))
+        val neu = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id").as("k"), md5(col("text")).as("new_digest"))
+        old.join(neu, Seq("k"), "full_outer")
+          .withColumn(
+            "status",
+            when(col("old_digest").isNull, lit("added"))
+              .when(col("new_digest").isNull, lit("removed"))
+              .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+              .otherwise(lit("unchanged")))
+          .filter(col("status") =!= "unchanged")
+          .select(col("k").as("doc_id"), col("status"))
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id AS k,
+             |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS old_digest
+             |  FROM documents WHERE doc_id % 7 != 0),
+             |neu AS (
+             |  SELECT doc_id AS k, md5(text) AS new_digest
+             |  FROM documents WHERE doc_id % 11 != 0)
+             |SELECT COALESCE(old.k, neu.k) AS doc_id,
+             |  CASE WHEN old_digest IS NULL THEN 'added'
+             |       WHEN new_digest IS NULL THEN 'removed'
+             |       WHEN old_digest != new_digest THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM old FULL OUTER JOIN neu ON old.k = neu.k
+             |WHERE old_digest IS NULL OR new_digest IS NULL OR old_digest != new_digest""".stripMargin),
+      covers = Seq("ext-corpus-diff")),
+
+    // ------------------------------------------------------------------
     // PII redaction: count and strip email addresses and IPv4 literals.
     // The fixture corpus is synthetic word salad, so the query first
     // derives a deterministic contact string per document FROM the table's

@@ -193,6 +193,15 @@ class PlanQualitySpec extends SparkSpec {
       "the CMS probe must run as an executor-side filter, never a collected isin literal")
   }
 
+  test("q_profile_columns profiles every column in ONE scan and one aggregation") {
+    val plan = finalPlan("q_profile_columns")
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scans = finalSection.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"multi-column profile must read the table once, saw $scans scans")
+    assert(finalSection.contains("partial_min") || finalSection.contains("partial"),
+      "stats must combine map-side")
+  }
+
   test("q_pack_sequences computes its global prefix without a single-partition window") {
     val plan = finalPlan("q_pack_sequences")
     val winLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
