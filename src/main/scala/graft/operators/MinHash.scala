@@ -104,14 +104,25 @@ object MinHash {
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s")) // same shingle on both sides
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    pairInter
-      .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
-      .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
+    // NO broadcast hint on the size lookups: `sizes` is one row per
+    // DOCUMENT — broadcasting it caps the operator at
+    // driver-memory-sized corpora. AQE broadcasts when it really is
+    // small; at scale these are keyed shuffle joins of the (much
+    // smaller) candidate-pair frame.
+    val out = pairInter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
         (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize before releasing the shingle cache — the caller gets
+      // computed work, and repeated invocations don't stack cached
+      // partitions for the session lifetime
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB SQL computing identical signatures (oracle for q_dedup_minhash). */
