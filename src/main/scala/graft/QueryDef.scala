@@ -22,9 +22,10 @@ final case class QueryDef(
       * when [[SparkEntry.oracleSql]] is rendered — Verify dumps
       * oracle_sql.json AFTER running every query, so by then `fn` has
       * frozen its model and the generated SQL replays it exactly.
-      * Returns None until the model exists (falls back to rows-only).
+      * The inner Option is None until the model exists (falls back to a
+      * rows-only check for that run).
       */
-    oracleDyn: () => Option[String] = () => None)
+    oracleDyn: Option[() => Option[String]] = None)
 
 object QueryDef {
   /** Convenience table reader used by every query. */

@@ -34,5 +34,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.flatMap(d => d.oracle.orElse(d.oracleDyn()).map(d.name -> _)).toMap
+    all.flatMap(d => d.oracle.orElse(d.oracleDyn.flatMap(_())).map(d.name -> _)).toMap
 }

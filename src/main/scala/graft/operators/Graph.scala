@@ -153,4 +153,50 @@ object Graph {
     und.unpersist(blocking = false)
     materialized
   }
+
+  /** Multi-source BFS shortest hop-distance over a directed edge list
+    * (`src`, `dst`). Returns (id, dist) for every REACHED node (sources at
+    * 0); unreachable nodes are absent. Callers wanting undirected
+    * semantics pass both edge directions.
+    *
+    * Frontier iteration, not dense relaxation: round k joins only the
+    * k-hop frontier against the adjacency, so total join work across the
+    * run is O(Σ frontier-adjacent edges) ≤ O(E) for BFS (each node enters
+    * the frontier at most once) — the property that makes this viable when
+    * the graph is 100 TB but the reachable set per round is not. The
+    * frontier and the accumulated dist frame are `localCheckpoint`ed each
+    * round so lineage stays O(1) in rounds (same discipline as
+    * [[pageRank]]); the loop's only driver-side action is the frontier
+    * count that decides termination.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    var dist = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      // candidate next-hop set: one shuffle of the frontier-adjacent
+      // edges, min-combined map-side by the groupBy
+      val candidates = frontier
+        .join(e, frontier("id") === e("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + 1L).as("dist"))
+      // keep only genuine improvements: nodes never seen before. (BFS
+      // invariant: a node reached in round k can never be improved later,
+      // so "not yet in dist" IS the improvement test — an anti-join, no
+      // dist-value comparison needed.)
+      val improved = candidates
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(improved).localCheckpoint()
+      frontier = improved
+      round += 1
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
 }

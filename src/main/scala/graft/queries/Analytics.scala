@@ -469,6 +469,44 @@ object Analytics {
       covers = Seq("ext-triangles")),
 
     // ------------------------------------------------------------------
+    // Multi-round BFS shortest hop-distance (operators.Graph.shortestPaths,
+    // frontier iteration: each round shuffles only frontier-adjacent
+    // edges, every node enters the frontier at most once → O(E) total join
+    // work regardless of round count — the 100 TB-safe BFS). Graph:
+    // suppliers co-occurring on a high-quantity order (threshold 49 keeps
+    // it sparse enough for 6-hop paths at sf0.01); source = the minimum
+    // supplier id, computed as a 1-row aggregate, never collect()ed. The
+    // oracle replays the identical search as a depth-bounded recursive CTE.
+    QueryDef(
+      "q_shortest_path",
+      (s, dir) => {
+        val so = t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val und = so.as("x")
+          .join(so.as("y"), col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+        val edges = und.union(und.select(col("dst"), col("src")))
+        val sources = edges.agg(min("src").as("id"))
+        graft.operators.Graph.shortestPaths(edges, sources)
+          .select(col("id"), col("dist"))
+      },
+      Some("""WITH RECURSIVE so AS (SELECT DISTINCT l_orderkey ok, l_suppkey sk
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |und AS (SELECT DISTINCT x.sk u, y.sk v
+             |        FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+             |e AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+             |src AS (SELECT min(u) AS s FROM e),
+             |bfs(id, d) AS (
+             |  SELECT s, 0 FROM src
+             |  UNION
+             |  SELECT e.v, bfs.d + 1 FROM e JOIN bfs ON e.u = bfs.id
+             |  WHERE bfs.d < 20)
+             |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY 1""".stripMargin),
+      covers = Seq("ext-shortest-path")),
+
+    // ------------------------------------------------------------------
     // Weight-proportional sampling without replacement (Duffield–Lund–
     // Thorup priority sampling): priority = w / u with u uniform in (0,1],
     // keep the k largest. u derives from a 60-bit md5 prefix of the row

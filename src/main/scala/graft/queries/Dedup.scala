@@ -271,7 +271,69 @@ object Dedup {
               |  count(b.s) * 1.0 / count(*) AS contam
               |FROM corpus c LEFT JOIN bench b ON c.s = b.s
               |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-decontaminate"))
+      covers = Seq("ext-decontaminate")),
+
+    // ------------------------------------------------------------------
+    // END-TO-END near-dup dedup, the full production pipeline in one
+    // query: MinHash signatures → LSH banding candidates → exact-Jaccard
+    // verification (MinHash.nearDuplicates — only candidate pairs are
+    // verified, never all pairs) → connected components → keep the
+    // minimum doc per cluster. Output: one row per SURVIVING document
+    // with the cluster size it absorbed. Every stage is the 100 TB
+    // formulation: banding shuffles on (band, key), verify touches only
+    // candidates, CC is O(log n) keyed-shuffle rounds. The oracle replays
+    // the identical pipeline (band equality on the same signatures, the
+    // quadratic candidate join being viable only at oracle scale).
+    QueryDef(
+      "q_dedup_keep_rep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val edges = MinHash.nearDuplicates(docs, "doc_id", "text", 0.5)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.ConnectedComponents
+          .withVertices(docs.select("doc_id"), "doc_id", edges)
+          .groupBy(col("component").as("doc_id"))
+          .agg(count(lit(1)).as("n_in_cluster"))
+      },
+      Some {
+        val bandEq = (0 until MinHash.K / 4)
+          .map { bnd =>
+            (0 until 4)
+              .map(r => s"a.m${bnd * 4 + r} = b.m${bnd * 4 + r}")
+              .mkString("(", " AND ", ")")
+          }
+          .mkString("\n     OR ")
+        s"""WITH RECURSIVE sigs AS (
+           |${MinHash.signatureOracle}
+           |),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           |  WHERE $bandEq),
+           |shc AS (
+           |  $ShinglesSql
+           |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM shc GROUP BY 1),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+           |  FROM cand c
+           |  JOIN shc sa ON sa.doc_id = c.id_a
+           |  JOIN shc sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM inter
+           |  JOIN sizes na ON id_a = na.doc_id
+           |  JOIN sizes nb ON id_b = nb.doc_id
+           |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5),
+           |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.id),
+           |comp AS (SELECT id, min(r) AS canon FROM reach GROUP BY 1)
+           |SELECT canon AS doc_id, CAST(count(*) AS BIGINT) AS n_in_cluster
+           |FROM comp GROUP BY 1""".stripMargin
+      },
+      covers = Seq("ext-dedup-pipeline"))
   )
 }
 

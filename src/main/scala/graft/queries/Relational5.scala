@@ -200,6 +200,32 @@ object Relational5 {
              |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
-      covers = Seq("ext-window-nav", "2.6"))
+      covers = Seq("ext-window-nav", "2.6")),
+
+    // ------------------------------------------------------------------
+    // NOT IN with three-valued-logic null semantics: a NULL probe value
+    // never qualifies (unlike an anti join, which would keep it). The
+    // nullable side is manufactured with nullif so the query exercises
+    // exactly the trap; Catalyst plans this as a null-aware anti join —
+    // per-row broadcast probe, NOT a nested loop over the big side — and
+    // the subquery side here is an aggregated key set small enough to
+    // broadcast at any corpus scale.
+    QueryDef(
+      "q_not_in_nulls",
+      (s, dir) => {
+        Session.table(s, dir, "events").createOrReplaceTempView("events")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT event_id, uid
+                |FROM (SELECT event_id, nullif(user_id, 7) AS uid FROM events)
+                |WHERE uid NOT IN
+                |  (SELECT o_custkey FROM orders
+                |   WHERE o_orderstatus = 'P' AND o_totalprice > 200000)""".stripMargin)
+      },
+      Some("""SELECT event_id, uid
+             |FROM (SELECT event_id, nullif(user_id, 7) AS uid FROM events)
+             |WHERE uid NOT IN
+             |  (SELECT o_custkey FROM orders
+             |   WHERE o_orderstatus = 'P' AND o_totalprice > 200000)""".stripMargin),
+      covers = Seq("ext-not-in-nulls", "2.7"))
   )
 }

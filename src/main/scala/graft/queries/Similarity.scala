@@ -221,7 +221,7 @@ object Similarity {
       },
       None,
       covers = Seq("ext-knn-ivf"),
-      oracleDyn = () => IvfState.oracleSql),
+      oracleDyn = Some(() => IvfState.oracleSql)),
 
     // ------------------------------------------------------------------
     // Product-quantization encode (operators.Pq): 64-dim float vectors →
@@ -309,6 +309,44 @@ object Similarity {
       (s, dir) =>
         graft.operators.Mmr.diversifiedTopK(s, t(s, dir, "embeddings")),
       Some(graft.operators.Mmr.oracleSql()),
-      covers = Seq("ext-mmr"))
+      covers = Seq("ext-mmr")),
+
+    // ------------------------------------------------------------------
+    // Top principal direction + per-vector projection (operators.Pca).
+    // The data pass is a Gram-matrix Aggregator (one partial-agg shuffle
+    // of d² buffers, never vectors); power iteration on the 64×64 result
+    // is driver-side and corpus-size-independent. The trained component is
+    // rounded to 9 decimals, frozen into [[PcaState]], and the late-bound
+    // oracle replays the projection over the identical literals — the
+    // same freeze-the-model pattern as IVF/PQ/LSH. Both engines take the
+    // dot product as a sequential left-to-right sum → bit-identical.
+    QueryDef(
+      "q_embed_pca",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val w = graft.operators.Pca.topComponent(e, "embedding", iters = 40)
+        PcaState.freeze(w)
+        e.select(
+          col("vec_id"),
+          col("label"),
+          round(graft.operators.Pca.project(col("embedding"), w), 6).as("proj"))
+      },
+      None,
+      covers = Seq("ext-embed-pca"),
+      oracleDyn = Some(() => PcaState.oracleSql))
   )
+}
+
+/** Frozen top-principal-component for the late-bound q_embed_pca oracle. */
+private[queries] object PcaState {
+  @volatile private var component: Option[Array[Double]] = None
+
+  def freeze(w: Array[Double]): Unit = component = Some(w)
+
+  def oracleSql: Option[String] = component.map { w =>
+    val lits = w.map(String.valueOf).mkString("[", ", ", "]")
+    s"""SELECT vec_id, label,
+       |  round(list_dot_product(embedding::DOUBLE[], $lits), 6) AS proj
+       |FROM embeddings""".stripMargin
+  }
 }

@@ -428,6 +428,45 @@ object Text {
              |SELECT doc_id, round(avg(ln(c / n)), 6) AS lm_score
              |FROM toks JOIN uni USING (w) CROSS JOIN tot
              |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-lm-quality"))
+      covers = Seq("ext-lm-quality")),
+
+    // ------------------------------------------------------------------
+    // Tokenizer-vocabulary coverage: train a top-256 frequency vocabulary
+    // (ties broken by token, so the cut line is deterministic), then score
+    // every document's fraction of token OCCURRENCES covered — the
+    // standard pre-training question "how much of this corpus does my
+    // tokenizer represent without fallback". Scale shape: the vocabulary
+    // is one map-side-combined token count + TakeOrdered(256); the corpus
+    // pass probes it as a broadcast — the 100 TB side is never shuffled
+    // except the per-doc count agg.
+    QueryDef(
+      "q_vocab_coverage",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(256)
+          .select(col("w"), lit(1).as("hit"))
+        tok
+          .join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), count(col("hit")).as("n_in_vocab"))
+          // single int→double division: bit-exact across engines, no round
+          .withColumn("coverage", col("n_in_vocab") * lit(1.0) / col("n_tokens"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY 1)
+             |  ORDER BY n DESC, w LIMIT 256)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(v.w) AS BIGINT) AS n_in_vocab,
+             |  count(v.w) * 1.0 / count(*) AS coverage
+             |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-vocab-coverage"))
   )
 }

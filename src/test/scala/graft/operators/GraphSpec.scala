@@ -92,4 +92,32 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L))
     assert(triangles(edges) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Long] = {
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 4)).toDF("src", "dst")
+    val s = spark.createDataFrame(
+      spark.sparkContext.parallelize(sources.map(Tuple1(_)), 2)).toDF("id")
+    Graph.shortestPaths(e, s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("shortestPaths: path graph distances, unreachable absent") {
+    // 1→2→3→4 directed chain plus isolated 9→10: BFS from 1 never sees them
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    assert(bfs(edges, Seq(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("shortestPaths: picks the shorter of two routes, directed") {
+    // 1→2→3→4 and shortcut 1→4; direction matters (no back-propagation)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+    assert(bfs(edges, Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("shortestPaths: multi-source takes the nearer source; cycles terminate") {
+    // cycle 1→2→3→1 with sources {1, 3}: dist is min over sources
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(bfs(edges, Seq(1L, 3L)) === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
 }
