@@ -174,11 +174,16 @@ object Graph {
       sources: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
-    var dist = sources.select(col("id")).distinct()
+    var frontier = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = dist
+    // completed BFS layers — each already materialized, so the growing
+    // union below is a cheap concat of computed partitions, and ONE
+    // localCheckpoint per round (the frontier) is the only
+    // materialization the loop pays.
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
+      val seen = layers.map(_.select(col("id"))).reduce(_ unionByName _)
       // candidate next-hop set: one shuffle of the frontier-adjacent
       // edges, min-combined map-side by the groupBy
       val candidates = frontier
@@ -187,16 +192,15 @@ object Graph {
         .agg(min(col("dist") + 1L).as("dist"))
       // keep only genuine improvements: nodes never seen before. (BFS
       // invariant: a node reached in round k can never be improved later,
-      // so "not yet in dist" IS the improvement test — an anti-join, no
+      // so "not yet seen" IS the improvement test — an anti-join, no
       // dist-value comparison needed.)
-      val improved = candidates
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
+      frontier = candidates
+        .join(seen, Seq("id"), "left_anti")
         .localCheckpoint()
-      dist = dist.unionByName(improved).localCheckpoint()
-      frontier = improved
+      layers += frontier
       round += 1
     }
     e.unpersist(blocking = false)
-    dist
+    layers.reduce(_ unionByName _)
   }
 }

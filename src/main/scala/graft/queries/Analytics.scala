@@ -656,6 +656,58 @@ object Analytics {
              |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rn
              |  FROM lineitem)
              |WHERE rn <= 3""".stripMargin),
-      covers = Seq("ext-topk-pruned"))
+      covers = Seq("ext-topk-pruned")),
+
+    // ------------------------------------------------------------------
+    // Feature binning for model training: fixed-width bin (explicit
+    // arithmetic — identical in both engines, no width_bucket dialect
+    // dependence) + within-status quartile via ntile over a unique order.
+    // Row-level projection + one window shuffle on the 3-value status key;
+    // at 100 TB the fixed-width path is the zero-shuffle one, and the
+    // quantile path would swap ntile for precomputed boundaries from
+    // operators.ExactQuantile (same output, no global sort) — the window
+    // form here pins the semantics.
+    QueryDef(
+      "q_feature_bins",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            least(floor(col("o_totalprice") / 60000), lit(9)).cast("int").as("bin"),
+            ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(least(floor(o_totalprice / 60000), 9) AS INT) AS bin,
+             |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-feature-bins")),
+
+    // ------------------------------------------------------------------
+    // Deterministic Poisson-free bootstrap: 64 half-sample replicates via
+    // md5-keyed membership (hash(key, replica) — reproducible under
+    // retries, exact oracle), each replicate's mean spend computed in one
+    // pass. Scale shape: the 64× explode is map-side only — partial
+    // aggregation collapses each partition to ≤64 (replica, sum, count)
+    // buffers before the exchange, so the shuffle is 64 rows per
+    // partition, NOT 64× the data. Downstream CI = quantiles of 64 means.
+    QueryDef(
+      "q_bootstrap_ci",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(sequence(lit(0), lit(63))).as("replica"))
+          .filter(
+            substring(md5(concat_ws("-", col("o_orderkey"), col("replica"))), 1, 1) < "8")
+          .groupBy("replica")
+          .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("mean_spend")),
+      Some("""SELECT CAST(r.r AS INT) AS replica, CAST(count(*) AS BIGINT) AS n,
+             |  round(avg(o_totalprice), 2) AS mean_spend
+             |FROM orders CROSS JOIN range(64) r(r)
+             |WHERE substr(md5(o_orderkey || '-' || r.r), 1, 1) < '8'
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-bootstrap"))
   )
 }

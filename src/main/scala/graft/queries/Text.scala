@@ -467,6 +467,99 @@ object Text {
              |  count(v.w) * 1.0 / count(*) AS coverage
              |FROM tok t LEFT JOIN vocab v ON t.w = v.w
              |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-vocab-coverage"))
+      covers = Seq("ext-vocab-coverage")),
+
+    // ------------------------------------------------------------------
+    // BM25 retrieval scoring against a fixed 3-term query. The classic
+    // full-text ranking function, and the scale shape matters: document
+    // frequencies are computed ONLY for the query terms (the filter runs
+    // before the df aggregation, so the stats frame is 3 rows →
+    // broadcast), the average length is a 1-row aggregate, and the corpus
+    // side is scan + explode + filter + per-doc agg — one doc_id shuffle.
+    // Per-term contributions are rounded to 9 decimals before the ≤3-term
+    // sum (the PageRank trick) so engine-side summation order can't move
+    // the 6-decimal output.
+    QueryDef(
+      "q_bm25",
+      (s, dir) => {
+        val terms = Seq("hash", "vector", "stream")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val avgl = lens.agg(avg(col("len")).as("avgl"))
+        val n = docs.select(count(lit(1)).as("n"))
+        val qtok = tok.filter(col("w").isin(terms: _*))
+        val df = qtok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = qtok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(df), "w")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(avgl))
+          .crossJoin(broadcast(n))
+          .select(
+            col("doc_id"),
+            round(
+              log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+                (col("tf") * (k1 + 1)) /
+                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgl"))),
+              9).as("contrib"))
+          .groupBy("doc_id")
+          .agg(round(sum("contrib"), 6).as("bm25"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |avgl AS (SELECT avg(len) AS avgl FROM lens),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('hash', 'vector', 'stream')),
+             |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtok GROUP BY 1),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM qtok GROUP BY 1, 2),
+             |contrib AS (
+             |  SELECT tf.doc_id,
+             |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1)) /
+             |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / avgl.avgl)),
+             |      9) AS c
+             |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+             |  CROSS JOIN avgl CROSS JOIN n)
+             |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
+      covers = Seq("ext-bm25")),
+
+    // ------------------------------------------------------------------
+    // Per-document token-distribution entropy: H = −Σ p·ln p over the
+    // doc's token frequencies — the standard gibberish/boilerplate signal
+    // (low H = repetitive, high H = diverse). One explode + two doc-keyed
+    // aggregations (Catalyst reuses the doc_id exchange); nothing global.
+    QueryDef(
+      "q_entropy",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val freq = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val lens = freq.groupBy("doc_id")
+          .agg(sum("c").as("len"))
+        freq.join(lens, "doc_id")
+          .select(
+            col("doc_id"),
+            (col("c") / col("len") * log(col("c") / col("len"))).as("pl"))
+          .groupBy("doc_id")
+          .agg(round(-sum("pl"), 6).as("entropy"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |freq AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+             |         FROM tok GROUP BY 1, 2),
+             |lens AS (SELECT doc_id, sum(c) AS len FROM freq GROUP BY 1)
+             |SELECT f.doc_id, round(-sum(f.c / l.len * ln(f.c / l.len)), 6) AS entropy
+             |FROM freq f JOIN lens l ON f.doc_id = l.doc_id
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-entropy"))
   )
 }

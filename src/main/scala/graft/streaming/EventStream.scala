@@ -123,6 +123,33 @@ object EventStream {
         col("r.event_id").as("ev_b"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]] but
+    * left rows with NO follow-on within the gap are emitted too (ev_b
+    * null) — abandoned-funnel detection. Outer emission is what makes the
+    * watermark semantically load-bearing, not just a state bound: a left
+    * row can only be declared unmatched once the RIGHT watermark passes
+    * `l.ts + maxGap`, so unmatched results trail the stream by exactly
+    * (watermark delay + gap) — the minimum any correct engine can promise.
+    * State stays bounded the same way as the inner variant.
+    */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      maxGap: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+        r,
+        expr(s"""l.user_id = r.user_id AND
+                 r.ts > l.ts AND r.ts <= l.ts + INTERVAL $maxGap"""),
+        "left_outer")
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.event_id").as("ev_a"),
+        col("r.event_id").as("ev_b"))
+  }
+
   /** Batch face of [[intervalJoin]], bucketed for scale. A plain equi-join
     * on user_id materializes ALL same-user pairs before the range filter —
     * O(k²) per user, the dominant cost once any user has thousands of

@@ -146,6 +146,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter emits unmatched lefts once the watermark closes them") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val q = EventStream.intervalJoinOuter(l.toDF(), r.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ijo_out").outputMode("append").start()
+    try {
+      l.addData(
+        Ev("a1", 1, "c", tOff(0), 1.0),   // gets a partner
+        Ev("a2", 2, "c", tOff(0), 1.0))   // never matched -> null ev_b
+      r.addData(Ev("b1", 1, "c", tOff(30), 1.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past a2.ts + gap so the unmatched
+      // left can be finalized (outer results trail by watermark + gap)
+      l.addData(Ev("a9", 9, "c", tOff(48 * 60), 1.0))
+      r.addData(Ev("b9", 9, "c", tOff(48 * 60), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("ijo_out").collect()
+        .map(row => (row.getLong(0), row.getString(1), Option(row.getString(2)))).toSet
+      assert(rows.contains((1L, "a1", Some("b1"))), "matched pair present")
+      assert(rows.contains((2L, "a2", None)), "unmatched left emitted with null")
+    } finally q.stop()
+  }
+
   test("intervalJoinBatch equals the naive interval join, incl. boundary pairs") {
     val s = spark
     import s.implicits._
