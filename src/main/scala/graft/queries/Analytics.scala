@@ -708,6 +708,57 @@ object Analytics {
              |FROM orders CROSS JOIN range(64) r(r)
              |WHERE substr(md5(o_orderkey || '-' || r.r), 1, 1) < '8'
              |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-bootstrap"))
+      covers = Seq("ext-bootstrap")),
+
+    // ------------------------------------------------------------------
+    // Winsorization: clamp spend to each status group's [p05, p95]. The
+    // quantile is DISCRETE by rank arithmetic (value at rank ⌈p·n⌉ under a
+    // unique sort) — no interpolation, so the boundary is an existing data
+    // value and the clamp invents no floats: exact equality across
+    // engines with zero rounding. The window here pins semantics at
+    // oracle scale; the 100 TB path computes the two boundaries per group
+    // with ExactQuantile-style histogram bisection (no per-group sort)
+    // and broadcasts the 3-row bounds frame — identical output.
+    QueryDef(
+      "q_winsorize",
+      (s, dir) => {
+        val byVal = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val all = Window.partitionBy("o_orderstatus")
+        val ranked = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(byVal))
+          .withColumn("n", count(lit(1)).over(all))
+        val bounds = ranked
+          .groupBy("o_orderstatus")
+          .agg(
+            max(when(col("rn") === greatest(ceil(col("n") * 0.05), lit(1.0)),
+              col("o_totalprice"))).as("lo"),
+            max(when(col("rn") === ceil(col("n") * 0.95),
+              col("o_totalprice"))).as("hi"))
+        ranked
+          .join(broadcast(bounds), "o_orderstatus")
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+              .as("spend_winsorized"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM orders),
+             |bounds AS (
+             |  SELECT o_orderstatus,
+             |    max(CASE WHEN rn = greatest(ceil(n * 0.05), 1.0)
+             |        THEN o_totalprice END) AS lo,
+             |    max(CASE WHEN rn = ceil(n * 0.95) THEN o_totalprice END) AS hi
+             |  FROM ranked GROUP BY 1)
+             |SELECT o_orderkey, r.o_orderstatus,
+             |  least(greatest(o_totalprice, lo), hi) AS spend_winsorized
+             |FROM ranked r JOIN bounds b ON r.o_orderstatus = b.o_orderstatus""".stripMargin),
+      covers = Seq("ext-winsorize"))
   )
 }

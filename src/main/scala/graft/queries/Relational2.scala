@@ -201,6 +201,46 @@ object Relational2 {
       covers = Seq("ext-sql-surface")),
 
     // ------------------------------------------------------------------
+    // TPC-H Q5 shape — the join-ORDER showcase: 6 tables where everything
+    // hinges on the optimizer collapsing region→nation→supplier into a
+    // broadcast chain and joining the fact tables once. The supplier join
+    // carries the c_nationkey = s_nationkey correlation (local supplier),
+    // which prunes most pairs AT the join instead of after it. Same text
+    // both engines; revenue is a sum of exact-at-4-decimals money products
+    // (q_sql_revenue precedent).
+    QueryDef(
+      "q_sql_q5",
+      (s, dir) => {
+        for (n <- Seq("region", "nation", "supplier", "customer", "orders", "lineitem"))
+          t(s, dir, n).createOrReplaceTempView(n)
+        s.sql("""SELECT n_name,
+                |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                |FROM customer
+                |JOIN orders ON c_custkey = o_custkey
+                |JOIN lineitem ON l_orderkey = o_orderkey
+                |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |JOIN region ON n_regionkey = r_regionkey
+                |WHERE r_name = 'ASIA'
+                |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '1997-01-01'
+                |GROUP BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin),
+      covers = Seq("ext-sql-q5")),
+
+    // ------------------------------------------------------------------
     // Set operations: INTERSECT / EXCEPT with SQL bag-to-set semantics.
     QueryDef(
       "q_set_ops",

@@ -221,4 +221,64 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "per-partition prefix maxes must broadcast")
   }
+
+  test("q_bm25 broadcasts the 3-row term stats; token stream combines map-side") {
+    val plan = finalPlan("q_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      "df/avgl/N frames must broadcast over the corpus side")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "tf/df counts must map-side combine")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join to meet query-term stats")
+  }
+
+  test("q_vocab_coverage broadcasts the trained vocabulary over the token stream") {
+    val plan = finalPlan("q_vocab_coverage")
+    assert(plan.contains("BroadcastHashJoin"), "vocab probe must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus token stream must not shuffle to meet a 256-row vocab")
+  }
+
+  test("q_bootstrap_ci collapses the replicate explode before its only exchange") {
+    val plan = finalPlan("q_bootstrap_ci")
+    assert(!plan.contains("Join"), "replicates come from explode, never a join")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "per-replica means must combine map-side (64 buffers/partition)")
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"one 64-row-per-partition shuffle expected, saw $exchanges")
+  }
+
+  test("q_not_in_nulls plans a null-aware anti join, not a nested loop over events") {
+    val plan = finalPlan("q_not_in_nulls")
+    assert(plan.contains("LeftAnti"), "NOT IN must become an anti join")
+    assert(!plan.contains("CartesianProduct"),
+      "null-aware probe must not degenerate to a cartesian plan")
+  }
+
+  test("q_sql_q5 broadcasts the dimension chain; no cartesian anywhere") {
+    val plan = finalPlan("q_sql_q5")
+    assert(plan.contains("BroadcastHashJoin"),
+      "region→nation→supplier must collapse into broadcast joins")
+    assert(!plan.contains("CartesianProduct"))
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the 6-way join must not shuffle a fact table more than once: at most
+    // the orders⋈lineitem equi-join pair (AQE typically broadcasts orders
+    // after the date filter, leaving lineitem un-shuffled entirely)
+    val factExchanges = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("o_orderkey") || l.contains("l_orderkey")))
+    assert(factExchanges <= 2, s"fact tables over-shuffled: $factExchanges exchanges")
+  }
+
+  test("q_embed_pca projection is a zero-shuffle scan once the model is trained") {
+    val plan = finalPlan("q_embed_pca")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange"),
+      "projecting onto a frozen component must be scan + project, no exchange")
+    val projLine = finalSection.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    assert(projLine.contains("*("),
+      s"the native dot kernel must sit inside whole-stage codegen: $projLine")
+  }
 }
