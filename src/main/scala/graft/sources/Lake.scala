@@ -81,4 +81,47 @@ object Lake {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Copy-on-write upsert (Delta/Hudi-style MERGE for a plain parquet
+    * lake): rows in `updates` replace same-`keys` rows, others append —
+    * and ONLY partitions that receive updates are read or rewritten.
+    *
+    * The scale math: cost is O(touched partitions), not O(table). The
+    * existing side is pruned to touched partitions with a broadcast semi
+    * join on the partition columns (directory pruning — at 100 TB with
+    * daily partitions, an update slice touching 3 days reads 3 days); the
+    * survivor set (existing rows whose key is NOT updated) comes from a
+    * per-partition anti join; the rewrite uses dynamic partition
+    * overwrite, so untouched directories are never listed, read, or
+    * replaced.
+    *
+    * The merged slice is materialized (localCheckpoint) before the write
+    * because the write overwrites directories the plan reads from — the
+    * no-snapshot-isolation reality of a bare-parquet lake. A table format
+    * with a transaction log removes that materialization; the
+    * partition-pruned MERGE shape is identical.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      parts: Seq[String],
+      keys: Seq[String],
+      clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Unit = {
+    val touched = updates.select(parts.map(col): _*).distinct()
+    val affected = read(spark, path)
+      .join(broadcast(touched), parts, "left_semi")
+    val survivors = affected.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    val merged = survivors.unionByName(updates).localCheckpoint()
+
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try write(merged, path, parts, clusterBy, maxRecordsPerFile, "overwrite")
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
 }

@@ -58,6 +58,20 @@ class FormatsSpec extends SparkSpec {
       dir => spark.read.schema(orders.schema).json(dir))
   }
 
+  test("parquet schema evolution: mergeSchema unions columns, old rows null-backfill") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted === Array("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows === Array((1L, "a", None), (2L, "b", Some(0.5))),
+      "pre-evolution rows must read with the new column null")
+  }
+
   test("CSV quoting survives delimiters and quotes inside fields") {
     val s = spark
     import s.implicits._

@@ -108,4 +108,38 @@ class LakeSpec extends SparkSpec {
       .map(_.getLong(0))
     assert(ids.sameElements(ids.sorted), "user_id must be sorted within the file")
   }
+
+  test("copy-on-write upsert rewrites ONLY touched partitions, merges by key") {
+    val s = spark
+    import s.implicits._
+    // fresh table: 2 partitions, 2 rows each
+    val dir = java.nio.file.Files.createTempDirectory("lake_upsert").toString
+    val base = Seq(
+      (1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02"), (4L, "d", "2024-01-02"))
+      .toDF("id", "v", "dt")
+    Lake.writePartitioned(base, dir, parts = Seq("dt"))
+    def fileOf(dt: String): java.io.File =
+      new java.io.File(s"$dir/dt=$dt").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    val untouchedBefore = fileOf("2024-01-02")
+
+    // update id=1, insert id=5 — both land in the 2024-01-01 partition
+    val updates = Seq((1L, "a2", "2024-01-01"), (5L, "e", "2024-01-01"))
+      .toDF("id", "v", "dt")
+    Lake.upsertPartitioned(spark, dir, updates, parts = Seq("dt"), keys = Seq("id"))
+
+    val rows = Lake.read(spark, dir)
+      .select(col("id"), col("v"), col("dt").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(
+      (1L, "a2", "2024-01-01"), (2L, "b", "2024-01-01"), (5L, "e", "2024-01-01"),
+      (3L, "c", "2024-01-02"), (4L, "d", "2024-01-02")))
+
+    val untouchedAfter = fileOf("2024-01-02")
+    assert(untouchedAfter.getName === untouchedBefore.getName &&
+      untouchedAfter.lastModified === untouchedBefore.lastModified,
+      "the 2024-01-02 partition must not be rewritten")
+    assert(fileOf("2024-01-01").getName !== untouchedBefore.getName)
+  }
 }
