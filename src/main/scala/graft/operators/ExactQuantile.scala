@@ -84,4 +84,100 @@ object ExactQuantile {
       tail(k.toInt - 1)
     }
   }
+
+  /** Per-GROUP exact discrete quantile, all groups bisected simultaneously:
+    * each round is ONE job — rows join the (broadcast) per-group [lo, hi]
+    * state, bin into a per-group histogram, and the driver narrows every
+    * still-active group from the (groups × B)-row result. Same rank
+    * semantics as [[quantileDisc]] (ceil(q·n), 1-indexed).
+    *
+    * This is the scale path q_winsorize's window formulation stands in
+    * for: no per-group sort, no per-group value buffer — driver state is
+    * O(groups × B) per round and the final collect is ≤ collectAt rows per
+    * group. Suited to group counts up to the thousands (dashboards,
+    * statuses, languages); per-KEY quantiles at millions of groups want
+    * the sketch/window forms instead.
+    */
+  def quantileDiscByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      q: Double,
+      collectAt: Long = 65536L): Map[String, Double] = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .cache()
+
+    final case class St(lo: Double, hi: Double, k: Long, remaining: Long)
+    var state: Map[String, St] = vals
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val k = math.ceil(
+          (BigDecimal(q) * BigDecimal(n))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+        r.getString(0) -> St(r.getDouble(2), r.getDouble(3), k, n)
+      }
+      .toMap
+    val done = scala.collection.mutable.Map.empty[String, Double]
+    var rounds = 0
+    while (state.nonEmpty && rounds < 64) {
+      // settle groups that converged or are small enough for the tail pass
+      val (finish, continue) = state.partition { case (_, s) =>
+        s.lo == s.hi || s.remaining <= collectAt || (s.hi - s.lo) / Bins == 0.0
+      }
+      val (trivial, tails) = finish.partition { case (_, s) => s.lo == s.hi }
+      trivial.foreach { case (g, s) => done(g) = s.lo }
+      if (tails.nonEmpty) {
+        // ONE batched tail pass for every finishing group
+        val b = tails.toSeq.map { case (g, s) => (g, s.lo, s.hi) }.toDF("g", "lo", "hi")
+        val collected = vals
+          .join(broadcast(b), "g")
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .select("g", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1)))
+          .groupBy(_._1)
+        tails.foreach { case (g, s) =>
+          val sorted = collected(g).map(_._2).sorted
+          done(g) = sorted(s.k.toInt - 1)
+        }
+      }
+      state = continue
+      if (state.nonEmpty) {
+        val bounds = state.toSeq
+          .map { case (g, s) => (g, s.lo, s.hi, (s.hi - s.lo) / Bins) }
+          .toDF("g", "lo", "hi", "w")
+        val hist = vals
+          .join(broadcast(bounds), "g")
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy(col("g"), least(floor((col("v") - col("lo")) / col("w")), lit(Bins - 1L)).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+        state = state.map { case (g, s) =>
+          val binned = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+          val width = (s.hi - s.lo) / Bins
+          var acc = 0L
+          var idx = 0
+          while (acc + binned(idx)._2 < s.k) { acc += binned(idx)._2; idx += 1 }
+          val (b, c) = binned(idx)
+          val lo = s.lo + b * width
+          val hi = if (b == Bins - 1L) s.hi else lo + width
+          g -> St(lo, hi, s.k - acc, c)
+        }
+      }
+      rounds += 1
+    }
+    vals.unpersist(blocking = false)
+    require(state.isEmpty, s"quantile bisection did not converge for ${state.keys}")
+    done.toMap
+  }
 }

@@ -766,6 +766,38 @@ object Analytics {
              |SELECT o_orderkey, r.o_orderstatus,
              |  least(greatest(o_totalprice, lo), hi) AS spend_winsorized
              |FROM ranked r JOIN bounds b ON r.o_orderstatus = b.o_orderstatus""".stripMargin),
-      covers = Seq("ext-winsorize"))
+      covers = Seq("ext-winsorize")),
+
+    // ------------------------------------------------------------------
+    // RFM feature extraction — the classic behavioral feature triple
+    // (recency / frequency / monetary) per customer in ONE aggregation
+    // pass: one shuffle on o_custkey with full map-side combine; the
+    // corpus-max anchor date is a 1-row aggregate broadcast back. Integer
+    // day arithmetic and 2-decimal money sums — no rounding races.
+    QueryDef(
+      "q_rfm_features",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val anchor = o.agg(max("o_orderdate").as("anchor"))
+        o.groupBy("o_custkey")
+          .agg(
+            max("o_orderdate").as("last_order"),
+            count(lit(1)).as("frequency"),
+            round(sum("o_totalprice"), 2).as("monetary"))
+          .crossJoin(broadcast(anchor))
+          .select(
+            col("o_custkey"),
+            datediff(col("anchor"), col("last_order")).cast("int").as("recency_days"),
+            col("frequency"),
+            col("monetary"))
+      },
+      Some("""WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders)
+             |SELECT o_custkey,
+             |  CAST(date_diff('day', max(o_orderdate), a) AS INT) AS recency_days,
+             |  CAST(count(*) AS BIGINT) AS frequency,
+             |  round(sum(o_totalprice), 2) AS monetary
+             |FROM orders CROSS JOIN anchor
+             |GROUP BY o_custkey, a""".stripMargin),
+      covers = Seq("ext-rfm"))
   )
 }

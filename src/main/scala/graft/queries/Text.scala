@@ -560,6 +560,60 @@ object Text {
              |SELECT f.doc_id, round(-sum(f.c / l.len * ln(f.c / l.len)), 6) AS entropy
              |FROM freq f JOIN lens l ON f.doc_id = l.doc_id
              |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-entropy"))
+      covers = Seq("ext-entropy")),
+
+    // ------------------------------------------------------------------
+    // Distribution drift between two corpus slices: per-token KL(P‖Q)
+    // contributions with add-1 smoothing over the union vocabulary, top
+    // 20 drivers. The "did my new crawl change the token distribution"
+    // check that runs before a retrain. One token-count agg per slice
+    // (both map-side combined), one full-outer merge on the vocabulary —
+    // vocabulary-sized frames from there on, nothing corpus-sized moves
+    // again. Per-token contribution is rounded at 9 before ranking so the
+    // top-20 cut is engine-stable; ordering ties break on the token.
+    QueryDef(
+      "q_kl_divergence",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isOld = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+        def counts(d: org.apache.spark.sql.DataFrame) = d
+          .select(explode(words(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val p = counts(docs.filter(isOld)).withColumnRenamed("c", "cp")
+        val q = counts(docs.filter(!isOld)).withColumnRenamed("c", "cq")
+        val merged = p.join(q, Seq("w"), "full_outer")
+          .select(col("w"),
+            coalesce(col("cp"), lit(0L)).as("cp"),
+            coalesce(col("cq"), lit(0L)).as("cq"))
+        val tot = merged.agg(
+          sum("cp").as("np"), sum("cq").as("nq"), count(lit(1)).as("v"))
+        merged.crossJoin(broadcast(tot))
+          .select(col("w"),
+            ((col("cp") + 1.0) / (col("np") + col("v"))).as("pp"),
+            ((col("cq") + 1.0) / (col("nq") + col("v"))).as("qq"))
+          .select(col("w"), round(col("pp") * log(col("pp") / col("qq")), 9).as("kl"))
+          .orderBy(col("kl").desc, col("w"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |p AS (SELECT w, CAST(count(*) AS BIGINT) cp FROM tok
+             |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' GROUP BY 1),
+             |q AS (SELECT w, CAST(count(*) AS BIGINT) cq FROM tok
+             |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8' GROUP BY 1),
+             |merged AS (
+             |  SELECT coalesce(p.w, q.w) AS w,
+             |    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+             |  FROM p FULL OUTER JOIN q ON p.w = q.w),
+             |tot AS (SELECT sum(cp) np, sum(cq) nq, CAST(count(*) AS BIGINT) v FROM merged),
+             |sm AS (
+             |  SELECT w, (cp + 1.0) / (np + v) AS pp, (cq + 1.0) / (nq + v) AS qq
+             |  FROM merged CROSS JOIN tot)
+             |SELECT w, round(pp * ln(pp / qq), 9) AS kl FROM sm
+             |ORDER BY kl DESC, w LIMIT 20""".stripMargin),
+      covers = Seq("ext-kl-divergence"))
   )
 }

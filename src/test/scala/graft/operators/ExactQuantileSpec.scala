@@ -47,4 +47,43 @@ class ExactQuantileSpec extends SparkSpec {
     val df = Seq[java.lang.Double](1.0, null, 3.0, null, 2.0).toDF("v")
     assert(ExactQuantile.quantileDisc(df, "v", 0.5) === 2.0)
   }
+
+  test("per-group bisection matches per-group rank selection, forced multi-round") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // three groups with very different sizes, ranges and duplicate mass
+    val rows =
+      Seq.fill(4000)(("a", rnd.nextDouble() * 100)) ++
+        Seq.fill(900)(("b", rnd.nextGaussian() * 5 + 50)) ++
+        (Seq.fill(300)(("c", 7.0)) ++ Seq.fill(200)(("c", rnd.nextDouble())))
+    val df = s.sparkContext.parallelize(rows, 7).toDF("g", "v")
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      val got = ExactQuantile.quantileDiscByGroup(df, "g", "v", q, collectAt = 32L)
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val k = math.ceil(q * sorted.size - 1e-9).toLong.max(1L)
+        g -> sorted(k.toInt - 1)
+      }
+      assert(got === want, s"q=$q")
+    }
+  }
+
+  test("per-group bisection equals q_winsorize's window-rank boundaries on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val byVal = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val all = Window.partitionBy("o_orderstatus")
+    val windowBounds = o
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy("o_orderstatus")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))).as("hi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bisected = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.95)
+    assert(bisected === windowBounds,
+      "histogram bisection must reproduce the window-rank boundary exactly")
+  }
 }
