@@ -719,32 +719,32 @@ object Analytics {
 
     // ------------------------------------------------------------------
     // Winsorization: clamp spend to each status group's [p05, p95]. The
-    // quantile is DISCRETE by rank arithmetic (value at rank ⌈p·n⌉ under a
-    // unique sort) — no interpolation, so the boundary is an existing data
-    // value and the clamp invents no floats: exact equality across
-    // engines with zero rounding. The window here pins semantics at
-    // oracle scale; the 100 TB path computes the two boundaries per group
-    // with ExactQuantile-style histogram bisection (no per-group sort)
-    // and broadcasts the 3-row bounds frame — identical output.
+    // quantile is DISCRETE (value at rank ⌈p·n⌉ under a stable sort) — no
+    // interpolation, so the boundary is an existing data value and the
+    // clamp invents no floats: exact equality across engines with zero
+    // rounding. The Spark side computes the boundaries with the 100 TB
+    // path — ExactQuantile.quantileDiscByGroup histogram bisection (no
+    // per-group sort, no per-group value buffer) — and broadcasts the
+    // 3-row bounds frame over the clamp scan; the oracle replays the
+    // identical ranks with window arithmetic (viable at oracle scale,
+    // equality pinned by ExactQuantileSpec). Rank uses the robust
+    // ceil(round(p·n, 9)) so an exactly-integral p·n can't straddle the
+    // FP product in either engine.
     QueryDef(
       "q_winsorize",
       (s, dir) => {
-        val byVal = Window.partitionBy("o_orderstatus")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        val all = Window.partitionBy("o_orderstatus")
-        val ranked = t(s, dir, "orders")
+        import graft.operators.ExactQuantile
+        val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-          .withColumn("rn", row_number().over(byVal))
-          .withColumn("n", count(lit(1)).over(all))
-        val bounds = ranked
-          .groupBy("o_orderstatus")
-          .agg(
-            max(when(col("rn") === greatest(ceil(col("n") * 0.05), lit(1.0)),
-              col("o_totalprice"))).as("lo"),
-            max(when(col("rn") === ceil(col("n") * 0.95),
-              col("o_totalprice"))).as("hi"))
-        ranked
-          .join(broadcast(bounds), "o_orderstatus")
+        // two bisection runs (one per boundary); each converges in <=2
+        // histogram rounds — a 100 TB run batches both ranks per round
+        val lo = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.05)
+        val hi = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.95)
+        val s2 = s
+        import s2.implicits._
+        val bounds = lo.keys.toSeq.sorted
+          .map(g => (g, lo(g), hi(g))).toDF("o_orderstatus", "lo", "hi")
+        o.join(broadcast(bounds), "o_orderstatus")
           .select(
             col("o_orderkey"),
             col("o_orderstatus"),
@@ -759,9 +759,9 @@ object Analytics {
              |  FROM orders),
              |bounds AS (
              |  SELECT o_orderstatus,
-             |    max(CASE WHEN rn = greatest(ceil(n * 0.05), 1.0)
+             |    max(CASE WHEN rn = greatest(ceil(round(n * 0.05, 9)), 1.0)
              |        THEN o_totalprice END) AS lo,
-             |    max(CASE WHEN rn = ceil(n * 0.95) THEN o_totalprice END) AS hi
+             |    max(CASE WHEN rn = ceil(round(n * 0.95, 9)) THEN o_totalprice END) AS hi
              |  FROM ranked GROUP BY 1)
              |SELECT o_orderkey, r.o_orderstatus,
              |  least(greatest(o_totalprice, lo), hi) AS spend_winsorized

@@ -80,7 +80,7 @@ class ExactQuantileSpec extends SparkSpec {
       .withColumn("rn", row_number().over(byVal))
       .withColumn("n", count(lit(1)).over(all))
       .groupBy("o_orderstatus")
-      .agg(max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))).as("hi"))
+      .agg(max(when(col("rn") === ceil(round(col("n") * 0.95, 9)), col("o_totalprice"))).as("hi"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bisected = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.95)
     assert(bisected === windowBounds,
