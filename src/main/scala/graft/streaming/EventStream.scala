@@ -54,6 +54,32 @@ object EventStream {
         col("n"),
         col("total_value"))
 
+  /** CHAINED stateful aggregation in one streaming query (append mode):
+    * per-minute event counts re-aggregated to hourly max/avg-of-minutes —
+    * the two-level rollup every metrics pipeline needs, without landing
+    * the first level in a table. Requires the downstream groupBy to
+    * window over the upstream `window` struct itself (Spark threads the
+    * watermark through); state at level 1 expires on the watermark,
+    * level 2 holds one row per (hour, type) — both bounded. Downstream
+    * rows emit only after the FULL hour passes the watermark.
+    */
+  def chainedWindowAgg(
+      events: DataFrame,
+      fine: String = "1 minute",
+      coarse: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), fine).as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w1"), coarse).as("w2"), col("event_type"))
+      .agg(max("n").as("peak_minute"), sum("n").as("n_total"))
+      .select(
+        col("w2.start").as("window_start"),
+        col("event_type"),
+        col("peak_minute"),
+        col("n_total"))
+
   /** Sliding event-time windows: each event lands in windowLen/slide
     * overlapping windows (state multiplies accordingly — size slide to
     * what the dashboard actually needs).

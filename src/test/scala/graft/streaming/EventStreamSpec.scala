@@ -36,6 +36,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chainedWindowAgg rolls minute counts into hourly stats in ONE query") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.chainedWindowAgg(in.toDF(), "1 minute", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("chain_agg").outputMode("append").start()
+    try {
+      // hour 0: clicks in two different minutes (2 + 1), one view
+      in.addData(
+        Ev("e1", 1, "click", t(10), 1.0), Ev("e2", 2, "click", t(10), 1.0),
+        Ev("e3", 3, "click", t(25), 1.0), Ev("e4", 4, "view", t(40), 1.0))
+      q.processAllAvailable()
+      // advance the watermark past hour 0 + delay so level 2 finalizes
+      in.addData(Ev("e9", 9, "click", t(200), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("chain_agg").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows === Set((0L, "click", 2L, 3L), (0L, "view", 1L, 1L)),
+        "hour-0 rollup must emit peak-minute and total once the watermark passes")
+    } finally q.stop()
+  }
+
   test("slidingAgg lands each event in windowLen/slide windows") {
     val s = spark
     import s.implicits._
