@@ -50,9 +50,7 @@ object ExactQuantile {
     var lo = head.getDouble(1)
     var hi = head.getDouble(2)
     // ceil(q*n) robust to the FP product landing just above an exact integer
-    var k = math.ceil(
-      (BigDecimal(q) * BigDecimal(n))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    var k = robustCeilRank(q, n)
     var remaining = n
     var widthOk = true
     while (lo < hi && remaining > CollectAt && widthOk) {
@@ -85,26 +83,48 @@ object ExactQuantile {
     }
   }
 
-  /** Per-GROUP exact discrete quantile, all groups bisected simultaneously:
-    * each round is ONE job — rows join the (broadcast) per-group [lo, hi]
-    * state, bin into a per-group histogram, and the driver narrows every
-    * still-active group from the (groups × B)-row result. Same rank
-    * semantics as [[quantileDisc]] (ceil(q·n), 1-indexed).
-    *
-    * This is the scale path q_winsorize's window formulation stands in
-    * for: no per-group sort, no per-group value buffer — driver state is
-    * O(groups × B) per round and the final collect is ≤ collectAt rows per
-    * group. Suited to group counts up to the thousands (dashboards,
-    * statuses, languages); per-KEY quantiles at millions of groups want
-    * the sketch/window forms instead.
+  /** ceil(q·n), robust to the FP product landing a hair above an exactly
+    * integral value (the ADVICE-r3 prefix-length discipline).
     */
+  private def robustCeilRank(q: Double, n: Long): Long =
+    math.ceil(
+      (BigDecimal(q) * BigDecimal(n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong.max(1L)
+
+  /** Single-quantile convenience over [[quantilesDiscByGroup]]. */
   def quantileDiscByGroup(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       q: Double,
-      collectAt: Long = 65536L): Map[String, Double] = {
-    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")
+      collectAt: Long = 65536L): Map[String, Double] =
+    quantilesDiscByGroup(df, groupCol, valueCol, Seq(q), collectAt)
+      .map { case ((g, _), v) => g -> v }
+
+  /** Per-GROUP exact discrete quantiles, ALL groups and ALL requested
+    * quantiles bisected simultaneously: each round is ONE job — rows join
+    * the (broadcast) per-(group, q) [lo, hi] state (a row fans out only
+    * to its group's still-active quantiles), bin into per-(group, q)
+    * histograms, and the driver narrows every active pair from the
+    * (pairs × B)-row result. Same rank semantics as [[quantileDisc]]
+    * (ceil(q·n), 1-indexed); the head (count, min, max) pass and the
+    * cached 2-column projection are shared across every quantile.
+    *
+    * This is the scale path q_winsorize's window formulation stands in
+    * for: no per-group sort, no per-group value buffer — driver state is
+    * O(groups × qs × B) per round and the final collect is ≤ collectAt
+    * rows per finishing pair. Suited to group counts up to the thousands
+    * (dashboards, statuses, languages); per-KEY quantiles at millions of
+    * groups want the sketch/window forms instead.
+    */
+  def quantilesDiscByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      collectAt: Long = 65536L): Map[(String, Double), Double] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"each q must be in (0, 1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df
@@ -113,57 +133,58 @@ object ExactQuantile {
       .cache()
 
     final case class St(lo: Double, hi: Double, k: Long, remaining: Long)
-    var state: Map[String, St] = vals
+    var state: Map[(String, Double), St] = vals
       .groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
       .collect()
-      .map { r =>
+      .flatMap { r =>
         val n = r.getLong(1)
-        val k = math.ceil(
-          (BigDecimal(q) * BigDecimal(n))
-            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
-        r.getString(0) -> St(r.getDouble(2), r.getDouble(3), k, n)
+        qs.map { q =>
+          (r.getString(0), q) -> St(r.getDouble(2), r.getDouble(3), robustCeilRank(q, n), n)
+        }
       }
       .toMap
-    val done = scala.collection.mutable.Map.empty[String, Double]
+    val done = scala.collection.mutable.Map.empty[(String, Double), Double]
     var rounds = 0
     while (state.nonEmpty && rounds < 64) {
-      // settle groups that converged or are small enough for the tail pass
+      // settle pairs that converged or are small enough for the tail pass
       val (finish, continue) = state.partition { case (_, s) =>
         s.lo == s.hi || s.remaining <= collectAt || (s.hi - s.lo) / Bins == 0.0
       }
       val (trivial, tails) = finish.partition { case (_, s) => s.lo == s.hi }
-      trivial.foreach { case (g, s) => done(g) = s.lo }
+      trivial.foreach { case (gq, s) => done(gq) = s.lo }
       if (tails.nonEmpty) {
-        // ONE batched tail pass for every finishing group
-        val b = tails.toSeq.map { case (g, s) => (g, s.lo, s.hi) }.toDF("g", "lo", "hi")
+        // ONE batched tail pass for every finishing (group, q)
+        val b = tails.toSeq.map { case ((g, q), s) => (g, q, s.lo, s.hi) }
+          .toDF("g", "q", "lo", "hi")
         val collected = vals
           .join(broadcast(b), "g")
           .filter(col("v") >= col("lo") && col("v") <= col("hi"))
-          .select("g", "v")
+          .select("g", "q", "v")
           .collect()
-          .map(r => (r.getString(0), r.getDouble(1)))
+          .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2)))
           .groupBy(_._1)
-        tails.foreach { case (g, s) =>
-          val sorted = collected(g).map(_._2).sorted
-          done(g) = sorted(s.k.toInt - 1)
+        tails.foreach { case (gq, s) =>
+          val sorted = collected(gq).map(_._2).sorted
+          done(gq) = sorted(s.k.toInt - 1)
         }
       }
       state = continue
       if (state.nonEmpty) {
         val bounds = state.toSeq
-          .map { case (g, s) => (g, s.lo, s.hi, (s.hi - s.lo) / Bins) }
-          .toDF("g", "lo", "hi", "w")
+          .map { case ((g, q), s) => (g, q, s.lo, s.hi, (s.hi - s.lo) / Bins) }
+          .toDF("g", "q", "lo", "hi", "w")
         val hist = vals
           .join(broadcast(bounds), "g")
           .filter(col("v") >= col("lo") && col("v") <= col("hi"))
-          .groupBy(col("g"), least(floor((col("v") - col("lo")) / col("w")), lit(Bins - 1L)).as("b"))
+          .groupBy(col("g"), col("q"),
+            least(floor((col("v") - col("lo")) / col("w")), lit(Bins - 1L)).as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2), r.getLong(3)))
           .groupBy(_._1)
-        state = state.map { case (g, s) =>
-          val binned = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+        state = state.map { case (gq, s) =>
+          val binned = hist(gq).map(t => (t._2, t._3)).sortBy(_._1)
           val width = (s.hi - s.lo) / Bins
           var acc = 0L
           var idx = 0
@@ -171,7 +192,7 @@ object ExactQuantile {
           val (b, c) = binned(idx)
           val lo = s.lo + b * width
           val hi = if (b == Bins - 1L) s.hi else lo + width
-          g -> St(lo, hi, s.k - acc, c)
+          gq -> St(lo, hi, s.k - acc, c)
         }
       }
       rounds += 1

@@ -736,14 +736,14 @@ object Analytics {
         import graft.operators.ExactQuantile
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        // two bisection runs (one per boundary); each converges in <=2
-        // histogram rounds — a 100 TB run batches both ranks per round
-        val lo = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.05)
-        val hi = ExactQuantile.quantileDiscByGroup(o, "o_orderstatus", "o_totalprice", 0.95)
+        // ONE bisection run narrows both boundaries for every group —
+        // shared scan cache, shared head agg, one job per round
+        val b = ExactQuantile
+          .quantilesDiscByGroup(o, "o_orderstatus", "o_totalprice", Seq(0.05, 0.95))
         val s2 = s
         import s2.implicits._
-        val bounds = lo.keys.toSeq.sorted
-          .map(g => (g, lo(g), hi(g))).toDF("o_orderstatus", "lo", "hi")
+        val bounds = b.keys.map(_._1).toSeq.distinct.sorted
+          .map(g => (g, b((g, 0.05)), b((g, 0.95)))).toDF("o_orderstatus", "lo", "hi")
         o.join(broadcast(bounds), "o_orderstatus")
           .select(
             col("o_orderkey"),
