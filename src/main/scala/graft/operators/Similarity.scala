@@ -160,11 +160,20 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       k: Int = 16,
-      iters: Int = 4): Seq[Seq[Double]] = {
+      iters: Int = 4,
+      sampleCap: Int = 262144): Seq[Seq[Double]] = {
     import org.apache.spark.sql.expressions.UserDefinedFunction
     val vmean: UserDefinedFunction = udaf(graft.functions.VectorMean)
+    // k-means trains on a BOUNDED sample (the industry-standard coarse-
+    // quantizer recipe — the codebook needs representative geometry, not
+    // the corpus): limit() takes the first files' rows, deterministic for
+    // a stable layout, and the sample is coalesced so each training
+    // iteration is a handful of tasks instead of one per corpus
+    // partition. ASSIGNMENT (ivfAssign) still runs over the full corpus.
     val unit = withNorm(df)
       .select(col(idCol).as("_id"), transform(col("v"), x => x / col("norm")).as("u"))
+      .limit(sampleCap)
+      .coalesce(8)
       .cache()
     var centroids: Seq[Seq[Double]] =
       unit.orderBy("_id").limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
