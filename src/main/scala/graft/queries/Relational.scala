@@ -385,6 +385,34 @@ object Relational {
       covers = Seq("2.9")),
 
     // ------------------------------------------------------------------
+    // §2.9 ext: batch face of the CHAINED streaming aggregation
+    // (EventStream.chainedWindowAgg — two stateful window aggs in one
+    // append-mode query): per-minute counts rolled into hourly
+    // peak-minute/total. The same plan runs as a stream (watermark
+    // no-op in batch); this parity row is the oracle for it, exactly the
+    // q_stream_window_parity discipline. Spark's window() starts align
+    // with epoch minutes/hours = date_trunc in DuckDB.
+    QueryDef(
+      "q_stream_chain_parity",
+      (s, dir) =>
+        graft.streaming.EventStream
+          .chainedWindowAgg(Session.events(s, dir), "1 minute", "1 hour", "2 hours")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("event_type"),
+            col("peak_minute"),
+            col("n_total")),
+      Some("""WITH m AS (
+             |  SELECT date_trunc('minute', ts) AS mb, event_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT strftime(date_trunc('hour', mb), '%Y-%m-%d %H:%M') AS window_start,
+             |  event_type, max(n) AS peak_minute,
+             |  CAST(sum(n) AS BIGINT) AS n_total
+             |FROM m GROUP BY 1, 2""".stripMargin),
+      covers = Seq("2.9", "ext-chained-agg")),
+
+    // ------------------------------------------------------------------
     // §2.9 ext: batch sessionization (gaps-and-islands) — the exact batch
     // analogue of the streaming session_window in graft.streaming
     // .EventStream. lag marks session starts (gap >= 1h), a running sum
