@@ -35,9 +35,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM: heap is the ONE memory knob. 8g forced
-  // GC churn across the 117-query bench on a 128 GiB box (measured ±20%
-  // whole-suite swings); 32g keeps the suite GC-quiet and is still a
-  // quarter of RAM. Override via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // local mode = driver-only JVM: heap is the ONE memory knob. Measured
+  // back-to-back on the 118-query sf0.1 bench: 8g=67.8s, 16g=72.1s,
+  // 32g=83.1s — G1 on a big heap LOSES (worse locality, bigger card
+  // tables) because this suite's live set is small; 8g is the sweet
+  // spot. Override via SPARK_DRIVER_MEM for memory-hungry workloads.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
