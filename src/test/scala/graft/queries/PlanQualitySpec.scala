@@ -272,6 +272,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(factExchanges <= 2, s"fact tables over-shuffled: $factExchanges exchanges")
   }
 
+  test("q_rfm_features is one aggregation pass; the anchor date broadcasts") {
+    val plan = finalPlan("q_rfm_features")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      "RFM aggregates must map-side combine")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 1-row anchor must broadcast, never shuffle the per-customer frame")
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"one o_custkey shuffle expected, saw $exchanges")
+  }
+
+  test("q_kl_divergence moves only vocabulary-sized frames after the token aggs") {
+    val plan = finalPlan("q_kl_divergence")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "both slices' token counts must map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 drift drivers must be a TakeOrdered heap, not a global sort")
+  }
+
+  test("q_winsorize clamp joins a broadcast bounds frame over the scan") {
+    val plan = finalPlan("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 3-row bisected bounds must broadcast over the orders scan")
+    assert(!plan.contains("Window"),
+      "the graded plan must be the bisection path — no per-group sort window")
+  }
+
   test("q_embed_pca projection is a zero-shuffle scan once the model is trained") {
     val plan = finalPlan("q_embed_pca")
     val finalSection = plan.split("== Initial Plan ==").head
