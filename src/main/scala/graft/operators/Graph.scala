@@ -32,11 +32,30 @@ object Graph {
     * Callers wanting undirected semantics pass both edge directions.
     * Every node must appear as a `src` (undirected graphs satisfy this
     * trivially); otherwise dangling mass is dropped, matching the oracle.
+    *
+    * `tol > 0` adds L1-delta early termination: the loop stops once
+    * Σ|rₖ₊₁ − rₖ| < tol. The delta is one tiny aggregation over the two
+    * O(N) rank frames per iteration — noise next to the contribution
+    * join — but it requires materializing every step (the delta action
+    * would otherwise recompute the un-checkpointed plan), so the default
+    * tol = 0 keeps the sparse every-4th checkpoint cadence and a
+    * byte-identical plan for fixed-iteration callers.
     */
   def pageRank(
       edges: DataFrame,
       iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      tol: Double = 0.0): DataFrame =
+    pageRankIter(edges, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually executed (for
+    * convergence assertions; early-stops when `tol > 0`).
+    */
+  def pageRankIter(
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85,
+      tol: Double = 0.0): (DataFrame, Int) = {
     // cache the edge list FIRST: nodes, degrees and the adjacency all
     // derive from it, and without the cache each one re-executes the
     // caller's (possibly join-heavy) edge construction pipeline.
@@ -60,7 +79,9 @@ object Graph {
     // 4th step (and always the last, so the returned frame is computed
     // work, not a pending 4-deep plan) keeps both properties.
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble)).localCheckpoint()
-    for (i <- 0 until iters) {
+    var executed = 0
+    var converged = false
+    for (i <- 0 until iters if !converged) {
       val contribs = adj
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -80,13 +101,21 @@ object Graph {
             lit((1.0 - damping) / n.toDouble) +
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12).as("r"))
-      if (i % 4 == 3 || i == iters - 1) next = next.localCheckpoint()
+      if (tol > 0.0 || i % 4 == 3 || i == iters - 1) next = next.localCheckpoint()
+      executed += 1
+      if (tol > 0.0) {
+        val delta = next
+          .join(ranks.withColumnRenamed("r", "prev"), "id")
+          .agg(sum(abs(col("r") - col("prev"))).as("d1"))
+          .head().getDouble(0)
+        if (delta < tol) converged = true
+      }
       ranks = next
     }
     adj.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    ranks
+    (ranks, executed)
   }
 
   /** Per-node triangle counts over an undirected edge list (`a`, `b`;
@@ -176,14 +205,18 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).cache()
     var frontier = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
-    // completed BFS layers — each already materialized, so the growing
-    // union below is a cheap concat of computed partitions, and ONE
-    // localCheckpoint per round (the frontier) is the only
-    // materialization the loop pays.
-    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    // ONE accumulated reached-set frame, maintained incrementally: each
+    // round appends the (already materialized) frontier, and every 4th
+    // round compacts the union into a fresh localCheckpoint so the
+    // anti-join's build side stays a single O(1)-deep frame with a
+    // bounded partition count — never a k-way union re-planned per round
+    // (the per-round plan/task overhead that made a 20-round BFS pay
+    // O(k²) layer re-reads in the earlier formulation). Same discipline
+    // for the accumulated (id, dist) output.
+    var seen = frontier.select(col("id"))
+    var out = frontier
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
-      val seen = layers.map(_.select(col("id"))).reduce(_ unionByName _)
       // candidate next-hop set: one shuffle of the frontier-adjacent
       // edges, min-combined map-side by the groupBy
       val candidates = frontier
@@ -197,10 +230,15 @@ object Graph {
       frontier = candidates
         .join(seen, Seq("id"), "left_anti")
         .localCheckpoint()
-      layers += frontier
+      seen = seen.unionByName(frontier.select(col("id")))
+      out = out.unionByName(frontier)
+      if (round % 4 == 3) {
+        seen = seen.localCheckpoint()
+        out = out.localCheckpoint()
+      }
       round += 1
     }
     e.unpersist(blocking = false)
-    layers.reduce(_ unionByName _)
+    out
   }
 }

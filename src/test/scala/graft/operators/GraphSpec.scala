@@ -120,4 +120,81 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     assert(bfs(edges, Seq(1L, 3L)) === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
   }
+
+  test("shortestPaths: per-round job count stays O(1) — no k-way seen re-union") {
+    // 13-node directed chain forces 13 BFS rounds (the worst case for any
+    // formulation that re-plans the accumulated reached set each round).
+    // With the incrementally compacted `seen`/`out` frames each round
+    // costs a bounded number of jobs: isEmpty + frontier checkpoint,
+    // plus 2 compaction checkpoints every 4th round. Pin the total.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+    val n = 13
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        tasks.addAndGet(s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = bfs(chain, Seq(0L))
+      assert(got === (0L until n.toLong).map(i => i -> i).toMap)
+      // onJobStart/onStageSubmitted fire at submission, strictly before the
+      // triggering action returns, so the counts are complete once bfs is.
+      val rounds = n // n-1 productive rounds + 1 empty-frontier round
+      // Per round: isEmpty + frontier checkpoint, each an AQE query of a
+      // few stage-jobs, plus 2 compaction checkpoints every 4th round —
+      // a CONSTANT per round. The pre-round-6 formulation re-planned a
+      // k-way union of all layers each round; the task count for it grows
+      // quadratically with rounds and blows well past these pins.
+      assert(jobs.get() <= 8 * rounds + 12,
+        s"jobs=${jobs.get()} for $rounds BFS rounds — per-round job count is not O(1)")
+      assert(tasks.get() <= 40 * rounds + 60,
+        s"tasks=${tasks.get()} for $rounds BFS rounds — per-round task count is not O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pageRank: tol early-stops on a cycle (stationary from step one)") {
+    // directed 6-cycle: every node has out-degree 1 and in-degree 1, so
+    // ranks stay exactly 1/6 every iteration — L1 delta is 0.0 after the
+    // first step and the loop must exit immediately despite iters=25.
+    val cyc = (0L to 5L).map(i => (i, (i + 1) % 6))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cyc, 2)).toDF("src", "dst")
+    val (ranks, executed) = Graph.pageRankIter(df, iters = 25, tol = 1e-12)
+    // step 1 rounds 1/6 to the 12-decimal grid (delta ≈ 2e-12, above tol);
+    // from then on the rounded state is EXACTLY stationary, so the L1
+    // delta is 0.0 at step 2 and the loop exits — 2 of the 25 iterations.
+    assert(executed === 2)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-11))
+  }
+
+  test("pageRank: tol=0 runs the full fixed iteration count (plan-compat default)") {
+    val cyc = (0L to 3L).map(i => (i, (i + 1) % 4))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cyc, 2)).toDF("src", "dst")
+    val (_, executed) = Graph.pageRankIter(df, iters = 5)
+    assert(executed === 5)
+  }
+
+  test("pageRank: tol early-stop converges to the same ranks as running longer") {
+    // star graph at damping 0.5: the bipartite oscillation decays as 0.5^k
+    // (0.85 would need ~127 steps for 1e-9), so tol must fire well before
+    // the 60-iteration cap AND agree with the fully-iterated fixed point.
+    val edges = undirected((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 2)).toDF("src", "dst")
+    val (early, executedEarly) =
+      Graph.pageRankIter(df, iters = 60, damping = 0.5, tol = 1e-9)
+    assert(executedEarly < 45, "tol never triggered on a convergent graph")
+    val full = Graph.pageRank(df, iters = 60, damping = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    early.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - full(r.getLong(0))) < 1e-8)
+    }
+  }
 }
