@@ -51,21 +51,73 @@ object Multimodal {
       : org.apache.spark.sql.Column =
     array((0 until n).map(i => substring(bin, 1 + i * stride, frameLen)): _*)
 
-  /** ??? real resample goes here ??? — stride-`factor` downsample stub
-    * (keep every factor-th byte): the payload-side shape of a
-    * nearest-neighbor thumbnail resize, as a pure projection. The capture
-    * group regex keeps byte 1 of every `factor`-byte run — identical
-    * semantics in the oracle dialect.
+  /** REAL nearest-neighbor thumbnail resize over a binary-PPM (P6)
+    * payload: parse the header, keep source pixel (r·factor, c·factor)
+    * for every output position, re-encode as a minimal `P6\nW H\nMAXV\n`
+    * image. Output dims are ceil(dim / factor), so every source image
+    * (multiple-of-factor or not) resizes. Returns None for anything that
+    * is not a complete, valid P6 payload — a text blob can never
+    * half-resize. The byte loop touches exactly the kept pixels.
     */
-  def resampleStub(payload: org.apache.spark.sql.Column, factor: Int)
-      : org.apache.spark.sql.Column = {
-    require(factor >= 2, s"downsample factor must be >= 2, got $factor")
-    // (?s): '.' must match newlines — Java regex '.' excludes \r and
-    // Unicode line terminators by default while RE2 (the oracle dialect)
-    // excludes only \n, so without DOTALL the two sides disagree on any
-    // payload containing \r.
-    regexp_replace(payload.cast("string"), s"(?s)(.)(.{0,${factor - 1}})", "$1")
-      .cast("binary")
+  def resizePpm(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, s"downsample factor must be >= 1, got $factor")
+    parsePpmHeader(bytes).flatMap { case (w, h, maxv, off) =>
+      if (bytes.length - off != w.toLong * h * 3) None
+      else {
+        val ow = (w + factor - 1) / factor
+        val oh = (h + factor - 1) / factor
+        val header = s"P6\n$ow $oh\n$maxv\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val out = new Array[Byte](header.length + ow * oh * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var q = header.length
+        var r = 0
+        while (r < oh) {
+          val rowOff = off + r * factor * w * 3
+          var c = 0
+          while (c < ow) {
+            val src = rowOff + c * factor * 3
+            out(q) = bytes(src); out(q + 1) = bytes(src + 1); out(q + 2) = bytes(src + 2)
+            q += 3; c += 1
+          }
+          r += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Output schema of [[resizePpmBatched]]. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("thumb", BinaryType, nullable = false)))
+
+  /** (id, media) → (doc_id, width, height, thumb) real P6 resize in the
+    * same micro-batched mapPartitions shape as [[decodeFeatures]] (a
+    * production codec amortizes setup per batch). Non-P6 and null
+    * payloads are dropped — resize is only defined on images.
+    */
+  def resizePpmBatched(
+      df: DataFrame,
+      factor: Int,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap {
+          case r if !r.isNullAt(1) =>
+            resizePpm(r.getAs[Array[Byte]](1), factor).map { thumb =>
+              val (w, h, _, _) = parsePpmHeader(thumb).get
+              Row(r.getLong(0), w, h, thumb)
+            }
+          case _ => None
+        }
+      }
+    }(enc)
   }
 
   /** Output schema of [[decodeFeatures]]. */
@@ -90,16 +142,12 @@ object Multimodal {
     (w, h, 3, hist.map(_ / n))
   }
 
-  /** Strict pure-Scala binary-PPM (P6) decoder — the one real codec in the
-    * pipeline. Accepts only a COMPLETE valid image: `P6` magic,
-    * whitespace/`#`-comment-separated width/height/maxval (maxval <= 255),
-    * one whitespace byte, then exactly width*height*3 pixel bytes — so a
-    * text payload can never misparse as an image. Features: the 16-bin
-    * histogram of per-pixel luminance (Rec.601 integer luma), normalized
-    * to frequencies — a real decoded-pixel statistic, same shape as the
-    * fallback's byte histogram.
+  /** Strict P6 header parse: `P6` magic, whitespace/`#`-comment-separated
+    * width/height/maxval (maxval <= 255), one whitespace byte. Returns
+    * (width, height, maxval, pixelDataOffset); None when malformed.
+    * Callers validate the pixel-section length against their own needs.
     */
-  private[operators] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+  private[operators] def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
     def skipWs(): Unit = {
@@ -125,7 +173,21 @@ object Multimodal {
     // exactly one whitespace byte between header and pixel data
     if (i >= bytes.length || !(bytes(i) == '\n' || bytes(i) == '\r' ||
         bytes(i) == ' ' || bytes(i) == '\t')) return None
-    i += 1
+    Some((w, h, maxv, i + 1))
+  }
+
+  /** Strict pure-Scala binary-PPM (P6) decoder — the one real codec in the
+    * pipeline. Accepts only a COMPLETE valid image (header per
+    * [[parsePpmHeader]] + exactly width*height*3 pixel bytes) — so a text
+    * payload can never misparse as an image. Features: the 16-bin
+    * histogram of per-pixel luminance (Rec.601 integer luma), normalized
+    * to frequencies — a real decoded-pixel statistic, same shape as the
+    * fallback's byte histogram.
+    */
+  private[operators] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    val parsed = parsePpmHeader(bytes)
+    if (parsed.isEmpty) return None
+    val (w, h, _, i) = parsed.get
     if (bytes.length - i != w.toLong * h * 3) return None
     val hist = new Array[Double](16)
     var p = i

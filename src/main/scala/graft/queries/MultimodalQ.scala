@@ -62,21 +62,50 @@ object MultimodalQ {
       covers = Seq("ext-multimodal-frames")),
 
     // ------------------------------------------------------------------
-    // Resize/downsample as projection: keep every 4th payload byte (the
-    // nearest-neighbor thumbnail shape — a real resize swaps the stub
-    // kernel, the plumbing is identical).
+    // REAL nearest-neighbor resize over genuine P6 images: each document
+    // synthesizes a deterministic 16x16 binary-PPM (pixel bytes cycle
+    // through the text — both engines can construct it byte-identically),
+    // Spark then runs the real codec path (parse header → keep pixel
+    // (4r, 4c) → re-encode P6) in micro-batched mapPartitions, and the
+    // oracle computes the identical resized bytes analytically: output
+    // pixel-byte i pulls source pixel-section byte
+    // (i/12)*192 + ((i/3)%4)*12 + i%3 of the cyclic text. Digest parity
+    // proves the decoded-pixel output, not a byte-stride stub.
     QueryDef(
       "q_multimodal_resize",
-      (s, dir) =>
-        media(s, dir)
+      (s, dir) => {
+        val src = t(s, dir, "documents")
+          .filter(length(col("text")) >= 1)
           .select(
             col("doc_id"),
-            octet_length(Multimodal.resampleStub(col("media"), 4)).as("thumb_len"),
-            md5(Multimodal.resampleStub(col("media"), 4)).as("thumb_digest")),
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(regexp_replace(text, '(?s)(.)(.{0,3})', '\1', 'g'))) AS INT) AS thumb_len,
-             |  md5(regexp_replace(text, '(?s)(.)(.{0,3})', '\1', 'g')) AS thumb_digest
-             |FROM documents""".stripMargin),
+            concat(
+              lit("P6\n16 16\n255\n"),
+              expr("array_join(transform(sequence(0, 767), " +
+                "i -> substr(text, CAST(i % length(text) AS INT) + 1, 1)), '')"))
+              .cast("binary").as("media"))
+        Multimodal.resizePpmBatched(src, factor = 4)
+          .select(
+            col("doc_id"),
+            col("width"),
+            col("height"),
+            octet_length(col("thumb")).as("thumb_len"),
+            md5(col("thumb")).as("thumb_digest"))
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, i,
+             |    substr(text, CAST(((i // 12) * 192 + ((i // 3) % 4) * 12 + i % 3)
+             |      % length(text) AS INT) + 1, 1) AS ch
+             |  FROM documents, range(0, 48) t(i)
+             |  WHERE length(text) >= 1),
+             |thumb AS (
+             |  SELECT doc_id,
+             |    'P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+             |      string_agg(ch, '' ORDER BY i) AS img
+             |  FROM px GROUP BY doc_id)
+             |SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CAST(octet_length(encode(img)) AS INT) AS thumb_len,
+             |  md5(img) AS thumb_digest
+             |FROM thumb""".stripMargin),
       covers = Seq("ext-multimodal-resize")),
 
     // ------------------------------------------------------------------

@@ -92,6 +92,66 @@ class MultimodalSpec extends SparkSpec {
     cases.foreach(b => assert(Multimodal.decodePpm(b).isEmpty, b.length.toString))
   }
 
+  test("resizePpm keeps exactly pixel (r·f, c·f) and re-encodes valid P6") {
+    // 4x4 image whose pixel (r, c) has bytes (10r+c, 100+10r+c, 200+10r+c
+    // mod 256): every pixel uniquely identifiable, so the assertion is on
+    // EXACT output bytes, not just shape.
+    def px(r: Int, c: Int): Array[Byte] =
+      Array((10 * r + c).toByte, (100 + 10 * r + c).toByte, (200 + 10 * r + c).toByte)
+    val src = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      (for (r <- 0 until 4; c <- 0 until 4; b <- px(r, c)) yield b)
+    val got = Multimodal.resizePpm(src, 2).get
+    val want = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      (for (r <- Seq(0, 2); c <- Seq(0, 2); b <- px(r, c)) yield b)
+    assert(got.toSeq === want.toSeq)
+    // round-trip: the resized output is itself a decodable P6
+    assert(Multimodal.decodePpm(got).map(d => (d._1, d._2)) === Some((2, 2)))
+  }
+
+  test("resizePpm handles non-multiple dims (ceil) and preserves maxval") {
+    // 5x3, factor 2 → 3x2 keeping rows {0,2}, cols {0,2,4}; maxval 200
+    def px(r: Int, c: Int): Array[Byte] =
+      Array((40 * r + c).toByte, (40 * r + c + 1).toByte, (40 * r + c + 2).toByte)
+    val src = "P6\n5 3\n200\n".getBytes("US-ASCII") ++
+      (for (r <- 0 until 3; c <- 0 until 5; b <- px(r, c)) yield b)
+    val got = Multimodal.resizePpm(src, 2).get
+    val want = "P6\n3 2\n200\n".getBytes("US-ASCII") ++
+      (for (r <- Seq(0, 2); c <- Seq(0, 2, 4); b <- px(r, c)) yield b)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("resizePpm rejects non-images; batched path drops them") {
+    val s = spark
+    import s.implicits._
+    assert(Multimodal.resizePpm("just text".getBytes("US-ASCII"), 2).isEmpty)
+    assert(Multimodal.resizePpm(
+      "P6\n2 2\n255\nxxx".getBytes("US-ASCII"), 2).isEmpty) // short pixels
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    val df = Seq((1L, img), (2L, "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizePpmBatched(df, factor = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert((out(0).getInt(1), out(0).getInt(2)) === ((1, 1)))
+  }
+
+  test("resizePpmBatched is batch-size invariant and factor-1 is identity") {
+    val s = spark
+    import s.implicits._
+    val imgs = (0L until 9L).map { id =>
+      val px = Array.tabulate(27)(i => (id * 31 + i).toByte)
+      (id, "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px)
+    }
+    val df = imgs.toDF("doc_id", "media")
+    val a = Multimodal.resizePpmBatched(df, factor = 3, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3).toSeq).toMap
+    val b = Multimodal.resizePpmBatched(df, factor = 3, batchSize = 100).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3).toSeq).toMap
+    assert(a === b)
+    val id1 = Multimodal.resizePpmBatched(df, factor = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3).toSeq).toMap
+    imgs.foreach { case (id, bytes) => assert(id1(id) === bytes.toSeq) }
+  }
+
   test("withFeatureNorm computes the L2 norm of features") {
     val r = Multimodal.withFeatureNorm(Multimodal.decodeFeatures(media).limit(5))
       .select(col("features"), col("feat_norm")).head()
