@@ -65,9 +65,20 @@ object ExactQuantile {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .sortBy(_._1)
+      // guarded walk: if FP re-evaluation of the range predicate dropped
+      // rows that the previous round counted (bin-boundary recomputation
+      // is not exactly floor-consistent), fail with the bisection state
+      // instead of an index error with no context.
+      if (binned.isEmpty)
+        sys.error(s"quantile bisection: no rows matched [$lo, $hi] for $valueCol (k=$k)")
       var acc = 0L
       var idx = 0
-      while (acc + binned(idx)._2 < k) { acc += binned(idx)._2; idx += 1 }
+      while (idx < binned.length && acc + binned(idx)._2 < k) {
+        acc += binned(idx)._2; idx += 1
+      }
+      if (idx >= binned.length)
+        sys.error(
+          s"quantile bisection: rank $k beyond ${acc} binned rows in [$lo, $hi] for $valueCol")
       val (b, c) = binned(idx)
       k -= acc
       remaining = c
@@ -79,6 +90,9 @@ object ExactQuantile {
     else {
       val tail = vals.filter(col("v") >= lo && col("v") <= hi)
         .collect().map(_.getDouble(0)).sorted
+      if (tail.isEmpty || k > tail.length)
+        sys.error(
+          s"quantile bisection: rank $k not in ${tail.length} tail rows of [$lo, $hi] for $valueCol")
       tail(k.toInt - 1)
     }
   }
@@ -112,17 +126,23 @@ object ExactQuantile {
     *
     * This is the scale path q_winsorize's window formulation stands in
     * for: no per-group sort, no per-group value buffer — driver state is
-    * O(groups × qs × B) per round and the final collect is ≤ collectAt
-    * rows per finishing pair. Suited to group counts up to the thousands
-    * (dashboards, statuses, languages); per-KEY quantiles at millions of
-    * groups want the sketch/window forms instead.
+    * O(groups × qs × B) per round, and the tail collect is bounded PER
+    * ROUND, not per pair: finishing pairs are chunked greedily under a
+    * `tailBudget`-row budget (always at least one pair, so progress is
+    * guaranteed) and the overflow defers to later rounds — many pairs
+    * finishing simultaneously can never flood the driver with
+    * O(pairs × collectAt) rows in one action. Suited to group counts up
+    * to the thousands (dashboards, statuses, languages); per-KEY
+    * quantiles at millions of groups want [[quantilesBySketch]]
+    * (mergeable KLL-style sketch, one shuffle, rank error ≤ eps).
     */
   def quantilesDiscByGroup(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       qs: Seq[Double],
-      collectAt: Long = 65536L): Map[(String, Double), Double] = {
+      collectAt: Long = 65536L,
+      tailBudget: Long = 1048576L): Map[(String, Double), Double] = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"each q must be in (0, 1], got $qs")
     val spark = df.sparkSession
@@ -145,16 +165,33 @@ object ExactQuantile {
       }
       .toMap
     val done = scala.collection.mutable.Map.empty[(String, Double), Double]
+    lastMaxTailCollect = 0L
     var rounds = 0
-    while (state.nonEmpty && rounds < 64) {
+    while (state.nonEmpty && rounds < 256) {
       // settle pairs that converged or are small enough for the tail pass
       val (finish, continue) = state.partition { case (_, s) =>
         s.lo == s.hi || s.remaining <= collectAt || (s.hi - s.lo) / Bins == 0.0
       }
-      val (trivial, tails) = finish.partition { case (_, s) => s.lo == s.hi }
+      val (trivial, tailsAll) = finish.partition { case (_, s) => s.lo == s.hi }
       trivial.foreach { case (gq, s) => done(gq) = s.lo }
+      // chunk the finishing set: greedily take pairs while the summed
+      // remaining-row estimate (exact bin counts from the last histogram
+      // round) fits tailBudget — always at least one pair — and DEFER the
+      // rest, so one round's collect is O(tailBudget), never O(pairs ×
+      // collectAt).
+      var budget = tailBudget
+      val (tails, deferred) = {
+        val ordered = tailsAll.toSeq.sortBy { case (_, s) => s.remaining }
+        val take = scala.collection.mutable.ArrayBuffer.empty[((String, Double), St)]
+        val defer = scala.collection.mutable.ArrayBuffer.empty[((String, Double), St)]
+        ordered.foreach { case e @ (_, s) =>
+          if (take.isEmpty || s.remaining <= budget) { take += e; budget -= s.remaining }
+          else defer += e
+        }
+        (take.toMap, defer.toMap)
+      }
       if (tails.nonEmpty) {
-        // ONE batched tail pass for every finishing (group, q)
+        // ONE batched tail pass for this round's chunk of finishing pairs
         val b = tails.toSeq.map { case ((g, q), s) => (g, q, s.lo, s.hi) }
           .toDF("g", "q", "lo", "hi")
         val collected = vals
@@ -164,14 +201,19 @@ object ExactQuantile {
           .collect()
           .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2)))
           .groupBy(_._1)
-        tails.foreach { case (gq, s) =>
-          val sorted = collected(gq).map(_._2).sorted
+        lastMaxTailCollect = math.max(lastMaxTailCollect, collected.valuesIterator.map(_.length.toLong).sum)
+        tails.foreach { case (gq @ (g, q), s) =>
+          val sorted = collected.getOrElse(gq,
+            sys.error(s"quantile bisection: no rows matched group=$g q=$q " +
+              s"in [${s.lo}, ${s.hi}] at the tail pass")).map(_._2).sorted
+          if (s.k > sorted.length)
+            sys.error(s"quantile bisection: rank ${s.k} not in ${sorted.length} " +
+              s"tail rows for group=$g q=$q in [${s.lo}, ${s.hi}]")
           done(gq) = sorted(s.k.toInt - 1)
         }
       }
-      state = continue
-      if (state.nonEmpty) {
-        val bounds = state.toSeq
+      if (continue.nonEmpty) {
+        val bounds = continue.toSeq
           .map { case ((g, q), s) => (g, q, s.lo, s.hi, (s.hi - s.lo) / Bins) }
           .toDF("g", "q", "lo", "hi", "w")
         val hist = vals
@@ -183,22 +225,36 @@ object ExactQuantile {
           .collect()
           .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2), r.getLong(3)))
           .groupBy(_._1)
-        state = state.map { case (gq, s) =>
-          val binned = hist(gq).map(t => (t._2, t._3)).sortBy(_._1)
+        state = continue.map { case (gq @ (g, q), s) =>
+          val binned = hist.getOrElse(gq,
+            sys.error(s"quantile bisection: no rows matched group=$g q=$q " +
+              s"in [${s.lo}, ${s.hi}] at the histogram pass"))
+            .map(t => (t._2, t._3)).sortBy(_._1)
           val width = (s.hi - s.lo) / Bins
           var acc = 0L
           var idx = 0
-          while (acc + binned(idx)._2 < s.k) { acc += binned(idx)._2; idx += 1 }
+          while (idx < binned.length && acc + binned(idx)._2 < s.k) {
+            acc += binned(idx)._2; idx += 1
+          }
+          if (idx >= binned.length)
+            sys.error(s"quantile bisection: rank ${s.k} beyond $acc binned rows " +
+              s"for group=$g q=$q in [${s.lo}, ${s.hi}]")
           val (b, c) = binned(idx)
           val lo = s.lo + b * width
           val hi = if (b == Bins - 1L) s.hi else lo + width
           gq -> St(lo, hi, s.k - acc, c)
-        }
-      }
+        } ++ deferred
+      } else state = deferred
       rounds += 1
     }
     vals.unpersist(blocking = false)
     require(state.isEmpty, s"quantile bisection did not converge for ${state.keys}")
     done.toMap
   }
+
+  /** Largest single-round tail-pass row count of the most recent
+    * [[quantilesDiscByGroup]] run — test-visible evidence that the
+    * chunked tail collect respects its budget.
+    */
+  @volatile private[operators] var lastMaxTailCollect: Long = 0L
 }

@@ -69,6 +69,42 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("tail collect is chunked under tailBudget when many pairs finish at once") {
+    val s = spark
+    import s.implicits._
+    // 24 groups × 12 rows, collectAt = 16 → every (group, q) pair
+    // finishes in round one. Unchunked, the single tail pass would pull
+    // 24 × 12 = 288 rows; with tailBudget = 60 each round's collect must
+    // stay ≤ 60 while the answers remain exact.
+    val rows = for (g <- 0 until 24; i <- 0 until 12)
+      yield (s"g$g", g * 100.0 + i)
+    val df = s.sparkContext.parallelize(rows, 4).toDF("g", "v")
+    val got = ExactQuantile.quantilesDiscByGroup(
+      df, "g", "v", Seq(0.5), collectAt = 16L, tailBudget = 60L)
+    assert(got.size === 24)
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      assert(got((g, 0.5)) === sorted(math.ceil(0.5 * sorted.size).toInt - 1), g)
+    }
+    assert(ExactQuantile.lastMaxTailCollect <= 60L,
+      s"one tail round collected ${ExactQuantile.lastMaxTailCollect} rows, budget 60")
+    assert(ExactQuantile.lastMaxTailCollect > 0L)
+  }
+
+  test("a single pair larger than tailBudget still makes progress") {
+    val s = spark
+    import s.implicits._
+    // one group of 40 rows, collectAt = 64 (immediate finish), budget 8:
+    // the pair exceeds the budget alone — it must still be taken (exactly
+    // one per round) rather than deferring forever.
+    val rows = (0 until 40).map(i => ("only", i.toDouble))
+    val df = s.sparkContext.parallelize(rows, 3).toDF("g", "v")
+    val got = ExactQuantile.quantilesDiscByGroup(
+      df, "g", "v", Seq(0.25, 0.75), collectAt = 64L, tailBudget = 8L)
+    assert(got(("only", 0.25)) === 9.0) // rank ceil(0.25·40)=10 → sorted(9)
+    assert(got(("only", 0.75)) === 29.0) // rank 30 → sorted(29)
+  }
+
   test("per-group bisection equals q_winsorize's window-rank boundaries on real data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
