@@ -798,6 +798,26 @@ object Analytics {
              |  round(sum(o_totalprice), 2) AS monetary
              |FROM orders CROSS JOIN anchor
              |GROUP BY o_custkey, a""".stripMargin),
-      covers = Seq("ext-rfm"))
+      covers = Seq("ext-rfm")),
+
+    // ------------------------------------------------------------------
+    // Per-KEY quantiles (operators.QuantileSketch): the many-keys regime
+    // ExactQuantile.quantilesDiscByGroup's bisection driver state cannot
+    // serve. The oracle-checked face is the exact window-rank selection
+    // (one shuffle on the key, sort inside the key, rank-ceil(q·n) —
+    // DuckDB quantile_disc semantics); the 10⁸-key/huge-rows path is the
+    // mergeable KLL Aggregator in the same file, spec-bounded (merge-
+    // order-dependent estimates can't hash-compare) — see SCALE.md.
+    QueryDef(
+      "q_quantiles_by_key",
+      (s, dir) =>
+        graft.operators.QuantileSketch.quantilesByKeyExact(
+          t(s, dir, "orders"), "o_custkey", "o_totalprice", Seq(0.25, 0.5, 0.75)),
+      Some("""SELECT o_custkey,
+             |  quantile_disc(o_totalprice, 0.25) AS p25,
+             |  quantile_disc(o_totalprice, 0.5) AS p50,
+             |  quantile_disc(o_totalprice, 0.75) AS p75
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      covers = Seq("ext-quantiles-by-key"))
   )
 }
