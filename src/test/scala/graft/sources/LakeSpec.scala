@@ -142,4 +142,91 @@ class LakeSpec extends SparkSpec {
       "the 2024-01-02 partition must not be rewritten")
     assert(fileOf("2024-01-01").getName !== untouchedBefore.getName)
   }
+
+  /** Per-row-group (min, max) of an INT column from the REAL parquet
+    * footers — the statistics the reader's row-group pruning consults.
+    */
+  private def rowGroupStats(dir: String, colName: String): Seq[(Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    files.flatMap { f =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val cc = b.getColumns.asScala.find(_.getPath.toDotString == colName).get
+        val st = cc.getStatistics
+        (st.genericGetMin.asInstanceOf[Number].intValue,
+          st.genericGetMax.asInstanceOf[Number].intValue)
+      } finally rdr.close()
+    }
+  }
+
+  test("Z-order clustering makes row-group stats prune on the SECOND column too") {
+    val s = spark
+    import s.implicits._
+    // 10k points uniform over a 100x100 (x, y) grid; 500-row files → ~20
+    // row groups. A y-band predicate (5% selectivity) can skip a row
+    // group iff the group's y-range misses the band — the decision the
+    // parquet reader makes from exactly these footer stats.
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(10000)((rnd.nextInt(100), rnd.nextInt(100), rnd.nextInt()))
+    val df = rows.toDF("x", "y", "payload").withColumn("p", lit("all"))
+    def skippable(stats: Seq[(Int, Int)], lo: Int, hi: Int): Double =
+      stats.count { case (mn, mx) => mx < lo || mn > hi }.toDouble / stats.size
+    def bandAvg(stats: Seq[(Int, Int)]): Double = {
+      // average skippable fraction over every 5-wide y band — selectivity
+      // evidence independent of any single band's luck
+      val bands = (0 until 95 by 5).map(v => skippable(stats, v, v + 4))
+      bands.sum / bands.size
+    }
+
+    val lexDir = java.nio.file.Files.createTempDirectory("lake_lex").toString
+    Lake.writePartitioned(df, lexDir, Seq("p"), clusterBy = Seq("x", "y"),
+      maxRecordsPerFile = 500L)
+    val zDir = java.nio.file.Files.createTempDirectory("lake_z").toString
+    Lake.writePartitioned(df, zDir, Seq("p"), zorderBy = Seq("x", "y"),
+      maxRecordsPerFile = 500L)
+
+    val lexY = rowGroupStats(s"$lexDir/p=all", "y")
+    val zY = rowGroupStats(s"$zDir/p=all", "y")
+    assert(zY.size >= 10, s"want many row groups, got ${zY.size}")
+    val (lexFrac, zFrac) = (bandAvg(lexY), bandAvg(zY))
+    info(f"avg skippable row-group fraction for 5%%-selective y bands: " +
+      f"lex=$lexFrac%.2f zorder=$zFrac%.2f x-under-zorder=${bandAvg(rowGroupStats(s"$zDir/p=all", "x"))}%.2f")
+    // lexicographic (x, y): x dominates the sort, each group's y-range
+    // spans ~everything → nothing skips. Z-order: every group covers a
+    // narrow y-window → most bands skip most groups.
+    assert(lexFrac <= 0.10, s"lex clusterBy unexpectedly prunes y: $lexFrac")
+    assert(zFrac >= 0.40, s"zorder must prune y bands, got $zFrac")
+    // and the leading column keeps (most of) its own pruning power
+    val zX = rowGroupStats(s"$zDir/p=all", "x")
+    assert(bandAvg(zX) >= 0.40, s"zorder must still prune x bands, got ${bandAvg(zX)}")
+
+    // correctness: identical row multiset back from both layouts
+    val a = Lake.read(s, lexDir).select("x", "y", "payload").collect().toSeq.groupBy(identity)
+    val b = Lake.read(s, zDir).select("x", "y", "payload").collect().toSeq.groupBy(identity)
+    assert(a.view.mapValues(_.size).toMap === b.view.mapValues(_.size).toMap)
+  }
+
+  test("zorderBy rank-buckets skewed columns (quantile, not min/max scaling)") {
+    val s = spark
+    import s.implicits._
+    // 99% of x mass in [0, 10), 1% outliers at 1e9: linear min/max
+    // scaling would put ALL mass in bucket 0 and the z-key would carry no
+    // x information; quantile bucketing must still spread x.
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(8000)(
+      (if (rnd.nextInt(100) == 0) 1000000000 else rnd.nextInt(10), rnd.nextInt(100)))
+    val df = rows.toDF("x", "y")
+    val keyed = Lake.withZorderKey(df, Seq("x", "y"))
+    // x=0..9 must land in MANY distinct buckets → many distinct z-keys
+    // among rows with identical y
+    val perY = keyed.filter(col("y") === 50)
+      .select("_graft_zkey").distinct().count()
+    assert(perY >= 5, s"quantile bucketing must spread the skewed column, got $perY keys")
+  }
 }
