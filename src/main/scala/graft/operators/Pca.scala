@@ -35,6 +35,13 @@ object Pca {
       if (v == null) b
       else {
         val d = v.length
+        // dimension guard: a ragged corpus must fail loudly here — a
+        // longer vector would walk off the buffer and a SHORTER one would
+        // silently accumulate with the wrong stride, corrupting the Gram
+        // matrix (and a corrupted frozen component still hash-verifies).
+        require(b.isEmpty || b.length == d * d,
+          s"GramAgg: vector of dim $d in a corpus whose first-seen dim was " +
+            s"${math.sqrt(b.length).toInt} — embedding dims must be uniform")
         val g = if (b.isEmpty) new Array[Double](d * d) else b
         val arr = v.toArray
         var i = 0
@@ -52,6 +59,9 @@ object Pca {
       if (a.isEmpty) b
       else if (b.isEmpty) a
       else {
+        require(a.length == b.length,
+          s"GramAgg: merging Gram buffers of different dims " +
+            s"(${math.sqrt(a.length).toInt} vs ${math.sqrt(b.length).toInt})")
         var i = 0
         while (i < a.length) { a(i) += b(i); i += 1 }
         a

@@ -56,4 +56,24 @@ class PcaSpec extends SparkSpec {
     val want = vs.map(v => v.zip(w).map { case (a, b) => a * b }.sum).toSet
     assert(got === want)
   }
+
+  test("ragged vector dims fail loudly instead of corrupting the Gram matrix") {
+    // direct Aggregator surface: a shorter vector after a longer one (the
+    // silent-corruption case) and a longer one after a shorter (the
+    // would-be ArrayIndexOutOfBounds case) must both throw the guard.
+    val b3 = Pca.GramAgg.reduce(Pca.GramAgg.zero, Seq(1.0, 2.0, 3.0))
+    val eShort = intercept[IllegalArgumentException] {
+      Pca.GramAgg.reduce(b3, Seq(1.0, 2.0))
+    }
+    assert(eShort.getMessage.contains("dims must be uniform"))
+    val eLong = intercept[IllegalArgumentException] {
+      Pca.GramAgg.reduce(b3, Seq(1.0, 2.0, 3.0, 4.0))
+    }
+    assert(eLong.getMessage.contains("dims must be uniform"))
+    val b2 = Pca.GramAgg.reduce(Pca.GramAgg.zero, Seq(5.0, 6.0))
+    val eMerge = intercept[IllegalArgumentException] {
+      Pca.GramAgg.merge(b3, b2)
+    }
+    assert(eMerge.getMessage.contains("different dims"))
+  }
 }
