@@ -126,6 +126,71 @@ object SetSimJoin {
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= lit(t))
   }
 
+  /** Exact asymmetric-CONTAINMENT self-join: all pairs with
+    * |A∩B| / min(|A|,|B|) ≥ t — the doc-inside-doc relation Jaccard-tuned
+    * LSH banding structurally misses at extreme size ratios (a 12-shingle
+    * snippet inside a 400-shingle page has containment 1.0 but J ≈ 0.03;
+    * per-band agreement ≈ J^rows makes the banding miss probability
+    * ~1 − 4·J⁴ ≈ certain).
+    *
+    * Recall here is GUARANTEED, not probabilistic, by a containment
+    * pigeonhole: C(A,B) ≥ t with |A| = min ⇒ |A∩B| ≥ ⌈t·|A|⌉ ⇒ B
+    * intersects A's (|A| − ⌈t·|A|⌉ + 1) globally-RAREST tokens. So
+    * candidates are (smaller-side prefix) ⨝ (FULL postings) on the
+    * token — both orientations fall out of one join because the postings
+    * side is every doc's tokens. No length filter exists (containment has
+    * no size-ratio constraint — that is the point), so the postings side
+    * cannot prune by size: cost is Σ_{s ∈ prefixes} df(s), dominated by
+    * rare tokens by construction but degenerate on corpora with no rare
+    * tokens — at that extreme, fall back to the probabilistic
+    * size-stratified banding or raise t (prefixes shrink as 1−t).
+    * Verification touches candidates only (exact array_intersect).
+    * Returns (id_a, id_b, inter, na, nb) with id_a < id_b.
+    */
+  def containmentSelfJoin(
+      tokens: DataFrame,
+      idCol: String,
+      hCol: String,
+      t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"containment threshold in (0,1], got $t")
+    val tok = tokens.select(col(idCol).as("id"), col(hCol).as("h")).cache()
+    val dfc = tok.groupBy("h").agg(count(lit(1)).as("dfc"))
+    val ordered = tok
+      .join(dfc, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("dfc"), col("h")))).as("a"))
+      .select(
+        col("id"),
+        transform(col("a"), x => x("h")).as("arr"),
+        size(col("a")).as("n"))
+    // same robust ⌈t·n⌉ as the Jaccard prefix (9-decimal rounding first)
+    val plen = (col("n") - ceil(round(col("n") * lit(t), 9)) + 1).cast("int")
+    val pre = ordered.select(col("id"), explode(slice(col("arr"), lit(1), plen)).as("h"))
+    val cand = pre.as("a")
+      .join(tok.as("b"), col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val out = cand
+      .join(
+        ordered.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n").as("na")),
+        "id_a")
+      .join(
+        ordered.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n").as("nb")),
+        "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).as("inter"),
+        col("na"),
+        col("nb"))
+      .filter(col("inter") * lit(1.0) / least(col("na"), col("nb")) >= lit(t))
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
   /** (id, h) tokens → (id, bm: array<long> bitmap, n) via a sorted-vocab
     * dictionary broadcast to executors.
     */

@@ -339,70 +339,43 @@ object Dedup {
     // ASYMMETRIC containment: |A∩B| / min(|A|,|B|) over shingle sets —
     // catches doc-inside-doc relations (boilerplate wrapping, quoted
     // articles) that symmetric Jaccard under-scores when sizes differ.
-    // Candidates come from the same MinHash-LSH banding as the Jaccard
-    // path (linear shuffle, no all-pairs); only candidates are exactly
-    // verified. Caveat, documented on purpose: Jaccard-tuned banding can
-    // miss high-containment pairs with extreme size ratios — a
-    // containment-first index would band size-stratified signatures; at
-    // this corpus' planted-dup structure (J ≥ 0.9 ⇒ containment ≥ 0.9)
-    // the candidate set is complete, and the oracle (quadratic, viable
-    // only at oracle scale) replays the same banding so both engines see
-    // identical candidates.
+    // Candidates come from the containment-first prefix index
+    // (SetSimJoin.containmentSelfJoin): the smaller side's rarest
+    // (1−t)·|A|+1 tokens joined against full postings — a PIGEONHOLE
+    // recall guarantee, so extreme size-ratio pairs (a snippet inside a
+    // page: containment 1.0, Jaccard 0.03) are found where the earlier
+    // Jaccard-LSH banding structurally missed them (SetSimJoinSpec pins
+    // exactly that miss). The oracle is therefore the pure quadratic
+    // containment truth — no banding replay needed.
     QueryDef(
       "q_containment",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val sh = MinHash.shingleRows(docs, "doc_id", "text").cache()
-        val sig = MinHash.signatures(docs, "doc_id", "text")
-        val cands = MinHash.lshCandidatePairs(sig, "doc_id", rowsPerBand = 4)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val out = cands
-          .join(sh.toDF("id_a", "s"), "id_a")
-          .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.toDF("id_a", "na"), "id_a")
-          .join(sizes.toDF("id_b", "nb"), "id_b")
+        val tok = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 2)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        SetSimJoin.containmentSelfJoin(tok, "doc_id", "h", 0.7)
           .select(
             col("id_a"), col("id_b"),
             // single int→double division: bit-exact, no rounding needed
             (col("inter") * lit(1.0) / least(col("na"), col("nb")))
               .as("containment"))
           .filter(col("containment") >= 0.7)
-          .localCheckpoint()
-        sh.unpersist(blocking = false)
-        out
       },
-      Some {
-        val bandEq = (0 until MinHash.K / 4)
-          .map { bnd =>
-            (0 until 4)
-              .map(r => s"a.m${bnd * 4 + r} = b.m${bnd * 4 + r}")
-              .mkString("(", " AND ", ")")
-          }
-          .mkString("\n     OR ")
-        s"""WITH sigs AS (
-           |${MinHash.signatureOracle}
-           |),
-           |cand AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-           |  WHERE $bandEq),
-           |shc AS (
-           |  $ShinglesSql
-           |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM shc GROUP BY 1),
-           |inter AS (
-           |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
-           |  FROM cand c
-           |  JOIN shc sa ON sa.doc_id = c.id_a
-           |  JOIN shc sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-           |  GROUP BY 1, 2)
-           |SELECT id_a, id_b, i * 1.0 / least(na.n, nb.n) AS containment
-           |FROM inter
-           |JOIN sizes na ON id_a = na.doc_id
-           |JOIN sizes nb ON id_b = nb.doc_id
-           |WHERE i * 1.0 / least(na.n, nb.n) >= 0.7""".stripMargin
-      },
+      Some(s"""WITH sh AS (
+              |  $ShinglesSql
+              |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  inter * 1.0 / least(na.n, nb.n) AS containment
+              |FROM pairs
+              |JOIN sizes na ON id_a = na.doc_id
+              |JOIN sizes nb ON id_b = nb.doc_id
+              |WHERE inter * 1.0 / least(na.n, nb.n) >= 0.7""".stripMargin),
       covers = Seq("ext-containment"))
   )
 }
