@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.QueryDef.t
 import graft.operators.{MinHash, SetSimJoin}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`: exact,
@@ -334,6 +335,95 @@ object Dedup {
            |FROM comp GROUP BY 1""".stripMargin
       },
       covers = Seq("ext-dedup-pipeline")),
+
+    // ------------------------------------------------------------------
+    // Near-dup clustering with QUALITY-ranKED representative selection —
+    // production dedup keeps the BEST document per cluster (longest,
+    // highest quality score), not the smallest id: pairs → connected
+    // components → argmax(n_chars, tie: min doc_id) per component via
+    // max(struct) — one extra keyed agg + broadcast-join over the
+    // components frame, no window over the corpus. Output maps every
+    // document to its surviving representative.
+    QueryDef(
+      "q_dedup_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tok = docs
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 2)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        val pairs = SetSimJoin.jaccardSelfJoin(tok, "doc_id", "h", 0.5)
+          .filter(
+            col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.ConnectedComponents
+          .withVertices(docs.select("doc_id"), "doc_id", pairs)
+        val reps = comp
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("component")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"))
+          .select(col("component"), (-col("m.neg")).as("rep_id"))
+        comp.join(reps, "component").select(col("doc_id"), col("rep_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  $ShinglesSql
+              |), sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  JOIN sizes na ON id_a = na.doc_id
+              |  JOIN sizes nb ON id_b = nb.doc_id
+              |  WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.5),
+              |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.id),
+              |comp AS (SELECT id, min(r) AS canon FROM reach GROUP BY 1),
+              |rep AS (
+              |  SELECT canon, doc_id AS rep_id FROM (
+              |    SELECT c.canon, d.doc_id,
+              |      row_number() OVER (PARTITION BY c.canon
+              |        ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+              |    FROM comp c JOIN documents d ON c.id = d.doc_id)
+              |  WHERE rn = 1)
+              |SELECT c.id AS doc_id, r.rep_id
+              |FROM comp c JOIN rep r ON c.canon = r.canon""".stripMargin),
+      covers = Seq("ext-dedup-keep-best")),
+
+    // ------------------------------------------------------------------
+    // Per-SOURCE deterministic cap — the data-mixing primitive: every
+    // source contributes at most k documents, chosen by md5-priority (a
+    // reproducible uniform sample, not "first k" which biases toward
+    // ingest order). One shuffle on source; at 100 TB the window sorts
+    // inside each source's partition and hot sources are the only big
+    // groups (salt or pre-filter those if a single source dominates).
+    QueryDef(
+      "q_source_cap_sample",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+            col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= 50)
+          .select(col("doc_id"), col("source"), col("sample_rank"))
+      },
+      Some("""SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+             |FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+             |      AS sample_rank
+             |  FROM documents)
+             |WHERE sample_rank <= 50""".stripMargin),
+      covers = Seq("ext-source-cap")),
 
     // ------------------------------------------------------------------
     // ASYMMETRIC containment: |A∩B| / min(|A|,|B|) over shingle sets —

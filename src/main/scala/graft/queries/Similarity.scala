@@ -47,6 +47,56 @@ object Similarity {
     }
   }
 
+  /** Frozen IVF-PQ model for the late-bound q_knn_ivfpq oracle: trained
+    * coarse centroids + derived probe list (the PQ codebooks are
+    * class-init deterministic, rendered directly). The oracle replays
+    * cell assignment, the probe filter, PQ encoding, the ADC lookup-table
+    * scan and the exact re-rank from identical literals.
+    */
+  private[queries] object IvfPqState {
+    @volatile private var state: Option[(Seq[Seq[Double]], Seq[Int])] = None
+
+    def freeze(query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Unit =
+      state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
+
+    def oracleSql: Option[String] = state.map { case (centroids, probe) =>
+      val b = graft.operators.Pq.seededBooks(64)
+      val dots = centroids
+        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+        .mkString("[\n      ", ",\n      ", "]")
+      val luts = (0 until b.m)
+        .map { j =>
+          val ls = (0 until b.ksub)
+            .map(c => graft.operators.Pq.subDistSql("qv", j, b.books(j)(c), b.dsub))
+          s"[${ls.mkString(",\n      ")}] AS l$j"
+        }
+        .mkString(",\n    ")
+      val adcSum = (0 until b.m).map(j => s"lut.l$j[c.code$j + 1]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${graft.operators.Pq.encodeOracleCte(b)},
+         |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+         |a AS (
+         |  SELECT vec_id, CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
+         |  FROM (SELECT vec_id, $dots AS dots FROM e WHERE vec_id != 0)),
+         |lut AS (
+         |  SELECT qv, qn,
+         |    $luts
+         |  FROM q),
+         |scored AS (
+         |  SELECT c.vec_id, c.v, round($adcSum, 6) AS adc
+         |  FROM enc c JOIN a USING (vec_id), lut
+         |  WHERE a.cell IN (${probe.mkString(", ")})),
+         |cand AS (SELECT vec_id, v FROM scored ORDER BY adc ASC, vec_id LIMIT 40),
+         |rer AS (
+         |  SELECT cand.vec_id,
+         |    round(list_dot_product(cand.v, lut.qv) /
+         |      (sqrt(list_dot_product(cand.v, cand.v)) * lut.qn), 6) AS cos
+         |  FROM cand, lut)
+         |SELECT vec_id, round(cos, 3) AS cos FROM rer
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Brute-force cosine top-10 vs the vec_id=0 vector. Both engines do the
@@ -296,6 +346,37 @@ object Similarity {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       },
       covers = Seq("ext-knn-pq")),
+
+    // ------------------------------------------------------------------
+    // IVF-PQ composition (operators.Pq.ivfPqTopK) — the canonical 100 TB
+    // ANN layout: coarse IVF cells prune the corpus to nProbe partitions
+    // (partition-pruned directories at scale), ADC scores the survivors'
+    // COMPRESSED codes (m int probes per vector, not a dim-wide dot),
+    // exact cosine re-rank of the top-40. Oracle: late-bound — the
+    // trained centroids + probe list freeze into [[IvfPqState]], the
+    // seeded PQ codebooks render at class init, and DuckDB replays the
+    // identical four-stage plan.
+    QueryDef(
+      "q_knn_ivfpq",
+      (s, dir) => {
+        val b = graft.operators.Pq.seededBooks(64)
+        val e = Sim.withNorm(t(s, dir, "embeddings")).cache()
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("v")).head().getSeq[Double](0).toSeq
+        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 16, iters = 4)
+        IvfPqState.freeze(query, centroids, nProbe = 6)
+        val out = graft.operators.Pq
+          .ivfPqTopK(
+            e.filter(col("vec_id") =!= 0), "vec_id", query,
+            k = 10, centroids, b, nProbe = 6)
+          .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
+      },
+      None,
+      covers = Seq("ext-knn-ivfpq"),
+      oracleDyn = Some(() => IvfPqState.oracleSql)),
 
     // ------------------------------------------------------------------
     // MMR diversified retrieval (operators.Mmr): distributed cosine
