@@ -151,9 +151,59 @@ object SetSimJoin {
       tokens: DataFrame,
       idCol: String,
       hCol: String,
-      t: Double): DataFrame = {
+      t: Double,
+      denseVocabMax: Long = 1L << 16,
+      denseRowsMax: Long = 1L << 17): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"containment threshold in (0,1], got $t")
     val tok = tokens.select(col(idCol).as("id"), col(hCol).as("h")).cache()
+    // same measured dispatch as [[jaccardSelfJoin]], and for containment
+    // the dense case matters MORE: with no size-ratio constraint a dense
+    // vocabulary makes "rare" tokens df-heavy, so the prefix filter
+    // degenerates (measured: 6.9M candidate rows → 259 survivors at
+    // sf0.1's 931-token vocabulary, ~8 s) while the bitmap NLJ evaluates
+    // all ordered pairs shuffle-free with a codegen'd popcount (~2 s).
+    val probe = tok.select("h").distinct()
+      .limit((denseVocabMax + 1).toInt).collect().map(_.getLong(0))
+    val (result, working) =
+      if (probe.length <= denseVocabMax) {
+        val sets = encodeBitmaps(tok, probe.sorted).cache()
+        val docCount = sets.count()
+        val nWords = (probe.length + 63) >> 6
+        if (docCount <= denseRowsMax && docCount * (nWords * 8L + 24L) <= (256L << 20))
+          (containmentDenseJoin(sets, t), Seq(sets, tok))
+        else (containmentPrefixJoin(tok, t), Seq(sets, tok))
+      } else (containmentPrefixJoin(tok, t), Seq(tok))
+    val out = result.localCheckpoint()
+    working.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Dense/bitmap containment over pre-encoded (id, bm, n) sets: every
+    * ordered pair (NO length filter — containment has no size-ratio
+    * constraint, which is the point), threshold evaluated inside the join
+    * condition so non-qualifying pairs never materialize a joined row.
+    */
+  def containmentDenseJoin(sets: DataFrame, t: Double): DataFrame = {
+    val a = sets.select(col("id").as("id_a"), col("bm").as("bm_a"), col("n").as("na"))
+    val b = sets.select(col("id").as("id_b"), col("bm").as("bm_b"), col("n").as("nb"))
+    def inter = VectorExprs.bitmapAndCount(col("bm_a"), col("bm_b"))
+    a.join(
+        broadcast(b),
+        col("id_a") < col("id_b") &&
+          inter * lit(1.0) / least(col("na"), col("nb")) >= lit(t))
+      .select(col("id_a"), col("id_b"), inter.as("inter"), col("na"), col("nb"))
+  }
+
+  /** Sparse/prefix containment strategy; exact for any vocabulary. The
+    * pigeonhole: C(A,B) ≥ t with |A| = min ⇒ B intersects A's
+    * (|A| − ⌈t·|A|⌉ + 1) globally-rarest tokens, so candidates are
+    * smaller-side prefixes joined against full postings (`a.n <= b.n`
+    * inside the condition drops the redundant orientation). Cost is
+    * Σ_{s ∈ prefixes} df(s) — fine for sparse vocabularies, degenerate
+    * for dense ones, which is why the dispatcher prefers the bitmap NLJ
+    * whenever the dictionary fits.
+    */
+  def containmentPrefixJoin(tok: DataFrame, t: Double): DataFrame = {
     val dfc = tok.groupBy("h").agg(count(lit(1)).as("dfc"))
     val ordered = tok
       .join(dfc, "h")
@@ -165,14 +215,19 @@ object SetSimJoin {
         size(col("a")).as("n"))
     // same robust ⌈t·n⌉ as the Jaccard prefix (9-decimal rounding first)
     val plen = (col("n") - ceil(round(col("n") * lit(t), 9)) + 1).cast("int")
-    val pre = ordered.select(col("id"), explode(slice(col("arr"), lit(1), plen)).as("h"))
+    val pre = ordered.select(
+      col("id"), col("n"), explode(slice(col("arr"), lit(1), plen)).as("h"))
+    val postings = tok.join(tok.groupBy("id").agg(count(lit(1)).as("n")), "id")
     val cand = pre.as("a")
-      .join(tok.as("b"), col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          col("a.n") <= col("b.n"))
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val out = cand
+    cand
       .join(
         ordered.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n").as("na")),
         "id_a")
@@ -186,9 +241,6 @@ object SetSimJoin {
         col("na"),
         col("nb"))
       .filter(col("inter") * lit(1.0) / least(col("na"), col("nb")) >= lit(t))
-      .localCheckpoint()
-    tok.unpersist(blocking = false)
-    out
   }
 
   /** (id, h) tokens → (id, bm: array<long> bitmap, n) via a sorted-vocab

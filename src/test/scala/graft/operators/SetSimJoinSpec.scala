@@ -76,14 +76,28 @@ class SetSimJoinSpec extends SparkSpec {
     res
   }
 
-  for (t <- Seq(0.5, 0.7, 0.9))
-    test(s"containment prefix join == naive quadratic containment at t=$t") {
+  for (t <- Seq(0.5, 0.7, 0.9); dense <- Seq(false, true)) {
+    val name = if (dense) "dense bitmap" else "prefix-postings"
+    test(s"containment $name join == naive quadratic containment at t=$t") {
       val exact = naiveContainment(t)
       assert(exact.nonEmpty, "test data should contain qualifying pairs")
-      val got = SetSimJoin.containmentSelfJoin(tokens, "doc_id", "h", t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      val tok = tokens.select(col("doc_id").as("id"), col("h"))
+      val res =
+        if (dense) {
+          val vocab = tok.select("h").distinct().orderBy("h").collect().map(_.getLong(0))
+          SetSimJoin.containmentDenseJoin(SetSimJoin.encodeBitmaps(tok, vocab), t)
+        } else SetSimJoin.containmentPrefixJoin(tok, t)
+      val got = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
       assert(got === exact)
     }
+  }
+
+  test("containment auto dispatch matches naive at t=0.7") {
+    val got = SetSimJoin.containmentSelfJoin(tokens, "doc_id", "h", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got === naiveContainment(0.7))
+  }
 
   test("extreme size-ratio pair: Jaccard-LSH banding misses it, containment index finds it") {
     val s = spark
