@@ -309,4 +309,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(projLine.contains("*("),
       s"the native dot kernel must sit inside whole-stage codegen: $projLine")
   }
+
+  test("q_quantiles_by_key: windows and aggregation share ONE key exchange") {
+    val plan = finalPlan("q_quantiles_by_key")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      "window sort, both windows and the final agg must reuse the single o_custkey partitioning")
+    assert(finalSection.contains("partial_max"),
+      "rank selection must partial-aggregate before any exchange it meets")
+    val readSchema = finalSection.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && readSchema.contains("o_custkey"),
+      s"scan must read only the key and value columns: $readSchema")
+  }
+
+  test("q_source_cap_sample: one shuffle, md5 priority never leaves the window stage") {
+    val plan = finalPlan("q_source_cap_sample")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      "the per-source cap is exactly one hash exchange on source")
+    assert(finalSection.contains("row_number"))
+  }
+
+  test("q_multimodal_resize synthesis stays inside whole-stage codegen") {
+    val plan = finalPlan("q_multimodal_resize")
+    // the P6 synthesis (repeat + substring) must be codegen'd row work in
+    // the pre-resize projection — the interpreted HOF formulation
+    // (transform/lambda) measured 19x slower and must not come back
+    assert(!plan.contains("lambdafunction"),
+      "cyclic pixel synthesis must not use interpreted higher-order functions")
+  }
 }
