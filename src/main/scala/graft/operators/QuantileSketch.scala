@@ -49,7 +49,7 @@ object QuantileSketch {
       var parities: Array[Boolean],
       var count: Long)
 
-  private def emptyBuf(k: Int): KllBuf =
+  private[graft] def emptyBuf(k: Int): KllBuf =
     KllBuf(Array(new Array[Double](k)), Array(0), Array(false), 0L)
 
   /** Compact every full level bottom-up (weight-conserving: 2m items of
@@ -86,7 +86,7 @@ object QuantileSketch {
     }
   }
 
-  private def insert(b: KllBuf, v: Double, k: Int): Unit = {
+  private[graft] def insert(b: KllBuf, v: Double, k: Int): Unit = {
     if (b.sizes(0) >= b.levels(0).length) compact(b, k)
     b.levels(0)(b.sizes(0)) = v
     b.sizes(0) += 1

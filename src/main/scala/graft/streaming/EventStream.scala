@@ -266,4 +266,41 @@ object EventStream {
           }
       }
   }
+
+  // ---------------------------------------------------------------------
+  // Custom state: streaming per-key quantiles over a KLL sketch.
+  // ---------------------------------------------------------------------
+
+  case class KeyQuantiles(user_id: Long, n: Long, quantiles: Seq[Double])
+
+  /** Streaming per-key quantiles: each key's state is one mergeable KLL
+    * sketch ([[graft.operators.QuantileSketch]]) updated in place per
+    * micro-batch — O(k·log(n/k)) state per key FOREVER, no value buffer,
+    * the property that lets a quantile monitor run unbounded on a
+    * 100 TB/day stream where any exact per-key state grows without
+    * limit. Emits an updated (n, quantile estimates) snapshot for every
+    * key each batch touches (update output mode). Below k values the
+    * sketch holds the raw data, so early estimates are EXACT — the
+    * spec's determinism handle. Batch face: groupBy + udaf(KllAgg) over
+    * the same buffers (QuantileSketchSpec pins their agreement).
+    */
+  def streamingQuantiles(
+      events: Dataset[UserEvent],
+      qs: Seq[Double],
+      k: Int = graft.operators.QuantileSketch.DefaultK): Dataset[KeyQuantiles] = {
+    import events.sparkSession.implicits._
+    import graft.operators.QuantileSketch
+    implicit val bufEnc: org.apache.spark.sql.Encoder[QuantileSketch.KllBuf] =
+      org.apache.spark.sql.Encoders.kryo[QuantileSketch.KllBuf]
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[QuantileSketch.KllBuf, KeyQuantiles](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[QuantileSketch.KllBuf]) =>
+          val buf = state.getOption.getOrElse(QuantileSketch.emptyBuf(k))
+          rows.foreach(e => QuantileSketch.insert(buf, e.value, k))
+          state.update(buf)
+          KeyQuantiles(user, buf.count, qs.map(QuantileSketch.estimate(buf, _)))
+      }
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Top-level so Spark can build its deserializer without an outer-scope
@@ -252,6 +253,59 @@ class EventStreamSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       // batch 1: user 1 at (2, 5.0); batch 2: user 1 at (3, 10.0), user 2 at (1, 7.0)
       assert(snaps.toSet === Set((1L, 2L, 5.0, false), (1L, 3L, 10.0, false), (2L, 1L, 7.0, false)))
+    } finally q.stop()
+  }
+
+  test("streamingQuantiles: KLL state accumulates across batches, exact below k") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.streamingQuantiles(in.toDS(), qs = Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("stream_q").outputMode("update").start()
+    try {
+      // batch 1: user 1 sees 1..5 → median 3 (rank ceil(0.5·5)=3), max 5
+      in.addData((1 to 5).map(i => EventStream.UserEvent(1, s"e$i", t(i), i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 2: user 1 adds 6..10 (state carries 1..5 → median over 1..10
+      // is rank 5 = 5.0); user 2 starts fresh with {7, 9}
+      in.addData((6 to 10).map(i => EventStream.UserEvent(1, s"e$i", t(i), i.toDouble)) ++
+        Seq(EventStream.UserEvent(2, "a", t(1), 9.0), EventStream.UserEvent(2, "b", t(2), 7.0)): _*)
+      q.processAllAvailable()
+      val snaps = s.table("stream_q")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      // below k=256 values the sketch IS the data → estimates are exact
+      assert(snaps === Set(
+        (1L, 5L, Seq(3.0, 5.0)),
+        (1L, 10L, Seq(5.0, 10.0)),
+        (2L, 2L, Seq(7.0, 9.0))))
+    } finally q.stop()
+  }
+
+  test("streamingQuantiles final state agrees with the batch KllAgg over the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rnd = new scala.util.Random(41)
+    val batches = Seq.tabulate(3)(b =>
+      Seq.tabulate(60)(i =>
+        EventStream.UserEvent(i % 4, s"e$b-$i", t(i), rnd.nextDouble() * 100)))
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.streamingQuantiles(in.toDS(), qs = Seq(0.25, 0.9))
+      .writeStream.format("memory").queryName("stream_q2").outputMode("update").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // last snapshot per user == batch-face sketch over all rows (each
+      // user has 45 values < k, so both sides are exact and identical)
+      val last = s.table("stream_q2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2)._3 }
+      val batch = graft.operators.QuantileSketch
+        .quantilesByKeySketch(
+          batches.flatten.toDF().select(col("user_id").as("g"), col("value").as("v")),
+          "g", "v", Seq(0.25, 0.9))
+        .collect().map(r => r.getLong(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
+      assert(last === batch)
     } finally q.stop()
   }
 }
