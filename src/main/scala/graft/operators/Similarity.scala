@@ -228,6 +228,55 @@ object Similarity {
       .map(_._2)
   }
 
+  /** IVF-cell-BLOCKED near-duplicate pairs — the unblocked-corpus scale
+    * path for embedding dedup (q_dedup_embed_cosine's label blocking
+    * assumes a blocking key exists; this derives one from the geometry).
+    * Every vector is assigned to its 2 best cells (multi-probe: a pair
+    * straddling one cell boundary still collides in the other
+    * assignment), pairs form only within shared cells, and exact cosine
+    * filters them. Candidate work is Σ_cells occupancy² instead of n² —
+    * at 100 TB the assigned table is written partitioned by cell and
+    * each cell's pair join runs partition-local. Recall is blocked-
+    * candidate recall (high for near-dups: argmax cells agree when
+    * directions nearly agree), not exhaustive — the exact baseline
+    * stays q_dedup_embed_cosine.
+    *
+    * Assignment parity contract (mirrored in the frozen-literal oracle):
+    * cell1 = FIRST argmax of the centroid dots, cell2 = first argmax
+    * after masking cell1's slot with -1e18 (exactly representable, below
+    * any real dot product).
+    */
+  def ivfBlockedPairs(
+      df: DataFrame,
+      idCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val normed = withNorm(df)
+    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    val withCells = normed
+      .withColumn("dots", dots)
+      .withColumn("c1", array_position(col("dots"), array_max(col("dots"))).cast("int"))
+      .withColumn(
+        "dots2",
+        transform(col("dots"), (x, i) => when(i === col("c1") - 1, lit(-1e18)).otherwise(x)))
+      .withColumn("c2", array_position(col("dots2"), array_max(col("dots2"))).cast("int"))
+      .select(
+        col(idCol),
+        col("v"),
+        col("norm"),
+        explode(array(col("c1") - 1, col("c2") - 1)).as("cell"))
+    withCells.as("a")
+      .join(
+        withCells.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"),
+        col(s"b.$idCol").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   def ivfTopK(
       assigned: DataFrame,
       idCol: String,

@@ -97,6 +97,43 @@ object Similarity {
     }
   }
 
+  /** Frozen coarse centroids for the late-bound q_dedup_embed_ivf oracle:
+    * replays 2-probe cell assignment (first argmax; first argmax after
+    * masking with -1e18), within-cell pairing, exact cosine filter.
+    */
+  private[queries] object EmbedIvfDedupState {
+    @volatile private var cents: Option[Seq[Seq[Double]]] = None
+
+    def freeze(centroids: Seq[Seq[Double]]): Unit = cents = Some(centroids)
+
+    def oracleSql: Option[String] = cents.map { centroids =>
+      val k = centroids.size
+      val dots = centroids
+        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |d AS (SELECT vec_id, v, nrm, $dots AS dots FROM e),
+         |a1 AS (
+         |  SELECT vec_id, v, nrm, dots,
+         |    CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT) AS c1
+         |  FROM d),
+         |a2 AS (
+         |  SELECT vec_id, v, nrm, c1,
+         |    CAST(list_position(dots2, list_aggregate(dots2, 'max')) AS INT) AS c2
+         |  FROM (SELECT vec_id, v, nrm, c1,
+         |          [CASE WHEN i = c1 THEN -1e18 ELSE dots[i] END
+         |           for i in range(1, ${k + 1})] AS dots2
+         |        FROM a1)),
+         |asg AS (SELECT vec_id, v, nrm, unnest([c1 - 1, c2 - 1]) AS cell FROM a2)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS cos
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.4""".stripMargin
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Brute-force cosine top-10 vs the vec_id=0 vector. Both engines do the
@@ -346,6 +383,28 @@ object Similarity {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       },
       covers = Seq("ext-knn-pq")),
+
+    // ------------------------------------------------------------------
+    // IVF-cell-blocked embedding near-dup (Similarity.ivfBlockedPairs):
+    // the UNBLOCKED-corpus scale path next to q_dedup_embed_cosine's
+    // label blocking — the blocking key derives from trained geometry,
+    // every vector lands in its 2 best cells (multi-probe catches
+    // boundary-straddling pairs), pairs form within shared cells only:
+    // Σ occupancy² candidate work, partition-local per cell at scale.
+    // Oracle: late-bound frozen centroids replay the identical 2-probe
+    // assignment and pair join.
+    QueryDef(
+      "q_dedup_embed_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 64, iters = 2)
+        EmbedIvfDedupState.freeze(centroids)
+        Sim.ivfBlockedPairs(e, "vec_id", centroids, threshold = 0.4)
+          .localCheckpoint()
+      },
+      None,
+      covers = Seq("ext-dedup-embed-ivf"),
+      oracleDyn = Some(() => EmbedIvfDedupState.oracleSql)),
 
     // ------------------------------------------------------------------
     // IVF-PQ composition (operators.Pq.ivfPqTopK) — the canonical 100 TB

@@ -71,4 +71,33 @@ class SimilaritySpec extends SparkSpec {
     val nBuckets = bucketed.select("bucket").distinct().count()
     assert(nBuckets > 1 && nBuckets <= 256)
   }
+
+  test("ivfBlockedPairs: sound vs brute force; identical vectors always collide") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // plant an exact duplicate of vector 3 under a fresh id: identical
+    // direction ⇒ identical argmax cells ⇒ the blocked join MUST pair them
+    val dup = emb.filter(col("vec_id") === 3)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val cents = Similarity.trainIvfDistributed(corpus, "vec_id", k = 16, iters = 2)
+    val got = Similarity.ivfBlockedPairs(corpus, "vec_id", cents, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (a, b, c) => a == 3L && b == 999999L && c == 1.0 },
+      "planted exact duplicate must be found with cos 1.0")
+    // soundness: every reported pair really is >= threshold by direct check
+    val byId = Similarity.withNorm(corpus)
+      .select(col("vec_id"), col("v"), col("norm")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    got.foreach { case (a, b, c) =>
+      val (va, na) = byId(a); val (vb, nb) = byId(b)
+      val cos = va.zip(vb).map(p => p._1 * p._2).sum / (na * nb)
+      assert(math.abs(cos - c) < 5e-4, s"reported cos must match direct: $a,$b")
+      assert(c >= 0.4)
+    }
+    // no duplicate pair rows despite 2-probe double assignment
+    assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+  }
 }
