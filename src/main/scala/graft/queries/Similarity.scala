@@ -385,6 +385,48 @@ object Similarity {
       covers = Seq("ext-knn-pq")),
 
     // ------------------------------------------------------------------
+    // Deterministic NEGATIVE SAMPLING for contrastive training export:
+    // each query vector draws 5 reproducible negatives from outside its
+    // label, priority = md5(q, cand) — a uniform sample that never
+    // changes across runs/retries/engines (the q_train_test_split hash
+    // discipline). Plan shape: the 20-row query side broadcasts over ONE
+    // corpus scan, and per-query selection goes through the PartialTopK
+    // physical operator — each map task ships at most 5 rows per query,
+    // not the 20× fan-out (the thing that matters when the corpus is
+    // 100 TB and the query set is 20k).
+    QueryDef(
+      "q_negative_sample",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+        val joined = e
+          .select(col("vec_id").as("cand_id"), col("label").as("cand_label"))
+          .join(broadcast(q), col("cand_label") =!= col("q_label"))
+          .withColumn(
+            "pri",
+            conv(
+              substring(
+                md5(concat_ws("_", col("q_id"), col("cand_id")).cast("binary")), 1, 15),
+              16, 10).cast("long"))
+        graft.operators.TopK
+          .perKey(joined, Seq("q_id"), "pri", "cand_id", 5, descending = false)
+          .select(
+            col("q_id"), col("cand_id"), col("cand_label"),
+            col("rn").as("neg_rank"))
+      },
+      Some("""SELECT q_id, cand_id, cand_label, CAST(rn AS INT) AS neg_rank
+             |FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label AS cand_label,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY CAST(concat('0x', substr(md5(q.vec_id || '_' || c.vec_id), 1, 15)) AS BIGINT),
+             |        c.vec_id) AS rn
+             |  FROM embeddings q JOIN embeddings c ON c.label != q.label
+             |  WHERE q.vec_id < 20)
+             |WHERE rn <= 5""".stripMargin),
+      covers = Seq("ext-negative-sample")),
+
+    // ------------------------------------------------------------------
     // IVF-cell-blocked embedding near-dup (Similarity.ivfBlockedPairs):
     // the UNBLOCKED-corpus scale path next to q_dedup_embed_cosine's
     // label blocking — the blocking key derives from trained geometry,
