@@ -67,7 +67,11 @@ object MinHash {
     * signature components become a candidate pair. bands = K / rowsPerBand.
     * Output: (id_a, id_b) distinct, id_a < id_b.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame = {
+  /** (idCol, band, key) rows — one per (doc, band). This is the inverted
+    * index a persisted LSH table stores (bucketed by (band, key) at
+    * scale) and both the batch and incremental pair generators join on.
+    */
+  def bandRows(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame = {
     require(K % rowsPerBand == 0, s"K=$K must divide by rowsPerBand=$rowsPerBand")
     val bands = K / rowsPerBand
     val bandKeys = (0 until bands).map { bnd =>
@@ -76,15 +80,46 @@ object MinHash {
         xxhash64((0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
           .as("key"))
     }
-    val exploded = sig
+    sig
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame = {
+    val exploded = bandRows(sig, idCol, rowsPerBand)
     exploded.as("a")
       .join(
         exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** INCREMENTAL candidate pairs for an ingest batch: only pairs that
+    * involve at least one NEW document — new×existing and new×new band
+    * matches; existing×existing pairs were produced when those docs
+    * arrived. The delta side is the only side band-exploded from fresh
+    * signatures; `index` is the full (id, band, key) inverted index (at
+    * scale: the persisted table, bucketed by (band, key), appended per
+    * batch), so per-batch cost is O(delta bands + matches), never
+    * O(corpus²) — the property that makes continuous dedup affordable
+    * on a corpus that grows by TBs per day.
+    */
+  def incrementalLshPairs(
+      index: DataFrame,
+      newSig: DataFrame,
+      idCol: String,
+      rowsPerBand: Int = 4): DataFrame = {
+    val delta = bandRows(newSig, idCol, rowsPerBand)
+    delta.as("a")
+      .join(
+        index.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       .distinct()
   }
 

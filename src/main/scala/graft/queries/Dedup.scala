@@ -337,6 +337,42 @@ object Dedup {
       covers = Seq("ext-dedup-pipeline")),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL ingest dedup: candidate pairs for a new batch against
+    // the standing LSH inverted index — only the DELTA is band-exploded
+    // and joined (new×existing + new×new); existing×existing pairs were
+    // emitted when those docs arrived. Per-batch cost O(delta + matches)
+    // instead of re-running corpus-wide dedup per ingest — the shape
+    // that keeps continuous dedup affordable at TBs/day. "New" here is a
+    // deterministic md5 quarter of the corpus standing in for a batch.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val sig = MinHash.signatures(t(s, dir, "documents"), "doc_id", "text")
+        val isNew =
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "4"
+        MinHash.incrementalLshPairs(
+          MinHash.bandRows(sig, "doc_id"), sig.filter(isNew), "doc_id")
+      },
+      Some {
+        val bandEq = (0 until MinHash.K / 4)
+          .map { bnd =>
+            (0 until 4)
+              .map(r => s"a.m${bnd * 4 + r} = b.m${bnd * 4 + r}")
+              .mkString("(", " AND ", ")")
+          }
+          .mkString("\n     OR ")
+        s"""WITH sigs AS (
+           |${MinHash.signatureOracle}
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           |WHERE ($bandEq)
+           |  AND (substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) < '4'
+           |    OR substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < '4')""".stripMargin
+      },
+      covers = Seq("ext-dedup-incremental")),
+
+    // ------------------------------------------------------------------
     // Near-dup clustering with QUALITY-ranKED representative selection —
     // production dedup keeps the BEST document per cluster (longest,
     // highest quality score), not the smallest id: pairs → connected

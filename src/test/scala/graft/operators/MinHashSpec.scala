@@ -53,4 +53,22 @@ class MinHashSpec extends SparkSpec {
     val cands = MinHash.lshCandidatePairs(sig, "doc_id", rowsPerBand = 2).count()
     assert(cands < n * (n - 1) / 2 / 10, s"LSH produced $cands candidates for $n docs")
   }
+
+  test("incremental pairs == full pairs restricted to delta-involving pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = MinHash.signatures(docs, "doc_id", "text")
+    val full = MinHash.lshCandidatePairs(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // delta = every third doc (arbitrary but deterministic)
+    val isNew = col("doc_id") % 3 === 0
+    val newIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val incr = MinHash.incrementalLshPairs(
+      MinHash.bandRows(sig, "doc_id"), sig.filter(isNew), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter { case (a, b) => newIds(a) || newIds(b) }
+    assert(incr === want, "incremental must equal the delta-restricted full pair set")
+    assert(want.size < full.size, "fixture must include existing-only pairs to exclude")
+  }
 }

@@ -330,6 +330,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(finalSection.contains("row_number"))
   }
 
+  test("q_negative_sample goes through PartialTopK with a broadcast query side") {
+    val plan = finalPlan("q_negative_sample")
+    assert(plan.contains("PartialTopK"),
+      "per-query selection must use the map-side-pruning physical operator, not a bare window")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the tiny query side must broadcast over the corpus scan")
+  }
+
   test("q_multimodal_resize synthesis stays inside whole-stage codegen") {
     val plan = finalPlan("q_multimodal_resize")
     // the P6 synthesis (repeat + substring) must be codegen'd row work in
