@@ -439,7 +439,7 @@ object Similarity {
       "q_dedup_embed_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 64, iters = 2)
+        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 64, iters = 2, sampleCap = 8192)
         EmbedIvfDedupState.freeze(centroids)
         Sim.ivfBlockedPairs(e, "vec_id", centroids, threshold = 0.4)
           .localCheckpoint()
