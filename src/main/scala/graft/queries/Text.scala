@@ -17,20 +17,20 @@ object Text {
   /** whitespace words, lowercased, empties dropped — native kernel
     * (the filter(split(lower)) HOF pair is interpreted per element).
     */
-  private def words(c: Column): Column = graft.functions.TextExprs.wordTokens(c)
+  private[queries] def words(c: Column): Column = graft.functions.TextExprs.wordTokens(c)
 
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
   private val TokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  private val StopEn = Seq("the", "a", "and", "of", "to", "is")
+  private[queries] val StopEn = Seq("the", "a", "and", "of", "to", "is")
   private val StopDe = Seq("der", "die", "und", "das", "ist")
   private val StopFr = Seq("le", "la", "et", "les", "est")
   private val StopEs = Seq("el", "los", "que", "es", "las")
 
-  private def hitCount(ws: Column, stop: Seq[String]): Column =
+  private[queries] def hitCount(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, x => x.isin(stop.map(_.asInstanceOf[Any]): _*)))
 
-  private def sqlHits(stop: Seq[String]): String =
+  private[queries] def sqlHits(stop: Seq[String]): String =
     s"CAST(length(list_filter(ws, x -> list_contains([${stop.map("'" + _ + "'").mkString(", ")}], x))) AS INT)"
 
   val defs: Seq[QueryDef] = Seq(

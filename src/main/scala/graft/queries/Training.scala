@@ -63,6 +63,95 @@ object Training {
       covers = Seq("ext-pack-sequences")),
 
     // ------------------------------------------------------------------
+    // END-TO-END training-data export — the full curation pipeline in
+    // ONE query, every stage the 100 TB formulation: exact dedup (keep
+    // min doc_id per normalized fingerprint — one window on fp) →
+    // quality gate (the q_corpus_clean scoring) → per-source cap (50 by
+    // md5 priority, the data-mixing primitive) → token counting (the
+    // pipeline's own tokenizer) → GPT-style 512-token sequence packing
+    // over the SURVIVING docs (two-phase global prefix sum, never a
+    // single-partition window). This is the "prepare a training shard"
+    // flagship: a user runs exactly this composition daily.
+    QueryDef(
+      "q_training_export",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+              .as("fp"),
+            length(col("text")).as("len"),
+            size(Text.words(col("text"))).as("n_words"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+              .as("punct_cnt"),
+            Text.hitCount(Text.words(col("text")), Text.StopEn).as("stop_cnt"),
+            size(regexp_extract_all(lower(col("text")), lit(TokenPat), lit(0)))
+              .cast("long").as("tok"))
+          .withColumn(
+            "quality",
+            least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
+              (lit(1.0) - least(lit(1.0), col("punct_cnt") * lit(10.0) / col("len"))) * 0.3 +
+              least(lit(1.0), col("stop_cnt") * lit(5.0) / col("n_words")) * 0.2)
+        val curated = base
+          .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep") && col("quality") >= 0.5)
+          .withColumn(
+            "src_rank",
+            row_number().over(
+              Window.partitionBy("source").orderBy(
+                substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+                col("doc_id"))))
+          .filter(col("src_rank") <= 50)
+          .select(col("doc_id"), col("tok"))
+        graft.operators.Pack.packChunks(curated, "doc_id", "tok", SeqLen, col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              |    length(text) AS len,
+              |    CAST(len(ws) AS INT) AS n_words,
+              |    CAST(length(text) -
+              |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS punct_cnt,
+              |    ${Text.sqlHits(Text.StopEn)} AS stop_cnt,
+              |    CAST(length(regexp_extract_all(lower(text), '$TokenPat')) AS BIGINT) AS tok
+              |  FROM (SELECT doc_id, source, text,
+              |          list_filter(string_split_regex(lower(text), '\\s+'),
+              |            x -> x != '') AS ws
+              |        FROM documents)),
+              |scored AS (
+              |  SELECT *,
+              |    least(1.0, n_words / 100.0) * 0.5
+              |      + (1.0 - least(1.0, punct_cnt * 10.0 / len)) * 0.3
+              |      + least(1.0, stop_cnt * 5.0 / n_words) * 0.2 AS quality,
+              |    min(doc_id) OVER (PARTITION BY fp) AS keep
+              |  FROM base),
+              |curated AS (
+              |  SELECT doc_id, tok FROM (
+              |    SELECT doc_id, tok,
+              |      row_number() OVER (PARTITION BY source
+              |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+              |        AS src_rank
+              |    FROM scored WHERE doc_id = keep AND quality >= 0.5)
+              |  WHERE src_rank <= 50),
+              |pre AS (
+              |  SELECT doc_id, tok,
+              |    CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
+              |  FROM curated WHERE tok > 0),
+              |spans AS (
+              |  SELECT doc_id, tok, s0, s0 + tok AS e0,
+              |    unnest(generate_series(s0 // $SeqLen, (s0 + tok - 1) // $SeqLen)) AS chunk_id
+              |  FROM pre)
+              |SELECT doc_id, chunk_id,
+              |  least(e0, (chunk_id + 1) * $SeqLen) - greatest(s0, chunk_id * $SeqLen)
+              |    AS tok_in_chunk
+              |FROM spans""".stripMargin),
+      covers = Seq("ext-training-export")),
+
+    // ------------------------------------------------------------------
     // One-pass multi-column profiling: per-column count/min/max/avg/stddev
     // computed in a SINGLE aggregation over ONE scan (no per-column
     // passes), then unpivoted to long form with stack(). The corpus-health
