@@ -3,26 +3,30 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Versioned lake table with ATOMIC publishes — the minimal transaction
-  * log that fixes bare-parquet's two 100 TB problems:
+/** Log-structured versioned lake table with ATOMIC publishes — the
+  * minimal transaction log that fixes bare-parquet's 100 TB problems:
   *
-  *   1. '''No atomic multi-file commit.''' A writer that dies mid-write
-  *      leaves a directory readers half-see. Here every commit writes its
-  *      files under a fresh `v=N` directory and then publishes by
-  *      replacing ONE pointer file (`_latest`) — written to a temp name
-  *      and renamed, the single-object atomicity every store provides.
-  *      Orphan files from a crashed writer live in an unpublished
-  *      version directory readers never resolve.
-  *   2. '''No snapshot isolation for rewrites.''' [[Lake.upsertPartitioned]]
-  *      must materialize its merged slice (localCheckpoint) because the
-  *      write overwrites directories its own plan reads. A versioned
-  *      upsert writes the NEW version while the old one stays on disk —
-  *      the plan streams straight from read to write, no materialization,
-  *      and in-flight readers of v=N are undisturbed by the v=N+1 commit.
+  *   1. '''No atomic multi-file commit.''' Every commit writes immutable
+  *      data directories, then a MANIFEST (`manifest/v=N.txt`, the list
+  *      of data directories the version comprises), then publishes by
+  *      replacing ONE pointer file (`_latest`) via temp + rename — the
+  *      single-object atomicity every store provides. A writer that dies
+  *      at any earlier point leaves unreferenced garbage, never a
+  *      half-visible table.
+  *   2. '''O(delta) appends.''' [[appendCommit]]'s manifest is the prior
+  *      version's directory list plus the new batch's directory — a
+  *      streaming `foreachBatch` ingests TBs/day writing only its own
+  *      batch per commit, while each commit is still a complete,
+  *      atomically-published snapshot.
+  *   3. '''Snapshot isolation.''' [[upsert]] writes merged data into NEW
+  *      directories while the old version's files stay on disk: the plan
+  *      streams straight from read to write (no localCheckpoint barrier —
+  *      the workaround [[Lake.upsertPartitioned]] needs because it
+  *      overwrites what it reads), and in-flight readers of v=N never
+  *      observe v=N+1. Retained versions are time travel until [[vacuum]].
   *
-  * Layout: `table/v=N/...parquet` (optionally partitioned inside) +
-  * `table/_latest` holding N. Old versions remain until [[vacuum]] —
-  * which is exactly time travel until then ([[readVersion]]).
+  * Layout: `table/data/<uuid>/...parquet` (immutable),
+  * `table/manifest/v=N.txt`, `table/_latest` holding N.
   */
 object VersionedLake {
 
@@ -32,77 +36,102 @@ object VersionedLake {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def readSmallFile(spark: SparkSession, path: org.apache.hadoop.fs.Path): String = {
+    val f = fs(spark, path.toString)
+    val in = f.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Write bytes to `name.tmp`, rename over `name` — atomic publish. */
+  private def atomicWrite(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      content: String): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"atomic publish of $dir/$name failed")
+  }
+
   /** Currently published version; None for an empty/uninitialized table. */
   def currentVersion(spark: SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new org.apache.hadoop.fs.Path(tableDir, Pointer)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](64)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      } finally in.close()
-    }
+    if (!f.exists(p)) None else Some(readSmallFile(spark, p).trim.toLong)
   }
 
-  /** Highest version directory present, published or not — commit
-    * allocates ABOVE this so a crashed writer's orphan directory can
-    * never collide with the next commit's target.
-    */
-  private def maxVersionDir(spark: SparkSession, tableDir: String): Option[Long] = {
-    val f = fs(spark, tableDir)
-    val root = new org.apache.hadoop.fs.Path(tableDir)
-    if (!f.exists(root)) None
-    else f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption)
-      .maxOption
+  /** Data-directory names a retained version comprises. */
+  def manifest(spark: SparkSession, tableDir: String, version: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$version.txt")
+    readSmallFile(spark, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Write `df` as the next version and atomically publish it. Returns
-    * the committed version number. Data lands fully BEFORE the pointer
-    * moves; a crash at any earlier point leaves the table at the prior
-    * version with only an unpublished directory as garbage.
+  /** Write `df` into one fresh immutable data directory; returns its name. */
+  private def writeDataDir(
+      df: DataFrame,
+      tableDir: String,
+      parts: Seq[String],
+      maxRecordsPerFile: Long): String = {
+    val name = java.util.UUID.randomUUID().toString
+    val writer0 = (if (parts.nonEmpty) df.repartition(parts.map(col): _*) else df)
+      .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
+    val writer = if (parts.nonEmpty) writer0.partitionBy(parts: _*) else writer0
+    writer.parquet(s"$tableDir/data/$name")
+    name
+  }
+
+  private def publishManifest(
+      spark: SparkSession,
+      tableDir: String,
+      dirs: Seq[String]): Long = {
+    val next = currentVersion(spark, tableDir).getOrElse(-1L) + 1
+    atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", dirs.mkString("\n"))
+    atomicWrite(spark, tableDir, Pointer, next.toString)
+    next
+  }
+
+  /** Full-snapshot commit: the new version is exactly `df`. Data lands
+    * fully before the pointer moves; a crash earlier leaves only
+    * unreferenced garbage directories.
     */
   def commit(
       df: DataFrame,
       tableDir: String,
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
-    val spark = df.sparkSession
-    val next = math.max(
-      currentVersion(spark, tableDir).getOrElse(-1L),
-      maxVersionDir(spark, tableDir).getOrElse(-1L)) + 1
-    val versionDir = s"$tableDir/v=$next"
-    val writer0 = (if (parts.nonEmpty) df.repartition(parts.map(col): _*) else df)
-      .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
-    val writer = if (parts.nonEmpty) writer0.partitionBy(parts: _*) else writer0
-    writer.parquet(versionDir)
-    publish(spark, tableDir, next)
-    next
+    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    publishManifest(df.sparkSession, tableDir, Seq(d))
   }
 
-  /** Atomically move the pointer: write `_latest.tmp`, rename over
-    * `_latest` (delete-then-rename where the FS lacks overwriting rename
-    * — the pointer is one object either way, never a half state).
+  /** O(delta) append commit: writes ONLY the batch; the new manifest is
+    * the prior version's directories plus the batch's. The
+    * `foreachBatch` body for an atomically-published streaming ingest.
     */
-  private def publish(spark: SparkSession, tableDir: String, version: Long): Unit = {
-    val f = fs(spark, tableDir)
-    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"$Pointer.tmp")
-    val dst = new org.apache.hadoop.fs.Path(tableDir, Pointer)
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"pointer publish failed for $tableDir v=$version")
+  def appendCommit(
+      df: DataFrame,
+      tableDir: String,
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+    val spark = df.sparkSession
+    val prior = currentVersion(spark, tableDir)
+      .map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
+    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    publishManifest(spark, tableDir, prior :+ d)
   }
 
-  /** Read the published snapshot (the version `_latest` points at —
-    * unpublished or in-flight version directories are invisible).
+  /** Read the published snapshot — only manifested directories resolve;
+    * in-flight or crashed writers' directories are invisible.
     */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,
@@ -110,16 +139,16 @@ object VersionedLake {
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir")))
 
   /** Time travel: read a specific retained version. */
-  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame =
-    spark.read.parquet(s"$tableDir/v=$version")
+  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val dirs = manifest(spark, tableDir, version).map(d => s"$tableDir/data/$d")
+    require(dirs.nonEmpty, s"version $version of $tableDir has an empty manifest")
+    spark.read.parquet(dirs: _*)
+  }
 
-  /** Keyed upsert as a new version: same MERGE semantics as
-    * [[Lake.upsertPartitioned]] (updates replace same-key rows, others
-    * append) but with NO materialization barrier — the merged plan
-    * streams from the OLD version's files into the NEW version's
-    * directory, because nothing is overwritten. Readers of the old
-    * version are undisturbed; the same immutable-partition-key contract
-    * applies when `parts` is set.
+  /** Keyed upsert as a new full-snapshot version: updates replace
+    * same-key rows, others append — streamed from the old version's
+    * files into fresh directories with NO materialization barrier,
+    * because nothing is overwritten.
     */
   def upsert(
       spark: SparkSession,
@@ -133,20 +162,26 @@ object VersionedLake {
     commit(survivors.unionByName(updates), tableDir, parts, maxRecordsPerFile)
   }
 
-  /** Drop all versions below the published one (ends their time-travel
-    * window; never touches the published version or the pointer).
+  /** Drop manifests below the published version and every data directory
+    * the current manifest no longer references — ends the time-travel
+    * window, never touches the live snapshot.
     */
   def vacuum(spark: SparkSession, tableDir: String): Unit = {
     val f = fs(spark, tableDir)
     currentVersion(spark, tableDir).foreach { cur =>
-      val st = f.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      st.filter(_.isDirectory)
-        .map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("v=") &&
-            p.getName.stripPrefix("v=").toLongOption.exists(_ < cur)
+      val live = manifest(spark, tableDir, cur).toSet
+      val dataRoot = new org.apache.hadoop.fs.Path(s"$tableDir/data")
+      if (f.exists(dataRoot))
+        f.listStatus(dataRoot)
+          .filter(s => s.isDirectory && !live(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, true))
+      val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
+      f.listStatus(manRoot)
+        .filter { s =>
+          s.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
+            .toLongOption.exists(_ < cur)
         }
-        .foreach(p => f.delete(p, true))
+        .foreach(s => f.delete(s.getPath, false))
     }
   }
 }

@@ -3,9 +3,9 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The versioned table's contract: atomic pointer publishes (partial
-  * writes invisible), streaming upserts with no materialization barrier,
-  * time travel until vacuum.
+/** The log-structured table's contract: atomic manifest+pointer publishes
+  * (partial writes invisible), O(delta) append commits, streaming ingest,
+  * snapshot isolation, time travel until vacuum.
   */
 class VersionedLakeSpec extends SparkSpec {
 
@@ -24,21 +24,58 @@ class VersionedLakeSpec extends SparkSpec {
     assert(rows(VersionedLake.readVersion(s, dir, 0)) === Set((1L, "a"), (2L, "b")))
   }
 
-  test("a crashed writer's unpublished files are invisible and never collide") {
+  test("a crashed writer's unmanifested data directory is invisible") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("vlake_crash").toString
     VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
-    // simulate a writer that died after writing data but before publish:
-    // a full, valid, UNPUBLISHED version directory
+    // simulate a writer that died after writing data but before its
+    // manifest/pointer publish: a full, valid, UNREFERENCED data dir
     Seq((9L, "ghost")).toDF("id", "payload")
-      .write.parquet(s"$dir/v=1")
+      .write.parquet(s"$dir/data/dead-writer-leftover")
     assert(rows(VersionedLake.read(s, dir)) === Set((1L, "a")),
-      "readers must resolve the pointer, not the directory listing")
-    // the next commit must allocate ABOVE the orphan, not collide with it
-    val v = VersionedLake.commit(Seq((2L, "b")).toDF("id", "payload"), dir)
-    assert(v === 2L)
-    assert(rows(VersionedLake.read(s, dir)) === Set((2L, "b")))
+      "readers must resolve the manifest, not the directory listing")
+    // fresh uuid directories can never collide with the orphan
+    val v = VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
+    assert(v === 1L)
+    assert(rows(VersionedLake.read(s, dir)) === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("appendCommit is O(delta): the new manifest reuses prior directories") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_append").toString
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "payload"), dir)
+    assert(rows(VersionedLake.read(s, dir)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val m0 = VersionedLake.manifest(s, dir, 0)
+    val m2 = VersionedLake.manifest(s, dir, 2)
+    assert(m2.size === 3, "append manifests must grow by exactly one directory")
+    assert(m2.startsWith(m0), "prior data directories must be REUSED, not rewritten")
+  }
+
+  test("streaming foreachBatch ingest: every batch an atomic snapshot") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vlake_stream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("id", "payload")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VersionedLake.appendCommit(batch, dir): Unit
+      }
+      .start()
+    try {
+      in.addData((1L, "a")); q.processAllAvailable()
+      in.addData((2L, "b"), (3L, "c")); q.processAllAvailable()
+      assert(rows(VersionedLake.read(s, dir)) ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // each micro-batch published its own complete snapshot
+      assert(rows(VersionedLake.readVersion(s, dir, 0)) === Set((1L, "a")))
+    } finally q.stop()
   }
 
   test("upsert merges by key into a NEW version; the old snapshot survives") {
@@ -57,15 +94,18 @@ class VersionedLakeSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("vacuum drops only versions below the published one") {
+  test("vacuum drops unreferenced data dirs and old manifests, keeps the live snapshot") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("vlake_vac").toString
     VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
-    VersionedLake.commit(Seq((1L, "a2")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
+    VersionedLake.commit(Seq((9L, "z")).toDF("id", "payload"), dir) // full rewrite
     VersionedLake.vacuum(s, dir)
-    assert(rows(VersionedLake.read(s, dir)) === Set((1L, "a2")))
-    assert(!new java.io.File(s"$dir/v=0").exists, "vacuumed version must be gone")
+    assert(rows(VersionedLake.read(s, dir)) === Set((9L, "z")))
+    // only the live manifest's single data dir remains
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 1, s"unreferenced dirs must be gone: ${dataDirs.toSeq}")
     intercept[Exception](VersionedLake.readVersion(s, dir, 0).collect())
   }
 
@@ -78,8 +118,6 @@ class VersionedLakeSpec extends SparkSpec {
     VersionedLake.commit(df, dir, parts = Seq("dt"))
     val pruned = VersionedLake.read(s, dir).filter(col("dt") === "2024-01-01")
     assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(1L))
-    // numFiles counts files actually opened — the excluded partition's
-    // file never is (inputFiles lists the pre-pruning relation)
     val scan = pruned.queryExecution.executedPlan
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
       .head
