@@ -60,6 +60,57 @@ object Pack {
       .drop("_pid", "_local", "_before")
   }
 
+  /** Per-GROUP exclusive running sum: `s0` restarts at 0 inside every
+    * `groupCol` value, in `sortCol` order within the group. The same
+    * two-phase construction as [[withGlobalOffset]], but range-
+    * partitioned on (group, sortKey) with per-(partition, group) windows
+    * and totals — a HOT group (one language holding half a 100 TB
+    * corpus) still spans many partitions and many parallel window
+    * tasks, where the naive `PARTITION BY group ORDER BY ...` window
+    * funnels the whole group through one task. Driver state is
+    * O(partitions + groups) total rows.
+    */
+  def withGroupedOffset(
+      df: DataFrame,
+      groupCol: String,
+      tokCol: String,
+      sortCol: Column): DataFrame = {
+    val sorted = df
+      .repartitionByRange(col(groupCol), sortCol)
+      .sortWithinPartitions(col(groupCol), sortCol)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids: offsets and rows must agree
+    val w = Window.partitionBy(col("_pid"), col(groupCol)).orderBy(sortCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sorted.withColumn(
+      "_local", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+    val parts = sorted
+      .groupBy(col("_pid"), col(groupCol)).agg(sum(col(tokCol)).as("_t"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1).toString, r.getLong(2)))
+    val offsets = parts
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (g, ps) =>
+        ps.sortBy(_._1)
+          .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, _, t)) => (pid, acc + t, acc) }
+          .drop(1)
+          .map { case (pid, _, before) => (pid, g, before) }
+          .toSeq
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the offset lookup joins on (_pid, group-as-string): string-keying
+    // the group side once keeps the tiny broadcast frame type-agnostic
+    val offDf = offsets.toDF("_opid", "_g", "_before")
+    local
+      .join(
+        broadcast(offDf),
+        col("_pid") === col("_opid") && col(groupCol).cast("string") === col("_g"))
+      .withColumn("s0", col("_local") + col("_before"))
+      .drop("_pid", "_opid", "_g", "_local", "_before")
+  }
+
   /** One row per (document, chunk) overlap: `chunk_id` and the number of
     * the document's tokens that land in that chunk. Zero-token documents
     * occupy no chunk and are dropped.
@@ -79,6 +130,31 @@ object Pack {
         "chunk_id",
         explode(sequence(expr(s"s0 div $seqLen"), expr(s"(e0 - 1) div $seqLen"))))
       .select(
+        col(idCol),
+        col("chunk_id"),
+        (least(col("e0"), (col("chunk_id") + 1) * seqLen) -
+          greatest(col("s0"), col("chunk_id") * seqLen)).as("tok_in_chunk"))
+  }
+
+  /** Per-GROUP packing: chunk ids restart inside every group, so shards
+    * come out group-pure (per-language training shards being the
+    * canonical use). Same chunk arithmetic over [[withGroupedOffset]].
+    */
+  def packChunksByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokCol: String,
+      seqLen: Long,
+      sortCol: Column): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    withGroupedOffset(df.filter(col(tokCol) > 0), groupCol, tokCol, sortCol)
+      .withColumn("e0", col("s0") + col(tokCol))
+      .withColumn(
+        "chunk_id",
+        explode(sequence(expr(s"s0 div $seqLen"), expr(s"(e0 - 1) div $seqLen"))))
+      .select(
+        col(groupCol),
         col(idCol),
         col("chunk_id"),
         (least(col("e0"), (col("chunk_id") + 1) * seqLen) -

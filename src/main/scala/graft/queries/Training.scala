@@ -63,6 +63,44 @@ object Training {
       covers = Seq("ext-pack-sequences")),
 
     // ------------------------------------------------------------------
+    // Per-LANGUAGE sequence packing: chunk ids restart per language, so
+    // training shards come out language-pure (mixing ratios then set by
+    // sampling shards, not re-tokenizing). Offsets come from the
+    // grouped two-phase prefix sum — range-partitioned on (lang, doc),
+    // so one hot language still spans many parallel tasks where a naive
+    // PARTITION BY lang window funnels it through one.
+    QueryDef(
+      "q_pack_by_lang",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(
+            col("lang"),
+            col("doc_id"),
+            size(regexp_extract_all(lower(col("text")), lit(TokenPat), lit(0)))
+              .cast("long").as("tok"))
+        graft.operators.Pack
+          .packChunksByGroup(toks, "lang", "doc_id", "tok", SeqLen, col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT lang, doc_id,
+              |    CAST(length(regexp_extract_all(lower(text), '$TokenPat')) AS BIGINT) AS tok
+              |  FROM documents),
+              |pre AS (
+              |  SELECT lang, doc_id, tok,
+              |    CAST(COALESCE(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
+              |  FROM toks WHERE tok > 0),
+              |spans AS (
+              |  SELECT lang, doc_id, tok, s0, s0 + tok AS e0,
+              |    unnest(generate_series(s0 // $SeqLen, (s0 + tok - 1) // $SeqLen)) AS chunk_id
+              |  FROM pre)
+              |SELECT lang, doc_id, chunk_id,
+              |  least(e0, (chunk_id + 1) * $SeqLen) - greatest(s0, chunk_id * $SeqLen)
+              |    AS tok_in_chunk
+              |FROM spans""".stripMargin),
+      covers = Seq("ext-pack-by-group")),
+
+    // ------------------------------------------------------------------
     // END-TO-END training-data export — the full curation pipeline in
     // ONE query, every stage the 100 TB formulation: exact dedup (keep
     // min doc_id per normalized fingerprint — one window on fp) →

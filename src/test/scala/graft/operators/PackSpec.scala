@@ -45,4 +45,45 @@ class PackSpec extends SparkSpec {
     assert(packed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
       Set((1L, 0L, 4L), (1L, 1L, 1L), (3L, 1L, 3L)))
   }
+
+  private def langToks = spark.read.parquet(s"$sf/documents.parquet")
+    .select(
+      col("lang"),
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("tok"))
+
+  test("grouped packing equals independent per-group global packing") {
+    val grouped = Pack
+      .packChunksByGroup(langToks, "lang", "doc_id", "tok", 512L, col("doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val langs = langToks.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length > 1, "fixture must span several languages")
+    val perLang = langs.flatMap { g =>
+      Pack.packChunks(
+        langToks.filter(col("lang") === g), "doc_id", "tok", 512L, col("doc_id"))
+        .collect().map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(grouped === perLang,
+      "per-group offsets must match running each group through the global packer alone")
+  }
+
+  test("grouped packing: chunk ids restart at 0 inside every group") {
+    val firsts = Pack
+      .packChunksByGroup(langToks, "lang", "doc_id", "tok", 512L, col("doc_id"))
+      .groupBy("lang").agg(min("chunk_id").as("first_chunk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(firsts.values.forall(_ == 0L), s"every group must start at chunk 0: $firsts")
+  }
+
+  test("grouped packing is invariant to the input's incoming partitioning") {
+    def run(parts: Int) = Pack
+      .packChunksByGroup(langToks.repartition(parts), "lang", "doc_id", "tok", 512L, col("doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(run(2) === run(17))
+  }
 }
