@@ -145,6 +145,78 @@ object Relational2 {
       covers = Seq("ext-asof")),
 
     // ------------------------------------------------------------------
+    // NEAREST as-of join — both directions, minimum |Δt| wins, backward
+    // on ties: the telemetry-alignment shape ("closest reading to each
+    // event") the one-sided as-of can't express. Same timeline-merge
+    // plan, ONE shuffle on user_id: a backward carry (last order ≤ t)
+    // and a forward carry (first order > t, same-instant orders belong
+    // to the backward side by the kind sort) over the merged stream,
+    // then row-level distance arithmetic picks the side. The oracle is
+    // the pair-exploding quadratic formulation with the identical
+    // (distance, backward-first, per-side key) tie ladder — viable only
+    // at oracle scale, which is the point of the merge plan.
+    QueryDef(
+      "q_asof_nearest",
+      (s, dir) => {
+        val ev = Session.events(s, dir)
+          .select(
+            col("user_id"),
+            col("ts").as("t"),
+            lit(1).as("kind"),
+            col("event_id"),
+            lit(null).cast("long").as("o_orderkey"))
+        val o = t(s, dir, "orders")
+          .select(
+            col("o_custkey").as("user_id"),
+            col("o_orderdate").cast("timestamp").as("t"),
+            lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"),
+            col("o_orderkey"))
+        val ord = when(col("kind") === 0, struct(col("t").as("ot"), col("o_orderkey").as("ok")))
+        val back = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("kind"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("kind"), col("o_orderkey"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        o.unionByName(ev)
+          .withColumn("prev", last(ord, ignoreNulls = true).over(back))
+          .withColumn("next", first(ord, ignoreNulls = true).over(fwd))
+          .filter(col("kind") === 1)
+          .withColumn("prev_d", unix_timestamp(col("t")) - unix_timestamp(col("prev.ot")))
+          .withColumn("next_d", unix_timestamp(col("next.ot")) - unix_timestamp(col("t")))
+          .withColumn(
+            "pick_prev",
+            col("next").isNull || (col("prev").isNotNull && col("prev_d") <= col("next_d")))
+          .filter(col("prev").isNotNull || col("next").isNotNull)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            when(col("pick_prev"), col("prev.ok")).otherwise(col("next.ok"))
+              .as("nearest_order"),
+            when(col("pick_prev"), col("prev_d")).otherwise(col("next_d"))
+              .as("dist_s"))
+      },
+      // dist floors the event timestamp to whole seconds FIRST (Spark's
+      // unix_timestamp semantics) — epoch() in the oracle dialect keeps
+      // fractional seconds, and a bare CAST would round them.
+      Some("""SELECT event_id, user_id, o_orderkey AS nearest_order, dist_s
+             |FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey,
+             |    abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+             |      - CAST(epoch(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)) AS dist_s,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY
+             |        abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+             |          - CAST(epoch(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)),
+             |        CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts THEN 0 ELSE 1 END,
+             |        CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+             |          THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+             |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+             |WHERE rn = 1""".stripMargin),
+      covers = Seq("ext-asof-nearest")),
+
+    // ------------------------------------------------------------------
     // Running aggregate with an explicit ROWS frame: prefix sums in one
     // pass per partition. Rounded at the values' own decimal count —
     // engines differ in sliding-sum accumulation strategy at the ulp.
