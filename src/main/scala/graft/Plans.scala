@@ -29,7 +29,8 @@ object Plans {
     "q_not_in_nulls" -> "NOT IN as null-aware broadcast anti join",
     "q_quantiles_by_key" -> "per-key rank-ceil selection: window sort + agg share ONE key shuffle",
     "q_source_cap_sample" -> "deterministic per-source cap: one shuffle, rank filter inside the window",
-    "q_multimodal_resize" -> "codegen'd cyclic P6 synthesis (repeat+substring) feeding the micro-batched real resize")
+    "q_multimodal_resize" -> "codegen'd cyclic P6 synthesis (repeat+substring) feeding the micro-batched real resize",
+    "q_asof_nearest" -> "nearest-either-direction as-of: dual window carries over ONE timeline-merge shuffle")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate

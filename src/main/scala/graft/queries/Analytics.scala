@@ -540,6 +540,45 @@ object Analytics {
       covers = Seq("ext-weighted-sample")),
 
     // ------------------------------------------------------------------
+    // PER-KEY weight-proportional sampling: the same deterministic
+    // Duffield–Lund–Thorup priority scheme as q_weighted_sample, but
+    // keeping the top 5 priorities PER SUPPLIER through the PartialTopK
+    // physical operator — map tasks ship ≤5 rows per key instead of the
+    // table, the per-source curation shape ("best k docs per domain,
+    // weighted by quality") at corpus scale.
+    QueryDef(
+      "q_weighted_sample_by_key",
+      (s, dir) => {
+        val v = conv(
+          substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber")).cast("binary")), 1, 15),
+          16, 10).cast("bigint")
+        val pri = t(s, dir, "lineitem")
+          .select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_quantity") /
+              ((v + lit(1L)).cast("double") / lit(1152921504606846976.0))).as("pri"))
+          .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber"))
+        graft.operators.TopK
+          .perKey(pri, Seq("l_suppkey"), "pri", "tie", 5)
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("rn").as("sample_rank"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, CAST(rn AS INT) AS sample_rank
+             |FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber,
+             |    row_number() OVER (PARTITION BY l_suppkey ORDER BY
+             |      l_quantity / ((CAST(concat('0x',
+             |          substr(md5(l_orderkey || '_' || l_linenumber), 1, 15)) AS BIGINT) + 1)
+             |        / 1152921504606846976.0) DESC,
+             |      l_orderkey * 10 + l_linenumber) AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 5""".stripMargin),
+      covers = Seq("ext-weighted-sample-by-key")),
+
+    // ------------------------------------------------------------------
     // Blocked sorted-neighborhood entity blocking: sort within a coarse
     // block (4-char name prefix), compare each record only to its w=2
     // sorted predecessors, keep near-matches (1 <= levenshtein <= 5;

@@ -338,6 +338,24 @@ class PlanQualitySpec extends SparkSpec {
       "the tiny query side must broadcast over the corpus scan")
   }
 
+  test("q_asof_nearest: both direction carries share ONE timeline-merge exchange") {
+    val plan = finalPlan("q_asof_nearest")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the union of orders+events shuffles once on user_id; both window
+    // carries and the distance projection ride that partitioning — a
+    // pair-exploding join (the oracle's formulation) must never appear
+    assert(finalSection.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      "nearest as-of is one shuffle: backward and forward carries share it")
+    assert(!finalSection.contains("SortMergeJoin") && !finalSection.contains("BroadcastHashJoin"),
+      "no pair-exploding join — the timeline merge IS the plan")
+  }
+
+  test("q_weighted_sample_by_key goes through PartialTopK") {
+    val plan = finalPlan("q_weighted_sample_by_key")
+    assert(plan.contains("PartialTopK"),
+      "per-key priority sampling must map-side prune, not window over the table")
+  }
+
   test("q_multimodal_resize synthesis stays inside whole-stage codegen") {
     val plan = finalPlan("q_multimodal_resize")
     // the P6 synthesis (repeat + substring) must be codegen'd row work in
