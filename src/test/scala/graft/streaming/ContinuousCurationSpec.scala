@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.MinHash
+import graft.sources.VersionedLake
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The continuous-curation loop end to end: a document stream is
+  * near-dup-checked against the STANDING corpus per micro-batch
+  * (incremental LSH — only the batch is band-exploded), survivors land
+  * in the versioned lake as an atomic snapshot per batch. This is the
+  * composition a TBs/day ingest actually runs; every piece is the
+  * operator the batch faces verify (MinHash.incrementalLshPairs,
+  * VersionedLake.appendCommit).
+  */
+class ContinuousCurationSpec extends SparkSpec {
+
+  test("streamed batches dedup against everything already admitted") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+
+    // long enough that a one-word edit keeps Jaccard ≈ 0.95 — deep inside
+    // the banding's recall region (and deterministic given the md5 family)
+    val base = (1 to 40).map(i => s"word$i").mkString(" ") + " the lazy dog sleeps"
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.cache()
+        val admitted =
+          if (VersionedLake.currentVersion(s, dir).isEmpty) b
+          else {
+            val standing = VersionedLake.read(s, dir)
+            val all = standing.unionByName(b)
+            // band the whole (small) index here; a production table keeps
+            // the (id, band, key) index persisted and appends per batch
+            val sig = MinHash.signatures(all, "doc_id", "text")
+            val newSig = sig.join(b.select("doc_id"), "doc_id")
+            val dupPairs = MinHash.incrementalLshPairs(
+              MinHash.bandRows(sig, "doc_id"), newSig, "doc_id")
+            // batch docs colliding with ANYTHING earlier (standing corpus
+            // or an earlier doc of the same batch) are rejects
+            val batchIds = b.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+            val rejects = dupPairs
+              .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+              .filter(col("doc_id").isin(batchIds.toSeq: _*))
+              .distinct()
+            b.join(rejects, Seq("doc_id"), "left_anti")
+          }
+        VersionedLake.appendCommit(admitted, dir): Unit
+        b.unpersist(): Unit
+      }
+      .start()
+    try {
+      in.addData((1L, base), (2L, "completely different words entirely here"))
+      q.processAllAvailable()
+      // batch 2: doc 3 near-duplicates doc 1 (one word changed), doc 4 fresh
+      in.addData(
+        (3L, base.replace("lazy", "sleepy")),
+        (4L, "novel content with no overlap whatsoever to prior documents"))
+      q.processAllAvailable()
+      // batch 3: doc 5 duplicates the REJECTED doc's ancestor again — must
+      // still be rejected against the standing corpus, not the reject
+      in.addData((5L, base))
+      q.processAllAvailable()
+
+      val admitted = VersionedLake.read(s, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(1L, 2L, 4L),
+        s"near-dups must be rejected against the standing corpus, got $admitted")
+      // time travel shows the admission history batch by batch
+      assert(VersionedLake.readVersion(s, dir, 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    } finally q.stop()
+  }
+}
