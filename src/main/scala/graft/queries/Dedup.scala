@@ -125,6 +125,59 @@ object Dedup {
       covers = Seq("ext-dedup-simhash")),
 
     // ------------------------------------------------------------------
+    // SimHash PAIRING: near-identical pairs by hamming distance ≤ 1 on
+    // 48-bit signatures (16 bits saturates on a topically-uniform
+    // corpus — measured 7k distance-0 pairs at sf0.01; 48 bits spreads
+    // random pairs to ~24). The scale path is the pigeonhole block
+    // join: split the signature into 4×12-bit blocks — distance ≤ 1
+    // leaves at least 3 blocks EQUAL — so candidates come from a
+    // shuffle on (block, value), linear in corpus + collisions, and
+    // only candidates pay the popcount verify. The oracle keeps the
+    // quadratic xor/bit_count formulation (identical output, viable
+    // only at oracle scale).
+    QueryDef(
+      "q_simhash_pairs",
+      (s, dir) => {
+        val bits = 48
+        val tok = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExprs.wordShingles(col("text"), 1)).as("w"))
+          .withColumn("h", MinHash.shingleHash(col("w")))
+        val sig = tok
+          .groupBy("doc_id")
+          .agg(
+            SimHash.voteCol(col("h"), 0),
+            (1 until bits).map(j => SimHash.voteCol(col("h"), j)): _*)
+          .select(col("doc_id"), SimHash.packBits(bits).as("sig"))
+        val blocks = sig.select(
+          col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("blk"),
+              shiftright(col("sig"), b * 12).bitwiseAND(lit(4095L)).as("nib"))): _*)).as("bk"))
+          .select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.nib").as("nib"))
+        blocks.as("a")
+          .join(
+            blocks.as("b"),
+            col("a.blk") === col("b.blk") && col("a.nib") === col("b.nib") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          .filter(col("hamming") <= 1)
+          .distinct()
+      },
+      Some(s"""WITH sigs AS (
+              |${SimHash.oracleFor(48, "sig")}
+              |)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+              |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.sig, b.sig)) <= 1""".stripMargin),
+      covers = Seq("ext-simhash-pairs")),
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup pairs, label-blocked (realistic blocking
     // key keeps the pair space linear-ish; the unblocked scale path is the
     // random-projection LSH in graft.operators.Similarity).
@@ -518,18 +571,22 @@ object SimHash {
     sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       .as(s"s$j")
 
-  /** packs the vote signs s0..s15 into a single BIGINT. */
-  def packBits(): Column =
-    (0 until Bits)
+  /** packs the vote signs s0..s{bits-1} into a single BIGINT. */
+  def packBits(bits: Int = Bits): Column =
+    (0 until bits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
       .cast("long")
 
-  val oracle: String = {
-    val votes = (0 until Bits)
+  /** DuckDB replay of the signature at any width (≤ 60 usable bits of
+    * the md5-derived hash), aliased as requested.
+    */
+  def oracleFor(bits: Int, alias: String = "simhash"): String = {
+    require(bits >= 1 && bits <= 60, s"simhash width 1..60, got $bits")
+    val votes = (0 until bits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n    ")
-    val pack = (0 until Bits)
+    val pack = (0 until bits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH tok AS (
@@ -543,6 +600,8 @@ object SimHash {
        |  SELECT doc_id,
        |    $votes
        |  FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes""".stripMargin
+       |SELECT doc_id, CAST($pack AS BIGINT) AS $alias FROM votes""".stripMargin
   }
+
+  val oracle: String = oracleFor(Bits)
 }
