@@ -241,4 +241,50 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node whose degree in the REMAINING subgraph is < k, until none is —
+    * the classic cohesive-subgraph / spam-farm detector. Returns the
+    * surviving nodes with their in-core degree: `(id, core_deg)`.
+    *
+    * `edges` is treated as undirected: callers pass the symmetric edge
+    * set (both directions present), self-loops and multi-edges already
+    * resolved to taste — degree here is COUNT of incident edge rows, so a
+    * distinct symmetric set gives simple-graph degree.
+    *
+    * Scale shape: each round is one degree aggregation (shuffle on src,
+    * partial-aggregated map-side) plus two anti-joins of the edge set
+    * against the DELETED node set. The deleted set per round is the
+    * peeling frontier — typically small and broadcast by AQE; the edge
+    * frame shrinks monotonically and is `localCheckpoint`ed per round so
+    * lineage stays O(1) in rounds (the [[pageRank]] discipline). Rounds
+    * are bounded by the degeneracy ordering depth — O(log n) on
+    * power-law graphs in practice; `maxRounds` is a safety valve and the
+    * return includes no partial peel: hitting it means "not converged",
+    * callers needing certainty check [[kCoreRounds]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame =
+    kCoreIter(edges, k, maxRounds)._1
+
+  /** [[kCore]] + the number of peel rounds actually run (spec hook). */
+  def kCoreIter(edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    require(k >= 1, s"k-core wants k >= 1, got $k")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var round = 0
+    var done = false
+    var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+    while (round < maxRounds && !done) {
+      val doomed = deg.filter(col("core_deg") < k).select(col("id"))
+      if (doomed.isEmpty) done = true
+      else {
+        e = e
+          .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .localCheckpoint()
+        deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+        round += 1
+      }
+    }
+    (deg, round)
+  }
 }

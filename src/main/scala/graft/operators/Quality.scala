@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint verification (the Deequ idea:
+  * arbitrary per-table constraints compiled into ONE aggregation pass per
+  * table, so a 50-check audit of a 100 TB table costs one scan, not 50).
+  *
+  * Reference analogue: the audit-count step the FFI pipeline runs after
+  * every merge (reference `exporter/audit.py` counts rows per table); this
+  * generalizes it to content constraints — completeness, uniqueness,
+  * domain/range membership, referential integrity — each reported as a
+  * `(check_name, violations)` row so a curation gate can alert on any
+  * non-zero count.
+  *
+  * Scale shape:
+  *  - [[suite]] folds every single-table check into one `agg(...)` —
+  *    row predicates become conditional sums (partial-aggregated map-side,
+  *    one exchange of ONE row); uniqueness checks add `count(distinct …)`
+  *    terms, which Catalyst plans via Expand — still a single scan, with
+  *    shuffle volume proportional to distinct keys, the unavoidable cost
+  *    of an exact uniqueness audit.
+  *  - [[fkOrphans]] is a left-anti join child→parent on the key: Catalyst
+  *    broadcasts the parent side when small, shuffle-joins otherwise;
+  *    either way the count partial-aggregates to one row per task.
+  */
+object Quality {
+
+  sealed trait Check { def name: String }
+
+  /** violations = rows where `bad` is true (range / domain / format). */
+  final case class RowCheck(name: String, bad: Column) extends Check
+
+  /** violations = rows with a NULL in `column`. */
+  final case class Completeness(name: String, column: String) extends Check
+
+  /** violations = total rows − distinct key combinations (0 ⇔ unique). */
+  final case class Uniqueness(name: String, cols: Seq[String]) extends Check
+
+  /** All `checks` over `df` in one aggregation pass →
+    * `(check_name string, violations bigint)`, one row per check.
+    */
+  def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "suite needs at least one check")
+    val aggs = checks.map {
+      case RowCheck(n, bad) =>
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(n)
+      case Completeness(n, c) =>
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(n)
+      case Uniqueness(n, cs) =>
+        (count(lit(1)) - count_distinct(struct(cs.map(col): _*))).as(n)
+    }
+    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+    // one row → one (check_name, violations) row per metric
+    val pairs = checks
+      .map(c => s"'${c.name}', `${c.name}`")
+      .mkString(", ")
+    oneRow.selectExpr(
+      s"stack(${checks.size}, $pairs) AS (check_name, violations)")
+  }
+
+  /** Referential-integrity audit: child rows whose `childKey` has no match
+    * in `parent.parentKey` (NULL child keys are not orphans — SQL FK
+    * semantics). One `(check_name, violations)` row.
+    */
+  def fkOrphans(
+      name: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame =
+    child
+      .filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
+}

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  // Declared before `defs` (a forward val reference is 0 at object init).
+  private val KCoreK = 45
+  private val KCoreRounds = 8
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Heavy hitters with count-min-sketch pruning. The 100 TB shape: ONE
@@ -857,6 +861,52 @@ object Analytics {
              |  quantile_disc(o_totalprice, 0.5) AS p50,
              |  quantile_disc(o_totalprice, 0.75) AS p75
              |FROM orders GROUP BY o_custkey""".stripMargin),
-      covers = Seq("ext-quantiles-by-key"))
+      covers = Seq("ext-quantiles-by-key")),
+
+    // ------------------------------------------------------------------
+    // k-core decomposition (operators.Graph.kCore) of the undirected
+    // distinct customer–supplier co-trade graph: peel nodes with degree
+    // < 45 until none remain — the cohesive-subgraph extractor (dense
+    // trading communities; on a near-dup pair graph, the "everything
+    // resembles everything" boilerplate clusters). The oracle unrolls
+    // EXACTLY KCoreRounds peel rounds; the Spark side passes the same
+    // bound, and a peel round past the fixpoint is a no-op in both
+    // engines, so the two results are identical for ANY data — converged
+    // or not (GraphSpec pins multi-round cascades on planted paths; this
+    // graph converges in 1 round, sparing the oracle a 30-deep unroll).
+    QueryDef(
+      "q_kcore",
+      (s, dir) => {
+        val co = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val edges = co.union(co.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.kCore(edges, KCoreK, maxRounds = KCoreRounds)
+      },
+      Some {
+        // Every e_r is referenced twice (degree agg + next round's FROM);
+        // MATERIALIZED stops DuckDB's CTE inlining turning the unroll
+        // into 2^rounds duplicated scans of the base tables.
+        val rounds = (0 until KCoreRounds)
+          .map { r =>
+            s"""d$r AS (SELECT src AS id, count(*) AS cd FROM e$r GROUP BY 1),
+               |bad$r AS (SELECT id FROM d$r WHERE cd < $KCoreK),
+               |e${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$r e
+               |  ANTI JOIN bad$r a ON e.src = a.id
+               |  ANTI JOIN bad$r b ON e.dst = b.id)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH co AS (
+           |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e0 AS MATERIALIZED (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+           |$rounds
+           |SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
+           |FROM e$KCoreRounds GROUP BY 1""".stripMargin
+      },
+      covers = Seq("ext-kcore"))
   )
 }

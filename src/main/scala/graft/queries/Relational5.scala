@@ -226,6 +226,76 @@ object Relational5 {
              |WHERE uid NOT IN
              |  (SELECT o_custkey FROM orders
              |   WHERE o_orderstatus = 'P' AND o_totalprice > 200000)""".stripMargin),
-      covers = Seq("ext-not-in-nulls", "2.7"))
+      covers = Seq("ext-not-in-nulls", "2.7")),
+
+    // ------------------------------------------------------------------
+    // CDC change-log apply (Debezium-style MERGE materialization): the
+    // event stream is read as a per-key change log — updates carry
+    // PARTIAL column payloads (NULL = "column unchanged"), tombstones
+    // delete the key, and a key can be RECREATED by updates after its
+    // tombstone. Final state per key = last non-NULL payload per column
+    // among post-tombstone changes; keys with nothing after their last
+    // tombstone are gone. Shape: the tombstone frontier is a tiny
+    // per-key agg (broadcast to the log), then ONE shuffle of the log on
+    // the key serves both IGNORE NULLS last_value windows and the
+    // keep-latest row_number — the 100 TB cost is one exchange of the
+    // change log, never a self-join per column.
+    QueryDef(
+      "q_cdc_apply",
+      (s, dir) => {
+        val log = t(s, dir, "events").select(
+          (col("user_id") % 500).as("k"), col("ts"), col("event_id"),
+          when(col("event_type") === "error" && col("event_id") % 7 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          when(col("event_type").isin("click", "purchase"), col("value"))
+            .as("upd_value"),
+          when(col("event_type") === "signup", lit("active"))
+            .when(col("event_type") === "purchase", lit("premium"))
+            .as("upd_status"))
+        val tomb = log.filter(col("op") === "D")
+          .groupBy("k")
+          .agg(max(struct(col("ts"), col("event_id"))).as("tmb"))
+        val live = log
+          .join(broadcast(tomb), Seq("k"), "left")
+          .filter(col("tmb").isNull ||
+            struct(col("ts"), col("event_id")) > col("tmb"))
+        val frame = Window.partitionBy("k").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        live
+          .withColumn("last_value",
+            last(col("upd_value"), ignoreNulls = true).over(frame))
+          .withColumn("status",
+            last(col("upd_status"), ignoreNulls = true).over(frame))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("last_value"), col("status"))
+      },
+      Some("""WITH log AS (
+             |  SELECT user_id % 500 AS k, ts, event_id,
+             |    CASE WHEN event_type = 'error' AND event_id % 7 = 0
+             |         THEN 'D' ELSE 'U' END AS op,
+             |    CASE WHEN event_type IN ('click', 'purchase')
+             |         THEN value END AS upd_value,
+             |    CASE WHEN event_type = 'signup' THEN 'active'
+             |         WHEN event_type = 'purchase' THEN 'premium'
+             |         END AS upd_status
+             |  FROM events),
+             |tomb AS (
+             |  SELECT k, ts, event_id FROM log WHERE op = 'D'
+             |  QUALIFY row_number() OVER (PARTITION BY k
+             |    ORDER BY ts DESC, event_id DESC) = 1),
+             |live AS (
+             |  SELECT l.* FROM log l LEFT JOIN tomb t USING (k)
+             |  WHERE t.ts IS NULL OR (l.ts, l.event_id) > (t.ts, t.event_id))
+             |SELECT k,
+             |  last_value(upd_value IGNORE NULLS) OVER w AS last_value,
+             |  last_value(upd_status IGNORE NULLS) OVER w AS status
+             |FROM live
+             |WINDOW w AS (PARTITION BY k ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |QUALIFY row_number() OVER (PARTITION BY k
+             |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
+      covers = Seq("ext-cdc-apply"))
   )
 }

@@ -614,6 +614,83 @@ object Text {
              |  FROM merged CROSS JOIN tot)
              |SELECT w, round(pp * ln(pp / qq), 9) AS kl FROM sm
              |ORDER BY kl DESC, w LIMIT 20""".stripMargin),
-      covers = Seq("ext-kl-divergence"))
+      covers = Seq("ext-kl-divergence")),
+
+    // ------------------------------------------------------------------
+    // Corpus-level boilerplate REMOVAL (the CCNet / RefinedWeb pass that
+    // dedup-by-document cannot do): a word 3-gram occurring in >= 3
+    // DISTINCT documents is boilerplate (headers, footers, license
+    // blurbs); every word covered by such a span is struck, and each doc
+    // is REASSEMBLED from its surviving words in position order. Shape:
+    // one posexplode of the corpus into (doc, pos, word); gram building
+    // is per-row array work (no shuffle); the global gram-frequency agg
+    // is the one corpus-sized shuffle (map-side partial on gram hash);
+    // covered positions come from exploding each boilerplate occurrence
+    // into its 3 positions — exact set semantics, never a range join;
+    // reassembly sorts WITHIN each doc group (sort_array over collected
+    // (pos, word) structs — bounded by doc length, not corpus).
+    QueryDef(
+      "q_boilerplate_strip",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextExprs.wordTokens(col("text")).as("ws"))
+        val words = toks.select(col("doc_id"),
+          posexplode(col("ws")).as(Seq("pos", "w")))
+        val grams = toks
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(ws) - 3),
+              |  i -> struct(i AS pos, array_join(slice(ws, i + 1, 3), ' ') AS g))"""
+              .stripMargin)).as("x"))
+          .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+        val boiler = grams.groupBy("g")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 3)
+          .select("g")
+        val covered = grams.join(boiler, Seq("g"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+          .distinct()
+        words.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(
+            array_join(
+              transform(
+                sort_array(collect_list(struct(col("pos"), col("w")))),
+                x => x("w")),
+              " ").as("clean_text"),
+            count(lit(1)).as("n_kept"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '') AS ws
+             |  FROM documents),
+             |words AS (
+             |  SELECT doc_id, unnest(ws) AS w,
+             |    unnest(range(len(ws))) AS pos
+             |  FROM toks),
+             |grams AS (
+             |  SELECT doc_id, unnest(range(len(ws) - 2)) AS pos,
+             |    unnest([ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]
+             |            for i in range(len(ws) - 2)]) AS g
+             |  FROM toks WHERE len(ws) >= 3),
+             |boiler AS (
+             |  SELECT g FROM grams GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 3),
+             |cov AS (
+             |  SELECT DISTINCT gr.doc_id, gr.pos + d.d AS pos
+             |  FROM grams gr JOIN boiler b USING (g),
+             |    (VALUES (0), (1), (2)) d(d)),
+             |kept AS (
+             |  SELECT w.doc_id, w.pos, w.w
+             |  FROM words w ANTI JOIN cov c
+             |    ON c.doc_id = w.doc_id AND c.pos = w.pos)
+             |SELECT doc_id,
+             |  string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_kept
+             |FROM kept GROUP BY 1""".stripMargin),
+      covers = Seq("ext-boilerplate-strip"))
   )
 }

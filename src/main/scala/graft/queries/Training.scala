@@ -22,6 +22,8 @@ object Training {
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  private val MixTargetN = 200L
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Concat-and-chunk sequence packing (operators.Pack): documents in
@@ -309,6 +311,116 @@ object Training {
               |  CAST(length(red) AS INT) AS red_len,
               |  md5(red) AS red_digest
               |FROM r""".stripMargin),
-      covers = Seq("ext-pii-redact"))
+      covers = Seq("ext-pii-redact")),
+
+    // ------------------------------------------------------------------
+    // Temperature-based source mixing (the multilingual-corpus sampling
+    // rule: p_i ∝ n_i^α with α < 1 flattens the source distribution so
+    // head sources stop drowning the tail). Quotas are computed on the
+    // per-source COUNTS (a tiny agg), then each source contributes its
+    // quota of md5-priority-ranked docs. All quota arithmetic is INTEGER
+    // (weights scaled to ⌊√n·10⁶⌋ before summing) — no float summation
+    // order to disagree on. Selection is one row_number window per
+    // source; at 100 TB the per-source rank uses the PartialTopK pruning
+    // (k ≤ the total target N, so map tasks forward ≤N rows per source).
+    QueryDef(
+      "q_temperature_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", floor(sqrt(col("n")) * lit(1000000)).cast("long"))
+        val quotas = counts
+          .crossJoin(broadcast(counts.agg(sum(col("w")).as("tw"))))
+          .withColumn("quota", expr(s"($MixTargetN * w) div tw"))
+        docs
+          .withColumn("pri",
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))))
+          .join(broadcast(quotas.select("source", "quota")), Seq("source"))
+          .filter(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rn").as("mix_rank"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT source,
+              |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+              |  FROM documents GROUP BY 1),
+              |quota AS (
+              |  SELECT source, ($MixTargetN * w) // (SELECT sum(w) FROM q) AS quota
+              |  FROM q),
+              |ranked AS (
+              |  SELECT doc_id, source,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+              |      AS mix_rank
+              |  FROM documents)
+              |SELECT doc_id, r.source, CAST(mix_rank AS INT) AS mix_rank
+              |FROM ranked r JOIN quota USING (source)
+              |WHERE mix_rank <= quota""".stripMargin),
+      covers = Seq("ext-temperature-mix")),
+
+    // ------------------------------------------------------------------
+    // Data-quality constraint verification (operators.Quality — the
+    // Deequ idea): a declarative check suite compiled into ONE
+    // aggregation pass per table plus one anti-join per FK, each check a
+    // (check_name, violations) row — the audit gate a curation pipeline
+    // runs before promoting a snapshot. The uniqueness check is exact
+    // (count distinct via Expand, one scan); the FK orphan check leaves
+    // build-side choice to Catalyst/AQE (broadcast when the parent key
+    // set is small, shuffle join otherwise).
+    QueryDef(
+      "q_dq_checks",
+      (s, dir) => {
+        import graft.operators.Quality
+        import graft.operators.Quality.{Completeness, RowCheck, Uniqueness}
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val ordersChecks = Quality.suite(orders, Seq(
+          Uniqueness("orders_pk_unique", Seq("o_orderkey")),
+          Completeness("orders_custkey_complete", "o_custkey"),
+          RowCheck("orders_price_nonneg", col("o_totalprice") < 0)))
+        val liChecks = Quality.suite(li, Seq(
+          RowCheck("lineitem_qty_range",
+            col("l_quantity") < 1 || col("l_quantity") > 50)))
+        val evChecks = Quality.suite(t(s, dir, "events"), Seq(
+          RowCheck("events_type_domain",
+            !col("event_type").isin("click", "view", "purchase", "signup", "error"))))
+        val docChecks = Quality.suite(t(s, dir, "documents"), Seq(
+          RowCheck("documents_nonempty", length(col("text")) === 0)))
+        val fk = Quality.fkOrphans(
+          "lineitem_fk_orders", li, "l_orderkey", orders, "o_orderkey")
+        ordersChecks
+          .unionByName(liChecks).unionByName(evChecks)
+          .unionByName(docChecks).unionByName(fk)
+      },
+      Some("""SELECT 'orders_pk_unique' AS check_name,
+             |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'orders_custkey_complete',
+             |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'orders_price_nonneg',
+             |  CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'lineitem_qty_range',
+             |  CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'events_type_domain',
+             |  CAST(count(*) FILTER (WHERE event_type NOT IN
+             |    ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'documents_nonempty',
+             |  CAST(count(*) FILTER (WHERE length(text) = 0) AS BIGINT) FROM documents
+             |UNION ALL
+             |SELECT 'lineitem_fk_orders',
+             |  CAST(count(*) AS BIGINT)
+             |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_orderkey IS NOT NULL""".stripMargin),
+      covers = Seq("ext-dq-checks", "S7"))
   )
 }

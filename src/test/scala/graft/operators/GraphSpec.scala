@@ -197,4 +197,50 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - full(r.getLong(0))) < 1e-8)
     }
   }
+
+  private def edgeDf(edges: Seq[(Long, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 2)).toDF("src", "dst")
+
+  test("kCore: path graph cascades — endpoints peel round by round to empty") {
+    // 0-1-…-9: only ever the two endpoints have degree < 2, so k=2
+    // peels exactly 2 nodes per round — the multi-round cascade the
+    // uniform co-trade fixture graph cannot produce (q_kcore converges
+    // there in one round; THIS pins the iteration logic).
+    val path = undirected((0L to 8L).map(i => (i, i + 1)): _*)
+    val (core, rounds) = Graph.kCoreIter(edgeDf(path), 2, maxRounds = 30)
+    assert(core.isEmpty, "a path has no 2-core")
+    assert(rounds === 5, s"10-node path peels in 5 rounds, got $rounds")
+  }
+
+  test("kCore: clique survives intact after pendants peel") {
+    // K4 (degree 3 everywhere) + a pendant hanging off node 0: k=3
+    // removes the pendant in round 1, which leaves K4 exactly at
+    // degree 3 — fixpoint with the full clique and its true core degree.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val (core, rounds) =
+      Graph.kCoreIter(edgeDf(undirected(k4 :+ (0L -> 4L): _*)), 3, maxRounds = 30)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds === 1)
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCore: maxRounds truncates the peel deterministically (oracle contract)") {
+    // The oracle unrolls EXACTLY maxRounds rounds; the operator must
+    // produce the same not-yet-converged state when stopped early —
+    // including nodes still below k.
+    val path = undirected((0L to 8L).map(i => (i, i + 1)): _*)
+    val (core, rounds) = Graph.kCoreIter(edgeDf(path), 2, maxRounds = 2)
+    assert(rounds === 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (2L to 7L).toSet, "rounds 1+2 peel {0,9} then {1,8}")
+    assert(got(2L) === 1L && got(7L) === 1L, "truncated peel keeps sub-k nodes")
+  }
+
+  test("kCore: k=1 drops isolated-by-peeling nothing on a clique") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val (core, rounds) = Graph.kCoreIter(edgeDf(undirected(k4: _*)), 1, maxRounds = 5)
+    assert(rounds === 0, "already a 1-core: zero peel rounds")
+    assert(core.count() === 4)
+  }
 }
