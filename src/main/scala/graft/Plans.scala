@@ -30,7 +30,12 @@ object Plans {
     "q_quantiles_by_key" -> "per-key rank-ceil selection: window sort + agg share ONE key shuffle",
     "q_source_cap_sample" -> "deterministic per-source cap: one shuffle, rank filter inside the window",
     "q_multimodal_resize" -> "codegen'd cyclic P6 synthesis (repeat+substring) feeding the micro-batched real resize",
-    "q_asof_nearest" -> "nearest-either-direction as-of: dual window carries over ONE timeline-merge shuffle")
+    "q_asof_nearest" -> "nearest-either-direction as-of: dual window carries over ONE timeline-merge shuffle",
+    "q_cdc_apply" -> "CDC apply: tombstone frontier broadcast, ONE change-log shuffle for both IGNORE NULLS windows",
+    "q_temperature_mix" -> "temperature mixing: integer quota math on the counts frame, quotas broadcast onto ranked corpus",
+    "q_dq_checks" -> "DQ suite: N checks = ONE aggregation pass per table (uniqueness via Expand), FK orphans anti-join",
+    "q_market_basket" -> "frequent pairs: per-basket self-join (C(k,2) fan-out), item counts broadcast onto frequent tail",
+    "q_incremental_agg" -> "view maintenance: state merge is O(groups), the exchange never carries table-sized frames")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate

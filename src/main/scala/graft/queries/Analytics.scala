@@ -907,6 +907,131 @@ object Analytics {
            |SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
            |FROM e$KCoreRounds GROUP BY 1""".stripMargin
       },
-      covers = Seq("ext-kcore"))
+      covers = Seq("ext-kcore")),
+
+    // ------------------------------------------------------------------
+    // Market-basket mining: frequent co-ordered part PAIRS with support,
+    // confidence and lift — the association-rule primitive. Pair
+    // generation is the per-basket self-join on the order key: fan-out
+    // is C(k,2) with k = items per basket (single digits here and in any
+    // real basket schema), so the join output is O(orders · k²), not
+    // O(parts²); the support filter then collapses it to the frequent
+    // tail. Item counts join back onto the (already tiny) frequent-pair
+    // frame — AQE broadcasts them. Every ratio is ONE double division of
+    // exact integers (products < 2^53), so no rounding is needed for the
+    // cross-engine hash.
+    QueryDef(
+      "q_market_basket",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val norders = li.agg(count_distinct(col("ok")).as("n_orders"))
+        val icnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("support_cnt"))
+          .filter(col("support_cnt") >= 3)
+        pairs
+          .join(icnt.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+          .join(icnt.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+          .crossJoin(broadcast(norders))
+          .select(
+            col("pa"), col("pb"), col("support_cnt"),
+            (col("support_cnt") * lit(1.0) / col("n_orders")).as("support"),
+            (col("support_cnt") * lit(1.0) / col("ca")).as("confidence"),
+            (col("support_cnt") * col("n_orders") * lit(1.0) /
+              (col("ca") * col("cb"))).as("lift"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |           FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+             |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+             |p AS (SELECT a.pk AS pa, b.pk AS pb,
+             |        CAST(count(*) AS BIGINT) AS support_cnt
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |      GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, support_cnt,
+             |  support_cnt * 1.0 / n_orders AS support,
+             |  support_cnt * 1.0 / ca.c AS confidence,
+             |  (support_cnt * n_orders) * 1.0 / (ca.c * cb.c) AS lift
+             |FROM p JOIN ic ca ON ca.pk = p.pa JOIN ic cb ON cb.pk = p.pb
+             |CROSS JOIN n""".stripMargin),
+      covers = Seq("ext-market-basket")),
+
+    // ------------------------------------------------------------------
+    // Incremental materialized-view maintenance
+    // (operators.ViewMaintenance): the orders rollup is maintained as
+    // base-view + delta-batch MERGED ON AGGREGATE STATE — counts/sums
+    // merge by summing, min/max by min/max — instead of rescanning the
+    // base. The oracle replays the same two-phase merge; the companion
+    // spec proves merge == full recompute. At 100 TB the merge touches
+    // O(groups + delta) rows; the recompute it replaces reads the table.
+    QueryDef(
+      "q_incremental_agg",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        def slice(p: org.apache.spark.sql.Column) = orders.filter(p)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice")).as("total"),
+            min(col("o_orderdate")).as("first_dt"),
+            max(col("o_orderdate")).as("last_dt"))
+        val base = slice(col("o_orderkey") % 10 =!= 0)
+        val delta = slice(col("o_orderkey") % 10 === 0)
+        graft.operators.ViewMaintenance
+          .merge(Seq(base, delta), Seq("o_orderstatus"),
+            Seq("n" -> "sum", "total" -> "sum",
+              "first_dt" -> "min", "last_dt" -> "max"))
+          .select(col("o_orderstatus"), col("n"),
+            round(col("total"), 2).as("total"),
+            col("first_dt"), col("last_dt"))
+      },
+      Some("""WITH sliced AS (
+             |  SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS s,
+             |    min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+             |  FROM orders GROUP BY o_orderstatus, o_orderkey % 10 = 0)
+             |SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
+             |  round(sum(s), 2) AS total,
+             |  min(first_dt) AS first_dt, max(last_dt) AS last_dt
+             |FROM sliced GROUP BY 1""".stripMargin),
+      covers = Seq("ext-incremental-agg")),
+
+    // ------------------------------------------------------------------
+    // Incrementally-maintained DISTINCT count (operators.DistinctSketch):
+    // the one aggregate ViewMaintenance.merge cannot express as
+    // sum/min/max — per-group distinct customers, maintained as KMV
+    // sketch STATE per batch and folded at refresh. KMV state (the k
+    // smallest distinct hashes) is merge-order independent, so the
+    // result is hash-comparable; below k distinct values the state IS
+    // the exact set, which is this fixture's regime — the oracle is
+    // plain count(DISTINCT). Above k the (k−1)/u_k estimator takes over
+    // (DistinctSketchSpec bounds it ±5%); state stays O(k) longs per
+    // group, the shuffle carries sketches, never customer ids.
+    QueryDef(
+      "q_distinct_maintained",
+      (s, dir) => {
+        import graft.operators.DistinctSketch
+        val hashed = t(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          DistinctSketch.hashed(col("o_custkey")).as("h"),
+          col("o_orderkey"))
+        val state = udaf(new DistinctSketch.KmvStateAgg())
+        def batch(p: org.apache.spark.sql.Column) = hashed.filter(p)
+          .groupBy("grp").agg(state(col("h")).as("st"))
+        val view = batch(col("o_orderkey") % 10 =!= 0)
+        val delta = batch(col("o_orderkey") % 10 === 0)
+        val fold = udaf(new DistinctSketch.KmvMergeAgg())
+        view.unionByName(delta)
+          .groupBy("grp")
+          .agg(fold(col("st")).as("n_customers"))
+      },
+      Some("""SELECT o_orderpriority AS grp,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+             |FROM orders GROUP BY 1""".stripMargin),
+      covers = Seq("ext-distinct-maintained"))
   )
 }

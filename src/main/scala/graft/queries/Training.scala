@@ -331,8 +331,11 @@ object Training {
         val counts = docs.groupBy("source")
           .agg(count(lit(1)).as("n"))
           .withColumn("w", floor(sqrt(col("n")) * lit(1000000)).cast("long"))
+        // total weight via a window over the |sources|-row counts frame —
+        // a second aggregation branch would re-scan the corpus (no
+        // exchange reuse across the join's null filter)
         val quotas = counts
-          .crossJoin(broadcast(counts.agg(sum(col("w")).as("tw"))))
+          .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
           .withColumn("quota", expr(s"($MixTargetN * w) div tw"))
         docs
           .withColumn("pri",

@@ -364,4 +364,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"),
       "cyclic pixel synthesis must not use interpreted higher-order functions")
   }
+
+  private def hashExchanges(planSection: String): Int =
+    planSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("q_cdc_apply: one log shuffle serves both windows; tombstones broadcast") {
+    val plan = finalPlan("q_cdc_apply")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // exactly two key exchanges exist: the tombstone-frontier agg (tiny)
+    // and THE change-log shuffle — both IGNORE NULLS last_value windows
+    // and the keep-latest row_number must ride the latter, never add a
+    // third exchange or a per-column self-join
+    assert(hashExchanges(finalSection) == 2,
+      s"expected tombstone agg + one log shuffle, got:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the tombstone frontier must broadcast over the log")
+  }
+
+  test("q_temperature_mix: quota math on the counts frame; one corpus window") {
+    val plan = finalPlan("q_temperature_mix")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // source-count agg + the per-source rank window: two key exchanges;
+    // the quota join must broadcast (quota frame is ~|sources| rows)
+    assert(hashExchanges(finalSection) == 2,
+      s"expected counts agg + rank window only, got:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "quotas must broadcast-join onto the ranked corpus")
+  }
+
+  test("q_boilerplate_strip: gram frequency partial-aggregates, no range join") {
+    val plan = finalPlan("q_boilerplate_strip")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "the gram-document frequency agg must map-side combine")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "covered positions come from exploding occurrences — never a range join")
+  }
 }
