@@ -45,9 +45,9 @@ object DistinctSketch {
     */
   final case class KmvBuf(var vs: Array[Long], var size: Int)
 
-  private def emptyBuf(k: Int): KmvBuf = KmvBuf(new Array[Long](k), 0)
+  private[graft] def emptyBuf(k: Int): KmvBuf = KmvBuf(new Array[Long](k), 0)
 
-  private def insert(b: KmvBuf, v: Long, k: Int): Unit = {
+  private[graft] def insert(b: KmvBuf, v: Long, k: Int): Unit = {
     if (b.size == k && v >= b.vs(k - 1)) return
     val at = java.util.Arrays.binarySearch(b.vs, 0, b.size, v)
     if (at >= 0) return // already present
@@ -77,7 +77,7 @@ object DistinctSketch {
     a
   }
 
-  private def estimate(b: KmvBuf, k: Int): Long =
+  private[graft] def estimate(b: KmvBuf, k: Int): Long =
     if (b.size < k) b.size.toLong
     else {
       // u_k = the k-th smallest hash as a fraction of the 64-bit space;

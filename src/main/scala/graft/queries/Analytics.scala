@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   // Declared before `defs` (a forward val reference is 0 at object init).
-  private val KCoreK = 45
+  private val KCoreK = 9
   private val KCoreRounds = 8
 
   val defs: Seq[QueryDef] = Seq(
@@ -866,7 +866,8 @@ object Analytics {
     // ------------------------------------------------------------------
     // k-core decomposition (operators.Graph.kCore) of the undirected
     // distinct customer–supplier co-trade graph: peel nodes with degree
-    // < 45 until none remain — the cohesive-subgraph extractor (dense
+    // < 9 until none remain (9 keeps a non-empty core at EVERY test SF —
+    // the sf0.001 graph's max customer degree is its 10 suppliers) — the cohesive-subgraph extractor (dense
     // trading communities; on a near-dup pair graph, the "everything
     // resembles everything" boilerplate clusters). The oracle unrolls
     // EXACTLY KCoreRounds peel rounds; the Spark side passes the same
@@ -1032,6 +1033,52 @@ object Analytics {
       Some("""SELECT o_orderpriority AS grp,
              |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
              |FROM orders GROUP BY 1""".stripMargin),
-      covers = Seq("ext-distinct-maintained"))
+      covers = Seq("ext-distinct-maintained")),
+
+    // ------------------------------------------------------------------
+    // Robust (modified) z-score per group: 0.6745·(x − median)/MAD — the
+    // outlier score that survives the outliers it hunts, where
+    // q_anomaly_zscore's mean/σ gets dragged by them. Median and MAD are
+    // rank-exact (QuantileSketch.quantilesByKeyExact, quantile_disc
+    // semantics), so the score is bit-exact across engines before the
+    // final 6-decimal round. Cost shape is the honest two-pass robust
+    // price: one key shuffle for the median, one for the deviation
+    // median; both stat frames are O(groups) and broadcast back. (At
+    // 10⁸ keys swap the exact faces for KllAgg sketches — same query
+    // shape, one partial-agg shuffle each.)
+    QueryDef(
+      "q_robust_zscore",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+        val med = graft.operators.QuantileSketch
+          .quantilesByKeyExact(o, "grp", "v", Seq(0.5))
+          .select(col("grp"), col("p50").as("med"))
+        val dev = o.join(broadcast(med), Seq("grp"))
+          .withColumn("ad", abs(col("v") - col("med")))
+        val mad = graft.operators.QuantileSketch
+          .quantilesByKeyExact(dev, "grp", "ad", Seq(0.5))
+          .select(col("grp"), col("p50").as("mad"))
+        dev.join(broadcast(mad), Seq("grp"))
+          .select(
+            col("o_orderkey"), col("grp"),
+            round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6).as("mz"))
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderpriority AS grp,
+             |    quantile_disc(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY 1),
+             |dev AS (
+             |  SELECT o_orderkey, o.o_orderpriority AS grp,
+             |    o_totalprice AS v, med
+             |  FROM orders o JOIN med ON o.o_orderpriority = med.grp),
+             |mad AS (
+             |  SELECT grp, quantile_disc(abs(v - med), 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT o_orderkey, d.grp, round(0.6745 * (v - med) / mad, 6) AS mz
+             |FROM dev d JOIN mad USING (grp)""".stripMargin),
+      covers = Seq("ext-robust-zscore"))
   )
 }

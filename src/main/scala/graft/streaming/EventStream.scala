@@ -284,6 +284,38 @@ object EventStream {
     * spec's determinism handle. Batch face: groupBy + udaf(KllAgg) over
     * the same buffers (QuantileSketchSpec pins their agreement).
     */
+  case class KeyDistinct(user_id: Long, n_distinct: Long)
+
+  /** Streaming per-key DISTINCT count over unbounded input with BOUNDED
+    * state: the KMV sketch ([[graft.operators.DistinctSketch]]) as
+    * mapGroupsWithState state — O(k) longs per key forever, where a
+    * naive dropDuplicates-then-count keeps every identity seen. Exact
+    * below k distinct values per key (the spec's determinism handle),
+    * (k−1)/u_k beyond. Hashing happens in the COLUMN world before
+    * groupByKey (same xxhash64 the batch face uses), so streaming and
+    * batch counts agree bit-for-bit on the same rows.
+    */
+  def streamingDistinct(
+      events: Dataset[UserEvent],
+      k: Int = graft.operators.DistinctSketch.DefaultK): Dataset[KeyDistinct] = {
+    import events.sparkSession.implicits._
+    import graft.operators.DistinctSketch
+    implicit val bufEnc: org.apache.spark.sql.Encoder[DistinctSketch.KmvBuf] =
+      org.apache.spark.sql.Encoders.kryo[DistinctSketch.KmvBuf]
+    events
+      .select(col("user_id"), DistinctSketch.hashed(col("event_id")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DistinctSketch.KmvBuf, KeyDistinct](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[DistinctSketch.KmvBuf]) =>
+          val buf = state.getOption.getOrElse(DistinctSketch.emptyBuf(k))
+          rows.foreach(r => DistinctSketch.insert(buf, r._2, k))
+          state.update(buf)
+          KeyDistinct(user, DistinctSketch.estimate(buf, k))
+      }
+  }
+
   def streamingQuantiles(
       events: Dataset[UserEvent],
       qs: Seq[Double],

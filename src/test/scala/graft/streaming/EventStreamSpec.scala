@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, udaf}
 import java.sql.Timestamp
 
 /** Top-level so Spark can build its deserializer without an outer-scope
@@ -306,6 +306,61 @@ class EventStreamSpec extends SparkSpec {
           "g", "v", Seq(0.25, 0.9))
         .collect().map(r => r.getLong(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
       assert(last === batch)
+    } finally q.stop()
+  }
+
+  test("streamingDistinct: KMV state spans batches, duplicates never re-count") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.streamingDistinct(in.toDS())
+      .writeStream.format("memory").queryName("stream_d").outputMode("update").start()
+    try {
+      // batch 1: user 1 sees ids a,b,c (c twice) → 3 distinct
+      in.addData(Seq("a", "b", "c", "c").zipWithIndex.map { case (id, i) =>
+        EventStream.UserEvent(1, id, t(i + 1), 1.0)
+      }: _*)
+      q.processAllAvailable()
+      // batch 2: user 1 re-sends a,b and adds d → 4, not 6; user 2 starts
+      in.addData(
+        EventStream.UserEvent(1, "a", t(9), 1.0),
+        EventStream.UserEvent(1, "b", t(9), 1.0),
+        EventStream.UserEvent(1, "d", t(9), 1.0),
+        EventStream.UserEvent(2, "a", t(1), 1.0))
+      q.processAllAvailable()
+      val snaps = s.table("stream_d")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(snaps === Set((1L, 3L), (1L, 4L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingDistinct final counts equal the batch KmvCountAgg on the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batches = Seq.tabulate(3)(b =>
+      Seq.tabulate(50)(i =>
+        EventStream.UserEvent(i % 3, s"id-${(b * 31 + i) % 40}", t(i), 1.0)))
+    val in = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.streamingDistinct(in.toDS(), k = 16) // force estimate regime
+      .writeStream.format("memory").queryName("stream_d2").outputMode("update").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // KMV state only gains hashes, so per-user counts are monotone:
+      // the max snapshot IS the final one (memory-sink row order is not
+      // batch order)
+      val last = s.table("stream_d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+      val agg = udaf(new graft.operators.DistinctSketch.KmvCountAgg(16))
+      val batch = batches.flatten.toDF()
+        .select(col("user_id"),
+          graft.operators.DistinctSketch.hashed(col("event_id")).as("h"))
+        .groupBy("user_id").agg(agg(col("h")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last === batch,
+        "KMV order-independence: streaming accumulation == batch agg, even estimating")
     } finally q.stop()
   }
 }
