@@ -74,11 +74,18 @@ case class PartialTopKExec(
       // per key: a size<=kk min-heap (for desc) over (ord, tie); the head
       // is the currently-worst retained row, evicted on a better arrival
       final case class Entry(o: Double, t: Long, row: InternalRow)
-      // total order: for descending top-k the heap keeps LARGEST entries,
-      // so the ordering puts the smallest (worst) at the head
-      val entryOrd: Ordering[Entry] = {
-        val base = Ordering.by[Entry, (Double, Long)](e => (e.o, e.t))
-        if (desc) base else base.reverse
+      // "goodness" order, mirroring the window above EXACTLY: ord in the
+      // requested direction, then SMALLER tie wins in BOTH directions —
+      // the window is ORDER BY ord [DESC], tie ASC, so on an ord tie at
+      // the retention boundary the window ranks the smallest ties first.
+      // (A same-direction (ord, tie) tuple order looked equivalent but
+      // retained the LARGEST ties of an equal-ord group — wrong rows.)
+      val entryOrd: Ordering[Entry] = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(a.o, b.o)
+          val oc = if (desc) c else -c
+          if (oc != 0) oc else java.lang.Long.compare(b.t, a.t)
+        }
       }
       val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[Entry]]()
       // Rows whose ord is null/NaN cannot be ranked here (the window above

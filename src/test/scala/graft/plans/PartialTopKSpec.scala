@@ -80,4 +80,19 @@ class PartialTopKSpec extends SparkSpec {
     assert(fast.exceptAll(slow).count() === 0)
     assert(slow.exceptAll(fast).count() === 0)
   }
+
+  test("ord ties at the retention boundary keep the SMALLEST ties (window parity)") {
+    // every row shares ord — the window (ord desc, tie asc) ranks ties
+    // 1..k first in BOTH directions; the heap once kept the largest ties
+    // of an equal-ord group (same-direction tuple order), silently
+    // returning the wrong rows despite a unique tie column
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5L).map(t => (1L, 1.0, t)).toDF("k", "v", "tie").repartition(1)
+    for (desc <- Seq(true, false)) {
+      val fast = TopK.perKey(df, Seq("k"), "v", "tie", 2, descending = desc)
+        .select("tie").as[Long].collect().sorted.toSeq
+      assert(fast === Seq(1L, 2L), s"descending=$desc kept wrong boundary ties: $fast")
+    }
+  }
 }
