@@ -1079,6 +1079,55 @@ object Analytics {
              |  FROM dev GROUP BY 1)
              |SELECT o_orderkey, d.grp, round(0.6745 * (v - med) / mad, 6) AS mz
              |FROM dev d JOIN mad USING (grp)""".stripMargin),
-      covers = Seq("ext-robust-zscore"))
+      covers = Seq("ext-robust-zscore")),
+
+    // ------------------------------------------------------------------
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click/view no older than 30 minutes — the product-analytics
+    // join that naive formulations write as an event×event self-join and
+    // this writes as ONE shuffle on user_id with an IGNORE NULLS
+    // last_value over the strictly-preceding frame. Purchases with no
+    // qualifying touch stay in the output unattributed (NULL) — they are
+    // the "dark conversion" rows an attribution report must count, not
+    // drop. Time math in integer MICROS both engines (nanos overflow
+    // doubles; see the file header).
+    QueryDef(
+      "q_attribution",
+      (s, dir) => {
+        val isTouch = col("event_type").isin("click", "view")
+        val frame = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Session.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+          .withColumn("src_id",
+            last(when(isTouch, col("event_id")), ignoreNulls = true).over(frame))
+          .withColumn("src_us",
+            last(when(isTouch, col("us")), ignoreNulls = true).over(frame))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("purchase_id"), col("user_id"),
+            when(col("src_us").isNotNull &&
+              col("us") - col("src_us") <= 1800000000L, col("src_id"))
+              .as("attributed_to"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |m AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |      THEN event_id END IGNORE NULLS) OVER w AS src_id,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |      THEN us END IGNORE NULLS) OVER w AS src_us
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id AS purchase_id, user_id,
+             |  CASE WHEN src_us IS NOT NULL AND us - src_us <= 1800000000
+             |       THEN src_id END AS attributed_to
+             |FROM m WHERE event_type = 'purchase'""".stripMargin),
+      covers = Seq("ext-attribution"))
   )
 }
