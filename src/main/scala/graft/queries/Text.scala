@@ -648,10 +648,12 @@ object Text {
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 3)
           .select("g")
+        // NOT distinct'd: the anti join below only tests existence, so
+        // deduplicating covered positions first would just add a full
+        // shuffle of the coverage frame for nothing
         val covered = grams.join(boiler, Seq("g"))
           .select(col("doc_id"),
             explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
-          .distinct()
         words.join(covered, Seq("doc_id", "pos"), "left_anti")
           .groupBy("doc_id")
           .agg(
