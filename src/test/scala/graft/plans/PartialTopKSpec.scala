@@ -95,4 +95,30 @@ class PartialTopKSpec extends SparkSpec {
       assert(fast === Seq(1L, 2L), s"descending=$desc kept wrong boundary ties: $fast")
     }
   }
+
+  test("randomized window parity under heavy ord ties (seeded regression net)") {
+    // tiny ord domain forces boundary ties in nearly every trial; any
+    // divergence between the pruned plan and the pure window (the bug
+    // class fixed above) surfaces here across directions, k, and
+    // partitionings
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val data = Seq.tabulate(300)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(5).toDouble, i.toLong))
+      val df = data.toDF("k", "v", "tie").repartition(1 + rnd.nextInt(7))
+      val desc = trial % 2 == 0
+      val k = 1 + rnd.nextInt(4)
+      val fast = TopK.perKey(df, Seq("k"), "v", "tie", k, descending = desc)
+        .select("k", "v", "tie").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val ordCol = if (desc) col("v").desc else col("v").asc
+      val slow = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(ordCol, col("tie").asc)))
+        .filter(col("rn") <= k).select("k", "v", "tie").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(fast === slow, s"trial $trial desc=$desc k=$k diverged")
+    }
+  }
 }
