@@ -26,6 +26,13 @@ object Analytics {
   private val KCoreK = 9
   private val KCoreRounds = 8
 
+  // EWMA ladder: α=0.25 ⇒ weights (1−α)^d; 0.75 is binary-exact, so its
+  // powers through d=15 are too (≤30 significand bits), and Double's
+  // shortest round-trip toString re-parses to the identical bits in
+  // DuckDB — the rendered SQL literals ARE the Spark constants.
+  private val EwmaH = 16
+  private val EwmaW: IndexedSeq[Double] = IndexedSeq.tabulate(EwmaH)(d => math.pow(0.75, d))
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Heavy hitters with count-min-sketch pruning. The 100 TB shape: ONE
@@ -1128,6 +1135,47 @@ object Analytics {
              |  CASE WHEN src_us IS NOT NULL AND us - src_us <= 1800000000
              |       THEN src_id END AS attributed_to
              |FROM m WHERE event_type = 'purchase'""".stripMargin),
-      covers = Seq("ext-attribution"))
+      covers = Seq("ext-attribution")),
+
+    // ------------------------------------------------------------------
+    // Bounded-horizon EWMA per user (α = 0.25 over the last 16 events):
+    // the time-series smoother, written as a FIXED 16-term lag ladder
+    // instead of a self-join — one window shuffle on user_id, zero row
+    // fan-out. The weight literals render round-trip-exactly into the
+    // oracle SQL, but DuckDB still reassociates double addition chains
+    // (measured: 1-ulp drift on ~1% of rows, parenthesization
+    // ignored), so the score rounds at 6 decimals like every averaged
+    // double in the suite. Early rows renormalize over the lags that
+    // exist (the den ladder), the standard adjusted-EWMA head treatment.
+    QueryDef(
+      "q_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val num = (0 until EwmaH)
+          .map(d => coalesce(lag(col("value"), d).over(w) * lit(EwmaW(d)), lit(0.0)))
+          .reduce(_ + _)
+        val den = (0 until EwmaH)
+          .map(d => when(lag(col("value"), d).over(w).isNotNull, lit(EwmaW(d)))
+            .otherwise(lit(0.0)))
+          .reduce(_ + _)
+        Session.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("ts div 1000").as("us"))
+          .withColumn("ewma", round(num / den, 6))
+          .select(col("event_id"), col("user_id"), col("ewma"))
+      },
+      Some {
+        val num = (0 until EwmaH)
+          .map(d => s"coalesce(lag(value, $d) OVER w * ${EwmaW(d)}, 0.0)")
+          .mkString(" + ")
+        val den = (0 until EwmaH)
+          .map(d =>
+            s"CASE WHEN lag(value, $d) OVER w IS NOT NULL THEN ${EwmaW(d)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+      },
+      covers = Seq("ext-ewma"))
   )
 }
