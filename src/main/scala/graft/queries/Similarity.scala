@@ -347,10 +347,13 @@ object Similarity {
       (s, dir) => {
         val b = graft.operators.Pq.seededBooks(64)
         val e = Sim.withNorm(t(s, dir, "embeddings"))
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("v").as("qv"), col("norm").as("qnorm"))
+        // one-row PARAMETER fetch (the ANN query point), not a data
+        // collect: its v/norm values — Spark-computed, so bit-identical
+        // to the old column form — parameterize the driver-built LUT
+        val qRow = e.filter(col("vec_id") === 0).select(col("v"), col("norm")).head()
         val enc = graft.operators.Pq.encode(e.filter(col("vec_id") =!= 0), b)
-        graft.operators.Pq.adcTopK(enc, "vec_id", q, k = 10, b)
+        graft.operators.Pq.adcTopKLit(enc, "vec_id",
+          qRow.getSeq[Double](0), qRow.getDouble(1), k = 10, b)
           .select(col("vec_id"), round(col("cos"), 3).as("cos"))
       },
       Some {
