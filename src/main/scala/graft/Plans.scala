@@ -121,6 +121,14 @@ object Plans {
       |  stage codegen) instead of 768 interpreted per-character lambda
       |  calls (higher-order functions are CodegenFallback) — byte-
       |  identical output, oracle unchanged.
+      |- `q_knn_pq` 3.98 → 2.56 s (isolated A/B): the ADC lookup table
+      |  was derived from the query vector per ROW as m·ksub inline
+      |  dot_product subtrees — past janino's 64 KB method limit, so the
+      |  compressed scan ran interpreted (the suite's one codegen-
+      |  fallback warning). The table is now driver-built with the same
+      |  fold order (entries bit-equal, oracle untouched) and shipped as
+      |  one array literal per subspace; row work is m codegen'd
+      |  element_at probes. q_knn_ivfpq 4.98 → 4.48 s rides the same fix.
       |
       |## Lake Z-order clustering — row-group stats serve BOTH predicate columns
       |
