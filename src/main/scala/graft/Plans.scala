@@ -35,7 +35,11 @@ object Plans {
     "q_temperature_mix" -> "temperature mixing: integer quota math on the counts frame, quotas broadcast onto ranked corpus",
     "q_dq_checks" -> "DQ suite: N checks = ONE aggregation pass per table (uniqueness via Expand), FK orphans anti-join",
     "q_market_basket" -> "frequent pairs: per-basket self-join (C(k,2) fan-out), item counts broadcast onto frequent tail",
-    "q_incremental_agg" -> "view maintenance: state merge is O(groups), the exchange never carries table-sized frames")
+    "q_incremental_agg" -> "view maintenance: state merge is O(groups), the exchange never carries table-sized frames",
+    "q_ewma" -> "16-term lag ladder in ONE window pass — no self-join, horizon fixed at plan time",
+    "q_robust_zscore" -> "median+MAD: two key shuffles, O(groups) stat frames broadcast back",
+    "q_knn_pq" -> "ADC: driver-built lookup literals, m element_at probes per row inside codegen",
+    "q_attribution" -> "last-touch: one user shuffle, IGNORE NULLS carry over the preceding frame")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate
