@@ -24,11 +24,19 @@ import org.apache.spark.sql.functions._
   * minimum in O(log n) rounds (each round at least halves the height of the
   * implicit forest), vs O(diameter) for naive min-label propagation — the
   * difference between 8 rounds and 10,000 on a 100 TB pair graph with long
-  * chains. `localCheckpoint` per round cuts the lineage so the plan stays
-  * flat instead of doubling each iteration.
+  * chains.
   *
   * Convergence is detected from a 2-row aggregate per round (edge count +
-  * order-insensitive hash), not by comparing materialized edge sets.
+  * order-insensitive hash), not by comparing materialized edge sets. Each
+  * round runs exactly ONE Spark action: the edge frame is lazily
+  * `localCheckpoint`ed and the signature aggregation is what materializes
+  * it, storing the round's blocks and truncating lineage in the same job a
+  * convergence check needs anyway. (An eager checkpoint would double the
+  * job count per round — the overhead that made this loop's wall time
+  * hyper-sensitive to a contended host.) Local checkpoints are not
+  * fault-tolerant to executor loss; on a real cluster a lost block fails
+  * the round and the caller retries — the standard trade for not writing
+  * O(E) to the reliable store every round.
   */
 object ConnectedComponents {
 
@@ -44,13 +52,16 @@ object ConnectedComponents {
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var converged = false
     var round = 0
+    // the signature aggregation doubles as the checkpoint materializer:
+    // its full scan computes every partition, so the lazy checkpoint's
+    // blocks are stored by this same action — one job per round, not two
     var prev = signature(e)
     while (!converged && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val sig = signature(e)
       converged = sig == prev
       prev = sig

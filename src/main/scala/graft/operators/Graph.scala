@@ -227,9 +227,12 @@ object Graph {
       // invariant: a node reached in round k can never be improved later,
       // so "not yet seen" IS the improvement test — an anti-join, no
       // dist-value comparison needed.)
+      // lazy: the loop-condition emptiness probe (or the every-4th seen/out
+      // compaction, whichever acts first) materializes this round's blocks —
+      // no dedicated checkpoint job per round
       frontier = candidates
         .join(seen, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       seen = seen.unionByName(frontier.select(col("id")))
       out = out.unionByName(frontier)
       if (round % 4 == 3) {
@@ -269,7 +272,11 @@ object Graph {
   /** [[kCore]] + the number of peel rounds actually run (spec hook). */
   def kCoreIter(edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k-core wants k >= 1, got $k")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // lazy checkpoints: the degree aggregation's map stage scans every
+    // partition of e, so the emptiness probe below materializes the
+    // round's checkpoint blocks in the same action — one job per peel
+    // round instead of checkpoint-job + probe-job
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     var round = 0
     var done = false
     var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
@@ -280,7 +287,7 @@ object Graph {
         e = e
           .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
         round += 1
       }

@@ -114,12 +114,9 @@ object Dedup {
             col("doc_id"),
             explode(graft.functions.TextExprs.wordShingles(col("text"), 1)).as("w"))
           .withColumn("h", MinHash.shingleHash(col("w")))
-        val votes = tok
+        tok
           .groupBy("doc_id")
-          .agg(
-            SimHash.voteCol(col("h"), 0),
-            (1 until SimHash.Bits).map(j => SimHash.voteCol(col("h"), j)): _*)
-        votes.select(col("doc_id"), SimHash.packBits().as("simhash"))
+          .agg(SimHash.signatureAgg(col("h")).as("simhash"))
       },
       Some(SimHash.oracle),
       covers = Seq("ext-dedup-simhash")),
@@ -146,10 +143,7 @@ object Dedup {
           .withColumn("h", MinHash.shingleHash(col("w")))
         val sig = tok
           .groupBy("doc_id")
-          .agg(
-            SimHash.voteCol(col("h"), 0),
-            (1 until bits).map(j => SimHash.voteCol(col("h"), j)): _*)
-          .select(col("doc_id"), SimHash.packBits(bits).as("sig"))
+          .agg(SimHash.signatureAgg(col("h"), bits).as("sig"))
         val blocks = sig.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map(b =>
@@ -570,6 +564,49 @@ object SimHash {
   def voteCol(h: Column, j: Int): Column =
     sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       .as(s"s$j")
+
+  /** Single-buffer signature aggregation: ONE Array[Int] of per-bit vote
+    * counters replaces `bits` separate `sum(when(...))` aggregates. The
+    * 48-lane voteCol form carried 48 independent agg buffers per group
+    * over every (doc, word) row — measured as q_simhash_pairs' dominant
+    * cost; this folds them into one buffer with tight int-array loops.
+    * Vote counts are exact integers, so merge order cannot perturb the
+    * result: output is bit-identical to voteCol×bits + packBits (and to
+    * the DuckDB oracle's unrolled per-bit sums).
+    */
+  final class SimHashAgg(bits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](bits)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < bits) { b(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt; j += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < bits) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Long = {
+      var acc = 0L
+      var j = 0
+      while (j < bits) { if (b(j) > 0) acc |= 1L << j; j += 1 }
+      acc
+    }
+    // native int-array codec (UnsafeArrayData), not kryo: the buffer is
+    // (de)serialized on every partial-merge exchange, so the codec is on
+    // the hot path
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The packed signature as one aggregate expression over the word-hash
+    * column (see [[SimHashAgg]]).
+    */
+  def signatureAgg(h: Column, bits: Int = Bits): Column =
+    udaf(new SimHashAgg(bits), org.apache.spark.sql.Encoders.scalaLong).apply(h)
 
   /** packs the vote signs s0..s{bits-1} into a single BIGINT. */
   def packBits(bits: Int = Bits): Column =
