@@ -32,6 +32,22 @@ object VersionedLake {
 
   private val Pointer = "_latest"
 
+  /** Manifest header line carrying the version's canonical schema as
+    * single-line Spark JSON. Schema evolution design: the merged schema
+    * is computed ONCE at commit time (union-by-name of the prior
+    * version's schema and the batch's, new columns appended, everything
+    * nullable) and stored in the manifest; reads pass it to the scan as
+    * an explicit schema, which makes the parquet reader null-backfill
+    * columns a file predates — ONE scan over all directories, no
+    * `mergeSchema` footer sweep (which would re-read 10^5 footers per
+    * read on a year of micro-batch commits). Same-name columns must
+    * keep their type across commits; widening is a rewrite
+    * ([[optimize]] after an explicit cast), not a silent cast.
+    * Manifests written before this header existed read as before
+    * (first-file schema), so old tables stay readable.
+    */
+  private val SchemaHeader = "#schema="
+
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,9 +88,51 @@ object VersionedLake {
   }
 
   /** Data-directory names a retained version comprises. */
-  def manifest(spark: SparkSession, tableDir: String, version: Long): Seq[String] = {
+  def manifest(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
+    manifestLines(spark, tableDir, version).filterNot(_.startsWith("#"))
+
+  /** The version's committed schema, if its manifest carries one
+    * (manifests predating the schema header yield None → first-file
+    * schema at read, the old behavior).
+    */
+  def versionSchema(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, tableDir, version)
+      .find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaHeader))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def manifestLines(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$version.txt")
     readSmallFile(spark, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Union-by-name: prior columns keep their position, genuinely new
+    * columns append in batch order, everything nullable (old files lack
+    * the new columns, so the merged schema must admit null). A same-name
+    * column changing type is an error — silent coercion would corrupt
+    * every reader downstream.
+    */
+  private def mergeSchemas(
+      prior: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+    prior.fields.foreach(f => out += f.copy(nullable = true))
+    next.fields.foreach { f =>
+      prior.fields.find(_.name == f.name) match {
+        case Some(p) =>
+          require(p.dataType.sql == f.dataType.sql,
+            s"schema evolution cannot change column '${f.name}' " +
+              s"from ${p.dataType.sql} to ${f.dataType.sql}; cast before committing")
+        case None => out += f.copy(nullable = true)
+      }
+    }
+    org.apache.spark.sql.types.StructType(out.toSeq)
   }
 
   /** Write `df` into one fresh immutable data directory; returns its name. */
@@ -94,9 +152,11 @@ object VersionedLake {
   private def publishManifest(
       spark: SparkSession,
       tableDir: String,
-      dirs: Seq[String]): Long = {
+      dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Long = {
     val next = currentVersion(spark, tableDir).getOrElse(-1L) + 1
-    atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", dirs.mkString("\n"))
+    val body = (SchemaHeader + schema.json) +: dirs
+    atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
   }
@@ -111,12 +171,15 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    publishManifest(df.sparkSession, tableDir, Seq(d))
+    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema))
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is
     * the prior version's directories plus the batch's. The
     * `foreachBatch` body for an atomically-published streaming ingest.
+    * A batch may add columns: the committed schema is the union-by-name
+    * of the prior version's and the batch's (see [[SchemaHeader]]), so
+    * older directories read back with nulls in the new columns.
     */
   def appendCommit(
       df: DataFrame,
@@ -124,11 +187,22 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     val spark = df.sparkSession
-    val prior = currentVersion(spark, tableDir)
-      .map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
+    val cur = currentVersion(spark, tableDir)
+    val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
+    val priorSchema = cur.map { v =>
+      versionSchema(spark, tableDir, v)
+        .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
+    }
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    publishManifest(spark, tableDir, prior :+ d)
+    val merged = priorSchema
+      .map(p => mergeSchemas(p, df.schema))
+      .getOrElse(nullableAll(df.schema))
+    publishManifest(spark, tableDir, prior :+ d, merged)
   }
+
+  private def nullableAll(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)).toSeq)
 
   /** Read the published snapshot — only manifested directories resolve;
     * in-flight or crashed writers' directories are invisible.
@@ -138,11 +212,18 @@ object VersionedLake {
       currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir")))
 
-  /** Time travel: read a specific retained version. */
+  /** Time travel: read a specific retained version. With a committed
+    * schema (see [[SchemaHeader]]) the scan gets it explicitly — files
+    * predating an added column return null for it; headerless legacy
+    * manifests fall back to first-file schema inference.
+    */
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val dirs = manifest(spark, tableDir, version).map(d => s"$tableDir/data/$d")
     require(dirs.nonEmpty, s"version $version of $tableDir has an empty manifest")
-    spark.read.parquet(dirs: _*)
+    versionSchema(spark, tableDir, version) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+      case None         => spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Keyed upsert as a new full-snapshot version: updates replace
@@ -159,7 +240,36 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     val existing = read(spark, tableDir)
     val survivors = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    commit(survivors.unionByName(updates), tableDir, parts, maxRecordsPerFile)
+    // allowMissingColumns: updates may carry new columns (survivors get
+    // null) or omit existing ones (updates get null) — upserts evolve
+    // the schema the same way appendCommit does
+    commit(survivors.unionByName(updates, allowMissingColumns = true),
+      tableDir, parts, maxRecordsPerFile)
+  }
+
+  /** OPTIMIZE: rewrite the published version's N data directories into
+    * ONE and publish the compacted manifest as a new version — the
+    * antidote to append-forever manifest growth (a year of 5-minute
+    * micro-batches is ~10^5 directories per read without it). Runs as an
+    * ordinary snapshot-isolated commit: readers of the old version keep
+    * their files, prior versions stay time-travelable until [[vacuum]],
+    * and a crash mid-rewrite leaves only an unreferenced directory. Data
+    * and schema are byte-identical to the pre-optimize snapshot; only
+    * the layout changes. Run it from the same maintenance cadence as
+    * vacuum; on a real cluster, schedule by manifest length (e.g. every
+    * 64 appends) so read-side file listing stays O(1)-ish.
+    */
+  def optimize(
+      spark: SparkSession,
+      tableDir: String,
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val snapshot = readVersion(spark, tableDir, cur)
+    val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile)
+    val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
+    publishManifest(spark, tableDir, Seq(d), schema)
   }
 
   /** Drop manifests below the published version and every data directory

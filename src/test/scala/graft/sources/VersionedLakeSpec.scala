@@ -109,6 +109,77 @@ class VersionedLakeSpec extends SparkSpec {
     intercept[Exception](VersionedLake.readVersion(s, dir, 0).collect())
   }
 
+  test("schema evolution: an append may add columns; old files read back null") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_evolve").toString
+    VersionedLake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(
+      Seq((3L, "c", "en")).toDF("id", "payload", "lang"), dir)
+    val cur = VersionedLake.read(s, dir)
+    assert(cur.columns.toSeq === Seq("id", "payload", "lang"),
+      "prior columns keep position, new columns append")
+    val got = cur.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set(
+      (1L, "a", None), (2L, "b", None), (3L, "c", Some("en"))),
+      "files predating the column must read back null, not fail or misalign")
+    // time travel predates the column entirely
+    assert(VersionedLake.readVersion(s, dir, 0).columns.toSeq === Seq("id", "payload"))
+    assert(rows(VersionedLake.readVersion(s, dir, 0)) === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("schema evolution rejects a same-name column changing type") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_typeerr").toString
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    val bad = Seq((2L, 7)).toDF("id", "payload") // payload: int, was string
+    intercept[IllegalArgumentException](VersionedLake.appendCommit(bad, dir))
+    // the failed commit published nothing
+    assert(VersionedLake.currentVersion(s, dir) === Some(0L))
+    assert(rows(VersionedLake.read(s, dir)) === Set((1L, "a")))
+  }
+
+  test("upsert may add columns; existing rows backfill null") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_upsert_evolve").toString
+    VersionedLake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    VersionedLake.upsert(
+      s, dir, Seq((2L, "b2", 0.9)).toDF("id", "payload", "score"), keys = Seq("id"))
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b2", Some(0.9))))
+  }
+
+  test("optimize compacts N append directories into one; history survives until vacuum") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_optimize").toString
+    (0 until 20).foreach { i =>
+      VersionedLake.appendCommit(Seq((i.toLong, s"p$i")).toDF("id", "payload"), dir)
+    }
+    val before = rows(VersionedLake.read(s, dir))
+    assert(VersionedLake.manifest(s, dir, 19).size === 20)
+    val v = VersionedLake.optimize(s, dir)
+    assert(v === 20L)
+    assert(VersionedLake.manifest(s, dir, v).size === 1,
+      "the compacted manifest must list exactly one directory")
+    assert(rows(VersionedLake.read(s, dir)) === before,
+      "optimize must not change the data")
+    // pre-optimize versions still time travel
+    assert(rows(VersionedLake.readVersion(s, dir, 4)) ===
+      (0 to 4).map(i => (i.toLong, s"p$i")).toSet)
+    VersionedLake.vacuum(s, dir)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 1,
+      s"vacuum after optimize must reclaim the 20 append dirs: ${dataDirs.length} left")
+    assert(rows(VersionedLake.read(s, dir)) === before)
+    intercept[Exception](VersionedLake.readVersion(s, dir, 4).collect())
+  }
+
   test("partitioned commits keep directory pruning inside the version") {
     val s = spark
     import s.implicits._
