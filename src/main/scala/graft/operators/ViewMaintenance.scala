@@ -47,4 +47,42 @@ object ViewMaintenance {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Delta-join maintenance of a fact ⋈ dim aggregate view: the refresh
+    * aggregates ONLY the fact delta joined to the dimension and merges
+    * that into the prior state — `agg(Δfact ⋈ dim)` folded into the view
+    * by [[merge]]. The base fact table never appears in the refresh
+    * plan: per commit this reads O(delta + dim + groups), where a
+    * recompute reads the fact table (the 100 TB difference for a daily
+    * rollup over an append-only fact stream).
+    *
+    * `aggs` are the aliased aggregate expressions that produce the state
+    * columns from the joined delta (the SAME expressions that built the
+    * prior state), `state` their merge ops as in [[merge]]. Dims are
+    * usually broadcast-sized — pass `broadcast(dim)` and the delta join
+    * is map-side, making the whole refresh shuffle only O(groups) state
+    * rows.
+    *
+    * Scope: fact-insert deltas against a STATIC dim — the append-only
+    * fact / slowly-changing dim shape. A dim delta needs the symmetric
+    * term (`fact ⋈ Δdim`, which must rescan or index the base fact) plus
+    * retraction of re-attributed groups; that is a view REBUILD here,
+    * not an incremental refresh, and callers get it by recomputing state
+    * over the new dim snapshot.
+    */
+  def joinDelta(
+      priorState: DataFrame,
+      factDelta: DataFrame,
+      dim: DataFrame,
+      joinKeys: Seq[String],
+      groupKeys: Seq[String],
+      aggs: Seq[Column],
+      state: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty, "joinDelta needs at least one aggregate")
+    val deltaState = factDelta
+      .join(dim, joinKeys)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    merge(Seq(priorState, deltaState), groupKeys, state)
+  }
 }

@@ -1009,6 +1009,50 @@ object Analytics {
       covers = Seq("ext-incremental-agg")),
 
     // ------------------------------------------------------------------
+    // Delta-join view maintenance (ViewMaintenance.joinDelta): a fact ⋈
+    // dim rollup (orders ⋈ customer by market segment) refreshed under a
+    // fact delta by aggregating ONLY Δorders ⋈ customer and merging into
+    // the prior state — the refresh plan reads the delta and the
+    // broadcast dim, never the base fact (IncrementalViewSpec pins that
+    // on the physical plan). The oracle replays the same two-phase
+    // merge; sums follow q_incremental_agg's proven split-then-sum
+    // rounding shape.
+    QueryDef(
+      "q_view_join_maintained",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        val aggs = Seq(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice")).as("total"),
+          max(col("o_orderdate")).as("last_dt"))
+        val prior = orders.filter(col("o_orderkey") % 10 =!= 0)
+          .join(broadcast(dim), Seq("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(aggs.head, aggs.tail: _*)
+        graft.operators.ViewMaintenance.joinDelta(
+          prior,
+          orders.filter(col("o_orderkey") % 10 === 0),
+          broadcast(dim),
+          joinKeys = Seq("o_custkey"),
+          groupKeys = Seq("c_mktsegment"),
+          aggs = aggs,
+          state = Seq("n" -> "sum", "total" -> "sum", "last_dt" -> "max"))
+          .select(col("c_mktsegment"), col("n"),
+            round(col("total"), 2).as("total"), col("last_dt"))
+      },
+      Some("""WITH sliced AS (
+             |  SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS s,
+             |    max(o_orderdate) AS last_dt
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_mktsegment, o_orderkey % 10 = 0)
+             |SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n,
+             |  round(sum(s), 2) AS total, max(last_dt) AS last_dt
+             |FROM sliced GROUP BY 1""".stripMargin),
+      covers = Seq("ext-view-join-maintained")),
+
+    // ------------------------------------------------------------------
     // Incrementally-maintained DISTINCT count (operators.DistinctSketch):
     // the one aggregate ViewMaintenance.merge cannot express as
     // sum/min/max — per-group distinct customers, maintained as KMV

@@ -62,6 +62,52 @@ class IncrementalViewSpec extends SparkSpec {
     assert(buyers.forall(_ <= 37L), s"cross-commit distinct must dedupe, got $buyers")
   }
 
+  test("joinDelta: fact-join-dim view refresh reads delta + dim + state, NEVER the base fact") {
+    val tmp = java.nio.file.Files.createTempDirectory("vlake_jd").toString
+    def fact(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, (i % 11).toLong, i * 2.5)).toDF("id", "custkey", "amount")
+    val dim = (0L until 11L).map(c => (c, s"seg${c % 3}")).toDF("custkey", "segment")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+    val stateOps = Seq("n" -> "sum", "total" -> "sum")
+    def stateOf(f: DataFrame): DataFrame =
+      f.join(broadcast(dim), Seq("custkey")).groupBy("segment")
+        .agg(aggs.head, aggs.tail: _*)
+
+    fact(0 until 400).write.parquet(s"$tmp/fact")
+    val base = s.read.parquet(s"$tmp/fact")
+    stateOf(base).write.parquet(s"$tmp/state")
+
+    val delta = fact(400 until 450)
+    val refresh = ViewMaintenance.joinDelta(
+      s.read.parquet(s"$tmp/state"), delta, broadcast(dim),
+      joinKeys = Seq("custkey"), groupKeys = Seq("segment"),
+      aggs = aggs, state = stateOps)
+
+    // parity: maintained state == recompute over base ∪ delta
+    val recomputed = stateOf(base.unionByName(delta))
+    val got = refresh.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = recomputed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want, "joinDelta refresh drifted from full recompute")
+
+    // the O(delta) contract, pinned on the plan's relations (logical
+    // side — AQE hides physical scans until stages finalize): the
+    // refresh reads the state parquet only — the base fact never
+    // appears (the whole point of delta-join maintenance)
+    val scanned = refresh.queryExecution.optimizedPlan
+      .collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }
+      .flatten
+    assert(scanned.exists(_.contains("/state")), s"expected the state scan, saw $scanned")
+    assert(!scanned.exists(_.contains("/fact")),
+      s"refresh plan must not rescan the base fact table, saw $scanned")
+  }
+
   test("a maintained view survives a commit the reader has not seen (lag tolerance)") {
     val dir = java.nio.file.Files.createTempDirectory("vlake_iv2").toString
     val ver1 = VersionedLake.appendCommit(batch(0 until 100), dir)
