@@ -52,6 +52,30 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** EVERY word n-gram in token order, multiplicity kept — the
+    * positional companion of [[wordShingles]] (which dedups): element i
+    * IS the n-token run starting at token offset i, so `posexplode`
+    * over this array gives offset-addressed grams for exact-substring
+    * (verbatim-run) matching, where the distinct set face can only say
+    * "some overlap somewhere".
+    */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val parts = Ws.split(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val words = new java.util.ArrayList[String](parts.length)
+    parts.foreach(w => if (w.nonEmpty) words.add(w))
+    val m = words.size - n + 1
+    val out = new java.util.ArrayList[Any](math.max(m, 0))
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(words.get(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words.get(i + j)); j += 1 }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing fingerprints of an (already whitespace-normalized) text:
     * 60-bit md5 k-gram hashes → sliding-window-w minima → distinct, in
     * first-occurrence order. The 60-bit value equals DuckDB/Spark
@@ -148,6 +172,29 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Positional (non-distinct) word n-gram shingles — element i is the
+  * n-token run at token offset i (see [[TextKernels.wordShinglesAll]]).
+  */
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_all"
+}
+
 /** All words of a text column (lowercased, ws-split, empties dropped) as
   * one native codegen'd expression — replaces the interpreted
   * `filter(split(lower(text), "\\s+"), _ != "")` HOF pair.
@@ -228,6 +275,10 @@ object TextExprs {
   /** all words of a text col (lowercased, ws-split, empties dropped). */
   def wordTokens(text: Column): Column =
     Bridge.column(WordTokens(Bridge.expression(text)))
+
+  /** every word n-gram in token order (element i = run at offset i). */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    Bridge.column(WordShinglesAll(Bridge.expression(text), n))
 
   /** winnowing fingerprint set of a (normalized) text col. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

@@ -322,6 +322,60 @@ object Dedup {
       covers = Seq("ext-decontaminate")),
 
     // ------------------------------------------------------------------
+    // EXACT-SUBSTRING decontamination: verbatim benchmark runs at ANY
+    // token offset. The shingle-overlap face above scores a FRACTION, so
+    // a short eval span pasted into a long document dilutes below any
+    // threshold (DecontaminateSpec constructs the miss); this face hashes
+    // every benchmark 8-token run, broadcasts the set, and probes every
+    // POSITIONAL corpus 8-gram — one corpus scan, per-doc agg, and a hit
+    // means 8 consecutive tokens match verbatim, with the offset
+    // reported. 100 TB shape: the probe side is the broadcast (eval
+    // suites are MBs); at larger bench sets send xxhash64(g) instead of
+    // the strings — same join, 8 bytes per gram.
+    QueryDef(
+      "q_decontaminate_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isBench =
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+        val bench = docs.filter(isBench)
+          .select(explode(
+            graft.functions.TextExprs.wordShingles(col("text"), 8)).as("g"))
+          .distinct()
+        val corpus = docs.filter(!isBench)
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextExprs.wordShinglesAll(col("text"), 8))
+            .as(Seq("pos", "g")))
+        corpus
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            count(col("hit")).as("n_exact_hits"),
+            min(when(col("hit").isNotNull, (col("pos") + 1).cast("long")))
+              .as("first_hit_pos"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |           x -> x != '') AS ws
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i, 'g': array_to_string(ws[i:i+7], ' ')}
+             |            for i in range(1, len(ws) - 6)]) AS u
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT u.g AS g FROM grams
+             |          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+             |corpus AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM grams
+             |           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '4')
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(count(b.g) AS BIGINT) AS n_exact_hits,
+             |  min(CASE WHEN b.g IS NOT NULL THEN c.pos END) AS first_hit_pos
+             |FROM corpus c LEFT JOIN bench b ON c.g = b.g
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-decontaminate-exact")),
+
+    // ------------------------------------------------------------------
     // END-TO-END near-dup dedup, the full production pipeline in one
     // query: MinHash signatures → LSH banding candidates → exact-Jaccard
     // verification (MinHash.nearDuplicates — only candidate pairs are
