@@ -22,15 +22,16 @@ import org.apache.spark.sql.types._
   *     load, GPU transfer) across `batchSize` rows — the Scala analogue
   *     of a vectorized/Arrow UDF.
   *
-  * CODEC NOTE: this container has no image/audio codec libraries, so
-  * [[decodeFeatures]] dispatches per payload: binary-PPM (P6) images
-  * decode for REAL via the pure-Scala [[decodePpm]] (header parse +
-  * luminance histogram over actual pixels — proving the micro-batch path
-  * end-to-end on a genuine format); anything else falls back to the
-  * clearly-marked deterministic fake (byte statistics standing in for
-  * pixels). The Spark-side contract — schema, batching, partitioning,
-  * null passthrough — is identical on both paths; swap/extend the
-  * dispatch for more formats to productionize.
+  * CODEC NOTE: this container has no external codec libraries, so the
+  * dispatch layers what IS real: binary-PPM (P6) decodes via the
+  * pure-Scala [[decodePpm]] (header parse + luminance histogram over
+  * actual pixels), PNG/JPEG/BMP/GIF decode via `javax.imageio` — the
+  * JDK's stdlib codecs, zero new dependencies — and only payloads no
+  * codec recognizes fall back to the clearly-marked deterministic fake
+  * (byte statistics standing in for pixels; audio/video stay there).
+  * The Spark-side contract — schema, batching, partitioning, null
+  * passthrough — is identical on every path; extend the dispatch for
+  * more formats to productionize.
   */
 object Multimodal {
 
@@ -86,6 +87,61 @@ object Multimodal {
     }
   }
 
+  /** javax.imageio decode — the JDK's own stdlib codecs (PNG, JPEG, BMP,
+    * GIF), no external dependency. Returns None when no registered
+    * reader recognizes the payload (ImageIO.read yields null on
+    * unrecognized magic without throwing, and fails fast: readers are
+    * chosen by header sniff, so a text/garbage payload costs a few byte
+    * compares). The memory-cache flag keeps decode off the local disk —
+    * payloads already sit in executor memory.
+    */
+  private[operators] def decodeJdkImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: java.io.IOException => None }
+
+  /** The SAME nearest-neighbor kept-pixel loop as [[resizePpm]], over a
+    * decoded raster instead of raw P6 bytes: keep source pixel
+    * (r·factor, c·factor) per output position, re-encode as minimal P6
+    * (the pipeline's uniform thumbnail format — downstream stages see
+    * one format regardless of source codec). Touches exactly the kept
+    * pixels; alpha is dropped (P6 is RGB).
+    */
+  private[operators] def resizeRasterP6(
+      img: java.awt.image.BufferedImage, factor: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val ow = (w + factor - 1) / factor
+    val oh = (h + factor - 1) / factor
+    val header = s"P6\n$ow $oh\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + ow * oh * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var q = header.length
+    var r = 0
+    while (r < oh) {
+      var c = 0
+      while (c < ow) {
+        val rgb = img.getRGB(c * factor, r * factor)
+        out(q) = (rgb >> 16).toByte; out(q + 1) = (rgb >> 8).toByte; out(q + 2) = rgb.toByte
+        q += 3; c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Resize dispatch: P6 payloads take the raw byte loop ([[resizePpm]],
+    * byte-identical to before the JDK codecs existed); PNG/JPEG/BMP/GIF
+    * decode via [[decodeJdkImage]] and resize through the same loop over
+    * the raster. None = recognized by no codec — resize is only defined
+    * on images.
+    */
+  private[operators] def resizeAny(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    resizePpm(bytes, factor)
+      .orElse(decodeJdkImage(bytes).map(resizeRasterP6(_, factor)))
+
   /** Output schema of [[resizePpmBatched]]. */
   val resizedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -93,10 +149,12 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("thumb", BinaryType, nullable = false)))
 
-  /** (id, media) → (doc_id, width, height, thumb) real P6 resize in the
+  /** (id, media) → (doc_id, width, height, thumb) real resize in the
     * same micro-batched mapPartitions shape as [[decodeFeatures]] (a
-    * production codec amortizes setup per batch). Non-P6 and null
-    * payloads are dropped — resize is only defined on images.
+    * production codec amortizes setup per batch). P6 resizes via the raw
+    * byte loop; PNG/JPEG/BMP/GIF via javax.imageio ([[resizeAny]]);
+    * unrecognized and null payloads are dropped — resize is only defined
+    * on images.
     */
   def resizePpmBatched(
       df: DataFrame,
@@ -110,7 +168,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap {
           case r if !r.isNullAt(1) =>
-            resizePpm(r.getAs[Array[Byte]](1), factor).map { thumb =>
+            resizeAny(r.getAs[Array[Byte]](1), factor).map { thumb =>
               val (w, h, _, _) = parsePpmHeader(thumb).get
               Row(r.getLong(0), w, h, thumb)
             }
@@ -201,11 +259,35 @@ object Multimodal {
     Some((w, h, 3, hist.map(_ / n)))
   }
 
-  /** Per-payload decode dispatch: real PPM first, deterministic fake
-    * stand-in otherwise.
+  /** [[decodePpm]]'s luminance-histogram features computed from a
+    * JDK-decoded raster — the same Rec.601 integer luma per pixel, so a
+    * PNG and a P6 of identical pixels yield identical features.
+    */
+  private[operators] def decodeJdk(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+    decodeJdkImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Double](16)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val rgb = img.getRGB(c, r)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(luma >> 4) += 1.0
+          c += 1
+        }
+        r += 1
+      }
+      (w, h, 3, hist.map(_ / (w.toDouble * h)))
+    }
+
+  /** Per-payload decode dispatch: real PPM first, then the JDK codecs
+    * (PNG/JPEG/BMP/GIF), deterministic fake stand-in otherwise.
     */
   private[operators] def decodeAny(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
-    decodePpm(bytes).getOrElse(fakeDecode(bytes))
+    decodePpm(bytes).orElse(decodeJdk(bytes)).getOrElse(fakeDecode(bytes))
 
   /** (id, media) → (doc_id, width, height, channels, features), decoding
     * in micro-batches of `batchSize` rows per partition.

@@ -152,6 +152,52 @@ class MultimodalSpec extends SparkSpec {
     imgs.foreach { case (id, bytes) => assert(id1(id) === bytes.toSeq) }
   }
 
+  private def tinyPng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until h; c <- 0 until w) img.setRGB(c, r, rgb(r, c))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("PNG decodes + resizes via javax.imageio with exact kept pixels; P6 path byte-unchanged") {
+    val s = spark
+    import s.implicits._
+    def v(r: Int, c: Int) = 16 * r + c
+    val png = tinyPng(4, 4)((r, c) => v(r, c) << 16 | (v(r, c) + 1) << 8 | (v(r, c) + 2))
+    // factor 2 keeps (0,0),(0,2),(2,0),(2,2); PNG is lossless → exact bytes
+    def px(r: Int, c: Int) = Array(v(r, c).toByte, (v(r, c) + 1).toByte, (v(r, c) + 2).toByte)
+    val want = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      (for (r <- Seq(0, 2); c <- Seq(0, 2); b <- px(r, c)) yield b)
+    assert(Multimodal.resizeAny(png, 2).get.toSeq === want.toSeq)
+    // the batched path now carries PNG rows (and still drops non-images)
+    val out = Multimodal.resizePpmBatched(
+      Seq((1L, png), (2L, "nope".getBytes("US-ASCII"))).toDF("doc_id", "media"),
+      factor = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert((out(0).getInt(1), out(0).getInt(2)) === ((2, 2)))
+    assert(out(0).getAs[Array[Byte]](3).toSeq === want.toSeq)
+    // P6 payloads still take the raw byte loop, byte-identical
+    val p6 = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.tabulate(12)(i => (9 + i).toByte)
+    assert(Multimodal.resizeAny(p6, 2).get.toSeq === Multimodal.resizePpm(p6, 2).get.toSeq)
+  }
+
+  test("PNG and P6 of identical pixels yield identical decode features") {
+    val rgb = (r: Int, c: Int) => (10 * r + c) << 16 | (20 * r + c) << 8 | (30 * r + c)
+    val png = tinyPng(3, 3)(rgb)
+    val p6 = "P6\n3 3\n255\n".getBytes("US-ASCII") ++
+      (for (r <- 0 until 3; c <- 0 until 3;
+            b <- Seq((rgb(r, c) >> 16).toByte, (rgb(r, c) >> 8).toByte, rgb(r, c).toByte))
+        yield b)
+    val a = Multimodal.decodeAny(png)
+    val b = Multimodal.decodeAny(p6)
+    assert((a._1, a._2, a._3) === ((3, 3, 3)))
+    assert((a._1, a._2, a._3) === ((b._1, b._2, b._3)))
+    assert(a._4.toSeq === b._4.toSeq,
+      "Rec.601 luma histogram must not depend on which codec decoded the pixels")
+  }
+
   test("withFeatureNorm computes the L2 norm of features") {
     val r = Multimodal.withFeatureNorm(Multimodal.decodeFeatures(media).limit(5))
       .select(col("features"), col("feat_norm")).head()
