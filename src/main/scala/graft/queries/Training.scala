@@ -321,21 +321,34 @@ object Training {
     // quota of md5-priority-ranked docs. All quota arithmetic is INTEGER
     // (weights scaled to ⌊√n·10⁶⌋ before summing) — no float summation
     // order to disagree on. Selection is one row_number window per
-    // source; at 100 TB the per-source rank uses the PartialTopK pruning
-    // (k ≤ the total target N, so map tasks forward ≤N rows per source).
+    // source. (TopKPushdown does NOT fire here by design of its gates:
+    // the filter bound is column-valued (rn <= quota) and the order key
+    // is a string digest, not a double — a static `rn <= MixTargetN`
+    // pre-filter would bound the join input but still not engage the
+    // heap operator. At 100 TB the window itself is the honest cost:
+    // one sort per source partition.)
     QueryDef(
       "q_temperature_mix",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = t(s, dir, "documents")
+        // unsourced docs can't take a quota: filtering them HERE (not
+        // via the join's pushed-down isnotnull) keeps the counts
+        // exchange canonically identical under both consumers below, so
+        // the total-weight branch REUSES it instead of re-scanning the
+        // corpus
+        val docs = t(s, dir, "documents").filter(col("source").isNotNull)
         val counts = docs.groupBy("source")
           .agg(count(lit(1)).as("n"))
           .withColumn("w", floor(sqrt(col("n")) * lit(1000000)).cast("long"))
-        // total weight via a window over the |sources|-row counts frame —
-        // a second aggregation branch would re-scan the corpus (no
-        // exchange reuse across the join's null filter)
+        // total weight as a broadcast 1-row agg OVER THE COUNTS FRAME
+        // crossJoined back: the counts shuffle is shared by both
+        // branches (exchange reuse), and unlike a partitionBy()-less
+        // window this keeps WindowExec's single-partition warning out of
+        // the bench log, where it would mask a real global-window
+        // mistake
+        val total = counts.agg(sum(col("w")).as("tw"))
         val quotas = counts
-          .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+          .crossJoin(broadcast(total))
           .withColumn("quota", expr(s"($MixTargetN * w) div tw"))
         docs
           .withColumn("pri",
@@ -349,7 +362,7 @@ object Training {
       Some(s"""WITH q AS (
               |  SELECT source,
               |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
-              |  FROM documents GROUP BY 1),
+              |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
               |quota AS (
               |  SELECT source, ($MixTargetN * w) // (SELECT sum(w) FROM q) AS quota
               |  FROM q),
@@ -358,7 +371,7 @@ object Training {
               |    row_number() OVER (PARTITION BY source
               |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
               |      AS mix_rank
-              |  FROM documents)
+              |  FROM documents WHERE source IS NOT NULL)
               |SELECT doc_id, r.source, CAST(mix_rank AS INT) AS mix_rank
               |FROM ranked r JOIN quota USING (source)
               |WHERE mix_rank <= quota""".stripMargin),

@@ -365,8 +365,11 @@ class PlanQualitySpec extends SparkSpec {
       "cyclic pixel synthesis must not use interpreted higher-order functions")
   }
 
+  // ReusedExchange nodes repeat the reused exchange's description, but a
+  // reused exchange is exactly NOT another shuffle — don't count it
   private def hashExchanges(planSection: String): Int =
-    planSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    planSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
 
   test("q_cdc_apply: one log shuffle serves both windows; tombstones broadcast") {
     val plan = finalPlan("q_cdc_apply")
@@ -390,6 +393,13 @@ class PlanQualitySpec extends SparkSpec {
       s"expected counts agg + rank window only, got:\n$finalSection")
     assert(finalSection.contains("BroadcastHashJoin"),
       "quotas must broadcast-join onto the ranked corpus")
+    // the total-weight branch must ride the counts exchange, not re-scan
+    assert(finalSection.contains("ReusedExchange"),
+      "total weight must reuse the counts shuffle")
+    // and the global total must NOT be a partitionBy()-less window (its
+    // single-partition WindowExec warning would pollute every bench log)
+    assert(!finalSection.contains("Window [sum("),
+      "total weight must be an aggregate, not a global window")
   }
 
   test("q_boilerplate_strip: gram frequency partial-aggregates, no range join") {
