@@ -35,29 +35,49 @@ object Quality {
   /** violations = rows with a NULL in `column`. */
   final case class Completeness(name: String, column: String) extends Check
 
-  /** violations = total rows − distinct key combinations (0 ⇔ unique). */
+  /** violations = total rows − distinct key combinations (0 ⇔ unique).
+    * NULL-key semantics: EVERY row participates — the distinct count is
+    * over `struct(cols)`, which is non-null even when all its fields are
+    * null, so rows with NULL keys form their own group(s) and two
+    * all-NULL-key rows count as duplicates. This deliberately differs
+    * from SQL `COUNT(DISTINCT col)` (which silently IGNORES null keys —
+    * an audit that skips exactly the rows most likely to be broken):
+    * a uniqueness check on nullable keys should surface NULL-key
+    * duplicates, not exempt them. Add a [[Completeness]] check on the
+    * same columns to alert on the NULLs themselves.
+    */
   final case class Uniqueness(name: String, cols: Seq[String]) extends Check
 
   /** All `checks` over `df` in one aggregation pass →
     * `(check_name string, violations bigint)`, one row per check.
+    * Check names must be unique (they key alert routing downstream) but
+    * are otherwise arbitrary strings — they travel as literals, never
+    * spliced into SQL text.
     */
   def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "suite needs at least one check")
-    val aggs = checks.map {
-      case RowCheck(n, bad) =>
-        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(n)
-      case Completeness(n, c) =>
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(n)
-      case Uniqueness(n, cs) =>
-        (count(lit(1)) - count_distinct(struct(cs.map(col): _*))).as(n)
+    val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate check names: ${dup.mkString(", ")}")
+    // aggregates are keyed by POSITION (c0, c1, …) and names attached as
+    // literal columns afterwards: no check name is ever interpolated
+    // into parsed SQL (a quote/backtick in a name cannot break the plan
+    // or inject fragments) and name collisions with df's columns are
+    // impossible
+    val aggs = checks.zipWithIndex.map {
+      case (RowCheck(_, bad), i) =>
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+      case (Completeness(_, c), i) =>
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+      case (Uniqueness(_, cs), i) =>
+        (count(lit(1)) - count_distinct(struct(cs.map(col): _*))).as(s"c$i")
     }
     val oneRow = df.agg(aggs.head, aggs.tail: _*)
     // one row → one (check_name, violations) row per metric
-    val pairs = checks
-      .map(c => s"'${c.name}', `${c.name}`")
-      .mkString(", ")
-    oneRow.selectExpr(
-      s"stack(${checks.size}, $pairs) AS (check_name, violations)")
+    oneRow
+      .select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("check_name"), col(s"c$i").as("violations"))
+      }: _*)).as("kv"))
+      .select(col("kv.check_name"), col("kv.violations"))
   }
 
   /** Referential-integrity audit: child rows whose `childKey` has no match

@@ -1063,6 +1063,16 @@ object Analytics {
     // plain count(DISTINCT). Above k the (k−1)/u_k estimator takes over
     // (DistinctSketchSpec bounds it ±5%); state stays O(k) longs per
     // group, the shuffle carries sketches, never customer ids.
+    //
+    // REGIME PIN: the hash-exact parity with count(DISTINCT) holds only
+    // while every group stays under k=4096 distinct customers. That is
+    // guaranteed at the sf0.01 correctness scale (1,500 customers TOTAL)
+    // and even sf0.1 (15,000 across ~5 priority groups ≈ 3,000/group,
+    // all < k via the ~25% order-participation rate) — but a larger
+    // correctness SF (sf1: 150k customers) crosses into the estimator
+    // regime and this oracle becomes ±5%, not exact. If the driver ever
+    // raises the correctness SF, raise k or swap the oracle to a
+    // tolerance check; DistinctSketchSpec covers the estimator regime.
     QueryDef(
       "q_distinct_maintained",
       (s, dir) => {
