@@ -39,7 +39,9 @@ object Plans {
     "q_ewma" -> "16-term lag ladder in ONE window pass — no self-join, horizon fixed at plan time",
     "q_robust_zscore" -> "median+MAD: two key shuffles, O(groups) stat frames broadcast back",
     "q_knn_pq" -> "ADC: driver-built lookup literals, m element_at probes per row inside codegen",
-    "q_attribution" -> "last-touch: one user shuffle, IGNORE NULLS carry over the preceding frame")
+    "q_attribution" -> "last-touch: one user shuffle, IGNORE NULLS carry over the preceding frame",
+    "q_view_join_maintained" -> "delta-join view refresh: delta joined to broadcast dim, merged into O(groups) state — base fact absent from the plan",
+    "q_decontaminate_exact" -> "exact-substring decontamination: positional 8-grams probed against the broadcast benchmark set, offsets reported")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate
@@ -184,6 +186,71 @@ object Plans {
       |numbers were a contended window (the recurring failure mode rounds
       |4 and 5 also documented); treat any single bench as ±30% and the
       |settled multi-run floor as the signal.
+      |
+      |## Bench calibration (round 7) — cold-window primary record
+      |
+      |Per the round-6 verdict's first directive, the full suite ran as the
+      |FIRST action of round 7 on the fresh, idle VM (uptime 2:56, load
+      |0.03, before any other compilation or Spark work): **103.4 s / 142
+      |queries at sf0.1** (`tools/bench_r7_cold.json`), vs the contended
+      |official r6 record of 271.2 s and the r6 settled calibration of
+      |107.0 s. The cold number independently reproduces the settled
+      |calibration within 4% and confirms the r6 adjudication: the 271.2 s
+      |record was VM weather, not a plan regression.
+      |
+      |Every query the r6 verdict held `weak` is now under (most far under)
+      |2× its r5 time in this clean record:
+      |
+      || query | r5 | r6 driver (contended) | r7 cold | vs r5 |
+      ||---|---|---|---|---|
+      || q_dedup_components | 2.7 | 29.8 | **2.7** | 1.0× |
+      || q_dedup_keep_rep | 2.7 | 15.9 | **2.7** | 1.0× |
+      || q_simhash_pairs | (new r6) | 14.4 | **2.2** | — |
+      || q_containment | 3.4* | 10.2 | **1.8** | 0.5× |
+      || q_triangles | 3.3 | 8.5 | **3.1** | 0.9× |
+      || q_knn_ivf | 2.5 | 7.5 | **2.2** | 0.9× |
+      || q_dedup_lsh_pairs | 1.7 | 4.8 | **1.0** | 0.6× |
+      || q_decontaminate | 0.5 | 4.1 | **<0.6** (below display floor) | ~1× |
+      || q_dedup_embed_cosine | 1.1 | 3.1 | **0.8** | 0.7× |
+      || q_lm_quality | 0.7 | 3.0 | **0.5** | 0.7× |
+      |
+      |(*r5 containment predates the measured-dispatch fix; 3.4 is the r6
+      |isolated A/B.) A settled re-run late in round 7 will be appended
+      |here alongside any plan-shape work (simhash vote Aggregator, CC
+      |job-count halving) done during the round.
+      |
+      |## Iterative-loop job halving + single-buffer SimHash agg (round 7)
+      |
+      |Two plan-shape changes from the r6 verdict, A/B'd back-to-back on the
+      |same window (isolated `SPARK_GRAFT_ONLY` band, stash/pop of the diff):
+      |
+      |1. **One job per round in the checkpointing loops.** CC, BFS frontier,
+      |   and k-core peel switched from eager `localCheckpoint()` (a dedicated
+      |   materialization job per round) to `localCheckpoint(eager = false)`
+      |   materialized by the action each round already runs (CC's convergence
+      |   signature, BFS's emptiness probe, k-core's doomed-count). Halves the
+      |   job count per round — the amplifier that made this family 3–11×
+      |   slower on a contended host (r6 driver record). PageRank and
+      |   triangles keep eager checkpoints: theirs guard cache unpersists.
+      |2. **`q_simhash_pairs`/`q_dedup_simhash` vote aggregation** collapsed
+      |   from 48 independent `sum(when(bit,1,-1))` agg buffers into ONE
+      |   `Array[Int]` Aggregator (`SimHash.SimHashAgg`), buffer encoded with
+      |   the native int-array `ExpressionEncoder` (kryo was measured 0.25 s
+      |   slower on `q_dedup_simhash` — the buffer codec sits on the
+      |   partial-merge exchange). Bit-identical output (integer votes, order-
+      |   insensitive; `SimHashAggSpec` pins Aggregator ≡ 48-lane form).
+      |
+      || query | pre (old code) | post (new code) | note |
+      ||---|---|---|---|
+      || q_simhash_pairs | 2.51 | **1.88** | −25%; driver-contended r6 record was 14.4 |
+      || q_dedup_simhash | 0.45 | **0.50** | parity (kryo variant was 0.70) |
+      || q_dedup_components | 4.13 | **3.61–4.00** | job count halved; wall-time win shows under contention |
+      || q_pagerank / q_shortest_path / q_kcore / keep_rep / keep_best | 7.87/4.29/3.37/3.28/3.11 | 7.79/5.72/3.56/3.11/3.36 | ±20% run noise (see round-6 calibration) |
+      |
+      |The loop changes' real payoff is robustness: fewer jobs per round ⇒
+      |less exposure to scheduler/GC weather on a contended host, which is
+      |what the official bench runs under. Oracle parity re-verified on all 8
+      |affected queries (sf0.01 selfcheck PASS).
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
