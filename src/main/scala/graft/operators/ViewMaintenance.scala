@@ -85,4 +85,43 @@ object ViewMaintenance {
       .agg(aggs.head, aggs.tail: _*)
     merge(Seq(priorState, deltaState), groupKeys, state)
   }
+
+  /** Symmetric delta-join maintenance when BOTH sides take inserts: the
+    * standard decomposition for insert-only inputs,
+    *
+    *   ΔV = agg(Δfact ⋈ dim_new) ∪ agg(fact_old ⋈ Δdim)
+    *
+    * (Δfact ⋈ Δdim folds into the first term by joining the delta
+    * against the POST-insert dim). The honest cost statement: the
+    * second term must consult the base fact — that is information-
+    * theoretically required, since rows matching a newly inserted dim
+    * key were unjoinable (absent from the view) until now. The term is
+    * kept cheap by broadcasting Δdim (a dim delta is tiny by nature):
+    * the fact scan streams through a broadcast-hash semi-probe, no
+    * fact shuffle, and everything surviving partial-aggregates to
+    * O(affected groups). A fact table bucketed/partitioned by the join
+    * key turns that scan into a pruned read at 100 TB.
+    *
+    * Inserts only — in-place dim UPDATES re-attribute history and need
+    * retraction (negative state) or a rebuild; callers with updating
+    * dims should version dim rows (SCD-2) so history keeps its old
+    * attribution and updates become inserts.
+    */
+  def joinDeltaBoth(
+      priorState: DataFrame,
+      fact: DataFrame,
+      factDelta: DataFrame,
+      dim: DataFrame,
+      dimDelta: DataFrame,
+      joinKeys: Seq[String],
+      groupKeys: Seq[String],
+      aggs: Seq[Column],
+      state: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty, "joinDeltaBoth needs at least one aggregate")
+    def agg1(df: DataFrame) =
+      df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val factSide = agg1(factDelta.join(dim.unionByName(dimDelta), joinKeys))
+    val dimSide = agg1(fact.join(broadcast(dimDelta), joinKeys))
+    merge(Seq(priorState, factSide, dimSide), groupKeys, state)
+  }
 }

@@ -272,6 +272,25 @@ object VersionedLake {
     publishManifest(spark, tableDir, Seq(d), schema)
   }
 
+  /** The [[optimize]] cadence as a one-liner for ingest loops: compact
+    * only when the manifest has reached `maxDirs` directories, else do
+    * nothing. Dropping this after [[appendCommit]] in a `foreachBatch`
+    * body bounds read-side listing at O(maxDirs) forever while keeping
+    * the amortized write amplification at one extra table rewrite per
+    * `maxDirs` batches. Returns the new version when it compacted.
+    */
+  def optimizeIfNeeded(
+      spark: SparkSession,
+      tableDir: String,
+      maxDirs: Int = 64,
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Option[Long] = {
+    require(maxDirs >= 2, s"maxDirs must be >= 2, got $maxDirs")
+    currentVersion(spark, tableDir)
+      .filter(v => manifest(spark, tableDir, v).size >= maxDirs)
+      .map(_ => optimize(spark, tableDir, parts, maxRecordsPerFile))
+  }
+
   /** Drop manifests below the published version and every data directory
     * the current manifest no longer references — ends the time-travel
     * window, never touches the live snapshot.

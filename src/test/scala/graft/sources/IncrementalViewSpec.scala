@@ -108,6 +108,35 @@ class IncrementalViewSpec extends SparkSpec {
       s"refresh plan must not rescan the base fact table, saw $scanned")
   }
 
+  test("joinDeltaBoth: inserts on BOTH sides maintained == recompute; dim delta broadcast") {
+    def fact(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, (i % 7).toLong, i * 2.5)).toDF("id", "custkey", "amount")
+    def dim(keys: Range): DataFrame =
+      keys.map(c => (c.toLong, s"seg${c % 3}")).toDF("custkey", "segment")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+    val ops = Seq("n" -> "sum", "total" -> "sum")
+    def stateOf(f: DataFrame, d: DataFrame): DataFrame =
+      f.join(d, Seq("custkey")).groupBy("segment").agg(aggs.head, aggs.tail: _*)
+
+    // base: facts over keys 0..6, dim knows only keys 0..4 — keys 5,6
+    // dangle (unjoinable, absent from the view, the realistic lag case)
+    val f0 = fact(0 until 140)
+    val d0 = dim(0 until 5)
+    val prior = stateOf(f0, d0)
+    // deltas: new facts (some on the NEW dim keys) + the late dim rows
+    val df1 = fact(140 until 180)
+    val dd1 = dim(5 until 7)
+    val maintained = ViewMaintenance.joinDeltaBoth(
+      prior, f0, df1, d0, dd1,
+      joinKeys = Seq("custkey"), groupKeys = Seq("segment"),
+      aggs = aggs, state = ops)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = stateOf(f0.unionByName(df1), d0.unionByName(dd1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(maintained === recomputed,
+      "dangling base facts must be claimed by the arriving dim rows")
+  }
+
   test("a maintained view survives a commit the reader has not seen (lag tolerance)") {
     val dir = java.nio.file.Files.createTempDirectory("vlake_iv2").toString
     val ver1 = VersionedLake.appendCommit(batch(0 until 100), dir)

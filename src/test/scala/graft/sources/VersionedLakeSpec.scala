@@ -180,6 +180,23 @@ class VersionedLakeSpec extends SparkSpec {
     intercept[Exception](VersionedLake.readVersion(s, dir, 4).collect())
   }
 
+  test("optimizeIfNeeded compacts at the cadence and no earlier") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_cadence").toString
+    (0 until 3).foreach { i =>
+      VersionedLake.appendCommit(Seq((i.toLong, s"p$i")).toDF("id", "payload"), dir)
+      assert(VersionedLake.optimizeIfNeeded(s, dir, maxDirs = 4).isEmpty,
+        s"must not compact below the cadence (manifest size ${i + 1})")
+    }
+    VersionedLake.appendCommit(Seq((3L, "p3")).toDF("id", "payload"), dir)
+    val v = VersionedLake.optimizeIfNeeded(s, dir, maxDirs = 4)
+    assert(v.nonEmpty, "4 directories must trigger the cadence")
+    assert(VersionedLake.manifest(s, dir, v.get).size === 1)
+    assert(rows(VersionedLake.read(s, dir)) ===
+      (0 to 3).map(i => (i.toLong, s"p$i")).toSet)
+  }
+
   test("partitioned commits keep directory pruning inside the version") {
     val s = spark
     import s.implicits._
