@@ -229,6 +229,86 @@ object Text {
       covers = Seq("ext-corpus-clean")),
 
     // ------------------------------------------------------------------
+    // Filter-cascade FUNNEL: the per-rule drop accounting every curation
+    // pipeline publishes next to its cleaned corpus — for each rule in
+    // cascade order, how many documents violate it at all (marginal),
+    // how many the cascade drops AT that rule (passed every earlier
+    // rule, failed this one), and how many survive through it. ONE
+    // aggregation pass: every number is a conditional sum over the same
+    // scan (partial-aggregated map-side, the exchange carries one row),
+    // then the single row unpivots to a row per rule — the Quality.suite
+    // positional-literal shape, nothing interpolated into SQL. At
+    // 100 TB this is the difference between one corpus read and one
+    // read per rule × stage.
+    QueryDef(
+      "q_filter_funnel",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          length(col("text")).as("len"),
+          size(words(col("text"))).as("n_words"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+            .as("punct_cnt"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .as("digit_cnt"))
+        // pass-predicates, cascade order (cheap structural rules first)
+        val rules: Seq[(String, Column)] = Seq(
+          "min_words_10" -> (col("n_words") >= 10),
+          "punct_ratio_20" -> (col("punct_cnt") * 5 <= col("len")),
+          "digit_ratio_10" -> (col("digit_cnt") * 10 <= col("len")))
+        val preds = rules.map(_._2)
+        def through(i: Int): Column = preds.take(i + 1).reduce(_ && _)
+        val aggs = rules.indices.flatMap { i =>
+          val pre = if (i == 0) lit(true) else through(i - 1)
+          Seq(
+            sum(when(!preds(i), 1L).otherwise(0L)).as(s"v$i"),
+            sum(when(pre && !preds(i), 1L).otherwise(0L)).as(s"d$i"),
+            sum(when(through(i), 1L).otherwise(0L)).as(s"s$i"))
+        }
+        d.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rules.indices.map(i =>
+            struct(
+              lit(rules(i)._1).as("rule"),
+              col(s"v$i").as("n_violating"),
+              col(s"d$i").as("n_dropped_here"),
+              col(s"s$i").as("n_surviving_after"))): _*)).as("kv"))
+          .select(col("kv.rule"), col("kv.n_violating"),
+            col("kv.n_dropped_here"), col("kv.n_surviving_after"))
+      },
+      Some("""WITH f AS (
+             |  SELECT
+             |    length(text) AS len,
+             |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS INT) AS n_words,
+             |    CAST(length(text) -
+             |      length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS INT) AS punct_cnt,
+             |    CAST(length(text) -
+             |      length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digit_cnt
+             |  FROM documents),
+             |p AS (
+             |  SELECT (n_words >= 10) AS p0,
+             |    (punct_cnt * 5 <= len) AS p1,
+             |    (digit_cnt * 10 <= len) AS p2
+             |  FROM f),
+             |a AS (SELECT
+             |  CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             |  CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             |  CAST(sum(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+             |  CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             |  CAST(sum(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |  CAST(sum(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             |  CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             |  CAST(sum(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             |  CAST(sum(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2
+             |  FROM p)
+             |SELECT 'min_words_10' AS rule, v0 AS n_violating,
+             |  d0 AS n_dropped_here, s0 AS n_surviving_after FROM a
+             |UNION ALL SELECT 'punct_ratio_20', v1, d1, s1 FROM a
+             |UNION ALL SELECT 'digit_ratio_10', v2, d2, s2 FROM a""".stripMargin),
+      covers = Seq("ext-filter-funnel")),
+
+    // ------------------------------------------------------------------
     // Winnowing fingerprints (rolling-hash sketch with a substring-
     // containment guarantee — see graft.operators.Winnow): k-gram hashes,
     // sliding-window minima, distinct. Exploded (doc_id, fp) rows are the
