@@ -180,6 +180,34 @@ class VersionedLakeSpec extends SparkSpec {
     intercept[Exception](VersionedLake.readVersion(s, dir, 4).collect())
   }
 
+  test("streaming ingest survives a mid-stream schema change (evolving foreachBatch)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vlake_stream_evolve").toString
+    // the producer upgrades mid-stream: later events carry a lang field
+    // (empty string = the old producer format, mapped to a null column)
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDS().toDF("id", "payload", "lang")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val legacy = batch.filter(col("lang") === "").drop("lang")
+        val upgraded = batch.filter(col("lang") =!= "")
+        if (!legacy.isEmpty) VersionedLake.appendCommit(legacy, dir): Unit
+        if (!upgraded.isEmpty) VersionedLake.appendCommit(upgraded, dir): Unit
+      }
+      .start()
+    try {
+      in.addData((1L, "a", "")); q.processAllAvailable()   // old format: no lang
+      in.addData((2L, "b", "en")); q.processAllAvailable() // upgraded producer
+      val got = VersionedLake.read(s, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(got === Set((1L, "a", None), (2L, "b", Some("en"))),
+        "pre-upgrade batches must read back with the new column null")
+    } finally q.stop()
+  }
+
   test("optimizeIfNeeded compacts at the cadence and no earlier") {
     val s = spark
     import s.implicits._
