@@ -107,6 +107,17 @@ object ViewMaintenance {
     * dims should version dim rows (SCD-2) so history keeps its old
     * attribution and updates become inserts.
     */
+  /** RETRACTIONS (the z-set pattern): a delta whose rows carry a sign
+    * (+1 insert, −1 delete) maintains sum-merged state through
+    * [[merge]]/[[joinDelta]] with NO new machinery — aggregate the delta
+    * as `sum(sign)` for counts and `sum(sign * x)` for sums, and the
+    * signed partial states cancel against the base. This covers
+    * count/sum/avg-decomposed state exactly; min/max CANNOT retract
+    * (deleting the current extremum needs the base data to find the
+    * runner-up — re-derive those columns from the base, or maintain a
+    * bounded top-k per group instead). `q_view_retract_maintained`
+    * demonstrates the pattern oracle-checked.
+    */
   def joinDeltaBoth(
       priorState: DataFrame,
       fact: DataFrame,

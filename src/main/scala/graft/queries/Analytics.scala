@@ -1053,6 +1053,50 @@ object Analytics {
       covers = Seq("ext-view-join-maintained")),
 
     // ------------------------------------------------------------------
+    // RETRACTION-capable view maintenance (the z-set pattern): order
+    // cancellations arrive AFTER the rollup was built, as a delta whose
+    // rows carry sign −1. The same merge machinery maintains the view —
+    // the delta aggregates as sum(sign)/sum(sign·x), and the signed
+    // state cancels against the base — so the maintained face equals a
+    // recompute over the surviving orders without ever rescanning them.
+    // min/max state is deliberately absent: extrema cannot retract
+    // (ViewMaintenance scaladoc). Cost: O(groups + |cancellations|).
+    QueryDef(
+      "q_view_retract_maintained",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val cancelled = col("o_orderkey") % 100 === 7
+        val base = orders
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        val retractions = orders.filter(cancelled)
+          .groupBy("o_orderstatus")
+          .agg((-count(lit(1))).as("n"),
+            (-sum(col("o_totalprice"))).as("total"))
+        graft.operators.ViewMaintenance
+          .merge(Seq(base, retractions), Seq("o_orderstatus"),
+            Seq("n" -> "sum", "total" -> "sum"))
+          .filter(col("n") > 0)
+          .select(col("o_orderstatus"), col("n"),
+            round(col("total"), 2).as("total"))
+      },
+      Some("""WITH sliced AS (
+             |  SELECT o_orderstatus,
+             |    CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS s
+             |  FROM orders GROUP BY o_orderstatus),
+             |retr AS (
+             |  SELECT o_orderstatus,
+             |    CAST(-count(*) AS BIGINT) AS n, -sum(o_totalprice) AS s
+             |  FROM orders WHERE o_orderkey % 100 = 7 GROUP BY o_orderstatus),
+             |merged AS (
+             |  SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
+             |    round(sum(s), 2) AS total
+             |  FROM (SELECT * FROM sliced UNION ALL SELECT * FROM retr)
+             |  GROUP BY 1)
+             |SELECT o_orderstatus, n, total FROM merged WHERE n > 0""".stripMargin),
+      covers = Seq("ext-view-retract")),
+
+    // ------------------------------------------------------------------
     // Incrementally-maintained DISTINCT count (operators.DistinctSketch):
     // the one aggregate ViewMaintenance.merge cannot express as
     // sum/min/max — per-group distinct customers, maintained as KMV
