@@ -717,13 +717,14 @@ object Text {
             graft.functions.TextExprs.wordTokens(col("text")).as("ws"))
         val words = toks.select(col("doc_id"),
           posexplode(col("ws")).as(Seq("pos", "w")))
-        val grams = toks
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, size(ws) - 3),
-              |  i -> struct(i AS pos, array_join(slice(ws, i + 1, 3), ' ') AS g))"""
-              .stripMargin)).as("x"))
-          .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+        // positional 3-grams via the native kernel (element i = the run
+        // at token offset i): the transform(sequence)+slice+array_join
+        // HOF chain this replaces is CodegenFallback — an interpreted
+        // lambda per gram, measured as this query's dominant cost
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextExprs.wordShinglesAll(col("text"), 3))
+            .as(Seq("pos", "g")))
         val boiler = grams.groupBy("g")
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 3)
