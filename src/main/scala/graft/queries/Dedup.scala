@@ -27,6 +27,37 @@ object Dedup {
       |        FROM documents)
       |  WHERE len(ws) >= 2""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.SpanDedup]]'s island detection at
+    * n=5: positional 5-gram 60-bit hashes, keep-first ownership via a
+    * window min over the hash, gaps-and-islands merge of hit offsets.
+    * Shared CTE prefix of the two span-dedup oracles; ends at `isl`
+    * (doc_id, pos, island).
+    */
+  private[queries] val SpanIslandsSql =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |           x -> x != '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |      'h': CAST(concat('0x', substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)}
+      |    for i in range(1, len(ws) - 3)]) AS u
+      |  FROM toks),
+      |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM grams),
+      |hits AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY h) AS first_id FROM g)
+      |  WHERE doc_id > first_id),
+      |flg AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+      |         THEN 1 ELSE 0 END AS f
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM flg)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Exact dedup: hash-groupBy on content digest; canonical id = min id.
@@ -374,6 +405,61 @@ object Dedup {
              |FROM corpus c LEFT JOIN bench b ON c.g = b.g
              |GROUP BY 1""".stripMargin),
       covers = Seq("ext-decontaminate-exact")),
+
+    // ------------------------------------------------------------------
+    // REPEATED-SUBSTRING spans (span-level dedup, not doc-level): every
+    // maximal run of tokens that also appears verbatim in a LOWER-id
+    // document, as (doc, span_start, span_end) token intervals — the
+    // "dedup training data" curation pass that strips repeated passages
+    // (boilerplate, quoted reposts) while keeping one canonical copy.
+    // Three shuffles total at any scale: gram-hash (first-owner window
+    // min), doc (island merge), and the co-partitioned span agg — see
+    // graft.operators.SpanDedup. The oracle replays the identical island
+    // construction over the identical 60-bit gram hashes.
+    QueryDef(
+      "q_repeated_spans",
+      (s, dir) =>
+        graft.operators.SpanDedup
+          .repeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 5),
+      Some(s"""WITH $SpanIslandsSql
+              |SELECT doc_id,
+              |  CAST(min(pos) AS BIGINT) AS span_start,
+              |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+              |  CAST(count(*) AS BIGINT) AS n_dup_grams,
+              |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_toks
+              |FROM isl GROUP BY doc_id, island""".stripMargin),
+      covers = Seq("ext-dedup-substring-spans")),
+
+    // ------------------------------------------------------------------
+    // The REMOVAL face of span dedup: per document, how many tokens sat
+    // inside a repeated span and the md5 of the text with those spans
+    // stripped (keep-first: minimum-id owners are untouched, so every
+    // passage survives exactly once corpus-wide). Digest output keeps
+    // rows O(1); the digest proves the rebuilt cleaned text itself.
+    QueryDef(
+      "q_substring_dedup",
+      (s, dir) =>
+        graft.operators.SpanDedup
+          .cleanedCorpus(t(s, dir, "documents"), "doc_id", "text", n = 5),
+      Some(s"""WITH $SpanIslandsSql,
+              |spans AS (
+              |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+              |  FROM isl GROUP BY doc_id, island),
+              |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+              |words AS (
+              |  SELECT doc_id, unnest([{'pos': i, 'w': ws[i]}
+              |    for i in range(1, len(ws) + 1)]) AS u
+              |  FROM toks),
+              |w2 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM words)
+              |SELECT w.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_toks,
+              |  CAST(count(c.pos) AS BIGINT) AS dup_toks,
+              |  count(c.pos) * 1.0 / count(*) AS dup_frac,
+              |  md5(coalesce(string_agg(CASE WHEN c.pos IS NULL THEN w.w END,
+              |        ' ' ORDER BY w.pos), '')) AS clean_digest
+              |FROM w2 w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+              |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-dedup-substring-clean")),
 
     // ------------------------------------------------------------------
     // END-TO-END near-dup dedup, the full production pipeline in one
