@@ -318,4 +318,104 @@ object Multimodal {
     df.withColumn(
       "feat_norm",
       sqrt(graft.functions.VectorExprs.dotProduct(col(featCol), col(featCol))))
+
+  /** Perceptual difference-hash (dHash) of an image payload: the raster
+    * is box-binned to a `gridRows x gridCols` luminance grid and each bit
+    * records whether a cell is brighter than its right neighbor —
+    * `gridRows x (gridCols-1)` bits, default 8x8 grid = 56 (positive-
+    * BIGINT-safe, so the DuckDB oracle can sum literal bit weights
+    * without overflow games). Robust to re-encoding, scaling and mild
+    * brightness shifts; Hamming distance between hashes is the
+    * perceptual distance. All arithmetic is exact integer: cell sums of
+    * Rec.601 luma numerators (299r+587g+114b, /1000 deferred — it
+    * cancels), unequal cell sizes compared by cross-multiplied averages,
+    * so a PNG and a P6 of identical pixels hash identically on any
+    * engine. P6 payloads bin straight off the bytes; PNG/JPEG/BMP/GIF go
+    * through [[decodeJdkImage]]. None: unrecognized payload, raster
+    * smaller than the grid, or > 2^30 pixels (the cross-multiply's Long
+    * headroom; gigapixel inputs should thumbnail first).
+    */
+  def dHash(bytes: Array[Byte], gridCols: Int = 8, gridRows: Int = 8): Option[Long] = {
+    require(gridCols >= 2 && gridRows >= 1, s"grid must be >= 1x2, got ${gridRows}x$gridCols")
+    require(gridRows * (gridCols - 1) <= 62, "hash must fit a positive Long")
+    val p6 = parsePpmHeader(bytes).filter { case (w, h, _, off) =>
+      bytes.length - off == w.toLong * h * 3
+    }
+    p6 match {
+      case Some((w, h, _, off)) =>
+        dHashGrid(w, h, gridCols, gridRows, (y, x) => {
+          val p = off + (y * w + x) * 3
+          (bytes(p) & 0xff) * 299 + (bytes(p + 1) & 0xff) * 587 + (bytes(p + 2) & 0xff) * 114
+        })
+      case None =>
+        decodeJdkImage(bytes).flatMap { img =>
+          dHashGrid(img.getWidth, img.getHeight, gridCols, gridRows, (y, x) => {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
+          })
+        }
+    }
+  }
+
+  private def dHashGrid(
+      w: Int, h: Int, gridCols: Int, gridRows: Int,
+      luma: (Int, Int) => Int): Option[Long] = {
+    if (w < gridCols || h < gridRows || w.toLong * h > (1L << 30)) return None
+    val sums = new Array[Long](gridRows * gridCols)
+    val cnts = new Array[Long](gridRows * gridCols)
+    var y = 0
+    while (y < h) {
+      val rowBase = ((y.toLong * gridRows / h) * gridCols).toInt
+      var x = 0
+      while (x < w) {
+        val cell = rowBase + (x.toLong * gridCols / w).toInt
+        sums(cell) += luma(y, x)
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < gridRows) {
+      var c = 0
+      while (c < gridCols - 1) {
+        val i = r * gridCols + c
+        // avg(i) > avg(i+1) without division: floor-boundary binning can
+        // leave neighbor cells unequal-sized, so compare cross-products
+        if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+          hash |= 1L << (r * (gridCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Output schema of [[dHashBatched]]. */
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** (id, media) → (doc_id, dhash) in the same micro-batched
+    * mapPartitions shape as [[decodeFeatures]]; null and non-image
+    * payloads are dropped (a perceptual hash is only defined on images).
+    */
+  def dHashBatched(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = org.apache.spark.sql.Encoders.row(dHashSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap {
+          case r if !r.isNullAt(1) =>
+            dHash(r.getAs[Array[Byte]](1)).map(hv => Row(r.getLong(0), hv))
+          case _ => None
+        }
+      }
+    }(enc)
+  }
 }

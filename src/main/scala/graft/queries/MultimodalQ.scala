@@ -22,6 +22,50 @@ object MultimodalQ {
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) =
     t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("media"))
 
+  /** Deterministic 16x16 binary-PPM per document (pixel bytes cycle
+    * through the text — both engines construct it byte-identically; the
+    * cyclic repeat+substring is one codegen'd string op per row, vs 9.5 s
+    * at sf0.1 for the per-character HOF formulation). Shared by the
+    * resize and perceptual-hash queries.
+    */
+  private def ppm16(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .select(
+        col("doc_id"),
+        concat(
+          lit("P6\n16 16\n255\n"),
+          substring(
+            expr("repeat(text, CAST(767 div length(text) + 1 AS INT))"), 1, 768))
+          .cast("binary").as("media"))
+
+  /** DuckDB replay of [[graft.operators.Multimodal.dHash]] over the
+    * [[ppm16]] images, ending in `dh(doc_id, dhash)`: per-pixel Rec.601
+    * luma numerators from the cyclic text bytes, 2x2 cell sums (16/8
+    * divides evenly, so the operator's cross-multiplied average compare
+    * reduces to a plain sum compare), row-neighbor bits packed with
+    * Scala-rendered literal weights (56 bits — positive-BIGINT-safe).
+    */
+  private val DHashCte: String = {
+    val cells = (for { r <- 0 until 8; c <- 0 until 8 } yield
+      s"sum(CASE WHEN (i // 3) // 16 // 2 = $r AND ((i // 3) % 16) // 2 = $c THEN wt * v END) AS s${r}_$c")
+      .mkString(",\n    ")
+    val pack = (for { r <- 0 until 8; c <- 0 until 7 } yield
+      s"(CASE WHEN s${r}_$c > s${r}_${c + 1} THEN ${1L << (r * 7 + c)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""px AS (
+       |  SELECT doc_id, i,
+       |    ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)) AS v,
+       |    CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END AS wt
+       |  FROM documents, range(0, 768) t(i)
+       |  WHERE length(text) >= 1),
+       |cells AS (
+       |  SELECT doc_id,
+       |    $cells
+       |  FROM px GROUP BY doc_id),
+       |dh AS (SELECT doc_id, CAST($pack AS BIGINT) AS dhash FROM cells)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Typed payload metadata: one codegen'd scan, no decode.
@@ -74,20 +118,7 @@ object MultimodalQ {
     QueryDef(
       "q_multimodal_resize",
       (s, dir) => {
-        // cyclic pixel bytes via repeat+substring — one codegen'd string
-        // op per row; the per-character higher-order-function formulation
-        // is CodegenFallback and measured 9.5 s at sf0.1 (768 interpreted
-        // lambda calls per document) vs ~0.4 s for this form.
-        val src = t(s, dir, "documents")
-          .filter(length(col("text")) >= 1)
-          .select(
-            col("doc_id"),
-            concat(
-              lit("P6\n16 16\n255\n"),
-              substring(
-                expr("repeat(text, CAST(767 div length(text) + 1 AS INT))"), 1, 768))
-              .cast("binary").as("media"))
-        Multimodal.resizePpmBatched(src, factor = 4)
+        Multimodal.resizePpmBatched(ppm16(s, dir), factor = 4)
           .select(
             col("doc_id"),
             col("width"),
@@ -125,6 +156,58 @@ object MultimodalQ {
              |  CAST(1 + ascii(substr(text, 2, 1)) AS INT) AS height,
              |  CAST(3 AS INT) AS channels
              |FROM documents""".stripMargin),
-      covers = Seq("ext-multimodal-decode"))
+      covers = Seq("ext-multimodal-decode")),
+
+    // ------------------------------------------------------------------
+    // Perceptual image hash (dHash): 8x8 luminance grid over the decoded
+    // raster, 56 bits of brighter-than-right-neighbor comparisons. Runs
+    // the REAL codec path (P6 bytes here; PNG/JPEG via javax.imageio
+    // hash identically — spec-pinned) in the micro-batched mapPartitions
+    // shape; the oracle recomputes every cell sum and bit analytically
+    // from the same cyclic pixel bytes.
+    QueryDef(
+      "q_image_dhash",
+      (s, dir) => Multimodal.dHashBatched(ppm16(s, dir)),
+      Some(s"""WITH $DHashCte
+              |SELECT doc_id, dhash FROM dh""".stripMargin),
+      covers = Seq("ext-multimodal-dhash")),
+
+    // ------------------------------------------------------------------
+    // Perceptual NEAR-DUP images: pairs within Hamming distance 6 on the
+    // 56-bit dHash, found by pigeonhole — 7 blocks of 8 bits; two hashes
+    // differing in <= 6 bits MUST agree on some block (guaranteed recall,
+    // never all-pairs), popcount-verify on block-collision candidates
+    // only. Same shape as q_simhash_pairs; at production bit widths
+    // (128/256-bit pHash) the blocks widen to 12-16 bits, giving the
+    // same guarantee over a finer bucket space. The oracle brute-forces
+    // the quadratic truth (viable only at oracle scale).
+    QueryDef(
+      "q_image_near_dup",
+      (s, dir) => {
+        val dh = Multimodal.dHashBatched(ppm16(s, dir))
+        val blocks = dh.select(
+          col("doc_id"), col("dhash"),
+          explode(array((0 until 7).map(b =>
+            struct(lit(b).as("blk"),
+              shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bk"))
+          .select(col("doc_id"), col("dhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+        blocks.as("a")
+          .join(
+            blocks.as("b"),
+            col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+      },
+      Some(s"""WITH $DHashCte
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+              |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin),
+      covers = Seq("ext-multimodal-near-dup"))
   )
 }
