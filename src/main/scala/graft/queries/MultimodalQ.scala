@@ -208,6 +208,49 @@ object MultimodalQ {
               |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
               |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin),
-      covers = Seq("ext-multimodal-near-dup"))
+      covers = Seq("ext-multimodal-near-dup")),
+
+    // ------------------------------------------------------------------
+    // REAL audio decode + windowed DSP features: each document
+    // synthesizes a 256-sample 8-bit-mono PCM WAV (44-byte literal
+    // header + cyclic text bytes — byte-identical in both engines), the
+    // engine runs the strict RIFF chunk-walk codec (graft.operators
+    // .Audio) and emits per-64-frame-window exact-integer features. The
+    // oracle recomputes energy/zcr/peak analytically from the same
+    // cyclic samples. NOTE: the ASCII fixture corpus keeps every
+    // centered 8-bit sample negative, so `zcr` is identically 0 in this
+    // face — the crossing logic is spec-pinned on signed 16-bit
+    // fixtures that straddle zero (AudioSpec).
+    QueryDef(
+      "q_audio_features",
+      (s, dir) => {
+        val src = t(s, dir, "documents")
+          .filter(length(col("text")) >= 1)
+          .select(
+            col("doc_id"),
+            concat(
+              lit(graft.operators.Audio.monoPcm8Header(256)),
+              substring(
+                expr("repeat(text, CAST(255 div length(text) + 1 AS INT))"), 1, 256)
+                .cast("binary")).as("media"))
+        graft.operators.Audio.windowFeatures(src, windowSize = 64)
+      },
+      Some("""WITH smp AS (
+             |  SELECT doc_id, i,
+             |    ascii(substr(text, CAST(i % length(text) AS INT) + 1, 1)) - 128 AS s
+             |  FROM documents, range(0, 256) t(i)
+             |  WHERE length(text) >= 1),
+             |nxt AS (
+             |  SELECT doc_id, i, s,
+             |    lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+             |  FROM smp)
+             |SELECT doc_id, CAST(i // 64 AS INT) AS win,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(s * s) AS BIGINT) AS energy,
+             |  CAST(sum(CASE WHEN (i + 1) // 64 = i // 64 AND s * s2 < 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak
+             |FROM nxt GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-multimodal-audio"))
   )
 }
