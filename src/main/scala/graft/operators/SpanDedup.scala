@@ -47,28 +47,29 @@ object SpanDedup {
   private def gramHash(g: Column): Column =
     conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Maximal repeated spans per document (1-based token offsets):
-    * `(id, span_start, span_end, n_dup_grams, span_toks)`.
-    * One row per span; documents with no cross-doc repeat emit nothing.
+  /** Positional n-grams of `docs` as `(id, pos, h)` — 1-based token
+    * offset, 60-bit gram hash.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def gramRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span gram size must be >= 2, got $n")
-    val id = col(idCol)
-    val grams = docs
+    docs
       .select(
-        id,
+        col(idCol),
         posexplode(graft.functions.TextExprs.wordShinglesAll(col(textCol), n))
           .as(Seq("pos0", "g")))
-      .select(id, (col("pos0") + 1).as("pos"), gramHash(col("g")).as("h"))
-    // first-owner via window min over the gram hash: one shuffle on h,
-    // no second pass — a groupBy+self-join would shuffle the gram frame
-    // twice for the same answer
-    val hits = grams
-      .withColumn("first_id", min(id).over(Window.partitionBy("h")))
-      .filter(id > col("first_id"))
-      .select(id, col("pos"))
-    // gaps-and-islands: a new span starts when this hit's n-token window
-    // neither overlaps nor touches the previous hit's window
+      .select(col(idCol), (col("pos0") + 1).as("pos"), gramHash(col("g")).as("h"))
+  }
+
+  /** Gaps-and-islands merge of per-doc hit offsets into maximal spans:
+    * `(id, pos)` hits (each covering tokens `[pos, pos+n-1]`) →
+    * `(id, span_start, span_end, n_dup_grams, span_toks)`. Two hits
+    * whose n-token windows overlap or touch join one span. One shuffle
+    * on id; the span agg is co-partitioned behind the window.
+    */
+  def mergeSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    // a new span starts when this hit's n-token window neither overlaps
+    // nor touches the previous hit's window
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val prev = lag("pos", 1).over(byDoc)
     val islands = hits
@@ -86,6 +87,57 @@ object SpanDedup {
       .drop("island")
   }
 
+  /** Maximal repeated spans per document (1-based token offsets):
+    * `(id, span_start, span_end, n_dup_grams, span_toks)`.
+    * One row per span; documents with no cross-doc repeat emit nothing.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    // first-owner via window min over the gram hash: one shuffle on h,
+    // no second pass — a groupBy+self-join would shuffle the gram frame
+    // twice for the same answer
+    val hits = gramRows(docs, idCol, textCol, n)
+      .withColumn("first_id", min(id).over(Window.partitionBy("h")))
+      .filter(id > col("first_id"))
+      .select(id, col("pos"))
+    mergeSpans(hits, idCol, n)
+  }
+
+  /** Standing gram-owner index `(h, first_id)` of a corpus — the state
+    * an incremental span-dedup pipeline persists between ingest batches
+    * (at scale: a lake table bucketed by `h`, upserted per batch via
+    * [[mergeOwnerIndex]]).
+    */
+  def ownerIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    gramRows(docs, idCol, textCol, n)
+      .groupBy("h")
+      .agg(min(col(idCol)).as("first_id"))
+
+  /** Fold a batch's owner index into the standing one (keep-min). */
+  def mergeOwnerIndex(index: DataFrame, deltaIndex: DataFrame): DataFrame =
+    index.union(deltaIndex).groupBy("h").agg(min("first_id").as("first_id"))
+
+  /** INCREMENTAL repeated spans for an ingest batch: only the DELTA is
+    * gram-exploded and probed against the standing [[ownerIndex]] —
+    * per-batch cost is O(delta grams + hits), never a corpus rescan
+    * (the same delta shape as [[MinHash.incrementalLshPairs]]).
+    * CONTRACT: ids are ingest-ordered — every indexed doc precedes every
+    * delta doc — so "gram present in the index" already means "owned by
+    * an earlier doc"; batch-internal repeats resolve by the within-batch
+    * window min. Output ≡ [[repeatedSpans]] of the full corpus
+    * restricted to the delta's documents (spec-pinned).
+    */
+  def incrementalSpans(
+      index: DataFrame, delta: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    val hits = gramRows(delta, idCol, textCol, n)
+      .withColumn("batch_first", min(id).over(Window.partitionBy("h")))
+      .join(index.select(col("h"), col("first_id").as("idx_first")), Seq("h"), "left")
+      .filter(col("idx_first").isNotNull || id > col("batch_first"))
+      .select(id, col("pos"))
+    mergeSpans(hits, idCol, n)
+  }
+
   /** Per-document dedup accounting + the cleaned text's digest:
     * `(id, n_toks, dup_toks, dup_frac, clean_digest)` where
     * `clean_digest = md5` of the document's tokens with every repeated
@@ -96,9 +148,17 @@ object SpanDedup {
     * The collect_list is per-document (bounded by document size, the
     * same envelope as sequence packing), never per-partition.
     */
-  def cleanedCorpus(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def cleanedCorpus(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    cleanAccounting(docs, idCol, textCol, repeatedSpans(docs, idCol, textCol, n))
+
+  /** Per-document accounting + cleaned digest for an ARBITRARY span
+    * table `(id, span_start, span_end)` over `docs` — shared by the
+    * repeated-substring face and the decontamination scrub.
+    */
+  def cleanAccounting(
+      docs: DataFrame, idCol: String, textCol: String, spans: DataFrame): DataFrame = {
     val id = col(idCol)
-    val covered = repeatedSpans(docs, idCol, textCol, n)
+    val covered = spans
       .select(id, explode(sequence(col("span_start"), col("span_end"))).as("pos"), lit(1).as("dup"))
     val toks = docs
       .select(

@@ -462,6 +462,107 @@ object Dedup {
       covers = Seq("ext-dedup-substring-clean")),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL span dedup: an ingest batch (doc_id >= 250, standing
+    // corpus = the rest — ids are ingest-ordered, matching the operator
+    // contract) probes the persisted gram-owner index; only the delta is
+    // gram-exploded, so per-batch cost is O(delta grams + hits) — the
+    // span analogue of q_dedup_incremental. Output ≡ the full-corpus
+    // q_repeated_spans restricted to delta docs (hits are per-doc
+    // independent, so restricting before or after island-merge is
+    // identical — which is exactly what the oracle does).
+    QueryDef(
+      "q_spans_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = graft.operators.SpanDedup
+          .ownerIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", n = 5)
+        graft.operators.SpanDedup.incrementalSpans(
+          index, docs.filter(col("doc_id") >= 250), "doc_id", "text", n = 5)
+      },
+      Some(s"""WITH $SpanIslandsSql
+              |SELECT doc_id,
+              |  CAST(min(pos) AS BIGINT) AS span_start,
+              |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+              |  CAST(count(*) AS BIGINT) AS n_dup_grams,
+              |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_toks
+              |FROM isl WHERE doc_id >= 250 GROUP BY doc_id, island""".stripMargin),
+      covers = Seq("ext-dedup-substring-incremental")),
+
+    // ------------------------------------------------------------------
+    // Decontamination SCRUB: instead of reporting contamination
+    // (q_decontaminate_exact) or dropping whole documents, surgically
+    // REMOVE the verbatim benchmark spans — positional 8-gram hits
+    // against the broadcast benchmark set, merged into maximal spans,
+    // stripped via the shared clean-accounting stage. What a production
+    // pipeline actually ships: the document survives, the leaked eval
+    // data doesn't. One corpus scan + per-doc windows; the benchmark
+    // side stays broadcast-sized.
+    QueryDef(
+      "q_decontaminate_scrub",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isBench =
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+        val bench = docs.filter(isBench)
+          .select(explode(
+            graft.functions.TextExprs.wordShingles(col("text"), 8)).as("g"))
+          .distinct()
+        val corpus = docs.filter(!isBench)
+        val hits = corpus
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextExprs.wordShinglesAll(col("text"), 8))
+            .as(Seq("pos0", "g")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+          .join(broadcast(bench), Seq("g"))
+          .select(col("doc_id"), col("pos"))
+        val spans = graft.operators.SpanDedup.mergeSpans(hits, "doc_id", n = 8)
+        graft.operators.SpanDedup.cleanAccounting(corpus, "doc_id", "text", spans)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |           x -> x != '') AS ws
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i, 'g': array_to_string(ws[i:i+7], ' ')}
+             |            for i in range(1, len(ws) - 6)]) AS u
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT u.g AS g FROM grams
+             |          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+             |hits AS (
+             |  SELECT c.doc_id, c.u.pos AS pos
+             |  FROM grams c JOIN bench b ON c.u.g = b.g
+             |  WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1) >= '4'),
+             |flg AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+             |         THEN 1 ELSE 0 END AS f
+             |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM flg),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl GROUP BY doc_id, island),
+             |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+             |words AS (
+             |  SELECT doc_id, unnest([{'pos': i, 'w': ws[i]}
+             |    for i in range(1, len(ws) + 1)]) AS u
+             |  FROM toks
+             |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '4'),
+             |w2 AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM words)
+             |SELECT w.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_toks,
+             |  CAST(count(c.pos) AS BIGINT) AS dup_toks,
+             |  count(c.pos) * 1.0 / count(*) AS dup_frac,
+             |  md5(coalesce(string_agg(CASE WHEN c.pos IS NULL THEN w.w END,
+             |        ' ' ORDER BY w.pos), '')) AS clean_digest
+             |FROM w2 w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-decontaminate-scrub")),
+
+    // ------------------------------------------------------------------
     // END-TO-END near-dup dedup, the full production pipeline in one
     // query: MinHash signatures → LSH banding candidates → exact-Jaccard
     // verification (MinHash.nearDuplicates — only candidate pairs are
