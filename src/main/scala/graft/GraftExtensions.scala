@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BitmapAndCount, DotProduct, WordShingles}
+import graft.functions.{BitmapAndCount, DotProduct, NfcNormalize, WinnowFingerprintsExpr, WordShingles, WordShinglesAll, WordTokens}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,5 +32,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>
         WordShingles(children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    // the rest of the native text kernels, so the full surface is
+    // reachable from pure SQL (a `spark.sql` user sees the same engine
+    // as a Column-API user)
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles_all"),
+      new ExpressionInfo(classOf[WordShinglesAll].getName, "word_shingles_all"),
+      (children: Seq[Expression]) =>
+        WordShinglesAll(children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("word_tokens"),
+      new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
+      (children: Seq[Expression]) => WordTokens(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprintsExpr(
+          children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
   }
 }

@@ -95,4 +95,23 @@ object Quality {
       .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
       .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"))
+
+  /** Privacy audit before a dataset leaves the pipeline: k-anonymity
+    * (a quasi-identifier group with fewer than `k` members re-identifies
+    * its members) and l-diversity (a group whose `sensitive` expression
+    * takes fewer than `l` distinct values leaks it to everyone who knows
+    * the group — the homogeneity attack, which k-anonymity alone cannot
+    * see). One shuffle on the QI columns; both measures ride the same
+    * aggregation pass. Returns only the violating groups, flagged:
+    * `(quasi..., n_rows, n_sensitive, k_violation, l_violation)`.
+    */
+  def kAnonymity(
+      df: DataFrame, quasi: Seq[String], sensitive: Column, k: Long, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), count_distinct(sensitive).as("n_sensitive"))
+      .withColumn("k_violation", col("n_rows") < k)
+      .withColumn("l_violation", col("n_sensitive") < l)
+      .filter(col("k_violation") || col("l_violation"))
+  }
 }

@@ -437,6 +437,36 @@ object Training {
              |  CAST(count(*) AS BIGINT)
              |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
              |  WHERE l.l_orderkey IS NOT NULL""".stripMargin),
-      covers = Seq("ext-dq-checks", "S7"))
+      covers = Seq("ext-dq-checks", "S7")),
+
+    // ------------------------------------------------------------------
+    // PRIVACY audit (operators.Quality.kAnonymity): quasi-identifier
+    // groups of customers that re-identify their members (k < 10) or
+    // leak the sensitive balance bracket through group homogeneity
+    // (l < 3 distinct brackets — the attack k-anonymity alone misses).
+    // The release gate a training-data pipeline runs before publishing
+    // user-derived tables; complements the PII redaction faces, which
+    // scrub VALUES but cannot see GROUP-level disclosure. One shuffle on
+    // the QI, both measures in the same agg pass. Bracket boundaries are
+    // exact in both engines: balances with two decimals are
+    // double-exact, and the /2000 boundary cases are whole thousands.
+    QueryDef(
+      "q_k_anonymity",
+      (s, dir) =>
+        graft.operators.Quality.kAnonymity(
+          t(s, dir, "customer"),
+          quasi = Seq("c_nationkey", "c_mktsegment"),
+          sensitive = floor(col("c_acctbal") / lit(2000.0)),
+          k = 10, l = 3),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT)
+             |    AS n_sensitive,
+             |  count(*) < 10 AS k_violation,
+             |  count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3 AS l_violation
+             |FROM customer GROUP BY 1, 2
+             |HAVING count(*) < 10
+             |   OR count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3""".stripMargin),
+      covers = Seq("ext-privacy-k-anonymity"))
   )
 }

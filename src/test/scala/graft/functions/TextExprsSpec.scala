@@ -73,6 +73,29 @@ class TextExprsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("every native text kernel is reachable from pure SQL") {
+    assert(
+      spark.sql("SELECT word_tokens('The  quick Fox') AS t").head().getSeq[String](0)
+        === Seq("the", "quick", "fox"))
+    assert(
+      spark.sql("SELECT word_shingles_all('a b c d', 3) AS g").head().getSeq[String](0)
+        === Seq("a b c", "b c d"))
+    assert(
+      spark.sql("SELECT word_shingles('x y x y', 2) AS g").head().getSeq[String](0)
+        === Seq("x y", "y x"))
+    assert(
+      spark.sql("SELECT nfc_normalize('café') AS t").head().getString(0) === "café")
+    // winnow: SQL face agrees with the Column-API kernel on the same input
+    val txt = "the winnowing fingerprint of this sentence"
+    val viaSql = spark.sql(s"SELECT winnow_fingerprints('$txt', 8, 4) AS f")
+      .head().getSeq[Long](0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.TextExprs.winnowFingerprints(
+        org.apache.spark.sql.functions.lit(txt), 8, 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+  }
+
   test("nfc composes decomposed sequences and is a no-op on NFC input") {
     val s = spark
     import s.implicits._

@@ -62,4 +62,24 @@ class QualitySpec extends SparkSpec {
     }
     assert(scans.size === 1, s"expected one scan, got ${scans.size}:\n$plan")
   }
+
+  test("kAnonymity flags small groups and homogeneous groups, and only those") {
+    // (zip, age) quasi-identifiers; diagnosis sensitive.
+    // g1: 3 members, diverse        -> k-violation only
+    // g2: 5 members, all same value -> l-violation only (homogeneity)
+    // g3: 5 members, diverse        -> clean, must NOT appear
+    val rows =
+      Seq.tabulate(3)(i => ("g1", 30, s"d$i")) ++
+        Seq.fill(5)(("g2", 40, "flu")) ++
+        Seq.tabulate(5)(i => ("g3", 50, s"d$i"))
+    val df = rows.toDF("zip", "age", "diag")
+    val out = Quality.kAnonymity(df, Seq("zip", "age"), col("diag"), k = 5, l = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_sensitive"),
+        r.getAs[Boolean]("k_violation"), r.getAs[Boolean]("l_violation"))))
+      .toMap
+    assert(out.keySet === Set("g1", "g2"))
+    assert(out("g1") === ((3L, 3L, true, false)))
+    assert(out("g2") === ((5L, 1L, false, true)))
+  }
 }
