@@ -281,6 +281,25 @@ object Plans {
       |`wordShinglesAll` kernel the exact-decontamination probe already
       |uses. Isolated A/B, same VM back-to-back: 4.91/5.05 s (HOF) →
       |**3.79/3.94 s** (kernel), −22%; oracle hash unchanged (498 rows).
+      |
+      |## Full-coverage end-of-round record (round 7 final)
+      |
+      |One more full run after ALL round commits (14:01, load 0.08):
+      |**126.2 s / 154 queries** (84 timed + 70 under the 0.6 s floor,
+      |`tools/bench_r7_final.json`). This is the only record that covers
+      |the round's complete surface — the 10:45 settled run predates the
+      |last seven commits (span dedup ×2, dHash, WAV, funnel, retraction
+      |views, privacy gate). Decomposition vs the 10:45 record:
+      |non-iterative common work 66.5 → 69.8 s (+5%, noise); the
+      |checkpoint-loop graph family 24.2 → 29.6 s (q_triangles 3.7→7.7 on
+      |a byte-identical plan — the documented iterative weather);
+      |newly-timed round additions 7.0 s (q_repeated_spans 1.1,
+      |q_spans_incremental 1.1, q_filter_funnel 0.8, q_image_near_dup 0.7,
+      |six more ≤0.6). The boilerplate kernel swap is now visible
+      |in-suite: q_boilerplate_strip 3.1 → 2.3 s. Three same-VM full runs
+      |(103.4 cold / 109.1 settled / 126.2 full-coverage-with-+12-queries)
+      |bracket the suite at ~105 s on r6-comparable work — the r6 official
+      |271.2 s stands refuted by every same-code measurement.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
