@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *      the workaround [[Lake.upsertPartitioned]] needs because it
   *      overwrites what it reads), and in-flight readers of v=N never
   *      observe v=N+1. Retained versions are time travel until [[vacuum]].
+  *   4. '''Manifest-level data skipping.''' Commits may record per-data-
+  *      directory min/max column stats in the manifest ([[StatsHeader]]);
+  *      [[readBetween]] prunes whole directories against them BEFORE the
+  *      scan is planned — no file listing, no parquet footer reads for
+  *      skipped commits. On a time-keyed ingest (the common shape: each
+  *      micro-batch covers a narrow time range) a point-in-range query
+  *      over a year of commits plans against days, not the year; footer-
+  *      level row-group pruning then works WITHIN the survivors. Stats
+  *      travel with the manifest, so they are exactly as atomic and
+  *      versioned as the data they describe.
   *
   * Layout: `table/data/<uuid>/...parquet` (immutable),
   * `table/manifest/v=N.txt`, `table/_latest` holding N.
@@ -47,6 +57,15 @@ object VersionedLake {
     * (first-file schema), so old tables stay readable.
     */
   private val SchemaHeader = "#schema="
+
+  /** Manifest comment line carrying one data directory's column stats:
+    * `#stats=<dir>\t{"col":["min","max"],...}` with min/max as the
+    * column's Spark string-cast (null for an all-null directory).
+    * Comment-prefixed, so [[manifest]] and pre-stats readers skip them;
+    * directories without a stats line are read unconditionally
+    * (conservative — absence of evidence never drops data).
+    */
+  private val StatsHeader = "#stats="
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -135,6 +154,58 @@ object VersionedLake {
     org.apache.spark.sql.types.StructType(out.toSeq)
   }
 
+  /** One aggregation pass over the batch: per-column min/max, string-cast
+    * by Spark itself so the stored form matches what a reader's literal
+    * would cast to. O(delta) like the write it accompanies.
+    */
+  private def columnStats(df: DataFrame, statsCols: Seq[String]): Option[String] = {
+    if (statsCols.isEmpty) return None
+    val missing = statsCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"statsCols not in the batch schema: ${missing.mkString(", ")}")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    import org.json4s.JsonAST._
+    val obj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
+      def v(j: Int): JValue =
+        if (row.isNullAt(j)) JNull else JString(row.getString(j))
+      c -> (JArray(List(v(2 * i), v(2 * i + 1))): JValue)
+    }.toList)
+    Some(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj)))
+  }
+
+  /** Per-directory stats a version's manifest carries:
+    * dir -> col -> (min, max) as Spark string-casts, None = all-null.
+    */
+  def dirStats(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, (Option[String], Option[String])]] = {
+    import org.json4s.JsonAST._
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(StatsHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(StatsHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None
+        else {
+          val cols = org.json4s.jackson.JsonMethods.parse(rest.substring(tab + 1)) match {
+            case JObject(fields) => fields.collect {
+              case (c, JArray(List(mn, mx))) =>
+                def s(j: JValue): Option[String] = j match {
+                  case JString(x) => Some(x)
+                  case _          => None
+                }
+                c -> (s(mn), s(mx))
+            }.toMap
+            case _ => Map.empty[String, (Option[String], Option[String])]
+          }
+          Some(rest.substring(0, tab) -> cols)
+        }
+      }
+      .toMap
+  }
+
   /** Write `df` into one fresh immutable data directory; returns its name. */
   private def writeDataDir(
       df: DataFrame,
@@ -153,9 +224,11 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       dirs: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Long = {
+      schema: org.apache.spark.sql.types.StructType,
+      stats: Map[String, String] = Map.empty): Long = {
     val next = currentVersion(spark, tableDir).getOrElse(-1L) + 1
-    val body = (SchemaHeader + schema.json) +: dirs
+    val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
+    val body = (SchemaHeader + schema.json) +: (statsLines ++ dirs)
     atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
@@ -169,9 +242,11 @@ object VersionedLake {
       df: DataFrame,
       tableDir: String,
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil): Long = {
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema))
+    val stats = columnStats(df, statsCols).map(d -> _).toMap
+    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats)
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is
@@ -185,7 +260,8 @@ object VersionedLake {
       df: DataFrame,
       tableDir: String,
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, tableDir)
     val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
@@ -193,11 +269,29 @@ object VersionedLake {
       versionSchema(spark, tableDir, v)
         .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
     }
+    // prior directories keep their stats verbatim (their data is immutable);
+    // only the new batch is aggregated — the commit stays O(delta)
+    val priorStats = cur.map { v =>
+      dirStats(spark, tableDir, v).map { case (dir, cols) =>
+        dir -> statsJson(cols)
+      }
+    }.getOrElse(Map.empty)
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val merged = priorSchema
       .map(p => mergeSchemas(p, df.schema))
       .getOrElse(nullableAll(df.schema))
-    publishManifest(spark, tableDir, prior :+ d, merged)
+    val stats = priorStats ++ columnStats(df, statsCols).map(d -> _).toMap
+    publishManifest(spark, tableDir, prior :+ d, merged, stats)
+  }
+
+  /** Re-encode parsed stats for carry-forward into the next manifest. */
+  private def statsJson(cols: Map[String, (Option[String], Option[String])]): String = {
+    import org.json4s.JsonAST._
+    val obj = JObject(cols.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+      def v(o: Option[String]): JValue = o.map(JString(_): JValue).getOrElse(JNull)
+      c -> (JArray(List(v(mn), v(mx))): JValue)
+    })
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj))
   }
 
   private def nullableAll(
@@ -223,6 +317,77 @@ object VersionedLake {
     versionSchema(spark, tableDir, version) match {
       case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
       case None         => spark.read.parquet(dirs: _*)
+    }
+  }
+
+  /** Range read with manifest-level data skipping: directories whose
+    * committed [min,max] for `column` cannot intersect [lo,hi] are
+    * dropped BEFORE the scan exists — zero file listing, zero footer IO
+    * for them. Directories without stats for the column are kept
+    * (conservative); an all-null directory is skipped because BETWEEN
+    * never matches null. The surviving scan still applies the exact
+    * filter, so results are identical to `read(...).filter(between)` —
+    * the stats only decide what gets PLANNED.
+    *
+    * Comparison semantics: stats are stored as Spark string-casts and
+    * compared numerically for numeric columns, lexicographically
+    * otherwise — correct for strings, ISO dates, and Spark's
+    * fixed-field-width timestamp rendering. `lo`/`hi` must render
+    * (`toString`) in the same form, e.g. `"2024-01-01"` for a date
+    * column. Pruning on other types is not attempted (kept
+    * conservative).
+    */
+  def readBetween(
+      spark: SparkSession,
+      tableDir: String,
+      column: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val dirs = manifest(spark, tableDir, cur)
+    val stats = dirStats(spark, tableDir, cur)
+    val schemaOpt = versionSchema(spark, tableDir, cur)
+    val dt = schemaOpt.flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    val numeric = dt.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val prunable = numeric || dt.exists {
+      case org.apache.spark.sql.types.StringType    => true
+      case org.apache.spark.sql.types.DateType      => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _                                        => false
+    }
+    val loS = String.valueOf(lo)
+    val hiS = String.valueOf(hi)
+    // None = incomparable (e.g. NaN/Infinity renderings) -> keep the dir
+    def cmp(a: String, b: String): Option[Int] =
+      if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      else Some(a.compareTo(b))
+    val keep = dirs.filter { d =>
+      stats.get(d).flatMap(_.get(column)) match {
+        case Some((Some(mn), Some(mx))) if prunable =>
+          (cmp(mn, hiS), cmp(loS, mx)) match {
+            case (Some(x), Some(y)) => x <= 0 && y <= 0
+            case _                  => true
+          }
+        case Some((None, None)) => false // all-null directory: BETWEEN never matches
+        case _                  => true  // no/partial stats or unprunable type
+      }
+    }
+    val filter = dt match {
+      case Some(t) => col(column).between(lit(lo).cast(t), lit(hi).cast(t))
+      case None    => col(column).between(lit(lo), lit(hi))
+    }
+    if (keep.isEmpty) {
+      val schema = schemaOpt.getOrElse(readVersion(spark, tableDir, cur).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val paths = keep.map(d => s"$tableDir/data/$d")
+      val base = schemaOpt match {
+        case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+        case None         => spark.read.parquet(paths: _*)
+      }
+      base.filter(filter)
     }
   }
 
@@ -263,13 +428,17 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil): Long = {
     val cur = currentVersion(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
     val snapshot = readVersion(spark, tableDir, cur)
     val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile)
     val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
-    publishManifest(spark, tableDir, Seq(d), schema)
+    // a compaction merges N directories into one, so per-directory stats
+    // must be recomputed over the union, not carried forward
+    val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
+    publishManifest(spark, tableDir, Seq(d), schema, stats)
   }
 
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact

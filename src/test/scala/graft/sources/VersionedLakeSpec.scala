@@ -240,4 +240,77 @@ class VersionedLakeSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value === 1L,
       s"expected 1 file opened, saw ${scan.metrics("numFiles").value}")
   }
+
+  test("manifest stats prune whole directories; stats carry forward O(delta)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_stats").toString
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"w${"%03d".format(i)}")).toDF("id", "payload")
+    VersionedLake.commit(batch(0, 99), dir, statsCols = Seq("id", "payload"))
+    VersionedLake.appendCommit(batch(100, 199), dir, statsCols = Seq("id", "payload"))
+    VersionedLake.appendCommit(batch(200, 299), dir, statsCols = Seq("id", "payload"))
+    val v = VersionedLake.currentVersion(s, dir).get
+    val dirs = VersionedLake.manifest(s, dir, v)
+    assert(VersionedLake.dirStats(s, dir, v).keySet === dirs.toSet,
+      "append commits must carry prior directories' stats forward verbatim")
+
+    val pruned = VersionedLake.readBetween(s, dir, "id", 120L, 180L)
+    val expected = VersionedLake.read(s, dir)
+      .filter(col("id").between(120L, 180L)).collect().map(_.getLong(0)).sorted
+    assert(pruned.collect().map(_.getLong(0)).sorted === expected)
+    val middle = dirs(1)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(middle)),
+      "only the one intersecting directory may be planned")
+
+    // string-typed stats prune lexicographically the same way
+    val strPruned = VersionedLake.readBetween(s, dir, "payload", "w250", "w260")
+    assert(strPruned.inputFiles.forall(_.contains(dirs(2))))
+    assert(strPruned.count() === 11L)
+
+    // a range outside every directory plans NOTHING and returns empty
+    val none = VersionedLake.readBetween(s, dir, "id", 1000L, 2000L)
+    assert(none.inputFiles.isEmpty && none.count() === 0L)
+  }
+
+  test("readBetween keeps stats-less directories and skips all-null ones") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_stats_mixed").toString
+    // legacy commit without stats: must always be scanned (conservative)
+    VersionedLake.commit(Seq((500L, "legacy")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(
+      (0L to 9L).map(i => (i, s"n$i")).toDF("id", "payload"), dir,
+      statsCols = Seq("id"))
+    // an all-null directory for the column can never satisfy BETWEEN
+    VersionedLake.appendCommit(
+      Seq(Tuple2(null.asInstanceOf[java.lang.Long], "ghost")).toDF("id", "payload"),
+      dir, statsCols = Seq("id"))
+    val out = VersionedLake.readBetween(s, dir, "id", 0L, 9L)
+    assert(out.collect().map(_.getLong(0)).toSet === (0L to 9L).toSet,
+      "stats-less directory still scanned, its out-of-range row filtered exactly")
+    val v = VersionedLake.currentVersion(s, dir).get
+    val dirs = VersionedLake.manifest(s, dir, v)
+    assert(!out.inputFiles.exists(_.contains(dirs(2))),
+      "the all-null directory must be pruned (BETWEEN never matches null)")
+  }
+
+  test("optimize recomputes stats over the compacted union") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_stats_opt").toString
+    VersionedLake.commit((0L to 4L).map(i => (i, "a")).toDF("id", "payload"),
+      dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit((100L to 104L).map(i => (i, "b")).toDF("id", "payload"),
+      dir, statsCols = Seq("id"))
+    val v = VersionedLake.optimize(s, dir, statsCols = Seq("id"))
+    val stats = VersionedLake.dirStats(s, dir, v)
+    assert(stats.size === 1)
+    val (mn, mx) = stats.values.head("id")
+    assert(mn === Some("0") && mx === Some("104"),
+      "compacted directory stats must span the union")
+    assert(VersionedLake.readBetween(s, dir, "id", 2L, 3L)
+      .collect().map(_.getLong(0)).sorted === Seq(2L, 3L))
+  }
 }
