@@ -67,6 +67,60 @@ object Analytics {
       covers = Seq("ext-heavy-hitters")),
 
     // ------------------------------------------------------------------
+    // Count-min sketch as DISTRIBUTED, MERGEABLE aggregate state — the
+    // complement to q_heavy_hitters' opaque broadcast sketch. The cells
+    // ARE rows ((row, bucket) -> count), so construction is an ordinary
+    // groupBy whose map-side partial agg collapses every task to <= d*w
+    // cells: the shuffle carries the SKETCH (192 cells here), never the
+    // key dictionary — at 10^9 distinct keys the exact groupBy shuffles
+    // 10^9 rows, this shuffles KBs. Merging deltas is elementwise SUM
+    // (the ViewMaintenance pattern: a CMS view maintains incrementally
+    // by adding cell frames), and probing is a broadcast join of the
+    // tiny cell frame. The hash family is integer affine mod a Mersenne
+    // prime — engine-agnostic arithmetic, so the DuckDB oracle rebuilds
+    // the IDENTICAL sketch and the estimates hash-match exactly. CMS
+    // never underestimates (min over d rows of bucket sums); estimates
+    // are exact for any key collision-free in >= 1 row.
+    QueryDef(
+      "q_cms_freq",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val li = Session.table(s, dir, "lineitem")
+        val sup = Session.table(s, dir, "supplier")
+        val MersenneP = 2147483647L
+        val W = 64
+        val hashes = Seq((0, 911382323L, 1L), (1, 972663749L, 7L), (2, 123456791L, 13L))
+        def lanes(k: Column) = explode(array(hashes.map { case (i, a, b) =>
+          struct(lit(i).as("i"),
+            ((lit(a) * k + lit(b)) % MersenneP % W).as("bkt"))
+        }: _*)).as("c")
+        val cells = li.select(lanes(col("l_suppkey")))
+          .groupBy(col("c.i").as("i"), col("c.bkt").as("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+        sup.select(col("s_suppkey"), lanes(col("s_suppkey")))
+          .select(col("s_suppkey"), col("c.i").as("i"), col("c.bkt").as("bkt"))
+          .join(broadcast(cells), Seq("i", "bkt"), "left")
+          .groupBy("s_suppkey")
+          .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+      },
+      Some("""WITH params(i, a, b) AS (VALUES
+             |    (0, CAST(911382323 AS BIGINT), CAST(1 AS BIGINT)),
+             |    (1, CAST(972663749 AS BIGINT), CAST(7 AS BIGINT)),
+             |    (2, CAST(123456791 AS BIGINT), CAST(13 AS BIGINT))),
+             |cells AS (
+             |  SELECT p.i, ((p.a * l.l_suppkey + p.b) % 2147483647) % 64 AS bkt,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lineitem l CROSS JOIN params p GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT s.s_suppkey, p.i,
+             |         ((p.a * s.s_suppkey + p.b) % 2147483647) % 64 AS bkt
+             |  FROM supplier s CROSS JOIN params p)
+             |SELECT pr.s_suppkey, MIN(COALESCE(c.cnt, 0)) AS est_n
+             |FROM probes pr LEFT JOIN cells c ON c.i = pr.i AND c.bkt = pr.bkt
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-cms-freq")),
+
+    // ------------------------------------------------------------------
     // Z-score anomaly flagging: per-type mean/stddev, events beyond 3σ.
     // The stats are rounded to 6 decimals BEFORE the z computation so both
     // engines derive z from bit-identical inputs — the filter line is then
