@@ -134,6 +134,53 @@ object Dedup {
       covers = Seq("ext-dedup-minhash")),
 
     // ------------------------------------------------------------------
+    // LEAKAGE-SAFE train/test split: the md5 split key is the dup-group
+    // CANONICAL, not the document — near-identical documents land in the
+    // SAME split, so the test set can never score memorized training
+    // near-dups (the classic contamination failure of per-doc splits,
+    // which q_train_test_split's per-row hash would commit on a
+    // deduplicated-by-group corpus). Groups here are full-MinHash-
+    // signature identity (Jaccard ~= 1 sets, one window pass — at 100 TB
+    // one shuffle on the 16-int signature key, no pair join, no
+    // iteration); for TRANSITIVE near-dup closure key the same split on
+    // q_dedup_components' canonical instead — same shape, CC cost.
+    QueryDef(
+      "q_split_leakage_safe",
+      (s, dir) => {
+        val sh = MinHash.shingleRows(t(s, dir, "documents"), "doc_id", "text")
+        val hashed = sh.withColumn("h", MinHash.shingleHash(col("s")))
+        val sigs = hashed
+          .groupBy("doc_id")
+          .agg(
+            MinHash.minhashCol(col("h"), 0),
+            MinHash.minhashCols(col("h"), 1 until MinHash.K): _*)
+        val sigCols = (0 until MinHash.K).map(i => col(s"m$i"))
+        sigs
+          .withColumn("canonical_id",
+            min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+          .select(
+            col("doc_id"),
+            col("canonical_id"),
+            when(substring(md5(col("canonical_id").cast("string")), 1, 1) < "c",
+              lit("train")).otherwise(lit("test")).as("split"))
+      },
+      Some {
+        val sigCols = (0 until MinHash.K).map(i => s"m$i").mkString(", ")
+        s"""WITH sigs AS (
+           |${MinHash.signatureOracle}
+           |),
+           |canon AS (
+           |  SELECT doc_id,
+           |         min(doc_id) OVER (PARTITION BY $sigCols) AS canonical_id
+           |  FROM sigs)
+           |SELECT doc_id, canonical_id,
+           |  CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1) < 'c'
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM canon""".stripMargin
+      },
+      covers = Seq("ext-split-leakage-safe")),
+
+    // ------------------------------------------------------------------
     // SimHash (16-bit): per distinct word, a 60-bit md5 hash votes +1/-1 on
     // each of 16 bit positions; the sign vector packs into one integer.
     // Near-dups differ in few bits (hamming distance on the signature).
