@@ -55,6 +55,33 @@ class CmsFreqSpec extends SparkSpec {
     assert(lhs === rhs, "union sketch must equal elementwise sum of part sketches")
   }
 
+  test("a CMS view maintains incrementally: per-delta cells fold by merge") {
+    val s = spark
+    val li = graft.engine.Session.table(s, sf, "lineitem")
+    val MersenneP = 2147483647L
+    val W = 64
+    val hashes = Seq((0, 911382323L, 1L), (1, 972663749L, 7L), (2, 123456791L, 13L))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array(hashes.map { case (i, a, b) =>
+        struct(lit(i).as("i"),
+          ((lit(a) * col("l_suppkey") + lit(b)) % MersenneP % W).as("bkt"))
+      }: _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bkt").as("bkt"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // three ingest batches, each folded into the standing view as it
+    // arrives — the sketch IS distributive state, so the generic
+    // maintenance operator carries it with no CMS-specific code
+    val batches = (0 until 3).map(k => cells(li.filter(col("l_orderkey") % 3 === k)))
+    val maintained = batches.reduce { (state, delta) =>
+      graft.operators.ViewMaintenance.merge(
+        Seq(state, delta), Seq("i", "bkt"), Seq("cnt" -> "sum"))
+    }
+    val direct = cells(li)
+    val lhs = maintained.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rhs = direct.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lhs === rhs, "maintained CMS view must equal the direct sketch")
+  }
+
   test("the cells shuffle carries the sketch, not the key dictionary") {
     val s = spark
     val df = SparkEntry.queries("q_cms_freq")(s, sf)
