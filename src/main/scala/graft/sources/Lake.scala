@@ -65,7 +65,7 @@ object Lake {
     write(df, path, parts, clusterBy, maxRecordsPerFile, "append", zorderBy)
 
   /** Internal clustering-key column name; never written to the table. */
-  private val ZKey = "_graft_zkey"
+  private[sources] val ZKey = "_graft_zkey"
 
   /** Number of quantile buckets per Z-order dimension (8 bits). */
   private val ZBuckets = 256

@@ -206,14 +206,31 @@ object VersionedLake {
       .toMap
   }
 
-  /** Write `df` into one fresh immutable data directory; returns its name. */
+  /** Write `df` into one fresh immutable data directory; returns its name.
+    * With `zorderBy`, rows are clustered on the interleaved Z-curve key
+    * ([[Lake.withZorderKey]]): unpartitioned tables range-partition on the
+    * key first, so files cover DISJOINT Z-ranges and parquet footer stats
+    * prune on every clustered dimension, not just a leading sort column.
+    */
   private def writeDataDir(
       df: DataFrame,
       tableDir: String,
       parts: Seq[String],
-      maxRecordsPerFile: Long): String = {
+      maxRecordsPerFile: Long,
+      zorderBy: Seq[String] = Nil): String = {
     val name = java.util.UUID.randomUUID().toString
-    val writer0 = (if (parts.nonEmpty) df.repartition(parts.map(col): _*) else df)
+    val keyed = if (zorderBy.isEmpty) df else Lake.withZorderKey(df, zorderBy)
+    val shaped =
+      if (parts.nonEmpty)
+        keyed.repartition(parts.map(col): _*)
+      else if (zorderBy.nonEmpty)
+        keyed.repartitionByRange(col(Lake.ZKey))
+      else keyed
+    val sorted =
+      if (zorderBy.nonEmpty)
+        shaped.sortWithinPartitions((parts.map(col) :+ col(Lake.ZKey)): _*)
+      else shaped
+    val writer0 = sorted.drop(Lake.ZKey)
       .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
     val writer = if (parts.nonEmpty) writer0.partitionBy(parts: _*) else writer0
     writer.parquet(s"$tableDir/data/$name")
@@ -424,16 +441,23 @@ object VersionedLake {
     * vacuum; on a real cluster, schedule by manifest length (e.g. every
     * 64 appends) so read-side file listing stays O(1)-ish.
     */
+  /** `zorderBy` makes this OPTIMIZE ... ZORDER BY: the compacted rewrite
+    * also co-clusters rows on 2-4 columns, so the one table rewrite the
+    * compaction already pays buys multi-dimensional footer-stat pruning
+    * too. With `statsCols` the layers stack: manifest stats skip whole
+    * commits, Z-order footer stats skip row groups within survivors.
+    */
   def optimize(
       spark: SparkSession,
       tableDir: String,
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
     val snapshot = readVersion(spark, tableDir, cur)
-    val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile)
+    val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile, zorderBy)
     val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
     // a compaction merges N directories into one, so per-directory stats
     // must be recomputed over the union, not carried forward

@@ -313,4 +313,61 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.readBetween(s, dir, "id", 2L, 3L)
       .collect().map(_.getLong(0)).sorted === Seq(2L, 3L))
   }
+
+  /** Row-group (min, max) from real parquet footers (LakeSpec's probe). */
+  private def rowGroupStats(dir: String, colName: String): Seq[(Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    files.flatMap { f =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val cc = b.getColumns.asScala.find(_.getPath.toDotString == colName).get
+        val st = cc.getStatistics
+        (st.genericGetMin.asInstanceOf[Number].intValue,
+          st.genericGetMax.asInstanceOf[Number].intValue)
+      } finally rdr.close()
+    }
+  }
+
+  test("OPTIMIZE ... ZORDER BY: compaction co-clusters and stacks both pruning layers") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_zopt").toString
+    val rnd = new scala.util.Random(11)
+    def batch() = Seq.fill(1000)((rnd.nextInt(100), rnd.nextInt(100), rnd.nextInt()))
+      .toDF("x", "y", "payload")
+    VersionedLake.commit(batch(), dir, statsCols = Seq("x"))
+    (1 to 9).foreach(_ => VersionedLake.appendCommit(batch(), dir, statsCols = Seq("x")))
+    val before = VersionedLake.read(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).groupBy(identity).view.mapValues(_.size).toMap
+
+    val v = VersionedLake.optimize(s, dir,
+      maxRecordsPerFile = 500L, statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+
+    // identical multiset, one directory, manifest stats refreshed over the union
+    val after = VersionedLake.read(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).groupBy(identity).view.mapValues(_.size).toMap
+    assert(after === before)
+    val dirs = VersionedLake.manifest(s, dir, v)
+    assert(dirs.size === 1)
+    assert(VersionedLake.dirStats(s, dir, v).values.head.keySet === Set("x", "y"))
+
+    // the compacted layout's footer stats prune on the SECOND z column
+    val yStats = rowGroupStats(s"$dir/data/${dirs.head}", "y")
+    assert(yStats.size >= 10, s"want many row groups, got ${yStats.size}")
+    def skippable(lo: Int, hi: Int): Double =
+      yStats.count { case (mn, mx) => mx < lo || mn > hi }.toDouble / yStats.size
+    val bands = (0 until 95 by 5).map(v0 => skippable(v0, v0 + 4))
+    val frac = bands.sum / bands.size
+    assert(frac >= 0.40, s"zordered compaction must prune y bands, got $frac")
+
+    // manifest-stats layer still exact on top of the new layout
+    assert(VersionedLake.readBetween(s, dir, "x", 10, 20).count() ===
+      VersionedLake.read(s, dir).filter(col("x").between(10, 20)).count())
+  }
 }
