@@ -28,7 +28,11 @@ final case class QueryDef(
     oracleDyn: Option[() => Option[String]] = None)
 
 object QueryDef {
-  /** Convenience table reader used by every query. */
+  /** Convenience table reader used by every query. Delegates to
+    * [[graft.engine.Session.table]] so `events.ts` normalization (epoch-nano
+    * longs regardless of the fixture's parquet timestamp flavor) applies on
+    * every read path.
+    */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.engine.Session.table(spark, sfDir, name)
 }

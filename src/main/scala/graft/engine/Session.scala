@@ -41,11 +41,31 @@ object Session {
     * Sets the nanos-as-long escape hatch on the live session too, so it
     * works under the driver's own SparkSession (Verify/Bench mains may be
     * launched with a builder we don't control).
+    *
+    * `events.ts` is normalized to epoch-NANO longs regardless of how the
+    * driver generated the file: older fixtures carry parquet
+    * TIMESTAMP(NANOS) (read as LongType via `nanosAsLong`), newer ones
+    * plain TIMESTAMP(MICROS) (read as timestamp, converted here with
+    * integer arithmetic — `unix_micros * 1000`, never FP). Every event
+    * query and its DuckDB oracle (`epoch_us(ts)` works identically on
+    * TIMESTAMP_NS and TIMESTAMP) builds on that one contract.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType => raw
+        case _: TimestampNTZType | _: TimestampType =>
+          // NTZ wall-clock == UTC instant under the UTC session time zone,
+          // matching DuckDB's naive-timestamp epoch_us semantics.
+          raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        case other =>
+          throw new IllegalStateException(s"unexpected events.ts type: $other")
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** events with `ts` as a proper TimestampType (micros, truncated from ns)

@@ -160,6 +160,61 @@ object MinHash {
     out
   }
 
+  /** CROSS-CORPUS near-dup JOIN: incoming documents that near-duplicate
+    * any document of a standing base corpus — the everyday production
+    * shape (dedupe a fresh crawl against the curated corpus before
+    * admission) that neither the self-join ([[nearDuplicates]]: one
+    * corpus against itself) nor the delta-vs-index form
+    * ([[incrementalLshPairs]]: candidates only, no verify) covers.
+    *
+    * Both sides are band-exploded and joined on (band, key) — the pair
+    * space is linear in corpus sizes + band collisions, never
+    * |base|×|incoming| — then candidates are verified with exact shingle
+    * Jaccard and kept at `jaccard >= threshold`. Output:
+    * (inc_id, base_id, jaccard), one row per surviving cross pair.
+    *
+    * 100 TB shape: the base side's band rows are exactly the persisted
+    * LSH inverted index (bucketed by (band, key)); only the incoming
+    * batch is freshly signed, so steady-state cost is
+    * O(incoming + collisions + verify) per batch regardless of how large
+    * the curated corpus has grown.
+    */
+  def crossCorpusDuplicates(
+      base: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      rowsPerBand: Int = 4): DataFrame = {
+    val shBase = shingleRows(base, idCol, textCol).cache()
+    val shInc = shingleRows(incoming, idCol, textCol).cache()
+    val cands = bandRows(signatures(incoming, idCol, textCol), idCol, rowsPerBand).as("a")
+      .join(
+        bandRows(signatures(base, idCol, textCol), idCol, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col(s"a.$idCol").as("inc_id"), col(s"b.$idCol").as("base_id"))
+      .distinct()
+    val pairInter = cands
+      .join(shInc.toDF("inc_id", "s"), "inc_id")
+      .join(shBase.toDF("base_id", "s"), Seq("base_id", "s"))
+      .groupBy("inc_id", "base_id")
+      .agg(count(lit(1)).as("inter"))
+    // size lookups stay shuffle joins, not broadcasts — one row per
+    // document on each side (see nearDuplicates' note).
+    val out = pairInter
+      .join(shInc.groupBy(idCol).agg(count(lit(1)).as("na")).toDF("inc_id", "na"), "inc_id")
+      .join(shBase.groupBy(idCol).agg(count(lit(1)).as("nb")).toDF("base_id", "nb"), "base_id")
+      .select(
+        col("inc_id"),
+        col("base_id"),
+        (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    shBase.unpersist(blocking = false)
+    shInc.unpersist(blocking = false)
+    out
+  }
+
   /** DuckDB SQL computing identical signatures (oracle for q_dedup_minhash). */
   val signatureOracle: String = {
     val mins = (0 until K)

@@ -316,6 +316,64 @@ object Dedup {
       covers = Seq("ext-dedup-lsh-pairs")),
 
     // ------------------------------------------------------------------
+    // CROSS-CORPUS near-dup join — the production admission shape: an
+    // incoming crawl batch (md5-keyed 50% of docs standing in for the
+    // fresh crawl) deduped against the standing curated corpus (the
+    // other 50%). LSH bands on both sides join on (band, key) — linear
+    // in corpus + collisions — then exact shingle Jaccard verifies the
+    // candidates. The oracle replays the identical band agreement with
+    // the quadratic cross join and the identical single-division
+    // Jaccard, so the hash match covers recall AND verification.
+    QueryDef(
+      "q_dedup_cross_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val splitKey = substring(md5(col("doc_id").cast("string")), 1, 1)
+        MinHash
+          .crossCorpusDuplicates(
+            docs.filter(splitKey < "8"),
+            docs.filter(splitKey >= "8"),
+            "doc_id",
+            "text",
+            threshold = 0.3)
+          .select(col("inc_id"), col("base_id"), round(col("jaccard"), 3).as("jaccard"))
+      },
+      Some {
+        val bandEq = (0 until MinHash.K / 4)
+          .map { bnd =>
+            (0 until 4)
+              .map(r => s"a.m${bnd * 4 + r} = b.m${bnd * 4 + r}")
+              .mkString("(", " AND ", ")")
+          }
+          .mkString("\n     OR ")
+        s"""WITH sigs AS (
+           |${MinHash.signatureOracle}
+           |), sh AS (
+           |$ShinglesSql
+           |),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS base_id
+           |  FROM sigs a JOIN sigs b
+           |    ON substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) >= '8'
+           |   AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < '8'
+           |   AND ($bandEq)),
+           |inter AS (
+           |  SELECT c.inc_id, c.base_id, CAST(count(*) AS BIGINT) AS i
+           |  FROM cand c
+           |  JOIN sh si ON si.doc_id = c.inc_id
+           |  JOIN sh sb ON sb.doc_id = c.base_id AND sb.s = si.s
+           |  GROUP BY 1, 2)
+           |SELECT t.inc_id, t.base_id,
+           |  round(t.i * 1.0 / (za.n + zb.n - t.i), 3) AS jaccard
+           |FROM inter t
+           |JOIN sz za ON za.doc_id = t.inc_id
+           |JOIN sz zb ON zb.doc_id = t.base_id
+           |WHERE t.i * 1.0 / (za.n + zb.n - t.i) >= 0.3""".stripMargin
+      },
+      covers = Seq("ext-dedup-cross-corpus")),
+
+    // ------------------------------------------------------------------
     // Near-dup CLUSTERING: pairs → components → canonical id per document
     // (operators.ConnectedComponents, alternating large-star/small-star —
     // O(log n) keyed-shuffle rounds, no collect_set, the 100 TB-safe
