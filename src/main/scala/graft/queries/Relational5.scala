@@ -296,6 +296,37 @@ object Relational5 {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |QUALIFY row_number() OVER (PARTITION BY k
              |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
-      covers = Seq("ext-cdc-apply"))
+      covers = Seq("ext-cdc-apply")),
+
+    // ------------------------------------------------------------------
+    // BUCKETED co-located fact⋈fact join: both tables are written ONCE
+    // bucketed by the join key (graft.sources.Bucketed), after which the
+    // lineitem⋈orders sort-merge join plans with NO ShuffleExchange on
+    // either side — the write amortizes the shuffle that would otherwise
+    // dominate every fact join at 100 TB. BucketedSpec pins the
+    // exchange-free plan; here the oracle pins that the layout detour
+    // changes no values. The merge hint only rules out a broadcast at
+    // this toy scale — at production fact sizes SMJ is what AQE picks
+    // anyway, and bucket-aligned scans are what make it exchange-free.
+    QueryDef(
+      "q_bucketed_join",
+      (s, dir) => {
+        import graft.sources.Bucketed
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        Bucketed.ensure(t(s, dir, "lineitem"), s"li_bkt$tag", 8, "l_orderkey")
+        Bucketed.ensure(t(s, dir, "orders"), s"ord_bkt$tag", 8, "o_orderkey")
+        s.table(s"li_bkt$tag")
+          .hint("merge")
+          .join(s.table(s"ord_bkt$tag"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-bucketed-join"))
   )
 }

@@ -54,6 +54,31 @@ class MinHashSpec extends SparkSpec {
     assert(cands < n * (n - 1) / 2 / 10, s"LSH produced $cands candidates for $n docs")
   }
 
+  test("cross-corpus join == self-join pairs restricted to cross pairs (2-row bands)") {
+    // 2 rows/band = 8 bands: recall high enough that the planted near-dups
+    // all band-collide, so LSH candidates ⊇ truth and the verify stage's
+    // exact Jaccard makes the two formulations set-equal.
+    val split = col("doc_id") % 2 === 0
+    val base = docs.filter(split)
+    val incoming = docs.filter(!split)
+    val got = MinHash
+      .crossCorpusDuplicates(base, incoming, "doc_id", "text", threshold = 0.5, rowsPerBand = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    // truth from the exact quadratic self-join, reoriented (inc, base, j)
+    val want = exactPairs(0.5).flatMap { case (a, b, j) =>
+      (baseIds(a), baseIds(b)) match {
+        case (true, false) => Some((b, a, j))
+        case (false, true) => Some((a, b, j))
+        case _             => None // same-side pair: not a cross pair
+      }
+    }
+    assert(want.nonEmpty, "fixture must plant near-dups straddling the split")
+    assert(got === want, "cross-corpus join must equal the cross-restricted exact result")
+  }
+
   test("incremental pairs == full pairs restricted to delta-involving pairs") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
