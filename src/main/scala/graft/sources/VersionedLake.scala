@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Log-structured versioned lake table with ATOMIC publishes — the
@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   *      over a year of commits plans against days, not the year; footer-
   *      level row-group pruning then works WITHIN the survivors. Stats
   *      travel with the manifest, so they are exactly as atomic and
-  *      versioned as the data they describe.
+  *      versioned as the data they describe. Per-directory BLOOM filters
+  *      ([[BloomHeader]], [[readPoint]]) cover the case min/max can't:
+  *      point lookups on high-cardinality keys whose range spans every
+  *      ingest batch.
   *
   * Layout: `table/data/<uuid>/...parquet` (immutable),
   * `table/manifest/v=N.txt`, `table/_latest` holding N.
@@ -66,6 +69,29 @@ object VersionedLake {
     * (conservative — absence of evidence never drops data).
     */
   private val StatsHeader = "#stats="
+
+  /** Manifest comment line carrying one data directory's per-column Bloom
+    * filters: `#bloom=<dir>\t{"col":{"m":bits,"k":hashes,"b":"base64"},...}`.
+    * Complements [[StatsHeader]] where min/max is useless: a
+    * high-cardinality key (uuid, doc_id, user_id) spread uniformly over
+    * every ingest batch has each directory's [min,max] spanning the whole
+    * domain, so range stats prune nothing — but a point lookup probes the
+    * Bloom and skips every directory that provably lacks the key.
+    * Comment-prefixed like stats: pre-bloom readers ignore the lines,
+    * bloom-less directories are read conservatively.
+    */
+  private val BloomHeader = "#bloom="
+
+  /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
+    * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
+    * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
+    * bits/8 bytes per directory per column in the manifest, and one
+    * O(delta) aggregation per column at commit time.
+    */
+  final case class BloomConfig(cols: Seq[String], bits: Int = 1 << 20, k: Int = 7) {
+    require(bits > 0 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two: $bits")
+    require(k >= 1 && k <= 16, s"bloom k out of range: $k")
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -174,6 +200,101 @@ object VersionedLake {
     Some(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj)))
   }
 
+  /** Kirsch–Mitzenmacher double hashing: k bit positions for one value as
+    * `(h1 + i*h2) mod bits`, with both base hashes computed by Spark's own
+    * codegen'd xxhash64 — the same expression builds the filter
+    * distributed at commit time and probes it for a literal at read time,
+    * so writer and reader can never disagree on the hash.
+    */
+  private def bloomPositions(c: Column, bits: Int, k: Int): Column = {
+    // reduce each base hash mod bits BEFORE combining: identical positions
+    // ((a+i·b) mod m ≡ ((a mod m)+i·(b mod m)) mod m) and the arithmetic
+    // stays far from Long overflow under ANSI mode (bits ≤ 2^30, i ≤ 16)
+    val m = lit(bits.toLong)
+    val h1 = pmod(xxhash64(c), m)
+    val h2 = pmod(xxhash64(c, lit(0x9e3779b97f4a7c15L)), m)
+    array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, m)): _*)
+  }
+
+  /** Build the batch's Bloom filters: one distributed distinct-positions
+    * pass per column (the shuffle carries bit POSITIONS, capped at `bits`
+    * values regardless of batch size — the driver collect is bounded by
+    * the filter's own capacity, never by the data). Nulls are skipped:
+    * point-equality never matches null, so they need no representation.
+    */
+  private def bloomJson(df: DataFrame, cfg: Option[BloomConfig]): Option[String] = {
+    val c = cfg.getOrElse(return None)
+    if (c.cols.isEmpty) return None
+    val missing = c.cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"bloom cols not in the batch schema: ${missing.mkString(", ")}")
+    import org.json4s.JsonAST._
+    val obj = JObject(c.cols.toList.map { name =>
+      val bytes = new Array[Byte](c.bits / 8)
+      df.filter(col(name).isNotNull)
+        .select(explode(bloomPositions(col(name), c.bits, c.k)).as("p"))
+        .distinct()
+        .collect()
+        .foreach { r =>
+          val p = r.getLong(0).toInt
+          bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+        }
+      name -> (JObject(List(
+        "m" -> (JInt(c.bits): JValue),
+        "k" -> (JInt(c.k): JValue),
+        "b" -> (JString(java.util.Base64.getEncoder.encodeToString(bytes)): JValue))): JValue)
+    })
+    Some(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj)))
+  }
+
+  /** Per-directory Bloom filters a version's manifest carries:
+    * dir -> col -> (bits, k, filter bytes).
+    */
+  def dirBlooms(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, (Int, Int, Array[Byte])]] = {
+    import org.json4s.JsonAST._
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(BloomHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(BloomHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None
+        else {
+          val cols = org.json4s.jackson.JsonMethods.parse(rest.substring(tab + 1)) match {
+            case JObject(fields) => fields.collect {
+              case (c, JObject(props)) =>
+                val m = props.toMap
+                (m.get("m"), m.get("k"), m.get("b")) match {
+                  case (Some(JInt(bits)), Some(JInt(k)), Some(JString(b64))) =>
+                    Some(c -> ((bits.toInt, k.toInt, java.util.Base64.getDecoder.decode(b64))))
+                  case _ => None
+                }
+            }.flatten.toMap
+            case _ => Map.empty[String, (Int, Int, Array[Byte])]
+          }
+          Some(rest.substring(0, tab) -> cols)
+        }
+      }
+      .toMap
+  }
+
+  /** Raw bloom JSON per directory, for O(delta) carry-forward (the data
+    * directories are immutable, so their filters are too).
+    */
+  private def dirBloomsRaw(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, String] =
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(BloomHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(BloomHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None else Some(rest.substring(0, tab) -> rest.substring(tab + 1))
+      }
+      .toMap
+
   /** Per-directory stats a version's manifest carries:
     * dir -> col -> (min, max) as Spark string-casts, None = all-null.
     */
@@ -242,10 +363,12 @@ object VersionedLake {
       tableDir: String,
       dirs: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      stats: Map[String, String] = Map.empty): Long = {
+      stats: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty): Long = {
     val next = currentVersion(spark, tableDir).getOrElse(-1L) + 1
     val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
-    val body = (SchemaHeader + schema.json) +: (statsLines ++ dirs)
+    val bloomLines = dirs.flatMap(d => blooms.get(d).map(j => s"$BloomHeader$d\t$j"))
+    val body = (SchemaHeader + schema.json) +: (statsLines ++ bloomLines ++ dirs)
     atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
@@ -260,10 +383,12 @@ object VersionedLake {
       tableDir: String,
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long = {
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val stats = columnStats(df, statsCols).map(d -> _).toMap
-    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats)
+    val blooms = bloomJson(df, bloom).map(d -> _).toMap
+    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats, blooms)
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is
@@ -278,7 +403,8 @@ object VersionedLake {
       tableDir: String,
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, tableDir)
     val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
@@ -286,19 +412,22 @@ object VersionedLake {
       versionSchema(spark, tableDir, v)
         .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
     }
-    // prior directories keep their stats verbatim (their data is immutable);
-    // only the new batch is aggregated — the commit stays O(delta)
+    // prior directories keep their stats and blooms verbatim (their data
+    // is immutable); only the new batch is aggregated — the commit stays
+    // O(delta)
     val priorStats = cur.map { v =>
       dirStats(spark, tableDir, v).map { case (dir, cols) =>
         dir -> statsJson(cols)
       }
     }.getOrElse(Map.empty)
+    val priorBlooms = cur.map(v => dirBloomsRaw(spark, tableDir, v)).getOrElse(Map.empty)
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val merged = priorSchema
       .map(p => mergeSchemas(p, df.schema))
       .getOrElse(nullableAll(df.schema))
     val stats = priorStats ++ columnStats(df, statsCols).map(d -> _).toMap
-    publishManifest(spark, tableDir, prior :+ d, merged, stats)
+    val blooms = priorBlooms ++ bloomJson(df, bloom).map(d -> _).toMap
+    publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms)
   }
 
   /** Re-encode parsed stats for carry-forward into the next manifest. */
@@ -408,6 +537,89 @@ object VersionedLake {
     }
   }
 
+  /** Point lookup with manifest-level Bloom skipping: directories whose
+    * committed Bloom filter for `column` provably lacks `value` are
+    * dropped BEFORE the scan is planned (min/max stats prune too when
+    * present, but on a high-cardinality key uniformly spread across
+    * batches they never fire — the Bloom is what makes "find this doc_id
+    * in a year of commits" read one directory instead of 10^5).
+    * Bloom positives may be false (≈1% at default sizing), so survivors
+    * still apply the exact equality filter: results are identical to
+    * `read(...).filter(col === value)`, the filters only decide what gets
+    * PLANNED. Directories committed without a Bloom for the column are
+    * read conservatively. `value` is cast to the column's committed type
+    * before hashing — writer and probe use the same codegen'd xxhash64,
+    * so they cannot disagree. Equality never matches null, so
+    * `value=null` returns the empty frame.
+    */
+  def readPoint(
+      spark: SparkSession,
+      tableDir: String,
+      column: String,
+      value: Any): DataFrame = {
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val dirs = manifest(spark, tableDir, cur)
+    val schemaOpt = versionSchema(spark, tableDir, cur)
+    val schema = schemaOpt.getOrElse(readVersion(spark, tableDir, cur).schema)
+    val dt = schema.fields.find(_.name == column).map(_.dataType)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (value == null) return empty
+    val typedLit = dt.map(t => lit(value).cast(t)).getOrElse(lit(value))
+    val blooms = dirBlooms(spark, tableDir, cur)
+    val stats = dirStats(spark, tableDir, cur)
+    // probe positions once per (bits, k) sizing present in the manifest,
+    // via the same Spark expression that built the filters
+    val posByCfg = blooms.values.flatMap(_.get(column)).map { case (m, k, _) => (m, k) }
+      .toSet.map { cfg: (Int, Int) =>
+        val ps = spark.range(1)
+          .select(bloomPositions(typedLit, cfg._1, cfg._2).as("ps"))
+          .head().getSeq[Long](0)
+        cfg -> ps
+      }.toMap
+    val vS = String.valueOf(value)
+    val numeric = dt.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val prunable = numeric || dt.exists {
+      case org.apache.spark.sql.types.StringType    => true
+      case org.apache.spark.sql.types.DateType      => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _                                        => false
+    }
+    def cmp(a: String, b: String): Option[Int] =
+      if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      else Some(a.compareTo(b))
+    val keep = dirs.filter { d =>
+      val bloomOk = blooms.get(d).flatMap(_.get(column)) match {
+        case Some((m, k, bytes)) =>
+          posByCfg((m, k)).forall { p =>
+            val i = p.toInt
+            (bytes(i >> 3) & (1 << (i & 7))) != 0
+          }
+        case None => true // committed without a bloom: conservative
+      }
+      val statsOk = stats.get(d).flatMap(_.get(column)) match {
+        case Some((Some(mn), Some(mx))) if prunable =>
+          (cmp(mn, vS), cmp(vS, mx)) match {
+            case (Some(x), Some(y)) => x <= 0 && y <= 0
+            case _                  => true
+          }
+        case Some((None, None)) => false // all-null directory
+        case _                  => true
+      }
+      bloomOk && statsOk
+    }
+    if (keep.isEmpty) empty
+    else {
+      val paths = keep.map(d => s"$tableDir/data/$d")
+      val base = schemaOpt match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None    => spark.read.parquet(paths: _*)
+      }
+      base.filter(col(column) === typedLit)
+    }
+  }
+
   /** Keyed upsert as a new full-snapshot version: updates replace
     * same-key rows, others append — streamed from the old version's
     * files into fresh directories with NO materialization barrier,
@@ -453,16 +665,18 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long = {
     val cur = currentVersion(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
     val snapshot = readVersion(spark, tableDir, cur)
     val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile, zorderBy)
     val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
     // a compaction merges N directories into one, so per-directory stats
-    // must be recomputed over the union, not carried forward
+    // and blooms must be recomputed over the union, not carried forward
     val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
-    publishManifest(spark, tableDir, Seq(d), schema, stats)
+    val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
+    publishManifest(spark, tableDir, Seq(d), schema, stats, blooms)
   }
 
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact

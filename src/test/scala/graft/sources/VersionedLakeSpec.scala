@@ -370,4 +370,72 @@ class VersionedLakeSpec extends SparkSpec {
     assert(VersionedLake.readBetween(s, dir, "x", 10, 20).count() ===
       VersionedLake.read(s, dir).filter(col("x").between(10, 20)).count())
   }
+
+  test("manifest blooms prune point lookups where min/max can't; carry forward O(delta)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_bloom").toString
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id", "payload"), bits = 1 << 14))
+    // keys INTERLEAVED across batches: every directory's [min,max] spans
+    // nearly the whole domain, so range stats are useless by construction
+    def batch(res: Long) =
+      (0L to 299L).filter(_ % 3 == res).map(i => (i, s"p$i")).toDF("id", "payload")
+    VersionedLake.commit(batch(0), dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit(batch(1), dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit(batch(2), dir, statsCols = Seq("id"), bloom = bloom)
+    val v = VersionedLake.currentVersion(s, dir).get
+    val dirs = VersionedLake.manifest(s, dir, v)
+    assert(VersionedLake.dirBlooms(s, dir, v).keySet === dirs.toSet,
+      "append commits must carry prior directories' blooms forward verbatim")
+
+    // stats CANNOT prune this lookup (121 is inside every dir's range)...
+    val stats = VersionedLake.dirStats(s, dir, v)
+    assert(dirs.forall { d =>
+      val (mn, mx) = stats(d)("id")
+      mn.get.toLong <= 121L && 121L <= mx.get.toLong
+    }, "fixture must make min/max pruning impossible")
+    // ...but the bloom plans exactly the one directory that has the key
+    val hit = VersionedLake.readPoint(s, dir, "id", 121L)
+    assert(hit.inputFiles.nonEmpty && hit.inputFiles.forall(_.contains(dirs(1))),
+      s"point lookup must plan only batch(1)'s directory")
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((121L, "p121")))
+
+    // string column probes hash the committed type the writer hashed
+    val strHit = VersionedLake.readPoint(s, dir, "payload", "p200")
+    assert(strHit.inputFiles.forall(_.contains(dirs(2))))
+    assert(strHit.count() === 1L)
+
+    // an absent key plans NOTHING; null-equality matches nothing
+    val miss = VersionedLake.readPoint(s, dir, "id", 1234L)
+    assert(miss.inputFiles.isEmpty && miss.count() === 0L)
+    assert(VersionedLake.readPoint(s, dir, "id", null).count() === 0L)
+  }
+
+  test("bloom-less directories read conservatively; optimize recomputes the bloom") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_bloom_mixed").toString
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 14))
+    // legacy commit without a bloom: a point lookup must still scan it
+    VersionedLake.commit(Seq((500L, "legacy")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(
+      (0L to 99L).map(i => (i, s"n$i")).toDF("id", "payload"), dir, bloom = bloom)
+    val v0 = VersionedLake.currentVersion(s, dir).get
+    val dirs0 = VersionedLake.manifest(s, dir, v0)
+    val out = VersionedLake.readPoint(s, dir, "id", 7L)
+    assert(out.inputFiles.exists(_.contains(dirs0.head)),
+      "the bloom-less directory must stay in the plan (conservative)")
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(7L))
+
+    // OPTIMIZE merges the directories: the bloom must be recomputed over
+    // the union, and afterwards both old keys resolve from the one dir
+    VersionedLake.optimize(s, dir, bloom = bloom)
+    val v1 = VersionedLake.currentVersion(s, dir).get
+    val dirs1 = VersionedLake.manifest(s, dir, v1)
+    assert(dirs1.size === 1)
+    assert(VersionedLake.dirBlooms(s, dir, v1).keySet === dirs1.toSet)
+    assert(VersionedLake.readPoint(s, dir, "id", 500L).count() === 1L)
+    assert(VersionedLake.readPoint(s, dir, "id", 7L).count() === 1L)
+    assert(VersionedLake.readPoint(s, dir, "id", 4321L).inputFiles.isEmpty)
+  }
 }
