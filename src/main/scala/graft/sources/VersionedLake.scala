@@ -38,8 +38,19 @@ import org.apache.spark.sql.functions._
   *      point lookups on high-cardinality keys whose range spans every
   *      ingest batch.
   *
+  *   5. '''Optimistic concurrency.''' Version numbers are claimed
+  *      create-exclusively ([[createExclusive]]): of two committers that
+  *      both based on v=N exactly one publishes v=N+1, the other gets
+  *      [[CommitConflictException]] and re-bases ([[appendCommit]] retries
+  *      re-reading only the manifest — its data directory is already
+  *      durable; [[upsert]]/[[optimize]] re-run their read-modify-write
+  *      against the new snapshot, gated on `expectedBase`). Never
+  *      last-writer-wins: a multi-writer deployment (two `foreachBatch`
+  *      streams, ingest racing OPTIMIZE) cannot silently lose a commit.
+  *
   * Layout: `table/data/<uuid>/...parquet` (immutable),
-  * `table/manifest/v=N.txt`, `table/_latest` holding N.
+  * `table/manifest/v=N.txt` (the listing is the authoritative version
+  * source), `table/_latest` holding N as a fast-path hint.
   */
 object VersionedLake {
 
@@ -82,6 +93,19 @@ object VersionedLake {
     */
   private val BloomHeader = "#bloom="
 
+  /** Manifest comment line recording that one data directory is laid out
+    * bucket-aligned: `#bucketspec=<dir>\t{"key":"k","n":8}`. The files in
+    * such a directory were written through Spark's bucketed writer (names
+    * carry the bucket id), so a read that registers the directory as a
+    * bucketed catalog table recovers `outputPartitioning =
+    * HashPartitioning(key, n)` straight off the files — fact⋈fact joins
+    * and groupBy(key) aggregations plan with ZERO exchange, while the
+    * directory stays an ordinary immutable lake data dir (time travel,
+    * vacuum, stats all unchanged). Comment-prefixed like stats/blooms:
+    * pre-bucket readers ignore it.
+    */
+  private val BucketHeader = "#bucketspec="
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -89,8 +113,32 @@ object VersionedLake {
     * O(delta) aggregation per column at commit time.
     */
   final case class BloomConfig(cols: Seq[String], bits: Int = 1 << 20, k: Int = 7) {
-    require(bits > 0 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two: $bits")
+    // bits < 8 would allocate a zero-length byte array and fail the commit
+    // AFTER data directories land; realistically size >= 1024
+    require(bits >= 8 && (bits & (bits - 1)) == 0,
+      s"bloom bits must be a power of two >= 8: $bits")
     require(k >= 1 && k <= 16, s"bloom k out of range: $k")
+  }
+
+  /** Lexicographic compare in UTF-8 BYTE order — the order Spark's own
+    * min/max use for strings (binary comparison of UTF8String). Java's
+    * `String.compareTo` compares UTF-16 code units, which disagrees for
+    * supplementary-plane characters (a surrogate pair's first unit 0xD800+
+    * sorts below 0xE000-block BMP chars that UTF-8 orders above it) — with
+    * that order a directory that actually contains the probed value could
+    * be pruned, silently dropping rows.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def fs(spark: SparkSession, dir: String) =
@@ -109,27 +157,129 @@ object VersionedLake {
     } finally in.close()
   }
 
-  /** Write bytes to `name.tmp`, rename over `name` — atomic publish. */
+  /** Thrown when a concurrent committer published the version this writer
+    * was about to claim. The loser's data directories are already on disk
+    * (immutable, unreferenced — harmless garbage until vacuum); the caller
+    * re-reads the new current version, re-bases, and retries or aborts.
+    * Without this, two committers that both read v=N and both publish
+    * v=N+1 would silently drop one commit from the table — the
+    * last-writer-wins failure every real lake (Delta, Iceberg) rejects.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Write bytes to a unique `.tmp`, move over `name` — atomic publish
+    * that may REPLACE an existing file. Used only for the [[Pointer]]
+    * hint; manifests go through [[createExclusive]]. On local
+    * filesystems the replace is a single `rename(2)` (nio ATOMIC_MOVE) so
+    * concurrent readers never observe a missing pointer; HDFS-like stores
+    * need the delete+rename pair, and [[currentVersion]] tolerates the
+    * window by treating a vanished pointer as hint-absent.
+    */
   private def atomicWrite(
       spark: SparkSession,
       dir: String,
       name: String,
       content: String): Unit = {
     val f = fs(spark, dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
-    val dst = new org.apache.hadoop.fs.Path(dir, name)
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"atomic publish of $dir/$name failed")
+    val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+    if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.createDirectories(dstP.getParent)
+      val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmpP,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpP, dstP,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"$name.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(dst)) f.delete(dst, false)
+      require(f.rename(tmp, dst), s"atomic publish of $dir/$name failed")
+    }
   }
 
-  /** Currently published version; None for an empty/uninitialized table. */
+  /** Create `dir/name` with `content` atomically and EXCLUSIVELY: the file
+    * appears complete or not at all, and if it already exists (a
+    * concurrent committer won the version) this throws
+    * [[CommitConflictException]] instead of replacing it.
+    *
+    * Local filesystems: POSIX `rename(2)` REPLACES an existing
+    * destination, so tmp+rename cannot detect the race — instead the full
+    * content is staged to a tmp file and `link(2)`-ed to the destination
+    * (`Files.createLink`), which the kernel guarantees fails atomically
+    * with EEXIST; the destination therefore appears with its complete
+    * content. HDFS-like stores: their `rename` contractually FAILS when
+    * the destination exists, so tmp+rename is already atomic-exclusive.
+    */
+  private[graft] def createExclusive(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      content: String): Unit = {
+    val f = fs(spark, dir)
+    val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+    if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.createDirectories(dstP.getParent)
+      val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmpP,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.createLink(dstP, tmpP)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmpP)
+          throw new CommitConflictException(
+            s"$dir/$name was published by a concurrent committer")
+      }
+      java.nio.file.Files.deleteIfExists(tmpP)
+    } else {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      if (!f.exists(dirPath)) f.mkdirs(dirPath)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"$name.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(dst) || !f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new CommitConflictException(
+          s"$dir/$name was published by a concurrent committer")
+      }
+    }
+  }
+
+  /** Currently published version; None for an empty/uninitialized table.
+    *
+    * Authoritative source: the MAX version present in the manifest
+    * directory (one LIST call — manifests appear atomically-complete via
+    * [[createExclusive]], and [[optimize]]/[[vacuum]] bound the listing).
+    * The [[Pointer]] file is kept as a fast-path HINT and floor — it is
+    * updated after the manifest, so deriving the version from the listing
+    * closes the window where a committer has published its manifest but
+    * not yet moved the pointer (a crash there would otherwise wedge every
+    * later committer on a permanent conflict at that version).
+    */
   def currentVersion(spark: SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new org.apache.hadoop.fs.Path(tableDir, Pointer)
-    if (!f.exists(p)) None else Some(readSmallFile(spark, p).trim.toLong)
+    // tolerate the pointer vanishing mid-read (an HDFS-like store's
+    // delete+rename replace window) — the manifest listing still answers
+    val hint = scala.util.Try(readSmallFile(spark, p).trim.toLongOption)
+      .toOption.flatten
+    val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
+    val listed =
+      if (!f.exists(manRoot)) None
+      else f.listStatus(manRoot)
+        .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt").toLongOption)
+        .maxOption
+    (hint, listed) match {
+      case (Some(h), Some(l)) => Some(math.max(h, l))
+      case (h, l)             => h.orElse(l)
+    }
   }
 
   /** Data-directory names a retained version comprises. */
@@ -327,6 +477,34 @@ object VersionedLake {
       .toMap
   }
 
+  /** Per-directory bucket specs a version's manifest carries:
+    * dir -> (bucket key, bucket count).
+    */
+  def dirBuckets(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, (String, Int)] = {
+    import org.json4s.JsonAST._
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(BucketHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(BucketHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None
+        else org.json4s.jackson.JsonMethods.parse(rest.substring(tab + 1)) match {
+          case JObject(fields) =>
+            val m = fields.toMap
+            (m.get("key"), m.get("n")) match {
+              case (Some(JString(k)), Some(JInt(n))) =>
+                Some(rest.substring(0, tab) -> ((k, n.toInt)))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      .toMap
+  }
+
   /** Write `df` into one fresh immutable data directory; returns its name.
     * With `zorderBy`, rows are clustered on the interleaved Z-curve key
     * ([[Lake.withZorderKey]]): unpartitioned tables range-partition on the
@@ -358,20 +536,62 @@ object VersionedLake {
     name
   }
 
-  private def publishManifest(
+  /** Publish a manifest as the NEXT version via optimistic concurrency:
+    * the version number is claimed create-exclusively, so of two
+    * committers that both based on v=N exactly one wins v=N+1 — the other
+    * gets [[CommitConflictException]] and must re-read and re-base (its
+    * data directories are already durable and reusable). With
+    * `expectedBase` set, the publish additionally fails fast when the
+    * table has moved past the version the caller's READS were based on —
+    * the read-modify-write committers ([[upsert]], [[optimize]]) need
+    * that, or a retry would clobber the concurrent commit it conflicted
+    * with.
+    */
+  private[graft] def publishManifest(
       spark: SparkSession,
       tableDir: String,
       dirs: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
       stats: Map[String, String] = Map.empty,
-      blooms: Map[String, String] = Map.empty): Long = {
-    val next = currentVersion(spark, tableDir).getOrElse(-1L) + 1
+      blooms: Map[String, String] = Map.empty,
+      expectedBase: Option[Option[Long]] = None,
+      buckets: Map[String, (String, Int)] = Map.empty): Long = {
+    val cur = currentVersion(spark, tableDir)
+    expectedBase.foreach { exp =>
+      if (cur != exp)
+        throw new CommitConflictException(
+          s"$tableDir moved to ${cur.getOrElse(-1L)} since this commit read " +
+            s"${exp.getOrElse(-1L)}; re-read and re-base")
+    }
+    val next = cur.getOrElse(-1L) + 1
     val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
     val bloomLines = dirs.flatMap(d => blooms.get(d).map(j => s"$BloomHeader$d\t$j"))
-    val body = (SchemaHeader + schema.json) +: (statsLines ++ bloomLines ++ dirs)
-    atomicWrite(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    val bucketLines = dirs.flatMap(d => buckets.get(d).map { case (key, n) =>
+      s"""$BucketHeader$d\t{"key":"$key","n":$n}"""
+    })
+    val body = (SchemaHeader + schema.json) +:
+      (statsLines ++ bloomLines ++ bucketLines ++ dirs)
+    createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
+  }
+
+  /** Bounded conflict-retry loop for committers whose re-base is cheap
+    * (re-reading the prior manifest, not re-writing data). Attempts are
+    * bounded so a livelocked writer surfaces instead of spinning.
+    */
+  private def retryOnConflict[A](maxAttempts: Int = 16)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Full-snapshot commit: the new version is exactly `df`. Data lands
@@ -388,7 +608,11 @@ object VersionedLake {
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val stats = columnStats(df, statsCols).map(d -> _).toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
-    publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats, blooms)
+    // a full snapshot replaces the table regardless of base version, so a
+    // lost race only means re-claiming the next number — data is written
+    retryOnConflict() {
+      publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats, blooms)
+    }
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is
@@ -406,28 +630,40 @@ object VersionedLake {
       statsCols: Seq[String] = Nil,
       bloom: Option[BloomConfig] = None): Long = {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, tableDir)
-    val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
-    val priorSchema = cur.map { v =>
-      versionSchema(spark, tableDir, v)
-        .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
-    }
-    // prior directories keep their stats and blooms verbatim (their data
-    // is immutable); only the new batch is aggregated — the commit stays
-    // O(delta)
-    val priorStats = cur.map { v =>
-      dirStats(spark, tableDir, v).map { case (dir, cols) =>
-        dir -> statsJson(cols)
-      }
-    }.getOrElse(Map.empty)
-    val priorBlooms = cur.map(v => dirBloomsRaw(spark, tableDir, v)).getOrElse(Map.empty)
+    // the expensive work — writing the batch and aggregating its stats —
+    // happens ONCE; the directory is immutable, so losing the publish race
+    // only costs re-reading the prior manifest and retrying the publish
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    val merged = priorSchema
-      .map(p => mergeSchemas(p, df.schema))
-      .getOrElse(nullableAll(df.schema))
-    val stats = priorStats ++ columnStats(df, statsCols).map(d -> _).toMap
-    val blooms = priorBlooms ++ bloomJson(df, bloom).map(d -> _).toMap
-    publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms)
+    val batchStats = columnStats(df, statsCols)
+    val batchBloom = bloomJson(df, bloom)
+    val batchSchema = nullableAll(df.schema)
+    retryOnConflict() {
+      val cur = currentVersion(spark, tableDir)
+      val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
+      val priorSchema = cur.map { v =>
+        versionSchema(spark, tableDir, v)
+          .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
+      }
+      // prior directories keep their stats and blooms verbatim (their data
+      // is immutable); only the new batch is aggregated — the commit stays
+      // O(delta)
+      val priorStats = cur.map { v =>
+        dirStats(spark, tableDir, v).map { case (dir, cols) =>
+          dir -> statsJson(cols)
+        }
+      }.getOrElse(Map.empty)
+      val priorBlooms = cur.map(v => dirBloomsRaw(spark, tableDir, v)).getOrElse(Map.empty)
+      // bucket-aligned prior dirs stay bucket-aligned (immutable files) —
+      // the spec rides along so a later single-dir version is recognized
+      val priorBuckets = cur.map(v => dirBuckets(spark, tableDir, v)).getOrElse(Map.empty)
+      val merged = priorSchema
+        .map(p => mergeSchemas(p, batchSchema))
+        .getOrElse(batchSchema)
+      val stats = priorStats ++ batchStats.map(d -> _).toMap
+      val blooms = priorBlooms ++ batchBloom.map(d -> _).toMap
+      publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms,
+        expectedBase = Some(cur), buckets = priorBuckets)
+    }
   }
 
   /** Re-encode parsed stats for carry-forward into the next manifest. */
@@ -460,10 +696,42 @@ object VersionedLake {
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val dirs = manifest(spark, tableDir, version).map(d => s"$tableDir/data/$d")
     require(dirs.nonEmpty, s"version $version of $tableDir has an empty manifest")
-    versionSchema(spark, tableDir, version) match {
-      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
-      case None         => spark.read.parquet(dirs: _*)
+    readDirs(spark, tableDir, dirs, versionSchema(spark, tableDir, version))
+  }
+
+  /** Plan a scan over a version's data directories. Hive-partitioned
+    * commits (`parts` non-empty) need care once a version spans several
+    * directories: Spark's partition discovery walks up from each leaf and
+    * records the first non-`k=v` level (each commit's uuid dir) as that
+    * leaf's partition ROOT, so a multi-root partitioned listing always
+    * fails as "conflicting directory structures" — `basePath` cannot
+    * bridge the uuid level. Those versions read as a UNION of per-commit
+    * scans instead: partition pruning still pushes into every child, and
+    * the union fan-out is bounded by the [[optimize]] cadence (which
+    * collapses the manifest back to one directory), so the planner never
+    * sees unbounded scan counts. Unpartitioned tables keep the single
+    * multi-path scan.
+    */
+  private def readDirs(
+      spark: SparkSession,
+      tableDir: String,
+      paths: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    def one(ps: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", s"$tableDir/data")
+      schemaOpt match {
+        case Some(s) => r.schema(s).parquet(ps: _*)
+        case None    => r.parquet(ps: _*)
+      }
     }
+    if (paths.size <= 1) one(paths)
+    else
+      try one(paths)
+      catch {
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("CONFLICTING_DIRECTORY_STRUCTURES") =>
+          paths.map(p => one(Seq(p))).reduce(_.unionByName(_))
+      }
   }
 
   /** Range read with manifest-level data skipping: directories whose
@@ -507,7 +775,7 @@ object VersionedLake {
     // None = incomparable (e.g. NaN/Infinity renderings) -> keep the dir
     def cmp(a: String, b: String): Option[Int] =
       if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
-      else Some(a.compareTo(b))
+      else Some(utf8Cmp(a, b))
     val keep = dirs.filter { d =>
       stats.get(d).flatMap(_.get(column)) match {
         case Some((Some(mn), Some(mx))) if prunable =>
@@ -529,11 +797,7 @@ object VersionedLake {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val paths = keep.map(d => s"$tableDir/data/$d")
-      val base = schemaOpt match {
-        case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
-        case None         => spark.read.parquet(paths: _*)
-      }
-      base.filter(filter)
+      readDirs(spark, tableDir, paths, schemaOpt).filter(filter)
     }
   }
 
@@ -588,7 +852,7 @@ object VersionedLake {
     }
     def cmp(a: String, b: String): Option[Int] =
       if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
-      else Some(a.compareTo(b))
+      else Some(utf8Cmp(a, b))
     val keep = dirs.filter { d =>
       val bloomOk = blooms.get(d).flatMap(_.get(column)) match {
         case Some((m, k, bytes)) =>
@@ -612,11 +876,7 @@ object VersionedLake {
     if (keep.isEmpty) empty
     else {
       val paths = keep.map(d => s"$tableDir/data/$d")
-      val base = schemaOpt match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
-        case None    => spark.read.parquet(paths: _*)
-      }
-      base.filter(col(column) === typedLit)
+      readDirs(spark, tableDir, paths, schemaOpt).filter(col(column) === typedLit)
     }
   }
 
@@ -631,15 +891,25 @@ object VersionedLake {
       updates: DataFrame,
       keys: Seq[String],
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
-    val existing = read(spark, tableDir)
-    val survivors = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    // allowMissingColumns: updates may carry new columns (survivors get
-    // null) or omit existing ones (updates get null) — upserts evolve
-    // the schema the same way appendCommit does
-    commit(survivors.unionByName(updates, allowMissingColumns = true),
-      tableDir, parts, maxRecordsPerFile)
-  }
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long =
+    // read-modify-write: a concurrent commit between our read and publish
+    // would be CLOBBERED by the merged snapshot, so the publish is gated
+    // on the base version we read (expectedBase) and a lost race re-runs
+    // the whole merge against the new snapshot — first-committer-wins,
+    // the loser's orphaned directory waits for vacuum
+    retryOnConflict(maxAttempts = 8) {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val existing = readVersion(spark, tableDir, base)
+      val survivors = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      // allowMissingColumns: updates may carry new columns (survivors get
+      // null) or omit existing ones (updates get null) — upserts evolve
+      // the schema the same way appendCommit does
+      val mergedDf = survivors.unionByName(updates, allowMissingColumns = true)
+      val d = writeDataDir(mergedDf, tableDir, parts, maxRecordsPerFile)
+      publishManifest(spark, tableDir, Seq(d), nullableAll(mergedDf.schema),
+        expectedBase = Some(Some(base)))
+    }
 
   /** OPTIMIZE: rewrite the published version's N data directories into
     * ONE and publish the compacted manifest as a new version — the
@@ -666,18 +936,24 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil,
-      bloom: Option[BloomConfig] = None): Long = {
-    val cur = currentVersion(spark, tableDir)
-      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
-    val snapshot = readVersion(spark, tableDir, cur)
-    val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile, zorderBy)
-    val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
-    // a compaction merges N directories into one, so per-directory stats
-    // and blooms must be recomputed over the union, not carried forward
-    val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
-    val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
-    publishManifest(spark, tableDir, Seq(d), schema, stats, blooms)
-  }
+      bloom: Option[BloomConfig] = None): Long =
+    // read-rewrite: losing the race to a concurrent append means the
+    // compacted snapshot is already stale — retry re-reads and re-compacts
+    // (bounded low: under sustained ingest pressure, giving up and letting
+    // the next cadence call compact is better than competing for the slot)
+    retryOnConflict(maxAttempts = 4) {
+      val cur = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val snapshot = readVersion(spark, tableDir, cur)
+      val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile, zorderBy)
+      val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
+      // a compaction merges N directories into one, so per-directory stats
+      // and blooms must be recomputed over the union, not carried forward
+      val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
+      val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
+      publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
+        expectedBase = Some(Some(cur)))
+    }
 
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact
     * only when the manifest has reached `maxDirs` directories, else do
@@ -686,16 +962,166 @@ object VersionedLake {
     * the amortized write amplification at one extra table rewrite per
     * `maxDirs` batches. Returns the new version when it compacted.
     */
+  // ------------------------------------------------------------------
+  // Bucket-aligned layout × versioned lake: the exchange-free fact⋈fact
+  // story of [[Bucketed]] unified with atomic publishes and time travel.
+  // A bucketed COMMIT writes its data directory through Spark's bucketed
+  // writer (one repartition = the bucket shuffle, paid once at write
+  // time; file names carry bucket ids) and records the spec in the
+  // manifest; [[readBucketed]] registers the directory as an external
+  // bucketed catalog table, recovering HashPartitioning(key, n) straight
+  // off the immutable files — joins and aggregations on the key plan
+  // with ZERO exchange, per version, forever. Appends land as ordinary
+  // directories (a reader then falls back to a plain scan — correct,
+  // just not exchange-free) until [[optimizeBucketed]] re-buckets the
+  // snapshot; at 100 TB that is the same amortization bargain as
+  // compaction itself, riding the same rewrite.
+  // ------------------------------------------------------------------
+
+  /** Bucketed full-snapshot commit. */
+  def commitBucketed(
+      df: DataFrame,
+      tableDir: String,
+      key: String,
+      buckets: Int,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long = {
+    val d = writeBucketedDataDir(df, tableDir, key, buckets, maxRecordsPerFile)
+    val stats = columnStats(df, statsCols).map(d -> _).toMap
+    val blooms = bloomJson(df, bloom).map(d -> _).toMap
+    retryOnConflict() {
+      publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema),
+        stats, blooms, buckets = Map(d -> ((key, buckets))))
+    }
+  }
+
+  /** OPTIMIZE into a bucket-aligned single directory: compaction and the
+    * bucket shuffle share one table rewrite. The cadence move for a
+    * bucketed table that has taken plain appends.
+    */
+  def optimizeBucketed(
+      spark: SparkSession,
+      tableDir: String,
+      key: String,
+      buckets: Int,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long =
+    retryOnConflict(maxAttempts = 4) {
+      val cur = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val snapshot = readVersion(spark, tableDir, cur)
+      val d = writeBucketedDataDir(snapshot, tableDir, key, buckets, maxRecordsPerFile)
+      val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
+      val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
+      val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
+      publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
+        expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))))
+    }
+
+  /** Bucketed writes only exist behind `saveAsTable`, so the directory is
+    * written through a throwaway EXTERNAL table (path = the lake data
+    * dir); dropping it keeps the files. `repartition(n, key)` first so
+    * each write task owns exactly one bucket — one file per bucket, the
+    * layout that makes the local in-file sort trustworthy too.
+    */
+  private def writeBucketedDataDir(
+      df: DataFrame,
+      tableDir: String,
+      key: String,
+      buckets: Int,
+      maxRecordsPerFile: Long): String = {
+    val spark = df.sparkSession
+    val name = java.util.UUID.randomUUID().toString
+    val tmpTable = s"graft_vlake_w_${name.replace("-", "_")}"
+    df.repartition(buckets, col(key))
+      .write
+      .format("parquet")
+      .option("path", s"$tableDir/data/$name")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE `$tmpTable`")
+    name
+  }
+
+  /** Read the published snapshot bucket-AWARE: when the version is a
+    * single bucket-aligned directory, the scan is planned through an
+    * external bucketed catalog table so `outputPartitioning` is
+    * HashPartitioning(key, n) — downstream equi-joins/aggs on the key
+    * need no exchange. Any other shape (multi-directory after appends,
+    * no bucket spec) falls back to the ordinary manifest read — same
+    * rows, just shuffled like any scan. Registered tables are keyed by
+    * (table path, version): data dirs are immutable, so the catalog
+    * entry can never go stale.
+    */
+  def readBucketed(spark: SparkSession, tableDir: String): DataFrame =
+    readBucketedVersion(spark, tableDir,
+      currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir")))
+
+  /** [[readBucketed]] with time travel: every retained bucketed version
+    * keeps the exchange-free plan shape.
+    */
+  def readBucketedVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val dirs = manifest(spark, tableDir, version)
+    val specs = dirBuckets(spark, tableDir, version)
+    dirs match {
+      case Seq(d) if specs.contains(d) =>
+        val (key, n) = specs(d)
+        val schema = versionSchema(spark, tableDir, version)
+          .getOrElse(nullableAll(readVersion(spark, tableDir, version).schema))
+        val tbl = "graft_vlake_" +
+          java.lang.Integer.toHexString(tableDir.hashCode) + s"_v$version"
+        if (!spark.catalog.tableExists(tbl))
+          spark.sql(
+            s"""CREATE TABLE `$tbl` (${schema.toDDL})
+               |USING parquet
+               |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
+               |LOCATION '$tableDir/data/$d'""".stripMargin)
+        spark.table(tbl)
+      case _ => readVersion(spark, tableDir, version)
+    }
+  }
+
+  /** Explicit `statsCols`/`zorderBy`/`bloom` thread straight through to
+    * [[optimize]]; when NOT given, the stats and bloom configuration are
+    * recovered from the current manifest (union of stat'd columns; union
+    * of bloom'd columns at the largest committed sizing), so an ingest
+    * loop that commits with skipping layers KEEPS them across
+    * auto-compactions instead of silently full-scanning afterwards.
+    * Z-order is never inferred — the manifest doesn't record it.
+    */
   def optimizeIfNeeded(
       spark: SparkSession,
       tableDir: String,
       maxDirs: Int = 64,
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Option[Long] = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Option[Long] = {
     require(maxDirs >= 2, s"maxDirs must be >= 2, got $maxDirs")
     currentVersion(spark, tableDir)
       .filter(v => manifest(spark, tableDir, v).size >= maxDirs)
-      .map(_ => optimize(spark, tableDir, parts, maxRecordsPerFile))
+      .map { v =>
+        val sc =
+          if (statsCols.nonEmpty) statsCols
+          else dirStats(spark, tableDir, v).values.flatMap(_.keys).toSeq.distinct.sorted
+        val bl = bloom.orElse {
+          val committed = dirBlooms(spark, tableDir, v)
+          val cols = committed.values.flatMap(_.keys).toSeq.distinct.sorted
+          if (cols.isEmpty) None
+          else {
+            val (m, k) = committed.values.flatMap(_.values)
+              .map(t => (t._1, t._2)).maxBy(_._1)
+            Some(BloomConfig(cols, m, k))
+          }
+        }
+        optimize(spark, tableDir, parts, maxRecordsPerFile, sc, zorderBy, bl)
+      }
   }
 
   /** Drop manifests below the published version and every data directory
