@@ -53,6 +53,11 @@ object Session {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ normalization below reads the wall-clock in the SESSION time
+      // zone; a driver-built session may not be UTC, which would shift
+      // every ts by the zone offset relative to the DuckDB oracle's naive
+      // epoch_us semantics — re-pin it here like nanosAsLong above.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._

@@ -57,11 +57,13 @@ object Bucketed {
       .saveAsTable(table)
   }
 
-  /** Write only if the table doesn't already exist in this session's
-    * catalog (the common per-session cache for repeated query runs).
+  /** Write only if the table doesn't already exist in the CALLER's
+    * session catalog (the common per-session cache for repeated query
+    * runs). The caller's session is threaded explicitly — with multiple
+    * SparkSessions alive, `SparkSession.active` could consult one
+    * session's catalog while the caller reads through another's, skipping
+    * a needed write or failing the read.
     */
-  def ensure(df: => DataFrame, table: String, buckets: Int, key: String): Unit = {
-    val spark = SparkSession.active
+  def ensure(spark: SparkSession, df: => DataFrame, table: String, buckets: Int, key: String): Unit =
     if (!spark.catalog.tableExists(table)) write(df, table, buckets, key)
-  }
 }
