@@ -28,22 +28,46 @@ object Similarity {
       state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
 
     def oracleSql: Option[String] = state.map { case (centroids, probe) =>
-      val dots = centroids
-        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
-        .mkString("[\n      ", ",\n      ", "]")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
-         |a AS (
-         |  SELECT vec_id, v,
-         |    CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
-         |  FROM (SELECT vec_id, v, $dots AS dots FROM e WHERE vec_id != 0)),
-         |scored AS (
-         |  SELECT a.vec_id,
-         |    list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * q.qn) AS cos
-         |  FROM a, q
-         |  WHERE cell IN (${probe.mkString(", ")}))
-         |SELECT vec_id, round(cos, 3) AS cos FROM scored
-         |ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
+      ivfOracleSql(centroids, probe)
+    }
+  }
+
+  /** DuckDB replay of IVF assign + probe + exact re-rank from frozen
+    * centroid/probe literals. Shared by the per-query IVF path (q_knn_ivf)
+    * and the persisted-index path (q_knn_ivf_persisted): the cell of a
+    * vector depends only on the frozen centroid literals (first-argmax
+    * over the same sequential-sum dot products), so whether Spark assigned
+    * it at build time or at delta-append time is invisible to the oracle —
+    * exactly the invariant the persisted index must keep.
+    */
+  private def ivfOracleSql(centroids: Seq[Seq[Double]], probe: Seq[Int]): String = {
+    val dots = centroids
+      .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+       |a AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
+       |  FROM (SELECT vec_id, v, $dots AS dots FROM e WHERE vec_id != 0)),
+       |scored AS (
+       |  SELECT a.vec_id,
+       |    list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * q.qn) AS cos
+       |  FROM a, q
+       |  WHERE cell IN (${probe.mkString(", ")}))
+       |SELECT vec_id, round(cos, 3) AS cos FROM scored
+       |ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Frozen model for the late-bound q_knn_ivf_persisted oracle. */
+  private[queries] object IvfPersistedState {
+    @volatile private var state: Option[(Seq[Seq[Double]], Seq[Int])] = None
+
+    def freeze(query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Unit =
+      state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
+
+    def oracleSql: Option[String] = state.map { case (centroids, probe) =>
+      ivfOracleSql(centroids, probe)
     }
   }
 
@@ -309,6 +333,45 @@ object Similarity {
       None,
       covers = Seq("ext-knn-ivf"),
       oracleDyn = Some(() => IvfState.oracleSql)),
+
+    // ------------------------------------------------------------------
+    // PERSISTED IVF index (operators.IvfIndex): train ONCE on the first
+    // half of the corpus, commit centroids + assignments as VersionedLake
+    // tables (assignments partitioned by cell), then maintain the index
+    // through an append commit that assigns ONLY the second half against
+    // the persisted codebook — no re-train, no corpus rescan, the
+    // incrementalLshPairs contract on the vector side. The probe reads
+    // the published snapshot with cell-partition pruning. The oracle
+    // replays assignment for ALL vectors from the frozen centroids —
+    // which is exactly the invariant the index must keep: a vector's cell
+    // is a pure function of the codebook, independent of WHEN (build or
+    // delta) Spark assigned it. IvfIndexSpec pins the no-re-train and
+    // O(delta) manifest properties; here the oracle pins the answer.
+    QueryDef(
+      "q_knn_ivf_persisted",
+      (s, dir) => {
+        val e = Sim.withNorm(t(s, dir, "embeddings")).cache()
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("v")).head().getSeq[Double](0).toSeq
+        val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+        // commit 1: build on the odd half (train + full assign)
+        val cents = graft.operators.IvfIndex.build(
+          corpus.filter(col("vec_id") % 2 === 1), "vec_id", idxDir, k = 16, iters = 4)
+        // commit 2: the even half arrives as an append — delta-assigned
+        // against the PERSISTED centroids, O(delta)
+        graft.operators.IvfIndex.append(
+          corpus.filter(col("vec_id") % 2 === 0), "vec_id", idxDir)
+        IvfPersistedState.freeze(query, cents, nProbe = 6)
+        val out = graft.operators.IvfIndex.topK(s, idxDir, query, k = 10, nProbe = 6)
+          .select(col("id").as("vec_id"), round(col("cos"), 3).as("cos"))
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
+      },
+      None,
+      covers = Seq("ext-knn-ivf-persisted"),
+      oracleDyn = Some(() => IvfPersistedState.oracleSql)),
 
     // ------------------------------------------------------------------
     // Product-quantization encode (operators.Pq): 64-dim float vectors →

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.VersionedLake
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index contract: train once, maintain by delta — an
+  * append must not re-train the codebook (centroid table version pinned)
+  * and must commit only the delta's assignments (O(delta) manifest
+  * growth), while the probe answers identically to a fresh full-corpus
+  * assignment over the same centroids.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = graft.engine.Session.table(spark, sf, "embeddings")
+
+  test("append maintains assignments without re-training; probe matches fresh assign") {
+    val s = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val half1 = corpus.filter(col("vec_id") % 2 === 1)
+    val half2 = corpus.filter(col("vec_id") % 2 === 0)
+
+    val cents = IvfIndex.build(half1, "vec_id", idxDir, k = 8, iters = 2)
+    val centVer0 = VersionedLake.currentVersion(s, IvfIndex.centroidsDir(idxDir))
+    val asgVer0 = VersionedLake.currentVersion(s, IvfIndex.assignmentsDir(idxDir)).get
+    val m0 = VersionedLake.manifest(s, IvfIndex.assignmentsDir(idxDir), asgVer0)
+
+    IvfIndex.append(half2, "vec_id", idxDir)
+
+    // no re-train: the codebook table took NO new commit
+    assert(VersionedLake.currentVersion(s, IvfIndex.centroidsDir(idxDir)) === centVer0)
+    assert(IvfIndex.centroids(s, idxDir) === cents)
+    // O(delta): the assignment manifest grew by exactly the delta's dirs
+    val m1 = VersionedLake.manifest(s, IvfIndex.assignmentsDir(idxDir), asgVer0 + 1)
+    assert(m1.size === m0.size + 1, "append must add one data dir, not rewrite")
+    assert(m1.startsWith(m0), "prior assignment dirs must be reused verbatim")
+
+    // index rows = full corpus, each assigned once
+    val persisted = VersionedLake.read(s, IvfIndex.assignmentsDir(idxDir))
+    assert(persisted.count() === corpus.count())
+    assert(persisted.select("id").distinct().count() === corpus.count())
+
+    // the persisted probe answers exactly like a fresh full-corpus assign
+    // over the SAME centroids (cell is a pure function of the codebook)
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+    val fresh = Similarity.ivfTopK(
+      Similarity.ivfAssign(corpus, cents), "vec_id", query, k = 5, cents, nProbe = 3)
+      .select(col("vec_id").as("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 3)
+      .select(col("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex === fresh)
+  }
+
+  test("time travel: the pre-append probe answer is reproducible") {
+    val s = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_tt").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    IvfIndex.build(corpus.filter(col("vec_id") <= 100), "vec_id", idxDir, k = 4, iters = 2)
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+    val before = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    IvfIndex.append(corpus.filter(col("vec_id") > 100), "vec_id", idxDir)
+    val travel = IvfIndex.topKAt(s, idxDir, version = 0L, query, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(travel === before,
+      "version-0 probe must ignore the appended vectors (reproducible evals)")
+    // and the live probe sees the full corpus
+    val after = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 2).count()
+    assert(after === 5L)
+  }
+
+  test("probe reads prune to the probed cells' partitions") {
+    val s = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_prune").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    IvfIndex.build(corpus, "vec_id", idxDir, k = 8, iters = 2)
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+    val plan = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 2)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // partition filters on `cell` must reach the scan so only the probed
+    // cells' directories are listed/read — the point of the layout
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
+      s"probe must partition-prune on cell; got:\n${plan.toString.take(2000)}")
+  }
+}
