@@ -135,4 +135,139 @@ object ViewMaintenance {
     val dimSide = agg1(fact.join(broadcast(dimDelta), joinKeys))
     merge(Seq(priorState, factSide, dimSide), groupKeys, state)
   }
+
+  // ------------------------------------------------------------------
+  // Retractable extremum: bounded top-k state per group (the Flink
+  // retract-max recipe). Plain min/max state cannot survive a delete of
+  // the current extremum — the runner-up is gone. Keeping the k largest
+  // live values per group repairs up to k-1 extremum deletions from
+  // state alone; a FENCE value tracks the largest value ever dropped
+  // from the bounded buffer, so the state knows exactly when it can no
+  // longer prove its head is the true maximum and flags that group for
+  // rebuild instead of answering wrong. Rebuilds touch only the flagged
+  // groups (spec-pinned), everything else refreshes O(delta + groups).
+  // ------------------------------------------------------------------
+
+  /** Per-group top-k extremum state over `valueCol` (descending → max
+    * maintenance; flip the input's sign for min). Output:
+    * `keys..., topk array (desc), cnt, fence, needs_rebuild`.
+    *
+    * Soundness invariant: every value ever dropped from the buffer
+    * (truncation beyond k, or a net-negative out-of-buffer delete) is
+    * <= `fence` at the time it was dropped; therefore whenever
+    * `topk[0] >= fence` the head IS the true group max. `needs_rebuild`
+    * is the exact complement: the group is non-empty and either the
+    * buffer emptied or its head fell below the fence — only then does
+    * the true max possibly live among dropped values.
+    */
+  def rebuildTopK(
+      base: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(valueCol).desc)
+    // rank and group-count share one partitioning -> one shuffle, one pass
+    base
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      .filter(col("_rk") <= k + 1)
+      .groupBy(kc: _*)
+      .agg(
+        sort_array(collect_list(when(col("_rk") <= k, col(valueCol))), asc = false)
+          .as("topk"),
+        first(col("_cnt")).as("cnt"),
+        // the k+1-th value bounds everything truncated away
+        max(when(col("_rk") === k + 1, col(valueCol))).as("fence"))
+      .withColumn("needs_rebuild", lit(false))
+      .select((kc :+ col("topk") :+ col("cnt") :+ col("fence") :+
+        col("needs_rebuild")): _*)
+  }
+
+  /** Fold a SIGNED delta (`sign` = +1 insert / -1 delete, deletes must
+    * reference live base rows — multiset semantics) into
+    * [[rebuildTopK]]-shaped state. One union + one keyed agg + one
+    * window over O(state + delta) rows — never the base table. Groups
+    * whose answer is no longer provable from the bounded buffer come
+    * back flagged `needs_rebuild`; [[repairExtremum]] composes the
+    * state-path answer with base-side repair for exactly those.
+    */
+  def retractTopK(
+      priorState: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      signCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    // multiset of live buffer members after the delta: +1 per buffered
+    // copy, signed delta weights, net > 0 survives with multiplicity
+    val stateRows = priorState.select((kc :+ explode(col("topk")).as("_v")): _*)
+      .withColumn("_w", lit(1L))
+    val deltaRows = delta
+      .filter(col(valueCol).isNotNull)
+      .select((kc :+ col(valueCol).as("_v") :+ col(signCol).cast("long").as("_w")): _*)
+    val net = stateRows.unionByName(deltaRows)
+      .groupBy((kc :+ col("_v")): _*)
+      .agg(sum("_w").as("_w"))
+      .filter(col("_w") > 0)
+      // restore multiplicity, bounded by k + delta inserts of that value
+      .withColumn("_i", explode(sequence(lit(1L), col("_w"))))
+    val w = Window.partitionBy(kc: _*).orderBy(col("_v").desc, col("_i"))
+    val ranked = net
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k + 1)
+      .groupBy(kc: _*)
+      .agg(
+        sort_array(collect_list(when(col("_rk") <= k, col("_v"))), asc = false)
+          .as("_topk_new"),
+        // anything truncated beyond k was dropped: raise the fence to it
+        max(when(col("_rk") === k + 1, col("_v"))).as("_dropped"))
+    val deltaCnt = delta.filter(col(valueCol).isNotNull)
+      .groupBy(kc: _*).agg(sum(col(signCol).cast("long")).as("_dcnt"))
+    priorState
+      .join(deltaCnt, keys, "full_outer")
+      .join(ranked, keys, "full_outer")
+      .select((kc ++ Seq(
+        // a group absent from `ranked` has an EMPTY live buffer (healthy
+        // untouched groups always re-rank via their exploded state rows) —
+        // falling back to the prior topk here would resurrect deleted rows
+        coalesce(col("_topk_new"),
+          array().cast(s"array<${delta.schema(valueCol).dataType.sql}>")).as("topk"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
+        greatest(col("fence"), col("_dropped")).as("fence"))): _*)
+      .withColumn(
+        "needs_rebuild",
+        col("cnt") > 0 && (size(col("topk")) === 0 ||
+          (col("fence").isNotNull && element_at(col("topk"), 1) < col("fence"))))
+      .filter(col("cnt") > 0)
+  }
+
+  /** The maintained MAX per group: state-path heads where provable,
+    * base-side recompute for exactly the `needs_rebuild` groups (the
+    * repair is a semi-join-pruned scan — flagged groups only, never the
+    * full base).
+    */
+  def repairExtremum(
+      state: DataFrame,
+      liveBase: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val good = state
+      .filter(!col("needs_rebuild"))
+      .select((kc :+ element_at(col("topk"), 1).as(outCol)): _*)
+    val broken = state.filter(col("needs_rebuild")).select(kc: _*)
+    val repaired = liveBase
+      .join(broken, keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(max(col(valueCol)).as(outCol))
+    good.unionByName(repaired)
+  }
 }

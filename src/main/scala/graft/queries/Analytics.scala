@@ -1151,6 +1151,38 @@ object Analytics {
       covers = Seq("ext-view-retract")),
 
     // ------------------------------------------------------------------
+    // RETRACTABLE MAX via bounded top-k state — the aggregate the plain
+    // z-set pattern above deliberately excludes. Each group's state keeps
+    // its k=4 largest live prices plus a FENCE (largest value ever
+    // truncated away); deleting the current max repairs from the buffer
+    // (up to k−1 deep), and only a group whose buffer can no longer
+    // PROVE its head (emptied, or head < fence) falls back to a
+    // semi-join-pruned base recompute — never a full rescan
+    // (ViewMaintenance.retractTopK/repairExtremum; IncrementalViewSpec
+    // pins rebuild-only-on-underflow). Oracle: plain max over survivors.
+    QueryDef(
+      "q_view_extremum_retract",
+      (s, dir) => {
+        import graft.operators.ViewMaintenance
+        val orders = t(s, dir, "orders")
+        val cancelled = col("o_orderkey") % 100 === 7
+        val state0 = ViewMaintenance.rebuildTopK(
+          orders, Seq("o_orderstatus"), "o_totalprice", k = 4)
+        val retractions = orders.filter(cancelled)
+          .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as("sign"))
+        val state1 = ViewMaintenance.retractTopK(
+          state0, retractions, Seq("o_orderstatus"), "o_totalprice", "sign", k = 4)
+        ViewMaintenance.repairExtremum(
+          state1, orders.filter(!cancelled), Seq("o_orderstatus"),
+          "o_totalprice", "max_price")
+          .select(col("o_orderstatus"), round(col("max_price"), 2).as("max_price"))
+      },
+      Some("""SELECT o_orderstatus, round(max(o_totalprice), 2) AS max_price
+             |FROM orders WHERE o_orderkey % 100 != 7
+             |GROUP BY 1""".stripMargin),
+      covers = Seq("ext-view-extremum-retract")),
+
+    // ------------------------------------------------------------------
     // Incrementally-maintained DISTINCT count (operators.DistinctSketch):
     // the one aggregate ViewMaintenance.merge cannot express as
     // sum/min/max — per-group distinct customers, maintained as KMV
