@@ -418,4 +418,116 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // Video: a frame-indexed container (the third modality). Format GVI0 —
+  // 4-byte magic, u32-BE frame count, u32-BE per-frame length table,
+  // then the frame payloads back to back, each a complete IMAGE FILE
+  // (PPM/PNG/JPEG/...). This is the MJPEG/AVI shape reduced to its
+  // essentials: an index that locates self-contained frames, which is
+  // exactly what a distributed frame extractor needs (no inter-frame
+  // state, every row decodes independently). Extracted frames feed the
+  // EXISTING image pipeline unchanged — [[decodeAny]] features, [[dHash]]
+  // fingerprints, the pigeonhole near-dup join.
+  // ------------------------------------------------------------------
+
+  private val VideoMagic: Array[Byte] = "GVI0".getBytes("US-ASCII")
+
+  /** Parse a GVI0 container into its frame payloads; None for anything
+    * malformed (bad magic, absurd count, index overrunning the payload) —
+    * corrupt containers drop, they never throw a 100 TB scan.
+    */
+  private[operators] def parseVideo(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (!java.util.Arrays.equals(bytes.take(4), VideoMagic)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val n = bb.getInt(4)
+    if (n < 0 || n > 65536 || bytes.length < 8 + 4L * n) return None
+    val lens = (0 until n).map(i => bb.getInt(8 + 4 * i))
+    if (lens.exists(_ < 0)) return None
+    val total = lens.foldLeft(8L + 4L * n)(_ + _)
+    if (total > bytes.length) return None
+    var off = 8 + 4 * n
+    Some(lens.map { l =>
+      val f = java.util.Arrays.copyOfRange(bytes, off, off + l)
+      off += l
+      f
+    })
+  }
+
+  /** Build a GVI0 container (writer side + test fixtures). */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VideoMagic)
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 * frames.size)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(frames.size)
+    frames.foreach(f => bb.putInt(f.length))
+    out.write(bb.array())
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Output schema of [[videoFramesBatched]]. */
+  val videoFramesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** (id, container) → one row per decoded-addressable frame
+    * (doc_id, frame_no, frame bytes). Pure projection work per row —
+    * at 100 TB this is a scan whose output feeds the image operators;
+    * no shuffle is introduced here.
+    */
+  def videoFramesBatched(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = org.apache.spark.sql.Encoders.row(videoFramesSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap {
+          case r if !r.isNullAt(1) =>
+            parseVideo(r.getAs[Array[Byte]](1)).toSeq.flatMap(_.zipWithIndex.map {
+              case (f, i) => Row(r.getLong(0), i, f)
+            })
+          case _ => Nil
+        }
+      }
+    }(enc)
+  }
+
+  /** Output schema of [[videoFrameDHashes]]. */
+  val videoDHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Container → per-frame perceptual fingerprints in ONE mapPartitions
+    * pass (parse + real frame decode + dHash, no intermediate frame
+    * materialization): (doc_id, frame_no, dhash). The output joins
+    * straight into the pigeonhole hamming near-dup machinery that
+    * already serves still images.
+    */
+  def videoFrameDHashes(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "media",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+    val enc = org.apache.spark.sql.Encoders.row(videoDHashSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap {
+          case r if !r.isNullAt(1) =>
+            parseVideo(r.getAs[Array[Byte]](1)).toSeq.flatMap(_.zipWithIndex.flatMap {
+              case (f, i) => dHash(f).map(hv => Row(r.getLong(0), i, hv))
+            })
+          case _ => Nil
+        }
+      }
+    }(enc)
+  }
 }

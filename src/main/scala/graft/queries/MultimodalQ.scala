@@ -251,6 +251,71 @@ object MultimodalQ {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
              |  CAST(max(abs(s)) AS BIGINT) AS peak
              |FROM nxt GROUP BY 1, 2""".stripMargin),
-      covers = Seq("ext-multimodal-audio"))
+      covers = Seq("ext-multimodal-audio")),
+
+    // ------------------------------------------------------------------
+    // REAL video-container frame extraction: each document synthesizes a
+    // 3-frame GVI0 container (magic + u32 frame count + u32 length table
+    // + back-to-back complete P6 frames, pixels cycling the text with a
+    // per-frame offset — byte-identical in both engines). The engine runs
+    // the REAL parse (index walk, bounds-checked slicing) and the REAL
+    // per-frame decode+dHash in one mapPartitions pass
+    // (Multimodal.videoFrameDHashes); frameSample's byte-stride stub is
+    // superseded for containers. The oracle recomputes every frame's
+    // 56-bit dHash analytically from the offset cyclic pixels — digest
+    // parity proves decoded frame CONTENT, not slicing arithmetic. The
+    // output shape feeds the existing pigeonhole hamming near-dup join
+    // unchanged (VideoSpec pins that, plus codec-frame containers and
+    // malformed-container behavior, on real fixtures).
+    QueryDef(
+      "q_video_frames",
+      (s, dir) => {
+        // container prefix is constant: 3 frames of 13+768 = 781 bytes
+        // (13-byte P6 header + 16*16*3 pixel bytes)
+        val header = graft.operators.Multimodal.packVideo(
+          Seq.fill(3)(new Array[Byte](781))).take(4 + 4 + 12)
+        // all-binary concat: the length-table bytes include 0x00, which a
+        // string-typed concat would mangle
+        val frame = (f: Int) =>
+          concat(
+            lit("P6\n16 16\n255\n"),
+            substring(
+              expr("repeat(text, CAST(770 div length(text) + 2 AS INT))"),
+              1 + f, 768)).cast("binary")
+        val src = t(s, dir, "documents")
+          .filter(length(col("text")) >= 1)
+          .select(
+            col("doc_id"),
+            concat(lit(header), frame(0), frame(1), frame(2)).as("media"))
+        graft.operators.Multimodal.videoFrameDHashes(src)
+      },
+      Some(s"""WITH $VideoDHashCte
+              |SELECT doc_id, frame_no, dhash FROM vdh""".stripMargin),
+      covers = Seq("ext-multimodal-video"))
   )
+
+  /** DuckDB replay of per-frame dHash over the 3-frame GVI0 containers:
+    * frame f's pixel i is the cyclic text byte (i + f) % len — the same
+    * cell-sum/pack pipeline as [[DHashCte]] with a frame dimension.
+    */
+  private lazy val VideoDHashCte: String = {
+    val cells = (for { r <- 0 until 8; c <- 0 until 8 } yield
+      s"sum(CASE WHEN (i // 3) // 16 // 2 = $r AND ((i // 3) % 16) // 2 = $c THEN wt * v END) AS s${r}_$c")
+      .mkString(",\n    ")
+    val pack = (for { r <- 0 until 8; c <- 0 until 7 } yield
+      s"(CASE WHEN s${r}_$c > s${r}_${c + 1} THEN ${1L << (r * 7 + c)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""vpx AS (
+       |  SELECT doc_id, f, i,
+       |    ascii(substr(text, CAST((i + f) % length(text) AS INT) + 1, 1)) AS v,
+       |    CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END AS wt
+       |  FROM documents, range(0, 3) tf(f), range(0, 768) t(i)
+       |  WHERE length(text) >= 1),
+       |vcells AS (
+       |  SELECT doc_id, f,
+       |    $cells
+       |  FROM vpx GROUP BY doc_id, f),
+       |vdh AS (SELECT doc_id, CAST(f AS INT) AS frame_no,
+       |  CAST($pack AS BIGINT) AS dhash FROM vcells)""".stripMargin
+  }
 }
