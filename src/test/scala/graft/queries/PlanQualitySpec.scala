@@ -101,6 +101,31 @@ class PlanQualitySpec extends SparkSpec {
       .find(l => l.contains("Join") && l.contains("user_id")).getOrElse("")
     assert(joinLine.contains("lb") || joinLine.contains("rb"),
       s"time bucket must be part of the join key, bounding per-group pairs: $joinLine")
+    // exactness guard (r7 anomalous band): the equi-keyed pair join and
+    // nothing else — a cartesian/nested-loop fallback would be a plan
+    // regression this pin makes test-visible, so a driver-bench wall-time
+    // swing on this query is provably environmental
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct") &&
+      !finalSection.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay equi-keyed on (user, bucket):\n$finalSection")
+  }
+
+  test("q_train_test_split: embarrassingly parallel — scan, project, ONE agg exchange") {
+    val plan = finalPlan("q_train_test_split")
+    val finalSection = plan.split("== Initial Plan ==").head
+    // exactness guard (r7 anomalous band, 6.8x driver swing on untouched
+    // code): the md5-bucket projection rides the scan inside codegen and
+    // the ONLY exchange is the final group agg, partial-aggregated
+    // map-side. Any extra exchange/join/window here is a plan regression;
+    // a wall-time swing without one is environment, not plan.
+    assert(hashExchanges(finalSection) == 1,
+      s"expected the single groupBy exchange, got:\n$finalSection")
+    assert(!finalSection.contains("Join") && !finalSection.contains("Window"),
+      s"pure projection + aggregation, nothing else:\n$finalSection")
+    assert(finalSection.contains("partial_count") || finalSection.contains("partial"),
+      "split counts must combine map-side before the exchange")
+    assert(finalSection.contains("*("), "the md5 split projection must be codegen'd")
   }
 
   test("q_funnel_stages is two aggregations, no self-joins of events") {
