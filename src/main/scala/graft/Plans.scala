@@ -41,7 +41,11 @@ object Plans {
     "q_knn_pq" -> "ADC: driver-built lookup literals, m element_at probes per row inside codegen",
     "q_attribution" -> "last-touch: one user shuffle, IGNORE NULLS carry over the preceding frame",
     "q_view_join_maintained" -> "delta-join view refresh: delta joined to broadcast dim, merged into O(groups) state — base fact absent from the plan",
-    "q_decontaminate_exact" -> "exact-substring decontamination: positional 8-grams probed against the broadcast benchmark set, offsets reported")
+    "q_decontaminate_exact" -> "exact-substring decontamination: positional 8-grams probed against the broadcast benchmark set, offsets reported",
+    "q_knn_ivf_persisted" -> "persisted IVF index: delta-assigned lake table, probe partition-prunes to nProbe cells",
+    "q_view_extremum_retract" -> "retractable max: bounded top-k + fence state, repair semi-join-pruned to flagged groups",
+    "q_video_frames" -> "video container walk + real per-frame decode + dHash in one mapPartitions pass",
+    "q_bucketed_join" -> "bucket-aligned fact join probe: zero-exchange SMJ (layout write amortized in warm-up)")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate

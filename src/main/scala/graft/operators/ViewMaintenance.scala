@@ -112,11 +112,13 @@ object ViewMaintenance {
     * [[merge]]/[[joinDelta]] with NO new machinery — aggregate the delta
     * as `sum(sign)` for counts and `sum(sign * x)` for sums, and the
     * signed partial states cancel against the base. This covers
-    * count/sum/avg-decomposed state exactly; min/max CANNOT retract
-    * (deleting the current extremum needs the base data to find the
-    * runner-up — re-derive those columns from the base, or maintain a
-    * bounded top-k per group instead). `q_view_retract_maintained`
-    * demonstrates the pattern oracle-checked.
+    * count/sum/avg-decomposed state exactly; plain min/max state cannot
+    * retract (deleting the current extremum needs the runner-up) — for
+    * those, [[retractTopK]]/[[repairExtremum]] below maintain a bounded
+    * top-k buffer per group that repairs extremum deletions from state
+    * and flags exactly the groups that genuinely need a base recompute.
+    * `q_view_retract_maintained` (sums) and `q_view_extremum_retract`
+    * (max) demonstrate both patterns oracle-checked.
     */
   def joinDeltaBoth(
       priorState: DataFrame,

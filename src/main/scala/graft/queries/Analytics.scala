@@ -1166,12 +1166,17 @@ object Analytics {
         import graft.operators.ViewMaintenance
         val orders = t(s, dir, "orders")
         val cancelled = col("o_orderkey") % 100 === 7
+        // in deployment the prior state IS a stored table; localCheckpoint
+        // plays that role here so the refresh DAG reads state once instead
+        // of recomputing the rebuild window per downstream reference
         val state0 = ViewMaintenance.rebuildTopK(
           orders, Seq("o_orderstatus"), "o_totalprice", k = 4)
+          .localCheckpoint()
         val retractions = orders.filter(cancelled)
           .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as("sign"))
         val state1 = ViewMaintenance.retractTopK(
           state0, retractions, Seq("o_orderstatus"), "o_totalprice", "sign", k = 4)
+          .localCheckpoint()
         ViewMaintenance.repairExtremum(
           state1, orders.filter(!cancelled), Seq("o_orderstatus"),
           "o_totalprice", "max_price")
