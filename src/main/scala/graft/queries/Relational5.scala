@@ -340,6 +340,39 @@ object Relational5 {
              |  round(sum(l_extendedprice), 2) AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1""".stripMargin),
-      covers = Seq("ext-bucketed-join"))
+      covers = Seq("ext-bucketed-join")),
+
+    // ------------------------------------------------------------------
+    // ROW-LEVEL DELETE on the versioned lake (GDPR/bad-ingest shape):
+    // orders land as three time-clustered append commits, then
+    // deleteWhere copy-on-writes ONLY the directories holding matches —
+    // one pushdown-filtered scan attributes matches to commit dirs, the
+    // other directories carry into the new manifest verbatim with their
+    // stats (VersionedLakeDeleteTxnSpec pins minimal-rewrite, NULL-keep,
+    // and watermark carry). The oracle is the surviving-rows truth; the
+    // pre-delete snapshot stays time-travelable until vacuum.
+    QueryDef(
+      "q_lake_delete",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val lakeDir = java.nio.file.Files.createTempDirectory("lake_del_q").toString
+        val third = orders.agg(max("o_orderkey")).head().getLong(0) / 3
+        VersionedLake.appendCommit(
+          orders.filter(col("o_orderkey") <= third), lakeDir,
+          statsCols = Seq("o_orderkey"))
+        VersionedLake.appendCommit(
+          orders.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
+          lakeDir, statsCols = Seq("o_orderkey"))
+        VersionedLake.appendCommit(
+          orders.filter(col("o_orderkey") > 2 * third), lakeDir,
+          statsCols = Seq("o_orderkey"))
+        VersionedLake.deleteWhere(s, lakeDir, col("o_orderkey") % 100 === 7)
+        VersionedLake.read(s, lakeDir).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 100 != 7""".stripMargin),
+      covers = Seq("ext-lake-delete"))
   )
 }

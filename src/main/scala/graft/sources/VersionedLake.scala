@@ -106,6 +106,18 @@ object VersionedLake {
     */
   private val BucketHeader = "#bucketspec="
 
+  /** Manifest comment line carrying a writer's transaction watermark:
+    * `#txn=<appId>\t<batchId>`. [[appendCommitTxn]] makes `foreachBatch`
+    * ingest EXACTLY-ONCE: streaming engines replay a batch after a
+    * failure, and without the watermark a retry of a batch whose commit
+    * DID land appends its rows twice. The highest committed batchId per
+    * appId rides every manifest (carried forward by appends, upserts,
+    * deletes and compactions — a compaction must not forget writer
+    * progress), so a replayed batch sees `batchId <= watermark` and
+    * no-ops. One line per writer, O(writers) manifest overhead.
+    */
+  private val TxnHeader = "#txn="
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -505,6 +517,26 @@ object VersionedLake {
       .toMap
   }
 
+  /** Per-writer transaction watermarks a version's manifest carries:
+    * appId -> highest committed batchId.
+    */
+  def txnWatermarks(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Long] =
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(TxnHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(TxnHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None
+        else rest.substring(tab + 1).toLongOption.map(rest.substring(0, tab) -> _)
+      }
+      .toMap
+
+  private def txnsAt(spark: SparkSession, tableDir: String, cur: Option[Long]): Map[String, Long] =
+    cur.map(v => txnWatermarks(spark, tableDir, v)).getOrElse(Map.empty)
+
   /** Write `df` into one fresh immutable data directory; returns its name.
     * With `zorderBy`, rows are clustered on the interleaved Z-curve key
     * ([[Lake.withZorderKey]]): unpartitioned tables range-partition on the
@@ -555,7 +587,8 @@ object VersionedLake {
       stats: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       expectedBase: Option[Option[Long]] = None,
-      buckets: Map[String, (String, Int)] = Map.empty): Long = {
+      buckets: Map[String, (String, Int)] = Map.empty,
+      txns: Map[String, Long] = Map.empty): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -569,8 +602,9 @@ object VersionedLake {
     val bucketLines = dirs.flatMap(d => buckets.get(d).map { case (key, n) =>
       s"""$BucketHeader$d\t{"key":"$key","n":$n}"""
     })
+    val txnLines = txns.toSeq.sortBy(_._1).map { case (app, b) => s"$TxnHeader$app\t$b" }
     val body = (SchemaHeader + schema.json) +:
-      (statsLines ++ bloomLines ++ bucketLines ++ dirs)
+      (statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ dirs)
     createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
@@ -609,9 +643,14 @@ object VersionedLake {
     val stats = columnStats(df, statsCols).map(d -> _).toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
     // a full snapshot replaces the table regardless of base version, so a
-    // lost race only means re-claiming the next number — data is written
+    // lost race only means re-claiming the next number — data is written.
+    // Gated on the base anyway so writer txn watermarks carry forward
+    // from the exact version being superseded.
     retryOnConflict() {
-      publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema), stats, blooms)
+      val spark = df.sparkSession
+      val cur = currentVersion(spark, tableDir)
+      publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema), stats, blooms,
+        expectedBase = Some(cur), txns = txnsAt(spark, tableDir, cur))
     }
   }
 
@@ -628,7 +667,52 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long =
+    appendCommitInternal(df, tableDir, parts, maxRecordsPerFile, statsCols, bloom, None)
+
+  /** [[appendCommit]] with EXACTLY-ONCE semantics for replayable writers
+    * (Structured Streaming `foreachBatch`): the commit records
+    * `(appId, batchId)` in the manifest, and a call whose batchId is at
+    * or below the appId's committed watermark is a NO-OP returning the
+    * current version — a batch replayed after a failure cannot append
+    * its rows twice. The watermark check and the publish share one
+    * optimistic-concurrency critical section, so two racing replays of
+    * the same batch serialize: one commits, the other re-reads the new
+    * watermark and no-ops. Idempotent sink body:
+    * {{{
+    * ds.writeStream.foreachBatch { (batch, id) =>
+    *   VersionedLake.appendCommitTxn(batch, dir, appId = "ingest-A", batchId = id)
+    * }
+    * }}}
+    */
+  def appendCommitTxn(
+      df: DataFrame,
+      tableDir: String,
+      appId: String,
+      batchId: Long,
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil,
       bloom: Option[BloomConfig] = None): Long = {
+    require(appId.forall(c => c != '\t' && c != '\n' && c != '\r'),
+      s"appId must not contain tab/newline: $appId")
+    val spark = df.sparkSession
+    // fast path: already committed (cheap check before the batch write)
+    currentVersion(spark, tableDir).foreach { v =>
+      if (txnWatermarks(spark, tableDir, v).get(appId).exists(_ >= batchId)) return v
+    }
+    appendCommitInternal(df, tableDir, parts, maxRecordsPerFile, statsCols, bloom,
+      Some(appId -> batchId))
+  }
+
+  private def appendCommitInternal(
+      df: DataFrame,
+      tableDir: String,
+      parts: Seq[String],
+      maxRecordsPerFile: Long,
+      statsCols: Seq[String],
+      bloom: Option[BloomConfig],
+      txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     // the expensive work — writing the batch and aggregating its stats —
     // happens ONCE; the directory is immutable, so losing the publish race
@@ -639,6 +723,12 @@ object VersionedLake {
     val batchSchema = nullableAll(df.schema)
     retryOnConflict() {
       val cur = currentVersion(spark, tableDir)
+      // exactly-once gate INSIDE the critical section: a concurrent replay
+      // of the same (appId, batchId) that won the race moved the watermark
+      val priorTxns = txnsAt(spark, tableDir, cur)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return cur.get
+      }
       val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
       val priorSchema = cur.map { v =>
         versionSchema(spark, tableDir, v)
@@ -662,7 +752,8 @@ object VersionedLake {
       val stats = priorStats ++ batchStats.map(d -> _).toMap
       val blooms = priorBlooms ++ batchBloom.map(d -> _).toMap
       publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms,
-        expectedBase = Some(cur), buckets = priorBuckets)
+        expectedBase = Some(cur), buckets = priorBuckets,
+        txns = priorTxns ++ txn.toMap)
     }
   }
 
@@ -908,7 +999,98 @@ object VersionedLake {
       val mergedDf = survivors.unionByName(updates, allowMissingColumns = true)
       val d = writeDataDir(mergedDf, tableDir, parts, maxRecordsPerFile)
       publishManifest(spark, tableDir, Seq(d), nullableAll(mergedDf.schema),
-        expectedBase = Some(Some(base)))
+        expectedBase = Some(Some(base)),
+        txns = txnWatermarks(spark, tableDir, base))
+    }
+
+  /** Row-level DELETE as copy-on-write on the MINIMAL directory set: one
+    * pushdown-filtered scan of the snapshot discovers which data
+    * directories actually contain matching rows (`input_file_name`
+    * attribution — manifest stats/partition pruning and parquet
+    * row-group stats all apply to this probe), and ONLY those
+    * directories are rewritten without their matches; every other
+    * directory is carried into the new manifest verbatim, stats and
+    * blooms untouched. At 100 TB with time-clustered commits, deleting a
+    * user's rows or a bad ingest day rewrites the few directories that
+    * hold them, not the table. Rewrites recompute stats/blooms for the
+    * columns the old directory carried; a directory emptied by the
+    * delete drops out of the manifest. Rows where `predicate` is NULL
+    * are KEPT (SQL DELETE semantics: only provably-true rows go).
+    * Publishes optimistically like every commit; prior versions remain
+    * time-travelable until vacuum.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long =
+    retryOnConflict(maxAttempts = 8) {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val dirs = manifest(spark, tableDir, base)
+      val schemaOpt = versionSchema(spark, tableDir, base)
+      val priorStats = dirStats(spark, tableDir, base)
+      val priorBloomsRaw = dirBloomsRaw(spark, tableDir, base)
+      val priorBlooms = dirBlooms(spark, tableDir, base)
+      val priorBuckets = dirBuckets(spark, tableDir, base)
+      // which directories hold matching rows? one filtered scan, file →
+      // commit-dir attribution; the collect is bounded by the file count
+      val affected = readVersion(spark, tableDir, base)
+        .filter(predicate)
+        .select(input_file_name().as("f"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .flatMap(f => dirs.find(d => f.contains(s"/$d/")))
+        .toSet
+      val keepRow = !coalesce(predicate, lit(false))
+      val rewritten: Map[String, Option[String]] = affected.map { d =>
+        val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
+          .filter(keepRow)
+        if (survivors.isEmpty) d -> None
+        else d -> Some(writeDataDir(survivors, tableDir, Nil, maxRecordsPerFile))
+      }.toMap
+      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
+      val schema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      // carry metadata for untouched dirs; recompute for rewrites over the
+      // same column sets (and the same bloom sizing) the old dir declared
+      val stats = newDirs.flatMap { nd =>
+        rewritten.collectFirst { case (old, Some(`nd`)) => old } match {
+          case Some(old) =>
+            val cols = priorStats.get(old).map(_.keys.toSeq.sorted).getOrElse(Nil)
+            columnStats(
+              readDirs(spark, tableDir, Seq(s"$tableDir/data/$nd"), schemaOpt), cols)
+              .map(nd -> _)
+          case None => priorStats.get(nd).map(c => nd -> statsJson(c))
+        }
+      }.toMap
+      val blooms = newDirs.flatMap { nd =>
+        rewritten.collectFirst { case (old, Some(`nd`)) => old } match {
+          case Some(old) =>
+            priorBlooms.get(old).filter(_.nonEmpty).flatMap { cfgs =>
+              val (m, k) = cfgs.values.map(t => (t._1, t._2)).maxBy(_._1)
+              bloomJson(
+                readDirs(spark, tableDir, Seq(s"$tableDir/data/$nd"), schemaOpt),
+                Some(BloomConfig(cfgs.keys.toSeq.sorted, m, k)))
+            }.map(nd -> _)
+          case None => priorBloomsRaw.get(nd).map(nd -> _)
+        }
+      }.toMap
+      // bucket alignment does not survive an unbucketed rewrite
+      val buckets = priorBuckets.filter { case (d, _) => !rewritten.contains(d) }
+      if (newDirs.isEmpty) {
+        // the delete emptied the table: publish an empty snapshot (one
+        // empty-but-schema'd directory keeps every read path uniform)
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .repartition(1)
+        val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
+        publishManifest(spark, tableDir, Seq(d), schema,
+          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base))
+      } else
+        publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
+          expectedBase = Some(Some(base)), buckets = buckets,
+          txns = txnWatermarks(spark, tableDir, base))
     }
 
   /** OPTIMIZE: rewrite the published version's N data directories into
@@ -952,7 +1134,8 @@ object VersionedLake {
       val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
-        expectedBase = Some(Some(cur)))
+        expectedBase = Some(Some(cur)),
+        txns = txnWatermarks(spark, tableDir, cur))
     }
 
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact
@@ -991,8 +1174,12 @@ object VersionedLake {
     val stats = columnStats(df, statsCols).map(d -> _).toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
     retryOnConflict() {
-      publishManifest(df.sparkSession, tableDir, Seq(d), nullableAll(df.schema),
-        stats, blooms, buckets = Map(d -> ((key, buckets))))
+      val spark = df.sparkSession
+      val cur = currentVersion(spark, tableDir)
+      publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema),
+        stats, blooms, expectedBase = Some(cur),
+        buckets = Map(d -> ((key, buckets))),
+        txns = txnsAt(spark, tableDir, cur))
     }
   }
 
@@ -1017,7 +1204,8 @@ object VersionedLake {
       val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
-        expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))))
+        expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))),
+        txns = txnWatermarks(spark, tableDir, cur))
     }
 
   /** Bucketed writes only exist behind `saveAsTable`, so the directory is

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row-level DELETE (copy-on-write on the minimal directory set) and
+  * exactly-once transactional appends — the two contracts a replaying
+  * `foreachBatch` ingest with retention obligations hits right after
+  * concurrency control.
+  */
+class VersionedLakeDeleteTxnSpec extends SparkSpec {
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("deleteWhere rewrites ONLY the directories that hold matches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_del").toString
+    // three time-clustered commits, stats on id
+    VersionedLake.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit(
+      Seq((10L, "c"), (11L, "d")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit(
+      Seq((20L, "e"), (21L, "f")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    val m0 = VersionedLake.manifest(s, dir, 2)
+    val v = VersionedLake.deleteWhere(s, dir, col("id") === 10L)
+    assert(v === 3L)
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L, 11L, 20L, 21L))
+    val m1 = VersionedLake.manifest(s, dir, 3)
+    assert(m1.size === 3)
+    assert(m1.contains(m0(0)) && m1.contains(m0(2)),
+      "directories without matches must carry over VERBATIM (no rewrite)")
+    assert(!m1.contains(m0(1)), "the matching directory must be replaced")
+    // untouched dirs keep their stats verbatim; the rewrite re-stats
+    val stats = VersionedLake.dirStats(s, dir, 3)
+    assert(stats(m0(0))("id") === (Some("1"), Some("2")))
+    val newDir = m1.filterNot(m0.contains).head
+    assert(stats(newDir)("id") === (Some("11"), Some("11")),
+      "the rewritten directory's stats must reflect the survivors")
+    // time travel: the pre-delete snapshot is intact
+    assert(ids(VersionedLake.readVersion(s, dir, 2)) ===
+      Set(1L, 2L, 10L, 11L, 20L, 21L))
+  }
+
+  test("deleteWhere: NULL-predicate rows are KEPT; emptied directories drop") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_del_null").toString
+    VersionedLake.appendCommit(
+      Seq((1L, Some("x")), (2L, None)).toDF("id", "tag"), dir)
+    VersionedLake.appendCommit(
+      Seq((3L, Some("kill")), (4L, Some("kill"))).toDF("id", "tag"), dir)
+    VersionedLake.deleteWhere(s, dir, col("tag") === "kill")
+    // id=2 has tag NULL -> predicate NULL -> must survive (SQL DELETE)
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L))
+    assert(VersionedLake.manifest(s, dir, 2).size === 1,
+      "a directory emptied by the delete must leave the manifest")
+  }
+
+  test("deleteWhere emptying the whole table publishes a readable empty snapshot") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_del_all").toString
+    VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    VersionedLake.deleteWhere(s, dir, lit(true))
+    val out = VersionedLake.read(s, dir)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("id", "payload"), "schema must survive")
+  }
+
+  test("appendCommitTxn: a replayed batch no-ops; progress resumes on the next batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_txn").toString
+    def batch(i: Long) = Seq((i, s"b$i")).toDF("id", "payload")
+    val v0 = VersionedLake.appendCommitTxn(batch(0), dir, "ingest-A", batchId = 0)
+    // failure replay: same (appId, batchId) with the SAME data again
+    val vReplay = VersionedLake.appendCommitTxn(batch(0), dir, "ingest-A", batchId = 0)
+    assert(vReplay === v0, "a committed batch must no-op on replay")
+    assert(ids(VersionedLake.read(s, dir)) === Set(0L),
+      "exactly-once: the replay must not append rows twice")
+    // stale batchId (below the watermark) also no-ops
+    assert(VersionedLake.appendCommitTxn(batch(0), dir, "ingest-A", batchId = -1) === v0)
+    // the next batch commits normally; an unrelated writer has its own watermark
+    val v1 = VersionedLake.appendCommitTxn(batch(1), dir, "ingest-A", batchId = 1)
+    assert(v1 === v0 + 1)
+    val v2 = VersionedLake.appendCommitTxn(batch(2), dir, "ingest-B", batchId = 0)
+    assert(v2 === v1 + 1)
+    assert(ids(VersionedLake.read(s, dir)) === Set(0L, 1L, 2L))
+    assert(VersionedLake.txnWatermarks(s, dir, v2) ===
+      Map("ingest-A" -> 1L, "ingest-B" -> 0L))
+  }
+
+  test("txn watermarks survive compaction, upsert, and delete") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_txn_carry").toString
+    VersionedLake.appendCommitTxn(Seq((1L, "a")).toDF("id", "payload"),
+      dir, "ingest-A", batchId = 7)
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
+    val vOpt = VersionedLake.optimize(s, dir)
+    assert(VersionedLake.txnWatermarks(s, dir, vOpt) === Map("ingest-A" -> 7L),
+      "compaction must not forget writer progress")
+    val vUp = VersionedLake.upsert(s, dir,
+      Seq((2L, "b2")).toDF("id", "payload"), keys = Seq("id"))
+    assert(VersionedLake.txnWatermarks(s, dir, vUp) === Map("ingest-A" -> 7L))
+    val vDel = VersionedLake.deleteWhere(s, dir, col("id") === 1L)
+    assert(VersionedLake.txnWatermarks(s, dir, vDel) === Map("ingest-A" -> 7L))
+    // and the watermark still gates: a replay of batch 7 after all that no-ops
+    val vReplay = VersionedLake.appendCommitTxn(Seq((9L, "ghost")).toDF("id", "payload"),
+      dir, "ingest-A", batchId = 7)
+    assert(vReplay === vDel)
+    assert(ids(VersionedLake.read(s, dir)) === Set(2L))
+  }
+
+  test("streaming foreachBatch through appendCommitTxn is exactly-once under epoch replay") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_txn_stream").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](s)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("id", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        VersionedLake.appendCommitTxn(batch, dir, "stream-1", id)
+        // simulate the engine re-invoking the epoch after a sink-side
+        // failure-before-ack: the second call must be a no-op
+        VersionedLake.appendCommitTxn(batch, dir, "stream-1", id)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L, 3L),
+      "each epoch's rows must land exactly once despite the replay")
+  }
+}
