@@ -79,6 +79,70 @@ object IvfIndex {
       assignmentsDir(indexDir), parts = Seq("cell"))
   }
 
+  /** Maintain the index from a VersionedLake-committed embedding corpus
+    * by MANIFEST DIFF: the corpus's commit log says exactly which data
+    * directories are new since the last sync, so the delta is read
+    * dir-exactly (no timestamps, no full-scan anti-join — the log IS the
+    * change feed). The last-synced corpus version rides the assignment
+    * table's own manifest as a txn watermark (`appId = "corpus-sync"`,
+    * `batchId = corpus version`), which buys exactly-once for free: the
+    * watermark moves atomically WITH the assignment commit, a crashed
+    * sync replays idempotently, and two racing syncs serialize through
+    * the lake's optimistic concurrency. Returns the corpus version now
+    * reflected, or None when the corpus is empty. Append-only corpora:
+    * upserts/deletes rewrite directories and need a [[build]] (an
+    * explicit re-index, like codebook drift).
+    */
+  def sync(
+      spark: SparkSession,
+      corpusDir: String,
+      idCol: String,
+      indexDir: String,
+      k: Int = 16,
+      iters: Int = 4): Option[Long] = {
+    val corpusV = VersionedLake.currentVersion(spark, corpusDir).getOrElse(return None)
+    val asgDir = assignmentsDir(indexDir)
+    VersionedLake.currentVersion(spark, asgDir) match {
+      case None =>
+        // first sync IS the build: train + assign the snapshot, with the
+        // corpus watermark riding the same commit (crash-replay safe)
+        val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
+        val cents = Similarity.trainIvfDistributed(snapshot, idCol, k, iters)
+        import spark.implicits._
+        VersionedLake.commit(
+          cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+          centroidsDir(indexDir))
+        VersionedLake.appendCommitTxn(assignRows(snapshot, idCol, cents), asgDir,
+          appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+        Some(corpusV)
+      case Some(asgV) =>
+        val lastSynced = VersionedLake.txnWatermarks(spark, asgDir, asgV)
+          .getOrElse(SyncApp,
+            throw new IllegalStateException(
+              s"$indexDir was built from a DataFrame, not synced from a lake " +
+                "corpus - keep maintaining it through append()"))
+        if (corpusV <= lastSynced) return Some(lastSynced) // already reflected
+        val curDirs = VersionedLake.manifest(spark, corpusDir, corpusV)
+        val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced).toSet
+        require(priorDirs.forall(curDirs.contains),
+          s"$corpusDir rewrote directories since version $lastSynced " +
+            "(upsert/delete/compaction) - the index needs an explicit build()")
+        val newDirs = curDirs.filterNot(priorDirs)
+        if (newDirs.isEmpty) return Some(corpusV)
+        val schema = VersionedLake.versionSchema(spark, corpusDir, corpusV)
+        val reader = spark.read.option("basePath", s"$corpusDir/data")
+        val paths = newDirs.map(d => s"$corpusDir/data/$d")
+        val delta =
+          schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
+        val cents = centroids(spark, indexDir)
+        VersionedLake.appendCommitTxn(assignRows(delta, idCol, cents), asgDir,
+          appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+        Some(corpusV)
+    }
+  }
+
+  private val SyncApp = "corpus-sync"
+
   /** ANN top-k against the index's published snapshot: probe the nProbe
     * best cells (partition-pruned read), exact cosine re-rank inside.
     */

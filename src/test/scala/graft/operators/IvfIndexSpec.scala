@@ -74,6 +74,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(after === 5L)
   }
 
+  test("sync: manifest-diff maintenance from a versioned corpus, exactly-once") {
+    val s = spark
+    val corpusDir = java.nio.file.Files.createTempDirectory("ivf_corpus").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_sync").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // corpus v0 -> first sync IS the build (train + assign + watermark)
+    VersionedLake.commit(corpus.filter(col("vec_id") <= 100), corpusDir)
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir, k = 4, iters = 2) === Some(0L))
+    val asgDir = IvfIndex.assignmentsDir(idxDir)
+    val cents0 = IvfIndex.centroids(s, idxDir)
+    assert(VersionedLake.read(s, asgDir).count() ===
+      corpus.filter(col("vec_id") <= 100).count())
+    // corpus appends v1 -> sync reads ONLY the new directory, no re-train
+    VersionedLake.appendCommit(
+      corpus.filter(col("vec_id") > 100 && col("vec_id") <= 200), corpusDir)
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir) === Some(1L))
+    assert(IvfIndex.centroids(s, idxDir) === cents0, "sync must never re-train")
+    val n = corpus.filter(col("vec_id") <= 200).count()
+    assert(VersionedLake.read(s, asgDir).count() === n)
+    // replayed sync is a no-op (watermark gates it)
+    val vNow = VersionedLake.currentVersion(s, asgDir).get
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir) === Some(1L))
+    assert(VersionedLake.currentVersion(s, asgDir).get === vNow,
+      "a sync with nothing new must not commit")
+    assert(VersionedLake.read(s, asgDir).count() === n)
+    // a corpus rewrite (upsert) invalidates append-only sync: explicit error
+    val s2 = s
+    import s2.implicits._
+    VersionedLake.upsert(s, corpusDir,
+      corpus.filter(col("vec_id") === 5), keys = Seq("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.sync(s, corpusDir, "vec_id", idxDir)
+    }
+    assert(e.getMessage.contains("build()"))
+  }
+
   test("probe reads prune to the probed cells' partitions") {
     val s = spark
     val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_prune").toString
