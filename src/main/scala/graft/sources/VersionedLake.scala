@@ -825,6 +825,38 @@ object VersionedLake {
       }
   }
 
+  /** Append-only CHANGE FEED between two retained versions: the rows in
+    * data directories `toVersion` references that `fromVersion` does not
+    * — the consumer side of the manifest-diff contract
+    * ([[graft.operators.IvfIndex.sync]] is one consumer). Zero scanning
+    * to discover changes: the commit log already knows. Refuses (rather
+    * than silently under-reports) when directories were REWRITTEN in the
+    * window (upsert/delete/compaction) — a rewrite folds old rows into
+    * new directories, so "added rows" is no longer expressible as a
+    * directory diff; diff by key against the snapshots instead.
+    */
+  def readAppendedBetween(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val fromDirs = manifest(spark, tableDir, fromVersion).toSet
+    val toDirs = manifest(spark, tableDir, toVersion)
+    require(fromDirs.forall(toDirs.contains),
+      s"$tableDir rewrote directories between $fromVersion and $toVersion " +
+        "(upsert/delete/compaction) - an append-only feed cannot express that; " +
+        "diff the snapshots by key instead")
+    val newDirs = toDirs.filterNot(fromDirs)
+    val schema = versionSchema(spark, tableDir, toVersion)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, toVersion).schema))
+    if (newDirs.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      readDirs(spark, tableDir, newDirs.map(d => s"$tableDir/data/$d"), Some(schema))
+  }
+
   /** Range read with manifest-level data skipping: directories whose
     * committed [min,max] for `column` cannot intersect [lo,hi] are
     * dropped BEFORE the scan exists — zero file listing, zero footer IO
@@ -1023,7 +1055,40 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       predicate: Column,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long =
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+    val keepRow = !coalesce(predicate, lit(false))
+    copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile)
+  }
+
+  /** Row-level UPDATE with the same minimal-copy-on-write machinery as
+    * [[deleteWhere]]: only directories containing rows where `predicate`
+    * is TRUE rewrite, applying each `assignments` column expression to
+    * the matching rows (non-matching rows in a rewritten directory pass
+    * through unchanged; NULL-predicate rows are non-matching, as in SQL
+    * UPDATE). Assigned expressions must keep the column's committed type.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      assignments: Map[String, Column],
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val isMatch = coalesce(predicate, lit(false))
+    copyOnWrite(spark, tableDir, predicate, { df =>
+      assignments.foldLeft(df) { case (d, (c, expr)) =>
+        require(d.columns.contains(c), s"unknown column in assignment: $c")
+        d.withColumn(c, when(isMatch, expr).otherwise(col(c)))
+      }
+    }, maxRecordsPerFile)
+  }
+
+  private def copyOnWrite(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      rewriteDir: DataFrame => DataFrame,
+      maxRecordsPerFile: Long): Long =
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -1043,10 +1108,9 @@ object VersionedLake {
         .map(_.getString(0))
         .flatMap(f => dirs.find(d => f.contains(s"/$d/")))
         .toSet
-      val keepRow = !coalesce(predicate, lit(false))
       val rewritten: Map[String, Option[String]] = affected.map { d =>
-        val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
-          .filter(keepRow)
+        val survivors = rewriteDir(
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt))
         if (survivors.isEmpty) d -> None
         else d -> Some(writeDataDir(survivors, tableDir, Nil, maxRecordsPerFile))
       }.toMap

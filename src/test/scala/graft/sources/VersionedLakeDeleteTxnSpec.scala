@@ -70,6 +70,48 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "payload"), "schema must survive")
   }
 
+  test("updateWhere rewrites only matching directories; NULL rows pass through") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_upd").toString
+    VersionedLake.appendCommit(Seq((1L, Some("a")), (2L, None)).toDF("id", "tag"), dir)
+    VersionedLake.appendCommit(Seq((10L, Some("a")), (11L, Some("b"))).toDF("id", "tag"), dir)
+    val m0 = VersionedLake.manifest(s, dir, 1)
+    // matches live only in the SECOND dir (tag='b'); first carries verbatim
+    VersionedLake.updateWhere(s, dir, col("tag") === "b",
+      Map("tag" -> concat(col("tag"), lit("!"))))
+    val m1 = VersionedLake.manifest(s, dir, 2)
+    assert(m1.contains(m0(0)), "non-matching directory must carry over verbatim")
+    assert(!m1.contains(m0(1)), "the matching directory must be rewritten")
+    val rows = VersionedLake.read(s, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("a"), 2L -> None, 10L -> Some("a"), 11L -> Some("b!")),
+      "only matching rows update; NULL-predicate rows pass through untouched")
+    // pre-update snapshot intact
+    assert(VersionedLake.readVersion(s, dir, 1).filter(col("tag") === "b").count() === 1L)
+  }
+
+  test("readAppendedBetween: the manifest diff is the change feed; rewrites refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_feed").toString
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "payload"), dir)
+    assert(ids(VersionedLake.readAppendedBetween(s, dir, 0, 2)) === Set(2L, 3L))
+    assert(ids(VersionedLake.readAppendedBetween(s, dir, 1, 2)) === Set(3L))
+    assert(VersionedLake.readAppendedBetween(s, dir, 2, 2).count() === 0L)
+    // a rewrite in the window makes "appended rows" inexpressible: refuse
+    VersionedLake.deleteWhere(s, dir, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedLake.readAppendedBetween(s, dir, 0, 3)
+    }
+    assert(e.getMessage.contains("rewrote"))
+    // but a window past the rewrite works again
+    VersionedLake.appendCommit(Seq((4L, "d")).toDF("id", "payload"), dir)
+    assert(ids(VersionedLake.readAppendedBetween(s, dir, 3, 4)) === Set(4L))
+  }
+
   test("appendCommitTxn: a replayed batch no-ops; progress resumes on the next batch") {
     val s = spark
     import s.implicits._
