@@ -790,6 +790,28 @@ object VersionedLake {
     readDirs(spark, tableDir, dirs, versionSchema(spark, tableDir, version))
   }
 
+  /** A data directory's hive-partition column chain, read off its own
+    * `k=v` directory structure (the manifest records directories, not
+    * their internal layout — the layout is self-describing).
+    */
+  private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] = {
+    val f = fs(spark, tableDir)
+    @scala.annotation.tailrec
+    def walk(p: org.apache.hadoop.fs.Path, acc: Seq[String]): Seq[String] = {
+      val kv = f.listStatus(p)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.indexOf('=') > 0)
+      if (kv.isEmpty) acc
+      else {
+        val name = kv.head
+        walk(new org.apache.hadoop.fs.Path(p, name),
+          acc :+ name.substring(0, name.indexOf('=')))
+      }
+    }
+    walk(new org.apache.hadoop.fs.Path(s"$tableDir/data/$d"), Nil)
+  }
+
   /** Plan a scan over a version's data directories. Hive-partitioned
     * commits (`parts` non-empty) need care once a version spans several
     * directories: Spark's partition discovery walks up from each leaf and
@@ -1112,7 +1134,12 @@ object VersionedLake {
         val survivors = rewriteDir(
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt))
         if (survivors.isEmpty) d -> None
-        else d -> Some(writeDataDir(survivors, tableDir, Nil, maxRecordsPerFile))
+        else
+          // a rewrite keeps the directory's hive-partition layout (derived
+          // from its own k=v structure), so partition pruning survives
+          // row-level deletes/updates on partitioned tables
+          d -> Some(writeDataDir(survivors, tableDir,
+            partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
       }.toMap
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
       val schema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
@@ -1343,7 +1370,11 @@ object VersionedLake {
     * recovered from the current manifest (union of stat'd columns; union
     * of bloom'd columns at the largest committed sizing), so an ingest
     * loop that commits with skipping layers KEEPS them across
-    * auto-compactions instead of silently full-scanning afterwards.
+    * auto-compactions instead of silently full-scanning afterwards. A
+    * table whose manifest declares a bucket-aligned directory compacts
+    * through [[optimizeBucketed]] at the same spec (unless Z-order was
+    * requested — the two clusterings are exclusive), so auto-compaction
+    * restores exchange-free reads instead of silently de-bucketing.
     * Z-order is never inferred — the manifest doesn't record it.
     */
   def optimizeIfNeeded(
@@ -1372,7 +1403,12 @@ object VersionedLake {
             Some(BloomConfig(cols, m, k))
           }
         }
-        optimize(spark, tableDir, parts, maxRecordsPerFile, sc, zorderBy, bl)
+        dirBuckets(spark, tableDir, v).values.headOption match {
+          case Some((key, n)) if zorderBy.isEmpty && parts.isEmpty =>
+            optimizeBucketed(spark, tableDir, key, n, maxRecordsPerFile, sc, bl)
+          case _ =>
+            optimize(spark, tableDir, parts, maxRecordsPerFile, sc, zorderBy, bl)
+        }
       }
   }
 

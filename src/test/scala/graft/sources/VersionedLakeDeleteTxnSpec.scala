@@ -112,6 +112,48 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     assert(ids(VersionedLake.readAppendedBetween(s, dir, 3, 4)) === Set(4L))
   }
 
+  test("deleteWhere on a partitioned table keeps the hive layout of rewrites") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_del_part").toString
+    VersionedLake.commit(
+      Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c")).toDF("id", "p", "payload"),
+      dir, parts = Seq("p"))
+    VersionedLake.deleteWhere(s, dir, col("id") === 1L)
+    assert(ids(VersionedLake.read(s, dir)) === Set(2L, 3L))
+    // the rewritten directory must still be hive-partitioned on p, so a
+    // partition predicate prunes at the scan
+    val d = VersionedLake.manifest(s, dir, 1).head
+    val subdirs = new java.io.File(s"$dir/data/$d").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs === Set("p=x", "p=y"),
+      s"rewrite must preserve the partition layout, got $subdirs")
+    val plan = VersionedLake.read(s, dir).filter(col("p") === "x")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p"),
+      s"partition pruning must survive the rewrite:\n$plan")
+  }
+
+  test("optimizeIfNeeded preserves a bucketed layout through auto-compaction") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_opt_bkt").toString
+    VersionedLake.commitBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "payload"), dir, "k", 4)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("k", "payload"), dir)
+    VersionedLake.appendCommit(Seq((4L, "d")).toDF("k", "payload"), dir)
+    // cadence fires with NO explicit layout args: the bucket spec must be
+    // recovered from the manifest, not silently dropped
+    val v = VersionedLake.optimizeIfNeeded(s, dir, maxDirs = 3)
+    assert(v === Some(3L))
+    val agg = VersionedLake.readBucketed(s, dir)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"auto-compaction must restore the exchange-free layout:\n$plan")
+    assert(agg.count() === 4L)
+  }
+
   test("appendCommitTxn: a replayed batch no-ops; progress resumes on the next batch") {
     val s = spark
     import s.implicits._
