@@ -373,6 +373,62 @@ object Relational5 {
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_orderkey % 100 != 7""".stripMargin),
-      covers = Seq("ext-lake-delete"))
+      covers = Seq("ext-lake-delete")),
+
+    // ------------------------------------------------------------------
+    // ROW-LEVEL UPDATE on the versioned lake: same minimal copy-on-write
+    // as q_lake_delete — matching rows get the assignment, everything
+    // else (including whole unaffected directories) passes through
+    // untouched. Oracle: the CASE-mapped truth over all rows.
+    QueryDef(
+      "q_lake_update",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val lakeDir = java.nio.file.Files.createTempDirectory("lake_upd_q").toString
+        val half = orders.agg(max("o_orderkey")).head().getLong(0) / 2
+        VersionedLake.appendCommit(orders.filter(col("o_orderkey") <= half), lakeDir)
+        VersionedLake.appendCommit(orders.filter(col("o_orderkey") > half), lakeDir)
+        // doubling stays exact at 2 decimals — a division would land on
+        // .005 boundaries where Spark (HALF_UP) and DuckDB (half-even)
+        // round apart
+        VersionedLake.updateWhere(s, lakeDir, col("o_orderkey") % 100 === 7,
+          Map("o_orderstatus" -> lit("X"),
+            "o_totalprice" -> (col("o_totalprice") * 2)))
+        VersionedLake.read(s, lakeDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .localCheckpoint()
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 100 = 7 THEN 'X' ELSE o_orderstatus END
+             |    AS o_orderstatus,
+             |  round(CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice * 2
+             |             ELSE o_totalprice END, 2) AS o_totalprice
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-lake-update")),
+
+    // ------------------------------------------------------------------
+    // APPEND-ONLY CHANGE FEED: rows added between two lake versions,
+    // derived purely from the manifest diff (zero discovery scanning —
+    // the commit log already knows which directories are new). The feed
+    // window here spans commits 2..3 of a 3-batch ingest; the oracle is
+    // the corresponding slice of the source truth.
+    QueryDef(
+      "q_lake_changes",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val lakeDir = java.nio.file.Files.createTempDirectory("lake_feed_q").toString
+        VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 0), lakeDir)
+        VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 1), lakeDir)
+        VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 2), lakeDir)
+        VersionedLake.readAppendedBetween(s, lakeDir, 0, 2).localCheckpoint()
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events WHERE event_id % 3 IN (1, 2)""".stripMargin),
+      covers = Seq("ext-lake-change-feed"))
   )
 }
