@@ -226,6 +226,10 @@ object VersionedLake {
     * with EEXIST; the destination therefore appears with its complete
     * content. HDFS-like stores: their `rename` contractually FAILS when
     * the destination exists, so tmp+rename is already atomic-exclusive.
+    * Raw object stores (S3) guarantee neither; deploying there needs the
+    * store's conditional-PUT (If-None-Match) or an external commit
+    * coordinator behind this same call — the LogStore split every
+    * production lake makes.
     */
   private[graft] def createExclusive(
       spark: SparkSession,
@@ -1352,8 +1356,11 @@ object VersionedLake {
         val (key, n) = specs(d)
         val schema = versionSchema(spark, tableDir, version)
           .getOrElse(nullableAll(readVersion(spark, tableDir, version).schema))
-        val tbl = "graft_vlake_" +
-          java.lang.Integer.toHexString(tableDir.hashCode) + s"_v$version"
+        // md5-derived name: (path, version)-unique with no Int-hashCode
+        // collision risk between distinct table paths in one catalog
+        val tbl = "graft_vlake_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(tableDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map("%02x".format(_)).mkString + s"_v$version"
         if (!spark.catalog.tableExists(tbl))
           spark.sql(
             s"""CREATE TABLE `$tbl` (${schema.toDDL})
