@@ -76,4 +76,51 @@ class ContinuousCurationSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("the production ingest loop: exactly-once, skipping layers, cadence compaction") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_loop").toString
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 12, k = 5))
+    val in = MemoryStream[(Long, Double)]
+    // the foreachBatch body a TBs/day ingest actually runs: exactly-once
+    // txn commit (with the epoch replayed, as engines do after failures),
+    // skipping layers on every commit, compaction on a manifest cadence
+    val q = in.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        VersionedLake.appendCommitTxn(batch, dir, "loop", epoch,
+          statsCols = Seq("id"), bloom = bloom)
+        // sink-side failure-before-ack replay: must be a no-op
+        VersionedLake.appendCommitTxn(batch, dir, "loop", epoch,
+          statsCols = Seq("id"), bloom = bloom)
+        VersionedLake.optimizeIfNeeded(s, dir, maxDirs = 3): Unit
+      }
+      .start()
+    try {
+      (0 until 5).foreach { b =>
+        in.addData((0 until 10).map(i => (b * 10L + i, i * 1.0)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cur = VersionedLake.currentVersion(s, dir).get
+    // exactly-once despite every epoch being replayed
+    val got = VersionedLake.read(s, dir)
+    assert(got.count() === 50L, "each epoch's rows must land exactly once")
+    assert(got.select("id").distinct().count() === 50L)
+    // the cadence bounded the manifest
+    assert(VersionedLake.manifest(s, dir, cur).size <= 3,
+      "compaction cadence must bound read-side listing")
+    // and compaction KEPT the skipping layers and the writer watermark
+    assert(VersionedLake.dirStats(s, dir, cur).nonEmpty,
+      "manifest stats must survive auto-compaction")
+    assert(VersionedLake.dirBlooms(s, dir, cur).values.exists(_.contains("id")),
+      "bloom layer must survive auto-compaction")
+    assert(VersionedLake.txnWatermarks(s, dir, cur) === Map("loop" -> 4L),
+      "writer progress must survive auto-compaction")
+    // the layers still fire after N compactions
+    assert(VersionedLake.readBetween(s, dir, "id", 1000, 2000).count() === 0L)
+    assert(VersionedLake.readPoint(s, dir, "id", 42L).count() === 1L)
+  }
 }
