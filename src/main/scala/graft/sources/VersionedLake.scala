@@ -1419,6 +1419,55 @@ object VersionedLake {
       }
   }
 
+  /** One row per retained version, newest first: (version, data-dir
+    * count, column count, writer txn watermarks, bucket spec if any) —
+    * the DESCRIBE HISTORY face of the commit log, for operators deciding
+    * what to roll back to or vacuum. Metadata-only: reads manifests,
+    * never data.
+    */
+  def history(spark: SparkSession, tableDir: String): Seq[(Long, Int, Int, Map[String, Long], Option[(String, Int)])] = {
+    val f = fs(spark, tableDir)
+    val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
+    if (!f.exists(manRoot)) return Nil
+    f.listStatus(manRoot)
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt").toLongOption)
+      .sorted(Ordering[Long].reverse)
+      .toSeq
+      .map { v =>
+        val dirs = manifest(spark, tableDir, v)
+        val cols = versionSchema(spark, tableDir, v).map(_.fields.length).getOrElse(0)
+        val txns = txnWatermarks(spark, tableDir, v)
+        val bucket = dirBuckets(spark, tableDir, v).values.headOption
+        (v, dirs.size, cols, txns, bucket)
+      }
+  }
+
+  /** ROLLBACK: republish a retained version's manifest as the NEW current
+    * version — instant, metadata-only undo (data directories are
+    * immutable, so restoring a snapshot is one manifest write; nothing is
+    * copied). History is preserved: the bad versions stay time-travelable
+    * until vacuum, and the rollback itself is an ordinary
+    * optimistically-published commit (concurrent writers conflict, txn
+    * watermarks carry from the CURRENT version so exactly-once writers
+    * do not replay batches the rollback discarded — their data is
+    * discarded by design; re-ingest under a new batchId).
+    */
+  def rollback(spark: SparkSession, tableDir: String, toVersion: Long): Long =
+    retryOnConflict(maxAttempts = 8) {
+      val cur = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      require(toVersion <= cur, s"cannot roll forward to unpublished version $toVersion")
+      val dirs = manifest(spark, tableDir, toVersion)
+      val schema = versionSchema(spark, tableDir, toVersion)
+        .getOrElse(nullableAll(readVersion(spark, tableDir, toVersion).schema))
+      val stats = dirStats(spark, tableDir, toVersion).map { case (d, c) => d -> statsJson(c) }
+      val blooms = dirBloomsRaw(spark, tableDir, toVersion)
+      val buckets = dirBuckets(spark, tableDir, toVersion)
+      publishManifest(spark, tableDir, dirs, schema, stats, blooms,
+        expectedBase = Some(Some(cur)), buckets = buckets,
+        txns = txnWatermarks(spark, tableDir, cur))
+    }
+
   /** Drop manifests below the published version and every data directory
     * the current manifest no longer references — ends the time-travel
     * window, never touches the live snapshot.

@@ -199,6 +199,38 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     assert(ids(VersionedLake.read(s, dir)) === Set(2L))
   }
 
+  test("history + rollback: metadata-only undo; watermarks and vacuum stay coherent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_rollback").toString
+    VersionedLake.appendCommitTxn(Seq((1L, "a")).toDF("id", "payload"),
+      dir, "ingest", batchId = 0) // v0
+    VersionedLake.appendCommitTxn(Seq((2L, "b")).toDF("id", "payload"),
+      dir, "ingest", batchId = 1) // v1
+    // v2: the bad commit to undo
+    VersionedLake.appendCommit(Seq((666L, "corrupt")).toDF("id", "payload"), dir)
+    val h = VersionedLake.history(s, dir)
+    assert(h.map(_._1) === Seq(2L, 1L, 0L), "history lists newest first")
+    assert(h.head._2 === 3 && h.last._2 === 1, "dir counts per version")
+    assert(h.head._4 === Map("ingest" -> 1L), "history surfaces txn watermarks")
+    val v3 = VersionedLake.rollback(s, dir, toVersion = 1L)
+    assert(v3 === 3L)
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L),
+      "rollback restores the good snapshot")
+    assert(ids(VersionedLake.readVersion(s, dir, 2)) === Set(1L, 2L, 666L),
+      "the rolled-back version stays time-travelable until vacuum")
+    // watermarks carry from the CURRENT version: batch 1 stays committed,
+    // so the exactly-once writer resumes at batch 2 rather than replaying
+    assert(VersionedLake.txnWatermarks(s, dir, v3) === Map("ingest" -> 1L))
+    val vSame = VersionedLake.appendCommitTxn(Seq((9L, "x")).toDF("id", "payload"),
+      dir, "ingest", batchId = 1)
+    assert(vSame === v3, "pre-rollback batches must not replay")
+    // vacuum keeps the restored snapshot's dirs, reclaims the bad commit's
+    VersionedLake.vacuum(s, dir)
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L))
+    intercept[Exception] { VersionedLake.readVersion(s, dir, 2).collect() }
+  }
+
   test("streaming foreachBatch through appendCommitTxn is exactly-once under epoch replay") {
     val s = spark
     import s.implicits._
