@@ -1472,10 +1472,28 @@ object VersionedLake {
     * the current manifest no longer references — ends the time-travel
     * window, never touches the live snapshot.
     */
-  def vacuum(spark: SparkSession, tableDir: String): Unit = {
+  def vacuum(spark: SparkSession, tableDir: String): Unit =
+    vacuum(spark, tableDir, keepVersions = 1)
+
+  /** [[vacuum]] with a RETENTION WINDOW: keep the newest `keepVersions`
+    * manifests and every data directory any of them references — the
+    * shape a production lake actually runs (rollback and auditors need
+    * recent history; only older-than-retention versions reclaim). Like
+    * every file-based lake, vacuum is not linearizable against in-flight
+    * READERS of versions it reclaims: a query planned against a
+    * since-vacuumed version fails on missing files when it finally runs.
+    * Size the retention above the longest-running reader (the same
+    * contract as Delta's retention check), and never below 1 — the
+    * current version is always kept.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keepVersions: Int): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val f = fs(spark, tableDir)
     currentVersion(spark, tableDir).foreach { cur =>
-      val live = manifest(spark, tableDir, cur).toSet
+      val floor = math.max(0L, cur - (keepVersions - 1))
+      val live = (floor to cur)
+        .flatMap(v => scala.util.Try(manifest(spark, tableDir, v)).getOrElse(Nil))
+        .toSet
       val dataRoot = new org.apache.hadoop.fs.Path(s"$tableDir/data")
       if (f.exists(dataRoot))
         f.listStatus(dataRoot)
@@ -1485,7 +1503,7 @@ object VersionedLake {
       f.listStatus(manRoot)
         .filter { s =>
           s.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
-            .toLongOption.exists(_ < cur)
+            .toLongOption.exists(_ < floor)
         }
         .foreach(s => f.delete(s.getPath, false))
     }

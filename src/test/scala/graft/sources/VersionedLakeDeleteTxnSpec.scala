@@ -231,6 +231,28 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     intercept[Exception] { VersionedLake.readVersion(s, dir, 2).collect() }
   }
 
+  test("vacuum with a retention window keeps the newest K versions readable") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_retention").toString
+    (0 until 5).foreach { i =>
+      // full-snapshot commits: each version's dirs are exclusively its own,
+      // so reclaim outside the window is observable
+      VersionedLake.commit(Seq((i.toLong, s"v$i")).toDF("id", "payload"), dir)
+    }
+    VersionedLake.vacuum(s, dir, keepVersions = 3)
+    // the newest three (v2, v3, v4) time-travel; older reclaim
+    (2L to 4L).foreach { v =>
+      assert(ids(VersionedLake.readVersion(s, dir, v)) === Set(v),
+        s"version $v is inside the retention window")
+    }
+    intercept[Exception] { VersionedLake.readVersion(s, dir, 1).collect() }
+    assert(ids(VersionedLake.read(s, dir)) === Set(4L))
+    // rollback still works within the window after the vacuum
+    VersionedLake.rollback(s, dir, toVersion = 3L)
+    assert(ids(VersionedLake.read(s, dir)) === Set(3L))
+  }
+
   test("streaming foreachBatch through appendCommitTxn is exactly-once under epoch replay") {
     val s = spark
     import s.implicits._
