@@ -627,6 +627,12 @@ object VersionedLake {
         case e: CommitConflictException =>
           attempt += 1
           if (attempt >= maxAttempts) throw e
+          // linear backoff with jitter: racing committers de-synchronize
+          // instead of re-colliding on every attempt (and the metadata
+          // store isn't hammered under N-writer contention)
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(attempt * 20L + 1))
       }
     }
     sys.error("unreachable")
