@@ -536,7 +536,10 @@ object Multimodal {
       if (b(i) != FF) i += 1 // entropy-coded data
       else (b(i + 1) & 0xFF) match {
         case 0xD9 => return Some((s, i + 2)) // EOI — frame complete
-        case 0x00 | 0xFF => i += 2 // stuffed byte / fill
+        case 0x00 => i += 2 // stuffed byte
+        // fill byte: the SECOND FF may itself prefix a marker (FF FF D9 is
+        // a fill byte then EOI) — advance 1, not 2, or the marker is eaten
+        case 0xFF => i += 1
         case m if m >= 0xD0 && m <= 0xD7 => i += 2 // RSTn (no length)
         case 0x01 | 0xD8 => i += 2 // TEM / stray SOI
         case _ => // length-prefixed segment

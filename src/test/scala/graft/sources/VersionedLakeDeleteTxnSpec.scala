@@ -44,6 +44,63 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
       Set(1L, 2L, 10L, 11L, 20L, 21L))
   }
 
+  test("upsert touching keys in 1 of 3 dirs rewrites ONLY that dir and appends new keys") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ups_cow").toString
+    // three time-clustered commits with key stats — the CDC-target shape
+    VersionedLake.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit(
+      Seq((10L, "c"), (11L, "d")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit(
+      Seq((20L, "e"), (21L, "f")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    val m0 = VersionedLake.manifest(s, dir, 2)
+    // batch updates id=10 (middle dir) and inserts id=30 (nowhere)
+    val v = VersionedLake.upsert(s, dir,
+      Seq((10L, "c2"), (30L, "new")).toDF("id", "payload"), keys = Seq("id"))
+    assert(v === 3L)
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (10L, "c2"), (11L, "d"),
+      (20L, "e"), (21L, "f"), (30L, "new")))
+    val m1 = VersionedLake.manifest(s, dir, 3)
+    assert(m1.size === 4, "3 dirs (one rewritten) + the batch's new dir")
+    assert(m1.contains(m0(0)) && m1.contains(m0(2)),
+      "directories without matching keys must carry over VERBATIM (no rewrite)")
+    assert(!m1.contains(m0(1)), "the directory holding a matched key must be replaced")
+    // untouched dirs keep their stats verbatim; the rewrite re-stats its
+    // survivors; the batch dir is stat'd over the manifest's columns
+    val stats = VersionedLake.dirStats(s, dir, 3)
+    assert(stats(m0(0))("id") === (Some("1"), Some("2")))
+    val rewrittenDir = m1.filterNot(d => m0.contains(d) || d == m1.last).head
+    assert(stats(rewrittenDir)("id") === (Some("11"), Some("11")),
+      "the rewritten directory's stats must reflect its survivors")
+    assert(stats(m1.last)("id") === (Some("10"), Some("30")),
+      "the batch's directory must carry stats over the manifest's columns")
+    // time travel: the pre-upsert snapshot is intact
+    assert(ids(VersionedLake.readVersion(s, dir, 2)) === Set(1L, 2L, 10L, 11L, 20L, 21L))
+  }
+
+  test("upsert with keys entirely outside every dir's stats range is a pure append") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ups_append").toString
+    VersionedLake.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit(
+      Seq((10L, "c")).toDF("id", "payload"), dir, statsCols = Seq("id"))
+    val m0 = VersionedLake.manifest(s, dir, 1)
+    VersionedLake.upsert(s, dir,
+      Seq((100L, "x"), (200L, "y")).toDF("id", "payload"), keys = Seq("id"))
+    val m1 = VersionedLake.manifest(s, dir, 2)
+    assert(m1.size === 3 && m1.startsWith(m0),
+      "no key can match: every prior directory must carry verbatim, batch appends")
+    assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L, 10L, 100L, 200L))
+    // and the manifest diff stays an expressible append-only change feed
+    assert(ids(VersionedLake.readAppendedBetween(s, dir, 1, 2)) === Set(100L, 200L))
+  }
+
   test("deleteWhere: NULL-predicate rows are KEPT; emptied directories drop") {
     val s = spark
     import s.implicits._
@@ -226,7 +283,7 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
       dir, "ingest", batchId = 1)
     assert(vSame === v3, "pre-rollback batches must not replay")
     // vacuum keeps the restored snapshot's dirs, reclaims the bad commit's
-    VersionedLake.vacuum(s, dir)
+    VersionedLake.vacuum(s, dir, keepVersions = 1, minAgeMs = 0L)
     assert(ids(VersionedLake.read(s, dir)) === Set(1L, 2L))
     intercept[Exception] { VersionedLake.readVersion(s, dir, 2).collect() }
   }
@@ -240,7 +297,7 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
       // so reclaim outside the window is observable
       VersionedLake.commit(Seq((i.toLong, s"v$i")).toDF("id", "payload"), dir)
     }
-    VersionedLake.vacuum(s, dir, keepVersions = 3)
+    VersionedLake.vacuum(s, dir, keepVersions = 3, minAgeMs = 0L)
     // the newest three (v2, v3, v4) time-travel; older reclaim
     (2L to 4L).foreach { v =>
       assert(ids(VersionedLake.readVersion(s, dir, v)) === Set(v),

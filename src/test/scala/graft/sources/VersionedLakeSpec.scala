@@ -101,7 +101,7 @@ class VersionedLakeSpec extends SparkSpec {
     VersionedLake.commit(Seq((1L, "a")).toDF("id", "payload"), dir)
     VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "payload"), dir)
     VersionedLake.commit(Seq((9L, "z")).toDF("id", "payload"), dir) // full rewrite
-    VersionedLake.vacuum(s, dir)
+    VersionedLake.vacuum(s, dir, keepVersions = 1, minAgeMs = 0L)
     assert(rows(VersionedLake.read(s, dir)) === Set((9L, "z")))
     // only the live manifest's single data dir remains
     val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
@@ -172,7 +172,7 @@ class VersionedLakeSpec extends SparkSpec {
     // pre-optimize versions still time travel
     assert(rows(VersionedLake.readVersion(s, dir, 4)) ===
       (0 to 4).map(i => (i.toLong, s"p$i")).toSet)
-    VersionedLake.vacuum(s, dir)
+    VersionedLake.vacuum(s, dir, keepVersions = 1, minAgeMs = 0L)
     val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
     assert(dataDirs.length === 1,
       s"vacuum after optimize must reclaim the 20 append dirs: ${dataDirs.length} left")
