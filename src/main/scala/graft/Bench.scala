@@ -107,6 +107,12 @@ object Bench {
       // the probe query's timed body
       graft.queries.Relational5.ensureBucketedFacts(spark, sfDir)
     } catch { case _: Throwable => () }
+    try {
+      // one-time lake fixtures: the q_lake_* queries time the row-level
+      // op / feed read; the fixture ingest (at scale, the pre-existing
+      // table) is warm-up, not the operator
+      graft.queries.Relational5.ensureLakeFixtures(spark, sfDir)
+    } catch { case _: Throwable => () }
 
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries;
     // SPARK_GRAFT_EXPLAIN=1 also prints each formatted plan first.

@@ -1249,10 +1249,20 @@ object VersionedLake {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val isMatch = coalesce(predicate, lit(false))
     copyOnWrite(spark, tableDir, predicate, { df =>
-      assignments.foldLeft(df) { case (d, (c, expr)) =>
-        require(d.columns.contains(c), s"unknown column in assignment: $c")
-        d.withColumn(c, when(isMatch, expr).otherwise(col(c)))
-      }
+      assignments.keys.foreach(c =>
+        require(df.columns.contains(c), s"unknown column in assignment: $c"))
+      // ONE select, not sequential withColumn: SQL UPDATE evaluates the
+      // predicate and every assignment RHS against the PRE-update row
+      // (`SET a = b, b = a` swaps). Chained withColumn would leak each
+      // assignment into the later ones' inputs — and into the predicate
+      // itself (a predicate on a column being assigned would stop
+      // matching halfway through the assignment list).
+      df.select(df.columns.map { c =>
+        assignments.get(c) match {
+          case Some(expr) => when(isMatch, expr).otherwise(col(c)).as(c)
+          case None       => col(c)
+        }
+      }: _*)
     }, maxRecordsPerFile)
   }
 

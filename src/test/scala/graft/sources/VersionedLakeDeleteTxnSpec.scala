@@ -148,6 +148,23 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     assert(VersionedLake.readVersion(s, dir, 1).filter(col("tag") === "b").count() === 1L)
   }
 
+  test("updateWhere: predicate and every assignment RHS see the PRE-update row") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_upd_swap").toString
+    VersionedLake.commit(
+      Seq((1L, "a", "b"), (2L, "p", "q")).toDF("id", "x", "y"), dir)
+    // SET x = y, y = x must SWAP (both RHS read the old row), and the
+    // predicate references a column being assigned — chained withColumn
+    // would stop matching after the first assignment flips it
+    VersionedLake.updateWhere(s, dir, col("x") === "a",
+      Map("x" -> col("y"), "y" -> col("x")))
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "b", "a"), (2L, "p", "q")),
+      "SET x=y, y=x must swap against the pre-update row")
+  }
+
   test("readAppendedBetween: the manifest diff is the change feed; rewrites refuse") {
     val s = spark
     import s.implicits._
