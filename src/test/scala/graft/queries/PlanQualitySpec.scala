@@ -427,6 +427,58 @@ class PlanQualitySpec extends SparkSpec {
       "total weight must be an aggregate, not a global window")
   }
 
+  // ------------------------------------------------------------------
+  // r8 anomalous-band pins (CPU-bound queries that swung 2-6x in the
+  // driver record with ~zero gc/shuffle/spill and untouched code): each
+  // pin makes the healthy plan shape test-visible, so a future wall-time
+  // swing WITHOUT a failing pin is provably environmental — the same
+  // adjudication the r7 pins bought q_interval_join/q_train_test_split.
+  // ------------------------------------------------------------------
+
+  test("q_corpus_clean: regex metrics ride the scan; ONE fingerprint exchange") {
+    val plan = finalPlan("q_corpus_clean")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(hashExchanges(finalSection) == 1,
+      s"scan -> metrics projection -> one md5-fp shuffle, got:\n$finalSection")
+    assert(!finalSection.contains("Join"),
+      "dedup-keep-first is a window over the fp shuffle, never a self-join")
+    assert(finalSection.contains("*("),
+      "the regex/length metrics projection must be codegen'd")
+  }
+
+  test("q_text_winnow: zero exchanges — the winnow kernel is scan-side codegen") {
+    val plan = finalPlan("q_text_winnow")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange"),
+      s"fingerprinting is scan + project + generate, no shuffle:\n$finalSection")
+    assert(!finalSection.contains("lambdafunction"),
+      "the winnow kernel must be the native expression, not interpreted HOFs")
+  }
+
+  test("q_filter_funnel: one tiny agg exchange; cascade counts combine map-side") {
+    val plan = finalPlan("q_filter_funnel")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(hashExchanges(finalSection) <= 1,
+      s"the funnel is one conditional-count aggregation, got:\n$finalSection")
+    assert(!finalSection.contains("Join"),
+      "stage counts must not self-join the documents table")
+    assert(finalSection.contains("partial_count") || finalSection.contains("partial"),
+      "the cascade's conditional counts must map-side combine")
+  }
+
+  test("q_tfidf: totals broadcast; token aggs bounded; no corpus-sized sort-merge") {
+    val plan = finalPlan("q_tfidf")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the df/N totals must broadcast back over the tf frame")
+    assert(!finalSection.contains("SortMergeJoin"),
+      "no shuffle join of token streams to meet vocabulary-sized frames")
+    assert(hashExchanges(finalSection) <= 5,
+      s"tf/df/totals aggregations only — extra exchanges are a regression:\n$finalSection")
+    assert(finalSection.contains("partial_count") || finalSection.contains("partial"),
+      "token counts must map-side combine before their exchanges")
+  }
+
   test("q_boilerplate_strip: gram frequency partial-aggregates, no range join") {
     val plan = finalPlan("q_boilerplate_strip")
     assert(plan.contains("partial_count") || plan.contains("partial"),
