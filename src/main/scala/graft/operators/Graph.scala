@@ -51,6 +51,27 @@ object Graph {
   /** [[pageRank]] plus the number of iterations actually executed (for
     * convergence assertions; early-stops when `tol > 0`).
     */
+  /** Storage for loop-lived frames: serialized blocks cost one
+    * deserialization per read but shrink the live heap several-fold vs
+    * deserialized row caches — the GC trade an iterative loop wants
+    * (the driver bench attributed ~6.5 s of GC to the deserialized-cache
+    * variant of this loop inside a 5.7 s wall).
+    */
+  private val IterStorage =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** Eagerly release a localCheckpoint'd frame's persisted blocks. A
+    * checkpoint plans as a LogicalRDD leaf over a persisted RDD, and that
+    * RDD's blocks stay in the block manager until driver GC notices the
+    * frame is unreachable — across a rank iteration that's every
+    * superseded step accumulating as live-ish heap. Unpersisting the leaf
+    * RDDs directly frees each step the moment its successor materializes.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def pageRankIter(
       edges: DataFrame,
       iters: Int = 3,
@@ -59,26 +80,31 @@ object Graph {
     // cache the edge list FIRST: nodes, degrees and the adjacency all
     // derive from it, and without the cache each one re-executes the
     // caller's (possibly join-heavy) edge construction pipeline.
-    val e = edges.select(col("src"), col("dst")).cache()
+    val e = edges.select(col("src"), col("dst")).persist(IterStorage)
     // every node appears as a src (the documented contract, trivially true
     // for undirected input) — so the degree aggregate's key set IS the
     // node set: one shuffle of the edge list yields degrees AND nodes,
     // where a separate distinct would re-shuffle the full edge list for
     // information the groupBy already computed.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).persist(IterStorage)
     val nodes = deg.select(col("src").as("id"))
     val n = deg.count()
     // adjacency with out-degree attached ONCE and cached. The groupBy
     // leaves it hash-partitioned on src — the same key every iteration's
     // contribution join uses — so the edge side never re-shuffles.
-    val adj = e.join(deg, "src").cache()
+    val adj = e.join(deg, "src").persist(IterStorage)
 
     // checkpoint cadence: lineage must stay O(1) in ITERS on a long run,
     // but each localCheckpoint is a full materialization — at 3-5
     // iterations checkpointing every step just multiplies job count. Every
     // 4th step (and always the last, so the returned frame is computed
     // work, not a pending 4-deep plan) keeps both properties.
-    var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble)).localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(n.toDouble))
+      .localCheckpoint(true, IterStorage)
+    // the most recent checkpoint whose blocks are still held — freed the
+    // moment its successor checkpoint has materialized (localCheckpoint
+    // is eager), so block-manager state stays O(1) in the iteration count
+    var lastCkpt = ranks
     var executed = 0
     var converged = false
     for (i <- 0 until iters if !converged) {
@@ -101,7 +127,8 @@ object Graph {
             lit((1.0 - damping) / n.toDouble) +
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12).as("r"))
-      if (tol > 0.0 || i % 4 == 3 || i == iters - 1) next = next.localCheckpoint()
+      val ckptNow = tol > 0.0 || i % 4 == 3 || i == iters - 1
+      if (ckptNow) next = next.localCheckpoint(true, IterStorage)
       executed += 1
       if (tol > 0.0) {
         val delta = next
@@ -111,6 +138,12 @@ object Graph {
         if (delta < tol) converged = true
       }
       ranks = next
+      if (ckptNow) {
+        // next is materialized and self-contained (and the tol delta, the
+        // last reader of the old step, has run) — release the old blocks
+        freeCheckpoint(lastCkpt)
+        lastCkpt = next
+      }
     }
     adj.unpersist(blocking = false)
     deg.unpersist(blocking = false)
