@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.VersionedLake
+import graft.sources.{LakeTxn, VersionedLake}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,31 +13,111 @@ import org.apache.spark.sql.functions._
   * wrong at 100 TB where the embedding corpus takes append commits all
   * day: training is a multi-pass k-means over the corpus sample and
   * assignment is a full scan. This index trains ONCE at build time and
-  * persists both halves as [[VersionedLake]] tables:
+  * persists every half as a [[VersionedLake]] table:
   *
   *   - `indexDir/centroids` — one commit: (cell, centroid) rows. Never
   *     rewritten by appends; re-train is an explicit [[build]] (codebook
   *     drift is a deliberate, operator-driven event, as in FAISS/Milvus).
-  *   - `indexDir/assignments` — (id, cell, v, norm) rows, PARTITIONED BY
-  *     cell, so a probe reads nProbe cell directories, not the corpus.
-  *     [[append]] assigns ONLY the delta against the persisted centroids
-  *     and `appendCommit`s it: O(delta) work, O(delta) new files, and the
-  *     commit is atomic + conflict-checked like any lake commit.
+  *   - `indexDir/pqbooks` — (j, c, w) PQ codebook rows when the index is
+  *     built through [[buildPq]]: the memory-shaped variant persists m
+  *     small int codes per vector next to it and probes by asymmetric
+  *     distance over the CODES, reading vectors only for the re-rank
+  *     candidates.
+  *   - `indexDir/assignments` — (id, cell, v, norm[, code0..]) rows,
+  *     PARTITIONED BY cell, so a probe reads nProbe cell directories,
+  *     not the corpus. [[append]] assigns ONLY the delta against the
+  *     persisted centroids and `appendCommit`s it: O(delta) work,
+  *     O(delta) new files, atomic + conflict-checked like any lake
+  *     commit.
   *
-  * Query ([[topK]]) reads the published assignment snapshot: partition
-  * pruning on `cell` + exact cosine re-rank inside the probed cells.
-  * Time travel comes free from the lake — `topKAt` answers "what would
-  * this query have returned before yesterday's append" for reproducible
-  * evals.
+  * The members publish together through a [[LakeTxn]] record — the
+  * multi-table atomic commit: a crash between the centroids commit and
+  * the assignments commit (or anywhere before the record) leaves readers
+  * on the previous record's consistent pair; the new index state appears
+  * all-or-nothing. Legacy indexes without a txn log fall back to
+  * per-table latest.
+  *
+  * Query ([[topK]] / [[topKPq]]) reads the pinned assignment snapshot:
+  * partition pruning on `cell` + exact cosine re-rank inside the probed
+  * cells. Time travel comes free from the lake — `topKAt` answers "what
+  * would this query have returned before yesterday's append" for
+  * reproducible evals.
   */
 object IvfIndex {
 
   def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
   def assignmentsDir(indexDir: String): String = s"$indexDir/assignments"
+  def pqBooksDir(indexDir: String): String = s"$indexDir/pqbooks"
+
+  private val Cent = "centroids"
+  private val Asg = "assignments"
+  private val Books = "pqbooks"
+
+  // ------------------------------------------------------------------
+  // Txn-resolved reads: the LakeTxn record pins the member versions
+  // that belong together; without one (legacy index) read per-table
+  // latest.
+  // ------------------------------------------------------------------
+
+  private def pinned(spark: SparkSession, indexDir: String, member: String): Option[Long] =
+    LakeTxn.current(spark, indexDir).flatMap(_.get(member))
+
+  private def readMember(spark: SparkSession, indexDir: String, member: String): DataFrame = {
+    val dir = member match {
+      case Cent  => centroidsDir(indexDir)
+      case Asg   => assignmentsDir(indexDir)
+      case Books => pqBooksDir(indexDir)
+    }
+    pinned(spark, indexDir, member) match {
+      case Some(v) => VersionedLake.readVersion(spark, dir, v)
+      case None    => VersionedLake.read(spark, dir)
+    }
+  }
+
+  /** The persisted codebook, cell-ordered. One tiny-table read. */
+  def centroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] =
+    readMember(spark, indexDir, Cent)
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+
+  /** The persisted PQ codebooks ([[buildPq]] indexes only). Bounded read:
+    * m × ksub rows.
+    */
+  def pqBooks(spark: SparkSession, indexDir: String): Pq.Books = {
+    val rows = readMember(spark, indexDir, Books)
+      .orderBy("j", "c")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    require(rows.nonEmpty, s"$indexDir has no persisted PQ codebooks (built without buildPq?)")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    Pq.Books(m, books.head.head.length, ksub, books)
+  }
+
+  /** After any maintenance commit: publish (or repair, after a crashed
+    * publish) the txn record pinning the CURRENT consistent member set —
+    * centroids/pqbooks stay at their previously-pinned versions (drift
+    * requires an explicit build), assignments move to `asgV`. Idempotent:
+    * an unchanged set publishes nothing.
+    */
+  private def publishMaintenance(spark: SparkSession, indexDir: String, asgV: Long): Unit = {
+    val prev = LakeTxn.current(spark, indexDir)
+    val cV = prev.flatMap(_.get(Cent))
+      .orElse(VersionedLake.currentVersion(spark, centroidsDir(indexDir)))
+    val bV = prev.flatMap(_.get(Books))
+      .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir)))
+    val tables = Map(Asg -> asgV) ++ cV.map(Cent -> _) ++ bV.map(Books -> _)
+    LakeTxn.publishIfChanged(spark, indexDir, tables): Unit
+  }
 
   /** Train the coarse quantizer on `df` (bounded-sample distributed
-    * k-means) and commit centroids + the full initial assignment. The one
-    * corpus-scan event in the index lifecycle.
+    * k-means) and commit centroids + the full initial assignment, pinned
+    * together by one txn record. The one corpus-scan event in the index
+    * lifecycle.
     */
   def build(
       df: DataFrame,
@@ -48,50 +128,101 @@ object IvfIndex {
     val spark = df.sparkSession
     val cents = Similarity.trainIvfDistributed(df, idCol, k, iters)
     import spark.implicits._
-    VersionedLake.commit(
+    val vC = VersionedLake.commit(
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
       centroidsDir(indexDir))
-    VersionedLake.commit(assignRows(df, idCol, cents), assignmentsDir(indexDir),
+    val vA = VersionedLake.commit(assignRows(df, idCol, cents), assignmentsDir(indexDir),
       parts = Seq("cell"))
+    LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Asg -> vA))
     cents
   }
 
-  /** The persisted codebook, cell-ordered. One tiny-table read. */
-  def centroids(spark: SparkSession, indexDir: String): Seq[Seq[Double]] =
-    VersionedLake.read(spark, centroidsDir(indexDir))
-      .orderBy("cell")
-      .collect()
-      .map(_.getSeq[Double](1).toSeq)
-      .toSeq
+  /** [[build]] with PRODUCT-QUANTIZED assignments: the PQ codebooks `b`
+    * (trained or seeded by the caller) persist as a third member table
+    * and every assignment row carries its m int codes next to the
+    * vector. [[topKPq]] then scores candidates from the CODES alone —
+    * the probe's scan is memory-shaped (m ints per row, not dim
+    * doubles) — and reads vectors only for the top k×refine re-rank
+    * rows. All three members publish under one txn record.
+    */
+  def buildPq(
+      df: DataFrame,
+      idCol: String,
+      indexDir: String,
+      b: Pq.Books,
+      k: Int = 16,
+      iters: Int = 4): Seq[Seq[Double]] = {
+    val spark = df.sparkSession
+    val cents = Similarity.trainIvfDistributed(df, idCol, k, iters)
+    import spark.implicits._
+    val vC = VersionedLake.commit(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      centroidsDir(indexDir))
+    val bookRows = for {
+      (book, j) <- b.books.zipWithIndex
+      (w, c) <- book.zipWithIndex
+    } yield (j, c, w)
+    val vB = VersionedLake.commit(bookRows.toDF("j", "c", "w"), pqBooksDir(indexDir))
+    val vA = VersionedLake.commit(assignRowsPq(df, idCol, cents, b),
+      assignmentsDir(indexDir), parts = Seq("cell"))
+    LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Books -> vB, Asg -> vA))
+    cents
+  }
 
   private def assignRows(df: DataFrame, idCol: String, cents: Seq[Seq[Double]]): DataFrame =
     Similarity.ivfAssign(df, cents)
       .select(col(idCol).as("id"), col("cell"), col("v"), col("norm"))
 
+  private def assignRowsPq(
+      df: DataFrame,
+      idCol: String,
+      cents: Seq[Seq[Double]],
+      b: Pq.Books): DataFrame =
+    Pq.encode(Similarity.ivfAssign(df, cents), b)
+      .select((col(idCol).as("id") +: col("cell") +: col("v") +: col("norm") +:
+        (0 until b.m).map(j => col(s"code$j"))): _*)
+
   /** Maintain the index for an embedding-corpus append commit: assign
     * ONLY `delta` using the PERSISTED centroids (no re-train, no corpus
-    * rescan) and append-commit the new assignments. Returns the new
-    * assignment-table version.
+    * rescan), PQ-encode when the index persists codebooks, and
+    * append-commit the new assignments. Returns the new assignment-table
+    * version (pinned by a fresh txn record).
     */
   def append(delta: DataFrame, idCol: String, indexDir: String): Long = {
-    val cents = centroids(delta.sparkSession, indexDir)
-    VersionedLake.appendCommit(assignRows(delta, idCol, cents),
-      assignmentsDir(indexDir), parts = Seq("cell"))
+    val spark = delta.sparkSession
+    val cents = centroids(spark, indexDir)
+    val rows = pinned(spark, indexDir, Books)
+      .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
+      case Some(_) => assignRowsPq(delta, idCol, cents, pqBooks(spark, indexDir))
+      case None    => assignRows(delta, idCol, cents)
+    }
+    val vA = VersionedLake.appendCommit(rows, assignmentsDir(indexDir), parts = Seq("cell"))
+    publishMaintenance(spark, indexDir, vA)
+    vA
   }
 
   /** Maintain the index from a VersionedLake-committed embedding corpus
     * by MANIFEST DIFF: the corpus's commit log says exactly which data
-    * directories are new since the last sync, so the delta is read
+    * directories changed since the last sync, so the delta is read
     * dir-exactly (no timestamps, no full-scan anti-join — the log IS the
     * change feed). The last-synced corpus version rides the assignment
     * table's own manifest as a txn watermark (`appId = "corpus-sync"`,
     * `batchId = corpus version`), which buys exactly-once for free: the
     * watermark moves atomically WITH the assignment commit, a crashed
     * sync replays idempotently, and two racing syncs serialize through
-    * the lake's optimistic concurrency. Returns the corpus version now
-    * reflected, or None when the corpus is empty. Append-only corpora:
-    * upserts/deletes rewrite directories and need a [[build]] (an
-    * explicit re-index, like codebook drift).
+    * the lake's optimistic concurrency.
+    *
+    * Corpus REWRITES (upsert / deleteWhere / updateWhere) are handled by
+    * the same diff: a directory the old manifest had and the new one
+    * lacks was rewritten or emptied — its rows either moved into an
+    * ADDED directory (rewrite survivors, re-assigned by the upsert
+    * below) or left the corpus (their ids anti-joined out of the old
+    * dirs' id set, then [[VersionedLake.deleteKeys]]-ed from the
+    * assignments). Maintenance cost is O(changed directories), the same
+    * bound the rewrite itself paid; a compaction that rewrites every
+    * directory degrades to a full re-assign (no re-train) — schedule
+    * syncs before OPTIMIZE cadences, not after. Returns the corpus
+    * version now reflected, or None when the corpus is empty.
     */
   def sync(
       spark: SparkSession,
@@ -109,11 +240,12 @@ object IvfIndex {
         val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
         val cents = Similarity.trainIvfDistributed(snapshot, idCol, k, iters)
         import spark.implicits._
-        VersionedLake.commit(
+        val vC = VersionedLake.commit(
           cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
           centroidsDir(indexDir))
-        VersionedLake.appendCommitTxn(assignRows(snapshot, idCol, cents), asgDir,
+        val vA = VersionedLake.appendCommitTxn(assignRows(snapshot, idCol, cents), asgDir,
           appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+        LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Asg -> vA))
         Some(corpusV)
       case Some(asgV) =>
         val lastSynced = VersionedLake.txnWatermarks(spark, asgDir, asgV)
@@ -121,29 +253,62 @@ object IvfIndex {
             throw new IllegalStateException(
               s"$indexDir was built from a DataFrame, not synced from a lake " +
                 "corpus - keep maintaining it through append()"))
-        if (corpusV <= lastSynced) return Some(lastSynced) // already reflected
+        if (corpusV <= lastSynced) {
+          // repair a crashed txn publish: the commit (and watermark) landed
+          publishMaintenance(spark, indexDir, asgV)
+          return Some(lastSynced)
+        }
         val curDirs = VersionedLake.manifest(spark, corpusDir, corpusV)
-        val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced).toSet
-        require(priorDirs.forall(curDirs.contains),
-          s"$corpusDir rewrote directories since version $lastSynced " +
-            "(upsert/delete/compaction) - the index needs an explicit build()")
-        val newDirs = curDirs.filterNot(priorDirs)
-        if (newDirs.isEmpty) return Some(corpusV)
-        val schema = VersionedLake.versionSchema(spark, corpusDir, corpusV)
-        val reader = spark.read.option("basePath", s"$corpusDir/data")
-        val paths = newDirs.map(d => s"$corpusDir/data/$d")
-        val delta =
-          schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
+        val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced)
+        val removed = priorDirs.filterNot(curDirs.toSet)
+        val added = curDirs.filterNot(priorDirs.toSet)
+        if (added.isEmpty && removed.isEmpty) {
+          publishMaintenance(spark, indexDir, asgV)
+          return Some(corpusV)
+        }
         val cents = centroids(spark, indexDir)
-        VersionedLake.appendCommitTxn(assignRows(delta, idCol, cents), asgDir,
-          appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+        def readCorpusDirs(dirs: Seq[String], version: Long): DataFrame = {
+          val schema = VersionedLake.versionSchema(spark, corpusDir, version)
+          val reader = spark.read.option("basePath", s"$corpusDir/data")
+          val paths = dirs.map(d => s"$corpusDir/data/$d")
+          schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
+        }
+        val vA =
+          if (removed.isEmpty) {
+            // pure appends: assign the new directories, O(delta)
+            VersionedLake.appendCommitTxn(
+              assignRows(readCorpusDirs(added, corpusV), idCol, cents), asgDir,
+              appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+          } else {
+            // rewrites in the window. Old rows live on disk until vacuum
+            // (the old manifest still references them), so the diff is
+            // exact: ids in removed dirs that did NOT resurface in added
+            // dirs left the corpus — delete their assignments (idempotent
+            // on replay: no matches the second time). Everything in the
+            // added dirs re-assigns via keyed upsert, which replaces the
+            // surviving ids' old rows and inserts the genuinely new.
+            val oldIds = readCorpusDirs(removed, lastSynced)
+              .select(col(idCol).as("id")).distinct()
+            val newRows = readCorpusDirs(added, corpusV)
+            val vanished = oldIds.join(
+              newRows.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
+            VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
+            val asgNew = pinned(spark, indexDir, Books)
+              .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
+              case Some(_) => assignRowsPq(newRows, idCol, cents, pqBooks(spark, indexDir))
+              case None    => assignRows(newRows, idCol, cents)
+            }
+            VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
+              parts = Seq("cell"), txn = Some(SyncApp -> corpusV))
+          }
+        publishMaintenance(spark, indexDir, vA)
         Some(corpusV)
     }
   }
 
   private val SyncApp = "corpus-sync"
 
-  /** ANN top-k against the index's published snapshot: probe the nProbe
+  /** ANN top-k against the index's pinned snapshot: probe the nProbe
     * best cells (partition-pruned read), exact cosine re-rank inside.
     */
   def topK(
@@ -152,7 +317,7 @@ object IvfIndex {
       query: Seq[Double],
       k: Int,
       nProbe: Int = 4): DataFrame =
-    rank(VersionedLake.read(spark, assignmentsDir(indexDir)), spark, indexDir, query, k, nProbe)
+    rank(readMember(spark, indexDir, Asg), spark, indexDir, query, k, nProbe)
 
   /** [[topK]] against a RETAINED assignment version — reproducible evals
     * against the corpus as-of an earlier append.
@@ -180,6 +345,67 @@ object IvfIndex {
     val qCol = array(query.map(lit): _*)
     assigned
       .filter(col("cell").isin(probe.map(_.asInstanceOf[Any]): _*))
+      .select(
+        col("id"),
+        (Similarity.dot(col("v"), qCol) / (col("norm") * lit(qn))).as("cos"))
+      .orderBy(round(col("cos"), 6).desc, col("id"))
+      .limit(k)
+  }
+
+  /** Phase 1 of the PQ probe, exposed for the plan pin: the ADC
+    * candidate frame over the probed cells, whose scan reads id + the m
+    * int codes — column pruning drops `v`/`norm`, so the candidate scan
+    * is memory-shaped even when every assignment row carries its vector.
+    */
+  private[graft] def pqCandidates(
+      spark: SparkSession,
+      indexDir: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int,
+      refine: Int): DataFrame = {
+    val cents = centroids(spark, indexDir)
+    val b = pqBooks(spark, indexDir)
+    val probe = Similarity.probeCells(query, cents, nProbe)
+    val lut = Pq.adcLut(query, b)
+    val score = (0 until b.m)
+      .map(j => element_at(typedLit(lut(j)), col(s"code$j") + 1))
+      .reduce(_ + _)
+    readMember(spark, indexDir, Asg)
+      .filter(col("cell").isin(probe.map(_.asInstanceOf[Any]): _*))
+      .select((col("id") +: (0 until b.m).map(j => col(s"code$j"))): _*)
+      .withColumn("adc", round(score, 6))
+      .orderBy(col("adc").asc, col("id"))
+      .limit(k * refine)
+      .select("id")
+  }
+
+  /** ANN top-k by ASYMMETRIC DISTANCE over the persisted codes: phase 1
+    * scans (id, code0..m-1) of the probed cells — never the vectors —
+    * and keeps the k×refine best ADC candidates; phase 2 re-reads ONLY
+    * those rows' vectors (cell partition pruning + id pushdown, a
+    * bounded k×refine id list) for the exact cosine re-rank. At 100 TB
+    * the probe's IO is m ints per candidate row instead of dim doubles —
+    * the IVF-PQ memory shape, persisted.
+    */
+  def topKPq(
+      spark: SparkSession,
+      indexDir: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    val cents = centroids(spark, indexDir)
+    val probe = Similarity.probeCells(query, cents, nProbe)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qCol = array(query.map(lit): _*)
+    // bounded collect: k×refine candidate ids (an ANN answer's size, not
+    // the data's) — buys parquet id pushdown for the vector fetch
+    val candIds = pqCandidates(spark, indexDir, query, k, nProbe, refine)
+      .collect().map(_.get(0))
+    readMember(spark, indexDir, Asg)
+      .filter(col("cell").isin(probe.map(_.asInstanceOf[Any]): _*) &&
+        col("id").isin(candIds: _*))
       .select(
         col("id"),
         (Similarity.dot(col("v"), qCol) / (col("norm") * lit(qn))).as("cos"))

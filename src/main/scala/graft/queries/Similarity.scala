@@ -77,6 +77,51 @@ object Similarity {
     * cell assignment, the probe filter, PQ encoding, the ADC lookup-table
     * scan and the exact re-rank from identical literals.
     */
+  /** DuckDB replay of the four-stage IVF-PQ plan (assign + probe + ADC
+    * over codes + exact re-rank) from frozen centroid/probe literals and
+    * the class-init seeded codebooks. Shared by the in-query composition
+    * (q_knn_ivfpq) and the persisted index (q_knn_ivfpq_persisted): a
+    * vector's cell and codes are pure functions of the frozen model, so
+    * whether Spark computed them per query or at build/append time is
+    * invisible to the oracle — the invariant the persisted index keeps.
+    */
+  private def ivfPqOracleSql(centroids: Seq[Seq[Double]], probe: Seq[Int]): String = {
+    val b = graft.operators.Pq.seededBooks(64)
+    val dots = centroids
+      .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+      .mkString("[\n      ", ",\n      ", "]")
+    val luts = (0 until b.m)
+      .map { j =>
+        val ls = (0 until b.ksub)
+          .map(c => graft.operators.Pq.subDistSql("qv", j, b.books(j)(c), b.dsub))
+        s"[${ls.mkString(",\n      ")}] AS l$j"
+      }
+      .mkString(",\n    ")
+    val adcSum = (0 until b.m).map(j => s"lut.l$j[c.code$j + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${graft.operators.Pq.encodeOracleCte(b)},
+       |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+       |a AS (
+       |  SELECT vec_id, CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
+       |  FROM (SELECT vec_id, $dots AS dots FROM e WHERE vec_id != 0)),
+       |lut AS (
+       |  SELECT qv, qn,
+       |    $luts
+       |  FROM q),
+       |scored AS (
+       |  SELECT c.vec_id, c.v, round($adcSum, 6) AS adc
+       |  FROM enc c JOIN a USING (vec_id), lut
+       |  WHERE a.cell IN (${probe.mkString(", ")})),
+       |cand AS (SELECT vec_id, v FROM scored ORDER BY adc ASC, vec_id LIMIT 40),
+       |rer AS (
+       |  SELECT cand.vec_id,
+       |    round(list_dot_product(cand.v, lut.qv) /
+       |      (sqrt(list_dot_product(cand.v, cand.v)) * lut.qn), 6) AS cos
+       |  FROM cand, lut)
+       |SELECT vec_id, round(cos, 3) AS cos FROM rer
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   private[queries] object IvfPqState {
     @volatile private var state: Option[(Seq[Seq[Double]], Seq[Int])] = None
 
@@ -84,40 +129,19 @@ object Similarity {
       state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
 
     def oracleSql: Option[String] = state.map { case (centroids, probe) =>
-      val b = graft.operators.Pq.seededBooks(64)
-      val dots = centroids
-        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
-        .mkString("[\n      ", ",\n      ", "]")
-      val luts = (0 until b.m)
-        .map { j =>
-          val ls = (0 until b.ksub)
-            .map(c => graft.operators.Pq.subDistSql("qv", j, b.books(j)(c), b.dsub))
-          s"[${ls.mkString(",\n      ")}] AS l$j"
-        }
-        .mkString(",\n    ")
-      val adcSum = (0 until b.m).map(j => s"lut.l$j[c.code$j + 1]").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${graft.operators.Pq.encodeOracleCte(b)},
-         |q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
-         |a AS (
-         |  SELECT vec_id, CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
-         |  FROM (SELECT vec_id, $dots AS dots FROM e WHERE vec_id != 0)),
-         |lut AS (
-         |  SELECT qv, qn,
-         |    $luts
-         |  FROM q),
-         |scored AS (
-         |  SELECT c.vec_id, c.v, round($adcSum, 6) AS adc
-         |  FROM enc c JOIN a USING (vec_id), lut
-         |  WHERE a.cell IN (${probe.mkString(", ")})),
-         |cand AS (SELECT vec_id, v FROM scored ORDER BY adc ASC, vec_id LIMIT 40),
-         |rer AS (
-         |  SELECT cand.vec_id,
-         |    round(list_dot_product(cand.v, lut.qv) /
-         |      (sqrt(list_dot_product(cand.v, cand.v)) * lut.qn), 6) AS cos
-         |  FROM cand, lut)
-         |SELECT vec_id, round(cos, 3) AS cos FROM rer
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      ivfPqOracleSql(centroids, probe)
+    }
+  }
+
+  /** Frozen model for the late-bound q_knn_ivfpq_persisted oracle. */
+  private[queries] object IvfPqPersistedState {
+    @volatile private var state: Option[(Seq[Seq[Double]], Seq[Int])] = None
+
+    def freeze(query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Unit =
+      state = Some((centroids, Sim.probeCells(query, centroids, nProbe)))
+
+    def oracleSql: Option[String] = state.map { case (centroids, probe) =>
+      ivfPqOracleSql(centroids, probe)
     }
   }
 
@@ -544,6 +568,43 @@ object Similarity {
       None,
       covers = Seq("ext-knn-ivfpq"),
       oracleDyn = Some(() => IvfPqState.oracleSql)),
+
+    // ------------------------------------------------------------------
+    // PERSISTED IVF-PQ index (operators.IvfIndex.buildPq): the PQ
+    // codebooks persist as a member table and every assignment row
+    // carries its m int codes next to the vector — all three members
+    // pinned by ONE LakeTxn record (multi-table atomic commit: a torn
+    // build is invisible, IvfIndexSpec pins the crash window). The delta
+    // append PQ-encodes against the persisted model, and the probe is
+    // two-phase: ADC candidates from a codes-only scan (the spec pins
+    // that its ReadSchema excludes v/norm — m ints per row at 100 TB,
+    // never dim doubles), then an exact re-rank that fetches vectors for
+    // just the k×refine candidate ids. Oracle: the same four-stage
+    // replay as q_knn_ivfpq — cells and codes are pure functions of the
+    // frozen model, so build-time vs append-time encoding is invisible.
+    QueryDef(
+      "q_knn_ivfpq_persisted",
+      (s, dir) => {
+        val b = graft.operators.Pq.seededBooks(64)
+        val e = Sim.withNorm(t(s, dir, "embeddings")).cache()
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("v")).head().getSeq[Double](0).toSeq
+        val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
+        val cents = graft.operators.IvfIndex.buildPq(
+          corpus.filter(col("vec_id") % 2 === 1), "vec_id", idxDir, b, k = 16, iters = 4)
+        graft.operators.IvfIndex.append(
+          corpus.filter(col("vec_id") % 2 === 0), "vec_id", idxDir)
+        IvfPqPersistedState.freeze(query, cents, nProbe = 6)
+        val out = graft.operators.IvfIndex.topKPq(s, idxDir, query, k = 10, nProbe = 6)
+          .select(col("id").as("vec_id"), round(col("cos"), 3).as("cos"))
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
+      },
+      None,
+      covers = Seq("ext-knn-ivfpq-persisted"),
+      oracleDyn = Some(() => IvfPqPersistedState.oracleSql)),
 
     // ------------------------------------------------------------------
     // MMR diversified retrieval (operators.Mmr): distributed cosine

@@ -629,7 +629,7 @@ object VersionedLake {
     * (re-reading the prior manifest, not re-writing data). Attempts are
     * bounded so a livelocked writer surfaces instead of spinning.
     */
-  private def retryOnConflict[A](maxAttempts: Int = 16)(body: => A): A = {
+  private[graft] def retryOnConflict[A](maxAttempts: Int = 16)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
@@ -1100,102 +1100,39 @@ object VersionedLake {
       updates: DataFrame,
       keys: Seq[String],
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
     val keyDf = updates.select(keys.map(col): _*)
-    // the batch's per-key-column [min,max], string-cast exactly like
-    // manifest stats — ONE O(delta) aggregation, reused across retries
-    val keyRanges: Map[String, (Option[String], Option[String])] = {
-      val aggs = keys.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
-      val row = keyDf.agg(aggs.head, aggs.tail: _*).head()
-      keys.zipWithIndex.map { case (c, i) =>
-        def v(j: Int) = if (row.isNullAt(j)) None else Some(row.getString(j))
-        c -> ((v(2 * i), v(2 * i + 1)))
-      }.toMap
-    }
+    val ranges = keyRanges(keyDf, keys)
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
-      val dirs = manifest(spark, tableDir, base)
-      val schemaOpt = versionSchema(spark, tableDir, base)
-      val priorSchema = schemaOpt
-        .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
-      val priorStats = dirStats(spark, tableDir, base)
-      val priorBloomsRaw = dirBloomsRaw(spark, tableDir, base)
-      val priorBlooms = dirBlooms(spark, tableDir, base)
-      val priorBuckets = dirBuckets(spark, tableDir, base)
-      // phase 1 — manifest-stats pruning of the probe's candidate set
-      val numericKey = keys.map { c =>
-        c -> priorSchema.fields.find(_.name == c).map(_.dataType)
-          .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      }.toMap
-      val prunableKey = keys.map { c =>
-        val dt = priorSchema.fields.find(_.name == c).map(_.dataType)
-        c -> (numericKey(c) || dt.exists {
-          case org.apache.spark.sql.types.StringType    => true
-          case org.apache.spark.sql.types.DateType      => true
-          case org.apache.spark.sql.types.TimestampType => true
-          case _                                        => false
-        })
-      }.toMap
-      def cmp(c: String, a: String, b: String): Option[Int] =
-        if (numericKey(c)) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
-        else Some(utf8Cmp(a, b))
-      val candidates = dirs.filter { d =>
-        keys.forall { c =>
-          (priorStats.get(d).flatMap(_.get(c)), keyRanges(c)) match {
-            case (Some((Some(dMn), Some(dMx))), (Some(uMn), Some(uMx))) if prunableKey(c) =>
-              (cmp(c, dMn, uMx), cmp(c, uMn, dMx)) match {
-                case (Some(x), Some(y)) => x <= 0 && y <= 0
-                case _                  => true
-              }
-            // key equality never matches null: an all-null dir column or
-            // an all-null batch key column can produce no match
-            case (Some((None, None)), _) => false
-            case (_, (None, None))       => false
-            case _                       => true
-          }
-        }
+      // exactly-once gate (see appendCommitTxn): a replayed maintenance
+      // batch whose commit landed must not merge its rows twice
+      val priorTxns = txnWatermarks(spark, tableDir, base)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return base
       }
-      // phase 2 — probe: which candidates actually hold matching keys
-      // (file → commit-dir attribution; collect bounded by the file count)
-      val affected: Set[String] =
-        if (candidates.isEmpty) Set.empty
-        else readDirs(spark, tableDir, candidates.map(d => s"$tableDir/data/$d"), schemaOpt)
-          .withColumn("_graft_file", input_file_name())
-          .join(keyDf.distinct(), keys, "left_semi")
-          .select("_graft_file")
-          .distinct()
-          .collect()
-          .map(_.getString(0))
-          .flatMap(f => candidates.find(d => f.contains(s"/$d/")))
-          .toSet
-      val rewritten: Map[String, Option[String]] = affected.map { d =>
-        val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
-          .join(keyDf, keys, "left_anti")
-        if (survivors.isEmpty) d -> None
-        else
-          d -> Some(writeDataDir(survivors, tableDir,
-            partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
-      }.toMap
+      val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
       // phase 3 — the batch is one new directory, stat'd/bloom'd over the
       // same columns the manifest already declares (∩ the batch's schema)
       val updDir = writeDataDir(updates, tableDir, parts, maxRecordsPerFile)
-      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d))) :+ updDir
-      val merged = mergeSchemas(priorSchema, nullableAll(updates.schema))
-      val (cowStats, cowBlooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
-        priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
-      val updStatCols = priorStats.values.flatMap(_.keys).toSeq.distinct.sorted
+      val newDirs = kr.survivingDirs :+ updDir
+      val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
+      val (cowStats, cowBlooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
+        kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
+      val updStatCols = kr.priorStats.values.flatMap(_.keys).toSeq.distinct.sorted
         .filter(updates.columns.contains)
       val updStats = columnStats(updates, updStatCols).map(updDir -> _).toMap
       val updBloom = {
-        val cols = priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
+        val cols = kr.priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
           .filter(updates.columns.contains)
         if (cols.isEmpty) None
         else {
-          val (m, k) = priorBlooms.values.flatMap(_.values)
+          val (m, k) = kr.priorBlooms.values.flatMap(_.values)
             .map(t => (t._1, t._2)).maxBy(_._1)
           bloomJson(updates, Some(BloomConfig(cols, m, k)))
         }
@@ -1203,9 +1140,160 @@ object VersionedLake {
       publishManifest(spark, tableDir, newDirs, merged,
         cowStats ++ updStats, cowBlooms ++ updBloom,
         expectedBase = Some(Some(base)),
-        buckets = priorBuckets.filter { case (d, _) => !rewritten.contains(d) },
-        txns = txnWatermarks(spark, tableDir, base))
+        buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
+        txns = priorTxns ++ txn.toMap)
     }
+  }
+
+  /** Keyed DELETE — remove every row whose key appears in `keyDf` — with
+    * the same minimal copy-on-write machinery as [[upsert]] minus the
+    * append: stats-pruned probe, rewrite only the directories that hold
+    * matching keys, carry everything else verbatim. The join-shaped
+    * sibling of the predicate-shaped [[deleteWhere]], for callers whose
+    * "what to delete" is a DataFrame of keys (index maintenance, GDPR id
+    * lists) rather than an expression. `txn` gates exactly-once like
+    * [[appendCommitTxn]].
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      tableDir: String,
+      keyDf0: DataFrame,
+      keys: Seq[String],
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    require(keys.forall(keyDf0.columns.contains),
+      s"keyDf missing key columns: ${keys.filterNot(keyDf0.columns.contains).mkString(", ")}")
+    val keyDf = keyDf0.select(keys.map(col): _*)
+    val ranges = keyRanges(keyDf, keys)
+    retryOnConflict(maxAttempts = 8) {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val priorTxns = txnWatermarks(spark, tableDir, base)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return base
+      }
+      val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
+      val newDirs = kr.survivingDirs
+      val (stats, blooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
+        kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
+      if (newDirs.isEmpty) {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), kr.priorSchema)
+          .repartition(1)
+        val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
+        publishManifest(spark, tableDir, Seq(d), kr.priorSchema,
+          expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap)
+      } else
+        publishManifest(spark, tableDir, newDirs, kr.priorSchema, stats, blooms,
+          expectedBase = Some(Some(base)),
+          buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
+          txns = priorTxns ++ txn.toMap)
+    }
+  }
+
+  /** The batch's per-key-column [min,max], string-cast exactly like
+    * manifest stats — ONE O(delta) aggregation, reused across retries.
+    */
+  private def keyRanges(
+      keyDf: DataFrame,
+      keys: Seq[String]): Map[String, (Option[String], Option[String])] = {
+    val aggs = keys.flatMap(c => Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = keyDf.agg(aggs.head, aggs.tail: _*).head()
+    keys.zipWithIndex.map { case (c, i) =>
+      def v(j: Int) = if (row.isNullAt(j)) None else Some(row.getString(j))
+      c -> ((v(2 * i), v(2 * i + 1)))
+    }.toMap
+  }
+
+  /** Phases 1-2 of a keyed copy-on-write, shared by [[upsert]] and
+    * [[deleteKeys]]: prune the candidate directory set with committed
+    * manifest stats, probe the survivors with one semi-join scan
+    * (file → commit-dir attribution), and rewrite ONLY the directories
+    * holding matching keys with those rows anti-joined away.
+    */
+  private final case class KeyedRewrite(
+      dirs: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      priorSchema: org.apache.spark.sql.types.StructType,
+      priorStats: Map[String, Map[String, (Option[String], Option[String])]],
+      priorBloomsRaw: Map[String, String],
+      priorBlooms: Map[String, Map[String, (Int, Int, Array[Byte])]],
+      priorBuckets: Map[String, (String, Int)],
+      rewritten: Map[String, Option[String]]) {
+    def survivingDirs: Seq[String] = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
+  }
+
+  private def keyedRewrite(
+      spark: SparkSession,
+      tableDir: String,
+      base: Long,
+      keyDf: DataFrame,
+      keys: Seq[String],
+      ranges: Map[String, (Option[String], Option[String])],
+      maxRecordsPerFile: Long): KeyedRewrite = {
+    val dirs = manifest(spark, tableDir, base)
+    val schemaOpt = versionSchema(spark, tableDir, base)
+    val priorSchema = schemaOpt
+      .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+    val priorStats = dirStats(spark, tableDir, base)
+    // phase 1 — manifest-stats pruning of the probe's candidate set
+    val numericKey = keys.map { c =>
+      c -> priorSchema.fields.find(_.name == c).map(_.dataType)
+        .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    }.toMap
+    val prunableKey = keys.map { c =>
+      val dt = priorSchema.fields.find(_.name == c).map(_.dataType)
+      c -> (numericKey(c) || dt.exists {
+        case org.apache.spark.sql.types.StringType    => true
+        case org.apache.spark.sql.types.DateType      => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _                                        => false
+      })
+    }.toMap
+    def cmp(c: String, a: String, b: String): Option[Int] =
+      if (numericKey(c)) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      else Some(utf8Cmp(a, b))
+    val candidates = dirs.filter { d =>
+      keys.forall { c =>
+        (priorStats.get(d).flatMap(_.get(c)), ranges(c)) match {
+          case (Some((Some(dMn), Some(dMx))), (Some(uMn), Some(uMx))) if prunableKey(c) =>
+            (cmp(c, dMn, uMx), cmp(c, uMn, dMx)) match {
+              case (Some(x), Some(y)) => x <= 0 && y <= 0
+              case _                  => true
+            }
+          // key equality never matches null: an all-null dir column or
+          // an all-null batch key column can produce no match
+          case (Some((None, None)), _) => false
+          case (_, (None, None))       => false
+          case _                       => true
+        }
+      }
+    }
+    // phase 2 — probe: which candidates actually hold matching keys
+    // (file → commit-dir attribution; collect bounded by the file count)
+    val affected: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readDirs(spark, tableDir, candidates.map(d => s"$tableDir/data/$d"), schemaOpt)
+        .withColumn("_graft_file", input_file_name())
+        .join(keyDf.distinct(), keys, "left_semi")
+        .select("_graft_file")
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .flatMap(f => candidates.find(d => f.contains(s"/$d/")))
+        .toSet
+    val rewritten: Map[String, Option[String]] = affected.map { d =>
+      val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
+        .join(keyDf, keys, "left_anti")
+      if (survivors.isEmpty) d -> None
+      else
+        d -> Some(writeDataDir(survivors, tableDir,
+          partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
+    }.toMap
+    KeyedRewrite(dirs, schemaOpt, priorSchema, priorStats,
+      dirBloomsRaw(spark, tableDir, base), dirBlooms(spark, tableDir, base),
+      dirBuckets(spark, tableDir, base), rewritten)
   }
 
   /** Row-level DELETE as copy-on-write on the MINIMAL directory set: one

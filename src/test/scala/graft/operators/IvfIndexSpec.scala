@@ -99,15 +99,141 @@ class IvfIndexSpec extends SparkSpec {
     assert(VersionedLake.currentVersion(s, asgDir).get === vNow,
       "a sync with nothing new must not commit")
     assert(VersionedLake.read(s, asgDir).count() === n)
-    // a corpus rewrite (upsert) invalidates append-only sync: explicit error
+  }
+
+  test("sync across corpus rewrites: O(changed dirs), deleted ids leave the index") {
+    val s = spark
+    val corpusDir = java.nio.file.Files.createTempDirectory("ivf_corpus_rw").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_rw").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // three stats-keyed corpus commits so the rewrite touches 1 of 3 dirs
+    VersionedLake.appendCommit(corpus.filter(col("vec_id") <= 100), corpusDir,
+      statsCols = Seq("vec_id"))
+    VersionedLake.appendCommit(
+      corpus.filter(col("vec_id") > 100 && col("vec_id") <= 200), corpusDir,
+      statsCols = Seq("vec_id"))
+    VersionedLake.appendCommit(corpus.filter(col("vec_id") > 200), corpusDir,
+      statsCols = Seq("vec_id"))
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir, k = 4, iters = 2) === Some(2L))
+    val asgDir = IvfIndex.assignmentsDir(idxDir)
+    val cents0 = IvfIndex.centroids(s, idxDir)
+    val total = corpus.count()
+    assert(VersionedLake.read(s, asgDir).count() === total)
+
+    // corpus DELETE rewrites exactly the middle directory
+    VersionedLake.deleteWhere(s, corpusDir,
+      col("vec_id") >= 150 && col("vec_id") <= 160)
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir) === Some(3L))
+    assert(IvfIndex.centroids(s, idxDir) === cents0, "a rewrite sync must not re-train")
+    val afterDelete = VersionedLake.read(s, asgDir)
+    assert(afterDelete.count() === total - 11,
+      "deleted corpus ids must leave the assignments")
+    assert(afterDelete.filter(col("id").between(150, 160)).count() === 0L)
+
+    // corpus UPSERT (same vector values) rewrites one dir + appends; the
+    // index re-assigns exactly the changed rows and stays answer-identical
     val s2 = s
     import s2.implicits._
     VersionedLake.upsert(s, corpusDir,
       corpus.filter(col("vec_id") === 5), keys = Seq("vec_id"))
-    val e = intercept[IllegalArgumentException] {
-      IvfIndex.sync(s, corpusDir, "vec_id", idxDir)
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir) === Some(4L))
+    val after = VersionedLake.read(s, asgDir)
+    assert(after.count() === total - 11)
+    assert(after.select("id").distinct().count() === total - 11)
+
+    // the maintained probe answers exactly like a fresh full assign of
+    // the REWRITTEN corpus over the same centroids
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+    val liveCorpus = VersionedLake.read(s, corpusDir)
+    val fresh = Similarity.ivfTopK(
+      Similarity.ivfAssign(liveCorpus, cents0), "vec_id", query, k = 5, cents0, nProbe = 3)
+      .select(col("vec_id").as("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 3)
+      .select(col("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex === fresh)
+  }
+
+  test("persisted IVF-PQ: codes-only candidate scan; answers match the in-query path") {
+    val s = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val b = Pq.seededBooks(64)
+    val cents = IvfIndex.buildPq(
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", idxDir, b, k = 8, iters = 2)
+    // append auto-detects the persisted codebooks and encodes the delta
+    IvfIndex.append(corpus.filter(col("vec_id") % 2 === 0), "vec_id", idxDir)
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+
+    // the candidate phase's scan must read codes, never vectors — the
+    // memory-shape property that makes the persisted index probe-cheap
+    val candPlan = IvfIndex.pqCandidates(s, idxDir, query, k = 10, nProbe = 3, refine = 4)
+      .queryExecution.executedPlan
+    val scans = candPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(e.getMessage.contains("build()"))
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(!read.contains("v") && !read.contains("norm"),
+        s"ADC candidate scan must not read vectors: $read")
+    }
+
+    // answer parity with the in-query IVF-PQ composition over the same
+    // centroids + books (assign/encode at build or append time is
+    // invisible: both are pure functions of the persisted model)
+    val viaIndex = IvfIndex.topKPq(s, idxDir, query, k = 10, nProbe = 3)
+      .select(col("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Pq.ivfPqTopK(corpus, "vec_id", query, k = 10, cents, b, nProbe = 3)
+      .select(col("vec_id").as("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex === fresh)
+  }
+
+  test("multi-table txn: a crash between member commits leaves readers consistent") {
+    val s = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_txn").toString
+    val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") <= 200)
+    IvfIndex.build(corpus, "vec_id", idxDir, k = 4, iters = 2)
+    val query = Similarity.withNorm(emb).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toSeq
+    val before = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val centsBefore = IvfIndex.centroids(s, idxDir)
+
+    // simulate a re-build that CRASHES between the centroids commit and
+    // the assignments commit: the centroids table has a newer version,
+    // but no txn record pins it
+    val s2 = s
+    import s2.implicits._
+    val drifted = centsBefore.map(_.map(_ + 100.0))
+    VersionedLake.commit(
+      drifted.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      IvfIndex.centroidsDir(idxDir))
+
+    // readers stay on the last txn record's consistent pair — the probe
+    // neither sees the drifted codebook nor mixes it with old assignments
+    assert(IvfIndex.centroids(s, idxDir) === centsBefore,
+      "a torn write must be invisible: centroids resolve through the txn record")
+    val after = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before, "probe answers must not change under a torn re-build")
+
+    // the re-build COMPLETES (assignments + txn record): the new state
+    // becomes visible atomically
+    val vA = graft.sources.VersionedLake.commit(
+      Similarity.ivfAssign(corpus, drifted)
+        .select(col("vec_id").as("id"), col("cell"), col("v"), col("norm")),
+      IvfIndex.assignmentsDir(idxDir), parts = Seq("cell"))
+    val vC = VersionedLake.currentVersion(s, IvfIndex.centroidsDir(idxDir)).get
+    graft.sources.LakeTxn.publish(s, idxDir,
+      Map("centroids" -> vC, "assignments" -> vA))
+    assert(IvfIndex.centroids(s, idxDir) === drifted,
+      "the completed txn publishes the new pair atomically")
   }
 
   test("probe reads prune to the probed cells' partitions") {
