@@ -179,94 +179,172 @@ object VersionedLake {
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  /** Write bytes to a unique `.tmp`, move over `name` — atomic publish
-    * that may REPLACE an existing file. Used only for the [[Pointer]]
-    * hint; manifests go through [[createExclusive]]. On local
-    * filesystems the replace is a single `rename(2)` (nio ATOMIC_MOVE) so
-    * concurrent readers never observe a missing pointer; HDFS-like stores
-    * need the delete+rename pair, and [[currentVersion]] tolerates the
-    * window by treating a vanished pointer as hint-absent.
+  /** The TWO storage primitives every lake publish reduces to — the
+    * LogStore seam production lakes split on (Delta's LogStore, an
+    * Iceberg catalog's commit op). Everything above this trait (manifest
+    * layout, optimistic concurrency, retries, stats/blooms) is
+    * store-agnostic; deploying on a store with different atomicity
+    * guarantees means implementing these two calls and nothing else.
     */
-  private def atomicWrite(
-      spark: SparkSession,
-      dir: String,
-      name: String,
-      content: String): Unit = {
-    val f = fs(spark, dir)
-    val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
-    if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+  trait CommitStore {
+    /** Publish `content` at `dir/name`, REPLACING any existing file, such
+      * that readers observe either the old complete content or the new —
+      * never a partial write. Used for the [[Pointer]] hint.
+      */
+    def atomicWrite(spark: SparkSession, dir: String, name: String, content: String): Unit
+
+    /** Create `dir/name` with `content` atomically and EXCLUSIVELY: the
+      * file appears complete or not at all, and if it already exists (a
+      * concurrent committer won the version) this throws
+      * [[CommitConflictException]] instead of replacing it. The entire
+      * multi-writer story rests on this one call.
+      */
+    def createExclusive(spark: SparkSession, dir: String, name: String, content: String): Unit
+  }
+
+  /** Default store for filesystems with native atomicity primitives.
+    *
+    * Local filesystems: POSIX `rename(2)` REPLACES an existing
+    * destination, so tmp+rename cannot detect the exclusive-create race —
+    * instead the full content is staged to a tmp file and `link(2)`-ed to
+    * the destination (`Files.createLink`), which the kernel guarantees
+    * fails atomically with EEXIST; the destination therefore appears with
+    * its complete content. HDFS-like stores: their `rename` contractually
+    * FAILS when the destination exists, so tmp+rename is already
+    * atomic-exclusive. Raw object stores (S3) guarantee neither — use
+    * [[ConditionalPutStore]]'s shape there.
+    */
+  object FsCommitStore extends CommitStore {
+    def atomicWrite(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+      val f = fs(spark, dir)
+      val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+      if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createDirectories(dstP.getParent)
+        val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
+        java.nio.file.Files.write(tmpP,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmpP, dstP,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"$name.${java.util.UUID.randomUUID()}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.exists(dst)) f.delete(dst, false)
+        require(f.rename(tmp, dst), s"atomic publish of $dir/$name failed")
+      }
+    }
+
+    def createExclusive(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+      val f = fs(spark, dir)
+      val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+      if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createDirectories(dstP.getParent)
+        val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
+        java.nio.file.Files.write(tmpP,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.createLink(dstP, tmpP)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmpP)
+            throw new CommitConflictException(
+              s"$dir/$name was published by a concurrent committer")
+        }
+        java.nio.file.Files.deleteIfExists(tmpP)
+      } else {
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        if (!f.exists(dirPath)) f.mkdirs(dirPath)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"$name.${java.util.UUID.randomUUID()}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.exists(dst) || !f.rename(tmp, dst)) {
+          f.delete(tmp, false)
+          throw new CommitConflictException(
+            s"$dir/$name was published by a concurrent committer")
+        }
+      }
+    }
+  }
+
+  /** Commit store for object stores with NO atomic-exclusive primitive —
+    * the S3 deployment shape, runnable as a contract test. The store
+    * model: a PUT places a complete object (temp + replacing rename here,
+    * matching S3's per-object atomic PUT) but provides NO exclusivity —
+    * a bare write is last-writer-wins. Mutual exclusion comes ENTIRELY
+    * from an external compare-and-set claim: here an in-process claim
+    * table; in production S3's conditional PUT (`If-None-Match: *`) or a
+    * DynamoDB-style lock table — the same LogStore split Delta's
+    * S3DynamoDBLogStore makes. The concurrency spec runs its race matrix
+    * against this store, proving the lake's multi-writer guarantees
+    * survive a store whose rename offers nothing: swap the claim table
+    * for the real conditional PUT and nothing else changes.
+    *
+    * Scope: the in-process claim table fences writers in THIS process
+    * (the contract test's scope); cross-process exclusion is exactly what
+    * the production CAS supplies behind the same call.
+    */
+  final class ConditionalPutStore extends CommitStore {
+    private val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    private def put(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+      // a PUT: complete object appears, replacing whatever was there —
+      // deliberately NOT exclusive (rename with REPLACE_EXISTING)
+      val f = fs(spark, dir)
+      val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
       val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
       java.nio.file.Files.createDirectories(dstP.getParent)
       val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
       java.nio.file.Files.write(tmpP,
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmpP, dstP,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s"$name.${java.util.UUID.randomUUID()}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (f.exists(dst)) f.delete(dst, false)
-      require(f.rename(tmp, dst), s"atomic publish of $dir/$name failed")
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def atomicWrite(spark: SparkSession, dir: String, name: String, content: String): Unit =
+      put(spark, dir, name, content)
+
+    def createExclusive(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+      val key = s"$dir/$name"
+      // the conditional-PUT claim IS the exclusivity; the object write
+      // below is an ordinary last-writer-wins PUT
+      val f = fs(spark, dir)
+      val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+      if (!claims.add(key) || f.exists(dst))
+        throw new CommitConflictException(
+          s"$dir/$name was published by a concurrent committer (conditional PUT failed)")
+      put(spark, dir, name, content)
     }
   }
 
-  /** Create `dir/name` with `content` atomically and EXCLUSIVELY: the file
-    * appears complete or not at all, and if it already exists (a
-    * concurrent committer won the version) this throws
-    * [[CommitConflictException]] instead of replacing it.
-    *
-    * Local filesystems: POSIX `rename(2)` REPLACES an existing
-    * destination, so tmp+rename cannot detect the race — instead the full
-    * content is staged to a tmp file and `link(2)`-ed to the destination
-    * (`Files.createLink`), which the kernel guarantees fails atomically
-    * with EEXIST; the destination therefore appears with its complete
-    * content. HDFS-like stores: their `rename` contractually FAILS when
-    * the destination exists, so tmp+rename is already atomic-exclusive.
-    * Raw object stores (S3) guarantee neither; deploying there needs the
-    * store's conditional-PUT (If-None-Match) or an external commit
-    * coordinator behind this same call — the LogStore split every
-    * production lake makes.
+  /** The active commit store. Swap at deployment startup for stores
+    * without native atomic-exclusive create; [[withCommitStore]] scopes a
+    * swap for tests.
     */
+  @volatile private[graft] var commitStore: CommitStore = FsCommitStore
+
+  private[graft] def withCommitStore[A](cs: CommitStore)(body: => A): A = {
+    val prev = commitStore
+    commitStore = cs
+    try body finally commitStore = prev
+  }
+
+  private def atomicWrite(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      content: String): Unit = commitStore.atomicWrite(spark, dir, name, content)
+
   private[graft] def createExclusive(
       spark: SparkSession,
       dir: String,
       name: String,
-      content: String): Unit = {
-    val f = fs(spark, dir)
-    val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
-    if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
-      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
-      java.nio.file.Files.createDirectories(dstP.getParent)
-      val tmpP = dstP.resolveSibling(s"$name.${java.util.UUID.randomUUID()}.tmp")
-      java.nio.file.Files.write(tmpP,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try java.nio.file.Files.createLink(dstP, tmpP)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmpP)
-          throw new CommitConflictException(
-            s"$dir/$name was published by a concurrent committer")
-      }
-      java.nio.file.Files.deleteIfExists(tmpP)
-    } else {
-      val dirPath = new org.apache.hadoop.fs.Path(dir)
-      if (!f.exists(dirPath)) f.mkdirs(dirPath)
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s"$name.${java.util.UUID.randomUUID()}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (f.exists(dst) || !f.rename(tmp, dst)) {
-        f.delete(tmp, false)
-        throw new CommitConflictException(
-          s"$dir/$name was published by a concurrent committer")
-      }
-    }
-  }
+      content: String): Unit = commitStore.createExclusive(spark, dir, name, content)
 
   /** Currently published version; None for an empty/uninitialized table.
     *

@@ -48,13 +48,14 @@ class VersionedLakeConcurrencySpec extends SparkSpec {
     assert(VersionedLake.currentVersion(s, dir) === Some(1L))
   }
 
-  test("concurrent appendCommits: every committer's rows survive") {
+  /** The committer race, runnable against any [[VersionedLake.CommitStore]]. */
+  private def raceAppends(tag: String): Unit = {
     val s = spark
     import s.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dir = java.nio.file.Files.createTempDirectory("vlake_race").toString
+    val dir = java.nio.file.Files.createTempDirectory(s"vlake_race_$tag").toString
     VersionedLake.commit(Seq((0L, "seed")).toDF("id", "payload"), dir)
     val n = 8
     val fs = (1 to n).map { i =>
@@ -65,6 +66,44 @@ class VersionedLakeConcurrencySpec extends SparkSpec {
     assert(VersionedLake.currentVersion(s, dir) === Some(n.toLong))
     assert(ids(VersionedLake.read(s, dir)) === (0L to n.toLong).toSet,
       "a lost-update (last-writer-wins) publish would drop a committer's rows")
+  }
+
+  test("concurrent appendCommits: every committer's rows survive") {
+    raceAppends("fs")
+  }
+
+  // ------------------------------------------------------------------
+  // Commit-protocol contract matrix: the same races must hold on a store
+  // WITHOUT an atomic-exclusive rename (the S3 shape), where exclusivity
+  // comes only from a conditional-PUT claim. Passing here documents
+  // exactly what an object-store deployment needs: implement the claim
+  // (If-None-Match / lock table) behind CommitStore and nothing else.
+  // ------------------------------------------------------------------
+
+  test("conditional-PUT store: concurrent appendCommits survive without atomic rename") {
+    VersionedLake.withCommitStore(new VersionedLake.ConditionalPutStore) {
+      raceAppends("condput")
+    }
+  }
+
+  test("conditional-PUT store: createExclusive conflicts come from the claim, not the FS") {
+    val s = spark
+    VersionedLake.withCommitStore(new VersionedLake.ConditionalPutStore) {
+      val dir = java.nio.file.Files.createTempDirectory("vlake_condput_excl").toString
+      VersionedLake.createExclusive(s, s"$dir/manifest", "v=0.txt", "first")
+      val e = intercept[VersionedLake.CommitConflictException] {
+        VersionedLake.createExclusive(s, s"$dir/manifest", "v=0.txt", "second")
+      }
+      assert(e.getMessage.contains("conditional PUT"))
+      val src = scala.io.Source.fromFile(s"$dir/manifest/v=0.txt")
+      try assert(src.mkString === "first") finally src.close()
+    }
+    // and a fresh store instance still refuses to replace a published
+    // object that predates it (the exists check backs the claim table)
+    VersionedLake.withCommitStore(new VersionedLake.ConditionalPutStore) {
+      val dir = java.nio.file.Files.createTempDirectory("vlake_condput_pre").toString
+      VersionedLake.createExclusive(s, s"$dir/manifest", "v=0.txt", "winner")
+    }
   }
 
   test("ingest racing OPTIMIZE: no rows lost, loser re-bases") {
