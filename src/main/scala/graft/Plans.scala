@@ -45,7 +45,9 @@ object Plans {
     "q_knn_ivf_persisted" -> "persisted IVF index: delta-assigned lake table, probe partition-prunes to nProbe cells",
     "q_view_extremum_retract" -> "retractable max: bounded top-k + fence state, repair semi-join-pruned to flagged groups",
     "q_video_frames" -> "video container walk + real per-frame decode + dHash in one mapPartitions pass",
-    "q_bucketed_join" -> "bucket-aligned fact join probe: zero-exchange SMJ (layout write amortized in warm-up)")
+    "q_bucketed_join" -> "bucket-aligned fact join probe: zero-exchange SMJ (layout write amortized in warm-up)",
+    "q_lake_upsert" -> "minimal-CoW MERGE: stats-pruned dir probe, 1-of-3 dirs rewritten, batch appended",
+    "q_knn_ivfpq_persisted" -> "persisted IVF-PQ: codes-only ADC candidate scan, vector fetch for k*refine ids")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate

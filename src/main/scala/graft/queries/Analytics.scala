@@ -310,7 +310,9 @@ object Analytics {
           .select(
             col("o_custkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst"))
-          .cache()
+          // serialized: 600k cached rows feed 3 iterations of join+agg —
+          // a deserialized row cache here is pure GC pressure
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val edges = co.union(co.select(col("dst").as("src"), col("src").as("dst")))
         val out = graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
           .select(col("id"), round(col("r"), 8).as("r"))

@@ -1302,20 +1302,39 @@ object VersionedLake {
     def survivingDirs: Seq[String] = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
   }
 
-  private def keyedRewrite(
+  /** Phase-1 candidate pruning for a keyed copy-on-write, spec-visible:
+    * committed manifest STATS drop directories whose [min,max] on any
+    * key column cannot intersect the batch's key range, then committed
+    * BLOOMS drop directories that provably hold none of the batch's
+    * keys — the layer that fires on high-cardinality interleaved keys
+    * (uuid/doc_id CDC batches) where every directory's range spans the
+    * domain and stats prune nothing.
+    */
+  private[graft] def pruneCandidates(
+      spark: SparkSession,
+      tableDir: String,
+      base: Long,
+      keyDf: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val ranges = keyRanges(keyDf, keys)
+    val dirs = manifest(spark, tableDir, base)
+    val schemaOpt = versionSchema(spark, tableDir, base)
+    val priorSchema = schemaOpt
+      .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+    pruneCandidatesImpl(spark, tableDir, base, keyDf, keys, ranges, dirs, priorSchema)
+  }
+
+  private def pruneCandidatesImpl(
       spark: SparkSession,
       tableDir: String,
       base: Long,
       keyDf: DataFrame,
       keys: Seq[String],
       ranges: Map[String, (Option[String], Option[String])],
-      maxRecordsPerFile: Long): KeyedRewrite = {
-    val dirs = manifest(spark, tableDir, base)
-    val schemaOpt = versionSchema(spark, tableDir, base)
-    val priorSchema = schemaOpt
-      .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      dirs: Seq[String],
+      priorSchema: org.apache.spark.sql.types.StructType): Seq[String] = {
     val priorStats = dirStats(spark, tableDir, base)
-    // phase 1 — manifest-stats pruning of the probe's candidate set
+    // stats layer
     val numericKey = keys.map { c =>
       c -> priorSchema.fields.find(_.name == c).map(_.dataType)
         .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -1332,7 +1351,7 @@ object VersionedLake {
     def cmp(c: String, a: String, b: String): Option[Int] =
       if (numericKey(c)) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
       else Some(utf8Cmp(a, b))
-    val candidates = dirs.filter { d =>
+    val statsKept = dirs.filter { d =>
       keys.forall { c =>
         (priorStats.get(d).flatMap(_.get(c)), ranges(c)) match {
           case (Some((Some(dMn), Some(dMx))), (Some(uMn), Some(uMx))) if prunableKey(c) =>
@@ -1348,6 +1367,75 @@ object VersionedLake {
         }
       }
     }
+    bloomPruneCandidates(spark, tableDir, base, statsKept, keyDf, keys, priorSchema)
+  }
+
+  /** Bloom layer of the keyed-CoW candidate pruning: for every surviving
+    * directory with a committed Bloom on a key column, ONE distributed
+    * pass over the batch's distinct keys decides whether ANY key could
+    * be present (all k bit positions set, AND-ed across bloom'd key
+    * columns) — the filters travel as broadcast literals, the batch
+    * never collects. Dirs with a provable miss drop before the probe
+    * scan is planned. Bounded to 64 testable dirs (aggregate-plan
+    * width); beyond that the probe scan's own pushdown takes over.
+    */
+  private def bloomPruneCandidates(
+      spark: SparkSession,
+      tableDir: String,
+      base: Long,
+      candidates: Seq[String],
+      keyDf: DataFrame,
+      keys: Seq[String],
+      priorSchema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val blooms = dirBlooms(spark, tableDir, base)
+    val testable = candidates.filter(d =>
+      blooms.get(d).exists(cols => keys.exists(cols.contains)))
+    if (testable.isEmpty || testable.size > 64) return candidates
+    // bit p lives at bytes(p>>3) bit (p&7); little-endian 8-byte packing
+    // puts it at word(p>>6) bit (p&63)
+    def words(bytes: Array[Byte]): Seq[Long] =
+      bytes.grouped(8).map { g =>
+        var w = 0L
+        var j = 0
+        while (j < g.length) { w |= (g(j) & 0xffL) << (8 * j); j += 1 }
+        w
+      }.toSeq
+    def mightContain(c: String, m: Int, k: Int, bytes: Array[Byte]): Column = {
+      val dt = priorSchema.fields.find(_.name == c).map(_.dataType)
+      val typed = dt.map(t => col(c).cast(t)).getOrElse(col(c))
+      col(c).isNotNull && forall(bloomPositions(typed, m, k), p =>
+        call_function("shiftrightunsigned",
+          element_at(typedLit(words(bytes)), (p / 64).cast("int") + 1),
+          pmod(p, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
+    }
+    val aggs = testable.map { d =>
+      val perCol = blooms(d).collect {
+        case (c, (m, k, bytes)) if keys.contains(c) => mightContain(c, m, k, bytes)
+      }
+      max(when(perCol.reduce(_ && _), 1).otherwise(0))
+    }
+    val row = keyDf.distinct().agg(aggs.head, aggs.tail: _*).head()
+    val possible = testable.zipWithIndex.collect {
+      case (d, i) if !row.isNullAt(i) && row.getInt(i) == 1 => d
+    }.toSet
+    candidates.filter(d => !testable.contains(d) || possible(d))
+  }
+
+  private def keyedRewrite(
+      spark: SparkSession,
+      tableDir: String,
+      base: Long,
+      keyDf: DataFrame,
+      keys: Seq[String],
+      ranges: Map[String, (Option[String], Option[String])],
+      maxRecordsPerFile: Long): KeyedRewrite = {
+    val dirs = manifest(spark, tableDir, base)
+    val schemaOpt = versionSchema(spark, tableDir, base)
+    val priorSchema = schemaOpt
+      .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+    val priorStats = dirStats(spark, tableDir, base)
+    val candidates =
+      pruneCandidatesImpl(spark, tableDir, base, keyDf, keys, ranges, dirs, priorSchema)
     // phase 2 — probe: which candidates actually hold matching keys
     // (file → commit-dir attribution; collect bounded by the file count)
     val affected: Set[String] =

@@ -148,6 +148,36 @@ class VersionedLakeDeleteTxnSpec extends SparkSpec {
     assert(VersionedLake.readVersion(s, dir, 1).filter(col("tag") === "b").count() === 1L)
   }
 
+  test("keyed-CoW candidate pruning: blooms prune interleaved keys stats can't") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ups_bloom").toString
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 14))
+    // keys INTERLEAVED mod 3: every directory's [min,max] spans the whole
+    // domain, so the stats layer keeps all three dirs by construction
+    def batch(res: Long) =
+      (0L to 299L).filter(_ % 3 == res).map(i => (i, s"p$i")).toDF("id", "payload")
+    VersionedLake.appendCommit(batch(0), dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit(batch(1), dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit(batch(2), dir, statsCols = Seq("id"), bloom = bloom)
+    val m0 = VersionedLake.manifest(s, dir, 2)
+    // a batch of residue-1 keys: only the middle directory can hold them
+    val keyDf = Seq(1L, 103L, 250L).toDF("id")
+    val cands = VersionedLake.pruneCandidates(s, dir, 2, keyDf, Seq("id"))
+    assert(cands === Seq(m0(1)),
+      s"blooms must prune the residue-0/2 dirs before the probe scan: $cands")
+    // and the full upsert through the pruned probe rewrites exactly that dir
+    val v = VersionedLake.upsert(s, dir,
+      Seq((1L, "x1"), (103L, "x103"), (250L, "x250")).toDF("id", "payload"),
+      keys = Seq("id"))
+    val m1 = VersionedLake.manifest(s, dir, v)
+    assert(m1.contains(m0(0)) && m1.contains(m0(2)) && !m1.contains(m0(1)))
+    val got = VersionedLake.read(s, dir)
+      .filter(col("id").isin(1L, 103L, 250L, 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "x1"), (103L, "x103"), (250L, "x250"), (2L, "p2")))
+  }
+
   test("updateWhere: predicate and every assignment RHS see the PRE-update row") {
     val s = spark
     import s.implicits._
