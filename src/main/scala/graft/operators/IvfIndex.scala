@@ -50,6 +50,16 @@ object IvfIndex {
   def pqBooksDir(indexDir: String): String = s"$indexDir/pqbooks"
 
   private val Cent = "centroids"
+
+  /** Bloom config every assignments commit declares on `id`: cell
+    * partitioning serves the probe, but index MAINTENANCE (sync's keyed
+    * upsert / deleteKeys after a corpus rewrite) probes by id — exactly
+    * the high-cardinality interleaved-key case where manifest stats
+    * never prune and the keyed-CoW bloom layer is the only thing
+    * standing between a maintenance batch and a full index scan.
+    */
+  private val AsgBloom =
+    Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 18))
   private val Asg = "assignments"
   private val Books = "pqbooks"
 
@@ -132,7 +142,7 @@ object IvfIndex {
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
       centroidsDir(indexDir))
     val vA = VersionedLake.commit(assignRows(df, idCol, cents), assignmentsDir(indexDir),
-      parts = Seq("cell"))
+      parts = Seq("cell"), bloom = AsgBloom)
     LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Asg -> vA))
     cents
   }
@@ -164,7 +174,7 @@ object IvfIndex {
     } yield (j, c, w)
     val vB = VersionedLake.commit(bookRows.toDF("j", "c", "w"), pqBooksDir(indexDir))
     val vA = VersionedLake.commit(assignRowsPq(df, idCol, cents, b),
-      assignmentsDir(indexDir), parts = Seq("cell"))
+      assignmentsDir(indexDir), parts = Seq("cell"), bloom = AsgBloom)
     LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Books -> vB, Asg -> vA))
     cents
   }
@@ -196,7 +206,8 @@ object IvfIndex {
       case Some(_) => assignRowsPq(delta, idCol, cents, pqBooks(spark, indexDir))
       case None    => assignRows(delta, idCol, cents)
     }
-    val vA = VersionedLake.appendCommit(rows, assignmentsDir(indexDir), parts = Seq("cell"))
+    val vA = VersionedLake.appendCommit(rows, assignmentsDir(indexDir),
+      parts = Seq("cell"), bloom = AsgBloom)
     publishMaintenance(spark, indexDir, vA)
     vA
   }
@@ -244,7 +255,7 @@ object IvfIndex {
           cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
           centroidsDir(indexDir))
         val vA = VersionedLake.appendCommitTxn(assignRows(snapshot, idCol, cents), asgDir,
-          appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+          appId = SyncApp, batchId = corpusV, parts = Seq("cell"), bloom = AsgBloom)
         LakeTxn.publish(spark, indexDir, Map(Cent -> vC, Asg -> vA))
         Some(corpusV)
       case Some(asgV) =>
@@ -278,7 +289,7 @@ object IvfIndex {
             // pure appends: assign the new directories, O(delta)
             VersionedLake.appendCommitTxn(
               assignRows(readCorpusDirs(added, corpusV), idCol, cents), asgDir,
-              appId = SyncApp, batchId = corpusV, parts = Seq("cell"))
+              appId = SyncApp, batchId = corpusV, parts = Seq("cell"), bloom = AsgBloom)
           } else {
             // rewrites in the window. Old rows live on disk until vacuum
             // (the old manifest still references them), so the diff is
