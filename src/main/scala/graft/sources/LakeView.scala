@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PERSISTED incremental materialized view over a [[VersionedLake]]
+  * corpus — the generalization of [[graft.operators.IvfIndex.sync]]'s
+  * maintenance contract from ANN assignments to arbitrary mergeable
+  * aggregations ([[graft.operators.ViewMaintenance]] owns the algebra;
+  * this owns durability and exactly-once).
+  *
+  * The view is ONE lake table of PARTIAL-state frames: each sync
+  * aggregates only the corpus directories that are new since the last
+  * sync (manifest diff — the commit log IS the change feed, no
+  * timestamps, no full-scan anti-join) and append-commits the delta's
+  * state, O(delta) work and O(delta) new files. [[read]] merges the
+  * partials. The last-reflected corpus version rides the view table's
+  * own manifest as a txn watermark (`appId = "view-sync"`), so the
+  * watermark moves atomically WITH the state commit: a crashed sync
+  * replays idempotently, racing syncs serialize through the lake's
+  * optimistic concurrency, and no multi-table coordination is needed —
+  * state and progress are one commit.
+  *
+  * Corpus REWRITES (upsert/delete/update/compaction) fold old rows into
+  * new directories, so "the delta" is no longer a directory diff;
+  * sum-mergeable state cannot subtract what it never saw. Sync detects
+  * the rewrite from the same manifest diff and REBUILDS: one full
+  * recompute of the snapshot committed as a fresh single-frame snapshot
+  * (the honest fallback — signed retraction is the streaming engines'
+  * answer and [[graft.operators.ViewMaintenance.joinDeltaBoth]] provides
+  * it at the DataFrame level for callers that track deletes
+  * explicitly). Between rewrites, maintenance stays O(appended bytes).
+  *
+  * [[compact]] bounds read-side merge fan-in: it collapses the
+  * accumulated partials into one merged frame as a full-snapshot commit
+  * (watermark carried), the same amortization bargain as
+  * [[VersionedLake.optimizeIfNeeded]].
+  */
+object LakeView {
+
+  private val ViewApp = "view-sync"
+
+  /** Bring the view up to the corpus's current version. `stateOf` maps
+    * any slice of corpus rows to a per-group PARTIAL state frame (its
+    * output schema must be stable across calls); partials from different
+    * syncs merge in [[read]]. Returns the corpus version now reflected,
+    * or None when the corpus is empty.
+    */
+  def sync(
+      spark: SparkSession,
+      corpusDir: String,
+      viewDir: String,
+      stateOf: DataFrame => DataFrame): Option[Long] = {
+    val corpusV = VersionedLake.currentVersion(spark, corpusDir).getOrElse(return None)
+    VersionedLake.currentVersion(spark, viewDir) match {
+      case None =>
+        // first sync: the whole snapshot is the delta
+        val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
+        VersionedLake.appendCommitTxn(stateOf(snapshot), viewDir,
+          appId = ViewApp, batchId = corpusV)
+        Some(corpusV)
+      case Some(viewV) =>
+        val lastSynced = VersionedLake.txnWatermarks(spark, viewDir, viewV)
+          .getOrElse(ViewApp,
+            throw new IllegalStateException(
+              s"$viewDir is not a LakeView state table (no $ViewApp watermark)"))
+        if (corpusV <= lastSynced) return Some(lastSynced)
+        val curDirs = VersionedLake.manifest(spark, corpusDir, corpusV)
+        val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced)
+        val removed = priorDirs.filterNot(curDirs.toSet)
+        val added = curDirs.filterNot(priorDirs.toSet)
+        if (removed.nonEmpty) {
+          // rewrite in the window: partial states cannot retract rows
+          // they already folded in — rebuild from the snapshot, as ONE
+          // exactly-once-gated full-snapshot commit
+          val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
+          VersionedLake.commit(stateOf(snapshot), viewDir,
+            txn = Some(ViewApp -> corpusV))
+        } else if (added.nonEmpty) {
+          val schema = VersionedLake.versionSchema(spark, corpusDir, corpusV)
+          val reader = spark.read.option("basePath", s"$corpusDir/data")
+          val paths = added.map(d => s"$corpusDir/data/$d")
+          val delta =
+            schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
+          VersionedLake.appendCommitTxn(stateOf(delta), viewDir,
+            appId = ViewApp, batchId = corpusV)
+        }
+        Some(corpusV)
+    }
+  }
+
+  /** The view's merged answer: fold the accumulated partial-state frames
+    * with [[graft.operators.ViewMaintenance.merge]]'s algebra. `state`
+    * maps each state column to its merge op (sum/min/max/...).
+    */
+  def read(
+      spark: SparkSession,
+      viewDir: String,
+      keys: Seq[String],
+      state: Seq[(String, String)]): DataFrame =
+    graft.operators.ViewMaintenance.merge(
+      Seq(VersionedLake.read(spark, viewDir)), keys, state)
+
+  /** Collapse the accumulated partials into one merged frame (a full
+    * snapshot commit; the sync watermark carries, so replays still
+    * no-op). Run on the same cadence as lake compaction — read cost is
+    * O(partial frames) between compactions. Read-modify-write: the
+    * publish is gated on the version the merge read, so a sync landing
+    * mid-compact conflicts and the compact re-bases instead of silently
+    * dropping the sync's partials.
+    */
+  def compact(
+      spark: SparkSession,
+      viewDir: String,
+      keys: Seq[String],
+      state: Seq[(String, String)]): Long =
+    VersionedLake.retryOnConflict(maxAttempts = 4) {
+      val base = VersionedLake.currentVersion(spark, viewDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $viewDir"))
+      val merged = graft.operators.ViewMaintenance.merge(
+        Seq(VersionedLake.readVersion(spark, viewDir, base)), keys, state)
+      VersionedLake.commitReplacing(merged, viewDir, base)
+    }
+}

@@ -736,20 +736,47 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
-      bloom: Option[BloomConfig] = None): Long = {
+      bloom: Option[BloomConfig] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val stats = columnStats(df, statsCols).map(d -> _).toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
     // a full snapshot replaces the table regardless of base version, so a
     // lost race only means re-claiming the next number — data is written.
     // Gated on the base anyway so writer txn watermarks carry forward
-    // from the exact version being superseded.
+    // from the exact version being superseded. `txn` gates exactly-once
+    // like appendCommitTxn (a replayed snapshot rebuild must no-op).
     retryOnConflict() {
       val spark = df.sparkSession
       val cur = currentVersion(spark, tableDir)
+      val priorTxns = txnsAt(spark, tableDir, cur)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return cur.get
+      }
       publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema), stats, blooms,
-        expectedBase = Some(cur), txns = txnsAt(spark, tableDir, cur))
+        expectedBase = Some(cur), txns = priorTxns ++ txn.toMap)
     }
+  }
+
+  /** Full-snapshot commit GATED on an explicit base version — the
+    * read-modify-write primitive for callers that derived `df` FROM the
+    * base snapshot (compaction-like rewrites): if the table moved past
+    * `base` since the caller's read, this throws
+    * [[CommitConflictException]] instead of clobbering the concurrent
+    * commit; the caller re-reads and re-derives. Txn watermarks carry
+    * from `base`.
+    */
+  private[graft] def commitReplacing(
+      df: DataFrame,
+      tableDir: String,
+      base: Long,
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+    val spark = df.sparkSession
+    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema),
+      expectedBase = Some(Some(base)),
+      txns = txnWatermarks(spark, tableDir, base))
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is

@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental materialized view contract: maintenance reads
+  * only the corpus directories new since the last sync (manifest diff),
+  * progress rides the state commit (exactly-once), rewrites trigger a
+  * rebuild rather than a wrong merge, and compaction bounds the
+  * read-side merge fan-in without losing the watermark.
+  */
+class LakeViewSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  private def batch(ids: Range) =
+    ids.map(i => (i.toLong, s"g${i % 3}", i * 1.5)).toDF("id", "g", "amount")
+
+  private def stateOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("amount")).as("total"),
+      min(col("id")).as("first_id"))
+
+  private val mergeOps = Seq("n" -> "sum", "total" -> "sum", "first_id" -> "min")
+
+  private def render(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Double, Long)] =
+    df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+
+  private def recomputed(corpusDir: String): Map[String, (Long, Double, Long)] =
+    render(stateOf(VersionedLake.read(s, corpusDir)))
+
+  test("sync maintains the view O(delta); the view always equals a recompute") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("lview_corpus").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("lview_state").toString
+    val batches = Seq(batch(0 until 200), batch(200 until 260), batch(260 until 500))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VersionedLake.appendCommit(b, corpusDir)
+      assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(i.toLong))
+      assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir),
+        s"after sync $i the merged view must equal a full recompute")
+    }
+    // O(delta): three syncs = three state commits, each appending one frame
+    val vV = VersionedLake.currentVersion(s, viewDir).get
+    assert(vV === 2L)
+    assert(VersionedLake.manifest(s, viewDir, vV).size === 3,
+      "each sync must append one partial-state dir, never rewrite the view")
+    // replayed sync no-ops (watermark gates it)
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(2L))
+    assert(VersionedLake.currentVersion(s, viewDir).get === vV)
+  }
+
+  test("a corpus rewrite rebuilds the view; appends afterwards resume incrementally") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("lview_rw_corpus").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("lview_rw_state").toString
+    VersionedLake.appendCommit(batch(0 until 100), corpusDir)
+    VersionedLake.appendCommit(batch(100 until 200), corpusDir)
+    LakeView.sync(s, corpusDir, viewDir, stateOf)
+    // rewrite: partial states cannot retract folded-in rows
+    VersionedLake.deleteWhere(s, corpusDir, col("id") < 50L)
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(2L))
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir),
+      "a rewrite must rebuild, not merge stale partials")
+    assert(VersionedLake.manifest(s, viewDir,
+      VersionedLake.currentVersion(s, viewDir).get).size === 1,
+      "the rebuild publishes one fresh snapshot frame")
+    // the rebuild's exactly-once gate: replaying it no-ops
+    val vAfter = VersionedLake.currentVersion(s, viewDir).get
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(2L))
+    assert(VersionedLake.currentVersion(s, viewDir).get === vAfter)
+    // incremental maintenance resumes after the rebuild
+    VersionedLake.appendCommit(batch(200 until 250), corpusDir)
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(3L))
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir))
+  }
+
+  test("compact collapses partials, keeps the answer and the watermark") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("lview_cp_corpus").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("lview_cp_state").toString
+    (0 until 4).foreach { i =>
+      VersionedLake.appendCommit(batch(i * 50 until (i + 1) * 50), corpusDir)
+      LakeView.sync(s, corpusDir, viewDir, stateOf)
+    }
+    val before = render(LakeView.read(s, viewDir, Seq("g"), mergeOps))
+    LakeView.compact(s, viewDir, Seq("g"), mergeOps)
+    val vV = VersionedLake.currentVersion(s, viewDir).get
+    assert(VersionedLake.manifest(s, viewDir, vV).size === 1,
+      "compaction must collapse the partial frames into one")
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === before)
+    // the watermark survived compaction: a replayed sync still no-ops
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(3L))
+    assert(VersionedLake.currentVersion(s, viewDir).get === vV)
+    // and future appends keep maintaining incrementally on the compacted state
+    VersionedLake.appendCommit(batch(200 until 260), corpusDir)
+    LakeView.sync(s, corpusDir, viewDir, stateOf)
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir))
+  }
+}
