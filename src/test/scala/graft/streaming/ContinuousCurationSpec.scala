@@ -123,4 +123,49 @@ class ContinuousCurationSpec extends SparkSpec {
     assert(VersionedLake.readBetween(s, dir, "id", 1000, 2000).count() === 0L)
     assert(VersionedLake.readPoint(s, dir, "id", 42L).count() === 1L)
   }
+
+  test("ingest loop + persisted view: the view tracks the table through replays and compactions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_loop_view").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("ingest_loop_view_st").toString
+    import graft.sources.LakeView
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy((col("id") % 3).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val mergeOps = Seq("n" -> "sum", "total" -> "sum")
+    val in = MemoryStream[(Long, Double)]
+    // the full production body: exactly-once ingest (epoch replayed),
+    // cadence compaction, AND view maintenance per epoch — compactions
+    // rewrite every directory, so the view's rebuild-on-rewrite path
+    // fires mid-stream between O(delta) incremental syncs
+    val q = in.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        VersionedLake.appendCommitTxn(batch, dir, "loop", epoch)
+        VersionedLake.appendCommitTxn(batch, dir, "loop", epoch) // replay
+        VersionedLake.optimizeIfNeeded(s, dir, maxDirs = 3): Unit
+        LakeView.sync(s, dir, viewDir, stateOf): Unit
+        LakeView.sync(s, dir, viewDir, stateOf): Unit // replay: no-op
+      }
+      .start()
+    try {
+      (0 until 5).foreach { b =>
+        in.addData((0 until 10).map(i => (b * 10L + i, i * 1.0)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val viewGot = LakeView.read(s, viewDir, Seq("g"), mergeOps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truth = stateOf(VersionedLake.read(s, dir))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viewGot === truth,
+      "the maintained view must equal a recompute after 5 epochs of " +
+        "replayed ingest interleaved with compactions")
+    // the watermark reflects the corpus head: one more sync is a no-op
+    val vV = VersionedLake.currentVersion(s, viewDir).get
+    LakeView.sync(s, dir, viewDir, stateOf)
+    assert(VersionedLake.currentVersion(s, viewDir).get === vV)
+  }
 }
