@@ -91,6 +91,9 @@ object Relational5 {
   private def delLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
     orderedLake(s, dir, "del", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
 
+  private def morLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    orderedLake(s, dir, "mor", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
   private def updLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
     orderedLake(s, dir, "upd", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
 
@@ -129,6 +132,7 @@ object Relational5 {
     */
   def ensureLakeFixtures(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     delLake(s, dir): Unit
+    morLake(s, dir): Unit
     updLake(s, dir): Unit
     upsLake(s, dir): Unit
     feedLake(s, dir): Unit
@@ -471,6 +475,34 @@ object Relational5 {
              |FROM orders
              |WHERE o_orderkey > (SELECT (max(o_orderkey) // 3) // 2 FROM orders)""".stripMargin),
       covers = Seq("ext-lake-delete")),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ DELETE on the versioned lake (the GDPR steady state:
+    // hourly id-list deletes must commit in O(delta), not O(affected
+    // directories)): deleteKeysMor writes ONLY the key set as a delete
+    // file and republishes the manifest — zero data rewrite — and the
+    // read applies it as a broadcast anti-join scoped to the directories
+    // published at delete time (VersionedLakeMorSpec pins zero-rewrite,
+    // re-insert visibility, and materialization). The txn watermark makes
+    // a re-run of the body an exactly-once no-op, so repeated bench
+    // invocations time one pending delete, not an accumulating stack.
+    // Oracle: the surviving-rows truth (keys ending in 7 deleted).
+    QueryDef(
+      "q_lake_delete_mor",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        val lakeDir = morLake(s, dir)
+        val keys = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 1000 === 7)
+          .select("o_orderkey")
+        VersionedLake.deleteKeysMor(s, lakeDir, keys, Seq("o_orderkey"),
+          txn = Some("bench-mor" -> 1L))
+        VersionedLake.read(s, lakeDir).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE o_orderkey % 1000 <> 7""".stripMargin),
+      covers = Seq("ext-lake-delete-mor")),
 
     // ------------------------------------------------------------------
     // ROW-LEVEL UPDATE on the versioned lake: same minimal copy-on-write

@@ -118,6 +118,34 @@ object VersionedLake {
     */
   private val TxnHeader = "#txn="
 
+  /** Manifest comment line recording a MERGE-ON-READ equality delete:
+    * `#eqdelete=<deleteDir>\t{"keys":["k"],"dirs":["d1","d2"]}`. The
+    * delete file (`table/deletes/<deleteDir>/`, parquet of key rows)
+    * logically removes every row of the LISTED data directories whose
+    * key matches — without rewriting any of them. [[deleteKeysMor]]
+    * publishes one in O(delta): the write is the key set, not the
+    * affected directories (Iceberg v2 equality deletes / Delta deletion
+    * vectors occupy the same design point). Readers anti-join the
+    * delete keys onto scans of the listed directories; data appended
+    * AFTER the delete is outside the list, so a re-inserted key is
+    * visible again (the list pins delete scope at publish time, which is
+    * what makes the anti-join sound under later appends). The read-side
+    * cost is one broadcast anti-join per pending delete file until
+    * [[materializeDeletes]] (or any [[optimize]]) folds them into the
+    * data — run it on the same cadence as compaction. Keyed/predicate
+    * rewrites ([[upsert]], [[deleteKeys]], [[deleteWhere]],
+    * [[updateWhere]]) refuse to run over pending merge-on-read deletes
+    * rather than silently resurrect rows; materialize first.
+    */
+  private val EqDeleteHeader = "#eqdelete="
+
+  /** One pending merge-on-read equality delete: `dir` under
+    * `table/deletes/` holds the key rows, `keys` names the equality
+    * columns, `dirs` the data directories it applies to (pinned at
+    * publish time — later appends are out of scope by construction).
+    */
+  final case class EqDelete(dir: String, keys: Seq[String], dirs: Seq[String])
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -603,6 +631,39 @@ object VersionedLake {
       .toMap
   }
 
+  /** Pending merge-on-read equality deletes a version's manifest carries,
+    * in publish order. STRICT parse: a malformed eqdelete line is data
+    * loss if ignored (deleted rows would resurrect), so unlike bucket
+    * specs it fails the read instead of degrading.
+    */
+  def dirEqDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Seq[EqDelete] = {
+    import org.json4s.JsonAST._
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(EqDeleteHeader))
+      .map { line =>
+        val rest = line.stripPrefix(EqDeleteHeader)
+        val tab = rest.indexOf('\t')
+        require(tab > 0, s"malformed eqdelete manifest line in $tableDir v=$version: $line")
+        org.json4s.jackson.JsonMethods.parse(rest.substring(tab + 1)) match {
+          case JObject(fields) =>
+            val m = fields.toMap
+            (m.get("keys"), m.get("dirs")) match {
+              case (Some(JArray(ks)), Some(JArray(ds))) =>
+                EqDelete(rest.substring(0, tab),
+                  ks.collect { case JString(s) => s },
+                  ds.collect { case JString(s) => s })
+              case _ =>
+                sys.error(s"malformed eqdelete manifest line in $tableDir v=$version: $line")
+            }
+          case _ =>
+            sys.error(s"malformed eqdelete manifest line in $tableDir v=$version: $line")
+        }
+      }
+  }
+
   /** Per-writer transaction watermarks a version's manifest carries:
     * appId -> highest committed batchId.
     */
@@ -674,7 +735,8 @@ object VersionedLake {
       blooms: Map[String, String] = Map.empty,
       expectedBase: Option[Option[Long]] = None,
       buckets: Map[String, (String, Int)] = Map.empty,
-      txns: Map[String, Long] = Map.empty): Long = {
+      txns: Map[String, Long] = Map.empty,
+      eqdeletes: Seq[EqDelete] = Nil): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -695,8 +757,22 @@ object VersionedLake {
       s"$BucketHeader$d\t$j"
     })
     val txnLines = txns.toSeq.sortBy(_._1).map { case (app, b) => s"$TxnHeader$app\t$b" }
+    // a delete's scope shrinks to the directories still published; a line
+    // whose every target directory is gone (rewritten/compacted away) has
+    // nothing left to apply to and drops
+    val eqLines = eqdeletes
+      .map(e => e.copy(dirs = e.dirs.filter(dirs.contains)))
+      .filter(_.dirs.nonEmpty)
+      .map { e =>
+        import org.json4s.JsonAST._
+        val j = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(List(
+            "keys" -> (JArray(e.keys.map(JString(_): JValue).toList): JValue),
+            "dirs" -> (JArray(e.dirs.map(JString(_): JValue).toList): JValue)))))
+        s"$EqDeleteHeader${e.dir}\t$j"
+      }
     val body = (SchemaHeader + schema.json) +:
-      (statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ dirs)
+      (statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++ dirs)
     createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
@@ -871,6 +947,10 @@ object VersionedLake {
       // bucket-aligned prior dirs stay bucket-aligned (immutable files) —
       // the spec rides along so a later single-dir version is recognized
       val priorBuckets = cur.map(v => dirBuckets(spark, tableDir, v)).getOrElse(Map.empty)
+      // pending merge-on-read deletes carry with their pinned scopes: the
+      // new batch directory is outside every scope, so an appended
+      // re-insert of a deleted key is visible by construction
+      val priorEq = cur.map(v => dirEqDeletes(spark, tableDir, v)).getOrElse(Nil)
       val merged = priorSchema
         .map(p => mergeSchemas(p, batchSchema))
         .getOrElse(batchSchema)
@@ -878,7 +958,7 @@ object VersionedLake {
       val blooms = priorBlooms ++ batchBloom.map(d -> _).toMap
       publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms,
         expectedBase = Some(cur), buckets = priorBuckets,
-        txns = priorTxns ++ txn.toMap)
+        txns = priorTxns ++ txn.toMap, eqdeletes = priorEq)
     }
   }
 
@@ -910,9 +990,44 @@ object VersionedLake {
     * manifests fall back to first-file schema inference.
     */
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
-    val dirs = manifest(spark, tableDir, version).map(d => s"$tableDir/data/$d")
+    val dirs = manifest(spark, tableDir, version)
     require(dirs.nonEmpty, s"version $version of $tableDir has an empty manifest")
-    readDirs(spark, tableDir, dirs, versionSchema(spark, tableDir, version))
+    readDirsWithDeletes(spark, tableDir, version, dirs,
+      versionSchema(spark, tableDir, version))
+  }
+
+  /** Scan `keep` (data directory NAMES of `version`) with the version's
+    * pending merge-on-read deletes applied. Directories are grouped by
+    * the SET of delete files that apply to them and each group is
+    * anti-joined separately: one frame per distinct delete scope, so a
+    * key deleted from old directories and re-inserted by a later append
+    * survives in the append's directory (a single global anti-join would
+    * wrongly remove it). With no pending deletes this IS [[readDirs]].
+    * Delete key sets are broadcast (they are deltas by design — bulk
+    * deletions belong on the copy-on-write [[deleteKeys]] path).
+    */
+  private def readDirsWithDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      keep: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val dels = dirEqDeletes(spark, tableDir, version)
+    def scan(ds: Seq[String]) =
+      readDirs(spark, tableDir, ds.map(d => s"$tableDir/data/$d"), schemaOpt)
+    val relevant = dels.filter(_.dirs.exists(keep.contains))
+    if (relevant.isEmpty) scan(keep)
+    else {
+      val groups = keep.groupBy(d => relevant.filter(_.dirs.contains(d)).map(_.dir))
+        .toSeq.sortBy(_._2.map(keep.indexOf).min)
+      groups.map { case (applicableDirs, ds) =>
+        relevant.filter(e => applicableDirs.contains(e.dir)).foldLeft(scan(ds)) {
+          (acc, e) =>
+            acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
+              e.keys, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** A data directory's hive-partition column chain, read off its own
@@ -1012,6 +1127,16 @@ object VersionedLake {
       s"$tableDir rewrote directories between $fromVersion and $toVersion " +
         "(upsert/delete/compaction) - an append-only feed cannot express that; " +
         "diff the snapshots by key instead")
+    // a merge-on-read delete published inside the window is a RETRACTION —
+    // inexpressible in an append-only feed (same contract as the rewrite
+    // guard above). Deletes published before `fromVersion` only scope
+    // directories that already existed then, never the window's new ones.
+    val fromDels = dirEqDeletes(spark, tableDir, fromVersion).map(_.dir).toSet
+    val newDels = dirEqDeletes(spark, tableDir, toVersion).filterNot(e => fromDels(e.dir))
+    require(newDels.isEmpty,
+      s"$tableDir published merge-on-read deletes between $fromVersion and " +
+        s"$toVersion - an append-only feed cannot express retractions; " +
+        "diff the snapshots by key instead")
     val newDirs = toDirs.filterNot(fromDirs)
     val schema = versionSchema(spark, tableDir, toVersion)
       .getOrElse(nullableAll(readVersion(spark, tableDir, toVersion).schema))
@@ -1083,8 +1208,7 @@ object VersionedLake {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val paths = keep.map(d => s"$tableDir/data/$d")
-      readDirs(spark, tableDir, paths, schemaOpt).filter(filter)
+      readDirsWithDeletes(spark, tableDir, cur, keep, schemaOpt).filter(filter)
     }
   }
 
@@ -1161,10 +1285,8 @@ object VersionedLake {
       bloomOk && statsOk
     }
     if (keep.isEmpty) empty
-    else {
-      val paths = keep.map(d => s"$tableDir/data/$d")
-      readDirs(spark, tableDir, paths, schemaOpt).filter(col(column) === typedLit)
-    }
+    else readDirsWithDeletes(spark, tableDir, cur, keep, schemaOpt)
+      .filter(col(column) === typedLit)
   }
 
   /** Keyed UPSERT (MERGE) as minimal copy-on-write — O(directories that
@@ -1221,6 +1343,7 @@ object VersionedLake {
       txn.foreach { case (app, b) =>
         if (priorTxns.get(app).exists(_ >= b)) return base
       }
+      requireNoEqDeletes(spark, tableDir, base, "upsert")
       val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
       // phase 3 — the batch is one new directory, stat'd/bloom'd over the
       // same columns the manifest already declares (∩ the batch's schema)
@@ -1278,6 +1401,7 @@ object VersionedLake {
       txn.foreach { case (app, b) =>
         if (priorTxns.get(app).exists(_ >= b)) return base
       }
+      requireNoEqDeletes(spark, tableDir, base, "deleteKeys")
       val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
       val newDirs = kr.survivingDirs
       val (stats, blooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
@@ -1296,6 +1420,149 @@ object VersionedLake {
           txns = priorTxns ++ txn.toMap)
     }
   }
+
+  /** Keyed DELETE as MERGE-ON-READ: O(delta) write, zero data rewrite.
+    * The key set lands as one parquet delete file under `table/deletes/`
+    * and the commit is a manifest republish — same directories, same
+    * stats/blooms/buckets, plus one [[EqDeleteHeader]] line scoping the
+    * delete to the directories published AT COMMIT TIME. Readers
+    * ([[read]], [[readVersion]], [[readBetween]], [[readPoint]],
+    * [[readBucketed]]) anti-join the keys onto scans of scoped
+    * directories only, so a key re-inserted by a LATER append is
+    * visible again — the semantics of SQL `DELETE; INSERT` replayed in
+    * commit order. Prior versions time-travel to the pre-delete rows.
+    *
+    * The trade against the copy-on-write [[deleteKeys]]: commit cost
+    * O(keys) instead of O(affected directories), read cost one broadcast
+    * anti-join per pending delete file until [[materializeDeletes]] (or
+    * any [[optimize]]) folds them in. The GDPR steady state at 100 TB:
+    * hourly MoR deletes commit in seconds, one daily materialization
+    * pays the directory rewrites once for all of them. Key columns are
+    * cast to the table's committed types at write time so writer and
+    * readers anti-join on identical types; rows whose key is NULL never
+    * match (SQL equality), as with any equality delete. `txn` gates
+    * exactly-once like [[appendCommitTxn]].
+    */
+  def deleteKeysMor(
+      spark: SparkSession,
+      tableDir: String,
+      keyDf0: DataFrame,
+      keys: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "deleteKeysMor needs at least one key column")
+    require(keys.forall(keyDf0.columns.contains),
+      s"keyDf missing key columns: ${keys.filterNot(keyDf0.columns.contains).mkString(", ")}")
+    val base0 = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val committed = versionSchema(spark, tableDir, base0)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, base0).schema))
+    keys.foreach(k => require(committed.fieldNames.contains(k),
+      s"delete key '$k' is not a committed column of $tableDir"))
+    val typed = keyDf0.select(keys.map { k =>
+      col(k).cast(committed(committed.fieldIndex(k)).dataType).as(k)
+    }: _*).distinct()
+    // the expensive part (delta-sized) happens once; losing the publish
+    // race only re-reads the manifest
+    val name = java.util.UUID.randomUUID().toString
+    typed.write.mode("error").parquet(s"$tableDir/deletes/$name")
+    retryOnConflict() {
+      val cur = currentVersion(spark, tableDir).get
+      val priorTxns = txnWatermarks(spark, tableDir, cur)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return cur
+      }
+      val dirs = manifest(spark, tableDir, cur)
+      val schema = versionSchema(spark, tableDir, cur).getOrElse(committed)
+      val stats = dirStats(spark, tableDir, cur).map { case (d, c) => d -> statsJson(c) }
+      publishManifest(spark, tableDir, dirs, schema,
+        stats, dirBloomsRaw(spark, tableDir, cur),
+        expectedBase = Some(Some(cur)),
+        buckets = dirBuckets(spark, tableDir, cur),
+        txns = priorTxns ++ txn.toMap,
+        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(name, keys, dirs))
+    }
+  }
+
+  /** Fold every pending merge-on-read delete into the data — the
+    * compaction half of the [[deleteKeysMor]] bargain, on the MINIMAL
+    * directory set: one semi-join probe per delete file attributes its
+    * keys to the directories that actually hold matches (of the scoped
+    * set — a scoped directory with no matching key carries verbatim),
+    * only those rewrite with all their applicable deletes anti-joined
+    * away, and the new manifest drops every eqdelete line. Read plans
+    * return to plain scans; the orphaned delete files reclaim via
+    * [[vacuum]] after retention. Run on the compaction cadence — or let
+    * an ordinary [[optimize]] do it, which rewrites everything anyway
+    * and drops the lines for the same reason.
+    */
+  def materializeDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long =
+    retryOnConflict(maxAttempts = 8) {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val dels = dirEqDeletes(spark, tableDir, base)
+      if (dels.isEmpty) return base
+      val dirs = manifest(spark, tableDir, base)
+      val schemaOpt = versionSchema(spark, tableDir, base)
+      val priorSchema = schemaOpt
+        .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      def delKeys(e: EqDelete) = spark.read.parquet(s"$tableDir/deletes/${e.dir}")
+      // which scoped directories actually hold matching keys? one probe
+      // per delete file; the collect is bounded by the file count
+      val affected: Set[String] = dels.flatMap { e =>
+        val scoped = e.dirs.filter(dirs.contains)
+        if (scoped.isEmpty) Nil
+        else readDirs(spark, tableDir, scoped.map(d => s"$tableDir/data/$d"), schemaOpt)
+          .withColumn("_graft_file", input_file_name())
+          .join(delKeys(e), e.keys, "left_semi")
+          .select("_graft_file").distinct().collect()
+          .map(_.getString(0))
+          .flatMap(f => scoped.find(d => f.contains(s"/$d/")))
+      }.toSet
+      val rewritten: Map[String, Option[String]] = affected.map { d =>
+        val survivors = dels.filter(_.dirs.contains(d)).foldLeft(
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)) {
+          (acc, e) => acc.join(broadcast(delKeys(e)), e.keys, "left_anti")
+        }
+        if (survivors.isEmpty) d -> None
+        else d -> Some(writeDataDir(survivors, tableDir,
+          partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
+      }.toMap
+      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
+      val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
+        dirStats(spark, tableDir, base), dirBloomsRaw(spark, tableDir, base),
+        dirBlooms(spark, tableDir, base), newDirs, rewritten)
+      if (newDirs.isEmpty) {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), priorSchema)
+          .repartition(1)
+        val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
+        publishManifest(spark, tableDir, Seq(d), priorSchema,
+          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base))
+      } else
+        publishManifest(spark, tableDir, newDirs, priorSchema, stats, blooms,
+          expectedBase = Some(Some(base)),
+          buckets = dirBuckets(spark, tableDir, base)
+            .filter { case (d, _) => !rewritten.contains(d) },
+          txns = txnWatermarks(spark, tableDir, base))
+    }
+
+  /** Keyed/predicate rewrites re-distribute rows across directories,
+    * which would break the pinned directory scopes of pending
+    * merge-on-read deletes (a rewritten directory gets a fresh name
+    * outside every scope — its still-deleted rows would resurrect).
+    * Rather than silently corrupt, they demand materialization first.
+    */
+  private def requireNoEqDeletes(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      op: String): Unit =
+    require(dirEqDeletes(spark, tableDir, version).isEmpty,
+      s"$tableDir v=$version has pending merge-on-read deletes; run " +
+        s"materializeDeletes() (or optimize()) before $op")
 
   /** The batch's per-key-column [min,max], string-cast exactly like
     * manifest stats — ONE O(delta) aggregation, reused across retries.
@@ -1597,6 +1864,7 @@ object VersionedLake {
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      requireNoEqDeletes(spark, tableDir, base, "deleteWhere/updateWhere")
       val dirs = manifest(spark, tableDir, base)
       val schemaOpt = versionSchema(spark, tableDir, base)
       val priorStats = dirStats(spark, tableDir, base)
@@ -1824,7 +2092,14 @@ object VersionedLake {
                |USING parquet
                |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
                |LOCATION '$tableDir/data/$d'""".stripMargin)
-        spark.table(tbl)
+        // pending merge-on-read deletes apply as broadcast anti-joins,
+        // which keep the probe side's HashPartitioning — the read stays
+        // exchange-free for downstream joins/aggs on the bucket key
+        dirEqDeletes(spark, tableDir, version).filter(_.dirs.contains(d))
+          .foldLeft(spark.table(tbl)) { (acc, e) =>
+            acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
+              e.keys, "left_anti")
+          }
       case _ => readVersion(spark, tableDir, version)
     }
   }
@@ -1922,7 +2197,8 @@ object VersionedLake {
       val buckets = dirBuckets(spark, tableDir, toVersion)
       publishManifest(spark, tableDir, dirs, schema, stats, blooms,
         expectedBase = Some(Some(cur)), buckets = buckets,
-        txns = txnWatermarks(spark, tableDir, cur))
+        txns = txnWatermarks(spark, tableDir, cur),
+        eqdeletes = dirEqDeletes(spark, tableDir, toVersion))
     }
 
   /** Drop manifests below the published version and every data directory
@@ -1976,6 +2252,18 @@ object VersionedLake {
       if (f.exists(dataRoot))
         f.listStatus(dataRoot)
           .filter(s => s.isDirectory && !live(s.getPath.getName)
+            && s.getModificationTime <= cutoff)
+          .foreach(s => f.delete(s.getPath, true))
+      // merge-on-read delete files are manifest-referenced state like data
+      // dirs: retained while any kept manifest cites them, reclaimed (past
+      // the same age floor) once materialization drops the last reference
+      val liveDel = (floor to cur)
+        .flatMap(v => scala.util.Try(dirEqDeletes(spark, tableDir, v)).getOrElse(Nil))
+        .map(_.dir).toSet
+      val delRoot = new org.apache.hadoop.fs.Path(s"$tableDir/deletes")
+      if (f.exists(delRoot))
+        f.listStatus(delRoot)
+          .filter(s => s.isDirectory && !liveDel(s.getPath.getName)
             && s.getModificationTime <= cutoff)
           .foreach(s => f.delete(s.getPath, true))
       val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
