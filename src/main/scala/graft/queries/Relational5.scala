@@ -635,6 +635,36 @@ object Relational5 {
       },
       Some("""SELECT event_id, user_id, event_type, value
              |FROM events WHERE event_id % 3 IN (1, 2)""".stripMargin),
-      covers = Seq("ext-lake-change-feed"))
+      covers = Seq("ext-lake-change-feed")),
+
+    // ------------------------------------------------------------------
+    // LAKE AS A STREAMING SOURCE (sources.LakeStreamProvider): the body
+    // runs a REAL Structured Streaming query — readStream over the
+    // warm-up lake's commit log through the registered "graft-lake"
+    // format, memory sink, drained with processAllAvailable — and
+    // returns what the stream delivered. Offsets are manifest versions;
+    // the initial batch is the time-traveled snapshot; each later batch
+    // is a manifest-diff read (LakeStreamSpec pins exactly-once restart
+    // and rewrite refusal). A fresh checkpoint per run keeps the body
+    // deterministic. Oracle: the batch truth — stream delivery must be
+    // exactly the committed rows, no more, no less.
+    QueryDef(
+      "q_lake_stream_source",
+      (s, dir) => {
+        val lakeDir = feedLake(s, dir)
+        val ck = java.nio.file.Files.createTempDirectory("graft_lsq_ck").toString
+        val q = s.readStream.format("graft-lake").option("path", lakeDir).load()
+          .writeStream.format("memory").queryName("graft_lake_stream_q")
+          .outputMode("append").option("checkpointLocation", ck).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_lake_stream_q")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .localCheckpoint()
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-lake-stream-source"))
   )
 }

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A v1 streaming `Source.getBatch` must hand MicroBatchExecution a
+  * DataFrame whose logical plan carries `isStreaming = true`, and the
+  * only public-API-adjacent way to build one from an arbitrary batch
+  * plan is the package-private `SparkSession.internalCreateDataFrame` —
+  * the same door Delta Lake's own `DeltaSource` walks through. This
+  * one-method shim lives under `org.apache.spark.sql` solely to reach
+  * it; all real logic stays in `graft.sources.LakeStreamSource`.
+  *
+  * The batch plan is captured as its compiled RDD
+  * (`queryExecution.toRdd`), so the streaming wrapper adds no second
+  * planning pass and the rows the micro-batch sees are exactly the rows
+  * the underlying lake read plans.
+  */
+object GraftStreamShim {
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}
