@@ -16,7 +16,8 @@ object SparkEntry {
   private def queries_relational: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.Relational2.defs ++
       graft.queries.Relational3.defs ++ graft.queries.Relational4.defs ++
-      graft.queries.Relational5.defs ++ graft.queries.Analytics.defs
+      graft.queries.Relational5.defs ++ graft.queries.Analytics.defs ++
+      graft.queries.Tpch.defs
   private def queries_ext: Seq[QueryDef] =
     graft.queries.Text.defs ++ graft.queries.Dedup.defs ++
       graft.queries.Similarity.defs ++ graft.queries.MultimodalQ.defs ++

@@ -297,6 +297,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(factExchanges <= 2, s"fact tables over-shuffled: $factExchanges exchanges")
   }
 
+  test("q_sql_q1 is one pushed-down scan + one exchange") {
+    val plan = finalPlan("q_sql_q1")
+    assert(plan.contains("PushedFilters: ["), "the shipdate filter must reach parquet")
+    assert(plan.contains("partial"), "the wide agg must map-side combine into 6 groups")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"Q1 touches 7 of 11 lineitem columns; keys must prune: $readSchema")
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges === 1, s"one groupBy exchange expected, saw $exchanges")
+  }
+
+  test("q_sql_q4 decorrelates EXISTS to a semi join on the order key") {
+    val plan = finalPlan("q_sql_q4")
+    assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "the correlated date predicate must ride the equi-join, not a loop join")
+  }
+
+  test("q_sql_q7 keeps both nation broadcasts; no cartesian under the OR pair filter") {
+    val plan = finalPlan("q_sql_q7")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(plan.contains("BroadcastHashJoin"), "both nation dims must broadcast")
+  }
+
+  test("q_sql_q19 extracts the shared equi-key from the disjunction") {
+    val plan = finalPlan("q_sql_q19")
+    // all three OR arms share p_partkey = l_partkey: the planner must
+    // join on it (broadcast or hash) and keep the per-arm ranges as a
+    // pushed/post filter — a nested-loop fallback is the 100 TB killer
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"disjunctive predicate fell off the equi-join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters: [") && l.contains("Or(")),
+      "the OR-of-ranges must push into the scans")
+  }
+
   test("q_rfm_features is one aggregation pass; the anchor date broadcasts") {
     val plan = finalPlan("q_rfm_features")
     assert(plan.contains("partial_max") || plan.contains("partial"),
