@@ -127,6 +127,35 @@ object Relational5 {
     }
   }
 
+  /** SQL-catalog fixture: a 3-commit events lake under a catalog root,
+    * with the `graftcat` catalog registered on the session — the
+    * q_catalog_* bodies then run PURE SQL by table name; resolution,
+    * snapshot pinning and time travel all go through
+    * [[graft.sources.GraftCatalog]].
+    */
+  private def catalogLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    lakeFixture("cat", dir) { catRoot =>
+      import graft.sources.VersionedLake
+      s.conf.set("spark.sql.catalog.graftcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcat.root", catRoot)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 0), s"$catRoot/events_t")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 1), s"$catRoot/events_t")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 2), s"$catRoot/events_t")
+    }
+
+  /** The conf registration must survive a lakeFixture cache hit from a
+    * PREVIOUS session (tests) — re-pin it to the memoized root.
+    */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val catRoot = catalogLake(s, dir)
+    s.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.root", catRoot)
+  }
+
   /** Bench warm-up entry: pay every lake fixture's ingest before any
     * query is timed.
     */
@@ -137,6 +166,7 @@ object Relational5 {
     upsLake(s, dir): Unit
     feedLake(s, dir): Unit
     viewLake(s, dir): Unit
+    ensureCatalog(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -636,6 +666,46 @@ object Relational5 {
       Some("""SELECT event_id, user_id, event_type, value
              |FROM events WHERE event_id % 3 IN (1, 2)""".stripMargin),
       covers = Seq("ext-lake-change-feed")),
+
+    // ------------------------------------------------------------------
+    // LAKE AS A SQL CATALOG (sources.GraftCatalog): the body is PURE SQL
+    // over a named table — resolution goes manifest-pointer →
+    // snapshot-pinned parquet DSv2 scan, so the aggregation plans
+    // identically to a direct parquet read (pushdown, pruning,
+    // vectorization via the delegated stock scan; GraftCatalogSpec pins
+    // PushedFilters reach it). Oracle: the same SQL over the source
+    // truth — catalog resolution must be invisible in the answer.
+    QueryDef(
+      "q_catalog_sql",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        s.sql("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                |  round(sum(value), 2) AS total
+                |FROM graftcat.events_t
+                |WHERE value > 0 GROUP BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin),
+      covers = Seq("ext-sql-catalog")),
+
+    // SQL time travel through the catalog: VERSION AS OF 1 pins the
+    // first two of the warm-up's three commits — the pinned manifest is
+    // immutable, so the answer is stable no matter what later commits
+    // (or a concurrent writer) do. Oracle: the matching slice of the
+    // source truth.
+    QueryDef(
+      "q_catalog_time_travel",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        s.sql("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                |FROM graftcat.events_t VERSION AS OF 1
+                |GROUP BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE event_id % 3 IN (0, 1)
+             |GROUP BY event_type""".stripMargin),
+      covers = Seq("ext-sql-catalog-time-travel")),
 
     // ------------------------------------------------------------------
     // LAKE AS A STREAMING SOURCE (sources.LakeStreamProvider): the body

@@ -1,0 +1,313 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a directory tree of [[VersionedLake]]
+  * tables — the piece that makes the lake a first-class SQL citizen:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse
+  *
+  * CREATE TABLE graft.db.events (id BIGINT, day STRING) PARTITIONED BY (day)
+  * INSERT INTO graft.db.events SELECT ...
+  * SELECT * FROM graft.db.events                       -- snapshot-isolated scan
+  * SELECT * FROM graft.db.events VERSION AS OF 3       -- time travel
+  * SELECT * FROM graft.db.events TIMESTAMP AS OF '...' -- commit-time travel
+  * ALTER TABLE graft.db.events ADD COLUMN note STRING  -- union-by-name evolution
+  * }}}
+  *
+  * Layout: `root/<namespace...>/<table>` — a table is any directory with
+  * a published lake version; a namespace is any other directory. All
+  * catalog metadata IS the lake's own commit log: no side database, so
+  * catalog readers inherit snapshot isolation, optimistic-concurrency
+  * commits and time travel from the manifest machinery, and a table
+  * written through the library API is immediately queryable by name.
+  *
+  * Reads resolve the manifest (version pin or current) and delegate the
+  * scan to Spark's stock parquet DSv2 table over exactly the version's
+  * directories ([[org.apache.spark.sql.graft.GraftTableShim]]) — full
+  * pushdown/pruning/vectorization, zero custom scan code. Writes go
+  * through the V1 `InsertableRelation` bridge into [[VersionedLake]]
+  * commits: INSERT INTO appends (O(delta), schema merged union-by-name),
+  * INSERT OVERWRITE publishes a full snapshot, both layout-aligned with
+  * the table's existing hive partitioning. At 100 TB the catalog adds
+  * only manifest-metadata reads per query — table size never enters
+  * resolution cost.
+  *
+  * Deliberate refusals: a version with PENDING merge-on-read deletes
+  * fails loudly (the stock parquet scan cannot apply the anti-joins —
+  * `materializeDeletes` first, or read via [[VersionedLake.read]]);
+  * writes to a time-travel snapshot are rejected.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Path-traversal guard: identifier parts become path segments. */
+  private def seg(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
+      s"illegal identifier segment: '$s'")
+    s
+  }
+
+  private def dirOf(ident: Identifier): String =
+    (root +: ident.namespace.toSeq.map(seg) :+ seg(ident.name)).mkString("/")
+
+  private def nsDir(namespace: Array[String]): String =
+    (root +: namespace.toSeq.map(seg)).mkString("/")
+
+  private def fs = new Path(root).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def isTable(dir: String): Boolean =
+    VersionedLake.currentVersion(spark, dir).isDefined
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new Path(nsDir(namespace))
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isTable(s"${nsDir(namespace)}/$n"))
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
+  }
+
+  /** `VERSION AS OF n` — a pinned, immutable, read-only snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val v = version.trim.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"VERSION AS OF expects a number, got '$version'"))
+    val cur = VersionedLake.currentVersion(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    require(v >= 0 && v <= cur, s"version $v out of range [0, $cur] for $ident")
+    new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — the newest version whose manifest was
+    * published at or before `t` (manifest-file modification time, the
+    * same clock vacuum's retention uses). `timestamp` is in MICROSECONDS
+    * since epoch per the TableCatalog contract.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val manifests = fs.listStatus(new Path(s"$dir/manifest"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
+        .toLongOption.map(_ -> s.getModificationTime))
+    val cutoffMs = timestamp / 1000L
+    val v = manifests.filter(_._2 <= cutoffMs).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $ident existed at timestamp $timestamp (earliest manifest is newer)"))
+    new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val parts = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft catalog supports identity partitioning only, got transform '$t'")
+    }
+    parts.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column '$p' not in schema"))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    VersionedLake.commit(empty, dir, parts = parts)
+    new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
+  }
+
+  /** ADD COLUMN only, implemented AS the lake's union-by-name evolution:
+    * an empty append whose batch schema carries the new fields — prior
+    * directories read them as null, exactly the contract every other
+    * evolution path in the lake already obeys. Anything else (drop,
+    * rename, retype) would need a rewrite or column mapping: refused.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val cur = VersionedLake.currentVersion(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val prior = VersionedLake.versionSchema(spark, dir, cur)
+      .getOrElse(VersionedLake.readVersion(spark, dir, cur).schema)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog supports ADD COLUMN only, got $c")
+    }
+    val widened = StructType(prior.fields ++ added)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened)
+    VersionedLake.appendCommit(empty, dir,
+      parts = VersionedLake.partitionColumns(spark, dir, cur))
+    new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else fs.delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isTable(dirOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    require(!fs.exists(new Path(dirOf(newIdent))), s"$newIdent already exists")
+    fs.mkdirs(new Path(dirOf(newIdent)).getParent)
+    require(fs.rename(new Path(dirOf(oldIdent)), new Path(dirOf(newIdent))),
+      s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => isTable(s"$root/$n")).sorted.map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val d = new Path(nsDir(namespace))
+      if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => isTable(s"${nsDir(namespace)}/$n"))
+        .sorted.map(namespace :+ _)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty || fs.exists(new Path(nsDir(namespace))))
+      util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path(nsDir(namespace)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = new Path(nsDir(namespace))
+    if (!fs.exists(d)) false
+    else {
+      if (!cascade)
+        require(fs.listStatus(d).isEmpty, s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(d, true)
+    }
+  }
+}
+
+/** One lake table (optionally pinned to a time-travel version) as a
+  * DSv2 `Table`. See [[GraftCatalog]] for the read/write contracts.
+  */
+final class LakeTable(
+    spark: SparkSession,
+    identName: String,
+    tableDir: String,
+    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+
+  private def resolvedVersion: Long =
+    pinnedVersion.orElse(VersionedLake.currentVersion(spark, tableDir)).getOrElse(
+      throw new IllegalStateException(s"no published version in $tableDir"))
+
+  override def name(): String = identName
+
+  override def schema(): StructType = {
+    val v = resolvedVersion
+    VersionedLake.versionSchema(spark, tableDir, v)
+      .getOrElse(VersionedLake.readVersion(spark, tableDir, v).schema)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (pinnedVersion.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft-lake", "location" -> tableDir,
+      "version" -> resolvedVersion.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // resolve the snapshot ONCE per scan: concurrent commits between
+    // planning and execution cannot shift the file set (the manifest is
+    // immutable and optimize/vacuum retention keeps its dirs alive)
+    val v = resolvedVersion
+    val dirs = VersionedLake.manifest(spark, tableDir, v)
+    val pending = VersionedLake.dirEqDeletes(spark, tableDir, v)
+      .filter(_.dirs.exists(dirs.contains))
+    require(pending.isEmpty,
+      s"$identName@v$v has pending merge-on-read deletes, which a catalog " +
+        "scan cannot apply; run VersionedLake.materializeDeletes(...) or read " +
+        "via VersionedLake.read")
+    val inner = org.apache.spark.sql.graft.GraftTableShim.parquetTable(
+      spark, identName, dirs.map(d => s"$tableDir/data/$d"),
+      Some(schema()), options)
+    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to time-travel snapshot $identName")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame, ovr: Boolean): Unit = {
+              val parts = VersionedLake.currentVersion(data.sparkSession, tableDir)
+                .map(v => VersionedLake.partitionColumns(data.sparkSession, tableDir, v))
+                .getOrElse(Nil)
+              if (overwrite || ovr) VersionedLake.commit(data, tableDir, parts = parts)
+              else VersionedLake.appendCommit(data, tableDir, parts = parts)
+              ()
+            }
+          }
+      }
+    }
+  }
+
+  override def toString: String = s"LakeTable($identName)"
+}

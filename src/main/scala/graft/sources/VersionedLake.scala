@@ -1034,6 +1034,18 @@ object VersionedLake {
     * `k=v` directory structure (the manifest records directories, not
     * their internal layout — the layout is self-describing).
     */
+  /** The table's hive-partition column chain at `version` (read off the
+    * newest data directory's self-describing `k=v` layout — the manifest
+    * records directories, not their internals). Empty for unpartitioned
+    * tables. Callers that append through a facade ([[GraftCatalog]]'s
+    * INSERT path) use this to keep new commits layout-aligned with the
+    * table instead of silently flattening it.
+    */
+  def partitionColumns(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
+    manifest(spark, tableDir, version).lastOption
+      .map(d => partitionColsOf(spark, tableDir, d))
+      .getOrElse(Nil)
+
   private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] = {
     val f = fs(spark, tableDir)
     @scala.annotation.tailrec

@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL-catalog face of the versioned lake: named tables, INSERT
+  * INTO/OVERWRITE through the commit log, VERSION/TIMESTAMP AS OF time
+  * travel, ADD COLUMN evolution, pushdown through the delegated parquet
+  * scan, and the loud refusals (MoR-pending reads, time-travel writes).
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / SHOW TABLES round-trip") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.users (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.users VALUES (1, 'ada'), (2, 'bob')")
+    spark.sql("INSERT INTO graft.db.users VALUES (3, 'eve')")
+    val got = spark.sql("SELECT id, name FROM graft.db.users ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ada"), (2L, "bob"), (3L, "eve")))
+    val shown = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSet
+    assert(shown.contains("users"))
+    // each INSERT INTO is one append commit: create=0, +2 appends
+    assert(VersionedLake.currentVersion(spark, s"$root/db/users").contains(2L))
+  }
+
+  test("INSERT OVERWRITE publishes a snapshot; VERSION AS OF still reads the past") {
+    root
+    spark.sql("CREATE TABLE graft.ow (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ow VALUES (1, 'old'), (2, 'old')")
+    spark.sql("INSERT OVERWRITE graft.ow VALUES (9, 'new')")
+    assert(spark.sql("SELECT k FROM graft.ow").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    val past = spark.sql("SELECT k FROM graft.ow VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(past === Seq(1L, 2L), "version 1 (the first insert) must be intact")
+  }
+
+  test("TIMESTAMP AS OF resolves the newest manifest at or before the cutoff") {
+    root
+    spark.sql("CREATE TABLE graft.ts_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.ts_t VALUES (1)")
+    Thread.sleep(1200) // manifest mtime resolution
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(1200)
+    spark.sql("INSERT INTO graft.ts_t VALUES (2)")
+    val lit = java.time.Instant.ofEpochMilli(cutoff).toString.replace("T", " ").stripSuffix("Z")
+    val got = spark.sql(s"SELECT k FROM graft.ts_t TIMESTAMP AS OF '$lit' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L), "the second insert is after the cutoff")
+  }
+
+  test("identity-partitioned table: layout survives inserts and pruning reaches the scan") {
+    root
+    spark.sql("CREATE TABLE graft.pt (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.pt VALUES (1, 'd1'), (2, 'd2')")
+    spark.sql("INSERT INTO graft.pt VALUES (3, 'd1')")
+    val q = spark.sql("SELECT id FROM graft.pt WHERE day = 'd1'")
+    assert(q.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("d1"),
+      s"day filter must prune hive partitions, plan was:\n$plan")
+  }
+
+  test("data filters push down to the delegated parquet scan") {
+    root
+    spark.sql("CREATE TABLE graft.pd (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.pd SELECT id, CAST(id AS STRING) FROM range(1000)")
+    val q = spark.sql("SELECT id FROM graft.pd WHERE id > 990")
+    assert(q.collect().length === 9)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,990"),
+      s"id predicate must reach the parquet scan, plan was:\n$plan")
+  }
+
+  test("ALTER TABLE ADD COLUMN = union-by-name evolution (old rows null-fill)") {
+    root
+    spark.sql("CREATE TABLE graft.ev (id BIGINT)")
+    spark.sql("INSERT INTO graft.ev VALUES (1)")
+    spark.sql("ALTER TABLE graft.ev ADD COLUMN note STRING")
+    spark.sql("INSERT INTO graft.ev VALUES (2, 'tagged')")
+    val got = spark.sql("SELECT id, note FROM graft.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq((1L, None), (2L, Some("tagged"))))
+  }
+
+  test("a table written through the library API is queryable by name immediately") {
+    val s = spark
+    import s.implicits._
+    root
+    VersionedLake.appendCommit(
+      Seq((10L, "x"), (11L, "y")).toDF("id", "tag"), s"$root/libtbl")
+    val got = spark.sql("SELECT id FROM graft.libtbl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(10L, 11L))
+  }
+
+  test("pending merge-on-read deletes refuse the catalog scan, loudly") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir = s"$root/mor_t"
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.deleteKeysMor(spark, dir, Seq(1L).toDF("id"), Seq("id"))
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.mor_t").collect())
+    assert(e.getMessage.contains("merge-on-read"),
+      s"expected a MoR refusal, got: ${e.getMessage}")
+    VersionedLake.materializeDeletes(spark, dir)
+    assert(spark.sql("SELECT id FROM graft.mor_t").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("time-travel snapshots are read-only") {
+    root
+    spark.sql("CREATE TABLE graft.ro (k BIGINT)")
+    spark.sql("INSERT INTO graft.ro VALUES (1)")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.ro VERSION AS OF 0 VALUES (2)"))
+    assert(e != null)
+  }
+
+  test("DROP and RENAME") {
+    root
+    spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")
+    spark.sql("INSERT INTO graft.tmp_a VALUES (7)")
+    spark.sql("ALTER TABLE graft.tmp_a RENAME TO tmp_b")
+    assert(spark.sql("SELECT k FROM graft.tmp_b").collect().head.getLong(0) === 7L)
+    spark.sql("DROP TABLE graft.tmp_b")
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.tmp_b").collect())
+    assert(e.getMessage.toLowerCase.contains("tmp_b") || e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
