@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[VersionedLake]] commit log —
@@ -50,13 +51,50 @@ import org.apache.spark.sql.types.StructType
   * one small-file read, each batch plans only its delta directories —
   * the stream's cost tracks ingest rate, not table size.
   */
-class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class LakeStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake source requires option 'path'"))
+
+  /** The SINK side — `df.writeStream.format("graft-lake").option("path",
+    * dir)` — closing the loop the provider doc describes without a
+    * hand-written foreachBatch body. Exactly-once comes from
+    * [[VersionedLake.appendCommitTxn]]: the engine's (appId, batchId)
+    * pair rides the manifest as a txn watermark, so a batch replayed
+    * after a crash-before-checkpoint is a no-op at the COMMIT, not at
+    * the write — the lake is the system of record for what landed,
+    * exactly the contract ContinuousCurationSpec pins for the manual
+    * body. appId defaults to a stable digest of the checkpoint location
+    * (the engine's own identity for a restarted query); set
+    * option("appId", ...) when two distinct queries share a checkpoint
+    * dir lineage. Append mode appends O(delta); Complete mode publishes
+    * each batch as a full-snapshot commit (the aggregation-state shape),
+    * same txn gate.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val dir = pathOf(parameters)
+    val appId = parameters.getOrElse("appId", {
+      val ck = parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "graft-lake sink needs option 'appId' or a checkpointLocation"))
+      "graft-lake-sink-" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ck.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    })
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val complete = outputMode == OutputMode.Complete()
+    require(complete || outputMode == OutputMode.Append(),
+      s"graft-lake sink supports Append and Complete modes, got $outputMode")
+    new LakeStreamSink(dir, appId, partitionColumns, statsCols, complete)
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -92,6 +130,30 @@ class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
   */
 final case class LakeVersionOffset(version: Long) extends Offset {
   override def json: String = version.toString
+}
+
+/** See [[LakeStreamProvider.createSink]]. */
+final class LakeStreamSink(
+    tableDir: String,
+    appId: String,
+    parts: Seq[String],
+    statsCols: Seq[String],
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // rebase off the IncrementalExecution before the commit path plans
+    // writes/stats over it (see GraftStreamShim.asBatch)
+    val batch = org.apache.spark.sql.graft.GraftStreamShim.asBatch(data.sparkSession, data)
+    if (complete)
+      VersionedLake.commit(batch, tableDir, parts = parts, statsCols = statsCols,
+        txn = Some(appId -> batchId))
+    else
+      VersionedLake.appendCommitTxn(batch, tableDir, appId, batchId,
+        parts = parts, statsCols = statsCols)
+    ()
+  }
+
+  override def toString: String = s"LakeStreamSink[$tableDir]"
 }
 
 class LakeStreamSource(

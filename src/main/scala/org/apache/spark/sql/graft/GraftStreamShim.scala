@@ -21,4 +21,18 @@ object GraftStreamShim {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse door, for the SINK side: `Sink.addBatch`'s DataFrame
+    * wraps the micro-batch's IncrementalExecution, so re-planning it
+    * through `df.write` would re-analyze a logical plan that still
+    * contains streaming leaves and fail. Rebasing onto the executed RDD
+    * (the same trick Delta's `DeltaSink` uses) yields a plain batch
+    * frame the lake's commit paths can write — without executing the
+    * batch twice.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
