@@ -323,6 +323,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "both nation dims must broadcast")
   }
 
+  test("q_sql_q6 is a joinless pushed-down scan over 4 pruned columns") {
+    val plan = finalPlan("q_sql_q6")
+    assert(plan.contains("PushedFilters: ["), "date+discount+quantity must reach parquet")
+    assert(!plan.contains("Join"), "Q6 has no join")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"Q6 touches 4 of 11 lineitem columns; the rest must prune: $readSchema")
+  }
+
+  test("q_sql_q2 decorrelates the scalar min to an aggregate join, no loop join") {
+    val plan = finalPlan("q_sql_q2")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "per-part min acctbal must plan as aggregate + equi-join, not a re-executed subquery")
+    assert(plan.contains("min("), "the decorrelated aggregate must survive")
+  }
+
+  test("q_sql_q17 decorrelates the per-part AVG threshold to one aggregate join") {
+    val plan = finalPlan("q_sql_q17")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "0.2*avg(l_quantity) per part must not become a per-row subquery loop")
+    assert(plan.contains("avg("), "the decorrelated aggregate must survive")
+  }
+
+  test("q_sql_q21 plans the double correlation as one semi and one anti join") {
+    val plan = finalPlan("q_sql_q21")
+    assert(plan.contains("LeftSemi"), "EXISTS(other supplier) must be a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS(other late supplier) must be an anti join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "both correlations carry an l_orderkey equality; a loop join is the 100 TB killer")
+  }
+
+  test("q_sql_q20 chains the nested INs as semi joins, never materializing id lists") {
+    val plan = finalPlan("q_sql_q20")
+    assert(plan.contains("LeftSemi"), "IN-subqueries must become semi joins")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("q_sql_q19 extracts the shared equi-key from the disjunction") {
     val plan = finalPlan("q_sql_q19")
     // all three OR arms share p_partkey = l_partkey: the planner must
