@@ -814,6 +814,7 @@ object VersionedLake {
       statsCols: Seq[String] = Nil,
       bloom: Option[BloomConfig] = None,
       txn: Option[(String, Long)] = None): Long = {
+    LakeConstraints.enforce(df.sparkSession, tableDir, df, "commit")
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     val stats = columnStats(df, statsCols).map(d -> _).toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
@@ -915,6 +916,7 @@ object VersionedLake {
       bloom: Option[BloomConfig],
       txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
+    LakeConstraints.enforce(spark, tableDir, df, "appendCommit")
     // the expensive work — writing the batch and aggregating its stats —
     // happens ONCE; the directory is immutable, so losing the publish race
     // only costs re-reading the prior manifest and retrying the publish
@@ -1344,6 +1346,7 @@ object VersionedLake {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
+    LakeConstraints.enforce(spark, tableDir, updates, "upsert")
     val keyDf = updates.select(keys.map(col): _*)
     val ranges = keyRanges(keyDf, keys)
     retryOnConflict(maxAttempts = 8) {
@@ -1808,7 +1811,7 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val isMatch = coalesce(predicate, lit(false))
-    copyOnWrite(spark, tableDir, predicate, { df =>
+    val transform: DataFrame => DataFrame = { df =>
       assignments.keys.foreach(c =>
         require(df.columns.contains(c), s"unknown column in assignment: $c"))
       // ONE select, not sequential withColumn: SQL UPDATE evaluates the
@@ -1823,7 +1826,14 @@ object VersionedLake {
           case None       => col(c)
         }
       }: _*)
-    }, maxRecordsPerFile)
+    }
+    // CHECK constraints must hold on the POST-update rows: validate the
+    // transformed matches (pushdown-filtered, O(matched)) before any
+    // directory rewrites
+    if (LakeConstraints.constraintsOf(spark, tableDir).nonEmpty)
+      LakeConstraints.enforce(spark, tableDir,
+        transform(read(spark, tableDir).filter(isMatch)), "updateWhere")
+    copyOnWrite(spark, tableDir, predicate, transform, maxRecordsPerFile)
   }
 
   /** Stats/bloom carry for a copy-on-write publish: untouched directories

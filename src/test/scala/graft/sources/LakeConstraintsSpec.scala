@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints as a table property: declared once, enforced on
+  * every ingest path, SQL NULL semantics, snapshot-validated at DDL
+  * time — and invisible to paths that only remove rows.
+  */
+class LakeConstraintsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("append path: violating batch refused, table unchanged; passing batch lands") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_app")
+    VersionedLake.appendCommit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), dir)
+    LakeConstraints.add(s, dir, "price_pos", "price > 0")
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((3L, -5.0)).toDF("id", "price"), dir))
+    assert(e.getMessage.contains("price_pos") && e.getMessage.contains("1 row(s)"))
+    assert(VersionedLake.currentVersion(s, dir).contains(0L), "refused commit must not publish")
+    VersionedLake.appendCommit(Seq((3L, 5.0)).toDF("id", "price"), dir)
+    assert(VersionedLake.read(s, dir).count() === 3)
+  }
+
+  test("NULL passes (SQL CHECK), and a batch omitting the constrained column passes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_null")
+    VersionedLake.appendCommit(Seq((1L, Some(10.0))).toDF("id", "price"), dir)
+    LakeConstraints.add(s, dir, "price_pos", "price > 0")
+    // explicit NULL price: unknown, not false -> passes
+    VersionedLake.appendCommit(Seq((2L, Option.empty[Double])).toDF("id", "price"), dir)
+    // schema-evolution batch without the column at all -> reads back NULL -> passes
+    VersionedLake.appendCommit(Seq(Tuple1(3L)).toDF("id"), dir)
+    assert(VersionedLake.read(s, dir).count() === 3)
+  }
+
+  test("ADD CONSTRAINT validates existing rows and refuses a violating table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_ddl")
+    VersionedLake.appendCommit(Seq((1L, -1.0)).toDF("id", "price"), dir)
+    val e = intercept[IllegalArgumentException](
+      LakeConstraints.add(s, dir, "price_pos", "price > 0"))
+    assert(e.getMessage.contains("existing rows"))
+    assert(LakeConstraints.constraintsOf(s, dir).isEmpty, "refused DDL must not persist")
+  }
+
+  test("upsert and updateWhere enforce on the post-image; deletes don't care") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_dml")
+    VersionedLake.appendCommit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), dir,
+      statsCols = Seq("id"))
+    LakeConstraints.add(s, dir, "price_pos", "price > 0")
+    intercept[IllegalArgumentException](
+      VersionedLake.upsert(s, dir, Seq((2L, -9.0)).toDF("id", "price"), Seq("id")))
+    intercept[IllegalArgumentException](
+      VersionedLake.updateWhere(s, dir, col("id") === 1L, Map("price" -> lit(-1.0))))
+    assert(VersionedLake.read(s, dir).agg(min("price")).head().getDouble(0) > 0,
+      "refused DML must leave every row satisfying the constraint")
+    // a delete removes rows; nothing to check
+    VersionedLake.deleteWhere(s, dir, col("id") === 1L)
+    assert(VersionedLake.read(s, dir).count() === 1)
+    // and a passing update still works
+    VersionedLake.updateWhere(s, dir, col("id") === 2L, Map("price" -> lit(99.0)))
+    assert(VersionedLake.read(s, dir).head().getDouble(1) === 99.0)
+  }
+
+  test("multiple constraints validate in ONE pass and report every violated one") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_multi")
+    VersionedLake.appendCommit(Seq((1L, 10.0, "a")).toDF("id", "price", "tag"), dir)
+    LakeConstraints.add(s, dir, "price_pos", "price > 0")
+    LakeConstraints.add(s, dir, "tag_known", "tag IN ('a', 'b')")
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((2L, -1.0, "z")).toDF("id", "price", "tag"), dir))
+    assert(e.getMessage.contains("price_pos") && e.getMessage.contains("tag_known"))
+    LakeConstraints.drop(s, dir, "tag_known")
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((2L, -1.0, "z")).toDF("id", "price", "tag"), dir))
+    VersionedLake.appendCommit(Seq((2L, 1.0, "z")).toDF("id", "price", "tag"), dir)
+    assert(VersionedLake.read(s, dir).count() === 2)
+  }
+
+  test("the streaming sink and catalog INSERT ride the gated paths") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_sink")
+    VersionedLake.appendCommit(Seq((1L, 5.0)).toDF("id", "price"), dir)
+    LakeConstraints.add(s, dir, "price_pos", "price > 0")
+    val sink = new LakeStreamSink(dir, "lc-app", Nil, Nil, complete = false)
+    intercept[IllegalArgumentException](
+      sink.addBatch(0L, Seq((2L, -3.0)).toDF("id", "price")))
+    sink.addBatch(0L, Seq((2L, 3.0)).toDF("id", "price"))
+    assert(VersionedLake.read(s, dir).count() === 2)
+  }
+}
