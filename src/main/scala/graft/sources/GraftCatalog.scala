@@ -99,9 +99,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `` graft.`t$history` `` etc. — SQL
+    // observability over the commit log without leaving the query engine
+    ident.name.split('$') match {
+      case Array(base, kind) if MetaKinds.contains(kind) =>
+        return metaTable(Identifier.of(ident.namespace, base), kind)
+      case _ =>
+    }
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
+  }
+
+  private val MetaKinds = Set("history", "files", "constraints")
+
+  /** The metadata row-sets are tiny by construction (versions within the
+    * vacuum retention window; data directories of ONE version; declared
+    * constraints) — a LocalScan materialized at plan time is the right
+    * shape, not a distributed read.
+    */
+  private def metaTable(base: Identifier, kind: String): Table = {
+    val s = spark
+    import s.implicits._
+    val dir = dirOf(base)
+    if (!isTable(dir)) throw new NoSuchTableException(base)
+    val df = kind match {
+      case "history" =>
+        val mtimes = fs.listStatus(new Path(s"$dir/manifest"))
+          .flatMap(st => st.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
+            .toLongOption.map(_ -> st.getModificationTime)).toMap
+        VersionedLake.history(s, dir).map { case (v, nDirs, nCols, txns, bucket) =>
+          (v,
+            new java.sql.Timestamp(mtimes.getOrElse(v, 0L)),
+            nDirs, nCols,
+            txns.toSeq.sortBy(_._1).map { case (a, b) => s"$a=$b" }.mkString(","),
+            bucket.map(_._1).orNull,
+            bucket.map(_._2).getOrElse(0))
+        }.toDF("version", "committed_at", "data_dirs", "columns", "txns",
+          "bucket_key", "bucket_n")
+      case "files" =>
+        val v = VersionedLake.currentVersion(s, dir).get
+        val stats = VersionedLake.dirStats(s, dir, v)
+        val buckets = VersionedLake.dirBuckets(s, dir, v)
+        VersionedLake.manifest(s, dir, v).map { d =>
+          val st = stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) =>
+              s"$c:[${mn.getOrElse("null")},${mx.getOrElse("null")}]"
+            }.mkString("; ")
+          (d, st, buckets.get(d).map(_._1).orNull,
+            buckets.get(d).map(_._2).getOrElse(0))
+        }.toDF("dir", "stats", "bucket_key", "bucket_n")
+      case "constraints" =>
+        LakeConstraints.constraintsOf(s, dir).toDF("name", "check")
+    }
+    new LocalRowsTable(s"${base.toString}$$$kind", df)
   }
 
   /** `VERSION AS OF n` — a pinned, immutable, read-only snapshot. */
@@ -235,6 +286,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(d, true)
     }
   }
+}
+
+/** A small, driver-materialized row-set as a read-only DSv2 table —
+  * the vehicle for [[GraftCatalog]]'s `$history`/`$files`/`$constraints`
+  * metadata tables. The frame is planned lazily: rows materialize when
+  * the scan builds, so `SELECT` sees the state AT QUERY TIME.
+  */
+final class LocalRowsTable(
+    tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def readSchema(): StructType = df.schema
+        }
+    }
 }
 
 /** One lake table (optionally pinned to a time-travel version) as a

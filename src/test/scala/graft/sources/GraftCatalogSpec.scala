@@ -125,6 +125,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("metadata tables: $history, $files, $constraints are plain SQL") {
+    root
+    spark.sql("CREATE TABLE graft.meta_t (id BIGINT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.meta_t VALUES (1, 10.0)")
+    spark.sql("INSERT INTO graft.meta_t VALUES (2, 20.0)")
+    val hist = spark.sql("SELECT version, data_dirs FROM graft.`meta_t$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(hist.toSeq === Seq((0L, 1), (1L, 2), (2L, 3)),
+      "create + two inserts -> three versions with growing dir counts")
+    assert(spark.sql("SELECT dir FROM graft.`meta_t$files`").count() === 3)
+    LakeConstraints.add(spark, s"$root/meta_t", "price_pos", "price > 0")
+    val cons = spark.sql("SELECT name, check FROM graft.`meta_t$constraints`").collect()
+    assert(cons.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("price_pos", "price > 0")))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.meta_t VALUES (3, -1.0)").collect())
+    assert(e.getMessage.contains("price_pos"), "catalog INSERT must ride the constraint gate")
+  }
+
   test("DROP and RENAME") {
     root
     spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")
