@@ -100,6 +100,9 @@ object Relational5 {
   private def upsLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
     orderedLake(s, dir, "ups", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
 
+  private def upsMorLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    orderedLake(s, dir, "upsmor", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+
   private def feedLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
     lakeFixture("feed", dir) { lakeDir =>
       import graft.sources.VersionedLake
@@ -164,6 +167,7 @@ object Relational5 {
     morLake(s, dir): Unit
     updLake(s, dir): Unit
     upsLake(s, dir): Unit
+    upsMorLake(s, dir): Unit
     feedLake(s, dir): Unit
     viewLake(s, dir): Unit
     ensureCatalog(s, dir)
@@ -620,6 +624,55 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 4
              |)""".stripMargin),
       covers = Seq("ext-lake-upsert")),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ UPSERT (the O(delta) CDC steady state): the same
+    // update+insert batch as q_lake_upsert, but committed as ONE atomic
+    // equality-delete + append — zero data rewritten, the delete applies
+    // at read as a broadcast anti-join scoped to pre-commit directories
+    // (VersionedLakeMorSpec pins zero-rewrite, atomicity, last-writer-
+    // wins, and materialization). The txn gate makes re-runs exactly-once
+    // no-ops, so the timed body converges to the steady state: a
+    // watermark check + the merged read. Oracle: identical truth to the
+    // copy-on-write twin — HOW the upsert lands must be invisible.
+    QueryDef(
+      "q_lake_upsert_mor",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        val lakeDir = upsMorLake(s, dir)
+        val mx = maxOrderKey(s, dir)
+        val third = mx / 3
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val updates = orders
+          .filter(col("o_orderkey") > third && col("o_orderkey") <= third + third / 2)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        val inserts = orders
+          .filter(col("o_orderkey") <= third / 4)
+          .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+        VersionedLake.upsertMor(s, lakeDir, updates.unionByName(inserts),
+          keys = Seq("o_orderkey"), txn = Some("bench-upsmor" -> 1L))
+        VersionedLake.read(s, lakeDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE NOT (o_orderkey > third AND o_orderkey <= third + third // 2)
+             |  UNION ALL
+             |  SELECT o_orderkey, 'U', o_totalprice * 2 FROM orders, m
+             |  WHERE o_orderkey > third AND o_orderkey <= third + third // 2
+             |  UNION ALL
+             |  SELECT o_orderkey + mx + 1, 'N', o_totalprice FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |)""".stripMargin),
+      covers = Seq("ext-lake-upsert-mor")),
 
     // ------------------------------------------------------------------
     // APPEND-ONLY CHANGE FEED: rows added between two lake versions,

@@ -1388,6 +1388,87 @@ object VersionedLake {
     }
   }
 
+  /** MERGE-ON-READ upsert — the true O(delta) CDC steady state, with
+    * ZERO data rewritten: one equality-delete file (the batch's keys,
+    * scoped to the directories published before this commit) plus one
+    * appended data directory, published in ONE atomic manifest — the
+    * delete can never be visible without its replacement rows or vice
+    * versa. Readers see old-version rows with matching keys anti-joined
+    * away and the batch's rows in full; the append directory sits
+    * OUTSIDE the delete's scope, so the new values survive by
+    * construction (the same scope rule [[appendCommitInternal]] relies
+    * on for re-inserts). Where [[upsert]] pays O(affected directories)
+    * rewrite for a read-clean table, this pays O(batch) at write and a
+    * broadcast anti-join at read — Iceberg's v2 position/equality-delete
+    * bargain — and [[materializeDeletes]] (or the compaction cadence)
+    * folds the debt back into clean directories. Concurrency: a racing
+    * append that wins re-bases this publish; its directory then falls
+    * inside the delete scope, which is exactly last-writer-wins at
+    * version order. `txn` gates exactly-once like [[appendCommitTxn]].
+    */
+  def upsertMor(
+      spark: SparkSession,
+      tableDir: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      parts: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "upsertMor needs at least one key column")
+    require(keys.forall(updates.columns.contains),
+      s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
+    LakeConstraints.enforce(spark, tableDir, updates, "upsertMor")
+    val base0 = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val committed = versionSchema(spark, tableDir, base0)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, base0).schema))
+    keys.foreach(k => require(committed.fieldNames.contains(k),
+      s"upsert key '$k' is not a committed column of $tableDir"))
+    // fast path for replays BEFORE paying the delta writes
+    txn.foreach { case (app, b) =>
+      if (txnWatermarks(spark, tableDir, base0).get(app).exists(_ >= b)) return base0
+    }
+    // both delta artifacts written once; a lost publish race re-reads
+    // the manifest, never re-writes data
+    val typedKeys = updates.select(keys.map { k =>
+      col(k).cast(committed(committed.fieldIndex(k)).dataType).as(k)
+    }: _*).distinct()
+    val delName = java.util.UUID.randomUUID().toString
+    typedKeys.write.mode("error").parquet(s"$tableDir/deletes/$delName")
+    val updDir = writeDataDir(updates, tableDir, parts, maxRecordsPerFile)
+    retryOnConflict() {
+      val cur = currentVersion(spark, tableDir).get
+      val priorTxns = txnWatermarks(spark, tableDir, cur)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return cur
+      }
+      val dirs = manifest(spark, tableDir, cur)
+      val priorSchema = versionSchema(spark, tableDir, cur).getOrElse(committed)
+      val merged = mergeSchemas(priorSchema, nullableAll(updates.schema))
+      val priorStats = dirStats(spark, tableDir, cur).map { case (d, c) => d -> statsJson(c) }
+      val statCols = dirStats(spark, tableDir, cur).values.flatMap(_.keys)
+        .toSeq.distinct.sorted.filter(updates.columns.contains)
+      val updStats = columnStats(updates, statCols).map(updDir -> _).toMap
+      val priorBlooms = dirBlooms(spark, tableDir, cur)
+      val updBloom = {
+        val cols = priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
+          .filter(updates.columns.contains)
+        if (cols.isEmpty) None
+        else {
+          val (m, k) = priorBlooms.values.flatMap(_.values)
+            .map(t => (t._1, t._2)).maxBy(_._1)
+          bloomJson(updates, Some(BloomConfig(cols, m, k)))
+        }
+      }.map(updDir -> _).toMap
+      publishManifest(spark, tableDir, dirs :+ updDir, merged,
+        priorStats ++ updStats, dirBloomsRaw(spark, tableDir, cur) ++ updBloom,
+        expectedBase = Some(Some(cur)),
+        buckets = dirBuckets(spark, tableDir, cur),
+        txns = priorTxns ++ txn.toMap,
+        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(delName, keys, dirs))
+    }
+  }
+
   /** Keyed DELETE — remove every row whose key appears in `keyDf` — with
     * the same minimal copy-on-write machinery as [[upsert]] minus the
     * append: stats-pruned probe, rewrite only the directories that hold

@@ -189,4 +189,51 @@ class VersionedLakeMorSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"the delete must apply as a broadcast anti-join, got:\n$plan")
   }
+
+  test("upsertMor: one atomic commit updates + inserts with ZERO data rewrite") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_umor").toString
+    threeCommits(dir)
+    val m0 = VersionedLake.manifest(s, dir, 2)
+    val v = VersionedLake.upsertMor(s, dir,
+      Seq((10L, "C2"), (99L, "new")).toDF("id", "payload"), Seq("id"))
+    assert(v === 3L)
+    // prior directories carry VERBATIM; exactly one appended
+    val m1 = VersionedLake.manifest(s, dir, 3)
+    assert(m1.take(m0.size) === m0 && m1.size === m0.size + 1,
+      "merge-on-read upsert must not rewrite any prior directory")
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b", 10L -> "C2", 11L -> "d",
+      20L -> "e", 21L -> "f", 99L -> "new"))
+    // pre-upsert snapshot intact
+    assert(ids(VersionedLake.readVersion(s, dir, 2)) ===
+      Set(1L, 2L, 10L, 11L, 20L, 21L))
+  }
+
+  test("upsertMor replay is exactly-once; materialization folds the debt away") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_umor2").toString
+    threeCommits(dir)
+    val batch = Seq((11L, "D2"), (50L, "x")).toDF("id", "payload")
+    val v1 = VersionedLake.upsertMor(s, dir, batch, Seq("id"), txn = Some("cdc" -> 1L))
+    val v2 = VersionedLake.upsertMor(s, dir, batch, Seq("id"), txn = Some("cdc" -> 1L))
+    assert(v1 === v2, "replayed batch must no-op at the commit")
+    assert(VersionedLake.read(s, dir).count() === 7)
+    // successive batch updates the ROW the first batch wrote (the second
+    // delete's scope covers the first upsert's append directory)
+    VersionedLake.upsertMor(s, dir, Seq((50L, "x2")).toDF("id", "payload"),
+      Seq("id"), txn = Some("cdc" -> 2L))
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(50L) === "x2" && got(11L) === "D2")
+    VersionedLake.materializeDeletes(s, dir)
+    val gotM = VersionedLake.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotM === got, "materialization must not change the answer")
+    assert(VersionedLake.dirEqDeletes(s, dir,
+      VersionedLake.currentVersion(s, dir).get).isEmpty)
+  }
 }
