@@ -313,14 +313,60 @@ final class LocalRowsTable(
     }
 }
 
+/** `sources.Filter` → `Column` for the predicates SQL DELETE can push
+  * whole — a filter outside this set makes `canDeleteWhere` refuse, so
+  * Spark errors instead of silently deleting by a half-translated
+  * predicate.
+  */
+private[sources] object FilterToColumn {
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def apply(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r)                => for { lc <- apply(l); rc <- apply(r) } yield lc && rc
+    case Or(l, r)                 => for { lc <- apply(l); rc <- apply(r) } yield lc || rc
+    case Not(c)                   => apply(c).map(!_)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case _: AlwaysTrue            => Some(lit(true))
+    case _: AlwaysFalse           => Some(lit(false))
+    case _                        => None
+  }
+}
+
 /** One lake table (optionally pinned to a time-travel version) as a
   * DSv2 `Table`. See [[GraftCatalog]] for the read/write contracts.
+  * `DELETE FROM` routes through [[VersionedLake.deleteWhere]]'s minimal
+  * copy-on-write (stats/bloom-pruned directory attribution), so a SQL
+  * delete pays the same O(affected directories) the library call does.
   */
 final class LakeTable(
     spark: SparkSession,
     identName: String,
     tableDir: String,
-    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(FilterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty, s"cannot DELETE from time-travel snapshot $identName")
+    val cond = filters.flatMap(FilterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedLake.deleteWhere(spark, tableDir, cond): Unit
+  }
 
   private def resolvedVersion: Long =
     pinnedVersion.orElse(VersionedLake.currentVersion(spark, tableDir)).getOrElse(
@@ -373,11 +419,37 @@ final class LakeTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame, ovr: Boolean): Unit = {
-              val parts = VersionedLake.currentVersion(data.sparkSession, tableDir)
-                .map(v => VersionedLake.partitionColumns(data.sparkSession, tableDir, v))
+              val s = data.sparkSession
+              val cur = VersionedLake.currentVersion(s, tableDir)
+              val parts = cur
+                .map(v => VersionedLake.partitionColumns(s, tableDir, v))
                 .getOrElse(Nil)
-              if (overwrite || ovr) VersionedLake.commit(data, tableDir, parts = parts)
-              else VersionedLake.appendCommit(data, tableDir, parts = parts)
+              // a table with declared skipping layers must keep them
+              // through catalog INSERTs: carry the stat/bloom columns the
+              // manifest already declares (∩ the batch's schema), the same
+              // continuation rule upsert uses — otherwise every SQL ingest
+              // would silently degrade dir-level pruning
+              val statsCols = cur.map { v =>
+                VersionedLake.dirStats(s, tableDir, v).values.flatMap(_.keys)
+                  .toSeq.distinct.sorted.filter(data.columns.contains)
+              }.getOrElse(Nil)
+              val bloom = cur.flatMap { v =>
+                val bs = VersionedLake.dirBlooms(s, tableDir, v)
+                val cols = bs.values.flatMap(_.keys).toSeq.distinct.sorted
+                  .filter(data.columns.contains)
+                if (cols.isEmpty) None
+                else {
+                  val (m, k) = bs.values.flatMap(_.values)
+                    .map(t => (t._1, t._2)).maxBy(_._1)
+                  Some(VersionedLake.BloomConfig(cols, m, k))
+                }
+              }
+              if (overwrite || ovr)
+                VersionedLake.commit(data, tableDir, parts = parts,
+                  statsCols = statsCols, bloom = bloom)
+              else
+                VersionedLake.appendCommit(data, tableDir, parts = parts,
+                  statsCols = statsCols, bloom = bloom)
               ()
             }
           }

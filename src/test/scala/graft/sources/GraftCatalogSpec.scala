@@ -143,6 +143,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("price_pos"), "catalog INSERT must ride the constraint gate")
   }
 
+  test("catalog INSERT carries the table's declared skipping layers") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir = s"$root/skip_t"
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "tag"), dir,
+      statsCols = Seq("id"),
+      bloom = Some(VersionedLake.BloomConfig(Seq("tag"), bits = 1 << 12, k = 5)))
+    spark.sql("INSERT INTO graft.skip_t VALUES (2, 'b')")
+    val v = VersionedLake.currentVersion(s, dir).get
+    assert(v === 1L)
+    val stats = VersionedLake.dirStats(s, dir, v)
+    assert(stats.size === 2 && stats.values.forall(_.contains("id")),
+      s"the SQL-inserted directory must declare the same stat columns, got $stats")
+    val blooms = VersionedLake.dirBlooms(s, dir, v)
+    assert(blooms.size === 2 && blooms.values.forall(_.contains("tag")),
+      "the SQL-inserted directory must carry the bloom layer too")
+  }
+
+  test("SQL DELETE FROM rides the minimal copy-on-write path; time travel intact") {
+    root
+    spark.sql("CREATE TABLE graft.del_t (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.del_t SELECT id, CASE WHEN id % 2 = 0 THEN 'keep' ELSE 'drop' END FROM range(100)")
+    spark.sql("DELETE FROM graft.del_t WHERE grp = 'drop'")
+    assert(spark.sql("SELECT count(*) FROM graft.del_t").head().getLong(0) === 50L)
+    assert(spark.sql("SELECT count(*) FROM graft.del_t VERSION AS OF 1").head().getLong(0) === 100L,
+      "the pre-delete snapshot must survive")
+    // unconditional DELETE = truncate; the emptied table stays readable
+    spark.sql("DELETE FROM graft.del_t")
+    assert(spark.sql("SELECT count(*) FROM graft.del_t").head().getLong(0) === 0L)
+  }
+
   test("DROP and RENAME") {
     root
     spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")
