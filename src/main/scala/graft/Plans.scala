@@ -47,7 +47,11 @@ object Plans {
     "q_video_frames" -> "video container walk + real per-frame decode + dHash in one mapPartitions pass",
     "q_bucketed_join" -> "bucket-aligned fact join probe: zero-exchange SMJ (layout write amortized in warm-up)",
     "q_lake_upsert" -> "minimal-CoW MERGE: stats-pruned dir probe, 1-of-3 dirs rewritten, batch appended",
-    "q_knn_ivfpq_persisted" -> "persisted IVF-PQ: codes-only ADC candidate scan, vector fetch for k*refine ids")
+    "q_knn_ivfpq_persisted" -> "persisted IVF-PQ: codes-only ADC candidate scan, vector fetch for k*refine ids",
+    "q_sql_q21" -> "TPC-H Q21: double correlation as one semi + one anti join, no loop joins",
+    "q_sql_q17" -> "TPC-H Q17: correlated AVG decorrelated to one aggregate join per part",
+    "q_catalog_sql" -> "SQL-catalog scan: manifest-resolved snapshot delegating to the stock parquet DSv2 read",
+    "q_lake_upsert_mor" -> "merge-on-read upsert: eq-delete anti-join + appended batch, zero rewritten dirs")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate

@@ -175,6 +175,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.del_t").head().getLong(0) === 0L)
   }
 
+  test("CREATE TABLE AS SELECT lands as create + one append commit") {
+    root
+    spark.sql("CREATE TABLE graft.ctas_t AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.sql("SELECT sum(dbl) FROM graft.ctas_t").head().getLong(0) === 90L)
+    assert(VersionedLake.currentVersion(spark, s"$root/ctas_t").contains(1L))
+  }
+
   test("DROP and RENAME") {
     root
     spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")
