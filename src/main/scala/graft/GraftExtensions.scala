@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => graft.plans.LakeDmlRules)
     ext.injectOptimizerRule(_ => graft.plans.NativeKernelRules)
     ext.injectOptimizerRule(_ => graft.plans.TopKPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)

@@ -1,0 +1,231 @@
+package graft.plans
+
+import graft.sources.{LakeTable, VersionedLake}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.GraftDmlShim
+
+/** SQL UPDATE and MERGE INTO for [[graft.sources.GraftCatalog]] tables,
+  * routed through the lake's MINIMAL-rewrite machinery instead of
+  * Spark's group-based row-level framework — the same analyzer-rewrite
+  * approach Delta used pre-RowLevelOperations, chosen deliberately: the
+  * framework's copy-on-write contract replaces every scanned group
+  * (here: the whole table, since a manifest-resolved scan has no
+  * group-filter column), while the lake already HAS the right physical
+  * operations. The rule rewrites the analyzed plan into commands:
+  *
+  *   - `UPDATE graft.t SET c = e WHERE p` → [[UpdateLakeCommand]] →
+  *     `VersionedLake.updateWhere` (stats/bloom-pruned copy-on-write —
+  *     only directories containing matches rewrite; SQL pre-image
+  *     semantics are the library call's own contract).
+  *   - `MERGE INTO graft.t USING s ON t.k = s.k WHEN MATCHED THEN
+  *     UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the CDC shape) →
+  *     [[MergeLakeCommand]] → `VersionedLake.upsert` (keyed minimal
+  *     CoW: only directories holding matched keys rewrite, new keys
+  *     append).
+  *   - `MERGE ... WHEN MATCHED THEN DELETE` (no other actions) →
+  *     `VersionedLake.deleteKeys` — the GDPR id-list shape.
+  *
+  * SQL DML takes the COPY-ON-WRITE twins, not `upsertMor`/
+  * `deleteKeysMor`, on purpose: a merge-on-read commit leaves pending
+  * equality deletes that the catalog's delegated parquet scan refuses
+  * to read through, and a SQL user's next statement IS a catalog read —
+  * the library MoR paths remain the right tool for ingest loops that
+  * control their own read path and materialization cadence.
+  *
+  * Statements outside these shapes (conditional actions, partial-column
+  * SET in MERGE, non-equi merge conditions, subqueries in the UPDATE
+  * predicate) are left untouched, so Spark surfaces its own clear
+  * "not supported" error instead of this rule guessing at semantics.
+  * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
+  * (`Expression.sql`), re-parsed at execution against the library
+  * call's own fresh scan — storing unresolved expression fields on a
+  * command would send the analyzer chasing attributes a leaf node
+  * cannot resolve.
+  */
+object LakeDmlRules extends Rule[LogicalPlan] {
+
+  private def lakeOf(table: LogicalPlan): Option[LakeTable] =
+    table.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
+        r.table.asInstanceOf[LakeTable]
+    }.filter(_.pinnedVersion.isEmpty)
+
+  /** Resolved tree → SQL text that re-resolves by name against a fresh
+    * scan (None when the tree has no stable SQL rendering).
+    */
+  private def renderSql(e: Expression): Option[String] =
+    scala.util.Try(
+      // strip qualifiers: `gdml.upd.status` names the statement's
+      // relation, not a column the library call's fresh scan knows
+      e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
+    ).toOption
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  private def unwrap(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => unwrap(c)
+    case Alias(c, _)      => unwrap(c)
+    case other            => other
+  }
+
+  /** `SET *` / `INSERT *` detection: every assignment writes a target
+    * column from the same-named source attribute (modulo the casts/
+    * aliases resolution inserts), and every target column is covered.
+    */
+  private def isStarAligned(
+      assigns: Seq[Assignment],
+      targetCols: Seq[Attribute],
+      source: LogicalPlan): Boolean = {
+    val sourceIds = source.outputSet
+    val written = assigns.flatMap { a =>
+      (unwrap(a.key), unwrap(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference)
+            if sourceIds.contains(v) &&
+              k.name.equalsIgnoreCase(v.name) => Some(k.name.toLowerCase)
+        case _ => None
+      }
+    }.toSet
+    written.size == assigns.size &&
+      targetCols.forall(c => written.contains(c.name.toLowerCase))
+  }
+
+  /** The merge condition as AND-ed target=source column equalities →
+    * the key column names (None when any conjunct is something else).
+    * Resolution-inserted widening casts around either side unwrap —
+    * `ON t.k = s.k` with INT source and BIGINT target is still a key
+    * equality on k.
+    */
+  private def equiKeys(
+      cond: Expression,
+      target: LogicalPlan,
+      source: LogicalPlan): Option[Seq[String]] = {
+    val tIds = target.outputSet
+    val sIds = source.outputSet
+    def split(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) => for { a <- split(l); b <- split(r) } yield a ++ b
+      case EqualTo(l, r) =>
+        (unwrap(l), unwrap(r)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if tIds.contains(a) && sIds.contains(b) &&
+                a.name.equalsIgnoreCase(b.name) => Some(Seq(a.name))
+          case (a: AttributeReference, b: AttributeReference)
+              if sIds.contains(a) && tIds.contains(b) &&
+                a.name.equalsIgnoreCase(b.name) => Some(Seq(b.name))
+          case _ => None
+        }
+      case _ => None
+    }
+    split(cond)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+
+    case u @ UpdateTable(table, assignments, condition)
+        if u.resolved && lakeOf(table).isDefined &&
+          !condition.exists(hasSubquery) &&
+          assignments.forall(a => !hasSubquery(a.value)) &&
+          assignments.forall(_.key.isInstanceOf[AttributeReference]) &&
+          condition.forall(c => renderSql(c).isDefined) &&
+          assignments.forall(a => renderSql(a.value).isDefined) =>
+      val lake = lakeOf(table).get
+      UpdateLakeCommand(
+        lake.tableDir,
+        condition.map(c => renderSql(c).get),
+        assignments.map(a =>
+          a.key.asInstanceOf[AttributeReference].name -> renderSql(a.value).get))
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
+        if m.resolved && lakeOf(target).isDefined && bySource.isEmpty =>
+      val lake = lakeOf(target).get
+      val keys = equiKeys(cond, target, source)
+      val targetCols = target.output
+      (keys, matched, notMatched) match {
+        // CDC upsert: WHEN MATCHED UPDATE SET * + WHEN NOT MATCHED INSERT *
+        case (Some(ks), Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)))
+            if isStarAligned(ua, targetCols, source) &&
+              isStarAligned(ia, targetCols, source) =>
+          MergeLakeCommand(lake.tableDir, source,
+            targetCols.map(_.name), ks, delete = false)
+        // keyed delete: WHEN MATCHED DELETE, nothing else
+        case (Some(ks), Seq(DeleteAction(None)), Seq()) =>
+          MergeLakeCommand(lake.tableDir, source,
+            targetCols.map(_.name), ks, delete = true)
+        case _ => m
+      }
+  }
+}
+
+/** `UPDATE` executed as the lake's minimal copy-on-write. */
+final case class UpdateLakeCommand(
+    tableDir: String,
+    conditionSql: Option[String],
+    assignments: Seq[(String, String)]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    VersionedLake.updateWhere(
+      spark, tableDir,
+      conditionSql.map(expr).getOrElse(lit(true)),
+      assignments.map { case (c, e) => c -> expr(e) }.toMap)
+    Nil
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"UpdateLakeCommand $tableDir SET ${assignments.map(a => s"${a._1} = ${a._2}").mkString(", ")}" +
+      conditionSql.map(c => s" WHERE $c").getOrElse("")
+}
+
+/** CDC-shaped `MERGE` executed as the lake's keyed minimal copy-on-write
+  * (or keyed delete): only directories holding matched keys rewrite, new
+  * keys append — and the result reads cleanly through the catalog scan.
+  * Enforces SQL MERGE's unique-match rule (a source with duplicate keys
+  * would otherwise silently produce duplicate rows).
+  */
+final case class MergeLakeCommand(
+    tableDir: String,
+    source: LogicalPlan,
+    targetCols: Seq[String],
+    keys: Seq[String],
+    delete: Boolean) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val src = GraftDmlShim.ofRows(spark, source)
+    val dups = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
+        "SQL MERGE requires at most one source match per target row")
+    if (delete)
+      VersionedLake.deleteKeys(spark, tableDir, src.select(keys.map(col): _*), keys)
+    else {
+      // align the source to the target's committed types (a VALUES
+      // source types small ints as INT; the analyzer's casts live on the
+      // MERGE plan we replaced, so re-apply them here)
+      val committed = VersionedLake.versionSchema(spark, tableDir,
+        VersionedLake.currentVersion(spark, tableDir).get)
+        .getOrElse(VersionedLake.read(spark, tableDir).schema)
+      val aligned = src.select(targetCols.map { c =>
+        val t = committed(committed.fieldIndex(c)).dataType
+        col(c).cast(t).as(c)
+      }: _*)
+      VersionedLake.upsert(spark, tableDir, aligned, keys)
+    }
+    Nil
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"MergeLakeCommand $tableDir keys=${keys.mkString(",")} delete=$delete"
+}

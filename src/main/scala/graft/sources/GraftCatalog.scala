@@ -353,8 +353,8 @@ private[sources] object FilterToColumn {
 final class LakeTable(
     spark: SparkSession,
     identName: String,
-    tableDir: String,
-    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    val tableDir: String,
+    val pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =

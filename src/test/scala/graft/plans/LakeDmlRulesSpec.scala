@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{GraftCatalog, VersionedLake}
+
+/** SQL UPDATE / MERGE INTO on catalog tables, rewritten onto the lake's
+  * minimal-rewrite machinery: updateWhere for UPDATE, upsertMor for the
+  * CDC merge shape, deleteKeysMor for the delete-merge shape — with
+  * out-of-shape statements left for Spark's own unsupported error.
+  */
+class LakeDmlRulesSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    spark.conf.set("spark.sql.catalog.gdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.root", r)
+    r
+  }
+
+  test("UPDATE ... SET ... WHERE rides updateWhere: pre-image semantics, minimal rewrite") {
+    root
+    spark.sql("CREATE TABLE gdml.upd (id BIGINT, status STRING, amt DOUBLE)")
+    spark.sql("INSERT INTO gdml.upd VALUES (1, 'open', 10.0), (2, 'open', 20.0), (3, 'done', 30.0)")
+    spark.sql("UPDATE gdml.upd SET status = 'done', amt = amt * 2 WHERE status = 'open'")
+    val got = spark.sql("SELECT id, status, amt FROM gdml.upd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "done", 20.0), (2L, "done", 40.0), (3L, "done", 30.0)))
+    // pre-update snapshot intact (time travel across SQL DML)
+    val before = spark.sql("SELECT amt FROM gdml.upd VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getDouble(0))
+    assert(before.toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("UPDATE with swap assignments evaluates RHS against the pre-update row") {
+    root
+    spark.sql("CREATE TABLE gdml.swap (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO gdml.swap VALUES (1, 10, 20)")
+    spark.sql("UPDATE gdml.swap SET a = b, b = a")
+    val r = spark.sql("SELECT a, b FROM gdml.swap").head()
+    assert((r.getLong(0), r.getLong(1)) === ((20L, 10L)), "SET a=b, b=a must swap")
+  }
+
+  test("MERGE INTO (CDC shape) rides the keyed minimal copy-on-write upsert") {
+    val s = spark
+    root
+    spark.sql("CREATE TABLE gdml.tgt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.tgt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW changes AS
+                |SELECT * FROM VALUES (2, 'B2'), (9, 'new') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.tgt t USING changes c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // INT-typed VALUES source: resolution wraps the keys/values in casts;
+    // the rule must see through them
+    val got = spark.sql("SELECT k, v FROM gdml.tgt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    val cur = VersionedLake.currentVersion(s, s"$root/tgt").get
+    assert(VersionedLake.dirEqDeletes(s, s"$root/tgt", cur).isEmpty,
+      "SQL MERGE takes the CoW path so the catalog scan reads clean")
+    // pre-merge snapshot time-travelable across SQL MERGE
+    assert(spark.sql("SELECT v FROM gdml.tgt VERSION AS OF 1 WHERE k = 2")
+      .head().getString(0) === "b")
+  }
+
+  test("MERGE with duplicate source keys refuses (SQL unique-match rule)") {
+    root
+    spark.sql("CREATE TABLE gdml.dup (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.dup VALUES (1, 'a')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dup_src AS
+                |SELECT * FROM VALUES (1, 'x'), (1, 'y') AS t(k, v)""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql("""MERGE INTO gdml.dup t USING dup_src c ON t.k = c.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("multiple rows"),
+      s"expected the unique-match refusal, got: ${e.getMessage}")
+  }
+
+  test("MERGE ... WHEN MATCHED THEN DELETE rides the keyed copy-on-write delete") {
+    root
+    spark.sql("CREATE TABLE gdml.mdel (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.mdel VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gone AS
+                |SELECT * FROM VALUES (1, 'zz'), (3, 'zz') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.mdel t USING gone g ON t.k = g.k
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM gdml.mdel").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("out-of-shape MERGE (conditional action) falls through to Spark's own error") {
+    root
+    spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.oos VALUES (1, 'a')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW oos_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql("""MERGE INTO gdml.oos t USING oos_src c ON t.k = c.k
+                  |WHEN MATCHED AND c.v = 'x' THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e != null, "conditional matched action is outside the rewrite's shape")
+  }
+}
