@@ -742,6 +742,44 @@ object Relational5 {
              |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin),
       covers = Seq("ext-sql-catalog")),
 
+    // SQL MERGE through the catalog — the CDC statement end to end: the
+    // analyzer rule (plans.LakeDmlRules) rewrites the canonical
+    // SET*/INSERT* shape onto the keyed minimal copy-on-write upsert,
+    // so the statement pays O(matched directories), not a table
+    // rewrite. Re-running merges an identical batch — same answer, so
+    // the oracle is stable across bench iterations. Oracle: the merged
+    // truth over the source tables.
+    QueryDef(
+      "q_catalog_merge",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val catRoot = catalogLake(s, dir)
+        val tbl = s"$catRoot/merge_orders"
+        if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty)
+          graft.sources.VersionedLake.appendCommit(
+            t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            tbl, statsCols = Seq("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"),
+            lit("M").as("o_orderstatus"),
+            round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+          .createOrReplaceTempView("order_changes")
+        s.sql("""MERGE INTO graftcat.merge_orders t USING order_changes c
+                |ON t.o_orderkey = c.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.merge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 3 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+             |  round(CASE WHEN o_orderkey % 10 = 3 THEN round(o_totalprice * 2, 2)
+             |        ELSE o_totalprice END, 2) AS o_totalprice
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge")),
+
     // SQL time travel through the catalog: VERSION AS OF 1 pins the
     // first two of the warm-up's three commits — the pinned manifest is
     // immutable, so the answer is stable no matter what later commits
