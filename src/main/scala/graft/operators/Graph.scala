@@ -249,6 +249,15 @@ object Graph {
     var seen = frontier.select(col("id"))
     var out = frontier
     var round = 0
+    // superseded-checkpoint bookkeeping (the [[pageRank]] GC discipline):
+    // frontiers older than the current one, and each compaction's
+    // predecessor seen/out, free the moment a compaction's EAGER
+    // checkpoints have materialized their data — otherwise a 20-round
+    // BFS holds every round's frontier blocks to the end (the driver's
+    // own diagnostics showed this loop at ~65% GC share of wall)
+    var staleFrontiers: List[DataFrame] = Nil
+    var ckptSeen: Option[DataFrame] = None
+    var ckptOut: Option[DataFrame] = None
     while (round < maxRounds && !frontier.isEmpty) {
       // candidate next-hop set: one shuffle of the frontier-adjacent
       // edges, min-combined map-side by the groupBy
@@ -256,6 +265,7 @@ object Graph {
         .join(e, frontier("id") === e("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + 1L).as("dist"))
+      val prevFrontier = frontier
       // keep only genuine improvements: nodes never seen before. (BFS
       // invariant: a node reached in round k can never be improved later,
       // so "not yet seen" IS the improvement test — an anti-join, no
@@ -268,13 +278,25 @@ object Graph {
         .localCheckpoint(eager = false)
       seen = seen.unionByName(frontier.select(col("id")))
       out = out.unionByName(frontier)
+      staleFrontiers ::= prevFrontier
       if (round % 4 == 3) {
+        // EAGER: materializing the compacted frames also materializes the
+        // current (lazy) frontier they union over — after which every
+        // stale frontier's and the prior compaction's blocks are garbage
         seen = seen.localCheckpoint()
         out = out.localCheckpoint()
+        staleFrontiers.foreach(freeCheckpoint)
+        staleFrontiers = Nil
+        ckptSeen.foreach(freeCheckpoint)
+        ckptOut.foreach(freeCheckpoint)
+        ckptSeen = Some(seen)
+        ckptOut = Some(out)
       }
       round += 1
     }
     e.unpersist(blocking = false)
+    // frontiers since the last compaction still back `out`'s lazy plan —
+    // they stay; bounded at < 4 rounds' worth by construction
     out
   }
 
@@ -312,11 +334,20 @@ object Graph {
     var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     var round = 0
     var done = false
+    // each round's shrunken edge frame supersedes its predecessor the
+    // moment the emptiness probe has materialized it — free the old
+    // blocks then (the [[pageRank]] GC discipline), not at loop exit
+    var prevE: Option[DataFrame] = None
     var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
     while (round < maxRounds && !done) {
       val doomed = deg.filter(col("core_deg") < k).select(col("id"))
+      // this action materializes the CURRENT e's checkpoint blocks (deg
+      // reads e), so the predecessor's blocks are now garbage
       if (doomed.isEmpty) done = true
-      else {
+      prevE.foreach(freeCheckpoint)
+      prevE = None
+      if (!done) {
+        prevE = Some(e)
         e = e
           .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
