@@ -198,9 +198,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     parts.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column '$p' not in schema"))
+    // skipping layers declared at DDL time: TBLPROPERTIES('stats.cols'=
+    // 'a,b', 'bloom.cols'='c' [, 'bloom.bits', 'bloom.k']) — the empty
+    // create commit carries the declaration in its manifest, and every
+    // later INSERT continues it (the write path's carry rule), so a pure
+    // SQL user gets dir-level pruning without ever touching the library
+    def csv(key: String): Seq[String] = Option(properties.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val statsCols = csv("stats.cols")
+    val bloomCols = csv("bloom.cols")
+    (statsCols ++ bloomCols).foreach(c => require(schema.fieldNames.contains(c),
+      s"skipping-layer column '$c' not in schema"))
+    val bloom =
+      if (bloomCols.isEmpty) None
+      else Some(VersionedLake.BloomConfig(bloomCols,
+        bits = Option(properties.get("bloom.bits")).map(_.toInt).getOrElse(1 << 20),
+        k = Option(properties.get("bloom.k")).map(_.toInt).getOrElse(7)))
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    VersionedLake.commit(empty, dir, parts = parts)
+    VersionedLake.commit(empty, dir, parts = parts, statsCols = statsCols, bloom = bloom)
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 

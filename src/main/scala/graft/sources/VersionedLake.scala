@@ -974,9 +974,26 @@ object VersionedLake {
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj))
   }
 
+  /** DEEP nullability normalization: parquet round-trips lose NOT NULL,
+    * so the committed schema admits null at every level — including
+    * inside structs/arrays/maps. Shallow normalization here caused a
+    * false evolution conflict: a VALUES-derived batch types struct
+    * fields NOT NULL, and the dataType.sql comparison in
+    * [[mergeSchemas]] would see `STRUCT<x: T NOT NULL>` vs
+    * `STRUCT<x: T>` as a forbidden retype.
+    */
   private def nullableAll(
-      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)).toSeq)
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def deep(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = deep(f.dataType), nullable = true)).toSeq)
+      case ArrayType(et, _)    => ArrayType(deep(et), containsNull = true)
+      case MapType(kt, vt, _)  => MapType(deep(kt), deep(vt), valueContainsNull = true)
+      case other               => other
+    }
+    deep(s).asInstanceOf[StructType]
+  }
 
   /** Read the published snapshot — only manifested directories resolve;
     * in-flight or crashed writers' directories are invisible.

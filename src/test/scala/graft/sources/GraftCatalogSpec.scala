@@ -182,6 +182,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedLake.currentVersion(spark, s"$root/ctas_t").contains(1L))
   }
 
+  test("TBLPROPERTIES declare skipping layers; INSERTs continue them") {
+    val s = spark
+    root
+    spark.sql("""CREATE TABLE graft.props_t (id BIGINT, tag STRING)
+                |TBLPROPERTIES ('stats.cols'='id', 'bloom.cols'='tag', 'bloom.bits'='4096', 'bloom.k'='5')""".stripMargin)
+    spark.sql("INSERT INTO graft.props_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.props_t VALUES (3, 'c')")
+    val dir = s"$root/props_t"
+    val v = VersionedLake.currentVersion(s, dir).get
+    val stats = VersionedLake.dirStats(s, dir, v)
+    assert(stats.size === 3 && stats.values.forall(_.contains("id")),
+      s"every directory (create + 2 inserts) must declare id stats, got $stats")
+    val blooms = VersionedLake.dirBlooms(s, dir, v)
+    assert(blooms.size === 3 && blooms.values.forall(_.get("tag").exists(_._1 === 4096)),
+      "every directory must carry the 4096-bit tag bloom declared at DDL time")
+    // and the layers actually prune: a point read on tag touches no data
+    // from directories whose bloom rejects it
+    assert(VersionedLake.readPoint(s, dir, "tag", "c").count() === 1)
+  }
+
+  test("nested struct and array columns round-trip through the catalog") {
+    root
+    spark.sql("""CREATE TABLE graft.nest_t (
+                |  id BIGINT,
+                |  meta STRUCT<lang: STRING, score: DOUBLE>,
+                |  tags ARRAY<STRING>)""".stripMargin)
+    spark.sql("""INSERT INTO graft.nest_t VALUES
+                |  (1, named_struct('lang', 'en', 'score', 0.9), array('a', 'b')),
+                |  (2, named_struct('lang', 'de', 'score', 0.4), array())""".stripMargin)
+    val got = spark.sql(
+      "SELECT id, meta.lang, size(tags) FROM graft.nest_t WHERE meta.score > 0.5").head()
+    assert((got.getLong(0), got.getString(1), got.getInt(2)) === ((1L, "en", 2)))
+    // evolution beside nested columns
+    spark.sql("ALTER TABLE graft.nest_t ADD COLUMN note STRING")
+    spark.sql("""INSERT INTO graft.nest_t VALUES
+                |  (3, named_struct('lang', 'fr', 'score', 0.7), array('z'), 'tagged')""".stripMargin)
+    val rows = spark.sql("SELECT id, note FROM graft.nest_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some("tagged"))))
+  }
+
   test("DROP and RENAME") {
     root
     spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")
