@@ -217,6 +217,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     VersionedLake.commit(empty, dir, parts = parts, statsCols = statsCols, bloom = bloom)
+    // CHECK constraints from DDL: TBLPROPERTIES('check.<name>'='<predicate>')
+    // — declared on the empty table, so the snapshot validation is free
+    // and every later write (SQL or library) is gated
+    properties.asScala.toSeq.sortBy(_._1).foreach {
+      case (k, pred) if k.startsWith("check.") =>
+        LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
+      case _ =>
+    }
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 

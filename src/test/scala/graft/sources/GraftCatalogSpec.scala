@@ -202,6 +202,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedLake.readPoint(s, dir, "tag", "c").count() === 1)
   }
 
+  test("TBLPROPERTIES check.* declare CHECK constraints at CREATE time") {
+    root
+    spark.sql("""CREATE TABLE graft.chk_t (id BIGINT, price DOUBLE)
+                |TBLPROPERTIES ('check.price_pos'='price > 0')""".stripMargin)
+    val cons = spark.sql("SELECT name, check FROM graft.`chk_t$constraints`").collect()
+    assert(cons.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("price_pos", "price > 0")))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.chk_t VALUES (1, -2.0)").collect())
+    assert(e.getMessage.contains("price_pos"))
+    spark.sql("INSERT INTO graft.chk_t VALUES (1, 2.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.chk_t").head().getLong(0) === 1L)
+  }
+
   test("nested struct and array columns round-trip through the catalog") {
     root
     spark.sql("""CREATE TABLE graft.nest_t (
