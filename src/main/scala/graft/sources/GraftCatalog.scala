@@ -228,11 +228,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 
-  /** ADD COLUMN only, implemented AS the lake's union-by-name evolution:
-    * an empty append whose batch schema carries the new fields — prior
-    * directories read them as null, exactly the contract every other
-    * evolution path in the lake already obeys. Anything else (drop,
-    * rename, retype) would need a rewrite or column mapping: refused.
+  /** ADD COLUMN (as the lake's union-by-name evolution: an empty append
+    * whose batch schema carries the new fields — prior directories read
+    * them as null) and SET/UNSET TBLPROPERTIES for the DDL-declared
+    * services: `check.<name>` adds/drops a CHECK constraint (snapshot-
+    * validated, like the library call), `stats.cols`/`bloom.cols` (+
+    * `bloom.bits`/`bloom.k`) declare skipping layers from now on — an
+    * empty append carries the declaration, and the INSERT carry rule
+    * propagates it to every later write; already-committed directories
+    * keep whatever they declared (retrofitting them would be a rewrite —
+    * that is OPTIMIZE's job). Anything else (drop, rename, retype)
+    * would need a rewrite or column mapping: refused.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -240,19 +246,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new NoSuchTableException(ident))
     val prior = VersionedLake.versionSchema(spark, dir, cur)
       .getOrElse(VersionedLake.readVersion(spark, dir, cur).schema)
-    val added = changes.map {
+    val added = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+    var statsCols: Seq[String] = Nil
+    var bloomCols: Seq[String] = Nil
+    var bloomBits = 1 << 20
+    var bloomK = 7
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+        added += org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case p: TableChange.SetProperty if p.property.startsWith("check.") =>
+        LakeConstraints.add(spark, dir, p.property.stripPrefix("check."), p.value)
+      case p: TableChange.RemoveProperty if p.property.startsWith("check.") =>
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("check."))
+      case p: TableChange.SetProperty if p.property == "stats.cols" =>
+        statsCols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case p: TableChange.SetProperty if p.property == "bloom.cols" =>
+        bloomCols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case p: TableChange.SetProperty if p.property == "bloom.bits" =>
+        bloomBits = p.value.toInt
+      case p: TableChange.SetProperty if p.property == "bloom.k" =>
+        bloomK = p.value.toInt
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMN only, got $c")
+        s"graft catalog supports ADD COLUMN and check./stats./bloom. properties, got $c")
     }
-    val widened = StructType(prior.fields ++ added)
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened)
-    VersionedLake.appendCommit(empty, dir,
-      parts = VersionedLake.partitionColumns(spark, dir, cur))
+    if (added.nonEmpty || statsCols.nonEmpty || bloomCols.nonEmpty) {
+      val widened = StructType(prior.fields ++ added)
+      (statsCols ++ bloomCols).foreach(c => require(widened.fieldNames.contains(c),
+        s"skipping-layer column '$c' not in schema"))
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened)
+      VersionedLake.appendCommit(empty, dir,
+        parts = VersionedLake.partitionColumns(spark, dir, cur),
+        statsCols = statsCols,
+        bloom = if (bloomCols.isEmpty) None
+        else Some(VersionedLake.BloomConfig(bloomCols, bloomBits, bloomK)))
+    }
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 

@@ -78,6 +78,15 @@ object LakeConstraints {
     write(spark, tableDir, existing :+ (name -> check))
   }
 
+  /** Verbatim constraint carry for [[VersionedLake.cloneTable]]: the
+    * clone's rows ARE a snapshot that satisfied these constraints, so
+    * re-validating (as [[add]] would) is a wasted scan.
+    */
+  private[sources] def copyTo(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val cs = constraintsOf(spark, srcDir)
+    if (cs.nonEmpty) write(spark, dstDir, cs)
+  }
+
   /** Remove a constraint (no-op if absent). */
   def drop(spark: SparkSession, tableDir: String, name: String): Unit = {
     val existing = constraintsOf(spark, tableDir)

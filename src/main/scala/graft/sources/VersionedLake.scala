@@ -2321,6 +2321,51 @@ object VersionedLake {
         eqdeletes = dirEqDeletes(spark, tableDir, toVersion))
     }
 
+  /** DEEP clone: materialize one retained version of `srcDir` as a brand
+    * new, independent table at `dstDir` — the backup/experiment-branch
+    * primitive. The clone is v0 of its own commit log with its own
+    * lifecycle: source vacuum/rewrites cannot touch it (the deliberate
+    * trade against a zero-copy shallow clone, whose manifests would
+    * reference directories the source's vacuum is free to reclaim — a
+    * cross-table lifetime entanglement this lake's single-table
+    * retention contract cannot express safely). Carried over: the
+    * snapshot's rows with pending merge-on-read deletes APPLIED (a clone
+    * is born clean), the hive partition layout, the declared stat/bloom
+    * columns (fresh filters over the clone's own directory), and the
+    * CHECK constraints. Not carried: bucket alignment (the clone is one
+    * plain directory; `optimizeBucketed` restores it on demand) and txn
+    * watermarks (a new table must not suppress a writer's first
+    * batches). O(version bytes) — this IS a copy, priced like one.
+    */
+  def cloneTable(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, srcDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $srcDir")))
+    require(currentVersion(spark, dstDir).isEmpty,
+      s"clone target $dstDir already has a published version")
+    val snap = readVersion(spark, srcDir, v)
+    val statCols = dirStats(spark, srcDir, v).values.flatMap(_.keys)
+      .toSeq.distinct.sorted.filter(snap.columns.contains)
+    val bloomCfg = {
+      val bs = dirBlooms(spark, srcDir, v)
+      val cols = bs.values.flatMap(_.keys).toSeq.distinct.sorted
+        .filter(snap.columns.contains)
+      if (cols.isEmpty) None
+      else {
+        val (m, k) = bs.values.flatMap(_.values).map(t => (t._1, t._2)).maxBy(_._1)
+        Some(BloomConfig(cols, m, k))
+      }
+    }
+    val out = commit(snap, dstDir,
+      parts = partitionColumns(spark, srcDir, v),
+      statsCols = statCols, bloom = bloomCfg)
+    LakeConstraints.copyTo(spark, srcDir, dstDir)
+    out
+  }
+
   /** Drop manifests below the published version and every data directory
     * the current manifest no longer references — ends the time-travel
     * window, never touches the live snapshot.

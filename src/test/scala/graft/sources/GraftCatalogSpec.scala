@@ -216,6 +216,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.chk_t").head().getLong(0) === 1L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES retrofits constraints and skipping layers") {
+    val s = spark
+    root
+    spark.sql("CREATE TABLE graft.alter_t (id BIGINT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.alter_t VALUES (1, 5.0)")
+    // constraint added later: snapshot-validated, then gates writes
+    spark.sql("ALTER TABLE graft.alter_t SET TBLPROPERTIES ('check.price_pos'='price > 0')")
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.alter_t VALUES (2, -1.0)").collect())
+    // skipping layers from now on: the declaring empty append + carry rule
+    spark.sql("ALTER TABLE graft.alter_t SET TBLPROPERTIES ('stats.cols'='id')")
+    spark.sql("INSERT INTO graft.alter_t VALUES (3, 7.0)")
+    val dir = s"$root/alter_t"
+    val v = VersionedLake.currentVersion(s, dir).get
+    val statted = VersionedLake.dirStats(s, dir, v)
+    assert(statted.values.count(_.contains("id")) >= 2,
+      s"the declaring append and the later INSERT must both carry id stats, got $statted")
+    // and dropping the constraint re-opens the gate
+    spark.sql("ALTER TABLE graft.alter_t UNSET TBLPROPERTIES ('check.price_pos')")
+    spark.sql("INSERT INTO graft.alter_t VALUES (4, -1.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.alter_t").head().getLong(0) === 3L)
+  }
+
   test("nested struct and array columns round-trip through the catalog") {
     root
     spark.sql("""CREATE TABLE graft.nest_t (
@@ -235,6 +258,21 @@ class GraftCatalogSpec extends SparkSpec {
     val rows = spark.sql("SELECT id, note FROM graft.nest_t ORDER BY id").collect()
       .map(r => (r.getLong(0), Option(r.getString(1))))
     assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some("tagged"))))
+  }
+
+  test("concurrent SQL INSERTs both land (lake OCC through the catalog)") {
+    root
+    spark.sql("CREATE TABLE graft.conc_t (id BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(spark.sql(s"INSERT INTO graft.conc_t VALUES ($i)"))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(spark.sql("SELECT count(*) FROM graft.conc_t").head().getLong(0) === 4L,
+      "every racing committer must re-base and land")
+    assert(VersionedLake.currentVersion(spark, s"$root/conc_t").contains(4L))
   }
 
   test("DROP and RENAME") {

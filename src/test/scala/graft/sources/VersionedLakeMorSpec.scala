@@ -212,6 +212,30 @@ class VersionedLakeMorSpec extends SparkSpec {
       Set(1L, 2L, 10L, 11L, 20L, 21L))
   }
 
+  test("cloneTable: an independent copy of one version, services carried, MoR applied") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("vlake_clsrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("vlake_cldst").toString + "/t"
+    threeCommits(src)
+    LakeConstraints.add(s, src, "id_pos", "id >= 0")
+    VersionedLake.deleteKeysMor(s, src, Seq(10L).toDF("id"), Seq("id"))
+    val v = VersionedLake.cloneTable(s, src, dst)
+    assert(v === 0L, "the clone is v0 of its own commit log")
+    assert(ids(VersionedLake.read(s, dst)) === Set(1L, 2L, 11L, 20L, 21L),
+      "pending MoR deletes apply — a clone is born clean")
+    assert(VersionedLake.dirEqDeletes(s, dst, 0).isEmpty)
+    // declared services carry: stats on id, and the CHECK constraint
+    assert(VersionedLake.dirStats(s, dst, 0).values.forall(_.contains("id")))
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((-5L, "x")).toDF("id", "payload"), dst))
+    // independence: source mutations after the clone are invisible to it
+    VersionedLake.appendCommit(Seq((99L, "z")).toDF("id", "payload"), src)
+    assert(!ids(VersionedLake.read(s, dst)).contains(99L))
+    // and the clone refuses to overwrite an existing table
+    intercept[IllegalArgumentException](VersionedLake.cloneTable(s, src, dst))
+  }
+
   test("upsertMor replay is exactly-once; materialization folds the debt away") {
     val s = spark
     import s.implicits._
