@@ -458,10 +458,20 @@ final class LakeTable(
       s"$identName@v$v has pending merge-on-read deletes, which a catalog " +
         "scan cannot apply; run VersionedLake.materializeDeletes(...) or read " +
         "via VersionedLake.read")
-    val inner = org.apache.spark.sql.graft.GraftTableShim.parquetTable(
-      spark, identName, dirs.map(d => s"$tableDir/data/$d"),
-      Some(schema()), options)
-    inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+    val hasLayers = VersionedLake.dirStats(spark, tableDir, v).nonEmpty ||
+      VersionedLake.dirBlooms(spark, tableDir, v).nonEmpty
+    if (hasLayers)
+      // stats/bloom-declared table: front the delegated scan with
+      // manifest-level directory pruning over the pushed filters
+      new org.apache.spark.sql.graft.LakePruningScanBuilder(
+        spark, identName, s"$tableDir/data", schema(), options,
+        filters => VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters))
+    else {
+      val inner = org.apache.spark.sql.graft.GraftTableShim.parquetTable(
+        spark, identName, dirs.map(d => s"$tableDir/data/$d"),
+        Some(schema()), options)
+      inner.asInstanceOf[SupportsRead].newScanBuilder(options)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -2321,6 +2321,135 @@ object VersionedLake {
         eqdeletes = dirEqDeletes(spark, tableDir, toVersion))
     }
 
+  /** Manifest-level directory pruning for ARBITRARY pushed filters — the
+    * generalization of [[readBetween]]/[[readPoint]]'s skipping layers
+    * that [[GraftCatalog]]'s SQL scans ride: given the data filters Spark
+    * pushed, drop every directory whose committed min/max stats (and
+    * bloom, for equality probes) PROVE it holds no matching row. Strictly
+    * conservative: any filter shape, type, or stats gap this cannot
+    * reason about keeps the directory — wrong answers are impossible,
+    * only missed pruning. Range reasoning is limited to numeric and
+    * string columns (the two types whose Spark string-cast stats compare
+    * reliably; date/timestamp string forms are renderer-dependent, so
+    * they only participate in the all-null check). All bloom probes for
+    * the query run as ONE driver-side mini-job. At 100 TB this is the
+    * layer that turns a point SELECT into a handful-of-directories scan
+    * BEFORE any parquet footer is opened.
+    */
+  def pruneDirsForFilters(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val dirs = manifest(spark, tableDir, version)
+    if (filters.isEmpty) return dirs
+    val stats = dirStats(spark, tableDir, version)
+    val blooms = dirBlooms(spark, tableDir, version)
+    if (stats.isEmpty && blooms.isEmpty) return dirs
+    val schemaOpt = versionSchema(spark, tableDir, version)
+    def dtOf(c: String): Option[DataType] =
+      schemaOpt.flatMap(_.fields.find(_.name.equalsIgnoreCase(c))).map(_.dataType)
+    def numeric(c: String) = dtOf(c).exists(_.isInstanceOf[NumericType])
+    def comparable(c: String) = numeric(c) || dtOf(c).contains(StringType)
+    def cmp(c: String, a: String, b: String): Option[Int] =
+      if (numeric(c)) scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      else Some(utf8Cmp(a, b))
+
+    // every (column, value, m, k) bloom probe the filters need, computed
+    // in ONE job; equality probes on columns without a committed type or
+    // with >16 IN values fall back to stats-only
+    val eqProbes = scala.collection.mutable.LinkedHashSet.empty[(String, Any, Int, Int)]
+    def collectEq(f: Filter): Unit = f match {
+      case EqualTo(c, v) if v != null          => addProbes(c, v)
+      case EqualNullSafe(c, v) if v != null    => addProbes(c, v)
+      case In(c, vs) if vs != null && vs.length <= 16 =>
+        vs.filter(_ != null).foreach(addProbes(c, _))
+      case And(l, r)                           => collectEq(l); collectEq(r)
+      case Or(l, r)                            => collectEq(l); collectEq(r)
+      case _                                   =>
+    }
+    def addProbes(c: String, v: Any): Unit =
+      if (dtOf(c).isDefined) {
+        val cfgs: Set[(Int, Int)] =
+          blooms.values.flatMap(_.get(c)).map(t => (t._1, t._2)).toSet
+        cfgs.foreach { case (m, k) => eqProbes += ((c, v, m, k)) }
+      }
+    filters.foreach(collectEq)
+    val probePositions: Map[(String, Any, Int, Int), Seq[Long]] =
+      if (eqProbes.isEmpty) Map.empty
+      else {
+        val ps = eqProbes.toSeq
+        val cols = ps.map { case (c, v, m, k) =>
+          bloomPositions(lit(v).cast(dtOf(c).get), m, k)
+        }
+        val row = spark.range(1).select(cols: _*).head()
+        ps.zipWithIndex.map { case (p, i) => p -> row.getSeq[Long](i) }.toMap
+      }
+
+    def bloomMay(d: String, c: String, v: Any): Boolean =
+      blooms.get(d).flatMap(_.get(c)) match {
+        case Some((m, k, bytes)) =>
+          probePositions.get((c, v, m, k)) match {
+            case Some(pos) => pos.forall { p =>
+              val i = p.toInt
+              (bytes(i >> 3) & (1 << (i & 7))) != 0
+            }
+            case None => true
+          }
+        case None => true
+      }
+
+    def range(d: String, c: String): Option[(Option[String], Option[String])] =
+      stats.get(d).flatMap(_.get(c))
+
+    def allNull(d: String, c: String): Boolean =
+      range(d, c).contains((None, None))
+
+    // can the directory contain a row SATISFYING f? (conservative true)
+    def may(d: String, f: Filter): Boolean = f match {
+      case And(l, r) => may(d, l) && may(d, r)
+      case Or(l, r)  => may(d, l) || may(d, r)
+      case EqualTo(c, v) if v != null =>
+        inRangeEq(d, c, v) && bloomMay(d, c, v)
+      case EqualNullSafe(c, null) => true // nulls aren't tracked beyond all-null
+      case EqualNullSafe(c, v)    => inRangeEq(d, c, v) && bloomMay(d, c, v)
+      case In(c, vs) if vs != null =>
+        vs.exists(v => v != null && inRangeEq(d, c, v) && bloomMay(d, c, v))
+      case GreaterThan(c, v) if v != null =>
+        boundOk(d, c, mx => cmp(c, mx, String.valueOf(v)).forall(_ > 0), upper = true)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        boundOk(d, c, mx => cmp(c, mx, String.valueOf(v)).forall(_ >= 0), upper = true)
+      case LessThan(c, v) if v != null =>
+        boundOk(d, c, mn => cmp(c, mn, String.valueOf(v)).forall(_ < 0), upper = false)
+      case LessThanOrEqual(c, v) if v != null =>
+        boundOk(d, c, mn => cmp(c, mn, String.valueOf(v)).forall(_ <= 0), upper = false)
+      case IsNotNull(c) => !allNull(d, c)
+      case _            => true
+    }
+
+    def inRangeEq(d: String, c: String, v: Any): Boolean = range(d, c) match {
+      case Some((Some(mn), Some(mx))) if comparable(c) =>
+        val vS = String.valueOf(v)
+        (cmp(c, mn, vS), cmp(c, vS, mx)) match {
+          case (Some(x), Some(y)) => x <= 0 && y <= 0
+          case _                  => true
+        }
+      case Some((None, None)) => false // all-null: no non-null value matches
+      case _                  => true
+    }
+
+    def boundOk(d: String, c: String, ok: String => Boolean, upper: Boolean): Boolean =
+      range(d, c) match {
+        case Some((Some(mn), Some(mx))) if comparable(c) => ok(if (upper) mx else mn)
+        case Some((None, None))                          => false
+        case _                                           => true
+      }
+
+    dirs.filter(d => filters.forall(f => may(d, f)))
+  }
+
   /** DEEP clone: materialize one retained version of `srcDir` as a brand
     * new, independent table at `dstDir` — the backup/experiment-branch
     * primitive. The clone is v0 of its own commit log with its own

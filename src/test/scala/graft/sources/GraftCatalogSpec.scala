@@ -260,6 +260,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some("tagged"))))
   }
 
+  test("manifest stats/bloom prune whole directories under SQL filters") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir = s"$root/prune_t"
+    // three key-clustered commits with stats + an id bloom
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 12, k = 5))
+    VersionedLake.appendCommit((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit((100L until 200L).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"), bloom = bloom)
+    VersionedLake.appendCommit((200L until 300L).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"), bloom = bloom)
+    def kept(): Int = org.apache.spark.sql.graft.LakePruningScanBuilder.lastKept.get.size
+    // point SELECT: one directory survives (stats range + bloom)
+    val pt = spark.sql("SELECT v FROM graft.prune_t WHERE id = 150").collect()
+    assert(pt.map(_.getString(0)).toSeq === Seq("r150"))
+    assert(kept() === 1, s"id=150 lives in exactly one of three directories, kept ${kept()}")
+    // range: two directories
+    assert(spark.sql("SELECT count(*) FROM graft.prune_t WHERE id >= 150 AND id < 250")
+      .head().getLong(0) === 100L)
+    assert(kept() === 2)
+    // disjunction: first and third
+    assert(spark.sql("SELECT count(*) FROM graft.prune_t WHERE id = 5 OR id = 250")
+      .head().getLong(0) === 2L)
+    assert(kept() === 2)
+    // bloom kills a range-plausible but absent point? (id=150 exists; a
+    // missing id within dir-2's range should prune everything by bloom —
+    // false-positive rates permitting, assert <= 1 conservatively)
+    assert(spark.sql("SELECT count(*) FROM graft.prune_t WHERE id = 1000000")
+      .head().getLong(0) === 0L)
+    assert(kept() === 0, "out-of-every-range key must keep zero directories")
+    // and an unfilterable query still reads everything
+    assert(spark.sql("SELECT count(*) FROM graft.prune_t").head().getLong(0) === 300L)
+  }
+
   test("concurrent SQL INSERTs both land (lake OCC through the catalog)") {
     root
     spark.sql("CREATE TABLE graft.conc_t (id BIGINT)")
