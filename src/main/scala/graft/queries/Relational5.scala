@@ -149,6 +149,19 @@ object Relational5 {
       VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 2), s"$catRoot/events_t")
     }
 
+  /** The orders-shaped catalog table the SQL DML/point queries share:
+    * committed once with o_orderkey stats, so catalog scans exercise
+    * manifest-level pruning. Rows with key%10==3 may be MERGE-doubled by
+    * q_catalog_merge; every other key is invariant across runs.
+    */
+  private def ensureMergeOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tbl = s"${catalogLake(s, dir)}/merge_orders"
+    if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty)
+      graft.sources.VersionedLake.appendCommit(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        tbl, statsCols = Seq("o_orderkey"))
+  }
+
   /** The conf registration must survive a lakeFixture cache hit from a
     * PREVIOUS session (tests) — re-pin it to the memoized root.
     */
@@ -753,12 +766,7 @@ object Relational5 {
       "q_catalog_merge",
       (s, dir) => {
         ensureCatalog(s, dir)
-        val catRoot = catalogLake(s, dir)
-        val tbl = s"$catRoot/merge_orders"
-        if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty)
-          graft.sources.VersionedLake.appendCommit(
-            t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
-            tbl, statsCols = Seq("o_orderkey"))
+        ensureMergeOrders(s, dir)
         t(s, dir, "orders")
           .filter(col("o_orderkey") % 10 === 3)
           .select(col("o_orderkey"),
@@ -779,6 +787,25 @@ object Relational5 {
              |        ELSE o_totalprice END, 2) AS o_totalprice
              |FROM orders""".stripMargin),
       covers = Seq("ext-sql-catalog-merge")),
+
+    // SQL point lookup through the catalog — the read path a 100 TB
+    // point SELECT takes: pushed filter → manifest stats pruning
+    // (pruneDirsForFilters drops every directory whose o_orderkey range
+    // excludes the key) → parquet row-group skipping → one row. Key 1231
+    // is %10 != 3, so q_catalog_merge's MERGE (which may run before or
+    // after this in any order) cannot touch it. Oracle: the same row off
+    // the source truth.
+    QueryDef(
+      "q_catalog_point",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureMergeOrders(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.merge_orders WHERE o_orderkey = 1231""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM orders WHERE o_orderkey = 1231""".stripMargin),
+      covers = Seq("ext-sql-catalog-point")),
 
     // SQL time travel through the catalog: VERSION AS OF 1 pins the
     // first two of the warm-up's three commits — the pinned manifest is
