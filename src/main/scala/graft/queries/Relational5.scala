@@ -184,6 +184,7 @@ object Relational5 {
     feedLake(s, dir): Unit
     viewLake(s, dir): Unit
     ensureCatalog(s, dir)
+    ensureMergeOrders(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
