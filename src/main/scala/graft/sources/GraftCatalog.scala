@@ -442,9 +442,24 @@ final class LakeTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft-lake", "location" -> tableDir,
-      "version" -> resolvedVersion.toString).asJava
+  /** Round-trips the DDL-declared services: `SHOW TBLPROPERTIES` shows
+    * the same `check.*` / `stats.cols` / `bloom.cols` keys CREATE/ALTER
+    * accept, read back from the constraint file and the current
+    * manifest's declarations.
+    */
+  override def properties(): util.Map[String, String] = {
+    val v = resolvedVersion
+    val checks = LakeConstraints.constraintsOf(spark, tableDir)
+      .map { case (n, c) => s"check.$n" -> c }
+    val statCols = VersionedLake.dirStats(spark, tableDir, v)
+      .values.flatMap(_.keys).toSeq.distinct.sorted
+    val bloomCols = VersionedLake.dirBlooms(spark, tableDir, v)
+      .values.flatMap(_.keys).toSeq.distinct.sorted
+    (Map("provider" -> "graft-lake", "location" -> tableDir, "version" -> v.toString) ++
+      checks ++
+      (if (statCols.nonEmpty) Map("stats.cols" -> statCols.mkString(",")) else Map.empty) ++
+      (if (bloomCols.nonEmpty) Map("bloom.cols" -> bloomCols.mkString(",")) else Map.empty)).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // resolve the snapshot ONCE per scan: concurrent commits between

@@ -214,6 +214,10 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("price_pos"))
     spark.sql("INSERT INTO graft.chk_t VALUES (1, 2.0)")
     assert(spark.sql("SELECT count(*) FROM graft.chk_t").head().getLong(0) === 1L)
+    // SHOW TBLPROPERTIES round-trips the declaration
+    val props = spark.sql("SHOW TBLPROPERTIES graft.chk_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.price_pos").contains("price > 0"), s"got $props")
   }
 
   test("ALTER TABLE SET TBLPROPERTIES retrofits constraints and skipping layers") {
