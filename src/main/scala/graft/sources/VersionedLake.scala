@@ -146,6 +146,35 @@ object VersionedLake {
     */
   final case class EqDelete(dir: String, keys: Seq[String], dirs: Seq[String])
 
+  /** Manifest comment line carrying one data directory's EXACT row and
+    * byte counts: `#rows=<dir>\t{"n":123,"bytes":4567}`. Rows come from
+    * the parquet footers of the directory's files (the writer already
+    * paid for them; reading a footer costs one metadata fetch, no data
+    * pages), bytes from the file listing — both gathered ONCE when the
+    * directory first enters a manifest, then carried forward verbatim
+    * (directories are immutable). Two things feed off this at 100 TB:
+    * `SELECT count(*)` (and table-level CBO statistics) answer from the
+    * manifest alone — zero file opens on a table with 10^5 directories —
+    * and Catalyst's join planning gets an EXACT row count instead of a
+    * size-derived guess, so a small lake table auto-broadcasts without a
+    * hint. Comment-prefixed like stats: pre-rows readers skip the lines,
+    * and a version missing a line for some directory simply refuses the
+    * metadata-only shortcuts (conservative, never wrong).
+    */
+  private val RowsHeader = "#rows="
+
+  /** Manifest comment line naming the operation that produced the
+    * version: `#op=append` / `upsert_mor` / `optimize` / ... — the
+    * commit-log classification a CHANGE FEED needs. [[readRowChanges]]
+    * turns the history into row-level CDC events, and the op line is
+    * what lets it distinguish "optimize rewrote the layout but changed
+    * no rows" (emit nothing) from "a copy-on-write rewrite changed rows
+    * in place" (refuse — the manifest diff alone cannot reconstruct the
+    * row delta) without guessing from directory shapes. Pre-op manifests
+    * read as None and fall back to a conservative structural inference.
+    */
+  private val OpHeader = "#op="
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -599,6 +628,96 @@ object VersionedLake {
       .toMap
   }
 
+  /** Per-directory EXACT (row count, data bytes) a version's manifest
+    * carries. Directories without a `#rows` line (pre-rows manifests)
+    * are absent from the map — callers needing totals must check
+    * coverage before trusting a sum.
+    */
+  def dirRowCounts(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, (Long, Long)] = {
+    import org.json4s.JsonAST._
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(RowsHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(RowsHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None
+        else scala.util.Try(org.json4s.jackson.JsonMethods.parse(rest.substring(tab + 1)))
+          .toOption.flatMap {
+            case JObject(fields) =>
+              val m = fields.toMap
+              (m.get("n"), m.get("bytes")) match {
+                case (Some(JInt(n)), Some(JInt(b))) =>
+                  Some(rest.substring(0, tab) -> ((n.toLong, b.toLong)))
+                case _ => None
+              }
+            case _ => None
+          }
+      }
+      .toMap
+  }
+
+  /** Raw rows JSON per directory for O(delta) carry-forward. */
+  private def dirRowsRaw(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, String] =
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(RowsHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(RowsHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None else Some(rest.substring(0, tab) -> rest.substring(tab + 1))
+      }
+      .toMap
+
+  /** The operation that produced a version, when its manifest records
+    * one (manifests predating the op header yield None).
+    */
+  def commitOp(spark: SparkSession, tableDir: String, version: Long): Option[String] =
+    manifestLines(spark, tableDir, version)
+      .find(_.startsWith(OpHeader))
+      .map(_.stripPrefix(OpHeader).trim)
+
+  /** Exact (rows, bytes) of one data directory, from file listing + the
+    * parquet footers the write already produced. Driver-side and
+    * O(files in the directory) — called once per NEW directory at
+    * publish time (carried forward verbatim afterwards), so a commit
+    * pays footer reads for its own delta only, never the table.
+    */
+  private def dirRowMeta(
+      spark: SparkSession,
+      tableDir: String,
+      d: String): Option[(Long, Long)] = scala.util.Try {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$tableDir/data/$d")
+    val f = root.getFileSystem(conf)
+    var rows = 0L
+    var bytes = 0L
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        bytes += st.getLen
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf, st.getPath)
+        try rows += r.getRecordCount
+        finally r.close()
+      }
+    }
+    (rows, bytes)
+  }.toOption
+
+  private def rowsJson(rows: Long, bytes: Long): String = {
+    import org.json4s.JsonAST._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(List(
+        "n" -> (JInt(rows): JValue),
+        "bytes" -> (JInt(bytes): JValue)))))
+  }
+
   /** Per-directory bucket specs a version's manifest carries:
     * dir -> (bucket key, bucket count).
     */
@@ -736,7 +855,8 @@ object VersionedLake {
       expectedBase: Option[Option[Long]] = None,
       buckets: Map[String, (String, Int)] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      eqdeletes: Seq[EqDelete] = Nil): Long = {
+      eqdeletes: Seq[EqDelete] = Nil,
+      op: String = "commit"): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -745,6 +865,17 @@ object VersionedLake {
             s"${exp.getOrElse(-1L)}; re-read and re-base")
     }
     val next = cur.getOrElse(-1L) + 1
+    // exact per-directory row/byte counts: carried verbatim for any dir
+    // the current version already accounts (immutable data ⟹ immutable
+    // counts), gathered from footers + listing for dirs entering a
+    // manifest for the first time — every commit path gets the layer
+    // for O(its own delta), with zero call-site involvement
+    val priorRows = cur.map(v => dirRowsRaw(spark, tableDir, v)).getOrElse(Map.empty)
+    val rowsLines = dirs.flatMap { d =>
+      priorRows.get(d)
+        .orElse(dirRowMeta(spark, tableDir, d).map { case (n, b) => rowsJson(n, b) })
+        .map(j => s"$RowsHeader$d\t$j")
+    }
     val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
     val bloomLines = dirs.flatMap(d => blooms.get(d).map(j => s"$BloomHeader$d\t$j"))
     val bucketLines = dirs.flatMap(d => buckets.get(d).map { case (key, n) =>
@@ -771,8 +902,8 @@ object VersionedLake {
             "dirs" -> (JArray(e.dirs.map(JString(_): JValue).toList): JValue)))))
         s"$EqDeleteHeader${e.dir}\t$j"
       }
-    val body = (SchemaHeader + schema.json) +:
-      (statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++ dirs)
+    val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
+      (rowsLines ++ statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++ dirs)
     createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
@@ -831,7 +962,7 @@ object VersionedLake {
         if (priorTxns.get(app).exists(_ >= b)) return cur.get
       }
       publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema), stats, blooms,
-        expectedBase = Some(cur), txns = priorTxns ++ txn.toMap)
+        expectedBase = Some(cur), txns = priorTxns ++ txn.toMap, op = "snapshot")
     }
   }
 
@@ -848,12 +979,13 @@ object VersionedLake {
       tableDir: String,
       base: Long,
       parts: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      op: String = "replace"): Long = {
     val spark = df.sparkSession
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
     publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema),
       expectedBase = Some(Some(base)),
-      txns = txnWatermarks(spark, tableDir, base))
+      txns = txnWatermarks(spark, tableDir, base), op = op)
   }
 
   /** O(delta) append commit: writes ONLY the batch; the new manifest is
@@ -960,7 +1092,7 @@ object VersionedLake {
       val blooms = priorBlooms ++ batchBloom.map(d -> _).toMap
       publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms,
         expectedBase = Some(cur), buckets = priorBuckets,
-        txns = priorTxns ++ txn.toMap, eqdeletes = priorEq)
+        txns = priorTxns ++ txn.toMap, eqdeletes = priorEq, op = "append")
     }
   }
 
@@ -1401,7 +1533,7 @@ object VersionedLake {
         cowStats ++ updStats, cowBlooms ++ updBloom,
         expectedBase = Some(Some(base)),
         buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
-        txns = priorTxns ++ txn.toMap)
+        txns = priorTxns ++ txn.toMap, op = "upsert")
     }
   }
 
@@ -1482,7 +1614,8 @@ object VersionedLake {
         expectedBase = Some(Some(cur)),
         buckets = dirBuckets(spark, tableDir, cur),
         txns = priorTxns ++ txn.toMap,
-        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(delName, keys, dirs))
+        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(delName, keys, dirs),
+        op = "upsert_mor")
     }
   }
 
@@ -1525,12 +1658,13 @@ object VersionedLake {
           .repartition(1)
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), kr.priorSchema,
-          expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap)
+          expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap,
+          op = "delete_keys")
       } else
         publishManifest(spark, tableDir, newDirs, kr.priorSchema, stats, blooms,
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
-          txns = priorTxns ++ txn.toMap)
+          txns = priorTxns ++ txn.toMap, op = "delete_keys")
     }
   }
 
@@ -1592,7 +1726,8 @@ object VersionedLake {
         expectedBase = Some(Some(cur)),
         buckets = dirBuckets(spark, tableDir, cur),
         txns = priorTxns ++ txn.toMap,
-        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(name, keys, dirs))
+        eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(name, keys, dirs),
+        op = "delete_mor")
     }
   }
 
@@ -1653,13 +1788,14 @@ object VersionedLake {
           .repartition(1)
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), priorSchema,
-          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base))
+          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base),
+          op = "materialize")
       } else
         publishManifest(spark, tableDir, newDirs, priorSchema, stats, blooms,
           expectedBase = Some(Some(base)),
           buckets = dirBuckets(spark, tableDir, base)
             .filter { case (d, _) => !rewritten.contains(d) },
-          txns = txnWatermarks(spark, tableDir, base))
+          txns = txnWatermarks(spark, tableDir, base), op = "materialize")
     }
 
   /** Keyed/predicate rewrites re-distribute rows across directories,
@@ -1891,7 +2027,8 @@ object VersionedLake {
       predicate: Column,
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     val keepRow = !coalesce(predicate, lit(false))
-    copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile)
+    copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
+      op = "delete_where")
   }
 
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
@@ -1931,7 +2068,8 @@ object VersionedLake {
     if (LakeConstraints.constraintsOf(spark, tableDir).nonEmpty)
       LakeConstraints.enforce(spark, tableDir,
         transform(read(spark, tableDir).filter(isMatch)), "updateWhere")
-    copyOnWrite(spark, tableDir, predicate, transform, maxRecordsPerFile)
+    copyOnWrite(spark, tableDir, predicate, transform, maxRecordsPerFile,
+      op = "update_where")
   }
 
   /** Stats/bloom carry for a copy-on-write publish: untouched directories
@@ -1980,7 +2118,8 @@ object VersionedLake {
       tableDir: String,
       predicate: Column,
       rewriteDir: DataFrame => DataFrame,
-      maxRecordsPerFile: Long): Long =
+      maxRecordsPerFile: Long,
+      op: String): Long =
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -2026,11 +2165,12 @@ object VersionedLake {
           .repartition(1)
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), schema,
-          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base))
+          expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base),
+          op = op)
       } else
         publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
           expectedBase = Some(Some(base)), buckets = buckets,
-          txns = txnWatermarks(spark, tableDir, base))
+          txns = txnWatermarks(spark, tableDir, base), op = op)
     }
 
   /** OPTIMIZE: rewrite the published version's N data directories into
@@ -2075,7 +2215,7 @@ object VersionedLake {
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
         expectedBase = Some(Some(cur)),
-        txns = txnWatermarks(spark, tableDir, cur))
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }
 
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact
@@ -2119,7 +2259,7 @@ object VersionedLake {
       publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema),
         stats, blooms, expectedBase = Some(cur),
         buckets = Map(d -> ((key, buckets))),
-        txns = txnsAt(spark, tableDir, cur))
+        txns = txnsAt(spark, tableDir, cur), op = "snapshot")
     }
   }
 
@@ -2145,7 +2285,7 @@ object VersionedLake {
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
         expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))),
-        txns = txnWatermarks(spark, tableDir, cur))
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }
 
   /** Bucketed writes only exist behind `saveAsTable`, so the directory is
@@ -2318,7 +2458,7 @@ object VersionedLake {
       publishManifest(spark, tableDir, dirs, schema, stats, blooms,
         expectedBase = Some(Some(cur)), buckets = buckets,
         txns = txnWatermarks(spark, tableDir, cur),
-        eqdeletes = dirEqDeletes(spark, tableDir, toVersion))
+        eqdeletes = dirEqDeletes(spark, tableDir, toVersion), op = "rollback")
     }
 
   /** Manifest-level directory pruning for ARBITRARY pushed filters — the
