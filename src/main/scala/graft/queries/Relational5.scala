@@ -162,6 +162,26 @@ object Relational5 {
         tbl, statsCols = Seq("o_orderkey"))
   }
 
+  /** Orders as a 3-commit, stats-declared catalog table for the
+    * metadata-only aggregate query — never mutated, so count/min/max
+    * stay run-invariant.
+    */
+  private def ensureMetaOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/meta_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val third = maxOrderKey(s, dir) / 3
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
+        tbl, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
+    }
+  }
+
   /** The conf registration must survive a lakeFixture cache hit from a
     * PREVIOUS session (tests) — re-pin it to the memoized root.
     */
@@ -185,6 +205,7 @@ object Relational5 {
     viewLake(s, dir): Unit
     ensureCatalog(s, dir)
     ensureMergeOrders(s, dir)
+    ensureMetaOrders(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -854,6 +875,32 @@ object Relational5 {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(value), 2) AS total
              |FROM events GROUP BY 1""".stripMargin),
-      covers = Seq("ext-lake-stream-source"))
+      covers = Seq("ext-lake-stream-source")),
+
+    // METADATA-ONLY AGGREGATES through the SQL catalog: an unfiltered
+    // count(*)/min/max over a stats-declared lake table answers from
+    // the manifest's #rows/#stats lines alone — the plan is a
+    // LocalTableScan; not a single parquet file (or footer) opens. At
+    // 100 TB this is the difference between a sub-millisecond driver
+    // computation and a full table scan. The DSv2 contract keeps it
+    // sound: Spark only offers the aggregate for pushdown when no
+    // post-scan filters remain, the builder claims COMPLETE pushdown
+    // only when every directory is accounted, and anything else (a
+    // WHERE, a group-by, an undeclared column) falls back to the real
+    // scan — LakeMetaAggSpec pins both faces. Oracle: the same
+    // aggregates over the source table.
+    QueryDef(
+      "q_catalog_agg_meta",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureMetaOrders(s, dir)
+        s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                |FROM graftcat.meta_orders""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-catalog-meta-agg"))
   )
 }

@@ -475,18 +475,18 @@ final class LakeTable(
         "via VersionedLake.read")
     val hasLayers = VersionedLake.dirStats(spark, tableDir, v).nonEmpty ||
       VersionedLake.dirBlooms(spark, tableDir, v).nonEmpty
-    if (hasLayers)
-      // stats/bloom-declared table: front the delegated scan with
-      // manifest-level directory pruning over the pushed filters
-      new org.apache.spark.sql.graft.LakePruningScanBuilder(
-        spark, identName, s"$tableDir/data", schema(), options,
-        filters => VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters))
-    else {
-      val inner = org.apache.spark.sql.graft.GraftTableShim.parquetTable(
-        spark, identName, dirs.map(d => s"$tableDir/data/$d"),
-        Some(schema()), options)
-      inner.asInstanceOf[SupportsRead].newScanBuilder(options)
-    }
+    // every catalog read goes through the one builder: stats/bloom
+    // directory pruning when the table declares layers (a no-op pruner
+    // otherwise), metadata-only count/min/max, and manifest-exact scan
+    // statistics for join planning
+    new org.apache.spark.sql.graft.LakePruningScanBuilder(
+      spark, identName, s"$tableDir/data", schema(), options,
+      pruner =
+        if (hasLayers)
+          filters => VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters)
+        else _ => dirs,
+      rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v),
+      aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1,9 +1,13 @@
 package org.apache.spark.sql.graft
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -24,6 +28,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * can only skip work, never rows. The net read path for a point
   * SELECT on a 100 TB table: manifest stats/bloom (directories) →
   * hive partitions → parquet footers (row groups) → vectorized decode.
+  *
+  * Two further manifest-powered layers ride the same builder:
+  *
+  *   - METADATA-ONLY AGGREGATES ([[SupportsPushDownAggregates]]): an
+  *     unfiltered, un-grouped `count(*)`/`min`/`max` the `#rows`/`#stats`
+  *     lines can answer exactly becomes a [[LocalScan]] — the 100 TB
+  *     table is never opened, not even its footers. Spark only offers
+  *     aggregates here when no post-scan filters remain, and this
+  *     builder keeps every filter post-scan, so a filtered aggregate
+  *     can never reach the metadata path by construction.
+  *   - EXACT STATISTICS ([[SupportsReportStatistics]] on the returned
+  *     scan): row/byte totals of the KEPT directories from the manifest,
+  *     so Catalyst's join planning sees exact numbers without listing a
+  *     single file — a small lake table auto-broadcasts with no hint.
   */
 final class LakePruningScanBuilder(
     spark: SparkSession,
@@ -31,11 +49,16 @@ final class LakePruningScanBuilder(
     dataRoot: String,
     schema: StructType,
     options: CaseInsensitiveStringMap,
-    pruner: Seq[Filter] => Seq[String]) extends ScanBuilder
-    with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+    pruner: Seq[Filter] => Seq[String],
+    rowMeta: Map[String, (Long, Long)] = Map.empty,
+    aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None)
+    extends ScanBuilder
+    with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = schema
+  private var answered: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -47,21 +70,80 @@ final class LakePruningScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val translated = pushed.flatMap(e =>
-      DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-    val kept = pruner(translated)
-    LakePruningScanBuilder.lastKept.set(kept)
-    val inner = ParquetTable(identName, spark,
-      options, kept.map(d => s"$dataRoot/$d"), Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
-    inner.pushFilters(pushed): Unit
-    inner.pruneColumns(required)
-    inner.build()
+  // only COMPLETE pushdown is ever claimed: a partial answer would make
+  // Spark re-aggregate metadata rows as if they were data rows
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushed.isEmpty && aggAnswer(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggAnswer(aggregation) match {
+      case Some(a) => answered = Some(a); true
+      case None    => false
+    }
+  }
+
+  override def build(): Scan = answered match {
+    case Some((aggSchema, values)) =>
+      LakePruningScanBuilder.lastMetaAgg.set(aggSchema.fieldNames.toSeq)
+      new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(values))
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftLakeMetaAgg($identName: ${aggSchema.fieldNames.mkString(", ")})"
+      }
+    case None =>
+      val translated = pushed.flatMap(e =>
+        DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+      val kept = pruner(translated)
+      LakePruningScanBuilder.lastKept.set(kept)
+      val inner = ParquetTable(identName, spark,
+        options, kept.map(d => s"$dataRoot/$d"), Some(schema), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+      inner.pushFilters(pushed): Unit
+      inner.pruneColumns(required)
+      val scan = inner.build()
+      // exact stats only when every kept dir is accounted; a partial sum
+      // would understate the table and could mis-broadcast a huge side
+      if (kept.forall(rowMeta.contains))
+        new LakePruningScanBuilder.ManifestStatsScan(scan,
+          kept.map(rowMeta(_)._1).sum, kept.map(rowMeta(_)._2).sum)
+      else scan
   }
 }
 
 object LakePruningScanBuilder {
-  /** Observability hook (specs assert pruning fired; harmless in prod). */
+  /** Observability hooks (specs assert pruning/meta-agg fired; harmless in prod). */
   val lastKept = new ThreadLocal[Seq[String]]
+  val lastMetaAgg = new ThreadLocal[Seq[String]]
+
+  /** The delegated parquet scan with manifest-exact statistics: byte and
+    * row totals come from `#rows` lines instead of a file listing, and
+    * the row count is EXACT — join planning upgrades from size guesses
+    * to true cardinalities. Everything else delegates untouched (the
+    * inner scan still plans its own partitions, columnar mode, and
+    * runtime metrics).
+    */
+  final class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
+      extends Scan with SupportsReportStatistics {
+    override def readSchema(): StructType = inner.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+    override def description(): String = inner.description()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def estimateStatistics(): Statistics = new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+    override def equals(other: Any): Boolean = other match {
+      case s: ManifestStatsScan => inner == s.inner
+      case _                    => false
+    }
+    override def hashCode(): Int = inner.hashCode()
+  }
 }

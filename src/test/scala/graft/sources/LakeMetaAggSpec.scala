@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregates and manifest-exact scan statistics through
+  * the SQL catalog: an unfiltered count(*)/min/max plans as a
+  * LocalTableScan (zero file opens), anything the manifest cannot
+  * answer exactly falls back to a real scan, and join planning sees the
+  * manifest's exact row/byte totals (auto-broadcast without a hint).
+  */
+class LakeMetaAggSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_metaagg").toString
+    spark.conf.set("spark.sql.catalog.gma", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gma.root", r)
+    r
+  }
+
+  private def mkTable(name: String, statsCols: Seq[String] = Seq("k")): String = {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/$name"
+    VersionedLake.appendCommit(
+      (1L to 100L).map(i => (i, s"v$i", i * 1.5)).toDF("k", "s", "x"),
+      dir, statsCols = statsCols)
+    VersionedLake.appendCommit(
+      (101L to 130L).map(i => (i, s"v$i", i * 1.5)).toDF("k", "s", "x"),
+      dir, statsCols = statsCols)
+    dir
+  }
+
+  private def planOf(sql: String): String = {
+    val df = spark.sql(sql)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("unfiltered count(*) answers from the manifest: LocalTableScan, no file read") {
+    mkTable("cnt")
+    val df = spark.sql("SELECT count(*) AS n FROM gma.cnt")
+    assert(df.collect().head.getLong(0) === 130L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected metadata-only scan, got:\n$plan")
+    assert(!plan.contains("Parquet"), s"no parquet scan may appear:\n$plan")
+  }
+
+  test("unfiltered min/max on a stats-declared column answers from the manifest") {
+    mkTable("mm")
+    val df = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM gma.mm")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 130L)))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // count and extrema together still answer from metadata
+    val both = spark.sql("SELECT count(*) AS n, max(k) AS hi FROM gma.mm")
+    assert(both.collect().head.getLong(0) === 130L)
+    assert(both.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("a filter forces a real scan (post-scan filters block aggregate pushdown)") {
+    mkTable("flt")
+    val df = spark.sql("SELECT count(*) AS n FROM gma.flt WHERE k <= 50")
+    assert(df.collect().head.getLong(0) === 50L)
+    assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a filtered count must read data, not metadata")
+  }
+
+  test("min/max on a column without declared stats falls back to a real scan") {
+    mkTable("nostats")
+    val df = spark.sql("SELECT min(x) AS lo FROM gma.nostats")
+    assert(df.collect().head.getDouble(0) === 1.5)
+    assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("group-by never uses the metadata path") {
+    mkTable("grp")
+    val df = spark.sql("SELECT s, count(*) AS n FROM gma.grp GROUP BY s")
+    assert(df.collect().length === 130)
+    assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("string min/max answers from stats with UTF-8 order") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/strmm"
+    VersionedLake.appendCommit(
+      Seq(("bb", 1L), ("aa", 2L)).toDF("name", "k"), dir, statsCols = Seq("name"))
+    VersionedLake.appendCommit(
+      Seq(("zz", 3L), ("mm", 4L)).toDF("name", "k"), dir, statsCols = Seq("name"))
+    val df = spark.sql("SELECT min(name) AS lo, max(name) AS hi FROM gma.strmm")
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1)) === (("aa", "zz")))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("count over a version with pending MoR deletes refuses the catalog scan entirely") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/morref"
+    VersionedLake.appendCommit((1L to 10L).toDF("k"), dir)
+    VersionedLake.deleteKeysMor(s, dir, Seq(3L).toDF("k"), Seq("k"))
+    val e = intercept[Exception](spark.sql("SELECT count(*) FROM gma.morref").collect())
+    assert(e.getMessage.contains("merge-on-read"),
+      "physical counts over pending deletes must refuse, not answer wrong")
+  }
+
+  test("join planning sees manifest-exact statistics: small lake table auto-broadcasts") {
+    val s = spark
+    import s.implicits._
+    val small = s"$root/dim_small"
+    val big = s"$root/fact_big"
+    VersionedLake.appendCommit(
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "nm"), small)
+    VersionedLake.appendCommit(
+      (1L to 20000L).map(i => (i % 50 + 1, i * 2.0)).toDF("id", "v"), big)
+    val q = spark.sql(
+      "SELECT f.id, d.nm, f.v FROM gma.fact_big f JOIN gma.dim_small d ON f.id = d.id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 50-row dim must broadcast off manifest stats, plan was:\n$plan")
+    assert(q.count() === 20000L)
+    // and the logical stats are the manifest's EXACT row counts
+    val rel = q.queryExecution.optimizedPlan.collectLeaves()
+    val counts = rel.flatMap(_.stats.rowCount).map(_.toLong).sorted
+    assert(counts === Seq(50L, 20000L),
+      s"exact row counts must surface in plan statistics, got $counts")
+  }
+}
