@@ -162,6 +162,39 @@ object Relational5 {
         tbl, statsCols = Seq("o_orderkey"))
   }
 
+  /** CDC-consumed lake: 3 appends, one merge-on-read upsert (updates
+    * keys %97==5, inserts shifted new keys %101==11), one merge-on-read
+    * delete (keys %89==7) — all built ONCE in warm-up. q_lake_cdc then
+    * times the row-level change feed over the full 5-version history.
+    */
+  private def cdcLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    lakeFixture("cdc", dir) { lakeDir =>
+      import graft.sources.VersionedLake
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val mk = maxOrderKey(s, dir)
+      val third = mk / 3
+      VersionedLake.appendCommit(
+        base.filter(col("o_orderkey") <= third), lakeDir, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        base.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
+        lakeDir, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        base.filter(col("o_orderkey") > 2 * third), lakeDir, statsCols = Seq("o_orderkey"))
+      val upd = base.filter(col("o_orderkey") % 97 === 5)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      val ins = base.filter(col("o_orderkey") % 101 === 11)
+        .select((col("o_orderkey") + mk).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          round(col("o_totalprice") + 0.5, 2).as("o_totalprice"))
+      VersionedLake.upsertMor(s, lakeDir, upd.unionByName(ins),
+        keys = Seq("o_orderkey"))
+      VersionedLake.deleteKeysMor(s, lakeDir,
+        base.filter(col("o_orderkey") % 89 === 7).select("o_orderkey"),
+        Seq("o_orderkey"))
+    }
+
   /** Orders as a 3-commit, stats-declared catalog table for the
     * metadata-only aggregate query — never mutated, so count/min/max
     * stay run-invariant.
@@ -206,6 +239,7 @@ object Relational5 {
     ensureCatalog(s, dir)
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
+    cdcLake(s, dir): Unit
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -901,6 +935,58 @@ object Relational5 {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n,
              |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
              |FROM orders""".stripMargin),
-      covers = Seq("ext-catalog-meta-agg"))
+      covers = Seq("ext-catalog-meta-agg")),
+
+    // ROW-LEVEL CDC CHANGE FEED: readRowChanges replays the warm-up
+    // lake's 5-version history (3 appends, one MoR upsert, one MoR
+    // delete) as exact insert / update_preimage / update_postimage /
+    // delete events with their commit versions — reconstructed from
+    // manifest diffs alone: appends read only their appended dirs,
+    // MoR mutations read their delete-key file plus scoped pre-image
+    // dirs, layout-only versions contribute nothing. The oracle
+    // recomputes every event class from the source table (update
+    // pre/post pairs, shifted-key inserts, delete pre-images that
+    // reflect the earlier update). LakeRowChangesSpec pins the replay
+    // invariant (feed over v0 snapshot ≡ v4 snapshot) and the
+    // copy-on-write refusal.
+    QueryDef(
+      "q_lake_cdc",
+      (s, dir) => {
+        val lakeDir = cdcLake(s, dir)
+        graft.sources.VersionedLake.readRowChanges(s, lakeDir, -1L, 4L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .select("change_type", "commit_version", "n", "total")
+      },
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS mk, max(o_orderkey) // 3 AS third
+             |            FROM orders),
+             |base AS (SELECT o_orderkey, o_totalprice FROM orders),
+             |ev AS (
+             |  SELECT 'insert' AS ct,
+             |         CASE WHEN o_orderkey <= (SELECT third FROM mx) THEN 0
+             |              WHEN o_orderkey <= 2 * (SELECT third FROM mx) THEN 1
+             |              ELSE 2 END AS cv,
+             |         o_totalprice AS p
+             |  FROM base
+             |  UNION ALL
+             |  SELECT 'update_preimage', 3, o_totalprice
+             |  FROM base WHERE o_orderkey % 97 = 5
+             |  UNION ALL
+             |  SELECT 'update_postimage', 3, round(o_totalprice * 2, 2)
+             |  FROM base WHERE o_orderkey % 97 = 5
+             |  UNION ALL
+             |  SELECT 'insert', 3, round(o_totalprice + 0.5, 2)
+             |  FROM base WHERE o_orderkey % 101 = 11
+             |  UNION ALL
+             |  SELECT 'delete', 4,
+             |         CASE WHEN o_orderkey % 97 = 5 THEN round(o_totalprice * 2, 2)
+             |              ELSE o_totalprice END
+             |  FROM base WHERE o_orderkey % 89 = 7
+             |)
+             |SELECT ct AS change_type, CAST(cv AS BIGINT) AS commit_version,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+             |FROM ev GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-lake-cdc-feed"))
   )
 }

@@ -1309,6 +1309,137 @@ object VersionedLake {
       readDirs(spark, tableDir, newDirs.map(d => s"$tableDir/data/$d"), Some(schema))
   }
 
+  /** ROW-LEVEL CDC CHANGE FEED over `(fromVersion, toVersion]`: every
+    * logical row change in the window as
+    * `(data columns..., _change_type, _commit_version)` with change
+    * types `insert` / `delete` / `update_preimage` / `update_postimage`
+    * — the Delta-CDF-shaped contract a downstream sync (a search index,
+    * a mirror table, a training-set refresher) consumes instead of
+    * re-diffing snapshots. `fromVersion = -1` streams the table from
+    * its first commit.
+    *
+    * Cost model — and why this rides the MoR paths: each version is
+    * reconstructed from its own manifest diff. Appends read ONLY the
+    * appended directories (O(delta)). Merge-on-read upserts/deletes
+    * read their delete-key file plus the SCOPED pre-commit directories
+    * to produce exact pre-images (O(delta + scoped dirs) — the same
+    * read the MoR commit itself deferred; Delta pays the equivalent by
+    * writing CDC files at commit time). Layout-only versions
+    * ([[optimize]], [[materializeDeletes]]) change no logical rows and
+    * emit nothing. Copy-on-write rewrites ([[upsert]], [[deleteWhere]],
+    * [[updateWhere]], [[deleteKeys]], [[rollback]], snapshot replaces)
+    * REFUSE loudly: their manifests fold old and surviving rows into
+    * fresh directories, so the row delta is not reconstructible from
+    * the commit log — a CDC-consumed table should take its mutations
+    * through [[upsertMor]]/[[deleteKeysMor]] (the O(delta) write paths)
+    * and fold debt with [[materializeDeletes]] on the compaction
+    * cadence, which this feed skips over for free.
+    *
+    * Schema evolution inside the window is handled by name: frames
+    * union with missing columns null-filled, output at `toVersion`'s
+    * schema ordering.
+    */
+  def readRowChanges(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      rowChangesOf(spark, tableDir, v)
+    }
+    val outSchema = nullableAll(
+      versionSchema(spark, tableDir, toVersion)
+        .getOrElse(readVersion(spark, tableDir, toVersion).schema))
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    else {
+      val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      // column order (and any columns the window never saw) normalize
+      // to the toVersion schema
+      unioned.select(outSchema.fieldNames.map { n =>
+        if (unioned.columns.contains(n)) col(n)
+        else lit(null).cast(outSchema(n).dataType).as(n)
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** One version's row changes, or None when the version is a logical
+    * no-op (layout-only rewrite). Throws for unclassifiable rewrites.
+    */
+  private def rowChangesOf(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long): Option[DataFrame] = {
+    val op = commitOp(spark, tableDir, v)
+    val prevDirs = if (v == 0) Nil else manifest(spark, tableDir, v - 1)
+    val dirs = manifest(spark, tableDir, v)
+    val schemaOpt = versionSchema(spark, tableDir, v)
+    val prevDels = if (v == 0) Nil else dirEqDeletes(spark, tableDir, v - 1)
+    val newDels = dirEqDeletes(spark, tableDir, v)
+      .filterNot(e => prevDels.exists(_.dir == e.dir))
+    val addedDirs = dirs.filterNot(prevDirs.contains)
+    val isPureAppend = prevDirs.forall(dirs.contains) && newDels.isEmpty
+    def appended: DataFrame =
+      readDirs(spark, tableDir, addedDirs.map(d => s"$tableDir/data/$d"), schemaOpt)
+    def tagged(df: DataFrame, tpe: String): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    /** Exact pre-images of one MoR delete: the scoped directories AT the
+      * prior version (earlier pending deletes applied, so a key already
+      * MoR-deleted cannot re-delete), semi-joined on the delete keys.
+      */
+    def preImages(e: EqDelete): DataFrame = {
+      val base = readDirsWithDeletes(spark, tableDir, v - 1, e.dirs,
+        versionSchema(spark, tableDir, v - 1))
+      base.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
+        e.keys, "left_semi")
+    }
+    // pre-op manifests classify structurally: a version that only adds
+    // directories (no new delete files) is an append — anything else is
+    // an unclassifiable rewrite
+    val kind = op.getOrElse(if (isPureAppend) "append" else "pre-op rewrite")
+    kind match {
+      case "append" =>
+        if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+      case "snapshot" if prevDirs.isEmpty =>
+        // the table's first commit: everything is an insert
+        if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+      case "optimize" | "materialize" =>
+        None // layout-only: identical logical rows before and after
+      case "delete_mor" =>
+        newDels.map(preImages).reduceOption(_.unionByName(_)).map(tagged(_, "delete"))
+      case "upsert_mor" =>
+        newDels.headOption match {
+          case None =>
+            // pure-append fast path upsert (no keys matched a prior dir)
+            // publishes no delete file — everything appended is an insert
+            if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+          case Some(e) =>
+            // matched keys: update_preimage + update_postimage; unmatched
+            // appended rows: insert. The delete file IS the batch's key
+            // set, so matching against pre-images classifies exactly.
+            val pre = newDels.map(preImages).reduce(_.unionByName(_))
+            val matchedKeys = pre.select(e.keys.map(col): _*).distinct()
+            val post = appended.join(broadcast(matchedKeys), e.keys, "left_semi")
+            val ins = appended.join(broadcast(matchedKeys), e.keys, "left_anti")
+            // the upsert batch may have evolved the schema: pre-images
+            // null-fill columns the prior version lacked
+            Some(tagged(pre, "update_preimage")
+              .unionByName(tagged(post, "update_postimage"), allowMissingColumns = true)
+              .unionByName(tagged(ins, "insert"), allowMissingColumns = true))
+        }
+      case other =>
+        throw new IllegalStateException(
+          s"version $v of $tableDir ($other) is a rewrite the commit log " +
+            "cannot replay row-level; route CDC-consumed mutations through " +
+            "upsertMor/deleteKeysMor, or diff snapshots by key")
+    }
+  }
+
   /** Range read with manifest-level data skipping: directories whose
     * committed [min,max] for `column` cannot intersect [lo,hi] are
     * dropped BEFORE the scan exists — zero file listing, zero footer IO

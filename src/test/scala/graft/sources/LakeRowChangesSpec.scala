@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The row-level CDC change feed: exact insert/delete/update_pre/post
+  * events reconstructed from the commit log's manifest diffs — O(delta)
+  * for appends, O(delta + scoped dirs) for merge-on-read mutations,
+  * nothing for layout-only rewrites, loud refusal for copy-on-write
+  * rewrites. The load-bearing pin: replaying the feed over the starting
+  * snapshot reproduces the ending snapshot exactly.
+  */
+class LakeRowChangesSpec extends SparkSpec {
+
+  private def changes(dir: String, from: Long, to: Long) =
+    VersionedLake.readRowChanges(spark, dir, from, to)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  test("appends emit inserts tagged with their commit version") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_append").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(changes(dir, -1, 1) === Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L), (3L, "c", "insert", 1L)))
+    assert(changes(dir, 0, 1) === Set((3L, "c", "insert", 1L)),
+      "a window starting after v0 excludes v0's rows")
+  }
+
+  test("upsertMor emits update_preimage/update_postimage for matched keys, insert for new") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_upsert").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.upsertMor(s, dir,
+      Seq((2L, "b2"), (9L, "new")).toDF("id", "v"), keys = Seq("id"))
+    assert(changes(dir, 0, 1) === Set(
+      (2L, "b", "update_preimage", 1L),
+      (2L, "b2", "update_postimage", 1L),
+      (9L, "new", "insert", 1L)))
+  }
+
+  test("deleteKeysMor emits exact delete pre-images") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_del").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    VersionedLake.deleteKeysMor(s, dir, Seq(2L).toDF("id"), Seq("id"))
+    assert(changes(dir, 0, 1) === Set((2L, "b", "delete", 1L)))
+  }
+
+  test("a key already MoR-deleted does not re-delete; re-inserted keys insert again") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_redel").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.deleteKeysMor(s, dir, Seq(2L).toDF("id"), Seq("id"))
+    // second delete of the same key: pre-image is already gone → no event
+    VersionedLake.deleteKeysMor(s, dir, Seq(2L).toDF("id"), Seq("id"))
+    VersionedLake.appendCommit(Seq((2L, "b-back")).toDF("id", "v"), dir)
+    assert(changes(dir, 0, 3) === Set(
+      (2L, "b", "delete", 1L), (2L, "b-back", "insert", 3L)))
+  }
+
+  test("optimize and materializeDeletes versions emit nothing; the feed spans them") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_opt").toString
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    VersionedLake.deleteKeysMor(s, dir, Seq(1L).toDF("id"), Seq("id"))
+    VersionedLake.materializeDeletes(s, dir)
+    VersionedLake.optimize(s, dir)
+    VersionedLake.appendCommit(Seq((5L, "e")).toDF("id", "v"), dir)
+    assert(changes(dir, 0, 4) === Set(
+      (1L, "a", "delete", 1L), (5L, "e", "insert", 4L)))
+  }
+
+  test("copy-on-write rewrites refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_cow").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.deleteWhere(s, dir, col("id") === 1L)
+    val e = intercept[IllegalStateException](changes(dir, 0, 1))
+    assert(e.getMessage.contains("upsertMor"),
+      "the refusal must direct users to the MoR write paths")
+  }
+
+  test("replaying the feed over the starting snapshot reproduces the ending snapshot") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_replay").toString
+    VersionedLake.appendCommit(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    VersionedLake.upsertMor(s, dir,
+      (30L to 50L).map(i => (i, s"u$i")).toDF("id", "v"), keys = Seq("id"))
+    VersionedLake.deleteKeysMor(s, dir, (1L to 10L).toDF("id"), Seq("id"))
+    VersionedLake.appendCommit(Seq((99L, "tail")).toDF("id", "v"), dir)
+    val from = VersionedLake.readVersion(s, dir, 0)
+    val feed = VersionedLake.readRowChanges(s, dir, 0, 3)
+    // apply: remove (delete + update_preimage) by full row, add
+    // (insert + update_postimage)
+    val removed = feed.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("id", "v")
+    val added = feed.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("id", "v")
+    val replayed = from.exceptAll(removed).unionAll(added)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val target = VersionedLake.read(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed === target, "feed replay must reproduce the ending snapshot")
+  }
+
+  test("schema evolution inside the window null-fills by name at toVersion's schema") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_evo").toString
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), dir)
+    val got = VersionedLake.readRowChanges(s, dir, -1, 1)
+    assert(got.columns.toSeq === Seq("id", "v", "score", "_change_type", "_commit_version"))
+    val byId = got.collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byId(1L) === true && byId(2L) === false,
+      "pre-evolution rows carry null in the added column")
+  }
+}
