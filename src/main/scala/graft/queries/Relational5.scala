@@ -195,6 +195,28 @@ object Relational5 {
         Seq("o_orderkey"))
     }
 
+  /** Z-CLUSTERED catalog table: orders appended in 3 commits, then
+    * optimizeClustered into 8 Z-range-disjoint directories on
+    * (o_custkey, o_totalprice) — each directory a narrow 2-D box in the
+    * manifest, so the catalog scan's stats pruning drops most of them
+    * for a 2-D range predicate. Built once in warm-up: clustering is a
+    * compaction-cadence write, not a per-query cost.
+    */
+  private def ensureClusterOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/cluster_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val third = maxOrderKey(s, dir) / 3
+      VersionedLake.appendCommit(o.filter(col("o_orderkey") <= third), tbl)
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third), tbl)
+      VersionedLake.appendCommit(o.filter(col("o_orderkey") > 2 * third), tbl)
+      VersionedLake.optimizeClustered(s, tbl,
+        Seq("o_custkey", "o_totalprice"), numDirs = 8): Unit
+    }
+  }
+
   /** Orders as a 3-commit, stats-declared catalog table for the
     * metadata-only aggregate query — never mutated, so count/min/max
     * stay run-invariant.
@@ -239,6 +261,7 @@ object Relational5 {
     ensureCatalog(s, dir)
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
+    ensureClusterOrders(s, dir)
     cdcLake(s, dir): Unit
   }
 
@@ -987,6 +1010,31 @@ object Relational5 {
              |SELECT ct AS change_type, CAST(cv AS BIGINT) AS commit_version,
              |  CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
              |FROM ev GROUP BY 1, 2""".stripMargin),
-      covers = Seq("ext-lake-cdc-feed"))
+      covers = Seq("ext-lake-cdc-feed")),
+
+    // Z-CLUSTERED LAYOUT × MANIFEST PRUNING, end to end through SQL: a
+    // 2-D range predicate over the warm-up's 8-way Z-clustered catalog
+    // table. Each directory is a narrow (o_custkey, o_totalprice) box,
+    // so the scan's manifest-stats layer keeps only the directories
+    // whose box intersects the query box — including pruning on the
+    // SECOND clustered dimension, which no lexicographic sort order can
+    // deliver — then hive/footers/decode stack per survivor.
+    // VersionedLakeClusterSpec pins the quadrant-pruning geometry;
+    // the oracle recomputes the aggregate from the source table.
+    QueryDef(
+      "q_lake_cluster_prune",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureClusterOrders(s, dir)
+        s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+                |  round(sum(o_totalprice), 2) AS total
+                |FROM graftcat.cluster_orders
+                |WHERE o_custkey < 700 AND o_totalprice < 80000""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE o_custkey < 700 AND o_totalprice < 80000""".stripMargin),
+      covers = Seq("ext-lake-zcluster"))
   )
 }

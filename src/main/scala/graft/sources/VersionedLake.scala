@@ -2349,6 +2349,99 @@ object VersionedLake {
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }
 
+  /** OPTIMIZE ... CLUSTER BY into MULTIPLE Z-range-disjoint directories:
+    * the snapshot is Z-order clustered ([[Lake.withZorderKey]]) and
+    * range-split into `numDirs` directories covering DISJOINT Z-ranges,
+    * each committed with its own per-column stats. Where the single-dir
+    * [[optimize]]`(zorderBy=...)` buys parquet row-group pruning, this
+    * lifts the same geometry one level up to the MANIFEST: a Z-range is
+    * a tile of the value space, so each directory's [min,max] box on
+    * EVERY clustered column is narrow, and a multi-dimensional range
+    * predicate prunes whole directories before any file (or footer)
+    * opens — e.g. `numDirs=4` over 2 columns makes each directory one
+    * quadrant, and `x < m AND y < m` plans exactly one of them. At
+    * 100 TB with `numDirs` in the hundreds this is the decisive layer:
+    * manifest metadata only, one driver computation, no listing. The
+    * three skipping layers then stack per surviving directory (hive
+    * partitions → footers → decode).
+    *
+    * One table rewrite, same as any compaction: ONE range-shuffled
+    * write produces all directories (each task owns one Z-range;
+    * `partitionBy` on the range id splits them; the ids then rename to
+    * ordinary immutable lake directories), plus one bounded stats pass
+    * per new directory. Unpartitioned tables only — hive-partitioned
+    * tables already have a leading directory dimension; compose with
+    * [[optimize]]`(parts, zorderBy)` instead.
+    */
+  def optimizeClustered(
+      spark: SparkSession,
+      tableDir: String,
+      zorderBy: Seq[String],
+      numDirs: Int,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      statsCols: Seq[String] = Nil,
+      bloom: Option[BloomConfig] = None): Long = {
+    require(numDirs >= 2, s"numDirs must be >= 2, got $numDirs (use optimize for 1)")
+    retryOnConflict(maxAttempts = 4) {
+      val cur = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      require(partitionColumns(spark, tableDir, cur).isEmpty,
+        "optimizeClustered serves unpartitioned tables; hive-partitioned " +
+          "tables compose optimize(parts, zorderBy) instead")
+      val snapshot = readVersion(spark, tableDir, cur)
+      val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
+      val stage = java.util.UUID.randomUUID().toString
+      // one range shuffle on the Z-key: each task owns one contiguous
+      // Z-range, tagged by its partition id; partitionBy splits the
+      // ranges into k=v subdirs the rename below promotes to top-level
+      // lake directories
+      val RangeTag = "_graft_zrange"
+      Lake.withZorderKey(snapshot, zorderBy)
+        .repartitionByRange(numDirs, col(Lake.ZKey))
+        .sortWithinPartitions(col(Lake.ZKey))
+        .withColumn(RangeTag, org.apache.spark.sql.functions.spark_partition_id())
+        .drop(Lake.ZKey)
+        .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(RangeTag)
+        .parquet(s"$tableDir/data/$stage")
+      val f = fs(spark, tableDir)
+      val stagePath = new org.apache.hadoop.fs.Path(s"$tableDir/data/$stage")
+      // small snapshots can fill fewer than numDirs ranges: take what
+      // materialized, in Z order (range ids are ordered by construction)
+      val rangeDirs = f.listStatus(stagePath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$RangeTag="))
+        .map(_.getPath.getName)
+        .sortBy(n => n.stripPrefix(s"$RangeTag=").toInt)
+        .toSeq
+      val newDirs = rangeDirs.map { rd =>
+        val i = rd.stripPrefix(s"$RangeTag=").toInt
+        val name = s"$stage-z$i"
+        require(f.rename(new org.apache.hadoop.fs.Path(stagePath, rd),
+          new org.apache.hadoop.fs.Path(s"$tableDir/data/$name")),
+          s"failed to promote $rd to a lake directory")
+        name
+      }
+      f.delete(stagePath, true): Unit // only the empty shell + _SUCCESS remain
+      // per-directory skipping layers over the clustered layout: stats
+      // on the clustered columns (plus any extras) give each directory
+      // its narrow multi-dimensional box
+      val statCols = (zorderBy ++ statsCols).distinct.sorted
+      val stats = newDirs.flatMap { d =>
+        columnStats(
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), statCols)
+          .map(d -> _)
+      }.toMap
+      val blooms = newDirs.flatMap { d =>
+        bloomJson(
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), bloom)
+          .map(d -> _)
+      }.toMap
+      publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
+        expectedBase = Some(Some(cur)),
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
+    }
+  }
+
   /** The [[optimize]] cadence as a one-liner for ingest loops: compact
     * only when the manifest has reached `maxDirs` directories, else do
     * nothing. Dropping this after [[appendCommit]] in a `foreachBatch`
