@@ -106,9 +106,16 @@ class LakeStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val v = VersionedLake.currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"graft-lake source needs at least one published version in $dir"))
-    val st = schema.getOrElse(
+    val base = schema.getOrElse(
       VersionedLake.versionSchema(spark, dir, v)
         .getOrElse(VersionedLake.readVersion(spark, dir, v).schema))
+    // CDC mode appends the change-event columns to the pinned schema
+    val st =
+      if (parameters.get("readChanges").exists(_.equalsIgnoreCase("true")))
+        base
+          .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+          .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+      else base
     (shortName(), st)
   }
 
@@ -171,6 +178,19 @@ class LakeStreamSource(
     case Some(n)                 => Some(n.toLong)
   }
 
+  /** CDC mode (`option("readChanges", "true")`): each micro-batch is
+    * [[VersionedLake.readRowChanges]] over its version window — exact
+    * insert/delete/update_preimage/update_postimage events instead of
+    * appended rows. Merge-on-read mutations stream as row-level events
+    * (where the append-only default refuses them); layout-only versions
+    * contribute empty batches; copy-on-write rewrites still fail loudly
+    * (the commit log cannot replay them row-level). The initial
+    * `earliest` batch is the history from v0 — deterministic under
+    * replay like everything else here: manifests are immutable.
+    */
+  private val readChanges: Boolean =
+    parameters.get("readChanges").exists(_.equalsIgnoreCase("true"))
+
   override def schema: StructType = pinnedSchema
 
   private def versionOf(o: Offset): Long = o.json.trim.toLong
@@ -196,16 +216,20 @@ class LakeStreamSource(
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), pinnedSchema)
       case (Some(fromV), _) =>
-        VersionedLake.readAppendedBetween(spark, tableDir, fromV, endV)
+        if (readChanges) VersionedLake.readRowChanges(spark, tableDir, fromV, endV)
+        else VersionedLake.readAppendedBetween(spark, tableDir, fromV, endV)
       case (None, Some(s)) if s >= endV =>
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), pinnedSchema)
       case (None, Some(s)) =>
-        VersionedLake.readAppendedBetween(spark, tableDir, s, endV)
-      // first batch, earliest: the full snapshot AT endV — deterministic
-      // under replay because it is time travel, not "current"
+        if (readChanges) VersionedLake.readRowChanges(spark, tableDir, s, endV)
+        else VersionedLake.readAppendedBetween(spark, tableDir, s, endV)
+      // first batch, earliest: the full snapshot AT endV (or, in CDC
+      // mode, the event history from v0) — deterministic under replay
+      // because it is time travel, not "current"
       case (None, None) =>
-        VersionedLake.readVersion(spark, tableDir, endV)
+        if (readChanges) VersionedLake.readRowChanges(spark, tableDir, -1L, endV)
+        else VersionedLake.readVersion(spark, tableDir, endV)
     }
     // pin the stream-start columns (later commits may have added more)
     // and flag the plan streaming for MicroBatchExecution

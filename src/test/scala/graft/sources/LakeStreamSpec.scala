@@ -143,4 +143,37 @@ class LakeStreamSpec extends SparkSpec {
         "the feed must see each committed batch exactly once")
     } finally q.stop()
   }
+  test("readChanges mode streams row-level CDC events across MoR mutations") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lstream_cdc")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    val q = s.readStream.format("graft-lake")
+      .option("path", dir).option("readChanges", "true").load()
+      .writeStream.format("memory").queryName("lake_cdc_feed").outputMode("append")
+      .option("checkpointLocation", tmp("lstream_cdc_ck")).start()
+    try {
+      q.processAllAvailable()
+      def events = s.table("lake_cdc_feed").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+        .toSet
+      assert(events === Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L)),
+        "initial batch is the v0 history as inserts")
+      // a merge-on-read upsert streams as update events — where the
+      // append-only default would refuse the window
+      VersionedLake.upsertMor(s, dir,
+        Seq((2L, "b2"), (7L, "g")).toDF("id", "payload"), keys = Seq("id"))
+      q.processAllAvailable()
+      assert(events === Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+        (2L, "b", "update_preimage", 1L), (2L, "b2", "update_postimage", 1L),
+        (7L, "g", "insert", 1L)))
+      VersionedLake.deleteKeysMor(s, dir, Seq(1L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(events.contains((1L, "a", "delete", 2L)))
+      assert(events.size === 6, "exactly one event per logical change")
+    } finally q.stop()
+  }
 }
