@@ -173,7 +173,10 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .cache()
+      // serialized blocks (the pageRank discipline): und/oriented are
+      // probed by two joins each, and deserialized MEMORY_ONLY rows would
+      // sit as old-gen object graphs for the whole wedge phase
+      .persist(IterStorage)
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy("id")
@@ -189,7 +192,7 @@ object Graph {
           .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .cache()
+      .persist(IterStorage)
     // wedges around the lowest-rank corner; rank order on the two tips
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.s") === col("e2.s"))

@@ -63,6 +63,39 @@ class LakeDmlRulesSpec extends SparkSpec {
       .head().getString(0) === "b")
   }
 
+  test("MERGE rewrites ONLY the directories the stats-pruned probe matches") {
+    val s = spark
+    root
+    val tbl = s"$root/mprune"
+    import s.implicits._
+    // three key-range commits with o-key stats — the 100 TB layout the
+    // minimal-CoW probe exists for
+    VersionedLake.appendCommit(
+      (0L to 99L).map(k => (k, s"v$k")).toDF("k", "v"), tbl, statsCols = Seq("k"))
+    VersionedLake.appendCommit(
+      (100L to 199L).map(k => (k, s"v$k")).toDF("k", "v"), tbl, statsCols = Seq("k"))
+    VersionedLake.appendCommit(
+      (200L to 299L).map(k => (k, s"v$k")).toDF("k", "v"), tbl, statsCols = Seq("k"))
+    val before = VersionedLake.manifest(s, tbl, VersionedLake.currentVersion(s, tbl).get)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mprune_changes AS
+                |SELECT * FROM VALUES (CAST(150 AS BIGINT), 'upd'),
+                |  (CAST(900 AS BIGINT), 'new') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.mprune t USING mprune_changes c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = VersionedLake.manifest(s, tbl, VersionedLake.currentVersion(s, tbl).get)
+    // dirs 1 and 3 carry VERBATIM (stats exclude k=150/900); only dir 2
+    // rewrites, plus the batch's one append
+    assert(after.contains(before.head), "first range dir must carry untouched")
+    assert(after.contains(before(2)), "third range dir must carry untouched")
+    assert(!after.contains(before(1)), "matched dir must be rewritten")
+    assert(after.size === 4,
+      s"expect 2 carried + 1 rewritten + 1 appended, got ${after.size}: $after")
+    assert(spark.sql("SELECT v FROM gdml.mprune WHERE k = 150").head().getString(0) === "upd")
+    assert(spark.sql("SELECT v FROM gdml.mprune WHERE k = 900").head().getString(0) === "new")
+    assert(spark.sql("SELECT count(*) FROM gdml.mprune").head().getLong(0) === 301L)
+  }
+
   test("MERGE with duplicate source keys refuses (SQL unique-match rule)") {
     root
     spark.sql("CREATE TABLE gdml.dup (k BIGINT, v STRING)")
