@@ -2436,9 +2436,23 @@ object VersionedLake {
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), bloom)
           .map(d -> _)
       }.toMap
-      publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
+      // a lost publish race re-runs this whole block with a fresh stage
+      // UUID — without cleanup every failed attempt would strand a FULL
+      // duplicate snapshot under data/ (vacuum would get it eventually,
+      // but "crash leaves only garbage" must not mean "a conflict
+      // multiplies the table"); delete the promoted dirs before the
+      // retry, since nothing references them until the publish lands
+      try publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
         expectedBase = Some(Some(cur)),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
+      catch {
+        case e: Throwable =>
+          newDirs.foreach { d =>
+            try f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/data/$d"), true): Unit
+            catch { case _: Throwable => () } // best-effort; vacuum backstops
+          }
+          throw e
+      }
     }
   }
 

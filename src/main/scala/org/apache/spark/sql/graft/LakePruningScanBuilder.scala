@@ -60,6 +60,20 @@ final class LakePruningScanBuilder(
   private var required: StructType = schema
   private var answered: Option[(StructType, Array[Any])] = None
 
+  // Spark probes supportCompletePushDown THEN pushAggregation with the
+  // same Aggregation instance; aggAnswer re-reads the manifest on the
+  // driver, so memoize by identity instead of paying the metadata I/O
+  // twice per metadata-answerable query.
+  private var aggCache: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+  private def answerFor(agg: Aggregation): Option[(StructType, Array[Any])] =
+    aggCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = aggAnswer(agg)
+        aggCache = Some((agg, r))
+        r
+    }
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
     filters // everything stays a post-scan filter: pruning is additive
@@ -73,11 +87,11 @@ final class LakePruningScanBuilder(
   // only COMPLETE pushdown is ever claimed: a partial answer would make
   // Spark re-aggregate metadata rows as if they were data rows
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    pushed.isEmpty && aggAnswer(aggregation).isDefined
+    pushed.isEmpty && answerFor(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (pushed.nonEmpty) return false
-    aggAnswer(aggregation) match {
+    answerFor(aggregation) match {
       case Some(a) => answered = Some(a); true
       case None    => false
     }
@@ -126,7 +140,8 @@ object LakePruningScanBuilder {
     * runtime metrics).
     */
   final class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
-      extends Scan with SupportsReportStatistics {
+      extends Scan with SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     override def readSchema(): StructType = inner.readSchema()
     override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
     override def description(): String = inner.description()
@@ -139,6 +154,21 @@ object LakePruningScanBuilder {
     override def estimateStatistics(): Statistics = new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+    // runtime filtering (dynamic partition pruning) must survive the
+    // wrap: forward to the inner scan when it participates; an empty
+    // attribute list otherwise, which Spark reads as "nothing to prune"
+    // — never a silent capability downgrade of the delegate
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      inner match {
+        case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+          f.filterAttributes()
+        case _ => Array.empty
+      }
+    override def filter(predicates: Array[Predicate]): Unit = inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filter(predicates)
+      case _ => ()
     }
     override def equals(other: Any): Boolean = other match {
       case s: ManifestStatsScan => inner == s.inner

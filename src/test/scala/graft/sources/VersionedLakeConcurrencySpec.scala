@@ -133,6 +133,39 @@ class VersionedLakeConcurrencySpec extends SparkSpec {
       "optimize must re-base onto concurrent appends, never clobber them")
   }
 
+  test("optimizeClustered losing a publish race strands no snapshot copy") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_clust_race").toString
+    VersionedLake.appendCommit(
+      (0L to 199L).map(k => (k, k % 7, s"p$k")).toDF("id", "grp", "payload"), dir)
+    // fail the FIRST manifest publish (as a concurrent committer winning
+    // the version would); the retry re-stages under a fresh UUID — the
+    // loser's full promoted snapshot copy must not stay behind under data/
+    val failOnce = new VersionedLake.CommitStore {
+      private val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def atomicWrite(sp: org.apache.spark.sql.SparkSession, d: String,
+          n: String, c: String): Unit =
+        VersionedLake.FsCommitStore.atomicWrite(sp, d, n, c)
+      def createExclusive(sp: org.apache.spark.sql.SparkSession, d: String,
+          n: String, c: String): Unit =
+        if (failed.compareAndSet(false, true))
+          throw new VersionedLake.CommitConflictException("injected publish race")
+        else VersionedLake.FsCommitStore.createExclusive(sp, d, n, c)
+    }
+    VersionedLake.withCommitStore(failOnce) {
+      VersionedLake.optimizeClustered(s, dir, Seq("id", "grp"), numDirs = 4): Unit
+    }
+    val cur = VersionedLake.currentVersion(s, dir).get
+    val referenced = (0L to cur).flatMap(v => VersionedLake.manifest(s, dir, v)).toSet
+    val onDisk = new java.io.File(s"$dir/data").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"conflict-losing attempt stranded snapshot dirs: ${onDisk -- referenced}")
+    assert(ids(VersionedLake.read(s, dir)) === (0L to 199L).toSet,
+      "retry must still publish the clustered snapshot intact")
+  }
+
   test("optimizeIfNeeded keeps manifest stats + bloom skipping layers") {
     val s = spark
     import s.implicits._
