@@ -1104,6 +1104,79 @@ object Relational5 {
              |FROM ev GROUP BY 1, 2""".stripMargin),
       covers = Seq("ext-lake-cdc-feed")),
 
+    // ------------------------------------------------------------------
+    // CDC OVER COPY-ON-WRITE SQL DML — the composition the two flagship
+    // features used to refuse each other: a SQL MERGE through the
+    // catalog (LakeDmlRules → keyed minimal-CoW upsert) publishes its
+    // row delta as a commit-time change artifact built from the
+    // pre-images its probe already materialized, and readRowChanges
+    // consumes the artifact in O(artifact) instead of refusing the
+    // rewrite window. The window pins (2,3] — the FIRST MERGE commit on
+    // the 3-commit fixture — so later bench re-merges don't shift the
+    // answer. Oracle: the DuckDB-computed delta of that MERGE.
+    QueryDef(
+      "q_lake_cdc_cow",
+      (s, dir) => {
+        runCatalogMerge(s, dir)
+        val tbl = s"${catalogLake(s, dir)}/merge_orders"
+        graft.sources.VersionedLake.readRowChanges(s, tbl, 2L, 3L)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("_change_type"))
+          .localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+             |       _change_type
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         'update_preimage' AS _change_type FROM orders, m
+             |  WHERE o_orderkey > third AND o_orderkey <= third + third // 2
+             |  UNION ALL
+             |  SELECT o_orderkey, 'M', round(o_totalprice * 2, 2),
+             |         'update_postimage' FROM orders, m
+             |  WHERE o_orderkey > third AND o_orderkey <= third + third // 2
+             |  UNION ALL
+             |  SELECT o_orderkey + mx + 1, 'N', o_totalprice, 'insert' FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |)""".stripMargin),
+      covers = Seq("ext-lake-cdc-cow")),
+
+    // The same CDC contract reached from PURE SQL: `t$changes` exposes
+    // readRowChanges as a catalog table (GraftCatalog.LakeChangesTable),
+    // with _commit_version predicates pushed into the scan builder to
+    // bound which versions reconstruct — the feed is O(window), not
+    // O(history), on a 10k-commit table. Window = the first MERGE commit,
+    // same truth as q_lake_cdc_cow through the library API.
+    QueryDef(
+      "q_catalog_changes",
+      (s, dir) => {
+        runCatalogMerge(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice, _change_type
+                |FROM graftcat.`merge_orders$changes`
+                |WHERE _commit_version > 2 AND _commit_version <= 3""".stripMargin)
+          .localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+             |       _change_type
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         'update_preimage' AS _change_type FROM orders, m
+             |  WHERE o_orderkey > third AND o_orderkey <= third + third // 2
+             |  UNION ALL
+             |  SELECT o_orderkey, 'M', round(o_totalprice * 2, 2),
+             |         'update_postimage' FROM orders, m
+             |  WHERE o_orderkey > third AND o_orderkey <= third + third // 2
+             |  UNION ALL
+             |  SELECT o_orderkey + mx + 1, 'N', o_totalprice, 'insert' FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-changes")),
+
     // Z-CLUSTERED LAYOUT × MANIFEST PRUNING, end to end through SQL: a
     // 2-D range predicate over the warm-up's 8-way Z-clustered catalog
     // table. Each directory is a narrow (o_custkey, o_totalprice) box,

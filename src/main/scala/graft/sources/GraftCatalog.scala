@@ -104,6 +104,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ident.name.split('$') match {
       case Array(base, kind) if MetaKinds.contains(kind) =>
         return metaTable(Identifier.of(ident.namespace, base), kind)
+      case Array(base, "changes") =>
+        val d = dirOf(Identifier.of(ident.namespace, base))
+        if (!isTable(d)) throw new NoSuchTableException(ident)
+        return new LakeChangesTable(spark, s"${ident.toString}", d)
       case _ =>
     }
     val dir = dirOf(ident)
@@ -364,6 +368,97 @@ final class LocalRowsTable(
           override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
             df.queryExecution.executedPlan.executeCollect()
           override def readSchema(): StructType = df.schema
+        }
+    }
+}
+
+/** The row-level CDC feed as a SQL-reachable table: `` graft.`t$changes` ``
+  * is [[VersionedLake.readRowChanges]] over the full retained history,
+  * with `_commit_version` predicates PUSHED DOWN to bound the window —
+  * `WHERE _commit_version > 3 AND _commit_version <= 5` reconstructs
+  * versions 4..5 only, never the whole log, which is what makes the
+  * Delta-CDF-shaped contract usable from SQL on a 10k-commit table. The
+  * scan plans through the V1 bridge as the feed DataFrame's own
+  * distributed plan (artifact/parquet reads and the MoR pre-image joins
+  * all execute on executors); every filter is re-applied post-scan, so
+  * pushdown only narrows versions, never rows.
+  */
+final class LakeChangesTable(
+    spark: SparkSession,
+    tableName: String,
+    tableDir: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.sources._
+
+  private val feedSchema: StructType = {
+    val cur = VersionedLake.currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val base = VersionedLake.versionSchema(spark, tableDir, cur)
+      .getOrElse(VersionedLake.readVersion(spark, tableDir, cur).schema)
+    StructType(base.fields.map(_.copy(nullable = true)))
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // (from, to] window bounds, narrowed by every _commit_version
+      // conjunct Spark pushes; conservative on anything else
+      private var fromV = -1L
+      private var toV = VersionedLake.currentVersion(spark, tableDir).getOrElse(-1L)
+
+      private def narrow(f: Filter): Unit = f match {
+        case GreaterThan("_commit_version", v: Long)         => fromV = math.max(fromV, v)
+        case GreaterThan("_commit_version", v: Int)          => fromV = math.max(fromV, v.toLong)
+        case GreaterThanOrEqual("_commit_version", v: Long)  => fromV = math.max(fromV, v - 1)
+        case GreaterThanOrEqual("_commit_version", v: Int)   => fromV = math.max(fromV, v.toLong - 1)
+        case LessThan("_commit_version", v: Long)            => toV = math.min(toV, v - 1)
+        case LessThan("_commit_version", v: Int)             => toV = math.min(toV, v.toLong - 1)
+        case LessThanOrEqual("_commit_version", v: Long)     => toV = math.min(toV, v)
+        case LessThanOrEqual("_commit_version", v: Int)      => toV = math.min(toV, v.toLong)
+        case EqualTo("_commit_version", v: Long)             => fromV = math.max(fromV, v - 1); toV = math.min(toV, v)
+        case EqualTo("_commit_version", v: Int)              => fromV = math.max(fromV, v.toLong - 1); toV = math.min(toV, v.toLong)
+        case And(l, r)                                       => narrow(l); narrow(r)
+        case _                                               => ()
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        filters.foreach(narrow)
+        filters // all residual: version narrowing is additive, rows re-filter
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = feedSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              ctx: org.apache.spark.sql.SQLContext): T = {
+            import org.apache.spark.sql.functions.{col, lit}
+            val df0 =
+              if (toV < 0 || fromV > toV)
+                ctx.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](), feedSchema)
+              else VersionedLake.readRowChanges(
+                ctx.sparkSession, tableDir, math.max(-1L, fromV), toV)
+            // a narrowed window ends at toV's schema; align to the
+            // table's current schema (null-fill columns added later)
+            val df = df0.select(feedSchema.fields.map { f =>
+              if (df0.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+            (new BaseRelation with TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+              override def schema: StructType = feedSchema
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                df.rdd
+            }).asInstanceOf[T]
+          }
+          override def description(): String =
+            s"GraftLakeChanges($tableName, ($fromV, $toV])"
         }
     }
 }

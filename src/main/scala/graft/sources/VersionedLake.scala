@@ -175,6 +175,21 @@ object VersionedLake {
     */
   private val OpHeader = "#op="
 
+  /** `#changes=<dir>`: the version's ROW-LEVEL CHANGE ARTIFACT — parquet
+    * under `changes/` holding the commit's logical row delta as
+    * `(data columns..., _change_type)`. Copy-on-write commits
+    * ([[upsert]], [[deleteWhere]], [[updateWhere]], [[deleteKeys]])
+    * write it at commit time from the pre-image rows their probe already
+    * materializes — O(matched rows), the same bargain Delta's Change
+    * Data Feed strikes — which is what makes those paths (and the SQL
+    * MERGE/UPDATE/DELETE riding them) composable with [[readRowChanges]]
+    * instead of mutually exclusive with it. Append/MoR commits carry no
+    * line: their deltas reconstruct from the manifest diff for free.
+    * Artifacts are manifest-referenced state like delete files: retained
+    * by vacuum while any kept manifest cites them.
+    */
+  private val ChangesHeader = "#changes="
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -681,6 +696,33 @@ object VersionedLake {
       .find(_.startsWith(OpHeader))
       .map(_.stripPrefix(OpHeader).trim)
 
+  /** The version's row-level change artifact (see [[ChangesHeader]]),
+    * when its commit published one.
+    */
+  def changesArtifact(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Option[String] =
+    manifestLines(spark, tableDir, version)
+      .find(_.startsWith(ChangesHeader))
+      .map(_.stripPrefix(ChangesHeader).trim)
+      .filter(_.nonEmpty)
+
+  /** Write one commit's change artifact: `(data columns...,
+    * _change_type)` parquet under `changes/`. Written BEFORE the
+    * manifest publish, like data directories — a crash (or a lost
+    * publish race) strands only an unreferenced artifact for vacuum.
+    * Always written by the copy-on-write paths, even when the commit
+    * matched nothing: the line's presence is what lets the change feed
+    * distinguish "no rows changed" from "a legacy rewrite whose delta
+    * is unreconstructible".
+    */
+  private def writeChangesDir(df: DataFrame, tableDir: String): String = {
+    val name = java.util.UUID.randomUUID().toString
+    df.write.mode("error").parquet(s"$tableDir/changes/$name")
+    name
+  }
+
   /** Exact (rows, bytes) of one data directory, from file listing + the
     * parquet footers the write already produced. Driver-side and
     * O(files in the directory) — called once per NEW directory at
@@ -856,7 +898,8 @@ object VersionedLake {
       buckets: Map[String, (String, Int)] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       eqdeletes: Seq[EqDelete] = Nil,
-      op: String = "commit"): Long = {
+      op: String = "commit",
+      changes: Option[String] = None): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -902,8 +945,10 @@ object VersionedLake {
             "dirs" -> (JArray(e.dirs.map(JString(_): JValue).toList): JValue)))))
         s"$EqDeleteHeader${e.dir}\t$j"
       }
+    val changesLines = changes.map(c => s"$ChangesHeader$c").toSeq
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
-      (rowsLines ++ statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++ dirs)
+      (rowsLines ++ statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++
+        changesLines ++ dirs)
     createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
@@ -1323,17 +1368,18 @@ object VersionedLake {
     * appended directories (O(delta)). Merge-on-read upserts/deletes
     * read their delete-key file plus the SCOPED pre-commit directories
     * to produce exact pre-images (O(delta + scoped dirs) — the same
-    * read the MoR commit itself deferred; Delta pays the equivalent by
-    * writing CDC files at commit time). Layout-only versions
+    * read the MoR commit itself deferred). Layout-only versions
     * ([[optimize]], [[materializeDeletes]]) change no logical rows and
     * emit nothing. Copy-on-write rewrites ([[upsert]], [[deleteWhere]],
-    * [[updateWhere]], [[deleteKeys]], [[rollback]], snapshot replaces)
-    * REFUSE loudly: their manifests fold old and surviving rows into
-    * fresh directories, so the row delta is not reconstructible from
-    * the commit log — a CDC-consumed table should take its mutations
-    * through [[upsertMor]]/[[deleteKeysMor]] (the O(delta) write paths)
-    * and fold debt with [[materializeDeletes]] on the compaction
-    * cadence, which this feed skips over for free.
+    * [[updateWhere]], [[deleteKeys]] — and the SQL MERGE/UPDATE/DELETE
+    * riding them) publish a commit-time CHANGE ARTIFACT (see
+    * [[ChangesHeader]]) built from the pre-image rows their probe
+    * already materializes — Delta's CDC-file bargain — so the feed
+    * reads it back in O(artifact). Only rewrites with no artifact
+    * (rollback, snapshot replaces, and CoW commits made before
+    * artifacts existed) refuse loudly: their manifests fold old and
+    * surviving rows into fresh directories, so the row delta is not
+    * reconstructible from the commit log.
     *
     * Schema evolution inside the window is handled by name: frames
     * union with missing columns null-filled, output at `toVersion`'s
@@ -1433,10 +1479,24 @@ object VersionedLake {
               .unionByName(tagged(ins, "insert"), allowMissingColumns = true))
         }
       case other =>
-        throw new IllegalStateException(
-          s"version $v of $tableDir ($other) is a rewrite the commit log " +
-            "cannot replay row-level; route CDC-consumed mutations through " +
-            "upsertMor/deleteKeysMor, or diff snapshots by key")
+        // copy-on-write commits (upsert / delete_where / update_where /
+        // delete_keys — including the SQL MERGE/UPDATE/DELETE riding
+        // them) publish their row delta as a commit-time change artifact;
+        // reading it back IS the feed — O(artifact), no reconstruction
+        changesArtifact(spark, tableDir, v) match {
+          case Some(cd) =>
+            val df = spark.read.parquet(s"$tableDir/changes/$cd")
+            if (df.isEmpty) None
+            else Some(df.withColumn("_commit_version", lit(v)))
+          case None =>
+            throw new IllegalStateException(
+              s"version $v of $tableDir ($other) is a rewrite with no change " +
+                "artifact, which the commit log cannot replay row-level; " +
+                "copy-on-write commits made before change artifacts existed " +
+                "(and rollback/snapshot replaces) are in this class - route " +
+                "CDC-consumed mutations through the lake's row-level ops, or " +
+                "diff snapshots by key")
+        }
     }
   }
 
@@ -1640,6 +1700,31 @@ object VersionedLake {
       }
       requireNoEqDeletes(spark, tableDir, base, "upsert")
       val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
+      // CDC artifact: pre-images are the matched rows of the affected
+      // directories (the same rows the rewrite just removed); batch rows
+      // split into post-images (matched keys) and inserts — O(matched +
+      // batch), the commit's own delta
+      val changesName = {
+        val affected = kr.rewritten.keySet
+        val frame =
+          if (affected.isEmpty) updates.withColumn("_change_type", lit("insert"))
+          else {
+            val pre = readDirs(spark, tableDir,
+              affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
+              .join(keyDf.distinct(), keys, "left_semi")
+            val matchedKeys = pre.select(keys.map(col): _*).distinct()
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                updates.join(broadcast(matchedKeys), keys, "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")),
+                allowMissingColumns = true)
+              .unionByName(
+                updates.join(broadcast(matchedKeys), keys, "left_anti")
+                  .withColumn("_change_type", lit("insert")),
+                allowMissingColumns = true)
+          }
+        writeChangesDir(frame, tableDir)
+      }
       // phase 3 — the batch is one new directory, stat'd/bloom'd over the
       // same columns the manifest already declares (∩ the batch's schema)
       val updDir = writeDataDir(updates, tableDir, parts, maxRecordsPerFile)
@@ -1664,7 +1749,8 @@ object VersionedLake {
         cowStats ++ updStats, cowBlooms ++ updBloom,
         expectedBase = Some(Some(base)),
         buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
-        txns = priorTxns ++ txn.toMap, op = "upsert")
+        txns = priorTxns ++ txn.toMap, op = "upsert",
+        changes = Some(changesName))
     }
   }
 
@@ -1781,6 +1867,21 @@ object VersionedLake {
       requireNoEqDeletes(spark, tableDir, base, "deleteKeys")
       val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
       val newDirs = kr.survivingDirs
+      // CDC artifact: the deleted rows ARE the matched pre-images of the
+      // affected directories
+      val changesName = {
+        val affected = kr.rewritten.keySet
+        val frame =
+          if (affected.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), kr.priorSchema)
+              .withColumn("_change_type", lit("delete"))
+          else readDirs(spark, tableDir,
+            affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
+            .join(keyDf.distinct(), keys, "left_semi")
+            .withColumn("_change_type", lit("delete"))
+        writeChangesDir(frame, tableDir)
+      }
       val (stats, blooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
         kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
       if (newDirs.isEmpty) {
@@ -1790,12 +1891,13 @@ object VersionedLake {
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), kr.priorSchema,
           expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap,
-          op = "delete_keys")
+          op = "delete_keys", changes = Some(changesName))
       } else
         publishManifest(spark, tableDir, newDirs, kr.priorSchema, stats, blooms,
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
-          txns = priorTxns ++ txn.toMap, op = "delete_keys")
+          txns = priorTxns ++ txn.toMap, op = "delete_keys",
+          changes = Some(changesName))
     }
   }
 
@@ -2159,7 +2261,8 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
     val keepRow = !coalesce(predicate, lit(false))
     copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
-      op = "delete_where")
+      op = "delete_where",
+      changesOf = _.withColumn("_change_type", lit("delete")))
   }
 
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
@@ -2200,7 +2303,9 @@ object VersionedLake {
       LakeConstraints.enforce(spark, tableDir,
         transform(read(spark, tableDir).filter(isMatch)), "updateWhere")
     copyOnWrite(spark, tableDir, predicate, transform, maxRecordsPerFile,
-      op = "update_where")
+      op = "update_where",
+      changesOf = m => m.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(transform(m).withColumn("_change_type", lit("update_postimage"))))
   }
 
   /** Stats/bloom carry for a copy-on-write publish: untouched directories
@@ -2250,7 +2355,8 @@ object VersionedLake {
       predicate: Column,
       rewriteDir: DataFrame => DataFrame,
       maxRecordsPerFile: Long,
-      op: String): Long =
+      op: String,
+      changesOf: DataFrame => DataFrame): Long =
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -2284,6 +2390,16 @@ object VersionedLake {
       }.toMap
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
       val schema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      // CDC artifact from the rows this commit's probe already located:
+      // the matched pre-images, scoped to the affected directories —
+      // O(matched), written before publish like any data directory
+      val matchedRows =
+        if (affected.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else readDirs(spark, tableDir, affected.toSeq.map(d => s"$tableDir/data/$d"),
+          schemaOpt).filter(coalesce(predicate, lit(false)))
+      val changesName = writeChangesDir(changesOf(matchedRows), tableDir)
       val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
         priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
       // bucket alignment does not survive an unbucketed rewrite
@@ -2297,11 +2413,12 @@ object VersionedLake {
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), schema,
           expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base),
-          op = op)
+          op = op, changes = Some(changesName))
       } else
         publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
           expectedBase = Some(Some(base)), buckets = buckets,
-          txns = txnWatermarks(spark, tableDir, base), op = op)
+          txns = txnWatermarks(spark, tableDir, base), op = op,
+          changes = Some(changesName))
     }
 
   /** OPTIMIZE: rewrite the published version's N data directories into
@@ -2936,6 +3053,18 @@ object VersionedLake {
       if (f.exists(delRoot))
         f.listStatus(delRoot)
           .filter(s => s.isDirectory && !liveDel(s.getPath.getName)
+            && s.getModificationTime <= cutoff)
+          .foreach(s => f.delete(s.getPath, true))
+      // change artifacts follow the same rule: live while any kept
+      // manifest cites one, reclaimed past the age floor afterwards
+      val liveChg = (floor to cur)
+        .flatMap(v => scala.util.Try(changesArtifact(spark, tableDir, v))
+          .toOption.flatten)
+        .toSet
+      val chgRoot = new org.apache.hadoop.fs.Path(s"$tableDir/changes")
+      if (f.exists(chgRoot))
+        f.listStatus(chgRoot)
+          .filter(s => s.isDirectory && !liveChg(s.getPath.getName)
             && s.getModificationTime <= cutoff)
           .foreach(s => f.delete(s.getPath, true))
       val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")

@@ -315,6 +315,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedLake.currentVersion(spark, s"$root/conc_t").contains(4L))
   }
 
+  test("t$changes: the CDC feed is plain SQL, version predicates bound the window") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir = s"$root/chg_t"
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    VersionedLake.upsert(s, dir, Seq((2L, "b2"), (9L, "new")).toDF("id", "v"),
+      keys = Seq("id"))
+    val all = spark.sql(
+      "SELECT id, v, _change_type, _commit_version FROM graft.`chg_t$changes`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(all === Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L), (3L, "c", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "b2", "update_postimage", 2L),
+      (9L, "new", "insert", 2L)))
+    // window narrowing: version predicates prune reconstruction AND rows
+    val win = spark.sql(
+      """SELECT id, v, _change_type FROM graft.`chg_t$changes`
+        |WHERE _commit_version > 1 AND _commit_version <= 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(win === Set(
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage"),
+      (9L, "new", "insert")))
+  }
+
   test("DROP and RENAME") {
     root
     spark.sql("CREATE TABLE graft.tmp_a (k BIGINT)")

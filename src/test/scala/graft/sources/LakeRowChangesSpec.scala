@@ -79,15 +79,56 @@ class LakeRowChangesSpec extends SparkSpec {
       (1L, "a", "delete", 1L), (5L, "e", "insert", 4L)))
   }
 
-  test("copy-on-write rewrites refuse loudly") {
+  test("copy-on-write deleteWhere serves the feed from its change artifact") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cdc_cow").toString
     VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
     VersionedLake.deleteWhere(s, dir, col("id") === 1L)
-    val e = intercept[IllegalStateException](changes(dir, 0, 1))
-    assert(e.getMessage.contains("upsertMor"),
-      "the refusal must direct users to the MoR write paths")
+    assert(changes(dir, 0, 1) === Set((1L, "a", "delete", 1L)),
+      "the commit-time artifact holds the deleted pre-images")
+  }
+
+  test("copy-on-write upsert emits update pre/post for matched keys, insert for new") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_cow_ups").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.upsert(s, dir,
+      Seq((2L, "b2"), (9L, "new")).toDF("id", "v"), keys = Seq("id"))
+    assert(changes(dir, 0, 1) === Set(
+      (2L, "b", "update_preimage", 1L),
+      (2L, "b2", "update_postimage", 1L),
+      (9L, "new", "insert", 1L)),
+      "CoW upsert must emit the same event set its MoR twin does")
+  }
+
+  test("updateWhere emits pre/post images; a no-match CoW commit emits nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_cow_upd").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.updateWhere(s, dir, col("id") === 2L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    assert(changes(dir, 0, 1) === Set(
+      (2L, "b", "update_preimage", 1L),
+      (2L, "b!", "update_postimage", 1L)))
+    // no-match commit: artifact present (distinguishes from legacy), empty
+    VersionedLake.deleteWhere(s, dir, col("id") === 777L)
+    assert(changes(dir, 1, 2) === Set.empty,
+      "a no-match copy-on-write commit is an empty window, not a refusal")
+  }
+
+  test("rewrites without a change artifact (rollback) refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_rb").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    VersionedLake.rollback(s, dir, 0)
+    val e = intercept[IllegalStateException](changes(dir, 1, 2))
+    assert(e.getMessage.contains("diff snapshots"),
+      "the refusal must direct users to a snapshot diff")
   }
 
   test("replaying the feed over the starting snapshot reproduces the ending snapshot") {
@@ -100,15 +141,24 @@ class LakeRowChangesSpec extends SparkSpec {
       (30L to 50L).map(i => (i, s"u$i")).toDF("id", "v"), keys = Seq("id"))
     VersionedLake.deleteKeysMor(s, dir, (1L to 10L).toDF("id"), Seq("id"))
     VersionedLake.appendCommit(Seq((99L, "tail")).toDF("id", "v"), dir)
+    // copy-on-write mutations follow the MoR ones (after the fold the
+    // CoW paths require): the feed must replay seamlessly across MoR
+    // reconstruction, a silent materialize, and CoW artifacts
+    VersionedLake.materializeDeletes(s, dir)
+    VersionedLake.upsert(s, dir,
+      (48L to 55L).map(i => (i, s"c$i")).toDF("id", "v"), keys = Seq("id"))
+    VersionedLake.deleteWhere(s, dir, col("id") === 15L)
     val from = VersionedLake.readVersion(s, dir, 0)
-    val feed = VersionedLake.readRowChanges(s, dir, 0, 3)
-    // apply: remove (delete + update_preimage) by full row, add
-    // (insert + update_postimage)
+    val feed = VersionedLake.readRowChanges(s, dir, 0, 6)
+    // apply: add (insert + update_postimage), then cancel (delete +
+    // update_preimage) against the ACCUMULATED multiset — a pre-image of
+    // a row that was itself inserted inside the window must cancel that
+    // insert, so the except runs after the union
     val removed = feed.filter(col("_change_type").isin("delete", "update_preimage"))
       .select("id", "v")
     val added = feed.filter(col("_change_type").isin("insert", "update_postimage"))
       .select("id", "v")
-    val replayed = from.exceptAll(removed).unionAll(added)
+    val replayed = from.unionAll(added).exceptAll(removed)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val target = VersionedLake.read(s, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
