@@ -156,9 +156,142 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         case (Some(ks), Seq(DeleteAction(None)), Seq()) =>
           MergeLakeCommand(lake.tableDir, source,
             targetCols.map(_.name), ks, delete = true)
+        // PARTIAL-COLUMN SET (the most common MERGE after CDC) and
+        // conditional matched actions: `WHEN MATCHED [AND p] THEN
+        // UPDATE SET c = expr, ...` — optionally + `WHEN NOT MATCHED
+        // [AND q] THEN INSERT *`. New values come from a keyed inner
+        // join of target×source evaluated with the analyzer's own
+        // resolved expressions; the result rides the same keyed
+        // minimal copy-on-write upsert. Keys must not be reassigned
+        // (except the no-op star self-assignment) — rewriting a match
+        // key mid-merge has no upsert rendering.
+        case (Some(ks), Seq(UpdateAction(mCond, ua, _)), notM)
+            if ua.forall(a => unwrap(a.key).isInstanceOf[AttributeReference]) &&
+              ua.forall(a => !hasSubquery(a.value)) &&
+              mCond.forall(c => !hasSubquery(c)) &&
+              ua.forall { a =>
+                val k = unwrap(a.key).asInstanceOf[AttributeReference]
+                !ks.exists(_.equalsIgnoreCase(k.name)) || (unwrap(a.value) match {
+                  case v: AttributeReference => v.name.equalsIgnoreCase(k.name)
+                  case _ => false
+                })
+              } &&
+              (notM match {
+                case Seq() => true
+                case Seq(InsertAction(iCond, ia)) =>
+                  isStarAligned(ia, targetCols, source) && iCond.forall(!hasSubquery(_))
+                case _ => false
+              }) =>
+          MergePartialLakeCommand(
+            lake.tableDir, target, source, ExprHolder(cond),
+            mCond.map(ExprHolder),
+            ua.map(a => unwrap(a.key).asInstanceOf[AttributeReference].name ->
+              ExprHolder(a.value)),
+            insert = notM.headOption.map {
+              case InsertAction(iCond, _) => iCond.map(ExprHolder)
+              case _ => None
+            },
+            targetCols.map(_.name), ks)
+        // conditional keyed delete: WHEN MATCHED AND p THEN DELETE
+        case (Some(ks), Seq(DeleteAction(Some(p))), Seq()) if !hasSubquery(p) =>
+          MergePartialLakeCommand(
+            lake.tableDir, target, source, ExprHolder(cond),
+            Some(ExprHolder(p)), assignments = Nil, insert = None,
+            targetCols.map(_.name), ks)
         case _ => m
       }
   }
+}
+
+/** Opaque expression holder: keeps resolved trees OUT of a command's
+  * `expressions` traversal (a leaf command cannot re-resolve attributes
+  * that belong to the plans it carries as inner children).
+  */
+final case class ExprHolder(e: Expression)
+
+/** Partial-column / conditional `MERGE` executed as the lake's keyed
+  * minimal copy-on-write: matched rows re-derive from an inner join of
+  * target×source on the merge condition (evaluated with the analyzer's
+  * resolved expressions, so qualified references like `t.amt + c.delta`
+  * keep their meaning), assignments overwrite only their columns, and
+  * the full re-derived rows ride [[VersionedLake.upsert]] — only
+  * directories holding matched keys rewrite. `assignments` empty means
+  * the action is a conditional DELETE ([[VersionedLake.deleteKeys]] of
+  * the gated matches). A matched row failing the action's condition is
+  * simply absent from the batch — untouched by construction.
+  */
+final case class MergePartialLakeCommand(
+    tableDir: String,
+    target: LogicalPlan,
+    source: LogicalPlan,
+    cond: ExprHolder,
+    matchedCond: Option[ExprHolder],
+    assignments: Seq[(String, ExprHolder)],
+    insert: Option[Option[ExprHolder]],
+    targetCols: Seq[String],
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val tgtDf = GraftDmlShim.ofRows(spark, target)
+    val srcDf = GraftDmlShim.ofRows(spark, source)
+    // SQL MERGE's unique-match rule, same check as the star-shape twin
+    val dups = srcDf.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
+        "SQL MERGE requires at most one source match per target row")
+    val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
+    val joined = tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner")
+    val gated = matchedCond
+      .map(c => joined.filter(GraftDmlShim.column(c.e)))
+      .getOrElse(joined)
+    val committed = VersionedLake.versionSchema(spark, tableDir,
+      VersionedLake.currentVersion(spark, tableDir).get)
+      .getOrElse(VersionedLake.read(spark, tableDir).schema)
+    def typed(c: org.apache.spark.sql.Column, name: String) =
+      c.cast(committed(committed.fieldIndex(name)).dataType).as(name)
+    if (assignments.isEmpty) {
+      // conditional DELETE: the gated matches' keys, taken from the
+      // TARGET side of the join (same-named source columns are ambiguous
+      // by name, never by attribute)
+      VersionedLake.deleteKeys(spark, tableDir,
+        gated.select(keys.map(k =>
+          typed(GraftDmlShim.column(tgtAttr(k.toLowerCase)), k)): _*),
+        keys): Unit
+    } else {
+      val assignedOf = assignments.map { case (n, h) => n.toLowerCase -> h }.toMap
+      val updated = gated.select(targetCols.map { c =>
+        assignedOf.get(c.toLowerCase) match {
+          case Some(h) => typed(GraftDmlShim.column(h.e), c)
+          case None    => typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c)
+        }
+      }: _*)
+      val batch = insert match {
+        case None => updated
+        case Some(iCond) =>
+          // star-aligned INSERT of source rows matching NO target key;
+          // a row that matched but failed the UPDATE's condition is
+          // matched — never inserted
+          val unmatched = srcDf.join(tgtDf, GraftDmlShim.column(cond.e), "left_anti")
+          val gatedIns = iCond
+            .map(c => unmatched.filter(GraftDmlShim.column(c.e)))
+            .getOrElse(unmatched)
+          updated.unionByName(
+            gatedIns.select(targetCols.map(c => typed(col(c), c)): _*))
+      }
+      VersionedLake.upsert(spark, tableDir, batch, keys): Unit
+    }
+    Nil
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"MergePartialLakeCommand $tableDir keys=${keys.mkString(",")} " +
+      s"set=${assignments.map(_._1).mkString(",")} insert=${insert.isDefined}"
 }
 
 /** `UPDATE` executed as the lake's minimal copy-on-write. */

@@ -290,6 +290,48 @@ object Relational5 {
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
   }
 
+  /** Partial-column MERGE fixture: its own 3-range-commit orders table
+    * (q_catalog_merge's fixture must stay untouched by this statement).
+    */
+  private def ensurePartialOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/pmerge_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val third = maxOrderKey(s, dir) / 3
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
+        tbl, statsCols = Seq("o_orderkey"))
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
+    }
+  }
+
+  /** The partial-column conditional MERGE q_catalog_merge_partial times:
+    * assignments touch 2 of 3 columns, values derive from the TARGET
+    * pre-image, and the `AND t.o_orderstatus <> 'X'` gate makes re-runs
+    * no-match no-ops (statuses are O/F/P, never X) — convergent like
+    * every other write body. The key range lives in the THIRD fixture
+    * directory, so the stats-pruned probe rewrites 1 of 3 dirs.
+    */
+  private def runCatalogMergePartial(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensurePartialOrders(s, dir)
+    val third = maxOrderKey(s, dir) / 3
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") > 2 * third &&
+        col("o_orderkey") <= 2 * third + third / 4)
+      .select("o_orderkey")
+      .createOrReplaceTempView("pm_changes")
+    s.sql("""MERGE INTO graftcat.pmerge_orders t USING pm_changes c
+            |ON t.o_orderkey = c.o_orderkey
+            |WHEN MATCHED AND t.o_orderstatus <> 'X' THEN UPDATE SET
+            |  o_orderstatus = 'X',
+            |  o_totalprice = round(t.o_totalprice * 2, 2)""".stripMargin): Unit
+  }
+
   /** CDC-consumed lake: 3 appends, one merge-on-read upsert (updates
     * keys %97==5, inserts shifted new keys %101==11), one merge-on-read
     * delete (keys %89==7) — all built ONCE in warm-up. q_lake_cdc then
@@ -365,6 +407,26 @@ object Relational5 {
     }
   }
 
+  /** An events catalog table maintained by MERGE-ON-READ with the delete
+    * debt UNMATERIALIZED — the steady state of an O(delta) CDC-fed table
+    * between compaction cadences. q_catalog_sql_mor SELECTs it by name:
+    * the catalog scan must plan the scoped anti-join itself.
+    */
+  private def ensureMorEvents(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/events_mor"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), tbl)
+      VersionedLake.upsertMor(s, tbl,
+        ev.filter(col("event_id") % 7 === 3)
+          .withColumn("value", col("value") * 2),
+        keys = Seq("event_id")): Unit
+    }
+  }
+
   /** The conf registration must survive a lakeFixture cache hit from a
     * PREVIOUS session (tests) — re-pin it to the memoized root.
     */
@@ -390,6 +452,7 @@ object Relational5 {
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
     ensureClusterOrders(s, dir)
+    ensureMorEvents(s, dir)
     cdcLake(s, dir): Unit
     // each write-query's FIRST commit is warm-up too: bodies converge
     // (txn watermarks / no-match predicates / value-identical re-merge),
@@ -400,6 +463,7 @@ object Relational5 {
     runLakeUpsert(s, dir): Unit
     runLakeUpsertMor(s, dir): Unit
     runCatalogMerge(s, dir)
+    runCatalogMergePartial(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -924,6 +988,26 @@ object Relational5 {
              |FROM events WHERE value > 0 GROUP BY event_type""".stripMargin),
       covers = Seq("ext-sql-catalog")),
 
+    // SQL over a MERGE-ON-READ table WITH PENDING DELETE DEBT: the
+    // upsertMor'd fixture is never materialized, so the catalog scan
+    // must plan the scoped broadcast anti-join itself (the V1-bridge
+    // read-through in GraftCatalog) — the query a CDC-fed 100 TB table
+    // answers between compaction cadences. Oracle: the merged truth.
+    QueryDef(
+      "q_catalog_sql_mor",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureMorEvents(s, dir)
+        s.sql("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                |  round(sum(value), 2) AS total
+                |FROM graftcat.events_mor GROUP BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(CASE WHEN event_id % 7 = 3 THEN value * 2
+             |            ELSE value END), 2) AS total
+             |FROM events GROUP BY event_type""".stripMargin),
+      covers = Seq("ext-sql-catalog-mor")),
+
     // SQL MERGE through the catalog — the CDC statement end to end: the
     // analyzer rule (plans.LakeDmlRules) rewrites the canonical
     // SET*/INSERT* shape onto the keyed minimal copy-on-write upsert.
@@ -956,6 +1040,29 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 4
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge")),
+
+    // PARTIAL-COLUMN + CONDITIONAL SQL MERGE — the most common MERGE
+    // variant after CDC: `WHEN MATCHED AND p THEN UPDATE SET c = expr`
+    // with assignments over the target pre-image, rewritten
+    // (MergePartialLakeCommand) onto a keyed join + the same
+    // minimal-CoW upsert, so it pays O(matched directories). The gate
+    // makes re-runs no-ops; oracle: the CASE-mapped truth.
+    QueryDef(
+      "q_catalog_merge_partial",
+      (s, dir) => {
+        runCatalogMergePartial(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.pmerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 3 AS third FROM orders)
+             |SELECT o_orderkey,
+             |  CASE WHEN o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 4
+             |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |  round(CASE WHEN o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 4
+             |             THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice
+             |FROM orders, m""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-partial")),
 
     // SQL point lookup through the catalog — the read path a 100 TB
     // point SELECT takes: pushed filter → manifest stats pruning

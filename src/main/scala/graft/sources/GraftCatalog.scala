@@ -48,10 +48,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * only manifest-metadata reads per query — table size never enters
   * resolution cost.
   *
-  * Deliberate refusals: a version with PENDING merge-on-read deletes
-  * fails loudly (the stock parquet scan cannot apply the anti-joins —
-  * `materializeDeletes` first, or read via [[VersionedLake.read]]);
-  * writes to a time-travel snapshot are rejected.
+  * A version with PENDING merge-on-read deletes reads through: the scan
+  * plans the same scoped broadcast anti-join [[VersionedLake.read]]
+  * uses (via the V1 bridge, with pushed filters/columns baked into the
+  * bridged plan), trading the clean path's metadata-only shortcuts for
+  * correctness until `materializeDeletes` folds the debt. Deliberate
+  * refusals: writes to a time-travel snapshot are rejected.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -564,10 +566,52 @@ final class LakeTable(
     val dirs = VersionedLake.manifest(spark, tableDir, v)
     val pending = VersionedLake.dirEqDeletes(spark, tableDir, v)
       .filter(_.dirs.exists(dirs.contains))
-    require(pending.isEmpty,
-      s"$identName@v$v has pending merge-on-read deletes, which a catalog " +
-        "scan cannot apply; run VersionedLake.materializeDeletes(...) or read " +
-        "via VersionedLake.read")
+    // MERGE-ON-READ READ-THROUGH: a version with pending equality
+    // deletes plans the same scoped broadcast anti-join
+    // VersionedLake.read uses, through the V1 bridge — a table
+    // maintained by the O(delta) upsertMor/deleteKeysMor cadence is
+    // SELECTable by name without waiting for materializeDeletes. Pushed
+    // filters and required columns bake into the bridged DataFrame, so
+    // Catalyst pushes them through the anti-join into the inner parquet
+    // scans; every filter stays residual (pruning only narrows). The
+    // clean-table fast path below keeps the full manifest-pruning /
+    // meta-aggregate / exact-statistics builder (whose metadata answers
+    // WOULD overcount under pending deletes — bypassing it here is a
+    // correctness requirement, not just a planning shortcut).
+    if (pending.nonEmpty)
+      return new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+        private var pushed: Array[Filter] = Array.empty
+        private var required: StructType = schema()
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          pushed = filters
+          filters
+        }
+        override def pushedFilters(): Array[Filter] = Array.empty
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = required
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                ctx: org.apache.spark.sql.SQLContext): T =
+              (new BaseRelation with TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+                override def schema: StructType = required
+                override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                  import org.apache.spark.sql.functions.col
+                  val base = VersionedLake.readVersion(ctx.sparkSession, tableDir, v)
+                  val filtered = pushed.flatMap(FilterToColumn(_))
+                    .foldLeft(base)(_.filter(_))
+                  filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+                }
+              }).asInstanceOf[T]
+            override def description(): String =
+              s"GraftLakeMorReadThrough($identName@v$v, ${pending.size} pending deletes)"
+          }
+      }
     val hasLayers = VersionedLake.dirStats(spark, tableDir, v).nonEmpty ||
       VersionedLake.dirBlooms(spark, tableDir, v).nonEmpty
     // every catalog read goes through the one builder: stats/bloom

@@ -121,7 +121,56 @@ class LakeDmlRulesSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gdml.mdel").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
-  test("out-of-shape MERGE (conditional action) falls through to Spark's own error") {
+  test("MERGE with partial-column SET updates only assigned columns") {
+    root
+    spark.sql("CREATE TABLE gdml.pset (k BIGINT, status STRING, amt DOUBLE)")
+    spark.sql("""INSERT INTO gdml.pset VALUES
+                |(1, 'open', 10.0), (2, 'open', 20.0), (3, 'done', 30.0)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW pset_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(5.0 AS DOUBLE)),
+                |  (CAST(3 AS BIGINT), CAST(7.0 AS DOUBLE)) AS t(k, delta)""".stripMargin)
+    // RHS mixes target and source columns — qualified resolution must
+    // survive the rewrite
+    spark.sql("""MERGE INTO gdml.pset t USING pset_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET amt = t.amt + c.delta""".stripMargin)
+    val got = spark.sql("SELECT k, status, amt FROM gdml.pset ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "open", 15.0), (2L, "open", 20.0), (3L, "done", 37.0)),
+      "unassigned columns carry; unmatched rows untouched")
+  }
+
+  test("MERGE WHEN MATCHED AND p gates the update; + INSERT * still appends new keys") {
+    root
+    spark.sql("CREATE TABLE gdml.cset (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.cset VALUES (1, 'keep'), (2, 'old')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW cset_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x'),
+                |  (CAST(2 AS BIGINT), 'new2'), (CAST(9 AS BIGINT), 'nine')
+                |AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.cset t USING cset_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'old' THEN UPDATE SET v = c.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.cset ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "keep"), (2L, "new2"), (9L, "nine")),
+      "k=1 matched but failed the gate (not updated, not inserted); " +
+        "k=2 updated; k=9 inserted")
+  }
+
+  test("MERGE WHEN MATCHED AND p THEN DELETE deletes only gated matches") {
+    root
+    spark.sql("CREATE TABLE gdml.cdel (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.cdel VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW cdel_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x'),
+                |  (CAST(2 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.cdel t USING cdel_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'b' THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM gdml.cdel ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("out-of-shape MERGE (NOT MATCHED BY SOURCE) falls through to Spark's own error") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gdml.oos VALUES (1, 'a')")
@@ -129,8 +178,8 @@ class LakeDmlRulesSpec extends SparkSpec {
                 |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
     val e = intercept[Exception](
       spark.sql("""MERGE INTO gdml.oos t USING oos_src c ON t.k = c.k
-                  |WHEN MATCHED AND c.v = 'x' THEN UPDATE SET *
-                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(e != null, "conditional matched action is outside the rewrite's shape")
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(e != null, "NOT MATCHED BY SOURCE is outside the rewrite's shape")
   }
 }

@@ -102,18 +102,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got === Seq(10L, 11L))
   }
 
-  test("pending merge-on-read deletes refuse the catalog scan, loudly") {
+  test("pending merge-on-read deletes READ THROUGH the catalog scan") {
     val s = spark
     import s.implicits._
     root
     val dir = s"$root/mor_t"
     VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
     VersionedLake.deleteKeysMor(spark, dir, Seq(1L).toDF("id"), Seq("id"))
-    val e = intercept[Exception](spark.sql("SELECT * FROM graft.mor_t").collect())
-    assert(e.getMessage.contains("merge-on-read"),
-      s"expected a MoR refusal, got: ${e.getMessage}")
+    // the deleted key is invisible BY NAME, no materialization required:
+    // the scan plans the scoped anti-join VersionedLake.read uses
+    assert(spark.sql("SELECT id FROM graft.mor_t").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L),
+      "upsertMor/deleteKeysMor-maintained tables must be SELECTable by name")
+    // upsertMor state reads through too, with filters applied correctly
+    VersionedLake.upsertMor(s, dir, Seq((2L, "b2"), (5L, "e")).toDF("id", "v"),
+      keys = Seq("id"))
+    val got = spark.sql("SELECT id, v FROM graft.mor_t WHERE id >= 2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "b2"), (5L, "e")))
+    // materialization folds the debt; answers unchanged, fast path returns
     VersionedLake.materializeDeletes(spark, dir)
-    assert(spark.sql("SELECT id FROM graft.mor_t").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(spark.sql("SELECT id FROM graft.mor_t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 5L))
   }
 
   test("time-travel snapshots are read-only") {

@@ -93,15 +93,17 @@ class LakeMetaAggSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
-  test("count over a version with pending MoR deletes refuses the catalog scan entirely") {
+  test("count over a version with pending MoR deletes bypasses the metadata path") {
     val s = spark
     import s.implicits._
     val dir = s"$root/morref"
     VersionedLake.appendCommit((1L to 10L).toDF("k"), dir)
     VersionedLake.deleteKeysMor(s, dir, Seq(3L).toDF("k"), Seq("k"))
-    val e = intercept[Exception](spark.sql("SELECT count(*) FROM gma.morref").collect())
-    assert(e.getMessage.contains("merge-on-read"),
-      "physical counts over pending deletes must refuse, not answer wrong")
+    // manifest #rows lines still say 10 — answering from them would
+    // overcount; the MoR read-through scan computes the true 9
+    val got = spark.sql("SELECT count(*) AS n FROM gma.morref").head().getLong(0)
+    assert(got === 9L,
+      "physical counts over pending deletes must come from the anti-joined scan")
   }
 
   test("join planning sees manifest-exact statistics: small lake table auto-broadcasts") {
