@@ -275,8 +275,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         bloomBits = p.value.toInt
       case p: TableChange.SetProperty if p.property == "bloom.k" =>
         bloomK = p.value.toInt
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")
+        VersionedLake.renameColumn(spark, dir, r.fieldNames.head, r.newName): Unit
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMN and check./stats./bloom. properties, got $c")
+        s"graft catalog supports ADD COLUMN, RENAME COLUMN and " +
+          s"check./stats./bloom. properties, got $c")
     }
     if (added.nonEmpty || statsCols.nonEmpty || bloomCols.nonEmpty) {
       val widened = StructType(prior.fields ++ added)
@@ -577,8 +582,13 @@ final class LakeTable(
     // clean-table fast path below keeps the full manifest-pruning /
     // meta-aggregate / exact-statistics builder (whose metadata answers
     // WOULD overcount under pending deletes — bypassing it here is a
-    // correctness requirement, not just a planning shortcut).
-    if (pending.nonEmpty)
+    // correctness requirement, not just a planning shortcut). The same
+    // bridge serves a schema with RENAME indirection: the stock parquet
+    // scan would null-fill the renamed column (files carry the former
+    // name), while the bridged read coalesces the name variants.
+    if (pending.nonEmpty ||
+      VersionedLake.hasRenames(VersionedLake.versionSchema(spark, tableDir, v)
+        .getOrElse(new StructType())))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

@@ -190,6 +190,40 @@ object VersionedLake {
     */
   private val ChangesHeader = "#changes="
 
+  /** Field-metadata key carrying a renamed column's FORMER physical
+    * names — the lake's field-id indirection. [[renameColumn]] is a
+    * manifest-only commit: the schema's field takes the new name and
+    * records every name files were ever written under; [[readDirs]]
+    * resolves the logical column as `coalesce(newName, formerNames...)`
+    * (each file carries exactly one of the variants), so zero data
+    * files are touched and every retained version still reads under
+    * ITS OWN manifest's names. Rewrites (optimize, copy-on-write)
+    * normalize: they write files under the logical names, and a full
+    * compaction drops the indirection entirely.
+    */
+  private[sources] val AkaKey = "graft.aka"
+
+  private[sources] def akaNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(AkaKey)) f.metadata.getStringArray(AkaKey).toSeq else Nil
+
+  private[sources] def hasRenames(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => akaNames(f).nonEmpty)
+
+  /** A FULL rewrite (optimize/optimizeClustered) re-writes every file
+    * under the logical names — the rename indirection has nothing left
+    * to indirect, so the compacted manifest drops it (and pushdown on
+    * the renamed column, degraded to post-coalesce filtering while old
+    * files existed, comes back).
+    */
+  private def stripAka(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      if (f.metadata.contains(AkaKey))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(AkaKey).build())
+      else f
+    })
+
   /** Bloom sizing for [[commit]]/[[appendCommit]]/[[optimize]]. Defaults
     * give ~10 bits/key at 100k distinct keys per directory (FP ≈ 1%);
     * size `bits` ≥ 10× the expected distinct keys per commit. Cost is
@@ -394,6 +428,69 @@ object VersionedLake {
     }
   }
 
+  /** Commit store on the Hadoop `FileSystem` create-exclusive primitive —
+    * the production object-store/HDFS shape, executable end to end: the
+    * claim and the content ride ONE stream opened with
+    * `createFile(dst).overwrite(false)`, so whichever writer the store
+    * admits owns the version. Where the exclusivity fence sits depends
+    * on the store: HDFS claims at OPEN (namenode-atomic create; a
+    * concurrent creator gets FileAlreadyExists/AlreadyBeingCreated),
+    * S3A's conditional-create claims at CLOSE (the `If-None-Match: *`
+    * PUT — content is complete by construction when the claim lands),
+    * and local files map to `O_CREAT|O_EXCL` (kernel-atomic at open,
+    * which is what lets the concurrency matrix prove the contract
+    * in-process). Both failure points translate to
+    * [[CommitConflictException]]. The open-fenced stores (HDFS) admit a
+    * reader glimpsing a created-but-unclosed manifest — the documented
+    * trade of create-based claims; deployments wanting a close-fence on
+    * plain HDFS keep [[FsCommitStore]]'s tmp+rename instead.
+    */
+  final class HadoopCreateCommitStore extends CommitStore {
+    def atomicWrite(spark: SparkSession, dir: String, name: String, content: String): Unit =
+      FsCommitStore.atomicWrite(spark, dir, name, content)
+
+    def createExclusive(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+      val f = fs(spark, dir)
+      val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
+        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createDirectories(dstP.getParent)
+        val out =
+          try java.nio.file.Files.newOutputStream(dstP,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new CommitConflictException(
+                s"$dir/$name was published by a concurrent committer (O_EXCL create failed)")
+          }
+        try out.write(bytes) finally out.close()
+      } else {
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        if (!f.exists(dirPath)) f.mkdirs(dirPath)
+        def conflict(c: Throwable) = new CommitConflictException(
+          s"$dir/$name was published by a concurrent committer (exclusive create failed: " +
+            s"${c.getClass.getSimpleName})")
+        val out =
+          try f.createFile(dst).overwrite(false).build()
+          catch {
+            case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict(e)
+            case e: org.apache.hadoop.ipc.RemoteException => throw conflict(e)
+          }
+        // S3A conditional create surfaces the lost claim at close — the
+        // whole write maps to one conditional PUT
+        try { out.write(bytes); out.close() }
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict(e)
+          case e: java.io.IOException
+              if String.valueOf(e.getMessage).contains("PreconditionFailed") ||
+                String.valueOf(e.getMessage).contains("412") => throw conflict(e)
+        }
+      }
+    }
+  }
+
   /** The active commit store. Swap at deployment startup for stores
     * without native atomic-exclusive create; [[withCommitStore]] scopes a
     * swap for tests.
@@ -490,7 +587,15 @@ object VersionedLake {
           require(p.dataType.sql == f.dataType.sql,
             s"schema evolution cannot change column '${f.name}' " +
               s"from ${p.dataType.sql} to ${f.dataType.sql}; cast before committing")
-        case None => out += f.copy(nullable = true)
+        case None =>
+          // a renamed column's FORMER physical name is radioactive: old
+          // files still carry data under it, so a new column reusing it
+          // would silently resurrect that data via by-name resolution
+          require(!prior.fields.exists(p => akaNames(p).exists(_.equalsIgnoreCase(f.name))),
+            s"cannot add column '${f.name}': it is a former name of column '${
+              prior.fields.find(p => akaNames(p).exists(_.equalsIgnoreCase(f.name))).get.name
+            }' and old files still carry data under it")
+          out += f.copy(nullable = true)
       }
     }
     org.apache.spark.sql.types.StructType(out.toSeq)
@@ -1281,6 +1386,21 @@ object VersionedLake {
     def one(ps: Seq[String]): DataFrame = {
       val r = spark.read.option("basePath", s"$tableDir/data")
       schemaOpt match {
+        case Some(s) if hasRenames(s) =>
+          // rename indirection: force a read schema holding EVERY name a
+          // field was ever written under (files lacking a variant
+          // null-fill it by parquet name resolution), then fold the
+          // variants into the logical column — each file has exactly one
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val readSchema = StructType(s.fields.flatMap { f =>
+            StructField(f.name, f.dataType, nullable = true) +:
+              akaNames(f).map(n => StructField(n, f.dataType, nullable = true))
+          })
+          r.schema(readSchema).parquet(ps: _*).select(s.fields.map { f =>
+            val variants = (f.name +: akaNames(f)).map(col)
+            (if (variants.size == 1) variants.head else coalesce(variants: _*))
+              .as(f.name, f.metadata)
+          }.toIndexedSeq: _*)
         case Some(s) => r.schema(s).parquet(ps: _*)
         case None    => r.parquet(ps: _*)
       }
@@ -2421,6 +2541,67 @@ object VersionedLake {
           changes = Some(changesName))
     }
 
+  /** METADATA-ONLY RENAME COLUMN — the Iceberg field-id bargain without
+    * touching a file: one manifest commit in which the field takes its
+    * new name and records the old one under [[AkaKey]]; reads resolve
+    * the indirection (see [[readDirs]]), stats keys translate in the
+    * same commit, and prior versions keep reading under their own
+    * manifests' names. At 100 TB a rename is O(manifest), not O(table).
+    * Restrictions, all loud: the new name must be unused — including as
+    * any field's FORMER name (files still carry former names, so reusing
+    * one would bind old data into the new column); hive-partition
+    * columns rename their directory layout, not just metadata (refused);
+    * pending merge-on-read deletes keyed on the column must materialize
+    * first. Bloom lines carry verbatim: a bloom keyed under the old name
+    * simply stops pruning that column until the next rewrite recomputes
+    * it (conservative, never wrong).
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tableDir: String,
+      oldName: String,
+      newName: String): Long = retryOnConflict() {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no column '$oldName' in $tableDir")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists in $tableDir")
+    require(!schema.fields.exists(f => akaNames(f).exists(_.equalsIgnoreCase(newName))),
+      s"'$newName' is a FORMER name of column '${
+        schema.fields.find(f => akaNames(f).exists(_.equalsIgnoreCase(newName))).get.name
+      }' — files still carry it, so reusing it would bind old data into the new column")
+    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(oldName)),
+      s"'$oldName' is a hive-partition column; renaming it requires a layout rewrite")
+    val eqd = dirEqDeletes(spark, tableDir, cur)
+    require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(oldName))),
+      s"pending merge-on-read deletes are keyed on '$oldName'; run " +
+        "materializeDeletes first")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(oldName)) {
+        val aka = (f.name +: akaNames(f)).distinct
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(AkaKey, aka.toArray).build()
+        StructField(newName, f.dataType, f.nullable, md)
+      } else f
+    })
+    val dirs = manifest(spark, tableDir, cur)
+    val stats = dirStats(spark, tableDir, cur).map { case (d, cols) =>
+      d -> statsJson(cols.map { case (c, v) =>
+        (if (c.equalsIgnoreCase(oldName)) newName else c) -> v
+      })
+    }
+    publishManifest(spark, tableDir, dirs, newSchema, stats,
+      dirBloomsRaw(spark, tableDir, cur),
+      expectedBase = Some(Some(cur)),
+      buckets = dirBuckets(spark, tableDir, cur),
+      txns = txnWatermarks(spark, tableDir, cur),
+      eqdeletes = eqd, op = "rename_column")
+  }
+
   /** OPTIMIZE: rewrite the published version's N data directories into
     * ONE and publish the compacted manifest as a new version — the
     * antidote to append-forever manifest growth (a year of 5-minute
@@ -2461,7 +2642,7 @@ object VersionedLake {
       // and blooms must be recomputed over the union, not carried forward
       val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
-      publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
+      publishManifest(spark, tableDir, Seq(d), stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }
@@ -2559,7 +2740,7 @@ object VersionedLake {
       // but "crash leaves only garbage" must not mean "a conflict
       // multiplies the table"); delete the promoted dirs before the
       // retry, since nothing references them until the publish lands
-      try publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
+      try publishManifest(spark, tableDir, newDirs, stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
       catch {

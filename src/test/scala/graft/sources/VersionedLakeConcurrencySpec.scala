@@ -133,6 +133,51 @@ class VersionedLakeConcurrencySpec extends SparkSpec {
       "optimize must re-base onto concurrent appends, never clobber them")
   }
 
+  test("hadoop create store: concurrent appendCommits survive on O_EXCL create") {
+    VersionedLake.withCommitStore(new VersionedLake.HadoopCreateCommitStore) {
+      raceAppends("hadoopcreate")
+    }
+  }
+
+  test("hadoop create store: loser of the exclusive create conflicts, winner's content survives") {
+    val s = spark
+    VersionedLake.withCommitStore(new VersionedLake.HadoopCreateCommitStore) {
+      val dir = java.nio.file.Files.createTempDirectory("vlake_hc_excl").toString
+      VersionedLake.createExclusive(s, s"$dir/manifest", "v=0.txt", "first")
+      val e = intercept[VersionedLake.CommitConflictException] {
+        VersionedLake.createExclusive(s, s"$dir/manifest", "v=0.txt", "second")
+      }
+      assert(e.getMessage.contains("concurrent committer"))
+      val src = scala.io.Source.fromFile(s"$dir/manifest/v=0.txt")
+      try assert(src.mkString === "first") finally src.close()
+    }
+  }
+
+  test("hadoop create store: ingest racing OPTIMIZE keeps every row") {
+    val s = spark
+    import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    VersionedLake.withCommitStore(new VersionedLake.HadoopCreateCommitStore) {
+      val dir = java.nio.file.Files.createTempDirectory("vlake_hc_opt").toString
+      VersionedLake.commit(Seq((0L, "seed")).toDF("id", "payload"), dir)
+      val ingest = Future {
+        (1 to 6).foreach { i =>
+          VersionedLake.appendCommit(Seq((i.toLong, s"b$i")).toDF("id", "payload"), dir)
+        }
+      }
+      val compact = Future {
+        (1 to 3).foreach { _ =>
+          try VersionedLake.optimize(s, dir)
+          catch { case _: VersionedLake.CommitConflictException => () }
+        }
+      }
+      Await.result(ingest.zip(compact), 180.seconds)
+      assert(ids(VersionedLake.read(s, dir)) === (0L to 6L).toSet)
+    }
+  }
+
   test("optimizeClustered losing a publish race strands no snapshot copy") {
     val s = spark
     import s.implicits._

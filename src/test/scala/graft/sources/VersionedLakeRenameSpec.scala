@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Metadata-only RENAME COLUMN: one manifest commit, zero data files
+  * touched. Reads resolve the name indirection (old files carry the
+  * former physical name, new files the logical one), prior versions
+  * time-travel under their own manifests' names, and the guards keep a
+  * former name from ever being silently rebound.
+  */
+class VersionedLakeRenameSpec extends SparkSpec {
+
+  private def dataFiles(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/data"))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"${f.getPath}@${f.lastModified}")
+      .toSet
+  }
+
+  test("rename is one manifest commit: zero data files touched, reads resolve") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ren").toString
+    VersionedLake.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir,
+      statsCols = Seq("id"))
+    val before = dataFiles(dir)
+    VersionedLake.renameColumn(s, dir, "payload", "body")
+    assert(dataFiles(dir) === before, "rename must not touch a single data file")
+    val got = VersionedLake.read(s, dir).select("id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b")),
+      "the logical column reads old files' data under the new name")
+    // time travel: version 0's manifest still names it 'payload'
+    val old = VersionedLake.readVersion(s, dir, 0)
+    assert(old.columns.toSeq === Seq("id", "payload"),
+      "prior versions read under their own schema")
+  }
+
+  test("appends after a rename write the new name; mixed directories read seamlessly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ren2").toString
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "payload"), dir)
+    VersionedLake.renameColumn(s, dir, "payload", "body")
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "body"), dir)
+    val got = VersionedLake.read(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b")),
+      "old-name files and new-name files fold into one logical column")
+    // filters and row-level ops work on the logical name
+    assert(VersionedLake.read(s, dir).filter(col("body") === "a").count() === 1L)
+    VersionedLake.deleteWhere(s, dir, col("body") === "a")
+    assert(VersionedLake.read(s, dir).select("body").collect()
+      .map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("stats keys translate; a former name can never be rebound") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ren3").toString
+    VersionedLake.appendCommit(
+      (1L to 100L).map(i => (i, s"p$i")).toDF("id", "payload"), dir,
+      statsCols = Seq("id", "payload"))
+    VersionedLake.renameColumn(s, dir, "id", "key")
+    val cur = VersionedLake.currentVersion(s, dir).get
+    val stats = VersionedLake.dirStats(s, dir, cur)
+    assert(stats.values.head.keySet === Set("key", "payload"),
+      "stat keys must follow the rename in the same commit")
+    // reusing the former name as a NEW column is refused loudly
+    val e = intercept[Exception](
+      VersionedLake.appendCommit(Seq((1L, "x", 9L)).toDF("key", "payload", "id"), dir))
+    assert(e.getMessage.toLowerCase.contains("former name"),
+      s"expected the former-name guard, got: ${e.getMessage}")
+    // and renaming something else ONTO a former name is refused too
+    val e2 = intercept[Exception](VersionedLake.renameColumn(s, dir, "payload", "id"))
+    assert(e2.getMessage.toLowerCase.contains("former name"))
+  }
+
+  test("rename chains (a→b→c) keep every former name readable") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ren4").toString
+    VersionedLake.appendCommit(Seq((1L, 10.0)).toDF("id", "a"), dir)
+    VersionedLake.renameColumn(s, dir, "a", "b")
+    VersionedLake.appendCommit(Seq((2L, 20.0)).toDF("id", "b"), dir)
+    VersionedLake.renameColumn(s, dir, "b", "c")
+    VersionedLake.appendCommit(Seq((3L, 30.0)).toDF("id", "c"), dir)
+    val got = VersionedLake.read(s, dir).select("id", "c")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "files written under a, b and c all resolve to the logical column")
+    // a full compaction rewrites files under the logical name and drops
+    // the indirection from the committed schema
+    VersionedLake.optimize(s, dir)
+    val v = VersionedLake.currentVersion(s, dir).get
+    val sch = VersionedLake.versionSchema(s, dir, v).get
+    assert(!VersionedLake.hasRenames(sch),
+      "optimize normalizes names and drops the aka indirection")
+    assert(VersionedLake.read(s, dir).select("c").count() === 3L)
+  }
+
+  test("SQL: ALTER TABLE RENAME COLUMN through the catalog; scans read through") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_ren").toString
+    spark.conf.set("spark.sql.catalog.gren", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.root", root)
+    VersionedLake.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), s"$root/rt")
+    spark.sql("ALTER TABLE gren.rt RENAME COLUMN payload TO body")
+    val got = spark.sql("SELECT id, body FROM gren.rt WHERE body = 'b'").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "b")),
+      "catalog scans resolve the indirection and filter on the new name")
+    assert(spark.sql("SELECT payload FROM gren.rt VERSION AS OF 0").collect()
+      .map(_.getString(0)).toSet === Set("a", "b"),
+      "time travel reads the old version under its old name")
+  }
+}
