@@ -261,8 +261,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+        val nm = a.fieldNames.head
+        // tombstones and former names are invisible to SQL but still own
+        // their bytes in old files — rebinding either would resurrect data
+        prior.fields.find(p => p.name.equalsIgnoreCase(nm)).foreach { p =>
+          require(!VersionedLake.isDropped(p),
+            s"cannot add column '$nm': it was dropped and old files still " +
+              "carry data under it")
+        }
+        require(!prior.fields.exists(p =>
+          VersionedLake.akaNames(p).exists(_.equalsIgnoreCase(nm))),
+          s"cannot add column '$nm': it is a former name of a renamed column " +
+            "and old files still carry data under it")
         added += org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
+          nm, a.dataType, nullable = true)
       case p: TableChange.SetProperty if p.property.startsWith("check.") =>
         LakeConstraints.add(spark, dir, p.property.stripPrefix("check."), p.value)
       case p: TableChange.RemoveProperty if p.property.startsWith("check.") =>
@@ -279,8 +291,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")
         VersionedLake.renameColumn(spark, dir, r.fieldNames.head, r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN not supported: ${d.fieldNames.mkString(".")}")
+        VersionedLake.dropColumn(spark, dir, d.fieldNames.head): Unit
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMN, RENAME COLUMN and " +
+        s"graft catalog supports ADD COLUMN, RENAME COLUMN, DROP COLUMN and " +
           s"check./stats./bloom. properties, got $c")
     }
     if (added.nonEmpty || statsCols.nonEmpty || bloomCols.nonEmpty) {
@@ -399,8 +415,9 @@ final class LakeChangesTable(
   private val feedSchema: StructType = {
     val cur = VersionedLake.currentVersion(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
-    val base = VersionedLake.versionSchema(spark, tableDir, cur)
-      .getOrElse(VersionedLake.readVersion(spark, tableDir, cur).schema)
+    val base = VersionedLake.visibleSchema(
+      VersionedLake.versionSchema(spark, tableDir, cur)
+        .getOrElse(VersionedLake.readVersion(spark, tableDir, cur).schema))
     StructType(base.fields.map(_.copy(nullable = true)))
       .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
       .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
@@ -533,8 +550,9 @@ final class LakeTable(
 
   override def schema(): StructType = {
     val v = resolvedVersion
-    VersionedLake.versionSchema(spark, tableDir, v)
-      .getOrElse(VersionedLake.readVersion(spark, tableDir, v).schema)
+    VersionedLake.visibleSchema(
+      VersionedLake.versionSchema(spark, tableDir, v)
+        .getOrElse(VersionedLake.readVersion(spark, tableDir, v).schema))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -587,8 +605,8 @@ final class LakeTable(
     // scan would null-fill the renamed column (files carry the former
     // name), while the bridged read coalesces the name variants.
     if (pending.nonEmpty ||
-      VersionedLake.hasRenames(VersionedLake.versionSchema(spark, tableDir, v)
-        .getOrElse(new StructType())))
+      VersionedLake.hasRenames(VersionedLake.visibleSchema(
+        VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType()))))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

@@ -209,15 +209,36 @@ object VersionedLake {
   private[sources] def hasRenames(s: org.apache.spark.sql.types.StructType): Boolean =
     s.fields.exists(f => akaNames(f).nonEmpty)
 
+  /** Field-metadata marker for a METADATA-ONLY dropped column: the field
+    * stays in the committed schema as a TOMBSTONE (files still carry its
+    * data, and its name — plus any former names — must never be rebound
+    * to fresh data), but every read projects it away. A full compaction
+    * rewrites files without the column and drops the tombstone with the
+    * rest of the indirection.
+    */
+  private[sources] val DroppedKey = "graft.dropped"
+
+  private[sources] def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The reader-visible schema: committed schema minus tombstones. */
+  def visibleSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.filterNot(isDropped))
+
+  private[sources] def needsResolve(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => akaNames(f).nonEmpty || isDropped(f))
+
   /** A FULL rewrite (optimize/optimizeClustered) re-writes every file
-    * under the logical names — the rename indirection has nothing left
-    * to indirect, so the compacted manifest drops it (and pushdown on
-    * the renamed column, degraded to post-coalesce filtering while old
+    * under the logical names and without dropped columns — the
+    * rename/drop indirection has nothing left to indirect, so the
+    * compacted manifest sheds tombstones and former names (and pushdown
+    * on a renamed column, degraded to post-coalesce filtering while old
     * files existed, comes back).
     */
   private def stripAka(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+    org.apache.spark.sql.types.StructType(s.fields.filterNot(isDropped).map { f =>
       if (f.metadata.contains(AkaKey))
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(AkaKey).build())
@@ -584,6 +605,9 @@ object VersionedLake {
     next.fields.foreach { f =>
       prior.fields.find(_.name == f.name) match {
         case Some(p) =>
+          require(!isDropped(p),
+            s"cannot write column '${f.name}': it was dropped and old files " +
+              "still carry data under it")
           require(p.dataType.sql == f.dataType.sql,
             s"schema evolution cannot change column '${f.name}' " +
               s"from ${p.dataType.sql} to ${f.dataType.sql}; cast before committing")
@@ -1386,17 +1410,19 @@ object VersionedLake {
     def one(ps: Seq[String]): DataFrame = {
       val r = spark.read.option("basePath", s"$tableDir/data")
       schemaOpt match {
-        case Some(s) if hasRenames(s) =>
-          // rename indirection: force a read schema holding EVERY name a
-          // field was ever written under (files lacking a variant
-          // null-fill it by parquet name resolution), then fold the
-          // variants into the logical column — each file has exactly one
+        case Some(s) if needsResolve(s) =>
+          // rename/drop indirection: force a read schema holding EVERY
+          // name a live field was ever written under (files lacking a
+          // variant null-fill it by parquet name resolution), fold the
+          // variants into the logical column — each file has exactly
+          // one — and project tombstoned columns away entirely
           import org.apache.spark.sql.types.{StructField, StructType}
-          val readSchema = StructType(s.fields.flatMap { f =>
+          val live = s.fields.filterNot(isDropped)
+          val readSchema = StructType(live.flatMap { f =>
             StructField(f.name, f.dataType, nullable = true) +:
               akaNames(f).map(n => StructField(n, f.dataType, nullable = true))
           })
-          r.schema(readSchema).parquet(ps: _*).select(s.fields.map { f =>
+          r.schema(readSchema).parquet(ps: _*).select(live.map { f =>
             val variants = (f.name +: akaNames(f)).map(col)
             (if (variants.size == 1) variants.head else coalesce(variants: _*))
               .as(f.name, f.metadata)
@@ -1515,9 +1541,9 @@ object VersionedLake {
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
       rowChangesOf(spark, tableDir, v)
     }
-    val outSchema = nullableAll(
+    val outSchema = visibleSchema(nullableAll(
       versionSchema(spark, tableDir, toVersion)
-        .getOrElse(readVersion(spark, tableDir, toVersion).schema))
+        .getOrElse(readVersion(spark, tableDir, toVersion).schema)))
       .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
       .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
     if (frames.isEmpty)
@@ -2566,7 +2592,7 @@ object VersionedLake {
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
     val schema = versionSchema(spark, tableDir, cur)
       .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
-    require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+    require(schema.fields.exists(f => f.name.equalsIgnoreCase(oldName) && !isDropped(f)),
       s"no column '$oldName' in $tableDir")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists in $tableDir")
@@ -2600,6 +2626,62 @@ object VersionedLake {
       buckets = dirBuckets(spark, tableDir, cur),
       txns = txnWatermarks(spark, tableDir, cur),
       eqdeletes = eqd, op = "rename_column")
+  }
+
+  /** METADATA-ONLY DROP COLUMN — the other half of the field-id bargain
+    * [[renameColumn]] opened: one manifest commit marks the field a
+    * TOMBSTONE ([[DroppedKey]]); every read projects it away, its stats
+    * lines drop, and a later full compaction sheds the tombstone once
+    * files no longer carry the data. The name (and any former names)
+    * can never be rebound — files still hold the old values, and
+    * name-based resolution would resurrect them. Refused, loudly: the
+    * only remaining column, hive-partition columns, bucket keys,
+    * pending merge-on-read delete keys, and columns a CHECK constraint
+    * mentions (the constraint would be unevaluable on future ingests —
+    * drop the constraint first).
+    */
+  def dropColumn(
+      spark: SparkSession,
+      tableDir: String,
+      name: String): Long = retryOnConflict() {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
+    require(schema.fields.exists(f => f.name.equalsIgnoreCase(name) && !isDropped(f)),
+      s"no column '$name' in $tableDir")
+    require(visibleSchema(schema).fields.length > 1,
+      s"cannot drop '$name': it is the table's only column")
+    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a hive-partition column; dropping it requires a layout rewrite")
+    require(!dirBuckets(spark, tableDir, cur).values.exists(_._1.equalsIgnoreCase(name)),
+      s"'$name' is a bucket key; re-bucket (optimizeBucketed) before dropping it")
+    val eqd = dirEqDeletes(spark, tableDir, cur)
+    require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(name))),
+      s"pending merge-on-read deletes are keyed on '$name'; run " +
+        "materializeDeletes first")
+    LakeConstraints.constraintsOf(spark, tableDir).foreach { case (cn, check) =>
+      require(!check.toLowerCase.contains(name.toLowerCase),
+        s"CHECK constraint '$cn' mentions '$name'; drop the constraint first")
+    }
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(name) && !isDropped(f))
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(DroppedKey, true).build())
+      else f
+    })
+    val dirs = manifest(spark, tableDir, cur)
+    val stats = dirStats(spark, tableDir, cur).flatMap { case (d, cols) =>
+      val kept = cols.filterNot { case (c, _) => c.equalsIgnoreCase(name) }
+      if (kept.isEmpty) None else Some(d -> statsJson(kept))
+    }
+    publishManifest(spark, tableDir, dirs, newSchema, stats,
+      dirBloomsRaw(spark, tableDir, cur),
+      expectedBase = Some(Some(cur)),
+      buckets = dirBuckets(spark, tableDir, cur),
+      txns = txnWatermarks(spark, tableDir, cur),
+      eqdeletes = eqd, op = "drop_column")
   }
 
   /** OPTIMIZE: rewrite the published version's N data directories into

@@ -103,6 +103,57 @@ class VersionedLakeRenameSpec extends SparkSpec {
     assert(VersionedLake.read(s, dir).select("c").count() === 3L)
   }
 
+  test("DROP COLUMN is one manifest commit: tombstoned, projected away, never rebindable") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_drop").toString
+    VersionedLake.appendCommit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "score"), dir,
+      statsCols = Seq("id", "score"))
+    val before = dataFiles(dir)
+    VersionedLake.dropColumn(s, dir, "score")
+    assert(dataFiles(dir) === before, "drop must not touch a single data file")
+    val df = VersionedLake.read(s, dir)
+    assert(df.columns.toSeq === Seq("id", "v"), "the dropped column is projected away")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // time travel still shows it
+    assert(VersionedLake.readVersion(s, dir, 0).columns.contains("score"))
+    // stats shed the dropped key in the same commit
+    val cur = VersionedLake.currentVersion(s, dir).get
+    assert(VersionedLake.dirStats(s, dir, cur).values.head.keySet === Set("id"))
+    // the name can never be rebound: old files still carry its data
+    val e = intercept[Exception](
+      VersionedLake.appendCommit(Seq((3L, "c", 99.0)).toDF("id", "v", "score"), dir))
+    assert(e.getMessage.contains("dropped"),
+      s"expected the dropped-name guard, got: ${e.getMessage}")
+    // appends WITHOUT the column flow normally; compaction sheds the tombstone
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    VersionedLake.optimize(s, dir)
+    val sch = VersionedLake.versionSchema(s, dir,
+      VersionedLake.currentVersion(s, dir).get).get
+    assert(sch.fieldNames.toSeq === Seq("id", "v"),
+      "optimize rewrites files without the column and drops the tombstone")
+  }
+
+  test("SQL: ALTER TABLE DROP COLUMN through the catalog") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_drop").toString
+    spark.conf.set("spark.sql.catalog.gdrop", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdrop.root", root)
+    VersionedLake.appendCommit(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "junk"), s"$root/dt")
+    spark.sql("ALTER TABLE gdrop.dt DROP COLUMN junk")
+    assert(spark.table("gdrop.dt").columns.toSeq === Seq("id", "v"))
+    assert(spark.sql("SELECT id, v FROM gdrop.dt WHERE v = 'b'").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "b")))
+    // a dropped-then-renamed world still refuses rebinding through SQL
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gdrop.dt ADD COLUMN junk DOUBLE"))
+    assert(e.getMessage.toLowerCase.contains("dropped"))
+  }
+
   test("SQL: ALTER TABLE RENAME COLUMN through the catalog; scans read through") {
     val s = spark
     import s.implicits._
