@@ -290,6 +290,20 @@ object Relational5 {
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
   }
 
+  /** The CDC-feed queries need the first MERGE commit (v3) to EXIST, not
+    * to re-run: their timed body is the FEED READ over the pinned
+    * (2, 3] window, and a re-merge would only add versions the window
+    * never touches. Self-contained for Verify (merges if the fixture is
+    * still pre-merge), free at steady state.
+    */
+  private def ensureMergedOnce(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureMergeOrders(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/merge_orders"
+    if (graft.sources.VersionedLake.currentVersion(s, tbl).exists(_ < 3))
+      runCatalogMerge(s, dir)
+  }
+
   /** Partial-column MERGE fixture: its own 3-range-commit orders table
     * (q_catalog_merge's fixture must stay untouched by this statement).
     */
@@ -1224,7 +1238,7 @@ object Relational5 {
     QueryDef(
       "q_lake_cdc_cow",
       (s, dir) => {
-        runCatalogMerge(s, dir)
+        ensureMergedOnce(s, dir)
         val tbl = s"${catalogLake(s, dir)}/merge_orders"
         graft.sources.VersionedLake.readRowChanges(s, tbl, 2L, 3L)
           .select(col("o_orderkey"), col("o_orderstatus"),
@@ -1259,7 +1273,7 @@ object Relational5 {
     QueryDef(
       "q_catalog_changes",
       (s, dir) => {
-        runCatalogMerge(s, dir)
+        ensureMergedOnce(s, dir)
         s.sql("""SELECT o_orderkey, o_orderstatus,
                 |  round(o_totalprice, 2) AS o_totalprice, _change_type
                 |FROM graftcat.`merge_orders$changes`

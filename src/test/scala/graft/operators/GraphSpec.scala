@@ -69,6 +69,26 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("triangleCounts: no deserialized MEMORY_ONLY cache survives (GC discipline pin)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val df = (0L to 20L).flatMap(i => Seq((i, (i + 1) % 21), (i, (i + 2) % 21)))
+      .toDF("a", "b")
+    val res = Graph.triangleCounts(df)
+    res.count(): Unit
+    // und/oriented must be persisted SERIALIZED (the pageRank discipline)
+    // and marked unpersisted on return — a .cache() regression would
+    // surface here as a lingering deserialized MEMORY_ONLY entry
+    val leaked = s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+    leaked.values.foreach { r =>
+      val lvl = r.getStorageLevel
+      assert(!(lvl.useMemory && lvl.deserialized && !lvl.useDisk),
+        s"deserialized memory-only cache leaked from triangleCounts: $lvl")
+    }
+  }
+
   test("triangleCounts: K4 — every node in C(3,2)=3 triangles") {
     val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
     assert(triangles(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
