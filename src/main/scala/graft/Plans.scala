@@ -51,7 +51,10 @@ object Plans {
     "q_sql_q21" -> "TPC-H Q21: double correlation as one semi + one anti join, no loop joins",
     "q_sql_q17" -> "TPC-H Q17: correlated AVG decorrelated to one aggregate join per part",
     "q_catalog_sql" -> "SQL-catalog scan: manifest-resolved snapshot delegating to the stock parquet DSv2 read",
-    "q_lake_upsert_mor" -> "merge-on-read upsert: eq-delete anti-join + appended batch, zero rewritten dirs")
+    "q_lake_upsert_mor" -> "merge-on-read upsert: eq-delete anti-join + appended batch, zero rewritten dirs",
+    "q_lake_cdc_cow" -> "CDC over a CoW MERGE window: one commit-scoped artifact read, no snapshot diff",
+    "q_catalog_sql_mor" -> "MoR read-through by name: scoped broadcast anti-join planned inside the catalog scan",
+    "q_catalog_changes" -> "t$changes in SQL: _commit_version pushdown bounds reconstruction to the window")
 
   /** Round-5 isolation-bench triage of the round-4 regression band: each
     * query re-timed alone (SPARK_GRAFT_ONLY) at sf0.1/local[32] to separate
