@@ -29,6 +29,13 @@ import org.apache.spark.sql.graft.GraftDmlShim
   *     append).
   *   - `MERGE ... WHEN MATCHED THEN DELETE` (no other actions) →
   *     `VersionedLake.deleteKeys` — the GDPR id-list shape.
+  *   - `MERGE ... WHEN MATCHED [AND p] THEN UPDATE SET c = expr, ...`
+  *     (partial-column SET, expressions over target AND source) and
+  *     `WHEN MATCHED AND p THEN DELETE` → [[MergePartialLakeCommand]]:
+  *     new rows derive from a keyed target×source join evaluated with
+  *     the analyzer's resolved trees, gate semantics are row-accurate
+  *     (a duplicate-key row failing the gate survives untouched), and
+  *     the result rides the same keyed minimal-CoW upsert.
   *
   * SQL DML takes the COPY-ON-WRITE twins, not `upsertMor`/
   * `deleteKeysMor`, on purpose: a merge-on-read commit leaves pending
@@ -37,9 +44,9 @@ import org.apache.spark.sql.graft.GraftDmlShim
   * the library MoR paths remain the right tool for ingest loops that
   * control their own read path and materialization cadence.
   *
-  * Statements outside these shapes (conditional actions, partial-column
-  * SET in MERGE, non-equi merge conditions, subqueries in the UPDATE
-  * predicate) are left untouched, so Spark surfaces its own clear
+  * Statements outside these shapes (NOT MATCHED BY SOURCE, non-equi
+  * merge conditions, key reassignment, subqueries in predicates or
+  * assignments) are left untouched, so Spark surfaces its own clear
   * "not supported" error instead of this rule guessing at semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
   * (`Expression.sql`), re-parsed at execution against the library
@@ -236,7 +243,7 @@ final case class MergePartialLakeCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     val tgtDf = GraftDmlShim.ofRows(spark, target)
     val srcDf = GraftDmlShim.ofRows(spark, source)
     // SQL MERGE's unique-match rule, same check as the star-shape twin
@@ -247,29 +254,48 @@ final case class MergePartialLakeCommand(
         "SQL MERGE requires at most one source match per target row")
     val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
     val joined = tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner")
-    val gated = matchedCond
-      .map(c => joined.filter(GraftDmlShim.column(c.e)))
-      .getOrElse(joined)
     val committed = VersionedLake.versionSchema(spark, tableDir,
       VersionedLake.currentVersion(spark, tableDir).get)
       .getOrElse(VersionedLake.read(spark, tableDir).schema)
     def typed(c: org.apache.spark.sql.Column, name: String) =
-      c.cast(committed(committed.fieldIndex(name)).dataType).as(name)
+      c.cast(committed(committed.fieldIndex(name)).dataType)
+    // flatten the ambiguous two-sided join into unambiguous columns:
+    // target key copies, the gate verdict, every target column's old
+    // value, and (for UPDATE) each assignment's new value — all computed
+    // with the analyzer's resolved attributes BEFORE any self-reference
+    // is possible. Row-accurate gating falls out: a target key may have
+    // DUPLICATE rows with the gate true on some and false on others, and
+    // the gate-failing rows must ride the batch unchanged (the keyed
+    // rewrite replaces whole keys, so dropping them would lose rows).
+    val gateCol = matchedCond
+      .map(c => GraftDmlShim.column(c.e)).getOrElse(lit(true))
+    val assignedOf = assignments.map { case (n, h) => n.toLowerCase -> h }.toMap
+    val flat = joined.select(
+      (keys.map(k => GraftDmlShim.column(tgtAttr(k.toLowerCase)).as(s"_gk_$k")) ++
+        Seq(gateCol.as("_gate")) ++
+        targetCols.map(c =>
+          typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c).as(s"_old_$c")) ++
+        assignments.map { case (n, h) => typed(GraftDmlShim.column(h.e), n).as(s"_new_$n") }): _*)
+    // keys where at least one row passes the gate — everything else is
+    // untouched by construction (absent from batch AND probe)
+    val hitKeys = flat.filter(col("_gate"))
+      .select(keys.map(k => col(s"_gk_$k")): _*).distinct()
+    val candidate = flat.join(hitKeys, keys.map(k => s"_gk_$k"), "left_semi")
     if (assignments.isEmpty) {
-      // conditional DELETE: the gated matches' keys, taken from the
-      // TARGET side of the join (same-named source columns are ambiguous
-      // by name, never by attribute)
-      VersionedLake.deleteKeys(spark, tableDir,
-        gated.select(keys.map(k =>
-          typed(GraftDmlShim.column(tgtAttr(k.toLowerCase)), k)): _*),
-        keys): Unit
+      // conditional DELETE: gate-passing rows vanish; gate-failing rows
+      // of the same keys survive as the upsert batch (probeKeys carries
+      // the full key set being replaced)
+      val survivors = candidate.filter(!col("_gate"))
+        .select(targetCols.map(c => col(s"_old_$c").as(c)): _*)
+      val delKeys = hitKeys.select(keys.map(k => col(s"_gk_$k").as(k)): _*)
+      VersionedLake.upsert(spark, tableDir, survivors, keys,
+        probeKeys = Some(delKeys)): Unit
     } else {
-      val assignedOf = assignments.map { case (n, h) => n.toLowerCase -> h }.toMap
-      val updated = gated.select(targetCols.map { c =>
-        assignedOf.get(c.toLowerCase) match {
-          case Some(h) => typed(GraftDmlShim.column(h.e), c)
-          case None    => typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c)
-        }
+      val updated = candidate.select(targetCols.map { c =>
+        (assignedOf.get(c.toLowerCase) match {
+          case Some(_) => when(col("_gate"), col(s"_new_$c")).otherwise(col(s"_old_$c"))
+          case None    => col(s"_old_$c")
+        }).as(c)
       }: _*)
       val batch = insert match {
         case None => updated
@@ -282,7 +308,7 @@ final case class MergePartialLakeCommand(
             .map(c => unmatched.filter(GraftDmlShim.column(c.e)))
             .getOrElse(unmatched)
           updated.unionByName(
-            gatedIns.select(targetCols.map(c => typed(col(c), c)): _*))
+            gatedIns.select(targetCols.map(c => typed(col(c), c).as(c)): _*))
       }
       VersionedLake.upsert(spark, tableDir, batch, keys): Unit
     }

@@ -469,10 +469,15 @@ final class LakeChangesTable(
               else VersionedLake.readRowChanges(
                 ctx.sparkSession, tableDir, math.max(-1L, fromV), toV)
             // a narrowed window ends at toV's schema; align to the
-            // table's current schema (null-fill columns added later)
+            // table's current schema — by FORMER name for renamed
+            // columns (the window's frames predate the rename), null
+            // for columns that genuinely did not exist yet
             val df = df0.select(feedSchema.fields.map { f =>
-              if (df0.columns.contains(f.name)) col(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
+              val variants = (f.name +: VersionedLake.akaNames(f))
+                .filter(df0.columns.contains)
+              if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
+              else if (variants.size == 1) col(variants.head).as(f.name)
+              else org.apache.spark.sql.functions.coalesce(variants.map(col): _*).as(f.name)
             }.toIndexedSeq: _*)
             (new BaseRelation with TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = ctx

@@ -497,7 +497,13 @@ object VersionedLake {
           try f.createFile(dst).overwrite(false).build()
           catch {
             case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict(e)
-            case e: org.apache.hadoop.ipc.RemoteException => throw conflict(e)
+            // only the exists/being-created classes are a lost race;
+            // permission / safe-mode / quota RemoteExceptions must
+            // surface as themselves, not spin the conflict-retry loop
+            case e: org.apache.hadoop.ipc.RemoteException
+                if e.getClassName != null &&
+                  (e.getClassName.contains("AlreadyBeingCreated") ||
+                    e.getClassName.contains("FileAlreadyExists")) => throw conflict(e)
           }
         // S3A conditional create surfaces the lost claim at close — the
         // whole write maps to one conditional PUT
@@ -1551,11 +1557,19 @@ object VersionedLake {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
     else {
       val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-      // column order (and any columns the window never saw) normalize
-      // to the toVersion schema
-      unioned.select(outSchema.fieldNames.map { n =>
-        if (unioned.columns.contains(n)) col(n)
-        else lit(null).cast(outSchema(n).dataType).as(n)
+      // column order (and any columns the window never saw) normalize to
+      // the toVersion schema — resolving RENAME indirection by name:
+      // frames from before a rename carry the former physical name, so
+      // the logical column coalesces over every variant present
+      val toSchema = versionSchema(spark, tableDir, toVersion)
+        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      unioned.select(outSchema.fields.map { f =>
+        val variants = (f.name +: toSchema.fields.find(_.name == f.name)
+          .map(akaNames).getOrElse(Nil))
+          .filter(unioned.columns.contains)
+        if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
+        else if (variants.size == 1) col(variants.head).as(f.name)
+        else coalesce(variants.map(col): _*).as(f.name)
       }.toIndexedSeq: _*)
     }
   }
@@ -1602,6 +1616,8 @@ object VersionedLake {
         if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
       case "optimize" | "materialize" =>
         None // layout-only: identical logical rows before and after
+      case "rename_column" | "drop_column" =>
+        None // metadata-only: the schema changed, no logical row did
       case "delete_mor" =>
         newDels.map(preImages).reduceOption(_.unionByName(_)).map(tagged(_, "delete"))
       case "upsert_mor" =>
@@ -1631,9 +1647,11 @@ object VersionedLake {
         // reading it back IS the feed — O(artifact), no reconstruction
         changesArtifact(spark, tableDir, v) match {
           case Some(cd) =>
-            val df = spark.read.parquet(s"$tableDir/changes/$cd")
-            if (df.isEmpty) None
-            else Some(df.withColumn("_commit_version", lit(v)))
+            // no emptiness pre-check: it would cost a driver-blocking job
+            // (and a second artifact read) per CoW version at plan time;
+            // an empty frame unions harmlessly
+            Some(spark.read.parquet(s"$tableDir/changes/$cd")
+              .withColumn("_commit_version", lit(v)))
           case None =>
             throw new IllegalStateException(
               s"version $v of $tableDir ($other) is a rewrite with no change " +
@@ -1828,12 +1846,20 @@ object VersionedLake {
       keys: Seq[String],
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      probeKeys: Option[DataFrame] = None): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
+    probeKeys.foreach(p => require(keys.forall(p.columns.contains),
+      s"probeKeys missing key columns: ${keys.filterNot(p.columns.contains).mkString(", ")}"))
     LakeConstraints.enforce(spark, tableDir, updates, "upsert")
-    val keyDf = updates.select(keys.map(col): _*)
+    // probeKeys generalizes the replace set beyond the batch's own keys:
+    // rows of probed keys NOT re-supplied by the batch are DELETED (the
+    // conditional-MERGE delete shape — gate-failing rows of a key ride
+    // the batch as survivors, gate-passing rows just vanish). Default:
+    // the batch's keys, the classic upsert.
+    val keyDf = probeKeys.getOrElse(updates).select(keys.map(col): _*)
     val ranges = keyRanges(keyDf, keys)
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
@@ -1846,10 +1872,18 @@ object VersionedLake {
       }
       requireNoEqDeletes(spark, tableDir, base, "upsert")
       val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
+      // steady-state no-op: nothing to rewrite AND nothing to append —
+      // publishing a version (plus an empty data dir and artifact) for a
+      // no-match empty batch would grow the manifest per idempotent call
+      if (kr.rewritten.isEmpty && updates.isEmpty) return base
       // CDC artifact: pre-images are the matched rows of the affected
-      // directories (the same rows the rewrite just removed); batch rows
-      // split into post-images (matched keys) and inserts — O(matched +
-      // batch), the commit's own delta
+      // directories (the same rows the rewrite just removed), split into
+      // update_preimage (key re-supplied by the batch) vs delete (key
+      // probed but not re-supplied — the probeKeys shape); batch rows
+      // split into post-images and inserts. O(matched + batch), the
+      // commit's own delta. Classification is key-granular: a key with
+      // both surviving and vanishing rows reports all its pre-images as
+      // update_preimage — replay (remove pre, add post) stays exact.
       val changesName = {
         val affected = kr.rewritten.keySet
         val frame =
@@ -1858,8 +1892,14 @@ object VersionedLake {
             val pre = readDirs(spark, tableDir,
               affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
               .join(keyDf.distinct(), keys, "left_semi")
+            val batchKeys = updates.select(keys.map(col): _*).distinct()
             val matchedKeys = pre.select(keys.map(col): _*).distinct()
-            pre.withColumn("_change_type", lit("update_preimage"))
+            pre.join(broadcast(batchKeys), keys, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                pre.join(broadcast(batchKeys), keys, "left_anti")
+                  .withColumn("_change_type", lit("delete")),
+                allowMissingColumns = true)
               .unionByName(
                 updates.join(broadcast(matchedKeys), keys, "left_semi")
                   .withColumn("_change_type", lit("update_postimage")),
@@ -1872,31 +1912,49 @@ object VersionedLake {
         writeChangesDir(frame, tableDir)
       }
       // phase 3 — the batch is one new directory, stat'd/bloom'd over the
-      // same columns the manifest already declares (∩ the batch's schema)
-      val updDir = writeDataDir(updates, tableDir, parts, maxRecordsPerFile)
-      val newDirs = kr.survivingDirs :+ updDir
+      // same columns the manifest already declares (∩ the batch's schema).
+      // The probeKeys delete shape may carry NO batch rows (every row of
+      // the probed keys vanished) — skip the empty append then; the
+      // emptiness check is gated on probeKeys so the classic path never
+      // pays a second batch evaluation
+      val updDirOpt =
+        if (probeKeys.isDefined && updates.isEmpty) None
+        else Some(writeDataDir(updates, tableDir, parts, maxRecordsPerFile))
+      val newDirs = kr.survivingDirs ++ updDirOpt
       val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
       val (cowStats, cowBlooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
         kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
       val updStatCols = kr.priorStats.values.flatMap(_.keys).toSeq.distinct.sorted
         .filter(updates.columns.contains)
-      val updStats = columnStats(updates, updStatCols).map(updDir -> _).toMap
-      val updBloom = {
+      val updStats = updDirOpt.flatMap(d =>
+        columnStats(updates, updStatCols).map(d -> _)).toMap
+      val updBloom = updDirOpt.flatMap { d =>
         val cols = kr.priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
           .filter(updates.columns.contains)
         if (cols.isEmpty) None
         else {
           val (m, k) = kr.priorBlooms.values.flatMap(_.values)
             .map(t => (t._1, t._2)).maxBy(_._1)
-          bloomJson(updates, Some(BloomConfig(cols, m, k)))
+          bloomJson(updates, Some(BloomConfig(cols, m, k))).map(d -> _)
         }
-      }.map(updDir -> _).toMap
-      publishManifest(spark, tableDir, newDirs, merged,
-        cowStats ++ updStats, cowBlooms ++ updBloom,
-        expectedBase = Some(Some(base)),
-        buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
-        txns = priorTxns ++ txn.toMap, op = "upsert",
-        changes = Some(changesName))
+      }.toMap
+      if (newDirs.isEmpty) {
+        // the probeKeys delete shape emptied the table: publish a
+        // readable empty snapshot (the deleteKeys contract)
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), kr.priorSchema)
+          .repartition(1)
+        val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
+        publishManifest(spark, tableDir, Seq(d), merged,
+          expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap,
+          op = "upsert", changes = Some(changesName))
+      } else
+        publishManifest(spark, tableDir, newDirs, merged,
+          cowStats ++ updStats, cowBlooms ++ updBloom,
+          expectedBase = Some(Some(base)),
+          buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
+          txns = priorTxns ++ txn.toMap, op = "upsert",
+          changes = Some(changesName))
     }
   }
 
@@ -2602,6 +2660,13 @@ object VersionedLake {
       }' — files still carry it, so reusing it would bind old data into the new column")
     require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(oldName)),
       s"'$oldName' is a hive-partition column; renaming it requires a layout rewrite")
+    // the bucketed read path materializes the schema as CREATE TABLE DDL
+    // over the physical files with NO name indirection — renaming any
+    // column of a bucketed version would silently null it (or break the
+    // CLUSTERED BY clause); re-bucket after the rename instead
+    require(dirBuckets(spark, tableDir, cur).isEmpty,
+      s"$tableDir@v$cur carries a bucket spec; rename after re-bucketing " +
+        "(optimizeBucketed) or on the unbucketed layout")
     val eqd = dirEqDeletes(spark, tableDir, cur)
     require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(oldName))),
       s"pending merge-on-read deletes are keyed on '$oldName'; run " +
@@ -2655,14 +2720,23 @@ object VersionedLake {
       s"cannot drop '$name': it is the table's only column")
     require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
       s"'$name' is a hive-partition column; dropping it requires a layout rewrite")
-    require(!dirBuckets(spark, tableDir, cur).values.exists(_._1.equalsIgnoreCase(name)),
-      s"'$name' is a bucket key; re-bucket (optimizeBucketed) before dropping it")
+    // same DDL-materialization hazard as renameColumn: the bucketed read
+    // renders the RAW schema over physical files, which a tombstone would
+    // leak into — any bucket spec refuses, not just the key
+    require(dirBuckets(spark, tableDir, cur).isEmpty,
+      s"$tableDir@v$cur carries a bucket spec; drop after re-bucketing " +
+        "(optimizeBucketed) or on the unbucketed layout")
     val eqd = dirEqDeletes(spark, tableDir, cur)
     require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(name))),
       s"pending merge-on-read deletes are keyed on '$name'; run " +
         "materializeDeletes first")
+    // identifier-boundary match, not substring: dropping `id` must not be
+    // blocked by a constraint on `valid` (conservative against quoting:
+    // a backquoted identifier still matches on its word boundaries)
+    val ident = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])")
     LakeConstraints.constraintsOf(spark, tableDir).foreach { case (cn, check) =>
-      require(!check.toLowerCase.contains(name.toLowerCase),
+      require(!ident.matcher(check).find(),
         s"CHECK constraint '$cn' mentions '$name'; drop the constraint first")
     }
     val newSchema = StructType(schema.fields.map { f =>
@@ -2820,13 +2894,18 @@ object VersionedLake {
       // UUID — without cleanup every failed attempt would strand a FULL
       // duplicate snapshot under data/ (vacuum would get it eventually,
       // but "crash leaves only garbage" must not mean "a conflict
-      // multiplies the table"); delete the promoted dirs before the
-      // retry, since nothing references them until the publish lands
+      // multiplies the table"). ONLY a CommitConflictException triggers
+      // the cleanup: a conflict proves the manifest claim was lost, so
+      // nothing references the promoted dirs. Any other failure (e.g. a
+      // transient pointer-write error AFTER createExclusive landed) may
+      // leave a successfully-published manifest referencing them — the
+      // listing is authoritative, the pointer a hint — and deleting the
+      // dirs then would corrupt the current version; vacuum backstops.
       try publishManifest(spark, tableDir, newDirs, stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
       catch {
-        case e: Throwable =>
+        case e: CommitConflictException =>
           newDirs.foreach { d =>
             try f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/data/$d"), true): Unit
             catch { case _: Throwable => () } // best-effort; vacuum backstops

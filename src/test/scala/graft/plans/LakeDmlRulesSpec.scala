@@ -157,6 +157,47 @@ class LakeDmlRulesSpec extends SparkSpec {
         "k=2 updated; k=9 inserted")
   }
 
+  test("gated MERGE is ROW-accurate: a duplicate-key row failing the gate survives") {
+    val s = spark
+    root
+    val tbl = s"$root/gdup"
+    import s.implicits._
+    // duplicate target keys are legal; the gate verdict differs per row
+    VersionedLake.appendCommit(
+      Seq((1L, "b"), (1L, "z"), (2L, "b")).toDF("k", "v"), tbl)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gdup_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'U'),
+                |  (CAST(2 AS BIGINT), 'U') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.gdup t USING gdup_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'b' THEN UPDATE SET v = c.v""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.gdup ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "U"), (1L, "z"), (2L, "U")),
+      "the gate-failing duplicate (1,'z') must survive the keyed rewrite")
+    // same row-accuracy for the conditional DELETE
+    spark.sql("""MERGE INTO gdml.gdup t USING gdup_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'z' THEN DELETE""".stripMargin)
+    val got2 = spark.sql("SELECT k, v FROM gdml.gdup ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq === Seq((1L, "U"), (2L, "U")),
+      "only the gate-passing duplicate row is deleted; its key-sibling survives")
+  }
+
+  test("a fully-gated-out MERGE is a no-op commit (no manifest growth)") {
+    val s = spark
+    root
+    val tbl = s"$root/gnoop"
+    import s.implicits._
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("k", "v"), tbl)
+    val v0 = VersionedLake.currentVersion(s, tbl).get
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gnoop_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.gnoop t USING gnoop_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'nope' THEN UPDATE SET v = c.v""".stripMargin)
+    assert(VersionedLake.currentVersion(s, tbl).get === v0,
+      "nothing matched the gate: no version, no empty directory, no artifact")
+  }
+
   test("MERGE WHEN MATCHED AND p THEN DELETE deletes only gated matches") {
     root
     spark.sql("CREATE TABLE gdml.cdel (k BIGINT, v STRING)")

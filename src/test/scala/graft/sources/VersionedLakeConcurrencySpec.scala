@@ -211,6 +211,38 @@ class VersionedLakeConcurrencySpec extends SparkSpec {
       "retry must still publish the clustered snapshot intact")
   }
 
+  test("optimizeClustered pointer-write failure AFTER the manifest landed deletes nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_clust_ptr").toString
+    VersionedLake.appendCommit(
+      (0L to 99L).map(k => (k, k % 7, s"p$k")).toDF("id", "grp", "payload"), dir)
+    // the manifest create succeeds; the pointer hint write then fails —
+    // the manifest listing is authoritative, so the new version IS
+    // published and its data directories must NOT be cleaned up
+    val failPointer = new VersionedLake.CommitStore {
+      private val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def atomicWrite(sp: org.apache.spark.sql.SparkSession, d: String,
+          n: String, c: String): Unit =
+        if (failed.compareAndSet(false, true))
+          throw new java.io.IOException("injected pointer-write failure")
+        else VersionedLake.FsCommitStore.atomicWrite(sp, d, n, c)
+      def createExclusive(sp: org.apache.spark.sql.SparkSession, d: String,
+          n: String, c: String): Unit =
+        VersionedLake.FsCommitStore.createExclusive(sp, d, n, c)
+    }
+    val e = intercept[java.io.IOException] {
+      VersionedLake.withCommitStore(failPointer) {
+        VersionedLake.optimizeClustered(s, dir, Seq("id", "grp"), numDirs = 2): Unit
+      }
+    }
+    assert(e.getMessage.contains("injected"))
+    // v1 is the clustered snapshot and reads intact — a cleanup here
+    // would have corrupted the current version
+    assert(VersionedLake.currentVersion(s, dir) === Some(1L))
+    assert(ids(VersionedLake.read(s, dir)) === (0L to 99L).toSet)
+  }
+
   test("optimizeIfNeeded keeps manifest stats + bloom skipping layers") {
     val s = spark
     import s.implicits._

@@ -136,6 +136,29 @@ class VersionedLakeRenameSpec extends SparkSpec {
       "optimize rewrites files without the column and drops the tombstone")
   }
 
+  test("the CDC feed spans rename/drop commits: metadata-only, zero events, names resolve") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_ren_cdc").toString
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "payload"), dir)       // v0
+    VersionedLake.renameColumn(s, dir, "payload", "body")                       // v1
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "body"), dir)          // v2
+    val feed = VersionedLake.readRowChanges(s, dir, -1, 2)
+    assert(feed.columns.toSeq === Seq("id", "body", "_change_type", "_commit_version"),
+      "the feed reports toVersion's logical names")
+    val got = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === Set((1L, "a", "insert", 0L), (2L, "b", "insert", 2L)),
+      "pre-rename frames resolve through the former name; the rename emits nothing")
+    VersionedLake.dropColumn(s, dir, "body")                                    // v3
+    VersionedLake.appendCommit(Seq((3L)).toDF("id"), dir)                       // v4
+    val feed2 = VersionedLake.readRowChanges(s, dir, 2, 4)
+    assert(feed2.columns.toSeq === Seq("id", "_change_type", "_commit_version"),
+      "tombstoned columns are projected out of the feed")
+    assert(feed2.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((3L, "insert")))
+  }
+
   test("SQL: ALTER TABLE DROP COLUMN through the catalog") {
     val s = spark
     import s.implicits._
