@@ -44,10 +44,15 @@ import org.apache.spark.sql.graft.GraftDmlShim
   * the library MoR paths remain the right tool for ingest loops that
   * control their own read path and materialization cadence.
   *
-  * Statements outside these shapes (NOT MATCHED BY SOURCE, non-equi
-  * merge conditions, key reassignment, subqueries in predicates or
-  * assignments) are left untouched, so Spark surfaces its own clear
-  * "not supported" error instead of this rule guessing at semantics.
+  *   - `MERGE ... WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE /
+  *     UPDATE SET ...` (standalone — the mirror-table sync statement)
+  *     → the same command over the ANTI join.
+  *
+  * Statements outside these shapes (combined matched + by-source action
+  * lists, non-equi merge conditions, key reassignment, subqueries in
+  * predicates or assignments) are left untouched, so Spark surfaces its
+  * own clear "not supported" error instead of this rule guessing at
+  * semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
   * (`Expression.sql`), re-parsed at execution against the library
   * call's own fresh scan — storing unresolved expression fields on a
@@ -147,6 +152,40 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         assignments.map(a =>
           a.key.asInstanceOf[AttributeReference].name -> renderSql(a.value).get))
 
+    // WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE / UPDATE SET ... —
+    // the mirror-table sync statement (purge or mark target rows absent
+    // from the source). Same gated machinery as the matched arms, over
+    // the ANTI join: matching is per-key (equi condition), the gate per
+    // row, and survivors of hit keys ride the probe-keyed upsert.
+    case m @ MergeIntoTable(target, source, cond, Seq(), Seq(), Seq(action), false)
+        if m.resolved && lakeOf(target).isDefined &&
+          equiKeys(cond, target, source).isDefined && (action match {
+            case DeleteAction(p) => p.forall(c => !hasSubquery(c))
+            case UpdateAction(p, ua, _) =>
+              p.forall(c => !hasSubquery(c)) &&
+                ua.forall(a => unwrap(a.key).isInstanceOf[AttributeReference] &&
+                  !hasSubquery(a.value)) &&
+                ua.forall(a => !equiKeys(cond, target, source).get
+                  .exists(_.equalsIgnoreCase(
+                    unwrap(a.key).asInstanceOf[AttributeReference].name)))
+            case _ => false
+          }) =>
+      val lake = lakeOf(target).get
+      val ks = equiKeys(cond, target, source).get
+      action match {
+        case DeleteAction(p) =>
+          MergePartialLakeCommand(lake.tableDir, target, source,
+            ExprHolder(cond), p.map(ExprHolder), assignments = Nil,
+            insert = None, target.output.map(_.name), ks, bySource = true)
+        case UpdateAction(p, ua, _) =>
+          MergePartialLakeCommand(lake.tableDir, target, source,
+            ExprHolder(cond), p.map(ExprHolder),
+            ua.map(a => unwrap(a.key).asInstanceOf[AttributeReference].name ->
+              ExprHolder(a.value)),
+            insert = None, target.output.map(_.name), ks, bySource = true)
+        case _ => m
+      }
+
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
         if m.resolved && lakeOf(target).isDefined && bySource.isEmpty =>
       val lake = lakeOf(target).get
@@ -236,7 +275,8 @@ final case class MergePartialLakeCommand(
     assignments: Seq[(String, ExprHolder)],
     insert: Option[Option[ExprHolder]],
     targetCols: Seq[String],
-    keys: Seq[String]) extends LeafRunnableCommand {
+    keys: Seq[String],
+    bySource: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -246,14 +286,18 @@ final case class MergePartialLakeCommand(
     import org.apache.spark.sql.functions.{col, count, lit, when}
     val tgtDf = GraftDmlShim.ofRows(spark, target)
     val srcDf = GraftDmlShim.ofRows(spark, source)
-    // SQL MERGE's unique-match rule, same check as the star-shape twin
-    val dups = srcDf.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
-        "SQL MERGE requires at most one source match per target row")
+    // SQL MERGE's unique-match rule, same check as the star-shape twin —
+    // moot for the NOT MATCHED BY SOURCE anti-join (no row pairs up)
+    if (!bySource) {
+      val dups = srcDf.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
+          "SQL MERGE requires at most one source match per target row")
+    }
     val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
-    val joined = tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner")
+    val joined = tgtDf.join(srcDf, GraftDmlShim.column(cond.e),
+      if (bySource) "left_anti" else "inner")
     val committed = VersionedLake.versionSchema(spark, tableDir,
       VersionedLake.currentVersion(spark, tableDir).get)
       .getOrElse(VersionedLake.read(spark, tableDir).schema)

@@ -211,7 +211,35 @@ class LakeDmlRulesSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
-  test("out-of-shape MERGE (NOT MATCHED BY SOURCE) falls through to Spark's own error") {
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE purges rows absent from the source") {
+    root
+    spark.sql("CREATE TABLE gdml.sync (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.sync VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sync_src AS
+                |SELECT * FROM VALUES (CAST(2 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.sync t USING sync_src c ON t.k = c.k
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM gdml.sync ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L),
+      "rows whose key the source lacks are deleted; matched rows untouched")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE AND p THEN UPDATE marks stale rows") {
+    root
+    spark.sql("CREATE TABLE gdml.stale (k BIGINT, status STRING)")
+    spark.sql("INSERT INTO gdml.stale VALUES (1, 'live'), (2, 'live'), (3, 'gone')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW stale_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.stale t USING stale_src c ON t.k = c.k
+                |WHEN NOT MATCHED BY SOURCE AND t.status = 'live'
+                |THEN UPDATE SET status = 'stale'""".stripMargin)
+    val got = spark.sql("SELECT k, status FROM gdml.stale ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "live"), (2L, "stale"), (3L, "gone")),
+      "k=1 matched (kept); k=2 unmatched+gate (marked); k=3 unmatched but gate-failing (kept)")
+  }
+
+  test("out-of-shape MERGE (combined matched + by-source actions) falls through") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gdml.oos VALUES (1, 'a')")
@@ -221,6 +249,6 @@ class LakeDmlRulesSpec extends SparkSpec {
       spark.sql("""MERGE INTO gdml.oos t USING oos_src c ON t.k = c.k
                   |WHEN MATCHED THEN UPDATE SET *
                   |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
-    assert(e != null, "NOT MATCHED BY SOURCE is outside the rewrite's shape")
+    assert(e != null, "a combined matched + by-source action list is outside the rewrite")
   }
 }
