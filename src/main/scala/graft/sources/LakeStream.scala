@@ -182,11 +182,15 @@ class LakeStreamSource(
     * [[VersionedLake.readRowChanges]] over its version window — exact
     * insert/delete/update_preimage/update_postimage events instead of
     * appended rows. Merge-on-read mutations stream as row-level events
-    * (where the append-only default refuses them); layout-only versions
-    * contribute empty batches; copy-on-write rewrites still fail loudly
-    * (the commit log cannot replay them row-level). The initial
-    * `earliest` batch is the history from v0 — deterministic under
-    * replay like everything else here: manifests are immutable.
+    * (where the append-only default refuses them); copy-on-write
+    * mutations — including SQL MERGE/UPDATE/DELETE — stream from their
+    * commit-time change artifacts; layout- and metadata-only versions
+    * (optimize, rename/drop column) contribute empty batches; only
+    * artifact-less rewrites (rollback, snapshot replaces) fail loudly.
+    * The initial `earliest` batch is the history from v0 —
+    * deterministic under replay like everything else here: manifests
+    * are immutable (artifacts ride vacuum retention with their
+    * manifests; size retention above the checkpoint recovery window).
     */
   private val readChanges: Boolean =
     parameters.get("readChanges").exists(_.equalsIgnoreCase("true"))

@@ -174,6 +174,20 @@ class LakeStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(events.contains((1L, "a", "delete", 2L)))
       assert(events.size === 6, "exactly one event per logical change")
+      // COPY-ON-WRITE mutations stream from their commit-time change
+      // artifacts — previously a loud stream failure; the SQL DML paths
+      // ride these same ops, so a stream can follow a SQL-mutated table
+      VersionedLake.materializeDeletes(s, dir): Unit // v3: emits nothing
+      VersionedLake.upsert(s, dir,
+        Seq((7L, "g2"), (9L, "i")).toDF("id", "payload"), keys = Seq("id"))
+      q.processAllAvailable()
+      assert(events.contains((7L, "g", "update_preimage", 4L)))
+      assert(events.contains((7L, "g2", "update_postimage", 4L)))
+      assert(events.contains((9L, "i", "insert", 4L)))
+      VersionedLake.deleteWhere(s, dir, col("id") === 2L)
+      q.processAllAvailable()
+      assert(events.contains((2L, "b2", "delete", 5L)))
+      assert(events.size === 10, "CoW events exactly once, nothing phantom")
     } finally q.stop()
   }
 }
