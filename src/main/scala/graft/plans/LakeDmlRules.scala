@@ -283,7 +283,7 @@ final case class MergePartialLakeCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, count, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     val tgtDf = GraftDmlShim.ofRows(spark, target)
     val srcDf = GraftDmlShim.ofRows(spark, source)
     // SQL MERGE's unique-match rule, same check as the star-shape twin —
@@ -321,15 +321,29 @@ final case class MergePartialLakeCommand(
           typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c).as(s"_old_$c")) ++
         assignments.map { case (n, h) => typed(GraftDmlShim.column(h.e), n).as(s"_new_$n") }): _*)
     // keys where at least one row passes the gate — everything else is
-    // untouched by construction (absent from batch AND probe)
+    // untouched by construction (absent from batch AND probe). A NULL
+    // gate is SQL's "condition not satisfied": the row takes no action.
     val hitKeys = flat.filter(col("_gate"))
       .select(keys.map(k => col(s"_gk_$k")): _*).distinct()
+    // NULL merge keys cannot ride a keyed rewrite (equality never
+    // matches NULL): in the matched arms they simply never match —
+    // correct SQL — but the BY SOURCE anti-join SELECTS them, and
+    // silently skipping would be a wrong answer; refuse loudly instead
+    if (bySource) {
+      val nullKeyed = hitKeys.filter(
+        keys.map(k => col(s"_gk_$k").isNull).reduce(_ || _)).limit(1).collect()
+      require(nullKeyed.isEmpty,
+        "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
+          "merge keys, which the keyed rewrite cannot address; clean NULL " +
+          "keys first (deleteWhere on the null predicate)")
+    }
     val candidate = flat.join(hitKeys, keys.map(k => s"_gk_$k"), "left_semi")
     if (assignments.isEmpty) {
-      // conditional DELETE: gate-passing rows vanish; gate-failing rows
-      // of the same keys survive as the upsert batch (probeKeys carries
-      // the full key set being replaced)
-      val survivors = candidate.filter(!col("_gate"))
+      // conditional DELETE: gate-passing rows vanish; gate-failing (or
+      // NULL-gate) rows of the same keys survive as the upsert batch
+      // (probeKeys carries the full key set being replaced) — !NULL is
+      // NULL, so the survivor filter must coalesce, not negate
+      val survivors = candidate.filter(!coalesce(col("_gate"), lit(false)))
         .select(targetCols.map(c => col(s"_old_$c").as(c)): _*)
       val delKeys = hitKeys.select(keys.map(k => col(s"_gk_$k").as(k)): _*)
       VersionedLake.upsert(spark, tableDir, survivors, keys,

@@ -158,9 +158,14 @@ object Relational5 {
     * MERGE-inserted by q_catalog_merge; every other key — including
     * q_catalog_point's 1231 — is invariant across runs.
     */
-  private def ensureMergeOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  /** One orders-shaped catalog table as THREE key-range commits with
+    * o_orderkey stats — the layout every SQL-DML fixture shares, so the
+    * keyed copy-on-write probe has directories to prune.
+    */
+  private def ensureRangeOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String, table: String): Unit = {
     import graft.sources.VersionedLake
-    val tbl = s"${catalogLake(s, dir)}/merge_orders"
+    val tbl = s"${catalogLake(s, dir)}/$table"
     if (VersionedLake.currentVersion(s, tbl).isEmpty) {
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       val third = maxOrderKey(s, dir) / 3
@@ -173,6 +178,9 @@ object Relational5 {
         o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
     }
   }
+
+  private def ensureMergeOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    ensureRangeOrders(s, dir, "merge_orders")
 
   // ------------------------------------------------------------------
   // The lake WRITE operations behind the q_lake_* / q_catalog_merge
@@ -307,21 +315,8 @@ object Relational5 {
   /** Partial-column MERGE fixture: its own 3-range-commit orders table
     * (q_catalog_merge's fixture must stay untouched by this statement).
     */
-  private def ensurePartialOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import graft.sources.VersionedLake
-    val tbl = s"${catalogLake(s, dir)}/pmerge_orders"
-    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
-      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val third = maxOrderKey(s, dir) / 3
-      VersionedLake.appendCommit(
-        o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
-      VersionedLake.appendCommit(
-        o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
-        tbl, statsCols = Seq("o_orderkey"))
-      VersionedLake.appendCommit(
-        o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
-    }
-  }
+  private def ensurePartialOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    ensureRangeOrders(s, dir, "pmerge_orders")
 
   /** The partial-column conditional MERGE q_catalog_merge_partial times:
     * assignments touch 2 of 3 columns, values derive from the TARGET

@@ -506,13 +506,24 @@ object VersionedLake {
                     e.getClassName.contains("FileAlreadyExists")) => throw conflict(e)
           }
         // S3A conditional create surfaces the lost claim at close — the
-        // whole write maps to one conditional PUT
-        try { out.write(bytes); out.close() }
+        // whole write maps to one conditional PUT. On ANY failure the
+        // stream must still close (best-effort): an abandoned open
+        // stream would hold an HDFS lease on the version slot and turn
+        // every later committer's AlreadyBeingCreated into a bogus
+        // eternal "conflict"
+        var closed = false
+        try { out.write(bytes); out.close(); closed = true }
         catch {
           case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict(e)
           case e: java.io.IOException
               if String.valueOf(e.getMessage).contains("PreconditionFailed") ||
-                String.valueOf(e.getMessage).contains("412") => throw conflict(e)
+                String.valueOf(e.getMessage).contains("412") =>
+            closed = true // close already ran (the claim failure IS the close)
+            throw conflict(e)
+        } finally {
+          if (!closed) {
+            try out.close() catch { case _: Throwable => () }
+          }
         }
       }
     }
@@ -609,11 +620,17 @@ object VersionedLake {
     val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
     prior.fields.foreach(f => out += f.copy(nullable = true))
     next.fields.foreach { f =>
+      // the tombstone/former-name guards match CASE-INSENSITIVELY, like
+      // Spark's own resolution: a batch re-supplying a dropped column as
+      // "STATUS" would otherwise slip past a case-exact check and bind
+      // old files' "status" bytes right back
+      prior.fields.find(p => p.name.equalsIgnoreCase(f.name)).foreach { p =>
+        require(!isDropped(p),
+          s"cannot write column '${f.name}': it was dropped and old files " +
+            "still carry data under it")
+      }
       prior.fields.find(_.name == f.name) match {
         case Some(p) =>
-          require(!isDropped(p),
-            s"cannot write column '${f.name}': it was dropped and old files " +
-              "still carry data under it")
           require(p.dataType.sql == f.dataType.sql,
             s"schema evolution cannot change column '${f.name}' " +
               s"from ${p.dataType.sql} to ${f.dataType.sql}; cast before committing")
@@ -1847,7 +1864,8 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       txn: Option[(String, Long)] = None,
-      probeKeys: Option[DataFrame] = None): Long = {
+      probeKeys: Option[DataFrame] = None,
+      changeArtifact: Boolean = true): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
@@ -1884,7 +1902,7 @@ object VersionedLake {
       // commit's own delta. Classification is key-granular: a key with
       // both surviving and vanishing rows reports all its pre-images as
       // update_preimage — replay (remove pre, add post) stays exact.
-      val changesName = {
+      val changesName = if (!changeArtifact) None else Some {
         val affected = kr.rewritten.keySet
         val frame =
           if (affected.isEmpty) updates.withColumn("_change_type", lit("insert"))
@@ -1947,14 +1965,14 @@ object VersionedLake {
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), merged,
           expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap,
-          op = "upsert", changes = Some(changesName))
+          op = "upsert", changes = changesName)
       } else
         publishManifest(spark, tableDir, newDirs, merged,
           cowStats ++ updStats, cowBlooms ++ updBloom,
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
           txns = priorTxns ++ txn.toMap, op = "upsert",
-          changes = Some(changesName))
+          changes = changesName)
     }
   }
 
@@ -2055,7 +2073,8 @@ object VersionedLake {
       keyDf0: DataFrame,
       keys: Seq[String],
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      changeArtifact: Boolean = true): Long = {
     require(keys.nonEmpty, "deleteKeys needs at least one key column")
     require(keys.forall(keyDf0.columns.contains),
       s"keyDf missing key columns: ${keys.filterNot(keyDf0.columns.contains).mkString(", ")}")
@@ -2073,7 +2092,7 @@ object VersionedLake {
       val newDirs = kr.survivingDirs
       // CDC artifact: the deleted rows ARE the matched pre-images of the
       // affected directories
-      val changesName = {
+      val changesName = if (!changeArtifact) None else Some {
         val affected = kr.rewritten.keySet
         val frame =
           if (affected.isEmpty)
@@ -2095,13 +2114,13 @@ object VersionedLake {
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), kr.priorSchema,
           expectedBase = Some(Some(base)), txns = priorTxns ++ txn.toMap,
-          op = "delete_keys", changes = Some(changesName))
+          op = "delete_keys", changes = changesName)
       } else
         publishManifest(spark, tableDir, newDirs, kr.priorSchema, stats, blooms,
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
           txns = priorTxns ++ txn.toMap, op = "delete_keys",
-          changes = Some(changesName))
+          changes = changesName)
     }
   }
 
@@ -2462,11 +2481,13 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       predicate: Column,
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      changeArtifact: Boolean = true): Long = {
     val keepRow = !coalesce(predicate, lit(false))
     copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
       op = "delete_where",
-      changesOf = _.withColumn("_change_type", lit("delete")))
+      changesOf = _.withColumn("_change_type", lit("delete")),
+      changeArtifact = changeArtifact)
   }
 
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
@@ -2481,7 +2502,8 @@ object VersionedLake {
       tableDir: String,
       predicate: Column,
       assignments: Map[String, Column],
-      maxRecordsPerFile: Long = 8L * 1000 * 1000): Long = {
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      changeArtifact: Boolean = true): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val isMatch = coalesce(predicate, lit(false))
     val transform: DataFrame => DataFrame = { df =>
@@ -2509,7 +2531,8 @@ object VersionedLake {
     copyOnWrite(spark, tableDir, predicate, transform, maxRecordsPerFile,
       op = "update_where",
       changesOf = m => m.withColumn("_change_type", lit("update_preimage"))
-        .unionByName(transform(m).withColumn("_change_type", lit("update_postimage"))))
+        .unionByName(transform(m).withColumn("_change_type", lit("update_postimage"))),
+      changeArtifact = changeArtifact)
   }
 
   /** Stats/bloom carry for a copy-on-write publish: untouched directories
@@ -2560,7 +2583,8 @@ object VersionedLake {
       rewriteDir: DataFrame => DataFrame,
       maxRecordsPerFile: Long,
       op: String,
-      changesOf: DataFrame => DataFrame): Long =
+      changesOf: DataFrame => DataFrame,
+      changeArtifact: Boolean): Long =
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -2596,14 +2620,21 @@ object VersionedLake {
       val schema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
       // CDC artifact from the rows this commit's probe already located:
       // the matched pre-images, scoped to the affected directories —
-      // O(matched), written before publish like any data directory
-      val matchedRows =
-        if (affected.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else readDirs(spark, tableDir, affected.toSeq.map(d => s"$tableDir/data/$d"),
-          schemaOpt).filter(coalesce(predicate, lit(false)))
-      val changesName = writeChangesDir(changesOf(matchedRows), tableDir)
+      // O(matched), written before publish like any data directory.
+      // `changeArtifact = false` (tables with no feed consumer) skips
+      // the extra matched-rows pass and the artifact write; the change
+      // feed then refuses this window, like any artifact-less rewrite.
+      val changesName =
+        if (!changeArtifact) None
+        else {
+          val matchedRows =
+            if (affected.isEmpty)
+              spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+            else readDirs(spark, tableDir, affected.toSeq.map(d => s"$tableDir/data/$d"),
+              schemaOpt).filter(coalesce(predicate, lit(false)))
+          Some(writeChangesDir(changesOf(matchedRows), tableDir))
+        }
       val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
         priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
       // bucket alignment does not survive an unbucketed rewrite
@@ -2617,12 +2648,12 @@ object VersionedLake {
         val d = writeDataDir(empty, tableDir, Nil, maxRecordsPerFile)
         publishManifest(spark, tableDir, Seq(d), schema,
           expectedBase = Some(Some(base)), txns = txnWatermarks(spark, tableDir, base),
-          op = op, changes = Some(changesName))
+          op = op, changes = changesName)
       } else
         publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
           expectedBase = Some(Some(base)), buckets = buckets,
           txns = txnWatermarks(spark, tableDir, base), op = op,
-          changes = Some(changesName))
+          changes = changesName)
     }
 
   /** METADATA-ONLY RENAME COLUMN — the Iceberg field-id bargain without
@@ -2671,6 +2702,17 @@ object VersionedLake {
     require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(oldName))),
       s"pending merge-on-read deletes are keyed on '$oldName'; run " +
         "materializeDeletes first")
+    // a CHECK constraint referencing the old name would silently
+    // neutralize after the rename (future batches lack the column, and
+    // constraint enforcement null-fills — NULL passes); refuse like
+    // dropColumn does, with the same identifier-boundary matching
+    val renIdent = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(oldName) + "(?![A-Za-z0-9_])")
+    LakeConstraints.constraintsOf(spark, tableDir).foreach { case (cn, check) =>
+      require(!renIdent.matcher(check).find(),
+        s"CHECK constraint '$cn' mentions '$oldName'; drop and re-declare " +
+          "the constraint around the rename")
+    }
     val newSchema = StructType(schema.fields.map { f =>
       if (f.name.equalsIgnoreCase(oldName)) {
         val aka = (f.name +: akaNames(f)).distinct
@@ -2980,7 +3022,12 @@ object VersionedLake {
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
       val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
-      publishManifest(spark, tableDir, Seq(d), schema, stats, blooms,
+      // full rewrite like optimize: files now carry logical names only —
+      // shed rename/drop indirection (readBucketedVersion renders the
+      // RAW schema as CREATE TABLE DDL, so a surviving tombstone would
+      // resurface the dropped column in bucketed reads, and stale aka
+      // metadata would pin catalog scans on the V1 read-through forever)
+      publishManifest(spark, tableDir, Seq(d), stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }

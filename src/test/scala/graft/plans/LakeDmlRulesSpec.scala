@@ -239,6 +239,39 @@ class LakeDmlRulesSpec extends SparkSpec {
       "k=1 matched (kept); k=2 unmatched+gate (marked); k=3 unmatched but gate-failing (kept)")
   }
 
+  test("conditional DELETE: a NULL gate means 'not satisfied' — the row survives") {
+    val s = spark
+    root
+    val tbl = s"$root/gnull"
+    import s.implicits._
+    VersionedLake.appendCommit(
+      Seq((1L, Some("x")), (1L, None), (2L, Some("y"))).toDF("k", "v"), tbl)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gnull_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'z') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.gnull t USING gnull_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'x' THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.gnull ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq((1L, None), (2L, Some("y"))),
+      "the NULL-gate duplicate must survive (SQL: NULL condition = no action)")
+  }
+
+  test("NOT MATCHED BY SOURCE refuses target rows with NULL merge keys, loudly") {
+    val s = spark
+    root
+    val tbl = s"$root/bsnull"
+    import s.implicits._
+    VersionedLake.appendCommit(
+      Seq((Some(1L), "a"), (None, "ghost")).toDF("k", "v"), tbl)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW bsnull_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql("""MERGE INTO gdml.bsnull t USING bsnull_src c ON t.k = c.k
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("NULL merge keys"),
+      s"silently skipping a NULL-keyed unmatched row would be a wrong answer; got: ${e.getMessage}")
+  }
+
   test("out-of-shape MERGE (combined matched + by-source actions) falls through") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")

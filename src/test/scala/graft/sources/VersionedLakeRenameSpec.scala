@@ -136,6 +136,58 @@ class VersionedLakeRenameSpec extends SparkSpec {
       "optimize rewrites files without the column and drops the tombstone")
   }
 
+  test("guards hold under case variance, constraints, and bucketed layouts") {
+    val s = spark
+    import s.implicits._
+    // dropped-name rebinding refused case-insensitively (Spark resolves
+    // case-insensitively, so "STATUS" would bind old "status" bytes)
+    val d1 = java.nio.file.Files.createTempDirectory("vlake_gcase").toString
+    VersionedLake.appendCommit(Seq((1L, "a", "open")).toDF("id", "v", "status"), d1)
+    VersionedLake.dropColumn(s, d1, "status")
+    val e1 = intercept[Exception](
+      VersionedLake.appendCommit(Seq((2L, "b", "X")).toDF("id", "v", "STATUS"), d1))
+    assert(e1.getMessage.contains("dropped"))
+    // renaming a CHECK-constrained column would silently neutralize the
+    // constraint (future batches lack the old name; NULL passes) — refuse
+    val d2 = java.nio.file.Files.createTempDirectory("vlake_gchk").toString
+    VersionedLake.appendCommit(Seq((1L, 5.0)).toDF("id", "amount"), d2)
+    LakeConstraints.add(s, d2, "pos", "amount > 0")
+    val e2 = intercept[Exception](VersionedLake.renameColumn(s, d2, "amount", "amt"))
+    assert(e2.getMessage.contains("pos"))
+    // ...but an unrelated column containing the name as a substring drops fine
+    VersionedLake.appendCommit(Seq((2L, 6.0, "z")).toDF("id", "amount", "note"), d2)
+    VersionedLake.dropColumn(s, d2, "id"): Unit // "pos" says 'amount > 0' — no 'id' token
+    // bucketed layouts refuse rename/drop (the bucketed read renders raw
+    // DDL with no indirection); re-bucketing after a drop sheds tombstones
+    val d3 = java.nio.file.Files.createTempDirectory("vlake_gbkt").toString
+    VersionedLake.appendCommit(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "v", "junk"), d3)
+    VersionedLake.dropColumn(s, d3, "junk")
+    VersionedLake.optimizeBucketed(s, d3, "id", 4)
+    val vNow = VersionedLake.currentVersion(s, d3).get
+    assert(VersionedLake.versionSchema(s, d3, vNow).get.fieldNames.toSeq ===
+      Seq("id", "v"),
+      "optimizeBucketed is a full rewrite: tombstones shed from the manifest")
+    assert(VersionedLake.readBucketed(s, d3).columns.toSeq === Seq("id", "v"),
+      "the bucketed read's DDL never sees the dropped column")
+    val e3 = intercept[Exception](VersionedLake.renameColumn(s, d3, "v", "w"))
+    assert(e3.getMessage.contains("bucket"))
+  }
+
+  test("changeArtifact=false skips the artifact; the feed refuses that window") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vlake_noart").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    VersionedLake.deleteWhere(s, dir, col("id") === 1L, changeArtifact = false)
+    assert(VersionedLake.read(s, dir).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L), "the delete itself is unaffected")
+    val e = intercept[IllegalStateException](
+      VersionedLake.readRowChanges(s, dir, 0, 1).collect())
+    assert(e.getMessage.contains("no change artifact"),
+      "opting out reverts the window to the artifact-less refusal contract")
+  }
+
   test("the CDC feed spans rename/drop commits: metadata-only, zero events, names resolve") {
     val s = spark
     import s.implicits._
