@@ -470,10 +470,16 @@ final class LakeChangesTable(
                 ctx.sparkSession, tableDir, math.max(-1L, fromV), toV)
             // a narrowed window ends at toV's schema; align to the
             // table's current schema — by FORMER name for renamed
-            // columns (the window's frames predate the rename), null
-            // for columns that genuinely did not exist yet
+            // columns (fieldAliases links names across the (toV,
+            // current] span, surviving compactions that shed the aka
+            // metadata), null for columns that did not exist yet
+            val curV = VersionedLake.currentVersion(ctx.sparkSession, tableDir)
+              .getOrElse(-1L)
+            val aliases = VersionedLake.fieldAliases(
+              ctx.sparkSession, tableDir, feedSchema,
+              math.max(-1L, toV - 1), curV)
             val df = df0.select(feedSchema.fields.map { f =>
-              val variants = (f.name +: VersionedLake.akaNames(f))
+              val variants = aliases.getOrElse(f.name, Seq(f.name))
                 .filter(df0.columns.contains)
               if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
               else if (variants.size == 1) col(variants.head).as(f.name)

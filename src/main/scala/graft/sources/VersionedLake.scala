@@ -229,6 +229,38 @@ object VersionedLake {
   private[sources] def needsResolve(s: org.apache.spark.sql.types.StructType): Boolean =
     s.fields.exists(f => akaNames(f).nonEmpty || isDropped(f))
 
+  /** Alias sets for `base`'s live fields accumulated over the committed
+    * schemas of versions `(loExclusive, hi]`: every name a logical
+    * column has EVER carried inside that span, linked transitively —
+    * including across a compaction, which sheds the aka metadata from
+    * the schema it publishes (the pre-compaction versions still carry
+    * the chain, and this walk reads them). Missing (vacuumed) manifests
+    * skip; the span is the caller's frame window, so cost is O(window)
+    * small-file reads the caller is about to pay anyway.
+    */
+  private[sources] def fieldAliases(
+      spark: SparkSession,
+      tableDir: String,
+      base: org.apache.spark.sql.types.StructType,
+      loExclusive: Long,
+      hi: Long): Map[String, Seq[String]] = {
+    val sets = base.fields.filterNot(isDropped).map { f =>
+      f.name -> scala.collection.mutable.LinkedHashSet((f.name +: akaNames(f)): _*)
+    }.toSeq
+    var v = hi
+    while (v > loExclusive && v >= 0) {
+      scala.util.Try(versionSchema(spark, tableDir, v)).toOption.flatten.foreach { sch =>
+        sch.fields.foreach { f =>
+          val names = f.name +: akaNames(f)
+          sets.find { case (_, set) => names.exists(set.contains) }
+            .foreach { case (_, set) => names.foreach(n => set.add(n): Unit) }
+        }
+      }
+      v -= 1
+    }
+    sets.map { case (k, s2) => k -> s2.toSeq }.toMap
+  }
+
   /** A FULL rewrite (optimize/optimizeClustered) re-writes every file
     * under the logical names and without dropped columns — the
     * rename/drop indirection has nothing left to indirect, so the
@@ -1576,13 +1608,15 @@ object VersionedLake {
       val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
       // column order (and any columns the window never saw) normalize to
       // the toVersion schema — resolving RENAME indirection by name:
-      // frames from before a rename carry the former physical name, so
-      // the logical column coalesces over every variant present
+      // frames carry each version's own logical names, so the output
+      // column coalesces over every name the field carried INSIDE the
+      // window (fieldAliases walks the window's schemas — robust across
+      // a compaction shedding the aka metadata mid-window)
       val toSchema = versionSchema(spark, tableDir, toVersion)
         .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      val aliases = fieldAliases(spark, tableDir, toSchema, fromVersion, toVersion)
       unioned.select(outSchema.fields.map { f =>
-        val variants = (f.name +: toSchema.fields.find(_.name == f.name)
-          .map(akaNames).getOrElse(Nil))
+        val variants = aliases.getOrElse(f.name, Seq(f.name))
           .filter(unioned.columns.contains)
         if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
         else if (variants.size == 1) col(variants.head).as(f.name)
