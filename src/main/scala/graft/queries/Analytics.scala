@@ -22,6 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Frozen BPE merge rules for q_bpe_train's late-bound oracle: the
+    * query fn deposits what it trained; the renderer replays each rule
+    * as one non-overlapping `replace` over a bracket-encoded
+    * segmentation (`[c][h]...` — brackets cannot occur in the corpus
+    * charset, and the per-symbol wrapping means adjacent matches never
+    * share delimiter characters, so replace-all IS the greedy
+    * left-to-right pass).
+    */
+  private[queries] object BpeState {
+    @volatile private var merges: Option[Seq[(String, String)]] = None
+
+    def freeze(ms: Seq[(String, String)]): Unit = merges = Some(ms)
+
+    private def q(s: String): String = s.replace("'", "''")
+
+    def oracleSql: Option[String] = merges.map { ms =>
+      val seg = ms.foldLeft("regexp_replace(w, '(.)', '[\\1]', 'g')") {
+        case (acc, (l, r)) =>
+          s"replace($acc, '[${q(l)}][${q(r)}]', '[${q(l + r)}]')"
+      }
+      s"""WITH words AS (
+         |  SELECT unnest(regexp_extract_all(text,
+         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS w
+         |  FROM documents),
+         |segs AS (SELECT $seg AS seg FROM words),
+         |toks AS (SELECT unnest(string_split(
+         |  substring(seg, 2, length(seg) - 2), '][')) AS tok FROM segs)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM toks GROUP BY 1 ORDER BY n DESC, tok LIMIT 40""".stripMargin
+    }
+  }
+
   // Declared before `defs` (a forward val reference is 0 at object init).
   private val KCoreK = 9
   private val KCoreRounds = 8
@@ -287,6 +319,33 @@ object Analytics {
              |      FROM documents)
              |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin),
       covers = Seq("ext-bpe-pretokenize")),
+
+    // ------------------------------------------------------------------
+    // BPE MERGE-RULE TRAINING (operators.Bpe): learn 12 merges over the
+    // document corpus — one corpus shuffle for the pre-token histogram,
+    // then vocabulary-sized iterations (pair-count argmax + typed merge
+    // map). The answer is the corpus token histogram after replaying the
+    // learned merges. Oracle: LATE-BOUND — the trained rules freeze into
+    // the generated SQL, where each rule is one non-overlapping string
+    // replace over a bracket-encoded segmentation (greedy left-to-right,
+    // the exact pass semantics Bpe.mergeOnce implements); the oracle
+    // re-derives the segmentation and histogram from the rules, so it
+    // verifies the APPLICATION path while BpeSpec pins training
+    // optimality against an independent driver reference.
+    QueryDef(
+      "q_bpe_train",
+      (s, dir) => {
+        val merges = graft.operators.Bpe.train(t(s, dir, "documents"), "text", 12)
+        BpeState.freeze(merges)
+        graft.operators.Bpe.segment(t(s, dir, "documents"), "text", merges)
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(40)
+      },
+      None,
+      covers = Seq("ext-bpe-train"),
+      oracleDyn = Some(() => BpeState.oracleSql)),
 
     // ------------------------------------------------------------------
     // PageRank (operators.Graph): 3 synchronous power iterations over the
