@@ -51,34 +51,50 @@ object Bpe {
   /** Learn `numMerges` rules over `textCol`. Deterministic tie-break:
     * (pair count desc, left asc, right asc). Stops early when no pair
     * remains.
+    *
+    * The corpus-sized pass (pre-token histogram) is declarative —
+    * Catalyst/codegen where the bytes are. The ITERATION loop runs on
+    * RDDs deliberately: each round is two vocabulary-sized jobs whose
+    * wall time would otherwise be dominated by per-iteration plan
+    * compilation (a fresh whole-stage codegen per round costs more than
+    * the data), the canonical "imperative loop over small state" case
+    * the RDD layer exists for — the same reasoning as the graph loops.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var state: Dataset[(IndexedSeq[String], Long)] = docs
+    val hist = docs
       .select(explode(expr(
         s"regexp_extract_all($textCol, '$PreTokenRegex', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+    // vocabulary-sized state: bound partitions well below the corpus
+    // shuffle's (8 partitions hold a web-scale ~10M-word dictionary at
+    // ~1M rows each; a test corpus runs one task per job, not 32)
+    val parts = math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    var state: org.apache.spark.rdd.RDD[(IndexedSeq[String], Long)] = hist.rdd
       .map { case (w, n) => (w.map(_.toString).toIndexedSeq, n) }
+      .coalesce(parts)
       .persist(IterStorage)
     state.count(): Unit
+    val pairOrd = Ordering.Tuple3[Long, String, String]
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
     while (i < numMerges && !done) {
-      val top = state.toDF("syms", "n")
-        .select(col("n"), explode(expr(
-          "zip_with(slice(syms, 1, size(syms) - 1), " +
-            "slice(syms, 2, size(syms) - 1), (a, b) -> struct(a AS l, b AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("n").as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val top = state
+        .flatMap { case (syms, n) =>
+          var j = 0
+          val b = Seq.newBuilder[((String, String), Long)]
+          while (j + 1 < syms.length) { b += ((syms(j), syms(j + 1)) -> n); j += 1 }
+          b.result()
+        }
+        .reduceByKey(_ + _, parts)
+        .map { case ((l, r), c) => (-c, l, r) }
+        .takeOrdered(1)(pairOrd)
       if (top.isEmpty) done = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        val (_, l, r) = top(0)
         merges += ((l, r))
         val prev = state
         state = prev.map { case (syms, n) => (mergeOnce(syms, l, r), n) }
