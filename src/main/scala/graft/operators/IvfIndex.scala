@@ -291,26 +291,36 @@ object IvfIndex {
               assignRows(readCorpusDirs(added, corpusV), idCol, cents), asgDir,
               appId = SyncApp, batchId = corpusV, parts = Seq("cell"), bloom = AsgBloom)
           } else {
-            // rewrites in the window. Old rows live on disk until vacuum
-            // (the old manifest still references them), so the diff is
-            // exact: ids in removed dirs that did NOT resurface in added
-            // dirs left the corpus — delete their assignments (idempotent
-            // on replay: no matches the second time). Everything in the
-            // added dirs re-assigns via keyed upsert, which replaces the
-            // surviving ids' old rows and inserts the genuinely new.
-            val oldIds = readCorpusDirs(removed, lastSynced)
-              .select(col(idCol).as("id")).distinct()
-            val newRows = readCorpusDirs(added, corpusV)
-            val vanished = oldIds.join(
-              newRows.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
-            VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
-            val asgNew = pinned(spark, indexDir, Books)
-              .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
-              case Some(_) => assignRowsPq(newRows, idCol, cents, pqBooks(spark, indexDir))
-              case None    => assignRows(newRows, idCol, cents)
+            // rewrites in the window — prefer the ROW-LEVEL delta: the
+            // corpus's CDC feed replays exactly which rows changed, so a
+            // one-row SQL UPDATE costs one re-assignment (the manifest
+            // diff would re-assign every row of the rewritten directory)
+            // and a pure compaction costs NOTHING (it emits no events,
+            // where the directory diff looks like a full rewrite). Falls
+            // back to the manifest diff when any window commit has no
+            // row-level replay (rollback, pre-artifact legacy commits).
+            syncRowDelta(spark, corpusDir, idCol, asgDir, indexDir, cents,
+              lastSynced, corpusV).getOrElse {
+              // manifest-diff fallback: old rows live on disk until
+              // vacuum (the old manifest still references them), so the
+              // diff is exact: ids in removed dirs that did NOT resurface
+              // in added dirs left the corpus — delete their assignments
+              // (idempotent on replay). Everything in the added dirs
+              // re-assigns via keyed upsert.
+              val oldIds = readCorpusDirs(removed, lastSynced)
+                .select(col(idCol).as("id")).distinct()
+              val newRows = readCorpusDirs(added, corpusV)
+              val vanished = oldIds.join(
+                newRows.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
+              VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
+              val asgNew = pinned(spark, indexDir, Books)
+                .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
+                case Some(_) => assignRowsPq(newRows, idCol, cents, pqBooks(spark, indexDir))
+                case None    => assignRows(newRows, idCol, cents)
+              }
+              VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
+                parts = Seq("cell"), txn = Some(SyncApp -> corpusV))
             }
-            VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
-              parts = Seq("cell"), txn = Some(SyncApp -> corpusV))
           }
         publishMaintenance(spark, indexDir, vA)
         Some(corpusV)
@@ -318,6 +328,61 @@ object IvfIndex {
   }
 
   private val SyncApp = "corpus-sync"
+
+  /** O(changed rows) maintenance from the corpus's row-level CDC feed
+    * over `(lastSynced, corpusV]`. Per id, the LATEST event decides —
+    * ordered by (version, add-beats-remove within a version, since an
+    * update is remove+add): an add-type final event re-assigns that
+    * row's latest vector; a remove-type final event deletes the
+    * assignment. Returns None when the feed refuses the window (a
+    * rollback or pre-artifact rewrite) — the caller falls back to the
+    * manifest diff. The txn watermark rides whichever commit runs last,
+    * so replays stay exactly-once either way.
+    */
+  private def syncRowDelta(
+      spark: SparkSession,
+      corpusDir: String,
+      idCol: String,
+      asgDir: String,
+      indexDir: String,
+      cents: Seq[Seq[Double]],
+      lastSynced: Long,
+      corpusV: Long): Option[Long] = {
+    val feed =
+      try VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      catch { case _: IllegalStateException => return None }
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val isAdd = col("_change_type").isin("insert", "update_postimage")
+      val latest = feed
+        .withColumn("_rank", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("_commit_version").desc,
+              when(isAdd, 1).otherwise(0).desc)))
+        .filter(col("_rank") === 1)
+      val upRows = latest.filter(isAdd)
+        .drop("_rank", "_change_type", "_commit_version")
+      val vanished = latest.filter(!isAdd)
+        .select(col(idCol).as("id")).distinct()
+      val hasUpserts = !upRows.isEmpty
+      if (hasUpserts) {
+        VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
+        val asgNew = pinned(spark, indexDir, Books)
+          .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
+          case Some(_) => assignRowsPq(upRows, idCol, cents, pqBooks(spark, indexDir))
+          case None    => assignRows(upRows, idCol, cents)
+        }
+        Some(VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
+          parts = Seq("cell"), txn = Some(SyncApp -> corpusV)))
+      } else
+        // no adds in the window (pure deletes, or a compaction-only
+        // window with zero events): the delete commit carries the
+        // watermark so the sync still advances exactly-once
+        Some(VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"),
+          txn = Some(SyncApp -> corpusV)))
+    } finally feed.unpersist(blocking = false)
+  }
 
   /** ANN top-k against the index's pinned snapshot: probe the nProbe
     * best cells (partition-pruned read), exact cosine re-rank inside.

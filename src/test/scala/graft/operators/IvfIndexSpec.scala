@@ -154,6 +154,26 @@ class IvfIndexSpec extends SparkSpec {
       .select(col("id"), round(col("cos"), 6).as("cos"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex === fresh)
+
+    // O(changed ROWS), not O(rewritten dirs): a compaction rewrites every
+    // corpus directory but changes zero logical rows — the CDC-fed sync
+    // must carry every assignment data directory VERBATIM (the commit it
+    // publishes only advances the watermark). The manifest-diff fallback
+    // would have re-assigned the whole corpus here.
+    val asgV0 = VersionedLake.currentVersion(s, asgDir).get
+    val asgDirs0 = VersionedLake.manifest(s, asgDir, asgV0).toSet
+    VersionedLake.optimize(s, corpusDir)
+    assert(IvfIndex.sync(s, corpusDir, "vec_id", idxDir) === Some(5L))
+    val asgV1 = VersionedLake.currentVersion(s, asgDir).get
+    val asgDirs1 = VersionedLake.manifest(s, asgDir, asgV1).toSet
+    assert(asgDirs1 === asgDirs0,
+      "a compaction-only window must re-assign nothing — zero data rewritten")
+    assert(VersionedLake.txnWatermarks(s, asgDir, asgV1).get("corpus-sync") === Some(5L),
+      "the watermark still advances exactly-once")
+    val viaIndex2 = IvfIndex.topK(s, idxDir, query, k = 5, nProbe = 3)
+      .select(col("id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex2 === fresh, "the probe is untouched by the no-op sync")
   }
 
   test("persisted IVF-PQ: codes-only candidate scan; answers match the in-query path") {
