@@ -21,14 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * state and progress are one commit.
   *
   * Corpus REWRITES (upsert/delete/update/compaction) fold old rows into
-  * new directories, so "the delta" is no longer a directory diff;
-  * sum-mergeable state cannot subtract what it never saw. Sync detects
-  * the rewrite from the same manifest diff and REBUILDS: one full
-  * recompute of the snapshot committed as a fresh single-frame snapshot
-  * (the honest fallback — signed retraction is the streaming engines'
-  * answer and [[graft.operators.ViewMaintenance.joinDeltaBoth]] provides
-  * it at the DataFrame level for callers that track deletes
-  * explicitly). Between rewrites, maintenance stays O(appended bytes).
+  * new directories, so "the delta" is no longer a directory diff. With
+  * a `retractOf` (the SIGNED twin of `stateOf` — negated counts/sums
+  * for linear aggregates), sync replays the corpus's row-level CDC feed
+  * over the window instead: pre-images/deletes append as retraction
+  * frames, post-images/inserts as ordinary state — O(changed rows), and
+  * a compaction-only window costs nothing. Without `retractOf` (or when
+  * the feed refuses the window — rollback, pre-artifact commits), sync
+  * REBUILDS: one full recompute committed as a fresh single-frame
+  * snapshot, the honest fallback for non-retractable state (min/max
+  * belong in [[graft.operators.ViewMaintenance]]'s fenced top-k
+  * machinery, not a signed sum). Between rewrites, maintenance stays
+  * O(appended bytes) either way.
   *
   * [[compact]] bounds read-side merge fan-in: it collapses the
   * accumulated partials into one merged frame as a full-snapshot commit
@@ -49,7 +53,8 @@ object LakeView {
       spark: SparkSession,
       corpusDir: String,
       viewDir: String,
-      stateOf: DataFrame => DataFrame): Option[Long] = {
+      stateOf: DataFrame => DataFrame,
+      retractOf: Option[DataFrame => DataFrame] = None): Option[Long] = {
     val corpusV = VersionedLake.currentVersion(spark, corpusDir).getOrElse(return None)
     VersionedLake.currentVersion(spark, viewDir) match {
       case None =>
@@ -69,12 +74,31 @@ object LakeView {
         val removed = priorDirs.filterNot(curDirs.toSet)
         val added = curDirs.filterNot(priorDirs.toSet)
         if (removed.nonEmpty) {
-          // rewrite in the window: partial states cannot retract rows
-          // they already folded in — rebuild from the snapshot, as ONE
-          // exactly-once-gated full-snapshot commit
-          val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
-          VersionedLake.commit(stateOf(snapshot), viewDir,
-            txn = Some(ViewApp -> corpusV))
+          // rewrite in the window: with a signed retraction function,
+          // the row-level CDC feed IS the delta — pre-images retract,
+          // post-images add, one O(changed rows) append commit. Falls
+          // back to the full rebuild when no retractOf was given or the
+          // feed refuses the window.
+          val viaFeed = retractOf.flatMap { neg =>
+            try {
+              import org.apache.spark.sql.functions.col
+              val feed = VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV)
+              val isAdd = col("_change_type").isin("insert", "update_postimage")
+              val adds = feed.filter(isAdd).drop("_change_type", "_commit_version")
+              val rems = feed.filter(!isAdd).drop("_change_type", "_commit_version")
+              Some(VersionedLake.appendCommitTxn(
+                stateOf(adds).unionByName(neg(rems)), viewDir,
+                appId = ViewApp, batchId = corpusV))
+            } catch { case _: IllegalStateException => None }
+          }
+          if (viaFeed.isEmpty) {
+            // partial states cannot retract rows they already folded in —
+            // rebuild from the snapshot, as ONE exactly-once-gated
+            // full-snapshot commit
+            val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
+            VersionedLake.commit(stateOf(snapshot), viewDir,
+              txn = Some(ViewApp -> corpusV)): Unit
+          }
         } else if (added.nonEmpty) {
           val schema = VersionedLake.versionSchema(spark, corpusDir, corpusV)
           val reader = spark.read.option("basePath", s"$corpusDir/data")

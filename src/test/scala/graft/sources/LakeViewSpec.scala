@@ -75,6 +75,50 @@ class LakeViewSpec extends SparkSpec {
     assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir))
   }
 
+  test("retractOf: rewrites maintain via signed CDC deltas, not a rebuild") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("lview_ret_corpus").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("lview_ret_view").toString
+    // LINEAR state only (count/sum) — the retractable algebra
+    def linState(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+    def linRetract(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(
+        (-count(lit(1))).as("n"), (-sum(col("amount"))).as("total"))
+    val linOps = Seq("n" -> "sum", "total" -> "sum")
+    def answer = LakeView.read(s, viewDir, Seq("g"), linOps)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def truth = linState(VersionedLake.read(s, corpusDir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    VersionedLake.appendCommit(batch(0 until 30), corpusDir)
+    LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
+    val framesBefore = VersionedLake.manifest(s, viewDir,
+      VersionedLake.currentVersion(s, viewDir).get)
+    // CoW delete + upsert rewrite corpus dirs; the view must append ONE
+    // signed delta frame per sync — every prior partial carries verbatim
+    // (a rebuild would have replaced them with a single snapshot frame)
+    VersionedLake.deleteWhere(s, corpusDir, col("id") < 5)
+    LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
+    assert(answer === truth, "signed retraction must equal a recompute after a delete")
+    VersionedLake.upsert(s, corpusDir,
+      batch(10 until 12).withColumn("amount", col("amount") * 10), keys = Seq("id"))
+    LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
+    assert(answer === truth, "update = retract pre-image + add post-image")
+    val framesAfter = VersionedLake.manifest(s, viewDir,
+      VersionedLake.currentVersion(s, viewDir).get)
+    assert(framesBefore.forall(framesAfter.contains),
+      "incremental maintenance: prior partial frames carry verbatim, no rebuild")
+    // a compaction-only window appends an EMPTY delta and stays correct
+    VersionedLake.optimize(s, corpusDir)
+    LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
+    assert(answer === truth)
+    // without retractOf the same shape would have rebuilt (snapshot
+    // commit) — pin the contract still holds for that path too
+    VersionedLake.deleteWhere(s, corpusDir, col("id") === 20L)
+    LakeView.sync(s, corpusDir, viewDir, linState): Unit
+    assert(answer === truth, "the rebuild fallback stays the honest default")
+  }
+
   test("compact collapses partials, keeps the answer and the watermark") {
     val corpusDir = java.nio.file.Files.createTempDirectory("lview_cp_corpus").toString
     val viewDir = java.nio.file.Files.createTempDirectory("lview_cp_state").toString
