@@ -313,13 +313,8 @@ object IvfIndex {
               val vanished = oldIds.join(
                 newRows.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
               VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
-              val asgNew = pinned(spark, indexDir, Books)
-                .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
-                case Some(_) => assignRowsPq(newRows, idCol, cents, pqBooks(spark, indexDir))
-                case None    => assignRows(newRows, idCol, cents)
-              }
-              VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
-                parts = Seq("cell"), txn = Some(SyncApp -> corpusV))
+              assignAndUpsert(spark, indexDir, asgDir, newRows, idCol, cents,
+                txn = Some(SyncApp -> corpusV))
             }
           }
         publishMaintenance(spark, indexDir, vA)
@@ -367,14 +362,13 @@ object IvfIndex {
         .select(col(idCol).as("id")).distinct()
       val hasUpserts = !upRows.isEmpty
       if (hasUpserts) {
-        VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
-        val asgNew = pinned(spark, indexDir, Books)
-          .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
-          case Some(_) => assignRowsPq(upRows, idCol, cents, pqBooks(spark, indexDir))
-          case None    => assignRows(upRows, idCol, cents)
-        }
-        Some(VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
-          parts = Seq("cell"), txn = Some(SyncApp -> corpusV)))
+        // update-only windows (the common SQL-UPDATE case) have nothing
+        // vanished — skip the probe AND the extra no-op version+artifact
+        // a keyed delete of zero keys would still publish
+        if (!vanished.isEmpty)
+          VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id")): Unit
+        Some(assignAndUpsert(spark, indexDir, asgDir, upRows, idCol, cents,
+          txn = Some(SyncApp -> corpusV)))
       } else
         // no adds in the window (pure deletes, or a compaction-only
         // window with zero events): the delete commit carries the
@@ -382,6 +376,27 @@ object IvfIndex {
         Some(VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"),
           txn = Some(SyncApp -> corpusV)))
     } finally feed.unpersist(blocking = false)
+  }
+
+  /** PQ-aware assign + keyed upsert — the one code path both the CDC and
+    * manifest-diff sync branches take, so the pinning rule and upsert
+    * options can never drift between them.
+    */
+  private def assignAndUpsert(
+      spark: SparkSession,
+      indexDir: String,
+      asgDir: String,
+      rows: DataFrame,
+      idCol: String,
+      cents: Seq[Seq[Double]],
+      txn: Option[(String, Long)]): Long = {
+    val asgNew = pinned(spark, indexDir, Books)
+      .orElse(VersionedLake.currentVersion(spark, pqBooksDir(indexDir))) match {
+      case Some(_) => assignRowsPq(rows, idCol, cents, pqBooks(spark, indexDir))
+      case None    => assignRows(rows, idCol, cents)
+    }
+    VersionedLake.upsert(spark, asgDir, asgNew, keys = Seq("id"),
+      parts = Seq("cell"), txn = txn)
   }
 
   /** ANN top-k against the index's pinned snapshot: probe the nProbe

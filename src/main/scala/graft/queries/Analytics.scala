@@ -38,13 +38,17 @@ object Analytics {
     private def q(s: String): String = s.replace("'", "''")
 
     def oracleSql: Option[String] = merges.map { ms =>
-      val seg = ms.foldLeft("regexp_replace(w, '(.)', '[\\1]', 'g')") {
+      // (?s): '.' must wrap a newline symbol too — the punctuation class
+      // of the pre-tokenizer admits one. (Non-BMP codepoints would still
+      // diverge — Spark symbols are UTF-16 units, RE2's '.' a codepoint —
+      // a documented charset contract the synthetic corpus satisfies.)
+      val seg = ms.foldLeft("regexp_replace(w, '(?s)(.)', '[\\1]', 'g')") {
         case (acc, (l, r)) =>
           s"replace($acc, '[${q(l)}][${q(r)}]', '[${q(l + r)}]')"
       }
       s"""WITH words AS (
          |  SELECT unnest(regexp_extract_all(text,
-         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS w
+         |    '${graft.operators.Bpe.PreTokenRegex}')) AS w
          |  FROM documents),
          |segs AS (SELECT $seg AS seg FROM words),
          |toks AS (SELECT unnest(string_split(

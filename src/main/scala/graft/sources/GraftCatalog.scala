@@ -472,12 +472,19 @@ final class LakeChangesTable(
             // table's current schema — by FORMER name for renamed
             // columns (fieldAliases links names across the (toV,
             // current] span, surviving compactions that shed the aka
-            // metadata), null for columns that did not exist yet
+            // metadata), null for columns that did not exist yet. The
+            // walk reads one schema per version of the span, so pay it
+            // ONLY when the window's names actually misalign — a
+            // rename-free history plans in O(1) regardless of age
+            val misaligned = feedSchema.fields.exists(f =>
+              !f.name.startsWith("_") && !df0.columns.contains(f.name))
             val curV = VersionedLake.currentVersion(ctx.sparkSession, tableDir)
               .getOrElse(-1L)
-            val aliases = VersionedLake.fieldAliases(
-              ctx.sparkSession, tableDir, feedSchema,
-              math.max(-1L, toV - 1), curV)
+            val aliases =
+              if (!misaligned) Map.empty[String, Seq[String]]
+              else VersionedLake.fieldAliases(
+                ctx.sparkSession, tableDir, feedSchema,
+                math.max(-1L, toV - 1), curV)
             val df = df0.select(feedSchema.fields.map { f =>
               val variants = aliases.getOrElse(f.name, Seq(f.name))
                 .filter(df0.columns.contains)

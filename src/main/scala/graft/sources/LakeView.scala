@@ -80,16 +80,27 @@ object LakeView {
           // back to the full rebuild when no retractOf was given or the
           // feed refuses the window.
           val viaFeed = retractOf.flatMap { neg =>
-            try {
+            // ONLY the feed read downgrades to a rebuild (a rollback or
+            // pre-artifact window); a failure in the caller's stateOf or
+            // the commit itself must surface, not silently degrade
+            val feedOpt =
+              try Some(VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV))
+              catch { case _: IllegalStateException => None }
+            feedOpt.map { feed0 =>
               import org.apache.spark.sql.functions.col
-              val feed = VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV)
-              val isAdd = col("_change_type").isin("insert", "update_postimage")
-              val adds = feed.filter(isAdd).drop("_change_type", "_commit_version")
-              val rems = feed.filter(!isAdd).drop("_change_type", "_commit_version")
-              Some(VersionedLake.appendCommitTxn(
-                stateOf(adds).unionByName(neg(rems)), viewDir,
-                appId = ViewApp, batchId = corpusV))
-            } catch { case _: IllegalStateException => None }
+              // the feed plan embeds per-version MoR pre-image joins —
+              // persist so the adds and rems branches read it once
+              val feed = feed0.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+              try {
+                val isAdd = col("_change_type").isin("insert", "update_postimage")
+                val adds = feed.filter(isAdd).drop("_change_type", "_commit_version")
+                val rems = feed.filter(!isAdd).drop("_change_type", "_commit_version")
+                VersionedLake.appendCommitTxn(
+                  stateOf(adds).unionByName(neg(rems)), viewDir,
+                  appId = ViewApp, batchId = corpusV)
+              } finally feed.unpersist(blocking = false): Unit
+            }
           }
           if (viaFeed.isEmpty) {
             // partial states cannot retract rows they already folded in —
@@ -116,13 +127,24 @@ object LakeView {
     * with [[graft.operators.ViewMaintenance.merge]]'s algebra. `state`
     * maps each state column to its merge op (sum/min/max/...).
     */
+  /** `liveness`: name of a sum-merged row-count state column. With the
+    * signed-retraction sync, a group whose corpus rows all vanish leaves
+    * a fully-cancelled (count 0) state row behind; naming the counter
+    * drops those groups so the view equals a recompute exactly — the
+    * retraction twin of the recompute/rebuild contract. Omit for views
+    * maintained without `retractOf` (counts can never reach zero there).
+    */
   def read(
       spark: SparkSession,
       viewDir: String,
       keys: Seq[String],
-      state: Seq[(String, String)]): DataFrame =
-    graft.operators.ViewMaintenance.merge(
+      state: Seq[(String, String)],
+      liveness: Option[String] = None): DataFrame = {
+    val merged = graft.operators.ViewMaintenance.merge(
       Seq(VersionedLake.read(spark, viewDir)), keys, state)
+    liveness.fold(merged)(c =>
+      merged.filter(org.apache.spark.sql.functions.col(c) > 0))
+  }
 
   /** Collapse the accumulated partials into one merged frame (a full
     * snapshot commit; the sync watermark carries, so replays still

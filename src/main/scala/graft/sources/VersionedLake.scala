@@ -1614,7 +1614,14 @@ object VersionedLake {
       // a compaction shedding the aka metadata mid-window)
       val toSchema = versionSchema(spark, tableDir, toVersion)
         .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-      val aliases = fieldAliases(spark, tableDir, toSchema, fromVersion, toVersion)
+      // the alias walk re-reads one schema per window version — pay it
+      // ONLY when the union actually surfaced former-name columns (a
+      // rename happened inside the window); the common rename-free
+      // window costs zero extra metadata reads
+      val extraCols = unioned.columns.toSet -- outSchema.fieldNames.toSet
+      val aliases =
+        if (extraCols.isEmpty) Map.empty[String, Seq[String]]
+        else fieldAliases(spark, tableDir, toSchema, fromVersion, toVersion)
       unioned.select(outSchema.fields.map { f =>
         val variants = aliases.getOrElse(f.name, Seq(f.name))
           .filter(unioned.columns.contains)

@@ -85,7 +85,9 @@ class LakeViewSpec extends SparkSpec {
       df.groupBy("g").agg(
         (-count(lit(1))).as("n"), (-sum(col("amount"))).as("total"))
     val linOps = Seq("n" -> "sum", "total" -> "sum")
-    def answer = LakeView.read(s, viewDir, Seq("g"), linOps)
+    // liveness = the count column: fully-retracted groups must DISAPPEAR
+    // like a recompute, not linger as (g, 0, 0.0) ghosts
+    def answer = LakeView.read(s, viewDir, Seq("g"), linOps, liveness = Some("n"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     def truth = linState(VersionedLake.read(s, corpusDir))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -112,6 +114,12 @@ class LakeViewSpec extends SparkSpec {
     VersionedLake.optimize(s, corpusDir)
     LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
     assert(answer === truth)
+    // delete an ENTIRE group: its state cancels to zero and the liveness
+    // filter drops it — answer ≡ recompute, which has no such group
+    VersionedLake.deleteWhere(s, corpusDir, col("g") === "g1")
+    LakeView.sync(s, corpusDir, viewDir, linState, Some(linRetract)): Unit
+    assert(!truth.contains("g1") && answer === truth,
+      "a fully-retracted group must vanish from the view like a recompute")
     // without retractOf the same shape would have rebuilt (snapshot
     // commit) — pin the contract still holds for that path too
     VersionedLake.deleteWhere(s, corpusDir, col("id") === 20L)
