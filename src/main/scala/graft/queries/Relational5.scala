@@ -436,6 +436,37 @@ object Relational5 {
     }
   }
 
+  private[queries] def retractStateOf(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  private[queries] def retractNegOf(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy("event_type").agg(
+      (-count(lit(1))).as("n"), (-sum(col("value"))).as("total"))
+
+  /** Retraction-view fixture: its own events corpus (the shared feedLake
+    * must stay append-only for the change-feed queries), synced ONCE,
+    * then CoW-deleted — so the second sync exercises the signed-CDC
+    * retraction path. Body re-syncs (watermark no-op at steady state)
+    * and reads with the liveness filter.
+    */
+  private def retViewLakes(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val corpus = lakeFixture("retcorpus", dir) { lakeDir =>
+      import graft.sources.VersionedLake
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), lakeDir)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), lakeDir)
+    }
+    val view = lakeFixture("retview", dir) { viewDir =>
+      import graft.sources.{LakeView, VersionedLake}
+      LakeView.sync(s, corpus, viewDir, retractStateOf, Some(retractNegOf)): Unit
+      VersionedLake.deleteWhere(s, corpus, col("event_id") % 5 === 2): Unit
+    }
+    (corpus, view)
+  }
+
   /** The conf registration must survive a lakeFixture cache hit from a
     * PREVIOUS session (tests) — re-pin it to the memoized root.
     */
@@ -457,6 +488,7 @@ object Relational5 {
     upsMorLake(s, dir): Unit
     feedLake(s, dir): Unit
     viewLake(s, dir): Unit
+    retViewLakes(s, dir): Unit
     ensureCatalog(s, dir)
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
@@ -963,6 +995,32 @@ object Relational5 {
              |  round(sum(value), 2) AS total
              |FROM events GROUP BY 1""".stripMargin),
       covers = Seq("ext-view-lake-maintained")),
+
+    // ------------------------------------------------------------------
+    // RETRACTION-MAINTAINED persisted view: the corpus took a CoW DELETE
+    // after the first sync, so the view's second sync appended ONE
+    // signed delta frame from the CDC feed (pre-images as negative
+    // count/sum) instead of rebuilding — O(changed rows) view
+    // maintenance under row-level mutation, with the liveness filter
+    // dropping fully-cancelled groups. The timed body is the steady
+    // state: a watermark-gated no-op sync + the merged read. Oracle:
+    // the aggregate truth over the surviving rows.
+    QueryDef(
+      "q_view_lake_retract",
+      (s, dir) => {
+        import graft.sources.LakeView
+        val (corpus, viewDir) = retViewLakes(s, dir)
+        LakeView.sync(s, corpus, viewDir, retractStateOf, Some(retractNegOf))
+        LakeView.read(s, viewDir, Seq("event_type"),
+          Seq("n" -> "sum", "total" -> "sum"), liveness = Some("n"))
+          .select(col("event_type"), col("n"),
+            round(col("total"), 2).as("total"))
+          .localCheckpoint()
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM events WHERE event_id % 5 <> 2 GROUP BY 1""".stripMargin),
+      covers = Seq("ext-view-lake-retract")),
 
     QueryDef(
       "q_lake_changes",
