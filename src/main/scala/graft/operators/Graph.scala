@@ -173,14 +173,18 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      // serialized blocks (the pageRank discipline): und/oriented are
-      // probed by two joins each, and deserialized MEMORY_ONLY rows would
-      // sit as old-gen object graphs for the whole wedge phase
+      // serialized blocks (the pageRank discipline): und/deg/oriented are
+      // probed by multiple consumers each, and deserialized MEMORY_ONLY
+      // rows would sit as old-gen object graphs for the whole wedge phase
       .persist(IterStorage)
+    // persisted: deg feeds BOTH orientation joins and the final densify —
+    // un-cached, each consumer re-runs the union + aggregation (three
+    // identical exchanges, three driver stage round-trips under AQE)
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy("id")
       .agg(count(lit(1)).as("d"))
+      .persist(IterStorage)
     // orient u→v iff (deg,id)(u) < (deg,id)(v)
     val withDeg = und
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
@@ -205,16 +209,17 @@ object Graph {
     val tris = wedges.join(
       oriented.select(col("s").as("b"), col("t").as("c")),
       Seq("b", "c"))
-    val counts = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+    // densify INSIDE the aggregation: every node rides in with weight 0,
+    // so triangle-free nodes appear without a post-aggregation left join
+    // (one less exchange + broadcast stage round-trip)
+    val out = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"), lit(1L).as("w"))
+      .unionByName(deg.select(col("id"), lit(0L).as("w")))
       .groupBy("id")
-      .agg(count(lit(1)).as("tri"))
-    // densify: every node of the graph, 0 when triangle-free
-    val out = deg.select(col("id"))
-      .join(counts, Seq("id"), "left")
-      .select(col("id"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .agg(sum(col("w")).as("tri"))
     val materialized = out.localCheckpoint()
     oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     und.unpersist(blocking = false)
     materialized
   }
@@ -228,78 +233,82 @@ object Graph {
     * k-hop frontier against the adjacency, so total join work across the
     * run is O(Σ frontier-adjacent edges) ≤ O(E) for BFS (each node enters
     * the frontier at most once) — the property that makes this viable when
-    * the graph is 100 TB but the reachable set per round is not. The
-    * frontier and the accumulated dist frame are `localCheckpoint`ed each
-    * round so lineage stays O(1) in rounds (same discipline as
-    * [[pageRank]]); the loop's only driver-side action is the frontier
-    * count that decides termination.
+    * the graph is 100 TB but the reachable set per round is not.
+    *
+    * Execution shape — RDD iteration after ONE declarative pass (the
+    * same split [[graft.operators.Bpe]] uses, and for the same reason):
+    * a DataFrame formulation pays Catalyst planning + whole-stage
+    * codegen compilation + an AQE stage round-trip per join PER ROUND —
+    * ~4 driver-blocking stage-jobs every round regardless of data size,
+    * which is exactly the profile a contended driver punishes (the
+    * official record had this loop at 14.9 s with 0.9 MB of shuffle and
+    * zero GC). Here the edge list is keyed and hash-partitioned ONCE;
+    * each round's frontier join is then NARROW on the edge side (no
+    * re-shuffle, no broadcast, no re-plan — a property the DataFrame
+    * version could only rediscover via a per-round AQE broadcast), the
+    * only shuffle is the candidate set (O(frontier-adjacent edges)),
+    * and the reached set is a partitioner-aware union (nParts tasks
+    * regardless of round count) probed by a narrow `subtractByKey`.
+    * Driver-blocking actions: ONE `count` per 4-round interval — rounds
+    * in between just extend the lazy chain, and the interval count
+    * materializes (and caches) every round's frontier in a single job.
+    * An empty frontier stays empty, so probing the interval's LAST
+    * frontier is an exact termination test; the trade is up to 3
+    * zero-row rounds after exhaustion, cheaper than 3 driver jobs.
     */
   def shortestPaths(
       edges: DataFrame,
       sources: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).cache()
-    var frontier = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    // ONE accumulated reached-set frame, maintained incrementally: each
-    // round appends the (already materialized) frontier, and every 4th
-    // round compacts the union into a fresh localCheckpoint so the
-    // anti-join's build side stays a single O(1)-deep frame with a
-    // bounded partition count — never a k-way union re-planned per round
-    // (the per-round plan/task overhead that made a 20-round BFS pay
-    // O(k²) layer re-reads in the earlier formulation). Same discipline
-    // for the accumulated (id, dist) output.
-    var seen = frontier.select(col("id"))
-    var out = frontier
+    val spark = edges.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val idType = edges.schema("src").dataType
+    // the one corpus-sized pass: project, key by src, partition, cache
+    // (serialized blocks — the [[IterStorage]] GC discipline)
+    val e = edges.select(col("src"), col("dst")).rdd
+      .map(r => (r.get(0), r.get(1)))
+      .partitionBy(part)
+      .persist(IterStorage)
+    var frontier = sources.select(col("id").cast(idType)).distinct().rdd
+      .map(r => (r.get(0), 0L))
+      .partitionBy(part)
+      .persist(IterStorage)
+    // reached set: per-round frontiers all share `part`, so the union is
+    // partitioner-aware — nParts tasks however deep it grows, and every
+    // frontier stays cached (it IS the result, not superseded state)
+    var seen = frontier
+    var cached: List[org.apache.spark.rdd.RDD[_]] = List(frontier)
     var round = 0
-    // superseded-checkpoint bookkeeping (the [[pageRank]] GC discipline):
-    // frontiers older than the current one, and each compaction's
-    // predecessor seen/out, free the moment a compaction's EAGER
-    // checkpoints have materialized their data — otherwise a 20-round
-    // BFS holds every round's frontier blocks to the end (the driver's
-    // own diagnostics showed this loop at ~65% GC share of wall)
-    var staleFrontiers: List[DataFrame] = Nil
-    var ckptSeen: Option[DataFrame] = None
-    var ckptOut: Option[DataFrame] = None
-    while (round < maxRounds && !frontier.isEmpty) {
-      // candidate next-hop set: one shuffle of the frontier-adjacent
-      // edges, min-combined map-side by the groupBy
-      val candidates = frontier
-        .join(e, frontier("id") === e("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("dist") + 1L).as("dist"))
-      val prevFrontier = frontier
-      // keep only genuine improvements: nodes never seen before. (BFS
-      // invariant: a node reached in round k can never be improved later,
-      // so "not yet seen" IS the improvement test — an anti-join, no
-      // dist-value comparison needed.)
-      // lazy: the loop-condition emptiness probe (or the every-4th seen/out
-      // compaction, whichever acts first) materializes this round's blocks —
-      // no dedicated checkpoint job per round
-      frontier = candidates
-        .join(seen, Seq("id"), "left_anti")
-        .localCheckpoint(eager = false)
-      seen = seen.unionByName(frontier.select(col("id")))
-      out = out.unionByName(frontier)
-      staleFrontiers ::= prevFrontier
-      if (round % 4 == 3) {
-        // EAGER: materializing the compacted frames also materializes the
-        // current (lazy) frontier they union over — after which every
-        // stale frontier's and the prior compaction's blocks are garbage
-        seen = seen.localCheckpoint()
-        out = out.localCheckpoint()
-        staleFrontiers.foreach(freeCheckpoint)
-        staleFrontiers = Nil
-        ckptSeen.foreach(freeCheckpoint)
-        ckptOut.foreach(freeCheckpoint)
-        ckptSeen = Some(seen)
-        ckptOut = Some(out)
-      }
+    var exhausted = false
+    while (round < maxRounds && !exhausted) {
+      val candidates = e.join(frontier) // co-partitioned: narrow on both sides
+        .map { case (_, (dst, d)) => (dst, d + 1L) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // map-side combined; O(frontier-adjacent)
+      // BFS invariant: a node reached in round k can never improve later,
+      // so "not yet reached" is the full improvement test — a narrow
+      // subtract, no dist comparison
+      frontier = candidates.subtractByKey(seen, part).persist(IterStorage)
+      cached ::= frontier
+      seen = seen.union(frontier)
       round += 1
+      if (round % 4 == 0 || round == maxRounds)
+        // the interval's ONE driver-blocking job: counting the newest
+        // frontier materializes (and caches) the whole lazy chain behind it
+        exhausted = frontier.count() == 0L
     }
+    // hand back a self-contained DataFrame: the eager checkpoint reads the
+    // cached frontier blocks once, after which the loop's RDDs can drop
+    // without the caller's later actions re-running the search
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = spark.createDataFrame(
+      seen.map { case (id, d) => org.apache.spark.sql.Row(id, d) }, schema)
+      .localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
-    // frontiers since the last compaction still back `out`'s lazy plan —
-    // they stay; bounded at < 4 rounds' worth by construction
     out
   }
 
