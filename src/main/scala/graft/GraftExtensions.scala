@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => graft.plans.LakeDmlRules)
+    ext.injectResolutionRule(_ => graft.plans.LakeReadThroughRule)
     ext.injectOptimizerRule(_ => graft.plans.NativeKernelRules)
     ext.injectOptimizerRule(_ => graft.plans.TopKPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)

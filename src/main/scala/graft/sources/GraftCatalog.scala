@@ -564,6 +564,32 @@ final class LakeTable(
     pinnedVersion.orElse(VersionedLake.currentVersion(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no published version in $tableDir"))
 
+  /** When the resolved version needs LIBRARY read-through — pending
+    * merge-on-read deletes or rename indirection the stock parquet scan
+    * cannot serve — the version to read. [[graft.plans.LakeReadThroughRule]]
+    * splices [[VersionedLake.readVersion]]'s own analyzed plan in place
+    * of the DSv2 relation for these versions, so join planning sees real
+    * file statistics and runtime (dynamic-partition) filters reach the
+    * inner scans — neither survives the `V1Scan` bridge, whose
+    * `V1ScanWrapper` forwards no statistics interface and never plans as
+    * `BatchScanExec`. The ScanBuilder's V1 branch below stays as the
+    * fallback for positions the rule leaves alone (DML targets,
+    * subqueries).
+    */
+  private[graft] def readThroughVersion: Option[Long] = {
+    val v = resolvedVersion
+    val dirs = VersionedLake.manifest(spark, tableDir, v)
+    val pending = VersionedLake.dirEqDeletes(spark, tableDir, v)
+      .exists(_.dirs.exists(dirs.contains))
+    val renamed = VersionedLake.hasRenames(VersionedLake.visibleSchema(
+      VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType())))
+    if (pending || renamed) Some(v) else None
+  }
+
+  /** The library read of `v`, for [[readThroughVersion]]'s splice. */
+  private[graft] def readThrough(v: Long): org.apache.spark.sql.DataFrame =
+    VersionedLake.readVersion(spark, tableDir, v)
+
   override def name(): String = identName
 
   override def schema(): StructType = {

@@ -604,9 +604,17 @@ object VersionedLake {
     val hint = scala.util.Try(readSmallFile(spark, p).trim.toLongOption)
       .toOption.flatten
     val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
+    // an open-fenced publish ([[HadoopCreateCommitStore]] on HDFS) lists
+    // its manifest the moment the create opens, with ZERO visible length
+    // until the writer's close — resolving to it would hand readers a
+    // version with no schema/op/dirs. Skip zero-length manifests (the
+    // listing already carries lengths, no extra read): the fence window
+    // degrades to "previous version" instead of a broken read, and the
+    // complete file is picked up on the next resolution.
     val listed =
       if (!f.exists(manRoot)) None
       else f.listStatus(manRoot)
+        .filter(_.getLen > 0)
         .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt").toLongOption)
         .maxOption
     (hint, listed) match {
@@ -632,12 +640,51 @@ object VersionedLake {
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaHeader))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Memoized manifest reads. A published manifest is write-once
+    * ([[CommitStore.createExclusive]]), so its parsed lines are cacheable
+    * — and every metadata helper ([[commitOp]], [[versionSchema]],
+    * [[dirEqDeletes]], [[dirRowCounts]], [[changesArtifact]], ...) parses
+    * the same file, so an un-memoized [[readRowChanges]] window or a
+    * catalog resolution pass pays the same read dozens of times. Entries
+    * validate against the file's (modTime, length) stamp on every hit:
+    * one metadata stat instead of a content read, and a table directory
+    * DELETED AND RECREATED at the same path (spec fixtures, a re-ingested
+    * staging dir) can never serve the old table's manifest. Only
+    * manifests carrying the schema header cache — a concurrent
+    * open-fenced publish ([[HadoopCreateCommitStore]]) can briefly expose
+    * a partial file, and caching one would poison every later read of a
+    * version that IS eventually complete.
+    */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), (Long, Long, Seq[String])](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), (Long, Long, Seq[String])]): Boolean =
+          size() > 4096
+      })
+
   private def manifestLines(
       spark: SparkSession,
       tableDir: String,
       version: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$version.txt")
-    readSmallFile(spark, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val key = (tableDir, version)
+    val st = scala.util.Try(fs(spark, tableDir).getFileStatus(p)).getOrElse {
+      manifestCache.remove(key)
+      // let the read path surface the real error (missing file, perms)
+      return readSmallFile(spark, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+      return hit._3
+    val lines =
+      readSmallFile(spark, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.exists(_.startsWith(SchemaHeader)))
+      manifestCache.put(key, (st.getModificationTime, st.getLen, lines))
+    else
+      manifestCache.remove(key)
+    lines
   }
 
   /** Union-by-name: prior columns keep their position, genuinely new
@@ -1593,9 +1640,25 @@ object VersionedLake {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+    val deltas = ((fromVersion + 1) to toVersion).map { v =>
       rowChangesOf(spark, tableDir, v)
     }
+    // O(1) PLAN DEPTH for the artifact-backed span: every copy-on-write
+    // version's change artifact is a parquet directory, so the whole set
+    // reads as ONE multi-path scan with `_commit_version` recovered
+    // per-file from the path — a `t$changes` window over a 10k-commit
+    // retained history would otherwise fold 10k per-version frames into
+    // a union whose analysis alone dominates the read. Per-version
+    // frames remain only where reconstruction genuinely differs per
+    // version (MoR pre-images, appended-directory reads).
+    val arts = deltas.collect { case a: ArtifactDelta => a }
+    val artFrame =
+      if (arts.isEmpty) None
+      else if (arts.sizeIs == 1)
+        Some(spark.read.parquet(s"$tableDir/changes/${arts.head.artifact}")
+          .withColumn("_commit_version", lit(arts.head.version)))
+      else Some(readChangeArtifacts(spark, tableDir, arts))
+    val frames = deltas.collect { case f: FrameDelta => f.frame } ++ artFrame
     val outSchema = visibleSchema(nullableAll(
       versionSchema(spark, tableDir, toVersion)
         .getOrElse(readVersion(spark, tableDir, toVersion).schema)))
@@ -1632,13 +1695,27 @@ object VersionedLake {
     }
   }
 
-  /** One version's row changes, or None when the version is a logical
-    * no-op (layout-only rewrite). Throws for unclassifiable rewrites.
+  /** One window version's contribution to the change feed. */
+  private sealed trait VersionDelta
+  /** Layout/metadata-only version: no logical row changed. */
+  private case object NoDelta extends VersionDelta
+  /** A copy-on-write version whose delta is a committed change artifact —
+    * batchable into one multi-path scan by [[readChangeArtifacts]].
+    */
+  private final case class ArtifactDelta(version: Long, artifact: String)
+      extends VersionDelta
+  /** A version needing its own reconstruction plan (append reads, MoR
+    * pre-image joins).
+    */
+  private final case class FrameDelta(frame: DataFrame) extends VersionDelta
+
+  /** One version's row changes classified as a [[VersionDelta]]. Throws
+    * for unclassifiable rewrites.
     */
   private def rowChangesOf(
       spark: SparkSession,
       tableDir: String,
-      v: Long): Option[DataFrame] = {
+      v: Long): VersionDelta = {
     val op = commitOp(spark, tableDir, v)
     val prevDirs = if (v == 0) Nil else manifest(spark, tableDir, v - 1)
     val dirs = manifest(spark, tableDir, v)
@@ -1668,22 +1745,23 @@ object VersionedLake {
     val kind = op.getOrElse(if (isPureAppend) "append" else "pre-op rewrite")
     kind match {
       case "append" =>
-        if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+        if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
       case "snapshot" if prevDirs.isEmpty =>
         // the table's first commit: everything is an insert
-        if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+        if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
       case "optimize" | "materialize" =>
-        None // layout-only: identical logical rows before and after
+        NoDelta // layout-only: identical logical rows before and after
       case "rename_column" | "drop_column" =>
-        None // metadata-only: the schema changed, no logical row did
+        NoDelta // metadata-only: the schema changed, no logical row did
       case "delete_mor" =>
-        newDels.map(preImages).reduceOption(_.unionByName(_)).map(tagged(_, "delete"))
+        newDels.map(preImages).reduceOption(_.unionByName(_))
+          .fold[VersionDelta](NoDelta)(p => FrameDelta(tagged(p, "delete")))
       case "upsert_mor" =>
         newDels.headOption match {
           case None =>
             // pure-append fast path upsert (no keys matched a prior dir)
             // publishes no delete file — everything appended is an insert
-            if (addedDirs.isEmpty) None else Some(tagged(appended, "insert"))
+            if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
           case Some(e) =>
             // matched keys: update_preimage + update_postimage; unmatched
             // appended rows: insert. The delete file IS the batch's key
@@ -1694,7 +1772,7 @@ object VersionedLake {
             val ins = appended.join(broadcast(matchedKeys), e.keys, "left_anti")
             // the upsert batch may have evolved the schema: pre-images
             // null-fill columns the prior version lacked
-            Some(tagged(pre, "update_preimage")
+            FrameDelta(tagged(pre, "update_preimage")
               .unionByName(tagged(post, "update_postimage"), allowMissingColumns = true)
               .unionByName(tagged(ins, "insert"), allowMissingColumns = true))
         }
@@ -1702,14 +1780,10 @@ object VersionedLake {
         // copy-on-write commits (upsert / delete_where / update_where /
         // delete_keys — including the SQL MERGE/UPDATE/DELETE riding
         // them) publish their row delta as a commit-time change artifact;
-        // reading it back IS the feed — O(artifact), no reconstruction
+        // reading it back IS the feed — O(artifact), no reconstruction,
+        // and the whole window's artifacts batch into one scan
         changesArtifact(spark, tableDir, v) match {
-          case Some(cd) =>
-            // no emptiness pre-check: it would cost a driver-blocking job
-            // (and a second artifact read) per CoW version at plan time;
-            // an empty frame unions harmlessly
-            Some(spark.read.parquet(s"$tableDir/changes/$cd")
-              .withColumn("_commit_version", lit(v)))
+          case Some(cd) => ArtifactDelta(v, cd)
           case None =>
             throw new IllegalStateException(
               s"version $v of $tableDir ($other) is a rewrite with no change " +
@@ -1720,6 +1794,48 @@ object VersionedLake {
                 "diff snapshots by key")
         }
     }
+  }
+
+  /** The window's artifact-backed versions as ONE multi-path parquet
+    * scan. The read schema is the union of each version's visible
+    * columns (all nullable — a file lacking a later column null-fills by
+    * parquet name resolution, the [[readDirs]] contract) plus the
+    * artifact's own `_change_type`; `_commit_version` is recovered
+    * per-file from the artifact directory in the path via a broadcast
+    * join against the (directory → version) map, which is metadata-sized
+    * by construction. Plan cost is one scan node regardless of window
+    * length — a map-literal lookup would instead pay an O(window) scan
+    * per ROW, and per-version frames an O(window)-deep union.
+    */
+  private def readChangeArtifacts(
+      spark: SparkSession,
+      tableDir: String,
+      arts: Seq[ArtifactDelta]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    arts.foreach { a =>
+      val s = versionSchema(spark, tableDir, a.version).map(visibleSchema)
+        .getOrElse(nullableAll(
+          spark.read.parquet(s"$tableDir/changes/${a.artifact}").schema))
+      s.fields.foreach { f =>
+        if (f.name != "_change_type" && !fields.contains(f.name))
+          fields(f.name) = StructField(f.name, f.dataType, nullable = true)
+      }
+    }
+    val readSchema = StructType(
+      fields.values.toSeq :+ StructField("_change_type", StringType, nullable = true))
+    val dirVer = arts.map(a => org.apache.spark.sql.Row(a.artifact, a.version))
+    val dirDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(dirVer).asJava,
+      StructType(Seq(
+        StructField("_chg_dir", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false))))
+    spark.read.schema(readSchema)
+      .parquet(arts.map(a => s"$tableDir/changes/${a.artifact}"): _*)
+      .withColumn("_chg_dir",
+        regexp_extract(input_file_name(), "/changes/([^/]+)/", 1))
+      .join(broadcast(dirDf), Seq("_chg_dir"))
+      .drop("_chg_dir")
   }
 
   /** Range read with manifest-level data skipping: directories whose
@@ -1951,20 +2067,28 @@ object VersionedLake {
             val pre = readDirs(spark, tableDir,
               affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
               .join(keyDf.distinct(), keys, "left_semi")
+            // NO broadcast hints: batchKeys/matchedKeys are the distinct
+            // key set of the whole upsert batch — unbounded on this bulk
+            // CoW path (unlike the MoR delete-key sets, which are deltas
+            // by design). A forced broadcast of a 10M-key batch would
+            // OOM the driver or trip the 8 GB broadcast hard limit AFTER
+            // the rewrite work is done; AQE broadcasts at runtime when
+            // the set really is small — the same discipline as the
+            // keyedRewrite probe's un-hinted joins.
             val batchKeys = updates.select(keys.map(col): _*).distinct()
             val matchedKeys = pre.select(keys.map(col): _*).distinct()
-            pre.join(broadcast(batchKeys), keys, "left_semi")
+            pre.join(batchKeys, keys, "left_semi")
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(
-                pre.join(broadcast(batchKeys), keys, "left_anti")
+                pre.join(batchKeys, keys, "left_anti")
                   .withColumn("_change_type", lit("delete")),
                 allowMissingColumns = true)
               .unionByName(
-                updates.join(broadcast(matchedKeys), keys, "left_semi")
+                updates.join(matchedKeys, keys, "left_semi")
                   .withColumn("_change_type", lit("update_postimage")),
                 allowMissingColumns = true)
               .unionByName(
-                updates.join(broadcast(matchedKeys), keys, "left_anti")
+                updates.join(matchedKeys, keys, "left_anti")
                   .withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true)
           }

@@ -177,4 +177,38 @@ class LakeRowChangesSpec extends SparkSpec {
     assert(byId(1L) === true && byId(2L) === false,
       "pre-evolution rows carry null in the added column")
   }
+
+  test("a many-CoW-commit window plans ONE artifact scan, not a per-version union") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_flat").toString
+    VersionedLake.appendCommit(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    // 12 copy-on-write upserts: each publishes a change artifact
+    (0 until 12).foreach { i =>
+      VersionedLake.upsert(s, dir,
+        Seq((i.toLong, s"u$i")).toDF("id", "v"), keys = Seq("id"))
+    }
+    val feed = VersionedLake.readRowChanges(s, dir, 0, 12)
+    // every artifact-backed version reads through ONE multi-path parquet
+    // scan: the analyzed plan carries exactly one relation over changes/
+    // (a per-version formulation would carry 12) — the property that
+    // keeps a 10k-commit t$changes window analyzable at all
+    val rels = feed.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.toString.contains("/changes/") ||
+            lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("/changes/")) => lr
+    }
+    assert(rels.size === 1,
+      s"expected ONE batched artifact scan, found ${rels.size}")
+    // and the batched read is still exact: one update pre/post pair per
+    // commit, each tagged with its own version
+    val got = changes(dir, 0, 12)
+    val want = (0 until 12).flatMap { i =>
+      Seq((i.toLong, s"v$i", "update_preimage", (i + 1).toLong),
+        (i.toLong, s"u$i", "update_postimage", (i + 1).toLong))
+    }.toSet
+    assert(got === want)
+  }
 }
