@@ -45,14 +45,17 @@ import org.apache.spark.sql.graft.GraftDmlShim
   * control their own read path and materialization cadence.
   *
   *   - `MERGE ... WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE /
-  *     UPDATE SET ...` (standalone — the mirror-table sync statement)
-  *     → the same command over the ANTI join.
+  *     UPDATE SET ...` — the mirror-table sync arm, over the ANTI join.
+  *   - Full composition: any number of gated `WHEN MATCHED` arms (first
+  *     passing gate wins, SQL clause order), an optional star-aligned
+  *     gated `WHEN NOT MATCHED THEN INSERT *`, and any number of gated
+  *     `WHEN NOT MATCHED BY SOURCE` arms — all in ONE statement and ONE
+  *     atomic keyed-CoW commit ([[MergePartialLakeCommand]]).
   *
-  * Statements outside these shapes (combined matched + by-source action
-  * lists, non-equi merge conditions, key reassignment, subqueries in
-  * predicates or assignments) are left untouched, so Spark surfaces its
-  * own clear "not supported" error instead of this rule guessing at
-  * semantics.
+  * Statements outside this surface (non-equi merge conditions, key
+  * reassignment, partial-column INSERT, subqueries in predicates or
+  * assignments) are left untouched, so Spark surfaces its own clear
+  * "not supported" error instead of this rule guessing at semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
   * (`Expression.sql`), re-parsed at execution against the library
   * call's own fresh scan — storing unresolved expression fields on a
@@ -152,99 +155,75 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         assignments.map(a =>
           a.key.asInstanceOf[AttributeReference].name -> renderSql(a.value).get))
 
-    // WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE / UPDATE SET ... —
-    // the mirror-table sync statement (purge or mark target rows absent
-    // from the source). Same gated machinery as the matched arms, over
-    // the ANTI join: matching is per-key (equi condition), the gate per
-    // row, and survivors of hit keys ride the probe-keyed upsert.
-    case m @ MergeIntoTable(target, source, cond, Seq(), Seq(), Seq(action), false)
+    // MERGE, general composition: any of `WHEN MATCHED [AND p] THEN
+    // UPDATE/DELETE` (multiple arms, first passing gate wins — SQL's
+    // clause-order semantics), `WHEN NOT MATCHED [AND q] THEN INSERT *`,
+    // and `WHEN NOT MATCHED BY SOURCE [AND r] THEN UPDATE/DELETE`
+    // (multiple arms) — in ONE statement, the full mirror-table sync.
+    // The two star-aligned fast paths keep their direct rendering
+    // (no flat-join machinery for the CDC shapes); everything else
+    // converts arm-by-arm, and any arm outside the supported surface
+    // (key reassignment, subqueries, non-star INSERT) leaves the
+    // statement untouched so Spark's own error surfaces.
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
         if m.resolved && lakeOf(target).isDefined &&
-          equiKeys(cond, target, source).isDefined && (action match {
-            case DeleteAction(p) => p.forall(c => !hasSubquery(c))
-            case UpdateAction(p, ua, _) =>
-              p.forall(c => !hasSubquery(c)) &&
-                ua.forall(a => unwrap(a.key).isInstanceOf[AttributeReference] &&
-                  !hasSubquery(a.value)) &&
-                ua.forall(a => !equiKeys(cond, target, source).get
-                  .exists(_.equalsIgnoreCase(
-                    unwrap(a.key).asInstanceOf[AttributeReference].name)))
-            case _ => false
-          }) =>
+          equiKeys(cond, target, source).isDefined =>
       val lake = lakeOf(target).get
       val ks = equiKeys(cond, target, source).get
-      action match {
-        case DeleteAction(p) =>
-          MergePartialLakeCommand(lake.tableDir, target, source,
-            ExprHolder(cond), p.map(ExprHolder), assignments = Nil,
-            insert = None, target.output.map(_.name), ks, bySource = true)
-        case UpdateAction(p, ua, _) =>
-          MergePartialLakeCommand(lake.tableDir, target, source,
-            ExprHolder(cond), p.map(ExprHolder),
-            ua.map(a => unwrap(a.key).asInstanceOf[AttributeReference].name ->
-              ExprHolder(a.value)),
-            insert = None, target.output.map(_.name), ks, bySource = true)
-        case _ => m
+      val targetCols = target.output
+
+      /** UPDATE/DELETE action → arm; None = unsupported shape. */
+      def arm(a: MergeAction): Option[MergeArm] = a match {
+        case DeleteAction(p) if p.forall(c => !hasSubquery(c)) =>
+          Some(MergeArm(p.map(ExprHolder), Nil))
+        case UpdateAction(p, ua, _)
+            if p.forall(c => !hasSubquery(c)) &&
+              ua.forall(x => unwrap(x.key).isInstanceOf[AttributeReference] &&
+                !hasSubquery(x.value)) &&
+              // keys must not be reassigned (except the no-op star
+              // self-assignment) — rewriting a match key mid-merge has
+              // no upsert rendering
+              ua.forall { x =>
+                val k = unwrap(x.key).asInstanceOf[AttributeReference]
+                !ks.exists(_.equalsIgnoreCase(k.name)) || (unwrap(x.value) match {
+                  case v: AttributeReference => v.name.equalsIgnoreCase(k.name)
+                  case _ => false
+                })
+              } =>
+          Some(MergeArm(p.map(ExprHolder),
+            ua.map(x => unwrap(x.key).asInstanceOf[AttributeReference].name ->
+              ExprHolder(x.value))))
+        case _ => None
       }
 
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
-        if m.resolved && lakeOf(target).isDefined && bySource.isEmpty =>
-      val lake = lakeOf(target).get
-      val keys = equiKeys(cond, target, source)
-      val targetCols = target.output
-      (keys, matched, notMatched) match {
+      (matched, notMatched, bySource) match {
         // CDC upsert: WHEN MATCHED UPDATE SET * + WHEN NOT MATCHED INSERT *
-        case (Some(ks), Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)))
+        case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)), Seq())
             if isStarAligned(ua, targetCols, source) &&
               isStarAligned(ia, targetCols, source) =>
           MergeLakeCommand(lake.tableDir, source,
             targetCols.map(_.name), ks, delete = false)
         // keyed delete: WHEN MATCHED DELETE, nothing else
-        case (Some(ks), Seq(DeleteAction(None)), Seq()) =>
+        case (Seq(DeleteAction(None)), Seq(), Seq()) =>
           MergeLakeCommand(lake.tableDir, source,
             targetCols.map(_.name), ks, delete = true)
-        // PARTIAL-COLUMN SET (the most common MERGE after CDC) and
-        // conditional matched actions: `WHEN MATCHED [AND p] THEN
-        // UPDATE SET c = expr, ...` — optionally + `WHEN NOT MATCHED
-        // [AND q] THEN INSERT *`. New values come from a keyed inner
-        // join of target×source evaluated with the analyzer's own
-        // resolved expressions; the result rides the same keyed
-        // minimal copy-on-write upsert. Keys must not be reassigned
-        // (except the no-op star self-assignment) — rewriting a match
-        // key mid-merge has no upsert rendering.
-        case (Some(ks), Seq(UpdateAction(mCond, ua, _)), notM)
-            if ua.forall(a => unwrap(a.key).isInstanceOf[AttributeReference]) &&
-              ua.forall(a => !hasSubquery(a.value)) &&
-              mCond.forall(c => !hasSubquery(c)) &&
-              ua.forall { a =>
-                val k = unwrap(a.key).asInstanceOf[AttributeReference]
-                !ks.exists(_.equalsIgnoreCase(k.name)) || (unwrap(a.value) match {
-                  case v: AttributeReference => v.name.equalsIgnoreCase(k.name)
-                  case _ => false
-                })
-              } &&
-              (notM match {
-                case Seq() => true
-                case Seq(InsertAction(iCond, ia)) =>
-                  isStarAligned(ia, targetCols, source) && iCond.forall(!hasSubquery(_))
-                case _ => false
-              }) =>
-          MergePartialLakeCommand(
+        case _ =>
+          val matchedArms = matched.map(arm)
+          val bySourceArms = bySource.map(arm)
+          val insertOpt: Option[Option[Option[ExprHolder]]] = notMatched match {
+            case Seq() => Some(None)
+            case Seq(InsertAction(iCond, ia))
+                if isStarAligned(ia, targetCols, source) &&
+                  iCond.forall(!hasSubquery(_)) =>
+              Some(Some(iCond.map(ExprHolder)))
+            case _ => None
+          }
+          if (matchedArms.exists(_.isEmpty) || bySourceArms.exists(_.isEmpty) ||
+            insertOpt.isEmpty) m
+          else MergePartialLakeCommand(
             lake.tableDir, target, source, ExprHolder(cond),
-            mCond.map(ExprHolder),
-            ua.map(a => unwrap(a.key).asInstanceOf[AttributeReference].name ->
-              ExprHolder(a.value)),
-            insert = notM.headOption.map {
-              case InsertAction(iCond, _) => iCond.map(ExprHolder)
-              case _ => None
-            },
+            matchedArms.flatten, insertOpt.get, bySourceArms.flatten,
             targetCols.map(_.name), ks)
-        // conditional keyed delete: WHEN MATCHED AND p THEN DELETE
-        case (Some(ks), Seq(DeleteAction(Some(p))), Seq()) if !hasSubquery(p) =>
-          MergePartialLakeCommand(
-            lake.tableDir, target, source, ExprHolder(cond),
-            Some(ExprHolder(p)), assignments = Nil, insert = None,
-            targetCols.map(_.name), ks)
-        case _ => m
       }
   }
 }
@@ -255,127 +234,181 @@ object LakeDmlRules extends Rule[LogicalPlan] {
   */
 final case class ExprHolder(e: Expression)
 
-/** Partial-column / conditional `MERGE` executed as the lake's keyed
-  * minimal copy-on-write: matched rows re-derive from an inner join of
-  * target×source on the merge condition (evaluated with the analyzer's
-  * resolved expressions, so qualified references like `t.amt + c.delta`
-  * keep their meaning), assignments overwrite only their columns, and
-  * the full re-derived rows ride [[VersionedLake.upsert]] — only
-  * directories holding matched keys rewrite. `assignments` empty means
-  * the action is a conditional DELETE ([[VersionedLake.deleteKeys]] of
-  * the gated matches). A matched row failing the action's condition is
-  * simply absent from the batch — untouched by construction.
+/** One gated MERGE action over an already-classified row population:
+  * `gate` is the clause's AND condition (None = unconditional),
+  * `assignments` the UPDATE SET pairs — empty means DELETE.
+  */
+final case class MergeArm(
+    gate: Option[ExprHolder],
+    assignments: Seq[(String, ExprHolder)])
+
+/** General `MERGE` executed as ONE keyed minimal copy-on-write: matched
+  * arms re-derive rows from an inner join of target×source on the merge
+  * condition (evaluated with the analyzer's resolved expressions, so
+  * qualified references like `t.amt + c.delta` keep their meaning),
+  * NOT MATCHED BY SOURCE arms run the same machinery over the ANTI
+  * join, and the star-aligned INSERT appends source rows matching no
+  * target key — all three populations land in a single
+  * [[VersionedLake.upsert]] whose probe keys are the union of the arms'
+  * hit keys, so only directories holding touched keys rewrite and the
+  * statement stays one atomic commit.
+  *
+  * Arm semantics are SQL's: arms evaluate in clause order and the FIRST
+  * arm whose gate passes acts (a NULL gate is "not satisfied"); a row
+  * passing no arm — including gate-failing duplicate rows of a key
+  * another row hit — rides the batch unchanged, because the keyed
+  * rewrite replaces whole keys and dropping them would lose rows.
+  * Populations are disjoint by construction (a target key is matched
+  * XOR by-source; insert keys match nothing), so the one-commit union
+  * cannot double-apply.
   */
 final case class MergePartialLakeCommand(
     tableDir: String,
     target: LogicalPlan,
     source: LogicalPlan,
     cond: ExprHolder,
-    matchedCond: Option[ExprHolder],
-    assignments: Seq[(String, ExprHolder)],
+    matchedArms: Seq[MergeArm],
     insert: Option[Option[ExprHolder]],
+    bySourceArms: Seq[MergeArm],
     targetCols: Seq[String],
-    keys: Seq[String],
-    bySource: Boolean = false) extends LeafRunnableCommand {
+    keys: Seq[String]) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
   override def innerChildren: Seq[LogicalPlan] = Seq(target, source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     val tgtDf = GraftDmlShim.ofRows(spark, target)
+    // the source feeds up to four consumers (dup probe, matched join,
+    // by-source anti-join, insert anti-join): persist it once instead of
+    // re-evaluating a possibly expensive — or non-deterministic — source
+    // plan per consumer; serialized blocks, released before return
     val srcDf = GraftDmlShim.ofRows(spark, source)
-    // SQL MERGE's unique-match rule, same check as the star-shape twin —
-    // moot for the NOT MATCHED BY SOURCE anti-join (no row pairs up)
-    if (!bySource) {
-      val dups = srcDf.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-      require(dups.isEmpty,
-        s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
-          "SQL MERGE requires at most one source match per target row")
-    }
-    val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
-    val joined = tgtDf.join(srcDf, GraftDmlShim.column(cond.e),
-      if (bySource) "left_anti" else "inner")
-    val committed = VersionedLake.versionSchema(spark, tableDir,
-      VersionedLake.currentVersion(spark, tableDir).get)
-      .getOrElse(VersionedLake.read(spark, tableDir).schema)
-    def typed(c: org.apache.spark.sql.Column, name: String) =
-      c.cast(committed(committed.fieldIndex(name)).dataType)
-    // flatten the ambiguous two-sided join into unambiguous columns:
-    // target key copies, the gate verdict, every target column's old
-    // value, and (for UPDATE) each assignment's new value — all computed
-    // with the analyzer's resolved attributes BEFORE any self-reference
-    // is possible. Row-accurate gating falls out: a target key may have
-    // DUPLICATE rows with the gate true on some and false on others, and
-    // the gate-failing rows must ride the batch unchanged (the keyed
-    // rewrite replaces whole keys, so dropping them would lose rows).
-    val gateCol = matchedCond
-      .map(c => GraftDmlShim.column(c.e)).getOrElse(lit(true))
-    val assignedOf = assignments.map { case (n, h) => n.toLowerCase -> h }.toMap
-    val flat = joined.select(
-      (keys.map(k => GraftDmlShim.column(tgtAttr(k.toLowerCase)).as(s"_gk_$k")) ++
-        Seq(gateCol.as("_gate")) ++
-        targetCols.map(c =>
-          typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c).as(s"_old_$c")) ++
-        assignments.map { case (n, h) => typed(GraftDmlShim.column(h.e), n).as(s"_new_$n") }): _*)
-    // keys where at least one row passes the gate — everything else is
-    // untouched by construction (absent from batch AND probe). A NULL
-    // gate is SQL's "condition not satisfied": the row takes no action.
-    val hitKeys = flat.filter(col("_gate"))
-      .select(keys.map(k => col(s"_gk_$k")): _*).distinct()
-    // NULL merge keys cannot ride a keyed rewrite (equality never
-    // matches NULL): in the matched arms they simply never match —
-    // correct SQL — but the BY SOURCE anti-join SELECTS them, and
-    // silently skipping would be a wrong answer; refuse loudly instead
-    if (bySource) {
-      val nullKeyed = hitKeys.filter(
-        keys.map(k => col(s"_gk_$k").isNull).reduce(_ || _)).limit(1).collect()
-      require(nullKeyed.isEmpty,
-        "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
-          "merge keys, which the keyed rewrite cannot address; clean NULL " +
-          "keys first (deleteWhere on the null predicate)")
-    }
-    val candidate = flat.join(hitKeys, keys.map(k => s"_gk_$k"), "left_semi")
-    if (assignments.isEmpty) {
-      // conditional DELETE: gate-passing rows vanish; gate-failing (or
-      // NULL-gate) rows of the same keys survive as the upsert batch
-      // (probeKeys carries the full key set being replaced) — !NULL is
-      // NULL, so the survivor filter must coalesce, not negate
-      val survivors = candidate.filter(!coalesce(col("_gate"), lit(false)))
-        .select(targetCols.map(c => col(s"_old_$c").as(c)): _*)
-      val delKeys = hitKeys.select(keys.map(k => col(s"_gk_$k").as(k)): _*)
-      VersionedLake.upsert(spark, tableDir, survivors, keys,
-        probeKeys = Some(delKeys)): Unit
-    } else {
-      val updated = candidate.select(targetCols.map { c =>
-        (assignedOf.get(c.toLowerCase) match {
-          case Some(_) => when(col("_gate"), col(s"_new_$c")).otherwise(col(s"_old_$c"))
-          case None    => col(s"_old_$c")
-        }).as(c)
-      }: _*)
-      val batch = insert match {
-        case None => updated
-        case Some(iCond) =>
-          // star-aligned INSERT of source rows matching NO target key;
-          // a row that matched but failed the UPDATE's condition is
-          // matched — never inserted
-          val unmatched = srcDf.join(tgtDf, GraftDmlShim.column(cond.e), "left_anti")
-          val gatedIns = iCond
-            .map(c => unmatched.filter(GraftDmlShim.column(c.e)))
-            .getOrElse(unmatched)
-          updated.unionByName(
-            gatedIns.select(targetCols.map(c => typed(col(c), c).as(c)): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // SQL MERGE's unique-match rule: duplicates are only illegal for
+      // keys that actually MATCH a target row (an unmatched duplicate
+      // legally inserts twice). Cheap source-only probe first; the
+      // target-key refinement — a pruned key-column scan — runs only
+      // when duplicates exist at all.
+      if (matchedArms.nonEmpty) {
+        val dups = srcDf.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        if (dups.limit(1).collect().nonEmpty) {
+          val offending = dups
+            .join(tgtDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .limit(1).collect()
+          offending.foreach { r =>
+            val rendered = keys.zipWithIndex
+              .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+            throw new IllegalArgumentException(
+              s"MERGE source has multiple rows for matched key ($rendered) - " +
+                "SQL MERGE requires at most one source match per target row")
+          }
+        }
       }
-      VersionedLake.upsert(spark, tableDir, batch, keys): Unit
-    }
-    Nil
+      val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
+      val committed = VersionedLake.versionSchema(spark, tableDir,
+        VersionedLake.currentVersion(spark, tableDir).get)
+        .getOrElse(VersionedLake.read(spark, tableDir).schema)
+      def typed(c: org.apache.spark.sql.Column, name: String) =
+        c.cast(committed(committed.fieldIndex(name)).dataType)
+
+      /** Flatten one population (the matched inner join or the by-source
+        * anti-join) into unambiguous columns — target key copies, the
+        * index of the first arm whose gate passes (-1: none), every
+        * target column's old value, each arm-assignment's new value —
+        * then derive (surviving batch rows, hit keys).
+        */
+      def armBatch(
+          joined: org.apache.spark.sql.DataFrame,
+          arms: Seq[MergeArm]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        val armCol = arms.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+          when(a.gate.map(h => GraftDmlShim.column(h.e)).getOrElse(lit(true)), lit(i))
+            .otherwise(els)
+        }
+        val newCols = arms.zipWithIndex.flatMap { case (a, i) =>
+          a.assignments.map { case (n, h) =>
+            typed(GraftDmlShim.column(h.e), n).as(s"_new_${i}_$n")
+          }
+        }
+        val flat = joined.select(
+          (keys.map(k => GraftDmlShim.column(tgtAttr(k.toLowerCase)).as(s"_gk_$k")) ++
+            Seq(armCol.as("_arm")) ++
+            targetCols.map(c =>
+              typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c).as(s"_old_$c")) ++
+            newCols): _*)
+        // keys where at least one row hit an arm — everything else is
+        // untouched by construction (absent from batch AND probe)
+        val hitKeys = flat.filter(col("_arm") >= 0)
+          .select(keys.map(k => col(s"_gk_$k")): _*).distinct()
+        val candidate = flat.join(hitKeys, keys.map(k => s"_gk_$k"), "left_semi")
+        val deleteArms = arms.zipWithIndex.collect {
+          case (a, i) if a.assignments.isEmpty => i
+        }
+        // delete-arm rows vanish; rows hitting no arm (_arm = -1,
+        // including NULL-gate rows) keep old values
+        val survivors =
+          if (deleteArms.isEmpty) candidate
+          else candidate.filter(!col("_arm").isin(deleteArms.map(Int.box): _*))
+        val out = survivors.select(targetCols.map { c =>
+          arms.zipWithIndex.foldRight(col(s"_old_$c")) { case ((a, i), els) =>
+            if (a.assignments.exists(_._1.equalsIgnoreCase(c)))
+              when(col("_arm") === i, col(s"_new_${i}_$c")).otherwise(els)
+            else els
+          }.as(c)
+        }: _*)
+        (out, hitKeys.select(keys.map(k => col(s"_gk_$k").as(k)): _*))
+      }
+
+      val matchedPiece =
+        if (matchedArms.isEmpty) None
+        else Some(armBatch(
+          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner"), matchedArms))
+      val bySourcePiece =
+        if (bySourceArms.isEmpty) None
+        else {
+          val (b, h) = armBatch(
+            tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "left_anti"), bySourceArms)
+          // NULL merge keys cannot ride a keyed rewrite (equality never
+          // matches NULL): in the matched arms they simply never match —
+          // correct SQL — but the BY SOURCE anti-join SELECTS them, and
+          // silently skipping would be a wrong answer; refuse loudly
+          val nullKeyed = h.filter(
+            keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect()
+          require(nullKeyed.isEmpty,
+            "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
+              "merge keys, which the keyed rewrite cannot address; clean NULL " +
+              "keys first (deleteWhere on the null predicate)")
+          Some((b, h))
+        }
+      val insertRows = insert.map { iCond =>
+        // star-aligned INSERT of source rows matching NO target key; a
+        // row that matched but failed every matched gate is still
+        // matched — never inserted
+        val unmatched = srcDf.join(tgtDf, GraftDmlShim.column(cond.e), "left_anti")
+        val gatedIns = iCond
+          .map(c => unmatched.filter(GraftDmlShim.column(c.e)))
+          .getOrElse(unmatched)
+        gatedIns.select(targetCols.map(c => typed(col(c), c).as(c)): _*)
+      }
+      val batch = (matchedPiece.map(_._1) ++ bySourcePiece.map(_._1) ++ insertRows)
+        .reduce(_.unionByName(_))
+      val probe = (matchedPiece.map(_._2) ++ bySourcePiece.map(_._2))
+        .reduceOption(_.unionByName(_))
+      // probe = the arms' hit keys (whole keys being replaced); an
+      // insert-only MERGE probes its own batch keys, which match
+      // nothing by construction — a plain append in rewrite clothing
+      VersionedLake.upsert(spark, tableDir, batch, keys, probeKeys = probe): Unit
+      Nil
+    } finally srcDf.unpersist(blocking = false)
   }
 
   override def simpleString(maxFields: Int): String =
     s"MergePartialLakeCommand $tableDir keys=${keys.mkString(",")} " +
-      s"set=${assignments.map(_._1).mkString(",")} insert=${insert.isDefined}"
+      s"matched=${matchedArms.size} insert=${insert.isDefined} " +
+      s"bySource=${bySourceArms.size}"
 }
 
 /** `UPDATE` executed as the lake's minimal copy-on-write. */

@@ -341,6 +341,47 @@ object Relational5 {
             |  o_totalprice = round(t.o_totalprice * 2, 2)""".stripMargin): Unit
   }
 
+  /** Three-clause MERGE fixture: its own 3-range-commit orders table. */
+  private def ensureFullOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    ensureRangeOrders(s, dir, "fmerge_orders")
+
+  /** The THREE-CLAUSE MERGE q_catalog_merge_full times — the full
+    * mirror-table sync in one statement and ONE atomic commit:
+    * `WHEN MATCHED UPDATE` (partial SET from source columns) +
+    * `WHEN NOT MATCHED INSERT *` + `WHEN NOT MATCHED BY SOURCE AND p
+    * THEN DELETE`. Convergent by construction: updates re-derive
+    * value-identically from the immutable orders source, inserts are
+    * matched (and re-updated value-identically) from run 2 on, and the
+    * by-source delete's gate rows are gone after run 1 — every timed
+    * iteration measures the steady-state keyed-CoW probe + rewrite.
+    */
+  private def runCatalogMergeFull(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureFullOrders(s, dir)
+    val mx = maxOrderKey(s, dir)
+    val third = mx / 3
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders
+      .filter(col("o_orderkey") > 2 * third &&
+        col("o_orderkey") <= 2 * third + third / 4)
+      .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 4)
+        .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice")))
+      .createOrReplaceTempView("fm_changes")
+    s.sql("""MERGE INTO graftcat.fmerge_orders t USING fm_changes c
+            |ON t.o_orderkey = c.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_orderstatus = c.o_orderstatus, o_totalprice = c.o_totalprice
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 1000 = 3
+            |  THEN DELETE""".stripMargin): Unit
+  }
+
   /** CDC-consumed lake: 3 appends, one merge-on-read upsert (updates
     * keys %97==5, inserts shifted new keys %101==11), one merge-on-read
     * delete (keys %89==7) — all built ONCE in warm-up. q_lake_cdc then
@@ -505,6 +546,7 @@ object Relational5 {
     runLakeUpsertMor(s, dir): Unit
     runCatalogMerge(s, dir)
     runCatalogMergePartial(s, dir)
+    runCatalogMergeFull(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -1130,6 +1172,40 @@ object Relational5 {
              |             THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice
              |FROM orders, m""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-partial")),
+
+    // THREE-CLAUSE SQL MERGE — the full Delta-style mirror sync in ONE
+    // statement and ONE atomic commit: gated matched UPDATE (partial
+    // SET), star INSERT, and a gated NOT MATCHED BY SOURCE DELETE.
+    // All three populations (inner join, source anti-join, target
+    // anti-join) land in a single keyed minimal-CoW upsert whose probe
+    // is the union of the arms' hit keys — O(touched directories), one
+    // manifest commit. Oracle: the synced truth over the source tables.
+    QueryDef(
+      "q_catalog_merge_full",
+      (s, dir) => {
+        runCatalogMergeFull(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.fmerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  -- carried: neither updated (range) nor by-source-deleted (gate)
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE NOT (o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 4)
+             |    AND o_orderkey % 1000 <> 3
+             |  UNION ALL
+             |  -- matched arm: partial SET from the source's derived columns
+             |  SELECT o_orderkey, 'S', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 4
+             |  UNION ALL
+             |  -- insert arm: above-max keys, immune to the delete gate
+             |  SELECT o_orderkey + mx + 1, 'N', round(o_totalprice, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-full")),
 
     // SQL point lookup through the catalog — the read path a 100 TB
     // point SELECT takes: pushed filter → manifest stats pruning

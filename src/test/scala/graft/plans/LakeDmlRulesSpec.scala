@@ -272,7 +272,81 @@ class LakeDmlRulesSpec extends SparkSpec {
       s"silently skipping a NULL-keyed unmatched row would be a wrong answer; got: ${e.getMessage}")
   }
 
-  test("out-of-shape MERGE (combined matched + by-source actions) falls through") {
+  test("three-clause MERGE (the full mirror sync) lands in ONE commit") {
+    root
+    spark.sql("CREATE TABLE gdml.fsync (k BIGINT, v STRING, stale BOOLEAN)")
+    spark.sql(
+      "INSERT INTO gdml.fsync VALUES (1, 'a', false), (2, 'b', false), (3, 'c', false)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW fsync_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'a2', false),
+                |  (CAST(9 AS BIGINT), 'new', false) AS t(k, v, stale)""".stripMargin)
+    val before = VersionedLake.currentVersion(spark, s"$root/fsync").get
+    spark.sql("""MERGE INTO gdml.fsync t USING fsync_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET v = c.v
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.fsync ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a2"), (9L, "new")),
+      "matched updated, unmatched inserted, by-source deleted")
+    assert(VersionedLake.currentVersion(spark, s"$root/fsync").get === before + 1,
+      "the three clauses must land as ONE atomic commit")
+  }
+
+  test("three-clause MERGE with gates: by-source UPDATE marks, matched gate filters") {
+    root
+    spark.sql("CREATE TABLE gdml.sync2 (k BIGINT, v STRING, stale BOOLEAN)")
+    spark.sql(
+      "INSERT INTO gdml.sync2 VALUES (1, 'a', false), (2, 'b', false), (3, 'keep', false)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sync2_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'a2', false),
+                |  (CAST(2 AS BIGINT), 'skip', false),
+                |  (CAST(7 AS BIGINT), 'n7', false) AS t(k, v, stale)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.sync2 t USING sync2_src c ON t.k = c.k
+                |WHEN MATCHED AND c.v <> 'skip' THEN UPDATE SET v = c.v
+                |WHEN NOT MATCHED AND c.v <> 'skip' THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE AND t.v = 'keep' THEN UPDATE SET stale = true""".stripMargin)
+    val got = spark.sql("SELECT k, v, stale FROM gdml.sync2 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, "a2", false),   // matched, gate passed
+      (2L, "b", false),    // matched, gate failed: untouched
+      (3L, "keep", true),  // by-source, gate passed: marked stale
+      (7L, "n7", false)))  // unmatched, insert gate passed
+  }
+
+  test("multiple matched arms: first passing gate wins, SQL clause order") {
+    root
+    spark.sql("CREATE TABLE gdml.arms (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.arms VALUES (1, 'del-me'), (2, 'upd-me'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW arms_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x'),
+                |  (CAST(2 AS BIGINT), 'y') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.arms t USING arms_src c ON t.k = c.k
+                |WHEN MATCHED AND t.v = 'del-me' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = c.v""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.arms ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "y"), (3L, "c")),
+      "first arm deletes its gated row; second arm updates the rest")
+  }
+
+  test("duplicate source keys matching NO target row legally insert twice") {
+    root
+    spark.sql("CREATE TABLE gdml.dupok (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.dupok VALUES (1, 'a')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW dupok_src AS
+                |SELECT * FROM VALUES (CAST(7 AS BIGINT), 'x'),
+                |  (CAST(7 AS BIGINT), 'y') AS t(k, v)""".stripMargin)
+    // unmatched duplicates are legal SQL MERGE — both rows insert; only
+    // duplicates on a MATCHED key violate the unique-match rule
+    spark.sql("""MERGE INTO gdml.dupok t USING dupok_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET v = c.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gdml.dupok WHERE k = 7").head().getLong(0) === 2L)
+  }
+
+  test("out-of-shape MERGE (key reassignment) still falls through loudly") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gdml.oos VALUES (1, 'a')")
@@ -280,8 +354,7 @@ class LakeDmlRulesSpec extends SparkSpec {
                 |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
     val e = intercept[Exception](
       spark.sql("""MERGE INTO gdml.oos t USING oos_src c ON t.k = c.k
-                  |WHEN MATCHED THEN UPDATE SET *
-                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
-    assert(e != null, "a combined matched + by-source action list is outside the rewrite")
+                  |WHEN MATCHED THEN UPDATE SET k = c.k + 100""".stripMargin))
+    assert(e != null, "key reassignment is outside the rewrite and must refuse")
   }
 }
