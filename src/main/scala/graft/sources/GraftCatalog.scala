@@ -243,8 +243,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * empty append carries the declaration, and the INSERT carry rule
     * propagates it to every later write; already-committed directories
     * keep whatever they declared (retrofitting them would be a rewrite —
-    * that is OPTIMIZE's job). Anything else (drop, rename, retype)
-    * would need a rewrite or column mapping: refused.
+    * that is OPTIMIZE's job). RENAME/DROP COLUMN and ALTER COLUMN TYPE
+    * (widening only) ride the metadata-only commits
+    * ([[VersionedLake.renameColumn]]/[[VersionedLake.dropColumn]]/
+    * [[VersionedLake.widenColumn]]); anything else is refused.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -295,12 +297,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames.length == 1,
           s"nested DROP COLUMN not supported: ${d.fieldNames.mkString(".")}")
         VersionedLake.dropColumn(spark, dir, d.fieldNames.head): Unit
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"nested ALTER COLUMN TYPE not supported: ${u.fieldNames.mkString(".")}")
+        VersionedLake.widenColumn(spark, dir, u.fieldNames.head, u.newDataType): Unit
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMN, RENAME COLUMN, DROP COLUMN and " +
-          s"check./stats./bloom. properties, got $c")
+        s"graft catalog supports ADD COLUMN, RENAME COLUMN, DROP COLUMN, " +
+          s"ALTER COLUMN TYPE (widening) and check./stats./bloom. properties, got $c")
     }
     if (added.nonEmpty || statsCols.nonEmpty || bloomCols.nonEmpty) {
-      val widened = StructType(prior.fields ++ added)
+      // re-read the CURRENT schema: a change list mixing rename/drop/widen
+      // (each its own commit, executed above) with ADD COLUMN would
+      // otherwise publish a schema built from the pre-loop snapshot — a
+      // half-applied ALTER failing at the aka/tombstone guard AFTER the
+      // earlier commits landed (reachable via the DSv2 API, not SQL)
+      val base = VersionedLake.currentVersion(spark, dir)
+        .flatMap(v => VersionedLake.versionSchema(spark, dir, v))
+        .getOrElse(prior)
+      val widened = StructType(base.fields ++ added)
       (statsCols ++ bloomCols).foreach(c => require(widened.fieldNames.contains(c),
         s"skipping-layer column '$c' not in schema"))
       val empty = spark.createDataFrame(
@@ -488,9 +502,15 @@ final class LakeChangesTable(
             val df = df0.select(feedSchema.fields.map { f =>
               val variants = aliases.getOrElse(f.name, Seq(f.name))
                 .filter(df0.columns.contains)
+              // cast up when the narrowed window predates a widen_column
+              // (its frames carry the narrow type); no-op casts elide
+              def up(c: org.apache.spark.sql.Column) =
+                if (df0.schema.fields.exists(u =>
+                  variants.contains(u.name) && u.dataType != f.dataType)) c.cast(f.dataType)
+                else c
               if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
-              else if (variants.size == 1) col(variants.head).as(f.name)
-              else org.apache.spark.sql.functions.coalesce(variants.map(col): _*).as(f.name)
+              else if (variants.size == 1) up(col(variants.head)).as(f.name)
+              else up(org.apache.spark.sql.functions.coalesce(variants.map(col): _*)).as(f.name)
             }.toIndexedSeq: _*)
             (new BaseRelation with TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = ctx

@@ -1688,9 +1688,16 @@ object VersionedLake {
       unioned.select(outSchema.fields.map { f =>
         val variants = aliases.getOrElse(f.name, Seq(f.name))
           .filter(unioned.columns.contains)
+        // cast up when a widen_column happened inside the window and
+        // every frame carried the narrow type (union coercion already
+        // widened mixed windows); a no-op cast is elided by Catalyst
+        def up(c: org.apache.spark.sql.Column) =
+          if (unioned.schema.fields.exists(u =>
+            variants.contains(u.name) && u.dataType != f.dataType)) c.cast(f.dataType)
+          else c
         if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
-        else if (variants.size == 1) col(variants.head).as(f.name)
-        else coalesce(variants.map(col): _*).as(f.name)
+        else if (variants.size == 1) up(col(variants.head)).as(f.name)
+        else up(coalesce(variants.map(col): _*)).as(f.name)
       }.toIndexedSeq: _*)
     }
   }
@@ -1751,7 +1758,7 @@ object VersionedLake {
         if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
       case "optimize" | "materialize" =>
         NoDelta // layout-only: identical logical rows before and after
-      case "rename_column" | "drop_column" =>
+      case "rename_column" | "drop_column" | "widen_column" =>
         NoDelta // metadata-only: the schema changed, no logical row did
       case "delete_mor" =>
         newDels.map(preImages).reduceOption(_.unionByName(_))
@@ -1818,8 +1825,16 @@ object VersionedLake {
         .getOrElse(nullableAll(
           spark.read.parquet(s"$tableDir/changes/${a.artifact}").schema))
       s.fields.foreach { f =>
-        if (f.name != "_change_type" && !fields.contains(f.name))
-          fields(f.name) = StructField(f.name, f.dataType, nullable = true)
+        if (f.name != "_change_type")
+          fields.get(f.name) match {
+            case None =>
+              fields(f.name) = StructField(f.name, f.dataType, nullable = true)
+            case Some(prev) if isWidening(prev.dataType, f.dataType) =>
+              // a widen_column inside the span: request the WIDEST type —
+              // the parquet readers promote each narrower file at scan
+              fields(f.name) = StructField(f.name, f.dataType, nullable = true)
+            case Some(_) => ()
+          }
       }
     }
     val readSchema = StructType(
@@ -2963,6 +2978,114 @@ object VersionedLake {
       buckets = dirBuckets(spark, tableDir, cur),
       txns = txnWatermarks(spark, tableDir, cur),
       eqdeletes = eqd, op = "drop_column")
+  }
+
+  /** The metadata-only widening lattice: exactly the promotions this
+    * Spark's parquet readers perform per-file at scan time (SPARK-40876,
+    * probed in WideningProbeSpec on BOTH the vectorized and row-based
+    * paths) — a manifest schema can only ever be as wide as every
+    * physical file can serve.
+    */
+  private def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (intRank.contains(from) && intRank.contains(to) &&
+      intRank(from) < intRank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
+  /** METADATA-ONLY TYPE WIDENING — the third face of the field-id
+    * bargain ([[renameColumn]], [[dropColumn]]): one manifest commit in
+    * which the column takes a STRICTLY WIDER type (integral up-chain to
+    * BIGINT, FLOAT→DOUBLE). No file rewrites: the parquet readers
+    * promote each file's narrower physical type at scan time (probed in
+    * WideningProbeSpec for both reader paths), old versions
+    * time-travel-read under their own manifests' types, and future
+    * batches must supply the widened type (the [[mergeSchemas]] equality
+    * check — cast before committing, same contract as any type
+    * mismatch).
+    *
+    * Skipping layers stay CONSERVATIVE across the commit:
+    *   - integral stats lines carry verbatim — the stored string renders
+    *     are exact integers, so numeric comparison against widened
+    *     literals is unchanged;
+    *   - a FLOAT column's stats lines DROP: a float's shortest string
+    *     render re-parses to a double that can sit on the wrong side of
+    *     the true value (0.1f renders "0.1" < its exact double
+    *     0.10000000149...), so a boundary literal could wrongly prune a
+    *     directory containing matches — no pruning beats wrong pruning
+    *     until the next rewrite recomputes stats in the double domain;
+    *   - the column's BLOOM entries drop: xxhash64 hashes INT and LONG
+    *     values differently, so a probe literal cast to the widened type
+    *     would miss filters built in the narrow domain.
+    *
+    * Refused, loudly (same guards as rename): hive-partition columns
+    * (their values live in directory names, rendered in the narrow
+    * domain), bucketed layouts (bucket hashes change with the type),
+    * and pending merge-on-read delete keys (the delete files carry
+    * narrow-typed keys; materialize first).
+    */
+  def widenColumn(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Long = retryOnConflict() {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
+    val field = schema.fields.find(f => f.name.equalsIgnoreCase(name) && !isDropped(f))
+      .getOrElse(throw new IllegalArgumentException(s"no column '$name' in $tableDir"))
+    require(isWidening(field.dataType, to),
+      s"cannot widen '$name' from ${field.dataType.sql} to ${to.sql}: only " +
+        "strictly-wider integral promotions and FLOAT->DOUBLE are " +
+        "metadata-only (anything else needs a rewrite)")
+    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a hive-partition column; its values are rendered into " +
+        "directory names in the narrow domain - widening requires a layout rewrite")
+    require(dirBuckets(spark, tableDir, cur).isEmpty,
+      s"$tableDir@v$cur carries a bucket spec; bucket hashes change with " +
+        "the type - widen after re-bucketing or on the unbucketed layout")
+    val eqd = dirEqDeletes(spark, tableDir, cur)
+    require(!eqd.exists(_.keys.exists(_.equalsIgnoreCase(name))),
+      s"pending merge-on-read deletes are keyed on '$name'; run " +
+        "materializeDeletes first")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(name) && !isDropped(f))
+        StructField(f.name, to, f.nullable, f.metadata)
+      else f
+    })
+    val dropStats = field.dataType == org.apache.spark.sql.types.FloatType
+    val stats =
+      if (!dropStats) dirStats(spark, tableDir, cur)
+        .map { case (d, cols) => d -> statsJson(cols) }
+      else dirStats(spark, tableDir, cur).flatMap { case (d, cols) =>
+        val kept = cols.filterNot { case (c, _) => c.equalsIgnoreCase(name) }
+        if (kept.isEmpty) None else Some(d -> statsJson(kept))
+      }
+    // bloom carry minus the widened column: parse, drop, re-render (a
+    // line left with no columns drops entirely)
+    val blooms = dirBloomsRaw(spark, tableDir, cur).flatMap { case (d, json) =>
+      import org.json4s.JsonAST._
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case JObject(fields) =>
+          val kept = fields.filterNot { case (c, _) => c.equalsIgnoreCase(name) }
+          if (kept.isEmpty) None
+          else Some(d -> org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(JObject(kept))))
+        case _ => Some(d -> json)
+      }
+    }
+    publishManifest(spark, tableDir, manifest(spark, tableDir, cur), newSchema,
+      stats, blooms,
+      expectedBase = Some(Some(cur)),
+      buckets = dirBuckets(spark, tableDir, cur),
+      txns = txnWatermarks(spark, tableDir, cur),
+      eqdeletes = eqd, op = "widen_column")
   }
 
   /** OPTIMIZE: rewrite the published version's N data directories into
