@@ -393,14 +393,28 @@ final case class MergePartialLakeCommand(
           .getOrElse(unmatched)
         gatedIns.select(targetCols.map(c => typed(col(c), c).as(c)): _*)
       }
+      // persist the BOUNDED frames (touched rows / touched keys — never
+      // the target): the upsert evaluates its batch for the key-range
+      // probe, the directory rewrite, the appended directory, AND the
+      // artifact classification — un-cached, each evaluation re-runs the
+      // target×source joins (the driver record showed the three-clause
+      // statement paying ~4× its own scan cost). `flat` stays UNcached
+      // on purpose: the by-source population pre-gate can approach the
+      // target's size, and caching it would not survive 100 TB.
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       val batch = (matchedPiece.map(_._1) ++ bySourcePiece.map(_._1) ++ insertRows)
-        .reduce(_.unionByName(_))
+        .reduce(_.unionByName(_)).persist(ser)
       val probe = (matchedPiece.map(_._2) ++ bySourcePiece.map(_._2))
-        .reduceOption(_.unionByName(_))
-      // probe = the arms' hit keys (whole keys being replaced); an
-      // insert-only MERGE probes its own batch keys, which match
-      // nothing by construction — a plain append in rewrite clothing
-      VersionedLake.upsert(spark, tableDir, batch, keys, probeKeys = probe): Unit
+        .reduceOption(_.unionByName(_)).map(_.persist(ser))
+      try {
+        // probe = the arms' hit keys (whole keys being replaced); an
+        // insert-only MERGE probes its own batch keys, which match
+        // nothing by construction — a plain append in rewrite clothing
+        VersionedLake.upsert(spark, tableDir, batch, keys, probeKeys = probe): Unit
+      } finally {
+        probe.foreach(_.unpersist(blocking = false))
+        batch.unpersist(blocking = false)
+      }
       Nil
     } finally srcDf.unpersist(blocking = false)
   }

@@ -229,6 +229,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     properties.asScala.toSeq.sortBy(_._1).foreach {
       case (k, pred) if k.startsWith("check.") =>
         LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
+      case (k, v) if k.startsWith("cdc.") =>
+        LakeProps.set(spark, dir, k, v)
       case _ =>
     }
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
@@ -289,6 +291,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         bloomBits = p.value.toInt
       case p: TableChange.SetProperty if p.property == "bloom.k" =>
         bloomK = p.value.toInt
+      case p: TableChange.SetProperty if p.property.startsWith("cdc.") =>
+        LakeProps.set(spark, dir, p.property, p.value)
+      case p: TableChange.RemoveProperty if p.property.startsWith("cdc.") =>
+        LakeProps.unset(spark, dir, p.property)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")
@@ -603,7 +609,11 @@ final class LakeTable(
       .exists(_.dirs.exists(dirs.contains))
     val renamed = VersionedLake.hasRenames(VersionedLake.visibleSchema(
       VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType())))
-    if (pending || renamed) Some(v) else None
+    // partition-spec evolution reads per-spec groups (the library read's
+    // per-dir unions); one multi-root parquet scan would refuse the
+    // mixed k=v / flat layout outright
+    val mixed = VersionedLake.hasMixedPartitionSpecs(spark, tableDir, v)
+    if (pending || renamed || mixed) Some(v) else None
   }
 
   /** The library read of `v`, for [[readThroughVersion]]'s splice. */
@@ -641,6 +651,7 @@ final class LakeTable(
       .values.flatMap(_.keys).toSeq.distinct.sorted
     (Map("provider" -> "graft-lake", "location" -> tableDir, "version" -> v.toString) ++
       checks ++
+      LakeProps.get(spark, tableDir) ++
       (if (statCols.nonEmpty) Map("stats.cols" -> statCols.mkString(",")) else Map.empty) ++
       (if (bloomCols.nonEmpty) Map("bloom.cols" -> bloomCols.mkString(",")) else Map.empty)).asJava
   }
@@ -670,7 +681,8 @@ final class LakeTable(
     // name), while the bridged read coalesces the name variants.
     if (pending.nonEmpty ||
       VersionedLake.hasRenames(VersionedLake.visibleSchema(
-        VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType()))))
+        VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType()))) ||
+      VersionedLake.hasMixedPartitionSpecs(spark, tableDir, v))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

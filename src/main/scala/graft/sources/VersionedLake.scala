@@ -65,8 +65,9 @@ object VersionedLake {
     * columns a file predates — ONE scan over all directories, no
     * `mergeSchema` footer sweep (which would re-read 10^5 footers per
     * read on a year of micro-batch commits). Same-name columns must
-    * keep their type across commits; widening is a rewrite
-    * ([[optimize]] after an explicit cast), not a silent cast.
+    * keep their type across commits — batches cast before committing;
+    * the sanctioned exception is [[widenColumn]]'s metadata-only
+    * promotion, where the readers themselves upcast each file.
     * Manifests written before this header existed read as before
     * (first-file schema), so old tables stay readable.
     */
@@ -189,6 +190,19 @@ object VersionedLake {
     * by vacuum while any kept manifest cites them.
     */
   private val ChangesHeader = "#changes="
+
+  /** Manifest comment line recording one data directory's hive-partition
+    * column chain: `#parts=<dir>\t["day","region"]`. Written at the
+    * directory's FIRST manifest (from its self-describing `k=v` layout)
+    * and carried verbatim afterwards — the layer that makes PARTITION
+    * SPEC EVOLUTION first-class: a version may mix directories written
+    * under different specs (or none), readers group per spec, and the
+    * mixed-spec detection costs one memoized manifest parse instead of
+    * an O(dirs) directory walk per plan. Directories without a line are
+    * unpartitioned (or predate the header, which can only happen for
+    * single-spec tables — evolution requires commits made after it).
+    */
+  private val PartsHeader = "#parts="
 
   /** Field-metadata key carrying a renamed column's FORMER physical
     * names — the lake's field-id indirection. [[renameColumn]] is a
@@ -919,6 +933,52 @@ object VersionedLake {
       }
       .toMap
 
+  /** Raw partition-spec JSON per directory, for O(delta) carry-forward. */
+  private def dirPartsRaw(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, String] =
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(PartsHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(PartsHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None else Some(rest.substring(0, tab) -> rest.substring(tab + 1))
+      }
+      .toMap
+
+  /** Per-directory hive-partition column chains a version's manifest
+    * carries: dir -> columns in layout order. Directories without a line
+    * are unpartitioned (or predate the header).
+    */
+  def dirParts(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Seq[String]] = {
+    import org.json4s.JsonAST._
+    dirPartsRaw(spark, tableDir, version).flatMap { case (d, json) =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.collect {
+        case JArray(vs) => d -> vs.collect { case JString(c) => c }
+      }
+    }
+  }
+
+  /** Whether the version's directories were written under MORE THAN ONE
+    * partition spec (flat counts as a spec) — the partition-evolution
+    * read shape. One memoized manifest parse; manifests predating the
+    * parts header report their dirs as flat, which is only reachable for
+    * single-spec tables (evolution needs post-header commits), so the
+    * detection cannot misclassify an evolved table.
+    */
+  def hasMixedPartitionSpecs(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Boolean = {
+    val specs = dirParts(spark, tableDir, version)
+    manifest(spark, tableDir, version)
+      .map(d => specs.getOrElse(d, Nil)).distinct.sizeIs > 1
+  }
+
   /** The operation that produced a version, when its manifest records
     * one (manifests predating the op header yield None).
     */
@@ -1150,6 +1210,26 @@ object VersionedLake {
         .orElse(dirRowMeta(spark, tableDir, d).map { case (n, b) => rowsJson(n, b) })
         .map(j => s"$RowsHeader$d\t$j")
     }
+    // partition-spec lines: carried verbatim for known dirs (immutable
+    // layout), walked off the self-describing k=v structure for dirs
+    // entering a manifest for the first time — O(delta) like the row
+    // layer, zero call-site involvement. Only partitioned dirs write a
+    // line; absence = flat.
+    val priorParts = cur.map(v => dirPartsRaw(spark, tableDir, v)).getOrElse(Map.empty)
+    val partsLines = dirs.flatMap { d =>
+      priorParts.get(d)
+        .orElse {
+          val chain = scala.util.Try(partitionColsOf(spark, tableDir, d)).getOrElse(Nil)
+          if (chain.isEmpty) None
+          else {
+            import org.json4s.JsonAST._
+            Some(org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(
+                JArray(chain.map(JString(_): JValue).toList))))
+          }
+        }
+        .map(j => s"$PartsHeader$d\t$j")
+    }
     val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
     val bloomLines = dirs.flatMap(d => blooms.get(d).map(j => s"$BloomHeader$d\t$j"))
     val bucketLines = dirs.flatMap(d => buckets.get(d).map { case (key, n) =>
@@ -1178,8 +1258,8 @@ object VersionedLake {
       }
     val changesLines = changes.map(c => s"$ChangesHeader$c").toSeq
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
-      (rowsLines ++ statsLines ++ bloomLines ++ bucketLines ++ txnLines ++ eqLines ++
-        changesLines ++ dirs)
+      (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ bucketLines ++
+        txnLines ++ eqLines ++ changesLines ++ dirs)
     createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
@@ -1470,7 +1550,13 @@ object VersionedLake {
     */
   def partitionColumns(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
     manifest(spark, tableDir, version).lastOption
-      .map(d => partitionColsOf(spark, tableDir, d))
+      .map { d =>
+        // the manifest's parts line answers without touching the FS;
+        // absence falls back to the self-describing walk (legacy
+        // manifests predating the header)
+        dirParts(spark, tableDir, version).get(d)
+          .getOrElse(partitionColsOf(spark, tableDir, d))
+      }
       .getOrElse(Nil)
 
   private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] = {
@@ -2074,7 +2160,10 @@ object VersionedLake {
       // commit's own delta. Classification is key-granular: a key with
       // both surviving and vanishing rows reports all its pre-images as
       // update_preimage — replay (remove pre, add post) stays exact.
-      val changesName = if (!changeArtifact) None else Some {
+      // the per-call parameter AND the table-level `cdc.artifacts`
+      // property both gate the artifact (SQL DML has no per-call knob)
+      val changesName = if (!changeArtifact ||
+        !LakeProps.cdcArtifacts(spark, tableDir)) None else Some {
         val affected = kr.rewritten.keySet
         val frame =
           if (affected.isEmpty) updates.withColumn("_change_type", lit("insert"))
@@ -2272,7 +2361,8 @@ object VersionedLake {
       val newDirs = kr.survivingDirs
       // CDC artifact: the deleted rows ARE the matched pre-images of the
       // affected directories
-      val changesName = if (!changeArtifact) None else Some {
+      val changesName = if (!changeArtifact ||
+        !LakeProps.cdcArtifacts(spark, tableDir)) None else Some {
         val affected = kr.rewritten.keySet
         val frame =
           if (affected.isEmpty)
@@ -2805,7 +2895,7 @@ object VersionedLake {
       // the extra matched-rows pass and the artifact write; the change
       // feed then refuses this window, like any artifact-less rewrite.
       val changesName =
-        if (!changeArtifact) None
+        if (!changeArtifact || !LakeProps.cdcArtifacts(spark, tableDir)) None
         else {
           val matchedRows =
             if (affected.isEmpty)
