@@ -210,19 +210,32 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         case _ =>
           val matchedArms = matched.map(arm)
           val bySourceArms = bySource.map(arm)
-          val insertOpt: Option[Option[Option[ExprHolder]]] = notMatched match {
-            case Seq() => Some(None)
+          // three-way classification made EXPLICIT (an earlier cut
+          // encoded it as Option nesting depth, where collapsing the
+          // wrong layer silently turns "unsupported, leave to Spark"
+          // into "merge with no insert" and still type-checks)
+          sealed trait InsertShape
+          case object InsertUnsupported extends InsertShape
+          case object NoInsertClause extends InsertShape
+          case class StarInsert(gate: Option[ExprHolder]) extends InsertShape
+          val insertShape: InsertShape = notMatched match {
+            case Seq() => NoInsertClause
             case Seq(InsertAction(iCond, ia))
                 if isStarAligned(ia, targetCols, source) &&
                   iCond.forall(!hasSubquery(_)) =>
-              Some(Some(iCond.map(ExprHolder)))
-            case _ => None
+              StarInsert(iCond.map(ExprHolder))
+            case _ => InsertUnsupported
           }
           if (matchedArms.exists(_.isEmpty) || bySourceArms.exists(_.isEmpty) ||
-            insertOpt.isEmpty) m
+            insertShape == InsertUnsupported) m
           else MergePartialLakeCommand(
             lake.tableDir, target, source, ExprHolder(cond),
-            matchedArms.flatten, insertOpt.get, bySourceArms.flatten,
+            matchedArms.flatten,
+            insertShape match {
+              case StarInsert(g) => Some(g)
+              case _             => None
+            },
+            bySourceArms.flatten,
             targetCols.map(_.name), ks)
       }
   }

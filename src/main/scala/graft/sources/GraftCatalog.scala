@@ -256,6 +256,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new NoSuchTableException(ident))
     val prior = VersionedLake.versionSchema(spark, dir, cur)
       .getOrElse(VersionedLake.readVersion(spark, dir, cur).schema)
+    // one change list mixing a name mutation (RENAME/DROP, each its own
+    // commit executed mid-loop) with ADD COLUMN is refused UP FRONT: the
+    // add guards validate names against the pre-loop snapshot, so letting
+    // the mix proceed could rebind a just-created former name or publish
+    // a duplicate field — and failing later would leave the rename/drop
+    // commit published with the add lost (a half-applied ALTER). Only
+    // reachable via the DSv2 API; SQL sends one change per statement.
+    locally {
+      val mutatesNames = changes.exists {
+        case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
+        case _ => false
+      }
+      require(!(mutatesNames && changes.exists(_.isInstanceOf[TableChange.AddColumn])),
+        "one ALTER mixing RENAME/DROP COLUMN with ADD COLUMN is not " +
+          "supported (name guards cannot straddle the intermediate " +
+          "commits); issue the changes as separate ALTER statements")
+    }
     val added = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
     var statsCols: Seq[String] = Nil
     var bloomCols: Seq[String] = Nil
@@ -277,6 +294,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           VersionedLake.akaNames(p).exists(_.equalsIgnoreCase(nm))),
           s"cannot add column '$nm': it is a former name of a renamed column " +
             "and old files still carry data under it")
+        require(!prior.fields.exists(p =>
+          p.name.equalsIgnoreCase(nm) && !VersionedLake.isDropped(p)) &&
+          !added.exists(_.name.equalsIgnoreCase(nm)),
+          s"cannot add column '$nm': it already exists")
         added += org.apache.spark.sql.types.StructField(
           nm, a.dataType, nullable = true)
       case p: TableChange.SetProperty if p.property.startsWith("check.") =>
@@ -505,19 +526,10 @@ final class LakeChangesTable(
               else VersionedLake.fieldAliases(
                 ctx.sparkSession, tableDir, feedSchema,
                 math.max(-1L, toV - 1), curV)
-            val df = df0.select(feedSchema.fields.map { f =>
-              val variants = aliases.getOrElse(f.name, Seq(f.name))
-                .filter(df0.columns.contains)
-              // cast up when the narrowed window predates a widen_column
-              // (its frames carry the narrow type); no-op casts elide
-              def up(c: org.apache.spark.sql.Column) =
-                if (df0.schema.fields.exists(u =>
-                  variants.contains(u.name) && u.dataType != f.dataType)) c.cast(f.dataType)
-                else c
-              if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
-              else if (variants.size == 1) up(col(variants.head)).as(f.name)
-              else up(org.apache.spark.sql.functions.coalesce(variants.map(col): _*)).as(f.name)
-            }.toIndexedSeq: _*)
+            // one shared projection with the library read
+            // ([[VersionedLake.alignToSchema]]): coalesce name variants,
+            // null-fill unseen fields, cast up across a widen
+            val df = VersionedLake.alignToSchema(df0, feedSchema, aliases)
             (new BaseRelation with TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = ctx
               override def schema: StructType = feedSchema

@@ -56,6 +56,15 @@ object VersionedLake {
 
   private val Pointer = "_latest"
 
+  /** Age beyond which a zero-length manifest is judged a crashed
+    * committer's orphan rather than an in-flight open-fenced publish.
+    * A manifest body is a few KB — an open-fence window (create → write
+    * → close) lives milliseconds; a zero-length file a minute old has no
+    * writer coming back for it. Kept well above any plausible
+    * write-stall so a slow-but-alive committer is never preempted.
+    */
+  private[graft] val OrphanManifestGraceMs = 60000L
+
   /** Manifest header line carrying the version's canonical schema as
     * single-line Spark JSON. Schema evolution design: the merged schema
     * is computed ONCE at commit time (union-by-name of the prior
@@ -623,8 +632,12 @@ object VersionedLake {
     // until the writer's close — resolving to it would hand readers a
     // version with no schema/op/dirs. Skip zero-length manifests (the
     // listing already carries lengths, no extra read): the fence window
-    // degrades to "previous version" instead of a broken read, and the
-    // complete file is picked up on the next resolution.
+    // degrades to "previous version" instead of a broken read. A writer
+    // that CRASHES inside the fence leaves the zero-length file forever;
+    // [[publishManifest]] detects that orphan on its claim conflict
+    // (stale beyond [[OrphanManifestGraceMs]]) and deletes it, so the
+    // table self-heals instead of wedging every later commit on a
+    // version this filter can never resolve to.
     val listed =
       if (!f.exists(manRoot)) None
       else f.listStatus(manRoot)
@@ -669,14 +682,30 @@ object VersionedLake {
     * a partial file, and caching one would poison every later read of a
     * version that IS eventually complete.
     */
-  private val manifestCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), (Long, Long, Seq[String])](
-        64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), (Long, Long, Seq[String])]): Boolean =
-          size() > 4096
-      })
+  // LRU bounded by WEIGHT (total manifest bytes), not entry count: a
+  // micro-batch table's manifest can run ~10^5 lines (MBs of strings),
+  // so a flat entry cap would let a wide t$changes window pin tens of
+  // GB on the driver. 256 MB holds thousands of ordinary manifests and
+  // a few dozen pathological ones — eviction is size-proportional either
+  // way. The byte stamp the validator already carries IS the weight.
+  private val ManifestCacheBudgetBytes = 256L * 1024 * 1024
+  private object manifestCache {
+    private var weight = 0L
+    private val m = new java.util.LinkedHashMap[(String, Long), (Long, Long, Seq[String])](
+      64, 0.75f, true)
+    def get(k: (String, Long)): (Long, Long, Seq[String]) = synchronized(m.get(k))
+    def remove(k: (String, Long)): Unit = synchronized {
+      val old = m.remove(k); if (old != null) weight -= old._2
+    }
+    def put(k: (String, Long), v: (Long, Long, Seq[String])): Unit = synchronized {
+      val old = m.put(k, v)
+      weight += v._2 - (if (old != null) old._2 else 0L)
+      val it = m.entrySet().iterator()
+      while (weight > ManifestCacheBudgetBytes && it.hasNext) {
+        val e = it.next(); weight -= e.getValue._2; it.remove()
+      }
+    }
+  }
 
   private def manifestLines(
       spark: SparkSession,
@@ -1219,7 +1248,11 @@ object VersionedLake {
     val partsLines = dirs.flatMap { d =>
       priorParts.get(d)
         .orElse {
-          val chain = scala.util.Try(partitionColsOf(spark, tableDir, d)).getOrElse(Nil)
+          // a walk failure MUST fail the commit: swallowing it would
+          // permanently record a partitioned directory as flat (absence
+          // = flat), mis-steering every later mixed-spec read of this
+          // version — the transient FS error is the recoverable one
+          val chain = partitionColsOf(spark, tableDir, d)
           if (chain.isEmpty) None
           else {
             import org.json4s.JsonAST._
@@ -1260,7 +1293,28 @@ object VersionedLake {
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
       (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ bucketLines ++
         txnLines ++ eqLines ++ changesLines ++ dirs)
-    createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    try createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    catch {
+      case e: CommitConflictException =>
+        // [[currentVersion]] skips zero-length manifests (open-fence
+        // window), so a committer that CRASHED between create and close
+        // leaves an orphan at exactly the version every later committer
+        // allocates — without this, the claim conflicts forever and the
+        // table is wedged. An orphan is distinguishable from an in-flight
+        // publish by age: delete it once it is stale beyond the grace
+        // window and re-claim. A racing live writer inside the grace
+        // window keeps its fence (we rethrow, the retry loop re-bases
+        // after its close lands).
+        val mp = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$next.txt")
+        val healed = scala.util.Try {
+          val st = fs(spark, tableDir).getFileStatus(mp)
+          st.getLen == 0 &&
+            System.currentTimeMillis() - st.getModificationTime > OrphanManifestGraceMs &&
+            fs(spark, tableDir).delete(mp, false)
+        }.getOrElse(false)
+        if (!healed) throw e
+        createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    }
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
@@ -1559,6 +1613,27 @@ object VersionedLake {
       }
       .getOrElse(Nil)
 
+  /** EVERY hive-partition column any of the version's directories is
+    * laid out under — the guard-side complement of [[partitionColumns]]
+    * (which answers "what spec do NEW appends follow" = newest dir).
+    * With partition-spec evolution a version legitimately mixes specs,
+    * so schema-evolution guards (rename/drop/widen refuse on partition
+    * columns) must check the UNION: a directory written under an OLDER
+    * spec partitioned by the column still renders its values into
+    * directory names. Answered from the manifest's parts lines (one
+    * memoized parse, no FS walk); manifests predating the header are
+    * single-spec by construction (evolution needs post-header commits),
+    * so the newest-dir fallback is representative there.
+    */
+  private[graft] def allPartitionColumns(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Set[String] = {
+    val byDir = dirParts(spark, tableDir, version)
+    if (byDir.nonEmpty) byDir.values.flatten.toSet
+    else partitionColumns(spark, tableDir, version).toSet
+  }
+
   private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] = {
     val f = fs(spark, tableDir)
     @scala.annotation.tailrec
@@ -1771,22 +1846,34 @@ object VersionedLake {
       val aliases =
         if (extraCols.isEmpty) Map.empty[String, Seq[String]]
         else fieldAliases(spark, tableDir, toSchema, fromVersion, toVersion)
-      unioned.select(outSchema.fields.map { f =>
-        val variants = aliases.getOrElse(f.name, Seq(f.name))
-          .filter(unioned.columns.contains)
-        // cast up when a widen_column happened inside the window and
-        // every frame carried the narrow type (union coercion already
-        // widened mixed windows); a no-op cast is elided by Catalyst
-        def up(c: org.apache.spark.sql.Column) =
-          if (unioned.schema.fields.exists(u =>
-            variants.contains(u.name) && u.dataType != f.dataType)) c.cast(f.dataType)
-          else c
-        if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
-        else if (variants.size == 1) up(col(variants.head)).as(f.name)
-        else up(coalesce(variants.map(col): _*)).as(f.name)
-      }.toIndexedSeq: _*)
+      alignToSchema(unioned, outSchema, aliases)
     }
   }
+
+  /** Normalize a change-feed frame to an output schema: one column per
+    * schema field, coalescing over every name VARIANT the field carried
+    * across the span (rename indirection), null-filling fields the frame
+    * never saw, casting up when the frame predates a widen_column (union
+    * coercion already widened mixed frames; a no-op cast elides). The
+    * ONE projection behind both [[readRowChanges]] and the SQL
+    * `t$changes` view, so schema-evolution features cannot diverge
+    * between the library and catalog read paths.
+    */
+  private[graft] def alignToSchema(
+      df: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType,
+      aliases: Map[String, Seq[String]]): DataFrame =
+    df.select(outSchema.fields.map { f =>
+      val variants = aliases.getOrElse(f.name, Seq(f.name))
+        .filter(df.columns.contains)
+      def up(c: org.apache.spark.sql.Column) =
+        if (df.schema.fields.exists(u =>
+          variants.contains(u.name) && u.dataType != f.dataType)) c.cast(f.dataType)
+        else c
+      if (variants.isEmpty) lit(null).cast(f.dataType).as(f.name)
+      else if (variants.size == 1) up(col(variants.head)).as(f.name)
+      else up(coalesce(variants.map(col): _*)).as(f.name)
+    }.toIndexedSeq: _*)
 
   /** One window version's contribution to the change feed. */
   private sealed trait VersionDelta
@@ -1933,8 +2020,13 @@ object VersionedLake {
         StructField("_commit_version", LongType, nullable = false))))
     spark.read.schema(readSchema)
       .parquet(arts.map(a => s"$tableDir/changes/${a.artifact}"): _*)
+      // the artifact id is the file's IMMEDIATE PARENT directory
+      // (artifacts are written unpartitioned: changes/<id>/part-*.parquet).
+      // Anchoring at the end matters: matching the first "/changes/"
+      // occurrence would mis-extract under a tableDir that itself
+      // contains a "changes" path segment, silently emptying the join.
       .withColumn("_chg_dir",
-        regexp_extract(input_file_name(), "/changes/([^/]+)/", 1))
+        regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1))
       .join(broadcast(dirDf), Seq("_chg_dir"))
       .drop("_chg_dir")
   }
@@ -2959,8 +3051,9 @@ object VersionedLake {
       s"'$newName' is a FORMER name of column '${
         schema.fields.find(f => akaNames(f).exists(_.equalsIgnoreCase(newName))).get.name
       }' — files still carry it, so reusing it would bind old data into the new column")
-    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(oldName)),
-      s"'$oldName' is a hive-partition column; renaming it requires a layout rewrite")
+    require(!allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(oldName)),
+      s"'$oldName' is a hive-partition column (in at least one directory's " +
+        "spec); renaming it requires a layout rewrite")
     // the bucketed read path materializes the schema as CREATE TABLE DDL
     // over the physical files with NO name indirection — renaming any
     // column of a bucketed version would silently null it (or break the
@@ -3030,8 +3123,9 @@ object VersionedLake {
       s"no column '$name' in $tableDir")
     require(visibleSchema(schema).fields.length > 1,
       s"cannot drop '$name': it is the table's only column")
-    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
-      s"'$name' is a hive-partition column; dropping it requires a layout rewrite")
+    require(!allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a hive-partition column (in at least one directory's " +
+        "spec); dropping it requires a layout rewrite")
     // same DDL-materialization hazard as renameColumn: the bucketed read
     // renders the RAW schema over physical files, which a tombstone would
     // leak into — any bucket spec refuses, not just the key
@@ -3134,9 +3228,10 @@ object VersionedLake {
       s"cannot widen '$name' from ${field.dataType.sql} to ${to.sql}: only " +
         "strictly-wider integral promotions and FLOAT->DOUBLE are " +
         "metadata-only (anything else needs a rewrite)")
-    require(!partitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
-      s"'$name' is a hive-partition column; its values are rendered into " +
-        "directory names in the narrow domain - widening requires a layout rewrite")
+    require(!allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a hive-partition column (in at least one directory's " +
+        "spec); its values are rendered into directory names in the narrow " +
+        "domain - widening requires a layout rewrite")
     require(dirBuckets(spark, tableDir, cur).isEmpty,
       s"$tableDir@v$cur carries a bucket spec; bucket hashes change with " +
         "the type - widen after re-bucketing or on the unbucketed layout")
@@ -3259,9 +3354,9 @@ object VersionedLake {
     retryOnConflict(maxAttempts = 4) {
       val cur = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
-      require(partitionColumns(spark, tableDir, cur).isEmpty,
+      require(allPartitionColumns(spark, tableDir, cur).isEmpty,
         "optimizeClustered serves unpartitioned tables; hive-partitioned " +
-          "tables compose optimize(parts, zorderBy) instead")
+          "tables (any directory's spec) compose optimize(parts, zorderBy) instead")
       val snapshot = readVersion(spark, tableDir, cur)
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
       val stage = java.util.UUID.randomUUID().toString
