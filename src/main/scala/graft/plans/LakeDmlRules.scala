@@ -47,15 +47,17 @@ import org.apache.spark.sql.graft.GraftDmlShim
   *   - `MERGE ... WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE /
   *     UPDATE SET ...` — the mirror-table sync arm, over the ANTI join.
   *   - Full composition: any number of gated `WHEN MATCHED` arms (first
-  *     passing gate wins, SQL clause order), an optional star-aligned
-  *     gated `WHEN NOT MATCHED THEN INSERT *`, and any number of gated
-  *     `WHEN NOT MATCHED BY SOURCE` arms — all in ONE statement and ONE
-  *     atomic keyed-CoW commit ([[MergePartialLakeCommand]]).
+  *     passing gate wins, SQL clause order), any number of gated `WHEN
+  *     NOT MATCHED THEN INSERT` arms (star or explicit column lists
+  *     with expressions over the source; unlisted columns insert NULL),
+  *     and any number of gated `WHEN NOT MATCHED BY SOURCE` arms — all
+  *     in ONE statement and ONE atomic keyed-CoW commit
+  *     ([[MergePartialLakeCommand]]).
   *
   * Statements outside this surface (non-equi merge conditions, key
-  * reassignment, partial-column INSERT, subqueries in predicates or
-  * assignments) are left untouched, so Spark surfaces its own clear
-  * "not supported" error instead of this rule guessing at semantics.
+  * reassignment, subqueries in predicates or assignments) are left
+  * untouched, so Spark surfaces its own clear "not supported" error
+  * instead of this rule guessing at semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
   * (`Expression.sql`), re-parsed at execution against the library
   * call's own fresh scan — storing unresolved expression fields on a
@@ -157,14 +159,14 @@ object LakeDmlRules extends Rule[LogicalPlan] {
 
     // MERGE, general composition: any of `WHEN MATCHED [AND p] THEN
     // UPDATE/DELETE` (multiple arms, first passing gate wins — SQL's
-    // clause-order semantics), `WHEN NOT MATCHED [AND q] THEN INSERT *`,
-    // and `WHEN NOT MATCHED BY SOURCE [AND r] THEN UPDATE/DELETE`
-    // (multiple arms) — in ONE statement, the full mirror-table sync.
-    // The two star-aligned fast paths keep their direct rendering
-    // (no flat-join machinery for the CDC shapes); everything else
-    // converts arm-by-arm, and any arm outside the supported surface
-    // (key reassignment, subqueries, non-star INSERT) leaves the
-    // statement untouched so Spark's own error surfaces.
+    // clause-order semantics), `WHEN NOT MATCHED [AND q] THEN INSERT`
+    // (multiple arms, star or explicit column lists), and `WHEN NOT
+    // MATCHED BY SOURCE [AND r] THEN UPDATE/DELETE` (multiple arms) —
+    // in ONE statement, the full mirror-table sync. The two star-aligned
+    // fast paths keep their direct rendering (no flat-join machinery for
+    // the CDC shapes); everything else converts arm-by-arm, and any arm
+    // outside the supported surface (key reassignment, subqueries)
+    // leaves the statement untouched so Spark's own error surfaces.
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
         if m.resolved && lakeOf(target).isDefined &&
           equiKeys(cond, target, source).isDefined =>
@@ -210,32 +212,31 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         case _ =>
           val matchedArms = matched.map(arm)
           val bySourceArms = bySource.map(arm)
-          // three-way classification made EXPLICIT (an earlier cut
-          // encoded it as Option nesting depth, where collapsing the
-          // wrong layer silently turns "unsupported, leave to Spark"
-          // into "merge with no insert" and still type-checks)
-          sealed trait InsertShape
-          case object InsertUnsupported extends InsertShape
-          case object NoInsertClause extends InsertShape
-          case class StarInsert(gate: Option[ExprHolder]) extends InsertShape
-          val insertShape: InsertShape = notMatched match {
-            case Seq() => NoInsertClause
-            case Seq(InsertAction(iCond, ia))
-                if isStarAligned(ia, targetCols, source) &&
-                  iCond.forall(!hasSubquery(_)) =>
-              StarInsert(iCond.map(ExprHolder))
-            case _ => InsertUnsupported
+          // INSERT arms generalize past star alignment: any column
+          // subset, expressions over the source, N gated arms (first
+          // passing gate wins — SQL clause order); unlisted target
+          // columns insert NULL. `INSERT *` resolves to same-name
+          // source-attribute assignments, so it is just the widest
+          // instance of the same shape. None = unsupported (subquery,
+          // non-source reference) → the statement stays untouched and
+          // Spark's own error surfaces.
+          def insArm(a: MergeAction): Option[InsertArm] = a match {
+            case InsertAction(iCond, ia)
+                if iCond.forall(c => !hasSubquery(c)) &&
+                  ia.forall(x => unwrap(x.key).isInstanceOf[AttributeReference] &&
+                    !hasSubquery(x.value) &&
+                    x.value.references.subsetOf(source.outputSet)) =>
+              Some(InsertArm(iCond.map(ExprHolder),
+                ia.map(x => unwrap(x.key).asInstanceOf[AttributeReference].name ->
+                  ExprHolder(x.value))))
+            case _ => None
           }
+          val insertArms = notMatched.map(insArm)
           if (matchedArms.exists(_.isEmpty) || bySourceArms.exists(_.isEmpty) ||
-            insertShape == InsertUnsupported) m
+            insertArms.exists(_.isEmpty)) m
           else MergePartialLakeCommand(
             lake.tableDir, target, source, ExprHolder(cond),
-            matchedArms.flatten,
-            insertShape match {
-              case StarInsert(g) => Some(g)
-              case _             => None
-            },
-            bySourceArms.flatten,
+            matchedArms.flatten, insertArms.flatten, bySourceArms.flatten,
             targetCols.map(_.name), ks)
       }
   }
@@ -255,13 +256,23 @@ final case class MergeArm(
     gate: Option[ExprHolder],
     assignments: Seq[(String, ExprHolder)])
 
+/** One gated `WHEN NOT MATCHED THEN INSERT` arm: `gate` the AND
+  * condition (None = unconditional), `assignments` the inserted
+  * (column, value-over-source) pairs — target columns not listed
+  * insert NULL, per SQL.
+  */
+final case class InsertArm(
+    gate: Option[ExprHolder],
+    assignments: Seq[(String, ExprHolder)])
+
 /** General `MERGE` executed as ONE keyed minimal copy-on-write: matched
   * arms re-derive rows from an inner join of target×source on the merge
   * condition (evaluated with the analyzer's resolved expressions, so
   * qualified references like `t.amt + c.delta` keep their meaning),
   * NOT MATCHED BY SOURCE arms run the same machinery over the ANTI
-  * join, and the star-aligned INSERT appends source rows matching no
-  * target key — all three populations land in a single
+  * join, and the INSERT arms append source rows matching no target key
+  * (first passing gate supplies the values, unlisted columns NULL) —
+  * all three populations land in a single
   * [[VersionedLake.upsert]] whose probe keys are the union of the arms'
   * hit keys, so only directories holding touched keys rewrite and the
   * statement stays one atomic commit.
@@ -281,7 +292,7 @@ final case class MergePartialLakeCommand(
     source: LogicalPlan,
     cond: ExprHolder,
     matchedArms: Seq[MergeArm],
-    insert: Option[Option[ExprHolder]],
+    insertArms: Seq[InsertArm],
     bySourceArms: Seq[MergeArm],
     targetCols: Seq[String],
     keys: Seq[String]) extends LeafRunnableCommand {
@@ -396,16 +407,34 @@ final case class MergePartialLakeCommand(
               "keys first (deleteWhere on the null predicate)")
           Some((b, h))
         }
-      val insertRows = insert.map { iCond =>
-        // star-aligned INSERT of source rows matching NO target key; a
-        // row that matched but failed every matched gate is still
-        // matched — never inserted
-        val unmatched = srcDf.join(tgtDf, GraftDmlShim.column(cond.e), "left_anti")
-        val gatedIns = iCond
-          .map(c => unmatched.filter(GraftDmlShim.column(c.e)))
-          .getOrElse(unmatched)
-        gatedIns.select(targetCols.map(c => typed(col(c), c).as(c)): _*)
-      }
+      val insertRows =
+        if (insertArms.isEmpty) None
+        else Some {
+          // INSERT arms over source rows matching NO target key (a row
+          // that matched but failed every matched gate is still matched
+          // — never inserted): first arm whose gate passes supplies the
+          // values, a row passing no arm is not inserted, unlisted
+          // target columns insert NULL
+          val unmatched = srcDf.join(tgtDf, GraftDmlShim.column(cond.e), "left_anti")
+          val armCol = insertArms.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+            when(a.gate.map(h => GraftDmlShim.column(h.e)).getOrElse(lit(true)), lit(i))
+              .otherwise(els)
+          }
+          val valCols = insertArms.zipWithIndex.flatMap { case (a, i) =>
+            a.assignments.map { case (n, h) =>
+              typed(GraftDmlShim.column(h.e), n).as(s"_ins_${i}_${n.toLowerCase}")
+            }
+          }
+          val flat = unmatched.select(armCol.as("_arm") +: valCols: _*)
+          flat.filter(col("_arm") >= 0).select(targetCols.map { c =>
+            val dt = committed(committed.fieldIndex(c)).dataType
+            insertArms.zipWithIndex.foldRight(lit(null).cast(dt)) { case ((a, i), els) =>
+              if (a.assignments.exists(_._1.equalsIgnoreCase(c)))
+                when(col("_arm") === i, col(s"_ins_${i}_${c.toLowerCase}")).otherwise(els)
+              else els
+            }.as(c)
+          }: _*)
+        }
       // persist the BOUNDED frames (touched rows / touched keys — never
       // the target): the upsert evaluates its batch for the key-range
       // probe, the directory rewrite, the appended directory, AND the
@@ -434,7 +463,7 @@ final case class MergePartialLakeCommand(
 
   override def simpleString(maxFields: Int): String =
     s"MergePartialLakeCommand $tableDir keys=${keys.mkString(",")} " +
-      s"matched=${matchedArms.size} insert=${insert.isDefined} " +
+      s"matched=${matchedArms.size} insert=${insertArms.size} " +
       s"bySource=${bySourceArms.size}"
 }
 

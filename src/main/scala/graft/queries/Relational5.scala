@@ -382,6 +382,53 @@ object Relational5 {
             |  THEN DELETE""".stripMargin): Unit
   }
 
+  /** The GATED NON-STAR INSERT-ARM MERGE q_catalog_merge_insarms times:
+    * two explicit-column-list insert arms (first passing gate wins) over
+    * sources that never match the matched arm's gate once inserted —
+    * arm A inserts an expression-derived price, arm B omits o_totalprice
+    * (NULL per SQL), and a third source band passes NO insert gate and
+    * must never land. Convergent from run 1: the matched arm's gate
+    * (status 'U') can only hit original-table keys, so re-runs re-derive
+    * value-identically from the immutable source; rows inserted by runs
+    * 1+ re-enter as MATCHED with statuses A/B, fail the gate, and stay
+    * untouched.
+    */
+  private def runCatalogMergeInsArms(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "imerge_orders")
+    val mx = maxOrderKey(s, dir)
+    val third = mx / 3
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders
+      .filter(col("o_orderkey") <= third / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 5)
+        .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+          lit("A").as("o_orderstatus"), col("o_totalprice")))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 5)
+        .select((col("o_orderkey") + 2 * mx + 2).as("o_orderkey"),
+          lit("B").as("o_orderstatus"), col("o_totalprice")))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 5)
+        .select((col("o_orderkey") + 3 * mx + 3).as("o_orderkey"),
+          lit("Z").as("o_orderstatus"), col("o_totalprice")))
+      .createOrReplaceTempView("im_changes")
+    s.sql("""MERGE INTO graftcat.imerge_orders t USING im_changes c
+            |ON t.o_orderkey = c.o_orderkey
+            |WHEN MATCHED AND c.o_orderstatus = 'U' THEN UPDATE SET
+            |  o_orderstatus = 'U', o_totalprice = c.o_totalprice
+            |WHEN NOT MATCHED AND c.o_orderstatus = 'A' THEN
+            |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            |  VALUES (c.o_orderkey, 'A', round(c.o_totalprice * 3, 2))
+            |WHEN NOT MATCHED AND c.o_orderstatus = 'B' THEN
+            |  INSERT (o_orderkey, o_orderstatus)
+            |  VALUES (c.o_orderkey, 'B')""".stripMargin): Unit
+  }
+
   /** CDC-consumed lake: 3 appends, one merge-on-read upsert (updates
     * keys %97==5, inserts shifted new keys %101==11), one merge-on-read
     * delete (keys %89==7) — all built ONCE in warm-up. q_lake_cdc then
@@ -547,6 +594,7 @@ object Relational5 {
     runCatalogMerge(s, dir)
     runCatalogMergePartial(s, dir)
     runCatalogMergeFull(s, dir)
+    runCatalogMergeInsArms(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -1206,6 +1254,43 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 4
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-full")),
+
+    // GATED NON-STAR INSERT-ARM MERGE — Delta-style conditional inserts:
+    // two explicit-column-list arms (first passing gate wins, SQL clause
+    // order), one deriving values by expression, one omitting a column
+    // (NULL per SQL), and a source band passing no gate that must never
+    // land. Same one-atomic-commit keyed minimal-CoW machinery as the
+    // other MERGE shapes; the arm dispatch is a single CASE column over
+    // the anti-join, so N arms cost one pass. Oracle: the armed truth.
+    QueryDef(
+      "q_catalog_merge_insarms",
+      (s, dir) => {
+        runCatalogMergeInsArms(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.imerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  -- carried: outside the matched arm's key band
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE o_orderkey > third // 4
+             |  UNION ALL
+             |  -- matched arm (gate 'U'): update from the immutable source
+             |  SELECT o_orderkey, 'U', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |  UNION ALL
+             |  -- insert arm A: expression-derived price
+             |  SELECT o_orderkey + mx + 1, 'A', round(o_totalprice * 3, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 5
+             |  UNION ALL
+             |  -- insert arm B: o_totalprice unlisted, inserts NULL
+             |  SELECT o_orderkey + 2 * mx + 2, 'B', NULL FROM orders, m
+             |  WHERE o_orderkey <= third // 5
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-insert-arms")),
 
     // SQL point lookup through the catalog — the read path a 100 TB
     // point SELECT takes: pushed filter → manifest stats pruning

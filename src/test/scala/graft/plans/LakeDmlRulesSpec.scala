@@ -346,6 +346,50 @@ class LakeDmlRulesSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdml.dupok WHERE k = 7").head().getLong(0) === 2L)
   }
 
+  test("non-star INSERT arms: explicit column lists, expressions, NULL for unlisted") {
+    root
+    spark.sql("CREATE TABLE gdml.insarm (k BIGINT, v STRING, amt DOUBLE)")
+    spark.sql("INSERT INTO gdml.insarm VALUES (1, 'a', 1.0)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW insarm_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'upd', 9.0),
+                |  (CAST(7 AS BIGINT), 'big', 2.0),
+                |  (CAST(8 AS BIGINT), 'small', 3.0),
+                |  (CAST(9 AS BIGINT), 'none', 4.0) AS t(k, v, amt)""".stripMargin)
+    val before = VersionedLake.currentVersion(spark, s"$root/insarm").get
+    spark.sql("""MERGE INTO gdml.insarm t USING insarm_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET amt = c.amt
+                |WHEN NOT MATCHED AND c.v = 'big' THEN
+                |  INSERT (k, v, amt) VALUES (c.k, upper(c.v), c.amt * 10)
+                |WHEN NOT MATCHED AND c.v = 'small' THEN
+                |  INSERT (k, v) VALUES (c.k, c.v)""".stripMargin)
+    val got = spark.sql("SELECT k, v, amt FROM gdml.insarm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq(
+      (1L, "a", Some(9.0)),      // matched: updated, never inserted
+      (7L, "BIG", Some(20.0)),   // first arm: expression values
+      (8L, "small", None)),      // second arm: unlisted amt inserts NULL
+      "k=9 passed no insert gate and must not appear")
+    assert(VersionedLake.currentVersion(spark, s"$root/insarm").get === before + 1,
+      "matched update + both insert arms must land as ONE atomic commit")
+  }
+
+  test("multiple INSERT arms: first passing gate wins, SQL clause order") {
+    root
+    spark.sql("CREATE TABLE gdml.insord (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.insord VALUES (1, 'a')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW insord_src AS
+                |SELECT * FROM VALUES (CAST(7 AS BIGINT), 'hit'),
+                |  (CAST(8 AS BIGINT), 'miss') AS t(k, v)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.insord t USING insord_src c ON t.k = c.k
+                |WHEN NOT MATCHED AND c.v = 'hit' THEN INSERT (k, v) VALUES (c.k, 'first')
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, 'second')""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.insord ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (7L, "first"), (8L, "second")),
+      "k=7 passes both gates — the FIRST arm's values must win")
+  }
+
   test("out-of-shape MERGE (key reassignment) still falls through loudly") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
