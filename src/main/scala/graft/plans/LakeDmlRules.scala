@@ -53,6 +53,11 @@ import org.apache.spark.sql.graft.GraftDmlShim
   *     and any number of gated `WHEN NOT MATCHED BY SOURCE` arms — all
   *     in ONE statement and ONE atomic keyed-CoW commit
   *     ([[MergePartialLakeCommand]]).
+  *   - `MERGE WITH SCHEMA EVOLUTION INTO ...` — Spark's own
+  *     `ResolveMergeIntoSchemaEvolution` widens the target through the
+  *     catalog's `alterTable` (new source columns add, widenable types
+  *     promote — both metadata-only manifest commits) and reloads the
+  *     relation before this rule converts the now-aligned statement.
   *
   * Statements outside this surface (non-equi merge conditions, key
   * reassignment, subqueries in predicates or assignments) are left
@@ -167,8 +172,16 @@ object LakeDmlRules extends Rule[LogicalPlan] {
     // the CDC shapes); everything else converts arm-by-arm, and any arm
     // outside the supported surface (key reassignment, subqueries)
     // leaves the statement untouched so Spark's own error surfaces.
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, false)
-        if m.resolved && lakeOf(target).isDefined &&
+    // `WITH SCHEMA EVOLUTION` composes for free: Spark's own
+    // ResolveMergeIntoSchemaEvolution (same fixed-point batch) widens the
+    // target through this catalog's alterTable — AddColumn for new source
+    // columns, UpdateColumnType for widenable ones, each a metadata-only
+    // manifest commit — and reloads the relation; the needSchemaEvolution
+    // guard keeps this rule out of the way until that has happened, at
+    // which point the statement is an ordinary aligned MERGE over the
+    // evolved schema.
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _)
+        if m.resolved && !m.needSchemaEvolution && lakeOf(target).isDefined &&
           equiKeys(cond, target, source).isDefined =>
       val lake = lakeOf(target).get
       val ks = equiKeys(cond, target, source).get

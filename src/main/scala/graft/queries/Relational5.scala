@@ -429,6 +429,52 @@ object Relational5 {
             |  VALUES (c.o_orderkey, 'B')""".stripMargin): Unit
   }
 
+  /** The SCHEMA-EVOLVING MERGE q_catalog_merge_evolve times: the target
+    * is born WITHOUT o_totalprice (2-column, 3 range commits); the first
+    * `MERGE WITH SCHEMA EVOLUTION` adds the column through the catalog's
+    * alterTable (one metadata-only manifest commit — zero data rewrite;
+    * pre-evolution rows null-backfill) and then runs the aligned
+    * UPDATE SET * / INSERT * upsert. Convergent: re-runs see the column
+    * already present (needSchemaEvolution = false) and re-merge a
+    * value-identical batch — steady state is the plain keyed-CoW merge.
+    */
+  private def runCatalogMergeEvolve(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    locally {
+      import graft.sources.VersionedLake
+      val tbl = s"${catalogLake(s, dir)}/emerge_orders"
+      if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        val third = maxOrderKey(s, dir) / 3
+        VersionedLake.appendCommit(
+          o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
+        VersionedLake.appendCommit(
+          o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
+          tbl, statsCols = Seq("o_orderkey"))
+        VersionedLake.appendCommit(
+          o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
+      }
+    }
+    val mx = maxOrderKey(s, dir)
+    val third = mx / 3
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders
+      .filter(col("o_orderkey") <= third / 4)
+      .select(col("o_orderkey"), lit("E").as("o_orderstatus"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 5)
+        .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice")))
+      .createOrReplaceTempView("em_changes")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftcat.emerge_orders t
+            |USING em_changes c ON t.o_orderkey = c.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+  }
+
   /** CDC-consumed lake: 3 appends, one merge-on-read upsert (updates
     * keys %97==5, inserts shifted new keys %101==11), one merge-on-read
     * delete (keys %89==7) — all built ONCE in warm-up. q_lake_cdc then
@@ -595,6 +641,7 @@ object Relational5 {
     runCatalogMergePartial(s, dir)
     runCatalogMergeFull(s, dir)
     runCatalogMergeInsArms(s, dir)
+    runCatalogMergeEvolve(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -1291,6 +1338,39 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 5
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-insert-arms")),
+
+    // SCHEMA-EVOLVING SQL MERGE — `MERGE WITH SCHEMA EVOLUTION` onto a
+    // target born WITHOUT the price column: Spark's analyzer widens the
+    // table through the catalog's alterTable (a metadata-only manifest
+    // commit — no data rewrite at any scale; pre-evolution rows
+    // null-backfill at read), then the aligned UPDATE SET * / INSERT *
+    // rides the same keyed minimal-CoW upsert. Re-runs find the column
+    // present and re-merge value-identically. Oracle: the evolved truth.
+    QueryDef(
+      "q_catalog_merge_evolve",
+      (s, dir) => {
+        runCatalogMergeEvolve(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.emerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  -- pre-evolution rows outside the matched band: NULL backfill
+             |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+             |  FROM orders, m WHERE o_orderkey > third // 4
+             |  UNION ALL
+             |  -- matched: updated with the evolved column's value
+             |  SELECT o_orderkey, 'E', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 4
+             |  UNION ALL
+             |  -- inserted above max with the evolved column
+             |  SELECT o_orderkey + mx + 1, 'N', round(o_totalprice, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 5
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-schema-evolution")),
 
     // SQL point lookup through the catalog — the read path a 100 TB
     // point SELECT takes: pushed filter → manifest stats pruning

@@ -646,7 +646,12 @@ final class LakeTable(
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // `MERGE WITH SCHEMA EVOLUTION`: lets the analyzer's
+      // ResolveMergeIntoSchemaEvolution widen this table through
+      // alterTable (AddColumn / UpdateColumnType — both metadata-only
+      // manifest commits here) before LakeDmlRules converts the merge
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Round-trips the DDL-declared services: `SHOW TBLPROPERTIES` shows
     * the same `check.*` / `stats.cols` / `bloom.cols` keys CREATE/ALTER

@@ -390,6 +390,55 @@ class LakeDmlRulesSpec extends SparkSpec {
       "k=7 passes both gates — the FIRST arm's values must win")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns add metadata-only, then merge") {
+    root
+    spark.sql("CREATE TABLE gdml.sevo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.sevo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sevo_src AS
+                |SELECT * FROM VALUES (CAST(2 AS BIGINT), 'b2', 'x2'),
+                |  (CAST(9 AS BIGINT), 'new', 'x9') AS t(k, v, extra)""".stripMargin)
+    val stmt = """MERGE WITH SCHEMA EVOLUTION INTO gdml.sevo t USING sevo_src c
+                 |ON t.k = c.k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    spark.sql(stmt)
+    // re-run: the column exists now (needSchemaEvolution = false), so the
+    // statement degrades to a plain aligned merge and converges
+    spark.sql(stmt)
+    val got = spark.sql("SELECT k, v, extra FROM gdml.sevo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))
+    assert(got.toSeq === Seq(
+      (1L, "a", None),           // pre-evolution row: extra null-backfills
+      (2L, "b2", Some("x2")),    // matched: updated incl. the new column
+      (9L, "new", Some("x9"))),  // inserted with the new column
+      "WITH SCHEMA EVOLUTION must add 'extra' and run the aligned merge")
+    // old versions time-travel with the narrow schema (metadata-only add)
+    val v1 = spark.sql("SELECT * FROM gdml.sevo VERSION AS OF 1")
+    assert(!v1.columns.contains("extra"),
+      "pre-evolution versions must keep the pre-evolution schema")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens an INT target column to the source's BIGINT") {
+    root
+    spark.sql("CREATE TABLE gdml.wevo (k BIGINT, n INT)")
+    spark.sql("INSERT INTO gdml.wevo VALUES (1, 10)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wevo_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(3000000000 AS BIGINT)),
+                |  (CAST(2 AS BIGINT), CAST(7 AS BIGINT)) AS t(k, n)""".stripMargin)
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gdml.wevo t USING wevo_src c
+                |ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val sch = spark.table("gdml.wevo").schema
+    assert(sch("n").dataType === org.apache.spark.sql.types.LongType,
+      "evolution must widen n to BIGINT (metadata-only widenColumn)")
+    val got = spark.sql("SELECT k, n FROM gdml.wevo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3000000000L), (2L, 7L)),
+      "the beyond-INT value must land exactly after the widen")
+  }
+
   test("out-of-shape MERGE (key reassignment) still falls through loudly") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
