@@ -405,21 +405,8 @@ final case class MergePartialLakeCommand(
           tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner"), matchedArms))
       val bySourcePiece =
         if (bySourceArms.isEmpty) None
-        else {
-          val (b, h) = armBatch(
-            tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "left_anti"), bySourceArms)
-          // NULL merge keys cannot ride a keyed rewrite (equality never
-          // matches NULL): in the matched arms they simply never match —
-          // correct SQL — but the BY SOURCE anti-join SELECTS them, and
-          // silently skipping would be a wrong answer; refuse loudly
-          val nullKeyed = h.filter(
-            keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect()
-          require(nullKeyed.isEmpty,
-            "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
-              "merge keys, which the keyed rewrite cannot address; clean NULL " +
-              "keys first (deleteWhere on the null predicate)")
-          Some((b, h))
-        }
+        else Some(armBatch(
+          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "left_anti"), bySourceArms))
       val insertRows =
         if (insertArms.isEmpty) None
         else Some {
@@ -461,6 +448,23 @@ final case class MergePartialLakeCommand(
         .reduce(_.unionByName(_)).persist(ser)
       val probe = (matchedPiece.map(_._2) ++ bySourcePiece.map(_._2))
         .reduceOption(_.unionByName(_)).map(_.persist(ser))
+      // NULL merge keys cannot ride a keyed rewrite (equality never
+      // matches NULL): in the matched arms they simply never match —
+      // correct SQL — but the BY SOURCE anti-join SELECTS them, and
+      // silently skipping would be a wrong answer; refuse loudly. The
+      // check runs on the PERSISTED probe union (matched keys come off
+      // an equi-join and cannot be NULL, so any NULL here is by-source),
+      // which makes the refusal job the same job that warms the cache
+      // the upsert's key-range probe reads next — one target anti-join
+      // evaluation, not two.
+      if (bySourceArms.nonEmpty) probe.foreach { p =>
+        val nullKeyed = p.filter(
+          keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect()
+        require(nullKeyed.isEmpty,
+          "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
+            "merge keys, which the keyed rewrite cannot address; clean NULL " +
+            "keys first (deleteWhere on the null predicate)")
+      }
       try {
         // probe = the arms' hit keys (whole keys being replaced); an
         // insert-only MERGE probes its own batch keys, which match

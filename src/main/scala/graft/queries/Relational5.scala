@@ -481,7 +481,14 @@ object Relational5 {
     * times the row-level change feed over the full 5-version history.
     */
   private def cdcLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    lakeFixture("cdc", dir) { lakeDir =>
+    lakeFixture("cdc", dir)(buildCdcLake(s, dir, _))
+
+  /** The 5-version mutation mix [[cdcLake]] and its catalog twin share:
+    * 3 range appends, one MoR upsert (updates %97==5, shifted inserts
+    * %101==11), one MoR delete (%89==7).
+    */
+  private def buildCdcLake(
+      s: org.apache.spark.sql.SparkSession, dir: String, lakeDir: String): Unit = {
       import graft.sources.VersionedLake
       val base = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -506,7 +513,34 @@ object Relational5 {
       VersionedLake.deleteKeysMor(s, lakeDir,
         base.filter(col("o_orderkey") % 89 === 7).select("o_orderkey"),
         Seq("o_orderkey"))
+  }
+
+  /** The CALL-facing twin: the same 5-version mutation mix built INSIDE
+    * the catalog root as `rep_orders`, mirrored to `rep_mirror` by
+    * `CALL graftcat.system.replicate` in warm-up — the timed body
+    * re-CALLs (a watermark no-op on a quiet source) and reads the
+    * mirror by name.
+    */
+  private def ensureRepOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/rep_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) buildCdcLake(s, dir, tbl)
+  }
+
+  /** CDC-fed MIRROR of [[cdcLake]]: bootstrapped + synced once in
+    * warm-up; the timed body re-syncs (a watermark no-op once the source
+    * is quiet) and reads the mirror. The mirror's content must equal the
+    * source's final state — replication correctness is exactly "the
+    * mirror answers the source's truth".
+    */
+  private def replLake(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val src = cdcLake(s, dir)
+    val mirror = lakeFixture("replmirror", dir) { m =>
+      graft.sources.LakeReplicate.sync(s, src, m, keys = Seq("o_orderkey")): Unit
     }
+    (src, mirror)
+  }
 
   /** Z-CLUSTERED catalog table: orders appended in 3 commits, then
     * optimizeClustered into 8 Z-range-disjoint directories on
@@ -629,6 +663,9 @@ object Relational5 {
     ensureClusterOrders(s, dir)
     ensureMorEvents(s, dir)
     cdcLake(s, dir): Unit
+    replLake(s, dir): Unit
+    ensureRepOrders(s, dir)
+    s.sql("CALL graftcat.system.replicate('rep_orders', 'rep_mirror', 'o_orderkey')"): Unit
     // each write-query's FIRST commit is warm-up too: bodies converge
     // (txn watermarks / no-match predicates / value-identical re-merge),
     // so every timed iteration measures the steady state
@@ -1518,6 +1555,72 @@ object Relational5 {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
              |FROM ev GROUP BY 1, 2""".stripMargin),
       covers = Seq("ext-lake-cdc-feed")),
+
+    // CDC-FED MIRROR REPLICATION (LakeReplicate.sync): the mirror of the
+    // 5-version CDC lake is bootstrapped in warm-up and brought current
+    // by reading the commit log's row delta ONCE — latest commit per key
+    // decides, deletes ride the same ONE exactly-once keyed-CoW commit
+    // via the probe-keys shape, and the applied source version is a txn
+    // watermark so the timed steady-state body is a no-op check + read.
+    // At 100 TB this replaces re-publishing whole extracts per run with
+    // O(changed rows) per sync. Oracle: the source's final truth — the
+    // mirror must answer it row-identically.
+    QueryDef(
+      "q_lake_replicate",
+      (s, dir) => {
+        val (src, mirror) = replLake(s, dir)
+        graft.sources.LakeReplicate.sync(s, src, mirror, keys = Seq("o_orderkey"))
+        graft.sources.VersionedLake.read(s, mirror)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  -- carried: neither updated nor deleted at the source
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey % 97 <> 5 AND o_orderkey % 89 <> 7
+             |  UNION ALL
+             |  -- updated at the source (and not later deleted)
+             |  SELECT o_orderkey, 'U', round(o_totalprice * 2, 2) FROM orders
+             |  WHERE o_orderkey % 97 = 5 AND o_orderkey % 89 <> 7
+             |  UNION ALL
+             |  -- inserted at the source under shifted keys
+             |  SELECT o_orderkey + mk, 'N', round(o_totalprice + 0.5, 2) FROM orders, m
+             |  WHERE o_orderkey % 101 = 11
+             |)""".stripMargin),
+      covers = Seq("ext-lake-replicate")),
+
+    // SQL-CALLABLE REPLICATION (GraftProcedures via ProcedureCatalog):
+    // the same mirror discipline driven entirely from SQL — `CALL
+    // graftcat.system.replicate(src, dst, keys)` bootstraps in warm-up,
+    // the timed body re-CALLs (exactly-once watermark no-op on a quiet
+    // source) and SELECTs the mirror by name. The procedure surface is
+    // what a SQL-only client schedules at 100 TB: vacuum / optimize /
+    // rollback / clone_table / replicate, each returning the affected
+    // version. Oracle: the source's final truth.
+    QueryDef(
+      "q_catalog_replicate",
+      (s, dir) => {
+        ensureRepOrders(s, dir)
+        s.sql("CALL graftcat.system.replicate('rep_orders', 'rep_mirror', 'o_orderkey')")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.rep_mirror""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey % 97 <> 5 AND o_orderkey % 89 <> 7
+             |  UNION ALL
+             |  SELECT o_orderkey, 'U', round(o_totalprice * 2, 2) FROM orders
+             |  WHERE o_orderkey % 97 = 5 AND o_orderkey % 89 <> 7
+             |  UNION ALL
+             |  SELECT o_orderkey + mk, 'N', round(o_totalprice + 0.5, 2) FROM orders, m
+             |  WHERE o_orderkey % 101 = 11
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-procedures")),
 
     // ------------------------------------------------------------------
     // CDC OVER COPY-ON-WRITE SQL DML — the composition the two flagship

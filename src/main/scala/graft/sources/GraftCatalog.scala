@@ -55,7 +55,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * correctness until `materializeDeletes` folds the debt. Deliberate
   * refusals: writes to a time-travel snapshot are rejected.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -119,6 +119,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private val MetaKinds = Set("history", "files", "constraints")
 
+  // ---- procedures (CALL graft.system.<proc>) -----------------------------
+
+  /** Maintenance as SQL: `CALL <cat>.system.vacuum/optimize/rollback/
+    * clone_table/replicate(...)` — table-name arguments resolve through
+    * this catalog's own directory scheme (dotted = namespace segments),
+    * so the procedures operate on exactly the tables SELECT sees.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under the 'system' namespace: CALL $catalogName.system.${ident.name}(...)")
+    GraftProcedures.load(spark, ident.name, tbl => {
+      val parts = tbl.split('.').toSeq
+      (root +: parts.map(seg)).mkString("/")
+    })
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
   /** The metadata row-sets are tiny by construction (versions within the
     * vacuum retention window; data directories of ONE version; declared
     * constraints) — a LocalScan materialized at plan time is the right
@@ -147,14 +168,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val v = VersionedLake.currentVersion(s, dir).get
         val stats = VersionedLake.dirStats(s, dir, v)
         val buckets = VersionedLake.dirBuckets(s, dir, v)
+        // rows/bytes and the partition spec ride the manifest, so the
+        // maintenance questions (skew across directories, which dirs
+        // carry which layout after a spec evolution, compaction targets)
+        // answer without touching a data file
+        val rows = VersionedLake.dirRowCounts(s, dir, v)
+        val parts = VersionedLake.dirParts(s, dir, v)
         VersionedLake.manifest(s, dir, v).map { d =>
           val st = stats.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
             .map { case (c, (mn, mx)) =>
               s"$c:[${mn.getOrElse("null")},${mx.getOrElse("null")}]"
             }.mkString("; ")
-          (d, st, buckets.get(d).map(_._1).orNull,
+          (d,
+            rows.get(d).map(_._1).getOrElse(-1L),
+            rows.get(d).map(_._2).getOrElse(-1L),
+            parts.getOrElse(d, Nil).mkString(","),
+            st, buckets.get(d).map(_._1).orNull,
             buckets.get(d).map(_._2).getOrElse(0))
-        }.toDF("dir", "stats", "bucket_key", "bucket_n")
+        }.toDF("dir", "rows", "bytes", "parts", "stats", "bucket_key", "bucket_n")
       case "constraints" =>
         LakeConstraints.constraintsOf(s, dir).toDF("name", "check")
     }

@@ -145,6 +145,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hist.toSeq === Seq((0L, 1), (1L, 2), (2L, 3)),
       "create + two inserts -> three versions with growing dir counts")
     assert(spark.sql("SELECT dir FROM graft.`meta_t$files`").count() === 3)
+    // rows/bytes ride the manifest: the three single-row inserts answer
+    // per-directory sizing without touching a data file
+    val sizes = spark.sql("SELECT rows, bytes FROM graft.`meta_t$files`")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.map(_._1).sum === 2L && sizes.forall(_._2 > 0L),
+      "the create dir carries 0 rows, each insert dir 1 - all with real " +
+        s"bytes: ${sizes.toSeq}")
     LakeConstraints.add(spark, s"$root/meta_t", "price_pos", "price > 0")
     val cons = spark.sql("SELECT name, check FROM graft.`meta_t$constraints`").collect()
     assert(cons.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("price_pos", "price > 0")))

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CDC-fed mirror replication: bootstrap snapshot, incremental windows
+  * applying only the row delta, delete propagation, exactly-once
+  * watermarks, and the load-bearing pin — after any mutation mix on the
+  * source, one sync makes the mirror row-identical to the source.
+  */
+class LakeReplicateSpec extends SparkSpec {
+
+  private def rows(dir: String): Set[(Long, String)] =
+    VersionedLake.read(spark, dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  test("bootstrap then incremental sync mirrors upserts and deletes exactly") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_src")
+    val dst = fresh("rep_dst")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === rows(src), "bootstrap must copy the snapshot")
+    val v1 = VersionedLake.currentVersion(s, dst).get
+
+    // a mutation mix: CoW update, MoR upsert, keyed delete, plain append
+    VersionedLake.updateWhere(s, src, col("id") === 1L, Map("v" -> lit("a2")))
+    VersionedLake.upsertMor(s, src, Seq((2L, "b2"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    VersionedLake.deleteKeysMor(s, src, Seq(3L).toDF("id"), Seq("id"))
+    VersionedLake.appendCommit(Seq((7L, "g")).toDF("id", "v"), src)
+
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((1L, "a2"), (2L, "b2"), (9L, "new"), (7L, "g")),
+      "one sync applies the whole window's final state")
+    assert(rows(dst) === rows(src), "mirror must be row-identical to the source")
+    assert(VersionedLake.currentVersion(s, dst).get === v1 + 1,
+      "the incremental window lands as ONE commit")
+  }
+
+  test("latest commit per key wins across a window (update then delete, delete then re-insert)") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_lat_src")
+    val dst = fresh("rep_lat_dst")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // key 1: updated then deleted -> gone; key 2: deleted then re-inserted -> back
+    VersionedLake.upsertMor(s, src, Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    VersionedLake.deleteKeysMor(s, src, Seq(1L, 2L).toDF("id"), Seq("id"))
+    VersionedLake.upsertMor(s, src, Seq((2L, "b3")).toDF("id", "v"), Seq("id"))
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((2L, "b3")), "per key the newest commit decides")
+  }
+
+  test("sync is exactly-once: an applied window re-syncs as a no-op, no new commit") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_once_src")
+    val dst = fresh("rep_once_dst")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), src)
+    val after = LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(LakeReplicate.sync(s, src, dst, keys = Seq("id")) === after,
+      "an up-to-date mirror must not commit")
+    assert(VersionedLake.currentVersion(s, dst).get === after)
+    assert(LakeReplicate.appliedVersion(s, src, dst) ===
+      VersionedLake.currentVersion(s, src),
+      "the watermark records the applied source version")
+  }
+
+  test("multi-row keys replicate whole: all final-version rows of a key ride") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_multi_src")
+    val dst = fresh("rep_multi_dst")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // an append adds TWO rows under one key - both must land
+    VersionedLake.appendCommit(Seq((5L, "x"), (5L, "y")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((1L, "a"), (5L, "x"), (5L, "y")))
+  }
+
+  test("syncing into an unrelated populated table refuses loudly") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_ref_src")
+    val dst = fresh("rep_ref_dst")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), src)
+    VersionedLake.appendCommit(Seq((9L, "z")).toDF("id", "v"), dst)
+    val e = intercept[IllegalStateException](
+      LakeReplicate.sync(s, src, dst, keys = Seq("id")))
+    assert(e.getMessage.contains("watermark"),
+      s"merging two histories silently is the failure mode to refuse: ${e.getMessage}")
+  }
+
+  test("continuous replication: readChanges stream + applyDelta keeps a live mirror") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_stream_src")
+    val dst = fresh("rep_stream_dst")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    val q = s.readStream.format("graft-lake")
+      .option("path", src).option("readChanges", "true").load()
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rep_stream_ck").toString)
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, id: Long) =>
+        LakeReplicate.applyDelta(s, delta, dst, Seq("id"),
+          appId = "rep-stream-spec", batchId = id): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(rows(dst) === rows(src), "the initial batch bootstraps the mirror")
+      VersionedLake.upsertMor(s, src, Seq((2L, "b2"), (7L, "g")).toDF("id", "v"), Seq("id"))
+      VersionedLake.deleteKeysMor(s, src, Seq(1L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(rows(dst) === Set((2L, "b2"), (7L, "g")),
+        "mutations flow through the stream as they commit")
+      assert(rows(dst) === rows(src))
+    } finally q.stop()
+  }
+
+  test("mirrors chain: a mirror's own commit log replicates onward") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_chain_src")
+    val mid = fresh("rep_chain_mid")
+    val end = fresh("rep_chain_end")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, mid, keys = Seq("id"))
+    LakeReplicate.sync(s, mid, end, keys = Seq("id"))
+    VersionedLake.upsertMor(s, src, Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    VersionedLake.deleteKeysMor(s, src, Seq(1L).toDF("id"), Seq("id"))
+    LakeReplicate.sync(s, src, mid, keys = Seq("id"))
+    LakeReplicate.sync(s, mid, end, keys = Seq("id"))
+    assert(rows(end) === Set((2L, "b2")), "the delta propagates through the chain")
+  }
+}
