@@ -365,9 +365,16 @@ final case class MergePartialLakeCommand(
           when(a.gate.map(h => GraftDmlShim.column(h.e)).getOrElse(lit(true)), lit(i))
             .otherwise(els)
         }
+        // each arm's value expressions evaluate ONLY for rows the arm
+        // dispatch actually selects (CASE WHEN branches are conditional
+        // in both codegen and interpreted eval): a gate guarding a
+        // throwing expression — `WHEN MATCHED AND denom <> 0 THEN SET r
+        // = num / denom` — must suppress the division for gate-failing
+        // rows under ANSI, exactly as clause-order MERGE semantics say
         val newCols = arms.zipWithIndex.flatMap { case (a, i) =>
           a.assignments.map { case (n, h) =>
-            typed(GraftDmlShim.column(h.e), n).as(s"_new_${i}_$n")
+            typed(when(armCol === lit(i), GraftDmlShim.column(h.e)), n)
+              .as(s"_new_${i}_$n")
           }
         }
         val flat = joined.select(
@@ -420,9 +427,12 @@ final case class MergePartialLakeCommand(
             when(a.gate.map(h => GraftDmlShim.column(h.e)).getOrElse(lit(true)), lit(i))
               .otherwise(els)
           }
+          // as in armBatch: value expressions evaluate only for rows the
+          // dispatch selects the arm for (ANSI-safe gated expressions)
           val valCols = insertArms.zipWithIndex.flatMap { case (a, i) =>
             a.assignments.map { case (n, h) =>
-              typed(GraftDmlShim.column(h.e), n).as(s"_ins_${i}_${n.toLowerCase}")
+              typed(when(armCol === lit(i), GraftDmlShim.column(h.e)), n)
+                .as(s"_ins_${i}_${n.toLowerCase}")
             }
           }
           val flat = unmatched.select(armCol.as("_arm") +: valCols: _*)

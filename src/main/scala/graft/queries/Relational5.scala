@@ -163,11 +163,12 @@ object Relational5 {
     * keyed copy-on-write probe has directories to prune.
     */
   private def ensureRangeOrders(
-      s: org.apache.spark.sql.SparkSession, dir: String, table: String): Unit = {
+      s: org.apache.spark.sql.SparkSession, dir: String, table: String,
+      cols: Seq[String] = Seq("o_orderkey", "o_orderstatus", "o_totalprice")): Unit = {
     import graft.sources.VersionedLake
     val tbl = s"${catalogLake(s, dir)}/$table"
     if (VersionedLake.currentVersion(s, tbl).isEmpty) {
-      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val o = t(s, dir, "orders").select(cols.map(col): _*)
       val third = maxOrderKey(s, dir) / 3
       VersionedLake.appendCommit(
         o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
@@ -440,21 +441,8 @@ object Relational5 {
     */
   private def runCatalogMergeEvolve(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     ensureCatalog(s, dir)
-    locally {
-      import graft.sources.VersionedLake
-      val tbl = s"${catalogLake(s, dir)}/emerge_orders"
-      if (VersionedLake.currentVersion(s, tbl).isEmpty) {
-        val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-        val third = maxOrderKey(s, dir) / 3
-        VersionedLake.appendCommit(
-          o.filter(col("o_orderkey") <= third), tbl, statsCols = Seq("o_orderkey"))
-        VersionedLake.appendCommit(
-          o.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third),
-          tbl, statsCols = Seq("o_orderkey"))
-        VersionedLake.appendCommit(
-          o.filter(col("o_orderkey") > 2 * third), tbl, statsCols = Seq("o_orderkey"))
-      }
-    }
+    // born WITHOUT o_totalprice — the first MERGE evolves it in
+    ensureRangeOrders(s, dir, "emerge_orders", Seq("o_orderkey", "o_orderstatus"))
     val mx = maxOrderKey(s, dir)
     val third = mx / 3
     val orders = t(s, dir, "orders")

@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   * replayed or raced sync whose window already landed is a no-op AT THE
   * COMMIT — the lake is the system of record for what applied.
   *
-  * Latest-per-key, not per-row: within the window each key's newest
-  * commit decides (delete XOR upsert — the feed classifies key-granular
-  * per version, so the two cannot tie). ALL final-version rows of a key
-  * ride the batch, so sources that legitimately hold several rows per
-  * key (append-heavy tables) replicate exactly: the keyed upsert
-  * replaces the mirror's rows of that key with the full set.
+  * Per-key REPLAY, not latest-commit-wins: `update_postimage` replaces
+  * a key's rows and `delete` empties it, but `insert` (an append) ADDS
+  * to whatever the key holds — so a key's post-window rows are its last
+  * replacing event's rows plus every insert after it, and a key the
+  * window only appended to keeps its pre-window mirror rows (appended,
+  * never probed). Windows that net to no mirror change still advance
+  * the watermark via a metadata-only commit
+  * ([[VersionedLake.commitTxnWatermark]]) — otherwise the next sync
+  * would re-read an unboundedly growing window and wedge once retention
+  * reclaimed it.
   *
   * The window must be row-level replayable: sources with CDC artifacts
   * opted out (`cdc.artifacts=false`) refuse loudly in the feed read —
@@ -114,28 +118,53 @@ object LakeReplicate {
       appId: String,
       batchId: Long): Long = {
     val feed = delta.filter(col("_change_type") =!= "update_preimage")
-    // newest commit per key decides; all rows of that (key, commit)
-    // ride, so multi-row keys replicate whole
-    val latest = feed
-      .withColumn("_rep_max_v",
-        max(col("_commit_version")).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("_commit_version") === col("_rep_max_v"))
+    // Per-key replay, not latest-commit-wins: `insert` events ADD rows
+    // to whatever the key already holds (appends under an existing key
+    // are legal), while `update_postimage` REPLACES the key's rows and
+    // `delete` empties it. So the key's live rows after the window are
+    // the last replacing event's rows plus every insert AFTER it — and
+    // when the window holds no replacing event, the mirror's existing
+    // rows stay (the key is appended to, never probed).
+    val repV = max(when(
+      col("_change_type").isin("update_postimage", "delete"),
+      col("_commit_version"))).over(Window.partitionBy(keys.map(col): _*))
+    val tagged = feed.withColumn("_rep_replace_v", repV)
+    val live = tagged.filter(
+      (col("_change_type") === "update_postimage" &&
+        col("_commit_version") === col("_rep_replace_v")) ||
+      (col("_change_type") === "insert" &&
+        (col("_rep_replace_v").isNull ||
+          col("_commit_version") > col("_rep_replace_v"))))
     val dataCols = feed.columns
-      .filterNot(Set("_change_type", "_commit_version", "_rep_max_v")).toSeq
-    val batch = latest.filter(col("_change_type") =!= "delete")
-      .select(dataCols.map(col): _*)
+      .filterNot(Set("_change_type", "_commit_version", "_rep_replace_v")).toSeq
+    val batch = live.select(dataCols.map(col): _*)
     VersionedLake.currentVersion(spark, dstDir) match {
       case None =>
-        // bootstrap: reduced inserts only (a delete with no surviving
+        // bootstrap: the reduced live rows (a delete with no surviving
         // row is already absence)
         VersionedLake.appendCommitTxn(batch, dstDir,
           appId = appId, batchId = batchId, statsCols = keys)
-      case Some(_) =>
-        val touched = latest.select(keys.map(col): _*).distinct()
-        // ONE commit: upserted keys rewrite with their new rows, probed
-        // keys the batch does not re-supply (the deletes) vanish
-        VersionedLake.upsert(spark, dstDir, batch, keys,
-          txn = Some(appId -> batchId), probeKeys = Some(touched))
+      case Some(dstV) =>
+        // probe ONLY the replaced keys: their mirror rows vanish unless
+        // re-supplied; insert-only keys append without disturbing the
+        // rows the mirror already holds
+        val touched = tagged.filter(col("_rep_replace_v").isNotNull)
+          .select(keys.map(col): _*).distinct()
+        if (tagged.isEmpty)
+          // the window nets to nothing for the mirror, but the watermark
+          // MUST advance or every later sync re-reads a growing window
+          // (and wedges once retention reclaims it) — a metadata-only
+          // commit records it
+          VersionedLake.commitTxnWatermark(spark, dstDir, appId, batchId)
+        else {
+          val out = VersionedLake.upsert(spark, dstDir, batch, keys,
+            txn = Some(appId -> batchId), probeKeys = Some(touched))
+          // the upsert's empty-batch/no-rewrite early return skips the
+          // txn record (deletes of keys the mirror never held): same
+          // watermark discipline, metadata-only
+          if (out == dstV) VersionedLake.commitTxnWatermark(spark, dstDir, appId, batchId)
+          else out
+        }
     }
   }
 

@@ -1449,6 +1449,45 @@ object VersionedLake {
       Some(appId -> batchId))
   }
 
+  /** METADATA-ONLY WATERMARK COMMIT — record `appId -> batchId` without
+    * touching a data directory: everything else (dirs, schema, stats,
+    * blooms, buckets, pending deletes) carries verbatim, and the CDC
+    * feed classifies the version as zero rows changed. This is the
+    * commit an exactly-once consumer needs when its window NETS to no
+    * row change (an insert-then-delete span, a compaction-only span) —
+    * without it the watermark never advances, every later sync re-reads
+    * an unboundedly growing window, and replication wedges permanently
+    * once retention reclaims the window's artifacts. Idempotent per
+    * (appId, batchId), same OCC critical section as the data commits.
+    */
+  def commitTxnWatermark(
+      spark: SparkSession,
+      tableDir: String,
+      appId: String,
+      batchId: Long): Long = {
+    require(appId.forall(c => c != '\t' && c != '\n' && c != '\r'),
+      s"appId must not contain tab/newline: $appId")
+    retryOnConflict(maxAttempts = 8) {
+      val cur = currentVersion(spark, tableDir).getOrElse(
+        throw new IllegalStateException(s"no published version in $tableDir"))
+      val txns = txnWatermarks(spark, tableDir, cur)
+      if (txns.get(appId).exists(_ >= batchId)) cur
+      else {
+        val schema = versionSchema(spark, tableDir, cur)
+          .getOrElse(readVersion(spark, tableDir, cur).schema)
+        publishManifest(spark, tableDir, manifest(spark, tableDir, cur), schema,
+          stats = dirStats(spark, tableDir, cur)
+            .map { case (d, c) => d -> statsJson(c) },
+          blooms = dirBloomsRaw(spark, tableDir, cur),
+          expectedBase = Some(Some(cur)),
+          buckets = dirBuckets(spark, tableDir, cur),
+          txns = txns + (appId -> batchId),
+          eqdeletes = dirEqDeletes(spark, tableDir, cur),
+          op = "watermark")
+      }
+    }
+  }
+
   private def appendCommitInternal(
       df: DataFrame,
       tableDir: String,
@@ -1931,8 +1970,8 @@ object VersionedLake {
         if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
       case "optimize" | "materialize" =>
         NoDelta // layout-only: identical logical rows before and after
-      case "rename_column" | "drop_column" | "widen_column" =>
-        NoDelta // metadata-only: the schema changed, no logical row did
+      case "rename_column" | "drop_column" | "widen_column" | "watermark" =>
+        NoDelta // metadata-only: schema or txn watermark, no logical row
       case "delete_mor" =>
         newDels.map(preImages).reduceOption(_.unionByName(_))
           .fold[VersionDelta](NoDelta)(p => FrameDelta(tagged(p, "delete")))

@@ -439,6 +439,30 @@ class LakeDmlRulesSpec extends SparkSpec {
       "the beyond-INT value must land exactly after the widen")
   }
 
+  test("a gate guards its arm's throwing expression under ANSI (clause-order semantics)") {
+    root
+    spark.sql("CREATE TABLE gdml.ansi (k BIGINT, r DOUBLE)")
+    spark.sql("INSERT INTO gdml.ansi VALUES (1, 0.5)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW ansi_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 5.0, 0.0),
+                |  (CAST(7 AS BIGINT), 10.0, 0.0),
+                |  (CAST(8 AS BIGINT), 9.0, 3.0) AS t(k, num, den)""".stripMargin)
+    // k=1 matched with den=0, k=7 unmatched with den=0: both must take a
+    // later (or no) arm WITHOUT evaluating the guarded num/den — eager
+    // evaluation of every arm's values would raise DIVIDE_BY_ZERO here
+    spark.sql("""MERGE INTO gdml.ansi t USING ansi_src c ON t.k = c.k
+                |WHEN MATCHED AND c.den <> 0 THEN UPDATE SET r = c.num / c.den
+                |WHEN NOT MATCHED AND c.den <> 0 THEN
+                |  INSERT (k, r) VALUES (c.k, c.num / c.den)
+                |WHEN NOT MATCHED THEN INSERT (k) VALUES (c.k)""".stripMargin)
+    val got = spark.sql("SELECT k, r FROM gdml.ansi ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq === Seq(
+      (1L, Some(0.5)),   // matched, gate failed: untouched, division never ran
+      (7L, None),        // unmatched, first arm's gate failed: second arm, r NULL
+      (8L, Some(3.0))))  // unmatched, first arm: guarded division ran where legal
+  }
+
   test("out-of-shape MERGE (key reassignment) still falls through loudly") {
     root
     spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")

@@ -86,6 +86,51 @@ class LakeReplicateSpec extends SparkSpec {
     assert(rows(dst) === Set((1L, "a"), (5L, "x"), (5L, "y")))
   }
 
+  test("appends under an EXISTING key add to the mirror's rows, never replace them") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_addkey_src")
+    val dst = fresh("rep_addkey_dst")
+    VersionedLake.appendCommit(Seq((5L, "x"), (1L, "a")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // a LATER append adds a second row under key 5 - the mirror must end
+    // holding both (latest-commit-wins reduction would drop (5,'x'))
+    VersionedLake.appendCommit(Seq((5L, "y")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((5L, "x"), (5L, "y"), (1L, "a")))
+    assert(rows(dst) === rows(src))
+    // replay order matters: replace-then-append keeps the append,
+    // append-then-replace keeps only the replacement
+    VersionedLake.upsertMor(s, src, Seq((5L, "z")).toDF("id", "v"), Seq("id"))
+    VersionedLake.appendCommit(Seq((5L, "w")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((5L, "z"), (5L, "w"), (1L, "a")),
+      "post-replace appends survive, pre-replace rows are gone")
+    assert(rows(dst) === rows(src))
+  }
+
+  test("a window netting to NO mirror change still advances the watermark (metadata-only)") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_noop_src")
+    val dst = fresh("rep_noop_dst")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // insert-then-delete: the window's net effect on the mirror is zero
+    VersionedLake.upsertMor(s, src, Seq((9L, "z")).toDF("id", "v"), Seq("id"))
+    VersionedLake.deleteKeysMor(s, src, Seq(9L).toDF("id"), Seq("id"))
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((1L, "a")))
+    assert(LakeReplicate.appliedVersion(s, src, dst) ===
+      VersionedLake.currentVersion(s, src),
+      "the watermark must advance past the no-net-effect window, or every " +
+        "later sync re-reads it (and wedges once retention reclaims it)")
+    val before = VersionedLake.currentVersion(s, dst).get
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(VersionedLake.currentVersion(s, dst).get === before,
+      "once recorded, re-syncing the quiet source commits nothing")
+  }
+
   test("syncing into an unrelated populated table refuses loudly") {
     val s = spark
     import s.implicits._
