@@ -84,9 +84,75 @@ object LakeReplicate {
               "table would silently merge two histories; start from an " +
               "empty destination)"))
         if (applied >= srcV) return dstV // nothing new - no commit, no probe
+        alignSchema(spark, srcDir, dstDir, atVersion = Some(srcV))
         applyDelta(spark,
           VersionedLake.readRowChanges(spark, srcDir, applied, srcV),
           dstDir, keys, app, batchId = srcV)
+    }
+  }
+
+  /** Mirror the source's METADATA-ONLY schema changes onto the
+    * destination before applying a row delta — without this a source
+    * rename SPLITS the mirror (old rows keep the old column, new batches
+    * add the new one; both metadata-only at the source, so the feed
+    * carries no row to say so). Renames are recovered from the former
+    * names the source schema itself records ([[VersionedLake.akaNames]]),
+    * drops from its tombstones, widens from the supported promotion
+    * chains — each applied to the destination as the same metadata-only
+    * commit the source paid. Plain ADD COLUMN needs no action here:
+    * the feed normalizes every frame to the window-end schema, so the
+    * first data batch union-by-name-evolves the mirror (a data-less add
+    * window leaves the mirror one column behind until data arrives).
+    * `sync` calls this automatically; a `foreachBatch` continuous
+    * pipeline should call it when the source evolves.
+    */
+  def alignSchema(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      atVersion: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.types._
+    val srcV = atVersion.orElse(VersionedLake.currentVersion(spark, srcDir))
+      .getOrElse(return)
+    val srcFull = VersionedLake.versionSchema(spark, srcDir, srcV).getOrElse(return)
+    def dstVisible: Array[String] = {
+      val v = VersionedLake.currentVersion(spark, dstDir).getOrElse(return Array.empty)
+      VersionedLake.visibleSchema(
+        VersionedLake.versionSchema(spark, dstDir, v).getOrElse(return Array.empty))
+        .fieldNames
+    }
+    def dstField(n: String): Option[StructField] = {
+      val v = VersionedLake.currentVersion(spark, dstDir).getOrElse(return None)
+      VersionedLake.versionSchema(spark, dstDir, v)
+        .flatMap(s => s.fields.find(f =>
+          f.name.equalsIgnoreCase(n) && !VersionedLake.isDropped(f)))
+    }
+    val widenRank = Map[DataType, Int](
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    srcFull.fields.foreach { f =>
+      if (VersionedLake.isDropped(f)) {
+        // tombstoned at the source, still visible here: drop
+        if (dstVisible.exists(_.equalsIgnoreCase(f.name)))
+          VersionedLake.dropColumn(spark, dstDir, f.name): Unit
+      } else {
+        if (!dstVisible.exists(_.equalsIgnoreCase(f.name)))
+          // renamed at the source: a former name the mirror still carries
+          VersionedLake.akaNames(f)
+            .find(a => dstVisible.exists(_.equalsIgnoreCase(a)))
+            .foreach(old =>
+              VersionedLake.renameColumn(spark, dstDir, old, f.name): Unit)
+        dstField(f.name).foreach { d =>
+          val widens = (d.dataType, f.dataType) match {
+            case (FloatType, DoubleType) => true
+            case (a, b) => (widenRank.get(a), widenRank.get(b)) match {
+              case (Some(x), Some(y)) => x < y
+              case _                  => false
+            }
+          }
+          if (widens)
+            VersionedLake.widenColumn(spark, dstDir, f.name, f.dataType): Unit
+        }
+      }
     }
   }
 

@@ -131,6 +131,46 @@ class LakeReplicateSpec extends SparkSpec {
       "once recorded, re-syncing the quiet source commits nothing")
   }
 
+  test("source schema changes replicate: rename and widen align the mirror metadata-only") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_schema_src")
+    val dst = fresh("rep_schema_dst")
+    VersionedLake.appendCommit(Seq((1L, "a", 1)).toDF("id", "v", "n"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // metadata-only changes at the source + a data commit in one window
+    VersionedLake.renameColumn(s, src, "v", "val")
+    VersionedLake.widenColumn(s, src, "n", org.apache.spark.sql.types.LongType)
+    VersionedLake.upsertMor(s, src,
+      Seq((1L, "a2", 5000000000L)).toDF("id", "val", "n"), keys = Seq("id"))
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    val sch = VersionedLake.read(s, dst).schema
+    assert(sch.fieldNames.toSeq.contains("val") && !sch.fieldNames.toSeq.contains("v"),
+      s"the source rename must align the mirror, not split it: ${sch.fieldNames.toSeq}")
+    assert(sch("n").dataType === org.apache.spark.sql.types.LongType,
+      "the source widen must align the mirror's type")
+    val got = VersionedLake.read(s, dst).select("id", "val", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "a2", 5000000000L)),
+      "the post-rename, beyond-INT batch lands exactly")
+  }
+
+  test("a source DROP COLUMN replicates on the next sync, even with no row delta") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_drop_src")
+    val dst = fresh("rep_drop_dst")
+    VersionedLake.appendCommit(Seq((1L, "a", "junk")).toDF("id", "v", "extra"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    VersionedLake.dropColumn(s, src, "extra")
+    LakeReplicate.sync(s, src, dst, keys = Seq("id")) // zero-row window
+    assert(!VersionedLake.read(s, dst).schema.fieldNames.contains("extra"),
+      "the drop must align even when the window carries no rows")
+    assert(LakeReplicate.appliedVersion(s, src, dst) ===
+      VersionedLake.currentVersion(s, src),
+      "the zero-row window still advances the watermark")
+  }
+
   test("syncing into an unrelated populated table refuses loudly") {
     val s = spark
     import s.implicits._
