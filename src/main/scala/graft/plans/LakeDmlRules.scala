@@ -148,6 +148,15 @@ object LakeDmlRules extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
 
+    // DYNAMIC PARTITION OVERWRITE — Spark has no V1 fallback exec for
+    // OverwritePartitionsDynamic (TableCapabilityCheck demands pure-V2
+    // BATCH_WRITE), so the statement rewrites here onto the atomic
+    // replaceWhere: the partitions PRESENT in the batch replace, every
+    // other one carries — the backfill shape, one minimal-CoW commit.
+    case o @ OverwritePartitionsDynamic(table, query, _, _, _)
+        if o.resolved && lakeOf(table).isDefined =>
+      DynamicOverwriteLakeCommand(lakeOf(table).get.tableDir, query)
+
     case u @ UpdateTable(table, assignments, condition)
         if u.resolved && lakeOf(table).isDefined &&
           !condition.exists(hasSubquery) &&
@@ -561,4 +570,51 @@ final case class MergeLakeCommand(
 
   override def simpleString(maxFields: Int): String =
     s"MergeLakeCommand $tableDir keys=${keys.mkString(",")} delete=$delete"
+}
+
+/** `INSERT OVERWRITE` in dynamic-partition mode (and
+  * `DataFrameWriterV2.overwritePartitions()`): the batch's distinct
+  * partition tuples — a collect bounded by partitions TOUCHED, never
+  * rows — become the replace predicate of ONE atomic
+  * [[VersionedLake.replaceWhere]] commit. The batch is persisted across
+  * its two consumers (tuple probe, data write).
+  */
+final case class DynamicOverwriteLakeCommand(
+    tableDir: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = GraftDmlShim.ofRows(spark, query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val cur = VersionedLake.currentVersion(spark, tableDir).getOrElse(
+        throw new IllegalStateException(s"no published version in $tableDir"))
+      val physical = VersionedLake.partitionColumns(spark, tableDir, cur)
+      val parts =
+        if (physical.nonEmpty) physical
+        else graft.sources.LakeProps.get(spark, tableDir).get("table.parts")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      require(parts.nonEmpty,
+        s"dynamic partition overwrite needs a partitioned table: $tableDir")
+      val tuples = data.select(parts.map(col): _*).distinct().collect()
+      require(tuples.length <= 100000,
+        s"batch touches ${tuples.length} partitions - above the " +
+          "dynamic-overwrite literal bound; overwrite by predicate instead")
+      val pred = tuples.toSeq
+        .map(r => parts.zipWithIndex
+          .map { case (p, i) => col(p) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      VersionedLake.replaceWhere(spark, tableDir, pred, data): Unit
+      Nil
+    } finally data.unpersist(blocking = false)
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"DynamicOverwriteLakeCommand $tableDir"
 }

@@ -254,6 +254,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     VersionedLake.commit(empty, dir, parts = parts, statsCols = statsCols, bloom = bloom)
+    // the hive layout is self-describing ONLY once data exists — an
+    // empty create dir records no k=v chain, so without a declared
+    // carrier the first INSERT would silently write FLAT and the
+    // partitioning would be lost forever. The declaration lives in the
+    // table props; physical layout takes precedence once data lands.
+    if (parts.nonEmpty) LakeProps.set(spark, dir, "table.parts", parts.mkString(","))
     // CHECK constraints from DDL: TBLPROPERTIES('check.<name>'='<predicate>')
     // — declared on the empty table, so the snapshot validation is free
     // and every later write (SQL or library) is gated
@@ -672,12 +678,32 @@ final class LakeTable(
         .getOrElse(VersionedLake.readVersion(spark, tableDir, v).schema))
   }
 
+  /** The current version's hive layout as identity transforms — what
+    * lets the analyzer accept `INSERT OVERWRITE ... PARTITION (p = v)`
+    * and SHOW the layout in DESCRIBE.
+    */
+  override def partitioning(): Array[Transform] = {
+    val physical = VersionedLake.partitionColumns(spark, tableDir, resolvedVersion)
+    val cols =
+      if (physical.nonEmpty) physical
+      else LakeProps.get(spark, tableDir).get("table.parts")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     if (pinnedVersion.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
+      // INSERT OVERWRITE ... PARTITION / predicate overwrites ride the
+      // atomic minimal-CoW replaceWhere through the V1 write bridge;
+      // DYNAMIC overwrite has no V1 fallback exec in Spark, so it is
+      // rewritten at analysis instead (plans.LakeDmlRules) — no
+      // OVERWRITE_DYNAMIC capability needed or honest here
+      TableCapability.OVERWRITE_BY_FILTER,
       // `MERGE WITH SCHEMA EVOLUTION`: lets the analyzer's
       // ResolveMergeIntoSchemaEvolution widen this table through
       // alterTable (AddColumn / UpdateColumnType — both metadata-only
@@ -780,21 +806,64 @@ final class LakeTable(
       aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg))
   }
 
+  /** Spark source filters → a lake predicate Column — the vocabulary
+    * `INSERT OVERWRITE ... PARTITION (p = v)` and predicate overwrites
+    * arrive in (partition equalities, plus whatever the analyzer folds).
+    * Unsupported shapes refuse loudly rather than over-delete.
+    */
+  private def filterCol(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+      case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+      case GreaterThan(a, v)        => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v)           => col(a) < lit(v)
+      case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
+      case And(l, r)                => filterCol(l) && filterCol(r)
+      case Or(l, r)                 => filterCol(l) || filterCol(r)
+      case Not(c)                   => !filterCol(c)
+      case _: AlwaysTrue            => lit(true)
+      case _: AlwaysFalse           => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE predicate not supported by the graft catalog: $other")
+    }
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel snapshot $identName")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwrite = true // plain INSERT OVERWRITE: full snapshot
+        else replaceFilters = Some(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame, ovr: Boolean): Unit = {
               val s = data.sparkSession
               val cur = VersionedLake.currentVersion(s, tableDir)
+              // physical layout first; the DDL declaration carries the
+              // layout across the empty-table gap (see createTable)
               val parts = cur
                 .map(v => VersionedLake.partitionColumns(s, tableDir, v))
-                .getOrElse(Nil)
+                .filter(_.nonEmpty)
+                .getOrElse(LakeProps.get(s, tableDir).get("table.parts")
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  .getOrElse(Nil))
               // a table with declared skipping layers must keep them
               // through catalog INSERTs: carry the stat/bloom columns the
               // manifest already declares (∩ the batch's schema), the same
@@ -815,7 +884,12 @@ final class LakeTable(
                   Some(VersionedLake.BloomConfig(cols, m, k))
                 }
               }
-              if (overwrite || ovr)
+              if (replaceFilters.isDefined)
+                // predicate overwrite (static PARTITION clause / Delta
+                // replaceWhere): one atomic minimal-CoW commit
+                VersionedLake.replaceWhere(s, tableDir,
+                  replaceFilters.get.map(filterCol).reduce(_ && _), data)
+              else if (overwrite || ovr)
                 VersionedLake.commit(data, tableDir, parts = parts,
                   statsCols = statsCols, bloom = bloom)
               else

@@ -2891,6 +2891,36 @@ object VersionedLake {
       changeArtifact = changeArtifact)
   }
 
+  /** ATOMIC REPLACE-WHERE — `INSERT OVERWRITE ... PARTITION(...)` /
+    * Delta `replaceWhere`: rows matching `predicate` vanish and `data`
+    * lands, in ONE commit. The deletion pays the minimal-CoW price
+    * (only directories holding matching rows rewrite — a partition
+    * backfill on a 100 TB table rewrites that partition's directories,
+    * nothing else), the batch appends as one more directory under the
+    * table's hive layout with the declared skipping layers continued,
+    * and readers never see the half-applied state a deleteWhere +
+    * appendCommit pair would expose between its two versions. The CDC
+    * artifact carries the full delta (matched pre-images as deletes,
+    * the batch as inserts). The caller owns the predicate/batch
+    * contract: rows of `data` OUTSIDE `predicate` still land (SQL's
+    * INSERT OVERWRITE semantics — the predicate scopes the delete).
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      data: DataFrame,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      changeArtifact: Boolean = true): Long = {
+    LakeConstraints.enforce(spark, tableDir, data, "replaceWhere")
+    val keepRow = !coalesce(predicate, lit(false))
+    copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
+      op = "replace_where",
+      changesOf = _.withColumn("_change_type", lit("delete")),
+      changeArtifact = changeArtifact,
+      appendDf = Some(data))
+  }
+
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
     * [[deleteWhere]]: only directories containing rows where `predicate`
     * is TRUE rewrite, applying each `assignments` column expression to
@@ -2985,7 +3015,8 @@ object VersionedLake {
       maxRecordsPerFile: Long,
       op: String,
       changesOf: DataFrame => DataFrame,
-      changeArtifact: Boolean): Long =
+      changeArtifact: Boolean,
+      appendDf: Option[DataFrame] = None): Long =
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -3017,8 +3048,34 @@ object VersionedLake {
           d -> Some(writeDataDir(survivors, tableDir,
             partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
       }.toMap
-      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
-      val schema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      // the replace-where shape: the batch lands as one more directory in
+      // the SAME commit (deletes + inserts atomically — readers never see
+      // the half-applied state a deleteWhere-then-append pair would
+      // expose). Layout and skipping layers continue: the table's hive
+      // partitioning and declared stat columns apply to the new dir.
+      val appendedMeta = appendDf.map { df =>
+        val statCols = priorStats.values.flatMap(_.keys)
+          .toSeq.distinct.sorted.filter(df.columns.contains)
+        val bloomCfg = {
+          val cols = priorBlooms.values.flatMap(_.keys)
+            .toSeq.distinct.sorted.filter(df.columns.contains)
+          if (cols.isEmpty) None
+          else {
+            val (m, k) = priorBlooms.values.flatMap(_.values)
+              .map(t => (t._1, t._2)).maxBy(_._1)
+            Some(BloomConfig(cols, m, k))
+          }
+        }
+        val d = writeDataDir(df, tableDir,
+          partitionColumns(spark, tableDir, base), maxRecordsPerFile)
+        (d, columnStats(df, statCols), bloomJson(df, bloomCfg))
+      }
+      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d))) ++
+        appendedMeta.map(_._1)
+      val baseSchema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      val schema = appendDf
+        .map(df => mergeSchemas(baseSchema, nullableAll(df.schema)))
+        .getOrElse(baseSchema)
       // CDC artifact from the rows this commit's probe already located:
       // the matched pre-images, scoped to the affected directories —
       // O(matched), written before publish like any data directory.
@@ -3034,10 +3091,20 @@ object VersionedLake {
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
             else readDirs(spark, tableDir, affected.toSeq.map(d => s"$tableDir/data/$d"),
               schemaOpt).filter(coalesce(predicate, lit(false)))
-          Some(writeChangesDir(changesOf(matchedRows), tableDir))
+          // the replace-where batch rides the same artifact as inserts —
+          // ONE delta for the one commit
+          val frame = appendDf.foldLeft(changesOf(matchedRows))((acc, df) =>
+            acc.unionByName(
+              df.withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true))
+          Some(writeChangesDir(frame, tableDir))
         }
-      val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
+      val (carriedStats, carriedBlooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
         priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
+      val stats = carriedStats ++
+        appendedMeta.flatMap { case (d, st, _) => st.map(d -> _) }
+      val blooms = carriedBlooms ++
+        appendedMeta.flatMap { case (d, _, bl) => bl.map(d -> _) }
       // bucket alignment does not survive an unbucketed rewrite
       val buckets = priorBuckets.filter { case (d, _) => !rewritten.contains(d) }
       if (newDirs.isEmpty) {

@@ -65,8 +65,64 @@ class GraftCatalogSpec extends SparkSpec {
     val q = spark.sql("SELECT id FROM graft.pt WHERE day = 'd1'")
     assert(q.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("d1"),
+    // a NON-EMPTY partition filter: "PartitionFilters: []" + the pushed
+    // data filter would pass a contains-only check while the layout had
+    // silently flattened (the bug this pin now catches)
+    assert(plan.contains("PartitionFilters: [isnotnull(day") ||
+      plan.contains("PartitionFilters: [(day"),
       s"day filter must prune hive partitions, plan was:\n$plan")
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces exactly that partition, in ONE commit") {
+    root
+    spark.sql("CREATE TABLE graft.po (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.po VALUES (1, 'd1'), (2, 'd1'), (3, 'd2')")
+    val before = VersionedLake.currentVersion(spark, s"$root/po").get
+    spark.sql("INSERT OVERWRITE graft.po PARTITION (day = 'd1') VALUES (9)")
+    val got = spark.sql("SELECT id, day FROM graft.po ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((3L, "d2"), (9L, "d1")),
+      "d1 replaced by the batch, d2 carried untouched")
+    assert(VersionedLake.currentVersion(spark, s"$root/po").get === before + 1,
+      "the delete and the insert must land as ONE atomic commit")
+    // the pre-overwrite state time-travels
+    assert(spark.sql(s"SELECT count(*) FROM graft.po VERSION AS OF $before")
+      .head().getLong(0) === 3L)
+  }
+
+  test("dynamic partition overwrite replaces only the partitions the batch touches") {
+    root
+    spark.sql("CREATE TABLE graft.pdyn (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.pdyn VALUES (1, 'd1'), (2, 'd2'), (3, 'd3')")
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE graft.pdyn VALUES (8, 'd1'), (9, 'd2')")
+      val got = spark.sql("SELECT id, day FROM graft.pdyn ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((3L, "d3"), (8L, "d1"), (9L, "d2")),
+        "d1/d2 replaced (present in the batch), d3 carried")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("replaceWhere feeds the CDC artifact: deletes + inserts in the commit's delta") {
+    val s = spark
+    import s.implicits._
+    root
+    spark.sql("CREATE TABLE graft.prw (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.prw VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$root/prw"
+    val base = VersionedLake.currentVersion(s, dir).get
+    VersionedLake.replaceWhere(s, dir, org.apache.spark.sql.functions.col("id") === 1L,
+      Seq((7L, "x")).toDF("id", "v"))
+    val ev = VersionedLake.readRowChanges(s, dir, base, base + 1)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ev === Set((1L, "a", "delete"), (7L, "x", "insert")),
+      "the one commit's delta is exactly the replaced rows + the batch")
   }
 
   test("data filters push down to the delegated parquet scan") {
