@@ -594,22 +594,30 @@ final case class DynamicOverwriteLakeCommand(
     try {
       val cur = VersionedLake.currentVersion(spark, tableDir).getOrElse(
         throw new IllegalStateException(s"no published version in $tableDir"))
-      val physical = VersionedLake.partitionColumns(spark, tableDir, cur)
-      val parts =
-        if (physical.nonEmpty) physical
-        else graft.sources.LakeProps.get(spark, tableDir).get("table.parts")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val parts = VersionedLake.declaredOrPhysicalParts(spark, tableDir, cur)
       require(parts.nonEmpty,
         s"dynamic partition overwrite needs a partitioned table: $tableDir")
       val tuples = data.select(parts.map(col): _*).distinct().collect()
+      // an empty batch touches no partition: native dynamic-overwrite
+      // semantics replace nothing — committing would pollute the history
+      // and the CDC feed with a zero-row version per scheduled no-op run
+      if (tuples.isEmpty) return Nil
       require(tuples.length <= 100000,
         s"batch touches ${tuples.length} partitions - above the " +
           "dynamic-overwrite literal bound; overwrite by predicate instead")
-      val pred = tuples.toSeq
+      // BALANCED or-tree: a left-deep reduce of N terms recurses N deep
+      // through every catalyst transform and overflows the stack in the
+      // low thousands — log2(100k) = 17 levels survives the stated bound
+      def balancedOr(es: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        if (es.size == 1) es.head
+        else {
+          val (l, r) = es.splitAt(es.size / 2)
+          balancedOr(l) || balancedOr(r)
+        }
+      val pred = balancedOr(tuples.toIndexedSeq
         .map(r => parts.zipWithIndex
           .map { case (p, i) => col(p) <=> lit(r.get(i)) }
-          .reduce(_ && _))
-        .reduceOption(_ || _).getOrElse(lit(false))
+          .reduce(_ && _)))
       VersionedLake.replaceWhere(spark, tableDir, pred, data): Unit
       Nil
     } finally data.unpersist(blocking = false)

@@ -682,15 +682,10 @@ final class LakeTable(
     * lets the analyzer accept `INSERT OVERWRITE ... PARTITION (p = v)`
     * and SHOW the layout in DESCRIBE.
     */
-  override def partitioning(): Array[Transform] = {
-    val physical = VersionedLake.partitionColumns(spark, tableDir, resolvedVersion)
-    val cols =
-      if (physical.nonEmpty) physical
-      else LakeProps.get(spark, tableDir).get("table.parts")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+  override def partitioning(): Array[Transform] =
+    VersionedLake.declaredOrPhysicalParts(spark, tableDir, resolvedVersion)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
-  }
 
   override def capabilities(): util.Set[TableCapability] =
     if (pinnedVersion.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -856,34 +851,15 @@ final class LakeTable(
             override def insert(data: org.apache.spark.sql.DataFrame, ovr: Boolean): Unit = {
               val s = data.sparkSession
               val cur = VersionedLake.currentVersion(s, tableDir)
-              // physical layout first; the DDL declaration carries the
-              // layout across the empty-table gap (see createTable)
               val parts = cur
-                .map(v => VersionedLake.partitionColumns(s, tableDir, v))
-                .filter(_.nonEmpty)
-                .getOrElse(LakeProps.get(s, tableDir).get("table.parts")
-                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                  .getOrElse(Nil))
+                .map(v => VersionedLake.declaredOrPhysicalParts(s, tableDir, v))
+                .getOrElse(Nil)
               // a table with declared skipping layers must keep them
-              // through catalog INSERTs: carry the stat/bloom columns the
-              // manifest already declares (∩ the batch's schema), the same
-              // continuation rule upsert uses — otherwise every SQL ingest
-              // would silently degrade dir-level pruning
-              val statsCols = cur.map { v =>
-                VersionedLake.dirStats(s, tableDir, v).values.flatMap(_.keys)
-                  .toSeq.distinct.sorted.filter(data.columns.contains)
-              }.getOrElse(Nil)
-              val bloom = cur.flatMap { v =>
-                val bs = VersionedLake.dirBlooms(s, tableDir, v)
-                val cols = bs.values.flatMap(_.keys).toSeq.distinct.sorted
-                  .filter(data.columns.contains)
-                if (cols.isEmpty) None
-                else {
-                  val (m, k) = bs.values.flatMap(_.values)
-                    .map(t => (t._1, t._2)).maxBy(_._1)
-                  Some(VersionedLake.BloomConfig(cols, m, k))
-                }
-              }
+              // through catalog INSERTs — the shared continuation rule
+              val (statsCols, bloom) = cur
+                .map(v => VersionedLake.continuedLayers(s, tableDir, v,
+                  data.columns.toSeq))
+                .getOrElse((Nil, None))
               if (replaceFilters.isDefined)
                 // predicate overwrite (static PARTITION clause / Delta
                 // replaceWhere): one atomic minimal-CoW commit

@@ -115,32 +115,40 @@ object LakeReplicate {
     val srcV = atVersion.orElse(VersionedLake.currentVersion(spark, srcDir))
       .getOrElse(return)
     val srcFull = VersionedLake.versionSchema(spark, srcDir, srcV).getOrElse(return)
-    def dstVisible: Array[String] = {
-      val v = VersionedLake.currentVersion(spark, dstDir).getOrElse(return Array.empty)
-      VersionedLake.visibleSchema(
-        VersionedLake.versionSchema(spark, dstDir, v).getOrElse(return Array.empty))
-        .fieldNames
-    }
-    def dstField(n: String): Option[StructField] = {
-      val v = VersionedLake.currentVersion(spark, dstDir).getOrElse(return None)
-      VersionedLake.versionSchema(spark, dstDir, v)
-        .flatMap(s => s.fields.find(f =>
-          f.name.equalsIgnoreCase(n) && !VersionedLake.isDropped(f)))
-    }
+    // ONE destination schema read for the whole pass (the common
+    // no-schema-change sync touches it S times otherwise); re-read only
+    // after a change actually commits
+    var dst: Option[StructType] = None
+    def refresh(): Unit =
+      dst = VersionedLake.currentVersion(spark, dstDir)
+        .flatMap(v => VersionedLake.versionSchema(spark, dstDir, v))
+    refresh()
+    def dstVisible: Seq[String] =
+      dst.map(s => VersionedLake.visibleSchema(s).fieldNames.toSeq).getOrElse(Nil)
+    def dstField(n: String): Option[StructField] =
+      dst.flatMap(_.fields.find(f =>
+        f.name.equalsIgnoreCase(n) && !VersionedLake.isDropped(f)))
     val widenRank = Map[DataType, Int](
       ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
     srcFull.fields.foreach { f =>
+      // every name the field ever carried, newest first — a source
+      // rename-then-drop in ONE window must still find the mirror's
+      // pre-rename column (matching only the current name would leave a
+      // live orphan column, the exact split this method exists to stop)
+      val allNames = f.name +: VersionedLake.akaNames(f)
       if (VersionedLake.isDropped(f)) {
-        // tombstoned at the source, still visible here: drop
-        if (dstVisible.exists(_.equalsIgnoreCase(f.name)))
-          VersionedLake.dropColumn(spark, dstDir, f.name): Unit
+        allNames.find(n => dstVisible.exists(_.equalsIgnoreCase(n))).foreach { n =>
+          VersionedLake.dropColumn(spark, dstDir, n): Unit
+          refresh()
+        }
       } else {
         if (!dstVisible.exists(_.equalsIgnoreCase(f.name)))
-          // renamed at the source: a former name the mirror still carries
           VersionedLake.akaNames(f)
             .find(a => dstVisible.exists(_.equalsIgnoreCase(a)))
-            .foreach(old =>
-              VersionedLake.renameColumn(spark, dstDir, old, f.name): Unit)
+            .foreach { old =>
+              VersionedLake.renameColumn(spark, dstDir, old, f.name): Unit
+              refresh()
+            }
         dstField(f.name).foreach { d =>
           val widens = (d.dataType, f.dataType) match {
             case (FloatType, DoubleType) => true
@@ -149,8 +157,10 @@ object LakeReplicate {
               case _                  => false
             }
           }
-          if (widens)
+          if (widens) {
             VersionedLake.widenColumn(spark, dstDir, f.name, f.dataType): Unit
+            refresh()
+          }
         }
       }
     }

@@ -1641,6 +1641,51 @@ object VersionedLake {
     * INSERT path) use this to keep new commits layout-aligned with the
     * table instead of silently flattening it.
     */
+  /** The hive layout NEW batches follow: the physical newest-dir spec,
+    * else the DDL-declared carrier (the catalog's `table.parts` prop) —
+    * an empty created table records no self-describing k=v chain, so
+    * without consulting the carrier a first batch would silently write
+    * FLAT and lose the declared partitioning forever. Every path that
+    * writes a new data directory for an existing table (catalog INSERT,
+    * replaceWhere's batch, dynamic overwrite) must use THIS, not
+    * [[partitionColumns]].
+    */
+  def declaredOrPhysicalParts(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Seq[String] = {
+    val phys = partitionColumns(spark, tableDir, version)
+    if (phys.nonEmpty) phys
+    else LakeProps.get(spark, tableDir).get("table.parts")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** Continue a table's declared skipping layers onto a new batch
+    * directory: the stat/bloom columns the version's manifest declares,
+    * intersected with the batch's schema — the carry rule the catalog
+    * INSERT and the replace-where batch share (without it every SQL
+    * ingest would silently degrade dir-level pruning).
+    */
+  def continuedLayers(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      batchCols: Seq[String]): (Seq[String], Option[BloomConfig]) = {
+    val statCols = dirStats(spark, tableDir, version).values.flatMap(_.keys)
+      .toSeq.distinct.sorted.filter(batchCols.contains)
+    val bs = dirBlooms(spark, tableDir, version)
+    val cols = bs.values.flatMap(_.keys).toSeq.distinct.sorted
+      .filter(batchCols.contains)
+    val bloom =
+      if (cols.isEmpty) None
+      else {
+        val (m, k) = bs.values.flatMap(_.values).map(t => (t._1, t._2)).maxBy(_._1)
+        Some(BloomConfig(cols, m, k))
+      }
+    (statCols, bloom)
+  }
+
   def partitionColumns(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
     manifest(spark, tableDir, version).lastOption
       .map { d =>
@@ -2913,12 +2958,23 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       changeArtifact: Boolean = true): Long = {
     LakeConstraints.enforce(spark, tableDir, data, "replaceWhere")
-    val keepRow = !coalesce(predicate, lit(false))
-    copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
-      op = "replace_where",
-      changesOf = _.withColumn("_change_type", lit("delete")),
-      changeArtifact = changeArtifact,
-      appendDf = Some(data))
+    // the batch feeds up to four evaluations (stats agg, bloom agg, the
+    // data write, the CDC-artifact union): persist it once — unless the
+    // caller already did (the dynamic-overwrite command persists for its
+    // own tuple probe)
+    val cached = data.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val df =
+      if (cached)
+        data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else data
+    try {
+      val keepRow = !coalesce(predicate, lit(false))
+      copyOnWrite(spark, tableDir, predicate, _.filter(keepRow), maxRecordsPerFile,
+        op = "replace_where",
+        changesOf = _.withColumn("_change_type", lit("delete")),
+        changeArtifact = changeArtifact,
+        appendDf = Some(df))
+    } finally if (cached) df.unpersist(blocking = false): Unit
   }
 
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
@@ -3054,20 +3110,13 @@ object VersionedLake {
       // expose). Layout and skipping layers continue: the table's hive
       // partitioning and declared stat columns apply to the new dir.
       val appendedMeta = appendDf.map { df =>
-        val statCols = priorStats.values.flatMap(_.keys)
-          .toSeq.distinct.sorted.filter(df.columns.contains)
-        val bloomCfg = {
-          val cols = priorBlooms.values.flatMap(_.keys)
-            .toSeq.distinct.sorted.filter(df.columns.contains)
-          if (cols.isEmpty) None
-          else {
-            val (m, k) = priorBlooms.values.flatMap(_.values)
-              .map(t => (t._1, t._2)).maxBy(_._1)
-            Some(BloomConfig(cols, m, k))
-          }
-        }
+        val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base,
+          df.columns.toSeq)
+        // declaredOrPhysicalParts, NOT partitionColumns: the first write
+        // onto an empty PARTITIONED BY table must follow the DECLARED
+        // layout (no self-describing chain exists yet to copy)
         val d = writeDataDir(df, tableDir,
-          partitionColumns(spark, tableDir, base), maxRecordsPerFile)
+          declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
         (d, columnStats(df, statCols), bloomJson(df, bloomCfg))
       }
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d))) ++

@@ -90,6 +90,21 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 3L)
   }
 
+  test("the FIRST write on an empty PARTITIONED BY table may be a partition overwrite") {
+    root
+    spark.sql("CREATE TABLE graft.pfirst (id BIGINT, day STRING) PARTITIONED BY (day)")
+    // no INSERT INTO first: the overwrite's appended dir must follow the
+    // DECLARED layout (nothing self-describing exists yet to copy)
+    spark.sql("INSERT OVERWRITE graft.pfirst PARTITION (day = 'd1') VALUES (1)")
+    spark.sql("INSERT INTO graft.pfirst VALUES (2, 'd2')")
+    val q = spark.sql("SELECT id FROM graft.pfirst WHERE day = 'd2'")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day") ||
+      plan.contains("PartitionFilters: [(day"),
+      s"the declared hive layout must survive an overwrite-first lifecycle:\n$plan")
+  }
+
   test("dynamic partition overwrite replaces only the partitions the batch touches") {
     root
     spark.sql("CREATE TABLE graft.pdyn (id BIGINT, day STRING) PARTITIONED BY (day)")

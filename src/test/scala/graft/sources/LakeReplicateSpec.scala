@@ -171,6 +171,21 @@ class LakeReplicateSpec extends SparkSpec {
       "the zero-row window still advances the watermark")
   }
 
+  test("a source rename-then-drop in ONE window still drops the mirror's pre-rename column") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_rd_src")
+    val dst = fresh("rep_rd_dst")
+    VersionedLake.appendCommit(Seq((1L, "a", "x")).toDF("id", "v", "tmp"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    VersionedLake.renameColumn(s, src, "tmp", "tmp2")
+    VersionedLake.dropColumn(s, src, "tmp2")
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    val names = VersionedLake.read(s, dst).schema.fieldNames.toSeq
+    assert(!names.contains("tmp") && !names.contains("tmp2"),
+      s"the tombstone must be found through its FORMER names too: $names")
+  }
+
   test("syncing into an unrelated populated table refuses loudly") {
     val s = spark
     import s.implicits._
