@@ -622,7 +622,21 @@ final class LakeTable(
     identName: String,
     val tableDir: String,
     val pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with TruncatableTable {
+
+  /** `TRUNCATE TABLE t`: an empty snapshot commit under the current
+    * schema — history intact (the pre-truncate version time-travels,
+    * rollback restores it), layout declaration preserved. Like rollback
+    * and snapshot replace, the commit carries no row-level artifact, so
+    * a CDC window spanning it refuses loudly rather than guessing.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty, s"cannot TRUNCATE time-travel snapshot $identName")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema())
+    VersionedLake.commit(empty, tableDir): Unit
+    true
+  }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     pinnedVersion.isEmpty && filters.forall(FilterToColumn(_).isDefined)

@@ -105,6 +105,19 @@ class GraftCatalogSpec extends SparkSpec {
       s"the declared hive layout must survive an overwrite-first lifecycle:\n$plan")
   }
 
+  test("TRUNCATE TABLE empties the snapshot; the pre-truncate version time-travels") {
+    root
+    spark.sql("CREATE TABLE graft.trunc (id BIGINT)")
+    spark.sql("INSERT INTO graft.trunc VALUES (1), (2)")
+    val before = VersionedLake.currentVersion(spark, s"$root/trunc").get
+    spark.sql("TRUNCATE TABLE graft.trunc")
+    assert(spark.sql("SELECT count(*) FROM graft.trunc").head().getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.trunc VERSION AS OF $before")
+      .head().getLong(0) === 2L, "truncate is a commit, not an erasure")
+    spark.sql("INSERT INTO graft.trunc VALUES (9)")
+    assert(spark.sql("SELECT id FROM graft.trunc").head().getLong(0) === 9L)
+  }
+
   test("dynamic partition overwrite replaces only the partitions the batch touches") {
     root
     spark.sql("CREATE TABLE graft.pdyn (id BIGINT, day STRING) PARTITIONED BY (day)")
