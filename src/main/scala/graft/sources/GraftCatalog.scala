@@ -622,7 +622,121 @@ final class LakeTable(
     identName: String,
     val tableDir: String,
     val pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with TruncatableTable {
+    with SupportsDelete with TruncatableTable with SupportsPartitionManagement {
+
+  // ---- partition management (SHOW PARTITIONS / ALTER ... DROP PARTITION)
+  //
+  // Partitions here are IMPLICIT — hive `k=v` directory levels under the
+  // manifest's data dirs, created by writes and removed by rewrites — so
+  // only the observing/deleting operations have semantics: SHOW
+  // PARTITIONS walks the directory levels (O(partition dirs) metadata
+  // listings, no data IO), DROP PARTITION is a minimal-CoW deleteWhere
+  // on the partition equality. ADD PARTITION / metadata mutation refuse
+  // loudly (there is nothing to create ahead of data, and no per-
+  // partition metadata store to mutate).
+
+  override def partitionSchema(): StructType = {
+    val parts = VersionedLake.declaredOrPhysicalParts(spark, tableDir, resolvedVersion)
+    val sch = schema()
+    StructType(parts.flatMap(p => sch.fields.find(_.name.equalsIgnoreCase(p))))
+  }
+
+  private def partValue(s: String, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => s
+      case IntegerType => s.toInt
+      case LongType    => s.toLong
+      case ShortType   => s.toShort
+      case ByteType    => s.toByte
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case BooleanType => s.toBoolean
+      case DateType    => java.sql.Date.valueOf(s)
+      case other => throw new UnsupportedOperationException(
+        s"partition column type $other not supported for partition listing")
+    }
+  }
+
+  /** Distinct partition tuples of the current version, off the directory
+    * structure alone.
+    */
+  private def partTuples(): Seq[Seq[Any]] = {
+    val ps = partitionSchema()
+    if (ps.isEmpty) return Nil
+    val f = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val v = resolvedVersion
+    val chains = VersionedLake.dirParts(spark, tableDir, v)
+    VersionedLake.manifest(spark, tableDir, v).flatMap { d =>
+      val chain = chains.getOrElse(d, Nil)
+      if (chain.isEmpty) Nil
+      else {
+        // walk one k=v level per chain column; unexpected levels stop
+        // the walk (never invent a partition)
+        var frontier: Seq[(Path, Map[String, String])] =
+          Seq(new Path(s"$tableDir/data/$d") -> Map.empty)
+        chain.foreach { c =>
+          frontier = frontier.flatMap { case (p, m) =>
+            f.listStatus(p).filter(_.isDirectory).toSeq
+              .map(_.getPath)
+              .filter(_.getName.startsWith(s"$c="))
+              .map(sub => sub -> (m + (c ->
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(sub.getName.stripPrefix(s"$c=")))))
+          }
+        }
+        frontier.map { case (_, m) =>
+          ps.fields.toSeq.map(fl => m.get(fl.name).map(partValue(_, fl.dataType)).orNull)
+        }
+      }
+    }.distinct
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val conv = ps.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val nameIdx = names.toSeq.map(n => ps.fieldIndex(n))
+    val wanted = names.indices.map(i =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(
+        ident.get(i, ps.fields(nameIdx(i)).dataType), ps.fields(nameIdx(i)).dataType))
+    partTuples()
+      .filter(t => nameIdx.zip(wanted).forall { case (ix, w) => t(ix) == w })
+      .map(t => org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        t.zip(conv).map { case (v, c) => c(v) }))
+      .toArray
+  }
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(pinnedVersion.isEmpty, s"cannot DROP PARTITION on time-travel snapshot $identName")
+    import org.apache.spark.sql.functions.{col, lit}
+    val ps = partitionSchema()
+    require(ps.nonEmpty, s"$identName is not partitioned")
+    val pred = ps.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name) <=> lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(ident.get(i, f.dataType), f.dataType))
+    }.reduce(_ && _)
+    VersionedLake.deleteWhere(spark, tableDir, pred): Unit
+    true
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions are implicit in the hive layout - write data instead of ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("no per-partition metadata store")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   /** `TRUNCATE TABLE t`: an empty snapshot commit under the current
     * schema — history intact (the pre-truncate version time-travels,

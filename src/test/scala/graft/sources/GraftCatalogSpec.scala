@@ -105,6 +105,24 @@ class GraftCatalogSpec extends SparkSpec {
       s"the declared hive layout must survive an overwrite-first lifecycle:\n$plan")
   }
 
+  test("SHOW PARTITIONS walks the layout; DROP PARTITION deletes minimal-CoW") {
+    root
+    spark.sql("CREATE TABLE graft.sp (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.sp VALUES (1, 'd1'), (2, 'd2'), (3, 'd1')")
+    val all = spark.sql("SHOW PARTITIONS graft.sp").collect().map(_.getString(0)).sorted
+    assert(all.toSeq === Seq("day=d1", "day=d2"))
+    val one = spark.sql("SHOW PARTITIONS graft.sp PARTITION (day = 'd2')")
+      .collect().map(_.getString(0))
+    assert(one.toSeq === Seq("day=d2"), "the partial spec filters the listing")
+    val before = VersionedLake.currentVersion(spark, s"$root/sp").get
+    spark.sql("ALTER TABLE graft.sp DROP PARTITION (day = 'd1')")
+    assert(spark.sql("SELECT id FROM graft.sp").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(VersionedLake.currentVersion(spark, s"$root/sp").get === before + 1,
+      "DROP PARTITION is one minimal-CoW commit")
+    assert(spark.sql("SHOW PARTITIONS graft.sp").collect().map(_.getString(0)).toSeq
+      === Seq("day=d2"), "the dropped partition leaves the listing")
+  }
+
   test("TRUNCATE TABLE empties the snapshot; the pre-truncate version time-travels") {
     root
     spark.sql("CREATE TABLE graft.trunc (id BIGINT)")
