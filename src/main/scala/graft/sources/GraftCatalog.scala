@@ -645,32 +645,39 @@ final class LakeTable(
     import org.apache.spark.sql.types._
     if (s == "__HIVE_DEFAULT_PARTITION__") null
     else dt match {
-      case StringType  => s
-      case IntegerType => s.toInt
-      case LongType    => s.toLong
-      case ShortType   => s.toShort
-      case ByteType    => s.toByte
-      case DoubleType  => s.toDouble
-      case FloatType   => s.toFloat
-      case BooleanType => s.toBoolean
-      case DateType    => java.sql.Date.valueOf(s)
+      case StringType      => s
+      case IntegerType     => s.toInt
+      case LongType        => s.toLong
+      case ShortType       => s.toShort
+      case ByteType        => s.toByte
+      case DoubleType      => s.toDouble
+      case FloatType       => s.toFloat
+      case BooleanType     => s.toBoolean
+      case DateType        => java.sql.Date.valueOf(s)
+      case TimestampType   => java.sql.Timestamp.valueOf(s)
+      case _: DecimalType  => new java.math.BigDecimal(s)
       case other => throw new UnsupportedOperationException(
         s"partition column type $other not supported for partition listing")
     }
   }
 
   /** Distinct partition tuples of the current version, off the directory
-    * structure alone.
+    * structure alone — layout-level, like Hive's SHOW PARTITIONS: a
+    * partition whose rows are all pending merge-on-read deletes still
+    * lists until the debt materializes. Directories written under an
+    * OLDER partition spec (spec evolution) are skipped — their levels
+    * name columns the current spec does not, and inventing
+    * default-partition tuples for them would list partitions no row has.
     */
   private def partTuples(): Seq[Seq[Any]] = {
     val ps = partitionSchema()
     if (ps.isEmpty) return Nil
     val f = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
     val v = resolvedVersion
-    val chains = VersionedLake.dirParts(spark, tableDir, v)
+    val psNames = ps.fields.map(_.name.toLowerCase).toSeq
     VersionedLake.manifest(spark, tableDir, v).flatMap { d =>
-      val chain = chains.getOrElse(d, Nil)
-      if (chain.isEmpty) Nil
+      val chain = VersionedLake.dirPartitionChain(spark, tableDir, v, d)
+      if (chain.map(_.toLowerCase) != psNames) Nil
       else {
         // walk one k=v level per chain column; unexpected levels stop
         // the walk (never invent a partition)
@@ -715,9 +722,15 @@ final class LakeTable(
     import org.apache.spark.sql.functions.{col, lit}
     val ps = partitionSchema()
     require(ps.nonEmpty, s"$identName is not partitioned")
-    val pred = ps.fields.zipWithIndex.map { case (f, i) =>
-      col(f.name) <=> lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToScala(ident.get(i, f.dataType), f.dataType))
+    val wanted = ps.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(ident.get(i, f.dataType), f.dataType)
+    }.toSeq
+    // contract: false = no such partition (also avoids publishing a
+    // no-op delete_where version for an absent partition)
+    if (!partTuples().contains(wanted)) return false
+    val pred = ps.fields.zip(wanted).map { case (f, w) =>
+      col(f.name) <=> lit(w)
     }.reduce(_ && _)
     VersionedLake.deleteWhere(spark, tableDir, pred): Unit
     true
@@ -738,17 +751,14 @@ final class LakeTable(
       ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
     util.Collections.emptyMap()
 
-  /** `TRUNCATE TABLE t`: an empty snapshot commit under the current
-    * schema — history intact (the pre-truncate version time-travels,
-    * rollback restores it), layout declaration preserved. Like rollback
-    * and snapshot replace, the commit carries no row-level artifact, so
-    * a CDC window spanning it refuses loudly rather than guessing.
+  /** `TRUNCATE TABLE t` → [[VersionedLake.truncate]]: an empty snapshot
+    * commit that preserves the schema, the declared skipping layers, and
+    * the hive-layout declaration — history intact (the pre-truncate
+    * version time-travels, rollback restores it).
     */
   override def truncateTable(): Boolean = {
     require(pinnedVersion.isEmpty, s"cannot TRUNCATE time-travel snapshot $identName")
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema())
-    VersionedLake.commit(empty, tableDir): Unit
+    VersionedLake.truncate(spark, tableDir): Unit
     true
   }
 

@@ -1686,6 +1686,43 @@ object VersionedLake {
     (statCols, bloom)
   }
 
+  /** One directory's hive chain: the manifest's parts line, else the
+    * self-describing physical walk (legacy manifests predating the
+    * header).
+    */
+  def dirPartitionChain(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      dir: String): Seq[String] =
+    dirParts(spark, tableDir, version)
+      .getOrElse(dir, partitionColsOf(spark, tableDir, dir))
+
+  /** TRUNCATE: an empty snapshot commit that PRESERVES the table's
+    * declarations — the schema, the declared skipping layers (the empty
+    * dir carries all-null stats lines and an empty bloom, so the
+    * catalog INSERT's continuation rule keeps carrying them), and the
+    * hive layout (recorded into the `table.parts` carrier prop if not
+    * already there, since an empty snapshot has no self-describing
+    * chain). History stays: the pre-truncate version time-travels and
+    * rollback restores it. Like rollback, the commit carries no
+    * row-level artifact — a CDC window spanning it refuses loudly.
+    */
+  def truncate(spark: SparkSession, tableDir: String): Long = {
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = visibleSchema(versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema)))
+    val parts = declaredOrPhysicalParts(spark, tableDir, cur)
+    if (parts.nonEmpty && !LakeProps.get(spark, tableDir).contains("table.parts"))
+      LakeProps.set(spark, tableDir, "table.parts", parts.mkString(","))
+    val (statCols, bloom) = continuedLayers(spark, tableDir, cur, schema.fieldNames.toSeq)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .repartition(1) // one empty-but-schema'd file keeps read paths uniform
+    commit(empty, tableDir, statsCols = statCols, bloom = bloom)
+  }
+
   def partitionColumns(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
     manifest(spark, tableDir, version).lastOption
       .map { d =>

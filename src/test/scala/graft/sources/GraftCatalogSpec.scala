@@ -125,15 +125,24 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("TRUNCATE TABLE empties the snapshot; the pre-truncate version time-travels") {
     root
-    spark.sql("CREATE TABLE graft.trunc (id BIGINT)")
-    spark.sql("INSERT INTO graft.trunc VALUES (1), (2)")
+    spark.sql("""CREATE TABLE graft.trunc (id BIGINT, day STRING)
+                |PARTITIONED BY (day) TBLPROPERTIES ('stats.cols' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.trunc VALUES (1, 'd1'), (2, 'd2')")
     val before = VersionedLake.currentVersion(spark, s"$root/trunc").get
     spark.sql("TRUNCATE TABLE graft.trunc")
     assert(spark.sql("SELECT count(*) FROM graft.trunc").head().getLong(0) === 0L)
     assert(spark.sql(s"SELECT count(*) FROM graft.trunc VERSION AS OF $before")
       .head().getLong(0) === 2L, "truncate is a commit, not an erasure")
-    spark.sql("INSERT INTO graft.trunc VALUES (9)")
+    // the DECLARATIONS survive the truncate: the next insert continues
+    // the stats layer and the hive layout
+    spark.sql("INSERT INTO graft.trunc VALUES (9, 'd9')")
     assert(spark.sql("SELECT id FROM graft.trunc").head().getLong(0) === 9L)
+    val stats = VersionedLake.dirStats(spark, s"$root/trunc",
+      VersionedLake.currentVersion(spark, s"$root/trunc").get)
+    assert(stats.values.exists(_.contains("id")),
+      "the post-truncate insert must carry the declared stats layer on")
+    assert(spark.sql("SHOW PARTITIONS graft.trunc").collect().map(_.getString(0)).toSeq
+      === Seq("day=d9"), "the declared hive layout must survive the truncate")
   }
 
   test("dynamic partition overwrite replaces only the partitions the batch touches") {
