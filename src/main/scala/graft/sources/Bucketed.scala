@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions.col
   *
   * This is the Spark-native answer to the reference's single-node luxury of
   * never shuffling (everything is one pandas process —
-  * /root/reference/parser/transform.py joins in memory): at 100 TB the
+  * /root/reference/parser/xml.py:214-232 chains its joins in memory): at
+  * 100 TB the
   * dominant cost of a fact⋈fact join is the two full-table shuffles, and
   * bucketing amortizes them into the initial write. Both sides bucketed by
   * the join key into the same bucket count → Catalyst plans a sort-merge

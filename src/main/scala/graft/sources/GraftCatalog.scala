@@ -796,11 +796,12 @@ final class LakeTable(
       .exists(_.dirs.exists(dirs.contains))
     val renamed = VersionedLake.hasRenames(VersionedLake.visibleSchema(
       VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType())))
-    // partition-spec evolution reads per-spec groups (the library read's
-    // per-dir unions); one multi-root parquet scan would refuse the
-    // mixed k=v / flat layout outright
-    val mixed = VersionedLake.hasMixedPartitionSpecs(spark, tableDir, v)
-    if (pending || renamed || mixed) Some(v) else None
+    // partition-spec evolution AND multi-dir hive layouts read per-spec
+    // groups (the library read's per-dir unions); one multi-root parquet
+    // scan would refuse both the mixed k=v / flat layout and the uuid
+    // level between data root and k=v chains
+    val perDir = VersionedLake.needsPerDirRead(spark, tableDir, v)
+    if (pending || renamed || perDir) Some(v) else None
   }
 
   /** The library read of `v`, for [[readThroughVersion]]'s splice. */
@@ -889,7 +890,7 @@ final class LakeTable(
     if (pending.nonEmpty ||
       VersionedLake.hasRenames(VersionedLake.visibleSchema(
         VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType()))) ||
-      VersionedLake.hasMixedPartitionSpecs(spark, tableDir, v))
+      VersionedLake.needsPerDirRead(spark, tableDir, v))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -929,13 +930,25 @@ final class LakeTable(
     // directory pruning when the table declares layers (a no-op pruner
     // otherwise), metadata-only count/min/max, and manifest-exact scan
     // statistics for join planning
+    // zero-row directories (TRUNCATE's empty snapshot, a no-match
+    // replaceWhere batch) are dropped from the scan: they contribute no
+    // rows, and a flat empty dir among hive-partitioned dirs would fail
+    // multi-root partition discovery ("conflicting partition columns").
+    // When EVERY dir is empty, keep the newest one so the delegated
+    // builder still has a concrete (single-spec) root to plan over.
+    val rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v)
+    def dropEmpty(ds: Seq[String]): Seq[String] = {
+      val live = ds.filter(d => rowMeta.get(d).forall(_._1 > 0))
+      if (live.nonEmpty) live else ds.takeRight(1)
+    }
     new org.apache.spark.sql.graft.LakePruningScanBuilder(
       spark, identName, s"$tableDir/data", schema(), options,
       pruner =
         if (hasLayers)
-          filters => VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters)
-        else _ => dirs,
-      rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v),
+          filters => dropEmpty(
+            VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters))
+        else _ => dropEmpty(dirs),
+      rowMeta = rowMeta,
       aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg))
   }
 

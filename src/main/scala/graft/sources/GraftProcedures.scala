@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * returns a one-row result set (the affected version) as a
   * [[LocalScan]].
   *
-  * Reference behavior: the pipeline's maintenance is cron shell calls
-  * around the exporter (`/root/reference/run_export.sh`); here the same
+  * Reference behavior: the pipeline has no maintenance surface at all —
+  * its whole lifecycle is the `main` loop that moves processed files
+  * aside (`/root/reference/xml_to_rdb.py:39-56`); here the same
   * operations are engine-native SQL with the commit log as the audit
   * trail (`$history`).
   */

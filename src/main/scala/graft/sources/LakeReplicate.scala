@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the commit log's row delta ONCE and applying it as ONE exactly-once
   * keyed minimal-CoW commit — the lakehouse "APPLY CHANGES" shape
   * (reference behavior: the pipeline republishes whole extracts into the
-  * warehouse per run, `/root/reference/parser/exporter.py:60-104` — at
+  * warehouse per run, `/root/reference/xml_to_rdb.py:39-56` — at
   * 100 TB a mirror must pay the row delta, not the table).
   *
   * Cost model, which is the point: a sync window spanning V commits with
@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * Per-key REPLAY, not latest-commit-wins: `update_postimage` replaces
   * a key's rows and `delete` empties it, but `insert` (an append) ADDS
   * to whatever the key holds — so a key's post-window rows are its last
-  * replacing event's rows plus every insert after it, and a key the
+  * replacing event's rows plus every insert at-or-after it (same-version
+  * inserts ride replace_where's delete+insert pairs), and a key the
   * window only appended to keeps its pre-window mirror rows (appended,
   * never probed). Windows that net to no mirror change still advance
   * the watermark via a metadata-only commit
@@ -198,9 +199,16 @@ object LakeReplicate {
     // to whatever the key already holds (appends under an existing key
     // are legal), while `update_postimage` REPLACES the key's rows and
     // `delete` empties it. So the key's live rows after the window are
-    // the last replacing event's rows plus every insert AFTER it — and
-    // when the window holds no replacing event, the mirror's existing
-    // rows stay (the key is appended to, never probed).
+    // the last replacing event's rows plus every insert at-or-after it —
+    // and when the window holds no replacing event, the mirror's existing
+    // rows stay (the key is appended to, never probed). "At-or-after",
+    // not strictly after: replace_where (INSERT OVERWRITE PARTITION /
+    // dynamic overwrite) commits the matched pre-images as `delete` and
+    // the batch as `insert` at the SAME version, and those re-inserts
+    // must survive their own replacing delete. The >= cannot
+    // double-apply: no single commit tags one key with both
+    // `update_postimage` and `insert` (a key is either matched —
+    // pre/postimage — or not — insert; replace_where uses delete+insert).
     val repV = max(when(
       col("_change_type").isin("update_postimage", "delete"),
       col("_commit_version"))).over(Window.partitionBy(keys.map(col): _*))
@@ -210,7 +218,7 @@ object LakeReplicate {
         col("_commit_version") === col("_rep_replace_v")) ||
       (col("_change_type") === "insert" &&
         (col("_rep_replace_v").isNull ||
-          col("_commit_version") > col("_rep_replace_v"))))
+          col("_commit_version") >= col("_rep_replace_v"))))
     val dataCols = feed.columns
       .filterNot(Set("_change_type", "_commit_version", "_rep_replace_v")).toSeq
     val batch = live.select(dataCols.map(col): _*)

@@ -59,11 +59,32 @@ object VersionedLake {
   /** Age beyond which a zero-length manifest is judged a crashed
     * committer's orphan rather than an in-flight open-fenced publish.
     * A manifest body is a few KB — an open-fence window (create → write
-    * → close) lives milliseconds; a zero-length file a minute old has no
-    * writer coming back for it. Kept well above any plausible
-    * write-stall so a slow-but-alive committer is never preempted.
+    * → close) lives milliseconds; a zero-length file this old has no
+    * writer coming back for it. Fifteen minutes, not one: a live
+    * committer stalled by a GC pause or a network partition can
+    * plausibly sit minutes between its create and close, and preempting
+    * it risks a lost commit on stores whose close still succeeds — the
+    * heal trades wedge-duration (bounded, self-clearing) against that
+    * loss, so the window errs long. The belt-and-braces half is in
+    * [[HadoopCreateCommitStore.createExclusive]]: after close, the
+    * committer re-reads its manifest and verifies the bytes are ITS
+    * bytes, so a committer that WAS preempted inside the window fails
+    * loudly as a conflict instead of both writers reporting success.
     */
-  private[graft] val OrphanManifestGraceMs = 60000L
+  private[graft] val OrphanManifestGraceMs = 15L * 60 * 1000
+
+  /** The post-close half of the heal contract: the published file must
+    * hold exactly the committer's own bytes, else the publish was
+    * preempted and the loss must surface as a conflict, not a success.
+    */
+  private[graft] def assertOwnPublish(
+      where: String,
+      expected: Array[Byte],
+      actual: Array[Byte]): Unit =
+    if (!java.util.Arrays.equals(actual, expected))
+      throw new CommitConflictException(
+        s"$where holds another committer's bytes after close - this " +
+          "publish was preempted by the orphan heal during a stall")
 
   /** Manifest header line carrying the version's canonical schema as
     * single-line Spark JSON. Schema evolution design: the merged schema
@@ -529,6 +550,29 @@ object VersionedLake {
       val f = fs(spark, dir)
       val dst = f.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
       val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // Post-close verification, the second half of the orphan-heal
+      // contract: a committer stalled past [[OrphanManifestGraceMs]]
+      // inside its open fence can be preempted (its zero-length file
+      // healed away, the version re-claimed), and on filesystems where
+      // its close still succeeds BOTH writers would report success with
+      // one commit silently lost. Re-reading the published file and
+      // requiring OUR bytes turns that silent loss into a loud conflict
+      // (the caller's retry loop re-bases onto the next version). Length
+      // alone is not enough — two same-version manifests share all prior
+      // lines and differ only in a fixed-width directory UUID, so their
+      // lengths collide exactly when it matters. One small-file read per
+      // commit, on this store only.
+      def verifyOwnBytes(read: => Array[Byte]): Unit = {
+        val got =
+          try read
+          catch {
+            case e: java.io.IOException =>
+              throw new CommitConflictException(
+                s"$dir/$name vanished after close (preempted by the orphan " +
+                  s"heal): ${e.getMessage}")
+          }
+        assertOwnPublish(s"$dir/$name", bytes, got)
+      }
       if ("file".equalsIgnoreCase(dst.toUri.getScheme)) {
         val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
         java.nio.file.Files.createDirectories(dstP.getParent)
@@ -542,6 +586,7 @@ object VersionedLake {
                 s"$dir/$name was published by a concurrent committer (O_EXCL create failed)")
           }
         try out.write(bytes) finally out.close()
+        verifyOwnBytes(java.nio.file.Files.readAllBytes(dstP))
       } else {
         val dirPath = new org.apache.hadoop.fs.Path(dir)
         if (!f.exists(dirPath)) f.mkdirs(dirPath)
@@ -579,6 +624,14 @@ object VersionedLake {
           if (!closed) {
             try out.close() catch { case _: Throwable => () }
           }
+        }
+        verifyOwnBytes {
+          val in = f.open(dst)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
+            buf.toByteArray
+          } finally in.close()
         }
       }
     }
@@ -1004,8 +1057,41 @@ object VersionedLake {
       tableDir: String,
       version: Long): Boolean = {
     val specs = dirParts(spark, tableDir, version)
+    // zero-row directories cannot mix anything: they hold no data a
+    // per-spec read would have to treat differently. Without this,
+    // TRUNCATE's flat empty snapshot dir + the first partitioned INSERT
+    // reads as "mixed" until an OPTIMIZE drops the empty dir, routing
+    // every read through the stats-blind V1 bridge permanently. Dirs
+    // without a rows line (legacy manifests) count as non-empty.
+    val rows = dirRowCounts(spark, tableDir, version)
     manifest(spark, tableDir, version)
+      .filter(d => rows.get(d).forall(_._1 > 0))
       .map(d => specs.getOrElse(d, Nil)).distinct.sizeIs > 1
+  }
+
+  /** Whether the version needs the per-directory union read rather than
+    * ONE multi-root parquet scan. Two shapes force it: mixed specs (flat
+    * + hive dirs cannot share a scan), and MULTIPLE hive-partitioned
+    * roots — Spark's partition discovery cannot bridge the uuid level
+    * between the table's data root and each dir's k=v chain, with or
+    * without `basePath` (verified against 4.1; [[readDirs]] documents
+    * the same). All-flat versions (any count) and single-dir partitioned
+    * versions scan stock. Zero-row directories are invisible here, like
+    * [[hasMixedPartitionSpecs]]: they hold nothing a scan needs, and
+    * counting them would route a just-truncated table through the
+    * stats-blind bridge forever.
+    */
+  def needsPerDirRead(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Boolean = {
+    val specs = dirParts(spark, tableDir, version)
+    val rows = dirRowCounts(spark, tableDir, version)
+    val live = manifest(spark, tableDir, version)
+      .filter(d => rows.get(d).forall(_._1 > 0))
+    val distinct = live.map(d => specs.getOrElse(d, Nil)).distinct
+    distinct.sizeIs > 1 ||
+      (distinct.headOption.exists(_.nonEmpty) && live.sizeIs > 1)
   }
 
   /** The operation that produced a version, when its manifest records
@@ -2068,9 +2154,15 @@ object VersionedLake {
             // appended rows: insert. The delete file IS the batch's key
             // set, so matching against pre-images classifies exactly.
             val pre = newDels.map(preImages).reduce(_.unionByName(_))
+            // NO broadcast hints: matchedKeys is the batch's matched key
+            // set — delta-sized per commit but unbounded in batch size
+            // (a 10M-key MoR upsert is legal), so a forced broadcast
+            // hits the same 8 GB/driver-OOM wall the bulk-CoW
+            // classification analyzed. AQE broadcasts at runtime when
+            // the set really is small.
             val matchedKeys = pre.select(e.keys.map(col): _*).distinct()
-            val post = appended.join(broadcast(matchedKeys), e.keys, "left_semi")
-            val ins = appended.join(broadcast(matchedKeys), e.keys, "left_anti")
+            val post = appended.join(matchedKeys, e.keys, "left_semi")
+            val ins = appended.join(matchedKeys, e.keys, "left_anti")
             // the upsert batch may have evolved the schema: pre-images
             // null-fill columns the prior version lacked
             FrameDelta(tagged(pre, "update_preimage")

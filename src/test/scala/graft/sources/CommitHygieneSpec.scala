@@ -34,6 +34,29 @@ class CommitHygieneSpec extends SparkSpec {
     assert(VersionedLake.read(s, dir).count() === 2L)
   }
 
+  test("post-close verification: a preempted publish surfaces as a conflict, not success") {
+    val mine = "#schema...\nv=abc".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // own bytes: silent pass
+    VersionedLake.assertOwnPublish("t/manifest/v=3.txt", mine, mine)
+    // another committer's bytes (same length - the realistic collision:
+    // two same-version manifests differ only in a fixed-width dir UUID)
+    val theirs = "#schema...\nv=xyz".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    intercept[VersionedLake.CommitConflictException] {
+      VersionedLake.assertOwnPublish("t/manifest/v=3.txt", mine, theirs)
+    }
+  }
+
+  test("HadoopCreateCommitStore publishes succeed under post-close verification") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("hcs_verify")
+    VersionedLake.withCommitStore(new VersionedLake.HadoopCreateCommitStore) {
+      VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+      VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), dir)
+    }
+    assert(VersionedLake.read(s, dir).count() === 2L)
+  }
+
   test("a FRESH zero-length manifest (in-flight open fence) keeps its claim") {
     val s = spark
     import s.implicits._

@@ -143,6 +143,17 @@ class GraftCatalogSpec extends SparkSpec {
       "the post-truncate insert must carry the declared stats layer on")
     assert(spark.sql("SHOW PARTITIONS graft.trunc").collect().map(_.getString(0)).toSeq
       === Seq("day=d9"), "the declared hive layout must survive the truncate")
+    // the truncate's flat EMPTY snapshot dir must not count as a second
+    // partition spec - that would route every post-truncate read through
+    // the stats-blind V1 bridge until an OPTIMIZE dropped the dir
+    val cur = VersionedLake.currentVersion(spark, s"$root/trunc").get
+    assert(!VersionedLake.hasMixedPartitionSpecs(spark, s"$root/trunc", cur),
+      "a zero-row dir cannot mix partition specs")
+    val q = spark.sql("SELECT id FROM graft.trunc WHERE day = 'd9'")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(9L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftLakeMorReadThrough"),
+      s"the post-truncate read must plan the stock pruned scan:\n$plan")
   }
 
   test("dynamic partition overwrite replaces only the partitions the batch touches") {

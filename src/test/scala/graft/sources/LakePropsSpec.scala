@@ -30,6 +30,42 @@ class LakePropsSpec extends SparkSpec {
     assert(VersionedLake.changesArtifact(s, dir, cur2).isDefined)
   }
 
+  test("concurrent different-key updates both survive (CAS, not read-modify-replace)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("props_cas").toString
+    // hammer two keys from racing threads: under the old unguarded
+    // get-then-atomicWrite, one side's update is routinely lost
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new Runnable {
+        def run(): Unit =
+          (1 to 20).foreach(i => LakeProps.set(s, dir, "a", i.toString))
+      })
+      val fb = pool.submit(new Runnable {
+        def run(): Unit =
+          (1 to 20).foreach(i => LakeProps.set(s, dir, "b", i.toString))
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    val got = LakeProps.get(s, dir)
+    assert(got.get("a").contains("20") && got.get("b").contains("20"),
+      s"both writers' final values must land: $got")
+  }
+
+  test("legacy single-file props.txt reads as generation 0 and upgrades on first mutation") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("props_legacy").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "props.txt"),
+      """{"old.key":"kept"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(LakeProps.get(s, dir) === Map("old.key" -> "kept"))
+    LakeProps.set(s, dir, "new.key", "v")
+    assert(LakeProps.get(s, dir) === Map("old.key" -> "kept", "new.key" -> "v"),
+      "the legacy map must carry into the first CAS generation")
+    LakeProps.unset(s, dir, "old.key")
+    assert(LakeProps.get(s, dir) === Map("new.key" -> "v"))
+  }
+
   test("TBLPROPERTIES('cdc.artifacts'='false') reaches SQL DML and SHOW TBLPROPERTIES") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("props_cat").toString

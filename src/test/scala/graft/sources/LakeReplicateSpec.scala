@@ -186,6 +186,26 @@ class LakeReplicateSpec extends SparkSpec {
       s"the tombstone must be found through its FORMER names too: $names")
   }
 
+  test("a replaceWhere window replicates: same-version delete+insert pairs survive replay") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_rw_src")
+    val dst = fresh("rep_rw_dst")
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // replace_where commits the matched pre-images as `delete` and the
+    // batch as `insert` at the SAME version; a key re-supplied in the
+    // overwritten scope (id=1) must come back on the mirror — a
+    // strictly-greater replay filter would apply the delete and drop
+    // the re-insert, silently diverging
+    VersionedLake.replaceWhere(s, src, col("id") <= 2L,
+      Seq((1L, "a2"), (4L, "d")).toDF("id", "v"))
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(rows(dst) === Set((1L, "a2"), (3L, "c"), (4L, "d")),
+      "the re-supplied key must survive its own same-version replacing delete")
+    assert(rows(dst) === rows(src))
+  }
+
   test("syncing into an unrelated populated table refuses loudly") {
     val s = spark
     import s.implicits._
