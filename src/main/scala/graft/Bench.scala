@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries run in declaration order (SparkEntry.all, stable across runs)
   * after a warmup job that pays one-time JVM/codegen/parquet-footer costs,
-  * so per-query numbers measure the plan, not session startup.
+  * so per-query numbers measure the plan, not session startup. Each query
+  * is timed as the MEDIAN of 3 in-session iterations (see the loop), so
+  * one co-tenant CPU/GC storm cannot write an outlier into the official
+  * record; the policy rides the JSON as `"timing"`.
   *
   * Self-diagnosing record: a SparkListener attributes per-query GC time,
   * shuffle read/write bytes, spill, and peak task execution memory
@@ -134,18 +137,34 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     drainListenerBus(spark)
     var prev = listener.snapshot
+    // MEDIAN-OF-N per query (default 3, SPARK_GRAFT_ITERS overrides; the
+    // dev loop can set 1): every query body is convergent by construction
+    // (write queries re-merge value-identical batches behind txn
+    // watermarks), so in-session repetition is legitimate — and it makes
+    // the official record robust to a co-tenant GC storm landing inside
+    // one iteration (round 12: a single 73 s GC spike inside one query
+    // wrote a 2.2x-inflated suite total into the official record). The
+    // reported metrics row is the MEDIAN iteration's own (time + its GC /
+    // shuffle / spill deltas), not an average — averages would smear the
+    // storm instead of excluding it.
+    val iters = math.max(1, sys.env.get("SPARK_GRAFT_ITERS")
+      .flatMap(_.toIntOption).getOrElse(3))
     val detail = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Array[Long])]
     val results = selected.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      drainListenerBus(spark)
-      val now = listener.snapshot
-      // peak memory is a max, not a sum: report the window's own max only
-      // when it grew, else 0 (the query stayed under the running peak)
-      val delta = Array(now(0) - prev(0), now(1) - prev(1), now(2) - prev(2),
-        now(3) - prev(3), if (now(4) > prev(4)) now(4) else 0L)
-      prev = now
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainListenerBus(spark)
+        val now = listener.snapshot
+        // peak memory is a max, not a sum: report the window's own max only
+        // when it grew, else 0 (the query stayed under the running peak)
+        val delta = Array(now(0) - prev(0), now(1) - prev(1), now(2) - prev(2),
+          now(3) - prev(3), if (now(4) > prev(4)) now(4) else 0L)
+        prev = now
+        (sec, delta)
+      }
+      val (sec, delta) = runs.sortBy(_._1).apply((runs.size - 1) / 2)
       detail += ((q.name, sec, delta))
       q.name -> sec
     }
@@ -167,7 +186,8 @@ object Bench {
       val sfName0 = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        (s"""{"sf":"$sfName0","total_sec":${math.round(total * 1000) / 1000.0},""" +
+        (s"""{"sf":"$sfName0","timing":"median_of_$iters",""" +
+          s""""total_sec":${math.round(total * 1000) / 1000.0},""" +
           s""""gc_ms":$totGc,"shuffle_read_mb":${mb(totShufR)},""" +
           s""""shuffle_write_mb":${mb(totShufW)},"spill_mb":${mb(totSpill)},""" +
           s""""queries":[${rows.mkString(",")}]}""")
@@ -191,7 +211,7 @@ object Bench {
       // per-query breakdown is in BENCH_DETAIL.json
       val diag = s""","gc_ms":$totGc,"shuffle_mb":${fmt(mb(totShufR + totShufW), 1)}""" +
         s""","spill_mb":${fmt(mb(totSpill), 1)}"""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omit$diag,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","timing":"median_of_$iters","queries":$qs$omit$diag,"sf":"$sfName"}"""
     }
     val Budget = 1900
     val line = Seq(3, 2, 1).map(render(_, results, 0)).find(_.length <= Budget)

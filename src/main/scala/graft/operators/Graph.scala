@@ -145,9 +145,16 @@ object Graph {
         lastCkpt = next
       }
     }
-    adj.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    // teardown is BLOCKING: the result is already checkpointed, so the
+    // wait is a local block-manager removal (milliseconds) — while a
+    // non-blocking teardown under a contended scheduler leaves edge-sized
+    // block sets queued for removal across the NEXT queries' allocations
+    // (the round-12 official record's 73 s GC storm fed on exactly that
+    // backlog). Mid-loop frees stay async: their backlog is bounded by
+    // the checkpoint cadence, and blocking there would serialize rounds.
+    adj.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
+    e.unpersist(blocking = true)
     (ranks, executed)
   }
 
@@ -218,9 +225,11 @@ object Graph {
       .groupBy("id")
       .agg(sum(col("w")).as("tri"))
     val materialized = out.localCheckpoint()
-    oriented.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    und.unpersist(blocking = false)
+    // blocking teardown, same rationale as [[pageRankIter]]'s: bound the
+    // heap high-water against a slow scheduler's unpersist backlog
+    oriented.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
+    und.unpersist(blocking = true)
     materialized
   }
 
@@ -307,8 +316,10 @@ object Graph {
     val out = spark.createDataFrame(
       seen.map { case (id, d) => org.apache.spark.sql.Row(id, d) }, schema)
       .localCheckpoint()
-    cached.foreach(_.unpersist(blocking = false))
-    e.unpersist(blocking = false)
+    // blocking teardown, same rationale as [[pageRankIter]]'s: bound the
+    // heap high-water against a slow scheduler's unpersist backlog
+    cached.foreach(_.unpersist(blocking = true))
+    e.unpersist(blocking = true)
     out
   }
 
