@@ -59,10 +59,17 @@ import org.apache.spark.sql.graft.GraftDmlShim
   *     promote — both metadata-only manifest commits) and reloads the
   *     relation before this rule converts the now-aligned statement.
   *
-  * Statements outside this surface (non-equi merge conditions, key
-  * reassignment, subqueries in predicates or assignments) are left
-  * untouched, so Spark surfaces its own clear "not supported" error
-  * instead of this rule guessing at semantics.
+  *   - Subqueries in arm gates and assignment values (`WHEN MATCHED
+  *     AND t.k IN (SELECT ...) THEN ...`, `SET v = (SELECT ...)`) ride
+  *     the arm dispatch into projections, where Spark 4.1 plans
+  *     IN/EXISTS/scalar subqueries natively. Key-reassigning UPDATE
+  *     arms render as delete+insert inside the same keyed-CoW commit
+  *     (probe = pre-update keys, batch = post-update rows).
+  *
+  * Statements outside this surface (non-equi merge conditions,
+  * subqueries in the plain-UPDATE path, which renders SQL text) are
+  * left untouched, so Spark surfaces its own clear "not supported"
+  * error instead of this rule guessing at semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
   * (`Expression.sql`), re-parsed at execution against the library
   * call's own fresh scan — storing unresolved expression fields on a
@@ -178,8 +185,9 @@ object LakeDmlRules extends Rule[LogicalPlan] {
     // MATCHED BY SOURCE [AND r] THEN UPDATE/DELETE` (multiple arms) —
     // in ONE statement, the full mirror-table sync. The two star-aligned
     // fast paths keep their direct rendering (no flat-join machinery for
-    // the CDC shapes); everything else converts arm-by-arm, and any arm
-    // outside the supported surface (key reassignment, subqueries)
+    // the CDC shapes); everything else converts arm-by-arm — including
+    // subquery gates/values and key-reassigning updates — and any arm
+    // outside the supported surface (a non-attribute assignment target)
     // leaves the statement untouched so Spark's own error surfaces.
     // `WITH SCHEMA EVOLUTION` composes for free: Spark's own
     // ResolveMergeIntoSchemaEvolution (same fixed-point batch) widens the
@@ -196,24 +204,30 @@ object LakeDmlRules extends Rule[LogicalPlan] {
       val ks = equiKeys(cond, target, source).get
       val targetCols = target.output
 
-      /** UPDATE/DELETE action → arm; None = unsupported shape. */
+      /** UPDATE/DELETE action → arm; None = unsupported shape.
+        *
+        * Subqueries in gates and assignment values are IN surface:
+        * the arms execute as CASE dispatch inside projections over the
+        * matched/by-source join, and Spark 4.1 plans IN/EXISTS/scalar
+        * subqueries in projections natively (verified: `CASE WHEN k IN
+        * (SELECT ...)` in a SELECT list analyzes, decorrelates and
+        * executes) — so the gate's `IN (SELECT ...)` is the same plan
+        * the identical SELECT expression would get, semi-join and all.
+        *
+        * KEY REASSIGNMENT is also in surface: the keyed-CoW rendering
+        * probes the arms' hit keys (the PRE-update values, captured off
+        * the target side of the join) while the batch carries the
+        * post-update rows — so `SET k = k + 1000` deletes the old key's
+        * rows from their directories and appends the new-key rows, one
+        * atomic commit, and SQL's no-uniqueness contract is preserved
+        * (reassigning onto an existing key coexists with that key's
+        * untouched rows, exactly as UPDATE would).
+        */
       def arm(a: MergeAction): Option[MergeArm] = a match {
-        case DeleteAction(p) if p.forall(c => !hasSubquery(c)) =>
+        case DeleteAction(p) =>
           Some(MergeArm(p.map(ExprHolder), Nil))
         case UpdateAction(p, ua, _)
-            if p.forall(c => !hasSubquery(c)) &&
-              ua.forall(x => unwrap(x.key).isInstanceOf[AttributeReference] &&
-                !hasSubquery(x.value)) &&
-              // keys must not be reassigned (except the no-op star
-              // self-assignment) — rewriting a match key mid-merge has
-              // no upsert rendering
-              ua.forall { x =>
-                val k = unwrap(x.key).asInstanceOf[AttributeReference]
-                !ks.exists(_.equalsIgnoreCase(k.name)) || (unwrap(x.value) match {
-                  case v: AttributeReference => v.name.equalsIgnoreCase(k.name)
-                  case _ => false
-                })
-              } =>
+            if ua.forall(x => unwrap(x.key).isInstanceOf[AttributeReference]) =>
           Some(MergeArm(p.map(ExprHolder),
             ua.map(x => unwrap(x.key).asInstanceOf[AttributeReference].name ->
               ExprHolder(x.value))))
@@ -244,10 +258,11 @@ object LakeDmlRules extends Rule[LogicalPlan] {
           // Spark's own error surfaces.
           def insArm(a: MergeAction): Option[InsertArm] = a match {
             case InsertAction(iCond, ia)
-                if iCond.forall(c => !hasSubquery(c)) &&
-                  ia.forall(x => unwrap(x.key).isInstanceOf[AttributeReference] &&
-                    !hasSubquery(x.value) &&
-                    x.value.references.subsetOf(source.outputSet)) =>
+                if ia.forall(x => unwrap(x.key).isInstanceOf[AttributeReference] &&
+                  // a SubqueryExpression's `references` are its OUTER
+                  // refs only, so subquery-bearing values pass exactly
+                  // when their correlation stays on the source side
+                  x.value.references.subsetOf(source.outputSet)) =>
               Some(InsertArm(iCond.map(ExprHolder),
                 ia.map(x => unwrap(x.key).asInstanceOf[AttributeReference].name ->
                   ExprHolder(x.value))))

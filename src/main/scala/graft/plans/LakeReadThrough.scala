@@ -30,10 +30,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *
   * The rule leaves DML TARGETS untouched (DELETE resolves through
   * `SupportsDelete`, UPDATE/MERGE through [[LakeDmlRules]], all matching
-  * the relation node) and recurses into MERGE's source and INSERT's
-  * query; a relation it skips (including subquery expressions) falls
-  * back to the ScanBuilder's V1 bridge, which remains correct — this
-  * rule is a strict plan-quality upgrade, never a semantics carrier.
+  * the relation node), recurses into MERGE's source and INSERT's query,
+  * and rewrites inside SUBQUERY EXPRESSIONS — a scalar/EXISTS/IN
+  * subquery over a MoR-pending fact table plans the same spliced
+  * file-source read as a top-level scan (previously it fell to the
+  * stats-blind V1 bridge's `RowDataSourceScanExec`). A relation the
+  * rule still skips falls back to the ScanBuilder's V1 bridge, which
+  * remains correct — this rule is a strict plan-quality upgrade, never
+  * a semantics carrier.
   *
   * Output attributes keep the relation's exprIds (each source column is
   * re-aliased under its original id), so references bound anywhere else
@@ -53,7 +57,16 @@ object LakeReadThroughRule extends Rule[LogicalPlan] {
     case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
     case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
       splice(r, r.table.asInstanceOf[LakeTable]).getOrElse(r)
-    case other => other.mapChildren(rewrite)
+    case other =>
+      // subquery expressions carry whole plans OUTSIDE the child list —
+      // without this, a lake relation inside EXISTS/IN/scalar subqueries
+      // stays on the V1 bridge. transformExpressions touches only THIS
+      // node's expressions; children get theirs on their own recursion.
+      other.mapChildren(rewrite).transformExpressions {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            if se.plan.resolved =>
+          se.withNewPlan(rewrite(se.plan))
+      }
   }
 
   private def splice(

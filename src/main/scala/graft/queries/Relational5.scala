@@ -463,6 +463,70 @@ object Relational5 {
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
   }
 
+  /** The SUBQUERY-GATED MERGE q_catalog_merge_subq times — the Delta
+    * "conditional sync" shape: the matched arm's gate is an
+    * `IN (SELECT ...)` allow-list and the insert arm's gate a
+    * subquery-derived predicate, both planned by Spark's own subquery
+    * machinery inside the arm dispatch (semi-join, not a collected
+    * IN-list). Convergent: gates and values are exact integer/derived
+    * arithmetic over the immutable orders source; rows inserted by run 1
+    * re-enter as MATCHED, fall outside the key allow-list (inserted keys
+    * are above the source max, the list's ceiling), and stay untouched.
+    */
+  private def runCatalogMergeSubq(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "smerge_orders")
+    val mx = maxOrderKey(s, dir)
+    val third = mx / 3
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders
+      .filter(col("o_orderkey") <= third / 4)
+      .select(col("o_orderkey"), lit("Q").as("o_orderstatus"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      .unionByName(orders
+        .filter(col("o_orderkey") <= third / 5)
+        .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+          lit("R").as("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice")))
+      .createOrReplaceTempView("sq_changes")
+    orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      .createOrReplaceTempView("sq_allow")
+    s.sql(s"""MERGE INTO graftcat.smerge_orders t USING sq_changes c
+             |ON t.o_orderkey = c.o_orderkey
+             |WHEN MATCHED AND t.o_orderkey IN (SELECT o_orderkey FROM sq_allow)
+             |  THEN UPDATE SET o_orderstatus = c.o_orderstatus,
+             |                  o_totalprice = c.o_totalprice
+             |WHEN NOT MATCHED AND (c.o_orderkey - 1 -
+             |    (SELECT max(o_orderkey) FROM sq_allow)) % 2 = 0
+             |  THEN INSERT *""".stripMargin): Unit
+  }
+
+  /** The KEY-REASSIGNING MERGE q_catalog_merge_rekey times: the matched
+    * arm rewrites the MERGE KEY itself (`SET o_orderkey = t.o_orderkey +
+    * N`) — rendered as delete(old key)+insert(new key) inside one keyed
+    * minimal-CoW commit. Convergent from run 1: the moved rows' new keys
+    * are above the source band, so run 2's source matches nothing and
+    * the statement is a no-op commit (the upsert's empty-batch early
+    * return).
+    */
+  private def runCatalogMergeRekey(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "rmerge_orders")
+    val mx = maxOrderKey(s, dir)
+    val third = mx / 3
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") > 2 * third &&
+        col("o_orderkey") <= 2 * third + third / 5)
+      .select("o_orderkey")
+      .createOrReplaceTempView("rk_changes")
+    s.sql(s"""MERGE INTO graftcat.rmerge_orders t USING rk_changes c
+             |ON t.o_orderkey = c.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET
+             |  o_orderkey = t.o_orderkey + ${mx + 1}L,
+             |  o_orderstatus = 'K'""".stripMargin): Unit
+  }
+
   /** The PARTITION-OVERWRITE statement q_catalog_overwrite_part times:
     * a hive-partitioned catalog table (by o_orderstatus), one partition
     * replaced atomically per run — the backfill shape. Convergent: the
@@ -691,6 +755,8 @@ object Relational5 {
     runCatalogMergePartial(s, dir)
     runCatalogMergeFull(s, dir)
     runCatalogMergeInsArms(s, dir)
+    runCatalogMergeSubq(s, dir)
+    runCatalogMergeRekey(s, dir)
     runCatalogMergeEvolve(s, dir)
     runCatalogOverwritePart(s, dir)
   }
@@ -1389,6 +1455,70 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 5
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-insert-arms")),
+
+    // SUBQUERY-GATED SQL MERGE — the Delta "conditional sync" daily
+    // shape: the matched arm gated by an `IN (SELECT ...)` allow-list,
+    // the insert arm by a scalar-subquery-derived predicate. Both ride
+    // the arm dispatch into projections, where Spark plans them as real
+    // subqueries (the IN becomes a semi-join, never a driver-collected
+    // list) — so the gate scales with the allow-list, and the statement
+    // still lands as ONE keyed minimal-CoW commit. Oracle: the gated
+    // truth with both predicates replayed in exact integer arithmetic.
+    QueryDef(
+      "q_catalog_merge_subq",
+      (s, dir) => {
+        runCatalogMergeSubq(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.smerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders),
+             |     ma AS (SELECT max(o_orderkey) AS amx FROM orders
+             |            WHERE o_orderkey % 3 = 0)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  -- carried: outside the band, or matched but not on the allow-list
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE NOT (o_orderkey <= third // 4 AND o_orderkey % 3 = 0)
+             |  UNION ALL
+             |  -- matched arm: allow-listed keys take the source's derivation
+             |  SELECT o_orderkey, 'Q', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 4 AND o_orderkey % 3 = 0
+             |  UNION ALL
+             |  -- insert arm: shifted keys passing the subquery parity gate
+             |  SELECT o_orderkey + mx + 1, 'R', round(o_totalprice, 2)
+             |  FROM orders, m, ma
+             |  WHERE o_orderkey <= third // 5 AND (o_orderkey + mx - amx) % 2 = 0
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-subquery")),
+
+    // KEY-REASSIGNING SQL MERGE — `UPDATE SET <merge key> = expr`,
+    // rendered as delete(old key) + insert(new key) inside the SAME
+    // keyed minimal-CoW commit: the probe carries the pre-update keys
+    // (their directories rewrite, the rows vanish), the batch carries
+    // the post-update rows (they append), and SQL's no-uniqueness
+    // contract holds (reassigning onto an existing key coexists).
+    // Oracle: the moved truth.
+    QueryDef(
+      "q_catalog_merge_rekey",
+      (s, dir) => {
+        runCatalogMergeRekey(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.rmerge_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS third
+             |           FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE NOT (o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 5)
+             |  UNION ALL
+             |  SELECT o_orderkey + mx + 1, 'K', o_totalprice FROM orders, m
+             |  WHERE o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 5
+             |)""".stripMargin),
+      covers = Seq("ext-sql-catalog-merge-rekey")),
 
     // SCHEMA-EVOLVING SQL MERGE — `MERGE WITH SCHEMA EVOLUTION` onto a
     // target born WITHOUT the price column: Spark's analyzer widens the

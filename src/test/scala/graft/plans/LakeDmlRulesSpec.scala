@@ -463,15 +463,86 @@ class LakeDmlRulesSpec extends SparkSpec {
       (8L, Some(3.0))))  // unmatched, first arm: guarded division ran where legal
   }
 
-  test("out-of-shape MERGE (key reassignment) still falls through loudly") {
+  test("key-reassigning UPDATE arm: delete+insert in ONE keyed-CoW commit") {
+    val s = spark
     root
-    spark.sql("CREATE TABLE gdml.oos (k BIGINT, v STRING)")
-    spark.sql("INSERT INTO gdml.oos VALUES (1, 'a')")
-    spark.sql("""CREATE OR REPLACE TEMP VIEW oos_src AS
-                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'x') AS t(k, v)""".stripMargin)
-    val e = intercept[Exception](
-      spark.sql("""MERGE INTO gdml.oos t USING oos_src c ON t.k = c.k
-                  |WHEN MATCHED THEN UPDATE SET k = c.k + 100""".stripMargin))
-    assert(e != null, "key reassignment is outside the rewrite and must refuse")
+    spark.sql("CREATE TABLE gdml.krk (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.krk VALUES (1, 'a'), (2, 'b'), (5, 'e')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW krk_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT)) AS t(k)""".stripMargin)
+    val before = VersionedLake.currentVersion(s, s"$root/krk").get
+    // reassign key 1 -> 5: key 1's rows vanish, a NEW k=5 row appends,
+    // and the EXISTING untouched k=5 row coexists (SQL enforces no
+    // key uniqueness on UPDATE)
+    spark.sql("""MERGE INTO gdml.krk t USING krk_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET k = t.k + 4, v = concat(t.v, '!')""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.krk ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "b"), (5L, "a!"), (5L, "e")),
+      "old key gone, new-key row added, pre-existing same-key row untouched")
+    assert(VersionedLake.currentVersion(s, s"$root/krk").get === before + 1,
+      "the reassignment is ONE atomic commit")
+    // the CDC artifact renders it honestly: old key deletes, new key inserts
+    val chg = spark.sql(s"SELECT _change_type, k FROM gdml.`krk$$changes` " +
+      s"WHERE _commit_version = ${before + 1}").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(chg === Set(("delete", 1L), ("insert", 5L)),
+      s"key reassignment must feed CDC as delete(old)+insert(new): $chg")
+  }
+
+  test("IN (SELECT ...) matched gate plans as a real subquery, gating row-accurately") {
+    root
+    spark.sql("CREATE TABLE gdml.subg (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.subg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW subg_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), 'A'),
+                |(CAST(2 AS BIGINT), 'B'), (CAST(9 AS BIGINT), 'I') AS t(k, v)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW allow_list AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(id)""".stripMargin)
+    // matched keys 1,2: only 1 is in the allow-list subquery; insert arm
+    // gated by the same subquery admits 9
+    spark.sql("""MERGE INTO gdml.subg t USING subg_src c ON t.k = c.k
+                |WHEN MATCHED AND t.k IN (SELECT id FROM allow_list) THEN UPDATE SET v = c.v
+                |WHEN NOT MATCHED AND c.k IN (SELECT id FROM allow_list) THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.subg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "A"), (2L, "b"), (3L, "c"), (9L, "I")),
+      "gate admits 1 (updated) and 9 (inserted); 2 matched but failed the gate")
+  }
+
+  test("scalar subquery in an assignment value (correlated and not)") {
+    root
+    spark.sql("CREATE TABLE gdml.subv (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdml.subv VALUES (1, 10), (2, 20)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW subv_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS t(k)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW subv_dim AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+                |(CAST(2 AS BIGINT), CAST(200 AS BIGINT)) AS t(id, bonus)""".stripMargin)
+    spark.sql("""MERGE INTO gdml.subv t USING subv_src c ON t.k = c.k
+                |WHEN MATCHED THEN UPDATE SET
+                |  v = t.v + (SELECT bonus FROM subv_dim d WHERE d.id = t.k)
+                |           + (SELECT min(bonus) FROM subv_dim)""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.subv ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 210L), (2L, 320L)),
+      "correlated lookup + uncorrelated aggregate both evaluate per row")
+  }
+
+  test("NOT EXISTS gate on a by-source arm (subquery over the anti-join population)") {
+    root
+    spark.sql("CREATE TABLE gdml.subbs (k BIGINT, status STRING)")
+    spark.sql("INSERT INTO gdml.subbs VALUES (1, 'live'), (2, 'live'), (3, 'live')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW subbs_src AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT)) AS t(k)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW keep_list AS
+                |SELECT * FROM VALUES (CAST(3 AS BIGINT)) AS t(id)""".stripMargin)
+    // rows 2,3 are NOT in the source; the EXISTS gate protects 3
+    spark.sql("""MERGE INTO gdml.subbs t USING subbs_src c ON t.k = c.k
+                |WHEN NOT MATCHED BY SOURCE AND NOT EXISTS
+                |  (SELECT 1 FROM keep_list w WHERE w.id = t.k) THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k FROM gdml.subbs ORDER BY k").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 3L),
+      "2 deleted (absent from source, not protected); 3 survives the EXISTS gate")
   }
 }

@@ -114,4 +114,42 @@ class LakeReadThroughSpec extends SparkSpec {
     assert(spark.sql("SELECT w FROM grt.dmlt WHERE id = 1").collect()
       .map(_.getString(0)).toSeq === Seq("z"))
   }
+
+  test("subquery expressions splice too: EXISTS over a MoR table plans file scans") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir = s"$root/subf"
+    VersionedLake.appendCommit(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    VersionedLake.deleteKeysMor(spark, dir, Seq(5L).toDF("id"), Seq("id"))
+    spark.range(10).select(col("id")).createOrReplaceTempView("rt_probe")
+    val q = spark.sql(
+      """SELECT id FROM rt_probe p
+        |WHERE EXISTS (SELECT 1 FROM grt.subf f WHERE f.id = p.id)""".stripMargin)
+    // the subquery's lake relation must be spliced out at analysis, like
+    // a top-level read — previously it stayed on the V1 bridge and
+    // planned a stats-blind RowDataSourceScanExec
+    val survivors = q.queryExecution.analyzed.collect {
+      case pl => pl.expressions.flatMap(_.collect {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.plan.collectFirst { case r: DataSourceV2Relation => r }
+      }.flatten)
+    }.flatten
+    assert(survivors.isEmpty,
+      "the EXISTS subquery's MoR relation must be spliced at analysis")
+    assert(!q.queryExecution.executedPlan.toString.contains("RowDataSourceScanExec"))
+    // correctness: the pending delete applies inside the subquery
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // scalar subquery splices too
+    val sc = spark.sql("SELECT (SELECT count(*) FROM grt.subf) AS n")
+    assert(sc.head().getLong(0) === 99L)
+    assert(sc.queryExecution.analyzed.collect {
+      case pl => pl.expressions.flatMap(_.collect {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.plan.collectFirst { case r: DataSourceV2Relation => r }
+      }.flatten)
+    }.flatten.isEmpty, "scalar subqueries splice like any read")
+  }
 }
