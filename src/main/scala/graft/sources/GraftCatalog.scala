@@ -195,11 +195,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** `VERSION AS OF n` — a pinned, immutable, read-only snapshot. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
-    val v = version.trim.toLongOption.getOrElse(
-      throw new IllegalArgumentException(s"VERSION AS OF expects a number, got '$version'"))
+    // a non-numeric version is a NAMED REF: `VERSION AS OF 'release-1'`
+    // resolves tags and WAP branches (a branch resolves to its staged
+    // version, which reads fine pinned even while head-invisible)
+    val v = version.trim.toLongOption.orElse(
+      LakeRefs.resolve(spark, dir, version.trim)).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF expects a number or a named ref, got '$version' " +
+          s"(refs: ${LakeRefs.list(spark, dir).keys.toSeq.sorted.mkString(", ")})"))
     val cur = VersionedLake.currentVersion(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    require(v >= 0 && v <= cur, s"version $v out of range [0, $cur] for $ident")
+    require(v >= 0 &&
+      (v <= cur || LakeRefs.list(spark, dir).values.exists(_.version == v)),
+      s"version $v out of range [0, $cur] for $ident")
     new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
   }
 
@@ -655,6 +663,12 @@ final class LakeTable(
       case BooleanType     => s.toBoolean
       case DateType        => java.sql.Date.valueOf(s)
       case TimestampType   => java.sql.Timestamp.valueOf(s)
+      // a DATE->TIMESTAMP_NTZ-widened partition column still renders
+      // date-only strings in pre-widen directory names
+      case TimestampNTZType =>
+        if (s.contains(" ") || s.contains("T"))
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        else java.time.LocalDate.parse(s).atStartOfDay()
       case _: DecimalType  => new java.math.BigDecimal(s)
       case other => throw new UnsupportedOperationException(
         s"partition column type $other not supported for partition listing")
@@ -675,20 +689,30 @@ final class LakeTable(
     val f = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
     val v = resolvedVersion
     val psNames = ps.fields.map(_.name.toLowerCase).toSeq
+    // pre-rename directories render a partition column under its FORMER
+    // name; translate each dir's chain through the aka indirection so
+    // renamed layouts keep listing (the walk filters by the RENDERED
+    // name, the tuple binds to the LOGICAL one)
+    val sch = schema()
+    def logicalOf(rendered: String): String =
+      sch.fields.find(fl =>
+        VersionedLake.akaNames(fl).exists(_.equalsIgnoreCase(rendered)))
+        .map(_.name).getOrElse(rendered)
     VersionedLake.manifest(spark, tableDir, v).flatMap { d =>
       val chain = VersionedLake.dirPartitionChain(spark, tableDir, v, d)
-      if (chain.map(_.toLowerCase) != psNames) Nil
+      if (chain.map(c => logicalOf(c).toLowerCase) != psNames) Nil
       else {
         // walk one k=v level per chain column; unexpected levels stop
         // the walk (never invent a partition)
         var frontier: Seq[(Path, Map[String, String])] =
           Seq(new Path(s"$tableDir/data/$d") -> Map.empty)
         chain.foreach { c =>
+          val logical = logicalOf(c)
           frontier = frontier.flatMap { case (p, m) =>
             f.listStatus(p).filter(_.isDirectory).toSeq
               .map(_.getPath)
               .filter(_.getName.startsWith(s"$c="))
-              .map(sub => sub -> (m + (c ->
+              .map(sub => sub -> (m + (logical ->
                 org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                   .unescapePathName(sub.getName.stripPrefix(s"$c=")))))
           }

@@ -206,6 +206,15 @@ object VersionedLake {
     */
   private val OpHeader = "#op="
 
+  /** First-line marker of a PENDING multi-table-transaction manifest
+    * ([[LakeAtomicTxn]]): `#txn2pc:<decision-file-path>`. The version becomes
+    * reader-visible exactly when the decision file says `commit`;
+    * finalization later strips the marker (hygiene — a `#` header line
+    * every parser skips, so a committed-but-unfinalized manifest already
+    * reads correctly).
+    */
+  private[graft] val Txn2pcHeader = "#txn2pc:"
+
   /** `#changes=<dir>`: the version's ROW-LEVEL CHANGE ARTIFACT — parquet
     * under `changes/` holding the commit's logical row delta as
     * `(data columns..., _change_type)`. Copy-on-write commits
@@ -381,6 +390,22 @@ object VersionedLake {
     * last-writer-wins failure every real lake (Delta, Iceberg) rejects.
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  // narrow accessors for [[LakeAtomicTxn]] (same package, different file)
+  private[sources] def fsOf(spark: SparkSession, dir: String) = fs(spark, dir)
+  private[sources] def readSmallFileAt(
+      spark: SparkSession,
+      dir: String,
+      p: org.apache.hadoop.fs.Path): String = readSmallFile(spark, p)
+  private[sources] def atomicWriteAt(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      content: String): Unit = atomicWrite(spark, dir, name, content)
+  private[sources] def advancePointer(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Unit = atomicWrite(spark, tableDir, Pointer, version.toString)
 
   /** The TWO storage primitives every lake publish reduces to — the
     * LogStore seam production lakes split on (Delta's LogStore, an
@@ -691,17 +716,65 @@ object VersionedLake {
     // (stale beyond [[OrphanManifestGraceMs]]) and deletes it, so the
     // table self-heals instead of wedging every later commit on a
     // version this filter can never resolve to.
-    val listed =
-      if (!f.exists(manRoot)) None
+    val candidates =
+      if (!f.exists(manRoot)) Nil
       else f.listStatus(manRoot)
         .filter(_.getLen > 0)
         .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt").toLongOption)
-        .maxOption
+        .toSeq.sorted(Ordering[Long].reverse)
+    // multi-table transactions ([[LakeAtomicTxn]]) publish PENDING manifests
+    // whose first line points at the txn's decision file; such a version
+    // is visible exactly when the decision says "commit" — the decision
+    // write is the one atomic point for ALL participating tables. The
+    // walk only reads manifest content when the newest candidate IS
+    // pending (memoized read otherwise never happens on the hot path:
+    // finalized manifests carry no marker, and the marker check is a
+    // prefix test on the first line).
+    val listed = candidates.find(v => txn2pcVisible(spark, tableDir, v))
     (hint, listed) match {
       case (Some(h), Some(l)) => Some(math.max(h, l))
       case (h, l)             => h.orElse(l)
     }
   }
+
+  /** Whether version `v` is reader-visible: true for ordinary manifests;
+    * for a [[LakeAtomicTxn]] PENDING manifest, true exactly when the txn's
+    * decision file says commit (finalization to a marker-less manifest
+    * is hygiene, not the visibility point). Committed-but-unfinalized
+    * manifests read correctly as-is — the marker is a `#` header line
+    * every parser already skips.
+    */
+  private def txn2pcVisible(spark: SparkSession, tableDir: String, v: Long): Boolean =
+    txn2pcDecisionPath(spark, tableDir, v) match {
+      case None => true
+      case Some(dp) =>
+        val committed = txn2pcDecision(spark, tableDir, dp).contains("commit")
+        // eager hygiene: the first reader of a committed-but-unfinalized
+        // manifest (dead coordinator) strips the marker, so later reads
+        // stop paying the decision-file lookup
+        if (committed) LakeAtomicTxn.finalizePending(spark, tableDir, v)
+        committed
+    }
+
+  private[sources] def invalidateManifestCache(tableDir: String, v: Long): Unit =
+    manifestCache.remove((tableDir, v))
+
+  private[graft] def txn2pcDecisionPath(
+      spark: SparkSession,
+      tableDir: String,
+      v: Long): Option[String] =
+    scala.util.Try(manifestLines(spark, tableDir, v)).toOption
+      .getOrElse(Nil).headOption
+      .filter(_.startsWith(Txn2pcHeader))
+      .map(_.stripPrefix(Txn2pcHeader).trim)
+
+  private[graft] def txn2pcDecision(
+      spark: SparkSession,
+      tableDir: String,
+      decisionPath: String): Option[String] =
+    scala.util.Try(
+      readSmallFile(spark, new org.apache.hadoop.fs.Path(decisionPath)).trim)
+      .toOption.filter(_.nonEmpty)
 
   /** Data-directory names a retained version comprises. */
   def manifest(spark: SparkSession, tableDir: String, version: Long): Seq[String] =
@@ -1379,32 +1452,80 @@ object VersionedLake {
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
       (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ bucketLines ++
         txnLines ++ eqLines ++ changesLines ++ dirs)
-    try createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
-    catch {
-      case e: CommitConflictException =>
-        // [[currentVersion]] skips zero-length manifests (open-fence
-        // window), so a committer that CRASHED between create and close
-        // leaves an orphan at exactly the version every later committer
-        // allocates — without this, the claim conflicts forever and the
-        // table is wedged. An orphan is distinguishable from an in-flight
-        // publish by age: delete it once it is stale beyond the grace
-        // window and re-claim. A racing live writer inside the grace
-        // window keeps its fence (we rethrow, the retry loop re-bases
-        // after its close lands).
-        val mp = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$next.txt")
-        val healed = scala.util.Try {
-          val st = fs(spark, tableDir).getFileStatus(mp)
-          st.getLen == 0 &&
-            System.currentTimeMillis() - st.getModificationTime > OrphanManifestGraceMs &&
-            fs(spark, tableDir).delete(mp, false)
-        }.getOrElse(false)
-        if (!healed) throw e
-        createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", body.mkString("\n"))
+    // inside a LakeAtomicTxn: register the intended publish and stop — the
+    // transaction claims every table's slot, writes the one decision
+    // file, and finalizes (see [[LakeAtomicTxn.commitAll]])
+    LakeAtomicTxn.staging.get() match {
+      case null => ()
+      case st =>
+        st.register(tableDir, next, body.mkString("\n"))
+        return next
     }
+    claimManifestSlot(spark, tableDir, next, body.mkString("\n"))
     // pointer is a forward-only hint; the manifest listing is authoritative
     atomicWrite(spark, tableDir, Pointer, next.toString)
     next
   }
+
+  /** Claim `v=$next.txt` exclusively with `content`, healing dead
+    * claims in the way: zero-length open-fence orphans (crashed between
+    * create and close) stale beyond the grace window delete and
+    * re-claim, and [[LakeAtomicTxn]] PENDING manifests resolve through their
+    * decision file — committed → finalize it and keep conflicting (the
+    * caller's retry loop re-bases onto it), aborted → delete and
+    * re-claim, undecided-but-stale → race an `abort` decision
+    * (createExclusive, so a slow coordinator cannot commit after the
+    * heal) and re-claim, undecided-fresh → rethrow (in-flight txn keeps
+    * its fence).
+    */
+  private[sources] def claimManifestSlot(
+      spark: SparkSession,
+      tableDir: String,
+      next: Long,
+      content: String): Unit =
+    try createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", content)
+    catch {
+      case e: CommitConflictException =>
+        val mp = new org.apache.hadoop.fs.Path(s"$tableDir/manifest", s"v=$next.txt")
+        val healed = scala.util.Try {
+          val st = fs(spark, tableDir).getFileStatus(mp)
+          if (st.getLen == 0)
+            System.currentTimeMillis() - st.getModificationTime > OrphanManifestGraceMs &&
+              fs(spark, tableDir).delete(mp, false)
+          else txn2pcDecisionPath(spark, tableDir, next) match {
+            case None => false // a real published manifest: genuine conflict
+            case Some(dp) => txn2pcDecision(spark, tableDir, dp) match {
+              case Some("commit") =>
+                LakeAtomicTxn.finalizePending(spark, tableDir, next)
+                false // committed: the slot is genuinely taken, re-base
+              case Some(_) => // aborted: dead claim, reclaimable
+                fs(spark, tableDir).delete(mp, false)
+              case None
+                  if System.currentTimeMillis() - st.getModificationTime >
+                    OrphanManifestGraceMs =>
+                // undecided and stale: kill the txn by racing its
+                // decision slot; whoever wins the createExclusive decides
+                try {
+                  val slash = dp.lastIndexOf('/')
+                  createExclusive(spark, dp.substring(0, slash),
+                    dp.substring(slash + 1), "abort")
+                  fs(spark, tableDir).delete(mp, false)
+                } catch {
+                  case _: CommitConflictException =>
+                    // the coordinator (or another healer) decided first;
+                    // act on whatever the decision says next retry
+                    false
+                }
+              case None => false // in-flight txn keeps its fence
+            }
+          }
+        }.getOrElse(false)
+        if (!healed) throw e
+        // the healed slot's old bytes may be memoized under a colliding
+        // (mtime, length) stamp — drop the entry before re-claiming
+        manifestCache.remove((tableDir, next))
+        createExclusive(spark, s"$tableDir/manifest", s"v=$next.txt", content)
+    }
 
   /** Bounded conflict-retry loop for committers whose re-base is cheap
     * (re-reading the prior manifest, not re-writing data). Attempts are
@@ -1741,10 +1862,24 @@ object VersionedLake {
       tableDir: String,
       version: Long): Seq[String] = {
     val phys = partitionColumns(spark, tableDir, version)
-    if (phys.nonEmpty) phys
-    else LakeProps.get(spark, tableDir).get("table.parts")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
+    val raw =
+      if (phys.nonEmpty) phys
+      else LakeProps.get(spark, tableDir).get("table.parts")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    if (raw.isEmpty) raw
+    else {
+      // translate FORMER names through the aka indirection: after a
+      // metadata-only partition-column rename the newest dir may still
+      // render the old name, but new directories must lay out under the
+      // CURRENT one or the table forks into a permanent two-name layout
+      val schema = versionSchema(spark, tableDir, version)
+      raw.map { c =>
+        schema.flatMap(_.fields.filterNot(isDropped).find(f =>
+          akaNames(f).exists(_.equalsIgnoreCase(c)) && !f.name.equalsIgnoreCase(c))
+          .map(_.name)).getOrElse(c)
+      }
+    }
   }
 
   /** Continue a table's declared skipping layers onto a new batch
@@ -1841,7 +1976,28 @@ object VersionedLake {
     else partitionColumns(spark, tableDir, version).toSet
   }
 
-  private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] = {
+  private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] =
+    partChainOfPath(spark, tableDir, s"$tableDir/data/$d")
+
+  /** A REWRITTEN directory's hive layout: its own rendered chain,
+    * translated to the LOGICAL column names — rewrites normalize the
+    * rename indirection (the rewritten frame carries current names, so
+    * a pre-rename `day=` directory rewrites as `dt=`), exactly the
+    * normalization contract compaction already documents.
+    */
+  private def rewriteParts(
+      spark: SparkSession,
+      tableDir: String,
+      d: String,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
+    partitionColsOf(spark, tableDir, d).map { c =>
+      schemaOpt.flatMap(_.fields.filterNot(isDropped).find(f =>
+        akaNames(f).exists(_.equalsIgnoreCase(c))).map(_.name)).getOrElse(c)
+    }
+
+  /** The self-describing hive `k=v` column chain under an arbitrary data
+    * path (empty = flat). */
+  private def partChainOfPath(spark: SparkSession, tableDir: String, path: String): Seq[String] = {
     val f = fs(spark, tableDir)
     @scala.annotation.tailrec
     def walk(p: org.apache.hadoop.fs.Path, acc: Seq[String]): Seq[String] = {
@@ -1856,7 +2012,7 @@ object VersionedLake {
           acc :+ name.substring(0, name.indexOf('=')))
       }
     }
-    walk(new org.apache.hadoop.fs.Path(s"$tableDir/data/$d"), Nil)
+    walk(new org.apache.hadoop.fs.Path(path), Nil)
   }
 
   /** Plan a scan over a version's data directories. Hive-partitioned
@@ -1887,15 +2043,29 @@ object VersionedLake {
           // variants into the logical column — each file has exactly
           // one — and project tombstoned columns away entirely
           import org.apache.spark.sql.types.{StructField, StructType}
+          // a variant rendered as a hive-PARTITION level of these paths
+          // (a renamed partition column: old dirs keep `day=` while the
+          // logical column is `dt`) has exactly ONE source — the dir
+          // name — so it binds by bare alias, NOT coalesce: Catalyst
+          // pushes dt-filters through an alias to the partition column
+          // and pruning survives the rename, while a coalesce would
+          // demote them to post-scan filters
+          val partNames = ps.flatMap(p => partChainOfPath(spark, tableDir, p))
+            .map(_.toLowerCase).toSet
           val live = s.fields.filterNot(isDropped)
           val readSchema = StructType(live.flatMap { f =>
             StructField(f.name, f.dataType, nullable = true) +:
               akaNames(f).map(n => StructField(n, f.dataType, nullable = true))
           })
           r.schema(readSchema).parquet(ps: _*).select(live.map { f =>
-            val variants = (f.name +: akaNames(f)).map(col)
-            (if (variants.size == 1) variants.head else coalesce(variants: _*))
-              .as(f.name, f.metadata)
+            val variants = f.name +: akaNames(f)
+            variants.find(v => partNames.contains(v.toLowerCase)) match {
+              case Some(v) => col(v).as(f.name, f.metadata)
+              case None =>
+                val cols = variants.map(col)
+                (if (cols.size == 1) cols.head else coalesce(cols: _*))
+                  .as(f.name, f.metadata)
+            }
           }.toIndexedSeq: _*)
         case Some(s) => r.schema(s).parquet(ps: _*)
         case None    => r.parquet(ps: _*)
@@ -2807,7 +2977,7 @@ object VersionedLake {
         }
         if (survivors.isEmpty) d -> None
         else d -> Some(writeDataDir(survivors, tableDir,
-          partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
+          rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
       }.toMap
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
       val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
@@ -3029,7 +3199,7 @@ object VersionedLake {
       if (survivors.isEmpty) d -> None
       else
         d -> Some(writeDataDir(survivors, tableDir,
-          partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
+          rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
     }.toMap
     KeyedRewrite(dirs, schemaOpt, priorSchema, priorStats,
       dirBloomsRaw(spark, tableDir, base), dirBlooms(spark, tableDir, base),
@@ -3231,7 +3401,7 @@ object VersionedLake {
           // from its own k=v structure), so partition pruning survives
           // row-level deletes/updates on partitioned tables
           d -> Some(writeDataDir(survivors, tableDir,
-            partitionColsOf(spark, tableDir, d), maxRecordsPerFile))
+            rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
       }.toMap
       // the replace-where shape: the batch lands as one more directory in
       // the SAME commit (deletes + inserts atomically — readers never see
@@ -3335,9 +3505,13 @@ object VersionedLake {
       s"'$newName' is a FORMER name of column '${
         schema.fields.find(f => akaNames(f).exists(_.equalsIgnoreCase(newName))).get.name
       }' — files still carry it, so reusing it would bind old data into the new column")
-    require(!allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(oldName)),
-      s"'$oldName' is a hive-partition column (in at least one directory's " +
-        "spec); renaming it requires a layout rewrite")
+    // renaming a hive-PARTITION column is metadata-only too: existing
+    // directories keep their verbatim per-dir spec lines (they render
+    // values under the FORMER name, which becomes an aka variant the
+    // per-dir read aliases back — see readDirs), new directories lay out
+    // under the new name (declaredOrPhysicalParts translates through the
+    // aka indirection), and the carrier prop re-declares below. Zero
+    // data movement at any scale.
     // the bucketed read path materializes the schema as CREATE TABLE DDL
     // over the physical files with NO name indirection — renaming any
     // column of a bucketed version would silently null it (or break the
@@ -3374,12 +3548,23 @@ object VersionedLake {
         (if (c.equalsIgnoreCase(oldName)) newName else c) -> v
       })
     }
-    publishManifest(spark, tableDir, dirs, newSchema, stats,
+    val out = publishManifest(spark, tableDir, dirs, newSchema, stats,
       dirBloomsRaw(spark, tableDir, cur),
       expectedBase = Some(Some(cur)),
       buckets = dirBuckets(spark, tableDir, cur),
       txns = txnWatermarks(spark, tableDir, cur),
       eqdeletes = eqd, op = "rename_column")
+    // keep the DDL carrier current: a renamed partition column must
+    // steer NEW directories under its new name (the physical fallback
+    // translates through the aka indirection, but the prop is what an
+    // empty table consults)
+    LakeProps.get(spark, tableDir).get("table.parts").foreach { declared =>
+      val cols = declared.split(",").map(_.trim).filter(_.nonEmpty)
+      if (cols.exists(_.equalsIgnoreCase(oldName)))
+        LakeProps.set(spark, tableDir, "table.parts",
+          cols.map(c => if (c.equalsIgnoreCase(oldName)) newName else c).mkString(","))
+    }
+    out
   }
 
   /** METADATA-ONLY DROP COLUMN — the other half of the field-id bargain
@@ -3452,7 +3637,16 @@ object VersionedLake {
     * Spark's parquet readers perform per-file at scan time (SPARK-40876,
     * probed in WideningProbeSpec on BOTH the vectorized and row-based
     * paths) — a manifest schema can only ever be as wide as every
-    * physical file can serve.
+    * physical file can serve, and every promotion must be VALUE-EXACT:
+    *
+    *   - the integral up-chain (BYTE→…→BIGINT);
+    *   - FLOAT→DOUBLE, and BYTE/SHORT/INT→DOUBLE (all exact inside the
+    *     53-bit mantissa; BIGINT→DOUBLE is lossy above 2^53 and refused);
+    *   - DECIMAL(p1,s1)→DECIMAL(p2,s2) when the scale does not shrink
+    *     and the INTEGER-part capacity does not shrink (p2−s2 ≥ p1−s1) —
+    *     a pure rescale, exact by construction, including across the
+    *     int64/binary physical boundary at precision 18 (probed);
+    *   - DATE→TIMESTAMP_NTZ (midnight expansion, exact).
     */
   private def isWidening(
       from: org.apache.spark.sql.types.DataType,
@@ -3462,13 +3656,23 @@ object VersionedLake {
       ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
     (intRank.contains(from) && intRank.contains(to) &&
       intRank(from) < intRank(to)) ||
-      (from == FloatType && to == DoubleType)
+      (from == FloatType && to == DoubleType) ||
+      (intRank.get(from).exists(_ <= 3) && to == DoubleType) ||
+      ((from, to) match {
+        case (d1: DecimalType, d2: DecimalType) =>
+          d2.scale >= d1.scale &&
+            d2.precision - d2.scale >= d1.precision - d1.scale &&
+            (d2.precision > d1.precision || d2.scale > d1.scale)
+        case _ => false
+      }) ||
+      (from == DateType && to == TimestampNTZType)
   }
 
   /** METADATA-ONLY TYPE WIDENING — the third face of the field-id
     * bargain ([[renameColumn]], [[dropColumn]]): one manifest commit in
-    * which the column takes a STRICTLY WIDER type (integral up-chain to
-    * BIGINT, FLOAT→DOUBLE). No file rewrites: the parquet readers
+    * which the column takes a STRICTLY WIDER type (the [[isWidening]]
+    * lattice: integral up-chain, FLOAT/BYTE/SHORT/INT→DOUBLE, exact
+    * DECIMAL growth, DATE→TIMESTAMP_NTZ). No file rewrites: the readers
     * promote each file's narrower physical type at scan time (probed in
     * WideningProbeSpec for both reader paths), old versions
     * time-travel-read under their own manifests' types, and future
@@ -3490,11 +3694,13 @@ object VersionedLake {
     *     values differently, so a probe literal cast to the widened type
     *     would miss filters built in the narrow domain.
     *
-    * Refused, loudly (same guards as rename): hive-partition columns
-    * (their values live in directory names, rendered in the narrow
-    * domain), bucketed layouts (bucket hashes change with the type),
-    * and pending merge-on-read delete keys (the delete files carry
-    * narrow-typed keys; materialize first).
+    * Hive-partition columns widen metadata-only too (directory-name
+    * renders re-parse exactly under every lattice promotion), EXCEPT
+    * from FLOAT — a float's shortest render re-parses inexactly as
+    * DOUBLE. Refused, loudly: that float-partition case, bucketed
+    * layouts (bucket hashes change with the type), and pending
+    * merge-on-read delete keys (the delete files carry narrow-typed
+    * keys; materialize first).
     */
   def widenColumn(
       spark: SparkSession,
@@ -3510,12 +3716,21 @@ object VersionedLake {
       .getOrElse(throw new IllegalArgumentException(s"no column '$name' in $tableDir"))
     require(isWidening(field.dataType, to),
       s"cannot widen '$name' from ${field.dataType.sql} to ${to.sql}: only " +
-        "strictly-wider integral promotions and FLOAT->DOUBLE are " +
-        "metadata-only (anything else needs a rewrite)")
-    require(!allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
-      s"'$name' is a hive-partition column (in at least one directory's " +
-        "spec); its values are rendered into directory names in the narrow " +
-        "domain - widening requires a layout rewrite")
+        "value-exact promotions are metadata-only (integral up-chain, " +
+        "FLOAT/BYTE/SHORT/INT->DOUBLE, scale-and-capacity-preserving " +
+        "DECIMAL growth, DATE->TIMESTAMP_NTZ; anything else needs a rewrite)")
+    // hive-PARTITION columns widen metadata-only too, EXCEPT from FLOAT:
+    // a partition value is authoritative as its rendered STRING, and the
+    // same string re-parses exactly under every widened type above
+    // ("5" -> 5L/5.0, "1.50" -> any wider decimal, "2021-03-04" ->
+    // midnight) — but a float render re-parses to a double on the wrong
+    // side of the stored value (0.1f's "0.1" != (double)0.1f), so a
+    // float partition widen would silently shift values
+    require(field.dataType != org.apache.spark.sql.types.FloatType ||
+      !allPartitionColumns(spark, tableDir, cur).exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a FLOAT hive-partition column; its directory-name " +
+        "renders re-parse inexactly as DOUBLE - widening requires a " +
+        "layout rewrite")
     require(dirBuckets(spark, tableDir, cur).isEmpty,
       s"$tableDir@v$cur carries a bucket spec; bucket hashes change with " +
         "the type - widen after re-bucketing or on the unbucketed layout")
@@ -4179,7 +4394,24 @@ object VersionedLake {
     val f = fs(spark, tableDir)
     currentVersion(spark, tableDir).foreach { cur =>
       val floor = math.max(0L, cur - (keepVersions - 1))
-      val live = (floor to cur)
+      // PINNED versions survive numeric retention: every named ref's
+      // version (a tag must stay readable for as long as it exists —
+      // refs are the retention override, like Iceberg's), and every
+      // PENDING txn/WAP claim above the resolved head (its data dirs
+      // are referenced by a manifest the resolver merely hides; the
+      // orphan heal, not vacuum, is what reclaims dead claims)
+      val pinned: Set[Long] =
+        LakeRefs.list(spark, tableDir).values.map(_.version).toSet ++ {
+          val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")
+          if (!f.exists(manRoot)) Set.empty[Long]
+          else f.listStatus(manRoot)
+            .filter(_.getLen > 0)
+            .flatMap(s => s.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
+              .toLongOption)
+            .filter(_ > cur).toSet
+        }
+      val kept = ((floor to cur) ++ pinned).distinct
+      val live = kept
         .flatMap(v => scala.util.Try(manifest(spark, tableDir, v)).getOrElse(Nil))
         .toSet
       val cutoff = System.currentTimeMillis() - minAgeMs
@@ -4192,7 +4424,7 @@ object VersionedLake {
       // merge-on-read delete files are manifest-referenced state like data
       // dirs: retained while any kept manifest cites them, reclaimed (past
       // the same age floor) once materialization drops the last reference
-      val liveDel = (floor to cur)
+      val liveDel = kept
         .flatMap(v => scala.util.Try(dirEqDeletes(spark, tableDir, v)).getOrElse(Nil))
         .map(_.dir).toSet
       val delRoot = new org.apache.hadoop.fs.Path(s"$tableDir/deletes")
@@ -4203,7 +4435,7 @@ object VersionedLake {
           .foreach(s => f.delete(s.getPath, true))
       // change artifacts follow the same rule: live while any kept
       // manifest cites one, reclaimed past the age floor afterwards
-      val liveChg = (floor to cur)
+      val liveChg = kept
         .flatMap(v => scala.util.Try(changesArtifact(spark, tableDir, v))
           .toOption.flatten)
         .toSet
@@ -4217,7 +4449,7 @@ object VersionedLake {
       f.listStatus(manRoot)
         .filter { s =>
           s.getPath.getName.stripPrefix("v=").stripSuffix(".txt")
-            .toLongOption.exists(_ < floor)
+            .toLongOption.exists(v => v < floor && !pinned(v))
         }
         .foreach(s => f.delete(s.getPath, false))
     }

@@ -103,17 +103,20 @@ class CommitHygieneSpec extends SparkSpec {
       "newest dir is flat (the append-alignment answer)")
     assert(VersionedLake.allPartitionColumns(s, dir, cur) === Set("k"),
       "the guard answer unions every directory's spec")
-    // k's values are rendered into dir names in the narrow domain — all
-    // three mutations must refuse even though the NEWEST dir is flat
-    intercept[IllegalArgumentException] {
-      VersionedLake.widenColumn(s, dir, "k", LongType)
-    }
-    intercept[IllegalArgumentException] {
-      VersionedLake.renameColumn(s, dir, "k", "k2")
-    }
+    // DROP of a partition column still refuses even though the NEWEST
+    // dir is flat — dir A renders k's values into directory names
     intercept[IllegalArgumentException] {
       VersionedLake.dropColumn(s, dir, "k")
     }
+    // rename and widen of a partition column are metadata-only now
+    // (rendered strings re-parse exactly); PartitionRenameSpec /
+    // VersionedLakeWidenSpec pin the read semantics — here just assert
+    // they commit on the MIXED layout and rows survive intact
+    VersionedLake.widenColumn(s, dir, "k", LongType): Unit
+    VersionedLake.renameColumn(s, dir, "k", "k2"): Unit
+    val got = VersionedLake.read(s, dir).select("id", "k2", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1, 1L, "a"), (2, 2L, "b"), (3, 3L, "c")))
     // a non-partition column still evolves fine on the mixed layout
     VersionedLake.widenColumn(s, dir, "id", LongType): Unit
   }

@@ -111,6 +111,79 @@ class VersionedLakeWidenSpec extends SparkSpec {
     assert(e.getMessage.contains("materializeDeletes"))
   }
 
+  test("DECIMAL(p,s) grows precision and scale metadata-only, values exact") {
+    val s = spark
+    val dir = tmp("widen_dec")
+    val df = s.sql("SELECT CAST(id AS BIGINT) AS k, " +
+      "CAST(id * 1.5 AS DECIMAL(10,2)) AS price FROM range(1, 4)")
+    VersionedLake.appendCommit(df, dir)
+    val dirsBefore = VersionedLake.manifest(s, dir, 0L)
+    // precision growth, same scale
+    VersionedLake.widenColumn(s, dir, "price", DecimalType(14, 2))
+    // then scale growth with matching capacity growth (a pure rescale),
+    // crossing the int64/binary physical boundary at precision 18
+    VersionedLake.widenColumn(s, dir, "price", DecimalType(22, 6))
+    assert(VersionedLake.manifest(s, dir,
+      VersionedLake.currentVersion(s, dir).get) === dirsBefore, "no rewrite")
+    val got = VersionedLake.read(s, dir).orderBy("k").collect()
+      .map(r => r.getDecimal(1).toPlainString)
+    assert(got.toSeq === Seq("1.500000", "3.000000", "4.500000"),
+      "stored DECIMAL(10,2) values rescale exactly under (22,6)")
+    // capacity-shrinking growth refuses: DECIMAL(10,2)->(10,4) loses
+    // integer digits, a value-changing cast
+    val dir2 = tmp("widen_dec_no")
+    VersionedLake.appendCommit(df, dir2)
+    intercept[IllegalArgumentException](
+      VersionedLake.widenColumn(s, dir2, "price", DecimalType(10, 4)))
+  }
+
+  test("DATE -> TIMESTAMP_NTZ is metadata-only; INT -> DOUBLE exact; BIGINT -> DOUBLE refuses") {
+    val s = spark
+    val dir = tmp("widen_dt")
+    VersionedLake.appendCommit(
+      s.sql("SELECT CAST(id AS INT) AS n, CAST(id AS BIGINT) AS big, " +
+        "DATE_ADD(DATE'2021-03-04', CAST(id AS INT)) AS d FROM range(0, 3)"), dir)
+    VersionedLake.widenColumn(s, dir, "d", TimestampNTZType)
+    VersionedLake.widenColumn(s, dir, "n", DoubleType)
+    val got = VersionedLake.read(s, dir).orderBy("big").collect()
+    assert(got.map(_.getDouble(0)).toSeq === Seq(0.0, 1.0, 2.0))
+    assert(got.map(_.get(2).toString).toSeq === Seq(
+      "2021-03-04T00:00", "2021-03-05T00:00", "2021-03-06T00:00"),
+      "stored DATEs read as midnight TIMESTAMP_NTZ")
+    // BIGINT -> DOUBLE is lossy above 2^53: refused
+    intercept[IllegalArgumentException](
+      VersionedLake.widenColumn(s, dir, "big", DoubleType))
+  }
+
+  test("a hive-PARTITION column widens metadata-only; filters still prune by value") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("widen_part")
+    VersionedLake.appendCommit(
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "k", "v"), dir, parts = Seq("k"))
+    VersionedLake.appendCommit(
+      Seq((3L, 30, "c")).toDF("id", "k", "v"), dir, parts = Seq("k"))
+    val dirsBefore = VersionedLake.manifest(s, dir, 1L)
+    VersionedLake.widenColumn(s, dir, "k", LongType)
+    assert(VersionedLake.manifest(s, dir, 2L) === dirsBefore, "no rewrite")
+    val df = VersionedLake.read(s, dir)
+    assert(df.schema("k").dataType === LongType)
+    val q = df.filter(col("k") === 20L)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(k") ||
+      plan.contains("PartitionFilters: [(k"),
+      s"dir-name values must keep pruning under the widened type:\n$plan")
+    // FLOAT partition columns refuse: their renders re-parse inexactly
+    val dirF = tmp("widen_partf")
+    VersionedLake.appendCommit(
+      s.sql("SELECT id, CAST(id AS FLOAT) AS f FROM range(0, 2)"), dirF,
+      parts = Seq("f"))
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.widenColumn(s, dirF, "f", DoubleType))
+    assert(e.getMessage.contains("FLOAT hive-partition"))
+  }
+
   test("CDC feed spans a widen_column: one schema out, values promoted, no row events") {
     val s = spark
     import s.implicits._
