@@ -92,6 +92,39 @@ object LakeReplicate {
     }
   }
 
+  /** [[sync]] several source→mirror pairs as ONE atomic transaction
+    * ([[LakeAtomicTxn]]): an FK-consistent star (orders + lineitems) is never
+    * observable with one mirror advanced and the other behind — the
+    * reference's own constraint-ordered load discipline
+    * (`/root/reference/parser/xml.py:596-604`), made crash-safe. Schema
+    * alignment runs per-pair BEFORE the transaction (each alignment is
+    * its own metadata-only commit and is idempotent; atomicity matters
+    * for the row deltas, which land all-or-nothing). Cost: the same
+    * O(changed rows) per pair as N separate syncs, plus one
+    * decision-file create.
+    */
+  def syncAll(
+      spark: SparkSession,
+      pairs: Seq[(String, String, Seq[String])],
+      txnDir: String): Seq[Long] = {
+    require(pairs.nonEmpty, "syncAll needs at least one (src, dst, keys) pair")
+    require(pairs.map(_._2).distinct.size == pairs.size,
+      "syncAll mirrors must be distinct destinations")
+    pairs.foreach { case (src, dst, _) =>
+      if (VersionedLake.currentVersion(spark, dst).isDefined)
+        VersionedLake.currentVersion(spark, src).foreach(v =>
+          alignSchema(spark, src, dst, atVersion = Some(v)))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    LakeAtomicTxn.commitAll(spark, txnDir) {
+      out.clear()
+      pairs.foreach { case (src, dst, keys) =>
+        out += sync(spark, src, dst, keys)
+      }
+    }
+    out.toSeq
+  }
+
   /** Mirror the source's METADATA-ONLY schema changes onto the
     * destination before applying a row delta — without this a source
     * rename SPLITS the mirror (old rows keep the old column, new batches
