@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WRITE-AUDIT-PUBLISH on one table: stage a commit INVISIBLY, read and
+  * audit exactly what would publish, then make it visible with one
+  * atomic decision — or abort without a trace. The staged version rides
+  * the [[LakeAtomicTxn]] pending-manifest machinery (marker + decision file),
+  * and a named BRANCH ref points at it so the audit side can find it by
+  * name (`VERSION AS OF 'staging'` through the catalog).
+  *
+  *   - WRITE: [[begin]] runs an ordinary library write under staging;
+  *     the data lands durable, the manifest claims the next version
+  *     slot PENDING — invisible to every reader, exactly like an
+  *     in-flight commit.
+  *   - AUDIT: [[read]] (or time travel to the branch name) reads the
+  *     staged snapshot: the full would-be table, not just the batch —
+  *     DQ suites, row counts, FK checks all run against the real thing.
+  *   - PUBLISH: [[publish]] writes `commit` into the decision slot —
+  *     the same single-create atomic point as a multi-table txn; every
+  *     reader sees the version from that instant. [[abort]] writes
+  *     `abort` and removes the claim; nothing was ever visible.
+  *
+  * Concurrency contract (deliberate, documented): the staged claim
+  * fences the table like any in-flight commit, so concurrent writers
+  * conflict-and-retry until the decision; an auditor that dies leaves
+  * the fence to the standard orphan heal ([[VersionedLake.OrphanManifestGraceMs]])
+  * — a healer aborts the undecided txn via its decision slot, after
+  * which [[publish]] here fails LOUDLY (the decision createExclusive
+  * lost) instead of resurrecting half a workflow. Audit promptly; a
+  * dead auditor can never wedge the table.
+  */
+object LakeWap {
+
+  final case class Staged(
+      tableDir: String,
+      branch: String,
+      version: Long,
+      decisionDir: String,
+      decisionName: String)
+
+  /** Stage `write` (exactly one commit against `tableDir`) invisibly
+    * and point branch ref `branch` at the staged version.
+    */
+  def begin(
+      spark: SparkSession,
+      tableDir: String,
+      branch: String)(write: => Unit): Staged =
+    VersionedLake.retryOnConflict(maxAttempts = 8) {
+      val st = new LakeAtomicTxn.Staging
+      LakeAtomicTxn.staging.set(st)
+      try write finally LakeAtomicTxn.staging.remove()
+      require(st.staged.size == 1 && st.staged.head.tableDir == tableDir,
+        s"a WAP stages exactly ONE commit against $tableDir; " +
+          s"got ${st.staged.size} staged writes")
+      val sg = st.staged.head
+      val txnId = s"wap-$branch-${java.util.UUID.randomUUID()}"
+      val decisionDir = s"$tableDir/txn2pc"
+      val decisionPath = s"$decisionDir/$txnId.txt"
+      VersionedLake.claimManifestSlot(spark, tableDir, sg.version,
+        s"${VersionedLake.Txn2pcHeader}$decisionPath\n${sg.body}")
+      LakeRefs.branch(spark, tableDir, branch, sg.version)
+      Staged(tableDir, branch, sg.version, decisionDir, s"$txnId.txt")
+    }
+
+  /** The staged snapshot — the full table as it WOULD read after
+    * publish (pending manifests parse normally; only head resolution
+    * hides them).
+    */
+  def read(spark: SparkSession, staged: Staged): DataFrame =
+    VersionedLake.readVersion(spark, staged.tableDir, staged.version)
+
+  /** The atomic swap to main: from this instant every reader resolves
+    * the staged version. Throws [[VersionedLake.CommitConflictException]]
+    * when a healer aborted the staging first (audit outlived the grace
+    * window under writer pressure) — rerun the flow.
+    */
+  def publish(spark: SparkSession, staged: Staged): Long = {
+    try VersionedLake.createExclusive(
+      spark, staged.decisionDir, staged.decisionName, "commit")
+    catch {
+      case e: VersionedLake.CommitConflictException =>
+        throw new VersionedLake.CommitConflictException(
+          s"WAP '${staged.branch}' on ${staged.tableDir} was aborted by a " +
+            s"healer before publish: ${e.getMessage}")
+    }
+    LakeAtomicTxn.finalizePending(spark, staged.tableDir, staged.version)
+    // the branch served its purpose; publishing retires it (a vanished
+    // or re-pointed ref is fine - drop is a no-op on absence)
+    scala.util.Try(LakeRefs.drop(spark, staged.tableDir, staged.branch)): Unit
+    staged.version
+  }
+
+  /** Abort: decide against the staged version and remove the claim.
+    * Idempotent against a healer that aborted first; refuses (loudly)
+    * if the txn was already PUBLISHED.
+    */
+  def abort(spark: SparkSession, staged: Staged): Unit = {
+    try VersionedLake.createExclusive(
+      spark, staged.decisionDir, staged.decisionName, "abort")
+    catch {
+      case _: VersionedLake.CommitConflictException =>
+        val decided = VersionedLake.txn2pcDecision(spark, staged.tableDir,
+          s"${staged.decisionDir}/${staged.decisionName}")
+        require(!decided.contains("commit"),
+          s"WAP '${staged.branch}' was already PUBLISHED; abort is impossible")
+    }
+    scala.util.Try {
+      VersionedLake.fsOf(spark, staged.tableDir).delete(
+        new org.apache.hadoop.fs.Path(s"${staged.tableDir}/manifest",
+          s"v=${staged.version}.txt"), false)
+      VersionedLake.invalidateManifestCache(staged.tableDir, staged.version)
+    }: Unit
+    scala.util.Try(LakeRefs.drop(spark, staged.tableDir, staged.branch)): Unit
+  }
+}

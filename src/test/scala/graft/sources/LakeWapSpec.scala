@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Named refs ([[LakeRefs]]) and write-audit-publish ([[LakeWap]]):
+  * tags time-travel by name and pin versions against vacuum; a WAP
+  * stages invisibly, audits the real would-be table, and swaps to main
+  * atomically — or aborts without a trace.
+  */
+class LakeWapSpec extends SparkSpec {
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  private def ids(dir: String): Set[Long] =
+    VersionedLake.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+
+  test("tags: time travel by name in SQL; vacuum keeps a tagged version alive") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("refs_cat").toString
+    s.conf.set("spark.sql.catalog.gref", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gref.root", root)
+    s.sql("CREATE TABLE gref.t (id BIGINT, v STRING)")
+    s.sql("INSERT INTO gref.t VALUES (1, 'a')")
+    val dir = s"$root/t"
+    LakeRefs.tag(s, dir, "release-1", VersionedLake.currentVersion(s, dir).get)
+    s.sql("INSERT OVERWRITE gref.t VALUES (9, 'z')") // snapshot: drops v1's dirs
+    s.sql("INSERT INTO gref.t VALUES (10, 'y')")
+    assert(s.sql("SELECT id FROM gref.t VERSION AS OF 'release-1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "the tag resolves by name to its pinned version")
+    // duplicate names refuse; unknown names list what exists
+    intercept[IllegalArgumentException](LakeRefs.tag(s, dir, "release-1", 0L))
+    val e = intercept[IllegalArgumentException](
+      s.sql("SELECT * FROM gref.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("release-1"))
+    // vacuum keeps the TAGGED version's manifest and dirs past retention
+    VersionedLake.vacuum(s, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(s.sql("SELECT id FROM gref.t VERSION AS OF 'release-1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "a tagged version must survive vacuum for as long as the tag exists")
+    // dropping the tag releases it: the next vacuum reclaims
+    LakeRefs.drop(s, dir, "release-1")
+    VersionedLake.vacuum(s, dir, keepVersions = 1, minAgeMs = 0L)
+    intercept[Exception](
+      s.sql("SELECT id FROM gref.t VERSION AS OF 1").collect())
+  }
+
+  test("WAP: staged invisible, audit reads the would-be table, publish swaps atomically") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_pub")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val staged = LakeWap.begin(s, dir, "staging") {
+      VersionedLake.appendCommit(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir): Unit
+    }
+    // WRITE done: invisible to readers
+    assert(ids(dir) === Set(1L), "the staged commit must be invisible pre-publish")
+    assert(VersionedLake.currentVersion(s, dir).contains(0L))
+    // AUDIT: the staged snapshot is the FULL would-be table
+    assert(LakeWap.read(s, staged).select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
+    assert(LakeRefs.resolve(s, dir, "staging").contains(staged.version),
+      "the branch ref names the staged version for audit-by-name")
+    // PUBLISH: the atomic swap
+    LakeWap.publish(s, staged)
+    assert(ids(dir) === Set(1L, 2L, 3L))
+    assert(VersionedLake.currentVersion(s, dir).contains(1L))
+    assert(LakeRefs.resolve(s, dir, "staging").isEmpty, "publishing retires the branch")
+    // double publish refuses as a conflict (decision slot already taken)
+    intercept[VersionedLake.CommitConflictException](LakeWap.publish(s, staged))
+  }
+
+  test("WAP abort: nothing was ever visible; the table continues cleanly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_abort")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val staged = LakeWap.begin(s, dir, "staging") {
+      VersionedLake.appendCommit(Seq((666L, "bad")).toDF("id", "v"), dir): Unit
+    }
+    // audit found a problem: abort
+    LakeWap.abort(s, staged)
+    assert(ids(dir) === Set(1L))
+    assert(LakeRefs.resolve(s, dir, "staging").isEmpty)
+    // the slot is free again: an ordinary commit takes it
+    VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(ids(dir) === Set(1L, 2L))
+    assert(VersionedLake.currentVersion(s, dir).contains(1L))
+    // aborting after publish refuses loudly (nothing silently un-publishes)
+    val staged2 = LakeWap.begin(s, dir, "s2") {
+      VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir): Unit
+    }
+    LakeWap.publish(s, staged2)
+    intercept[IllegalArgumentException](LakeWap.abort(s, staged2))
+    assert(ids(dir) === Set(1L, 2L, 3L))
+  }
+
+  test("WAP through SQL: audit with VERSION AS OF '<branch>', DQ-gate, publish") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("wap_cat").toString
+    s.conf.set("spark.sql.catalog.gwap", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gwap.root", root)
+    s.sql("CREATE TABLE gwap.t (id BIGINT, v STRING)")
+    s.sql("INSERT INTO gwap.t VALUES (1, 'a')")
+    val dir = s"$root/t"
+    val staged = LakeWap.begin(s, dir, "audit-me") {
+      s.sql("INSERT INTO gwap.t VALUES (2, 'b'), (3, NULL)"): Unit
+    }
+    assert(s.sql("SELECT count(*) FROM gwap.t").head().getLong(0) === 1L,
+      "SQL readers of main see nothing pre-publish")
+    // the audit is plain SQL time travel to the branch name
+    val nulls = s.sql(
+      "SELECT count(*) FROM gwap.t VERSION AS OF 'audit-me' WHERE v IS NULL")
+      .head().getLong(0)
+    assert(nulls === 1L, "the audit sees the staged rows")
+    // this audit tolerates the null: publish
+    LakeWap.publish(s, staged)
+    assert(s.sql("SELECT count(*) FROM gwap.t").head().getLong(0) === 3L)
+  }
+}
