@@ -198,16 +198,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // a non-numeric version is a NAMED REF: `VERSION AS OF 'release-1'`
     // resolves tags and WAP branches (a branch resolves to its staged
     // version, which reads fine pinned even while head-invisible)
+    val refs = LakeRefs.list(spark, dir)
     val v = version.trim.toLongOption.orElse(
-      LakeRefs.resolve(spark, dir, version.trim)).getOrElse(
+      refs.get(version.trim).map(_.version)).getOrElse(
       throw new IllegalArgumentException(
         s"VERSION AS OF expects a number or a named ref, got '$version' " +
-          s"(refs: ${LakeRefs.list(spark, dir).keys.toSeq.sorted.mkString(", ")})"))
+          s"(refs: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+    // a ref may pin a version the HEAD resolver hides (a WAP branch at
+    // the table's first, still-pending commit): the ref itself proves
+    // the table and the version exist, so `cur` is only required for
+    // numeric range checks
+    val isReffed = refs.values.exists(_.version == v)
     val cur = VersionedLake.currentVersion(spark, dir)
-      .getOrElse(throw new NoSuchTableException(ident))
-    require(v >= 0 &&
-      (v <= cur || LakeRefs.list(spark, dir).values.exists(_.version == v)),
-      s"version $v out of range [0, $cur] for $ident")
+    if (cur.isEmpty && !isReffed) throw new NoSuchTableException(ident)
+    require(v >= 0 && (isReffed || cur.exists(v <= _)),
+      s"version $v out of range [0, ${cur.getOrElse(-1L)}] for $ident")
     new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
   }
 

@@ -43,9 +43,12 @@ import org.apache.spark.sql.SparkSession
   * committer races `abort` into the decision slot (createExclusive — a
   * resurrected coordinator cannot commit after that) and reclaims. A
   * coordinator that dies AFTER deciding left a committed txn; healers
-  * finalize it. Decision files are never deleted (an aborted txn's
-  * pending manifest may still be cached somewhere; the decision is the
-  * permanent record).
+  * finalize it. DECIDED decision files are never deleted (an aborted
+  * txn's pending manifest may still be cached somewhere; the decision
+  * is the permanent record) — only a ZERO-LENGTH decision file (a
+  * coordinator crashed inside the decision create itself) heals away
+  * after the grace window, so the abort race can land instead of
+  * conflicting on the empty fence forever.
   *
   * Scope: all participating tables must share a commit store (the
   * decision file rides the same store primitives). The transaction
@@ -99,12 +102,21 @@ object LakeAtomicTxn {
           claimed += s
         }
       } catch {
-        case e: VersionedLake.CommitConflictException =>
+        // ANY failure mid-claim (conflict, store IO error) rolls the
+        // already-claimed slots back — leaking them would fence every
+        // claimed table for the full grace window. Each delete first
+        // verifies the slot still carries OUR marker: a healer may have
+        // aborted a stalled claim and another writer re-claimed the same
+        // version number, and deleting that would destroy their commit.
+        case scala.util.control.NonFatal(e) =>
           claimed.foreach(s => scala.util.Try {
-            VersionedLake.fsOf(spark, s.tableDir).delete(
-              new org.apache.hadoop.fs.Path(s"${s.tableDir}/manifest",
-                s"v=${s.version}.txt"), false)
-            VersionedLake.invalidateManifestCache(s.tableDir, s.version)
+            if (VersionedLake.txn2pcDecisionPath(spark, s.tableDir, s.version)
+              .contains(decisionPath)) {
+              VersionedLake.fsOf(spark, s.tableDir).delete(
+                new org.apache.hadoop.fs.Path(s"${s.tableDir}/manifest",
+                  s"v=${s.version}.txt"), false)
+              VersionedLake.invalidateManifestCache(s.tableDir, s.version)
+            }
           })
           throw e
       }

@@ -45,7 +45,13 @@ object LakeWap {
   def begin(
       spark: SparkSession,
       tableDir: String,
-      branch: String)(write: => Unit): Staged =
+      branch: String)(write: => Unit): Staged = {
+    // refuse a taken branch name BEFORE doing any work: a leaked ref
+    // from a crashed WAP (its claim healed, its ref did not) must fail
+    // here, not after a fresh claim is already fencing the table
+    require(LakeRefs.resolve(spark, tableDir, branch).isEmpty,
+      s"branch '$branch' already exists on $tableDir - a crashed WAP's " +
+        "leftover ref? Inspect/audit it, then LakeRefs.drop it first")
     VersionedLake.retryOnConflict(maxAttempts = 8) {
       val st = new LakeAtomicTxn.Staging
       LakeAtomicTxn.staging.set(st)
@@ -59,9 +65,19 @@ object LakeWap {
       val decisionPath = s"$decisionDir/$txnId.txt"
       VersionedLake.claimManifestSlot(spark, tableDir, sg.version,
         s"${VersionedLake.Txn2pcHeader}$decisionPath\n${sg.body}")
-      LakeRefs.branch(spark, tableDir, branch, sg.version)
-      Staged(tableDir, branch, sg.version, decisionDir, s"$txnId.txt")
+      val staged = Staged(tableDir, branch, sg.version, decisionDir, s"$txnId.txt")
+      // anything failing after the claim (a racing ref create, a store
+      // error) must not leave an undecided fence on the table: abort
+      // our own claim before surfacing
+      try LakeRefs.branch(spark, tableDir, branch, sg.version)
+      catch {
+        case t: Throwable =>
+          scala.util.Try(abort(spark, staged))
+          throw t
+      }
+      staged
     }
+  }
 
   /** The staged snapshot — the full table as it WOULD read after
     * publish (pending manifests parse normally; only head resolution
@@ -76,6 +92,13 @@ object LakeWap {
     * window under writer pressure) — rerun the flow.
     */
   def publish(spark: SparkSession, staged: Staged): Long = {
+    // the branch must still point at OUR staged version: a re-pointed
+    // branch means another attempt owns the name now, and publishing a
+    // stale handle under it would silently ship the wrong audit
+    require(LakeRefs.resolve(spark, staged.tableDir, staged.branch)
+      .forall(_ == staged.version),
+      s"branch '${staged.branch}' was re-pointed under this audit; " +
+        "publish the current staging or abort this handle")
     try VersionedLake.createExclusive(
       spark, staged.decisionDir, staged.decisionName, "commit")
     catch {
@@ -85,9 +108,10 @@ object LakeWap {
             s"healer before publish: ${e.getMessage}")
     }
     LakeAtomicTxn.finalizePending(spark, staged.tableDir, staged.version)
-    // the branch served its purpose; publishing retires it (a vanished
-    // or re-pointed ref is fine - drop is a no-op on absence)
-    scala.util.Try(LakeRefs.drop(spark, staged.tableDir, staged.branch)): Unit
+    // retire the branch ONLY while it still points at this staging
+    // (value-level CAS): a re-pointed ref belongs to its new owner
+    scala.util.Try(LakeRefs.dropIf(spark, staged.tableDir, staged.branch,
+      staged.version)): Unit
     staged.version
   }
 
@@ -105,12 +129,20 @@ object LakeWap {
         require(!decided.contains("commit"),
           s"WAP '${staged.branch}' was already PUBLISHED; abort is impossible")
     }
+    // delete the slot ONLY while it still carries OUR marker: a healer
+    // may have aborted this claim already and another writer re-claimed
+    // (and even committed) the same version number — an unconditional
+    // delete here would destroy that writer's manifest
     scala.util.Try {
-      VersionedLake.fsOf(spark, staged.tableDir).delete(
-        new org.apache.hadoop.fs.Path(s"${staged.tableDir}/manifest",
-          s"v=${staged.version}.txt"), false)
-      VersionedLake.invalidateManifestCache(staged.tableDir, staged.version)
+      if (VersionedLake.txn2pcDecisionPath(spark, staged.tableDir, staged.version)
+        .contains(s"${staged.decisionDir}/${staged.decisionName}")) {
+        VersionedLake.fsOf(spark, staged.tableDir).delete(
+          new org.apache.hadoop.fs.Path(s"${staged.tableDir}/manifest",
+            s"v=${staged.version}.txt"), false)
+        VersionedLake.invalidateManifestCache(staged.tableDir, staged.version)
+      }
     }: Unit
-    scala.util.Try(LakeRefs.drop(spark, staged.tableDir, staged.branch)): Unit
+    scala.util.Try(LakeRefs.dropIf(spark, staged.tableDir, staged.branch,
+      staged.version)): Unit
   }
 }

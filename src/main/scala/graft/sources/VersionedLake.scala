@@ -1128,18 +1128,26 @@ object VersionedLake {
   def hasMixedPartitionSpecs(
       spark: SparkSession,
       tableDir: String,
-      version: Long): Boolean = {
+      version: Long): Boolean =
+    livePartSpecs(spark, tableDir, version)._1.sizeIs > 1
+
+  /** (distinct partition specs, dir count) over the version's NON-EMPTY
+    * directories. Zero-row directories are invisible: they hold no data
+    * a per-spec read would have to treat differently — without this,
+    * TRUNCATE's flat empty snapshot dir + the first partitioned INSERT
+    * reads as "mixed" until an OPTIMIZE drops the empty dir, routing
+    * every read through the stats-blind V1 bridge permanently. Dirs
+    * without a rows line (legacy manifests) count as non-empty.
+    */
+  private def livePartSpecs(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): (Seq[Seq[String]], Int) = {
     val specs = dirParts(spark, tableDir, version)
-    // zero-row directories cannot mix anything: they hold no data a
-    // per-spec read would have to treat differently. Without this,
-    // TRUNCATE's flat empty snapshot dir + the first partitioned INSERT
-    // reads as "mixed" until an OPTIMIZE drops the empty dir, routing
-    // every read through the stats-blind V1 bridge permanently. Dirs
-    // without a rows line (legacy manifests) count as non-empty.
     val rows = dirRowCounts(spark, tableDir, version)
-    manifest(spark, tableDir, version)
+    val live = manifest(spark, tableDir, version)
       .filter(d => rows.get(d).forall(_._1 > 0))
-      .map(d => specs.getOrElse(d, Nil)).distinct.sizeIs > 1
+    (live.map(d => specs.getOrElse(d, Nil)).distinct, live.size)
   }
 
   /** Whether the version needs the per-directory union read rather than
@@ -1158,13 +1166,9 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       version: Long): Boolean = {
-    val specs = dirParts(spark, tableDir, version)
-    val rows = dirRowCounts(spark, tableDir, version)
-    val live = manifest(spark, tableDir, version)
-      .filter(d => rows.get(d).forall(_._1 > 0))
-    val distinct = live.map(d => specs.getOrElse(d, Nil)).distinct
+    val (distinct, liveCount) = livePartSpecs(spark, tableDir, version)
     distinct.sizeIs > 1 ||
-      (distinct.headOption.exists(_.nonEmpty) && live.sizeIs > 1)
+      (distinct.headOption.exists(_.nonEmpty) && liveCount > 1)
   }
 
   /** The operation that produced a version, when its manifest records
@@ -1504,8 +1508,22 @@ object VersionedLake {
                   if System.currentTimeMillis() - st.getModificationTime >
                     OrphanManifestGraceMs =>
                 // undecided and stale: kill the txn by racing its
-                // decision slot; whoever wins the createExclusive decides
+                // decision slot; whoever wins the createExclusive decides.
+                // A coordinator that crashed INSIDE its decision create
+                // leaves a ZERO-LENGTH decision file — txn2pcDecision
+                // reads it as undecided, but it would conflict the abort
+                // create forever; heal it like any crashed fence first
+                // (same staleness bar, so a live coordinator mid-create
+                // keeps its fence).
                 try {
+                  val dpath = new org.apache.hadoop.fs.Path(dp)
+                  scala.util.Try {
+                    val dst = fs(spark, tableDir).getFileStatus(dpath)
+                    if (dst.getLen == 0 &&
+                      System.currentTimeMillis() - dst.getModificationTime >
+                        OrphanManifestGraceMs)
+                      fs(spark, tableDir).delete(dpath, false): Unit
+                  }: Unit
                   val slash = dp.lastIndexOf('/')
                   createExclusive(spark, dp.substring(0, slash),
                     dp.substring(slash + 1), "abort")

@@ -158,6 +158,34 @@ class LakeAtomicTxnSpec extends SparkSpec {
     assert(rows(b) === Set((1L, "b"), (2L, "b2")))
   }
 
+  test("a ZERO-LENGTH decision file (coordinator died mid-create) heals; tables unwedge") {
+    val s = spark
+    import s.implicits._
+    val a = tmp("txn_z") + "/t"
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), a)
+    val decision = s"$a/txn2pc/zl-txn.txt"
+    val st = new LakeAtomicTxn.Staging
+    LakeAtomicTxn.staging.set(st)
+    try VersionedLake.appendCommit(Seq((2L, "x")).toDF("id", "v"), a): Unit
+    finally LakeAtomicTxn.staging.remove()
+    val sg = st.staged.head
+    VersionedLake.claimManifestSlot(s, a, sg.version,
+      s"${VersionedLake.Txn2pcHeader}$decision\n${sg.body}")
+    // the coordinator crashed INSIDE its decision create: empty fence
+    val df = new java.io.File(decision)
+    df.getParentFile.mkdirs()
+    assert(df.createNewFile())
+    // age both the claim and the empty decision past the grace window
+    assert(new java.io.File(s"$a/manifest/v=1.txt").setLastModified(
+      System.currentTimeMillis() - VersionedLake.OrphanManifestGraceMs - 5000))
+    assert(df.setLastModified(
+      System.currentTimeMillis() - VersionedLake.OrphanManifestGraceMs - 5000))
+    // without the zero-length-decision heal, this commit would conflict
+    // forever (the abort create always loses to the empty file)
+    VersionedLake.appendCommit(Seq((9L, "heal")).toDF("id", "v"), a)
+    assert(rows(a) === Set((1L, "a"), (9L, "heal")))
+  }
+
   test("syncAll: two FK-related mirrors advance atomically, exactly-once") {
     val s = spark
     import s.implicits._

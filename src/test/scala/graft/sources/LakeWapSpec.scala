@@ -98,6 +98,67 @@ class LakeWapSpec extends SparkSpec {
     assert(ids(dir) === Set(1L, 2L, 3L))
   }
 
+  test("a leftover branch ref refuses begin() BEFORE fencing the table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_leftover")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    LakeRefs.branch(s, dir, "staging", 0L) // a crashed WAP's orphaned ref
+    val e = intercept[IllegalArgumentException] {
+      LakeWap.begin(s, dir, "staging") {
+        VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), dir): Unit
+      }
+    }
+    assert(e.getMessage.contains("leftover"))
+    assert(!new java.io.File(s"$dir/manifest/v=1.txt").exists(),
+      "the refusal must fire before any claim fences the table")
+    // an ordinary commit proceeds immediately (no orphaned fence)
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(ids(dir) === Set(1L, 3L))
+  }
+
+  test("a late abort() never deletes another writer's re-claimed manifest") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_late")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val staged = LakeWap.begin(s, dir, "late") {
+      VersionedLake.appendCommit(Seq((2L, "stale")).toDF("id", "v"), dir): Unit
+    }
+    // a healer aborts the stalled WAP and another writer re-claims the
+    // SAME version number with a real commit
+    VersionedLake.createExclusive(s, staged.decisionDir, staged.decisionName, "abort")
+    assert(new java.io.File(s"$dir/manifest/v=${staged.version}.txt").delete())
+    VersionedLake.invalidateManifestCache(dir, staged.version)
+    VersionedLake.appendCommit(Seq((9L, "winner")).toDF("id", "v"), dir)
+    assert(ids(dir) === Set(1L, 9L))
+    // the auditor finally calls abort(): it must leave the winner alone
+    LakeWap.abort(s, staged)
+    assert(ids(dir) === Set(1L, 9L),
+      "abort must verify slot ownership before deleting")
+    assert(VersionedLake.currentVersion(s, dir).contains(staged.version))
+  }
+
+  test("publish refuses a stale handle when the branch was re-pointed mid-audit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_repoint")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val staged = LakeWap.begin(s, dir, "staging") {
+      VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), dir): Unit
+    }
+    // an operator re-points the branch at some other version
+    LakeRefs.drop(s, dir, "staging")
+    LakeRefs.branch(s, dir, "staging", 0L)
+    val e = intercept[IllegalArgumentException](LakeWap.publish(s, staged))
+    assert(e.getMessage.contains("re-pointed"))
+    assert(ids(dir) === Set(1L), "nothing may publish under a re-pointed name")
+    // the stale handle can still be aborted; the re-pointed ref survives
+    LakeWap.abort(s, staged)
+    assert(LakeRefs.resolve(s, dir, "staging").contains(0L),
+      "abort's ref retire is value-CAS'd: the re-pointed ref is not ours to drop")
+  }
+
   test("WAP through SQL: audit with VERSION AS OF '<branch>', DQ-gate, publish") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("wap_cat").toString
