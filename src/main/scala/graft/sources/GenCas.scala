@@ -40,7 +40,10 @@ private[sources] object GenCas {
   }
 
   /** CAS loop: re-read, re-apply `f`, publish the next generation
-    * exclusively; a conflict re-bases and retries (bounded).
+    * exclusively; a conflict re-bases and retries (bounded). Mutation
+    * functions must be IDEMPOTENT on their own effect (re-applying onto
+    * a state that already holds it must not error): the ABA guard below
+    * can retry a mutation that actually landed.
     */
   def mutate(
       spark: SparkSession,
@@ -64,16 +67,41 @@ private[sources] object GenCas {
           if (!healed) throw e
           VersionedLake.createExclusive(spark, genRoot, name, body)
       }
-      // retire old generations best-effort, keeping a few for in-flight
-      // readers that already listed an older max
-      scala.util.Try {
-        val f2 = fs(spark, genRoot)
-        f2.listStatus(new org.apache.hadoop.fs.Path(genRoot))
+      def listGens(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+        fs(spark, genRoot).listStatus(new org.apache.hadoop.fs.Path(genRoot))
           .flatMap(s =>
             s.getPath.getName.stripPrefix("g=").stripSuffix(".txt").toLongOption
-              .map(_ -> s.getPath))
+              .map(_ -> s.getPath)).toSeq
+      // ABA guard: retirement deletes generations < max-3, so a create
+      // stalled past FOUR subsequent mutations can land on a slot that
+      // was already used and retired — a SILENT lost update (readers
+      // resolve the newer max). Detect the ambiguity after the create:
+      // if the listing's max is >= next+4, our slot was inside the
+      // retirement range when we claimed it; withdraw and retry loudly
+      // (f re-applies on the winner state — hence the idempotence
+      // contract above).
+      val maxNow = scala.util.Try(listGens().map(_._1).maxOption)
+        .toOption.flatten.getOrElse(next)
+      if (maxNow >= next + 4) {
+        scala.util.Try(
+          fs(spark, genRoot).delete(
+            new org.apache.hadoop.fs.Path(genRoot, name), false)): Unit
+        throw new VersionedLake.CommitConflictException(
+          s"$genRoot/$name raced past the retirement horizon (max $maxNow); re-basing")
+      }
+      // retire old generations best-effort: only slots BOTH below the
+      // keep-window AND older than the grace period — an in-flight
+      // CAS'er inside the grace window can never have its claimed slot
+      // deleted out from under it
+      scala.util.Try {
+        val cutoff = System.currentTimeMillis() - VersionedLake.OrphanManifestGraceMs
+        val f2 = fs(spark, genRoot)
+        listGens()
           .filter(_._1 < next - 3)
-          .foreach { case (_, p) => f2.delete(p, false) }
+          .foreach { case (_, p) =>
+            val st = f2.getFileStatus(p)
+            if (st.getModificationTime < cutoff) f2.delete(p, false): Unit
+          }
       }: Unit
     }
 }

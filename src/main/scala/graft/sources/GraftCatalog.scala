@@ -198,21 +198,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // a non-numeric version is a NAMED REF: `VERSION AS OF 'release-1'`
     // resolves tags and WAP branches (a branch resolves to its staged
     // version, which reads fine pinned even while head-invisible)
-    val refs = LakeRefs.list(spark, dir)
-    val v = version.trim.toLongOption.orElse(
+    // the refs store is consulted LAZILY: the common numeric
+    // `VERSION AS OF 3` inside range must not pay a refs/ listing
+    lazy val refs = LakeRefs.list(spark, dir)
+    val numeric = version.trim.toLongOption
+    val v = numeric.orElse(
       refs.get(version.trim).map(_.version)).getOrElse(
       throw new IllegalArgumentException(
         s"VERSION AS OF expects a number or a named ref, got '$version' " +
           s"(refs: ${refs.keys.toSeq.sorted.mkString(", ")})"))
-    // a ref may pin a version the HEAD resolver hides (a WAP branch at
-    // the table's first, still-pending commit): the ref itself proves
-    // the table and the version exist, so `cur` is only required for
-    // numeric range checks
-    val isReffed = refs.values.exists(_.version == v)
     val cur = VersionedLake.currentVersion(spark, dir)
-    if (cur.isEmpty && !isReffed) throw new NoSuchTableException(ident)
-    require(v >= 0 && (isReffed || cur.exists(v <= _)),
-      s"version $v out of range [0, ${cur.getOrElse(-1L)}] for $ident")
+    if (numeric.isDefined && v >= 0 && cur.exists(v <= _)) ()
+    else {
+      // a ref may pin a version the HEAD resolver hides (a WAP branch at
+      // the table's first, still-pending commit): the ref itself proves
+      // the table and the version exist
+      val isReffed = refs.values.exists(_.version == v)
+      if (cur.isEmpty && !isReffed) throw new NoSuchTableException(ident)
+      require(v >= 0 && (isReffed || cur.exists(v <= _)),
+        s"version $v out of range [0, ${cur.getOrElse(-1L)}] for $ident")
+    }
     new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
   }
 

@@ -73,6 +73,21 @@ object LakeAtomicTxn {
 
   private[sources] val staging = new ThreadLocal[Staging]
 
+  /** Run `write` under a fresh staging context and return what it
+    * staged. Staging does NOT nest — a commitAll/WAP inside another's
+    * writes would silently swap the outer context out and let later
+    * writes publish OUTSIDE the transaction, so it refuses up front.
+    */
+  private[sources] def stage(write: => Unit): Staging = {
+    require(staging.get() == null,
+      "LakeAtomicTxn/WAP staging cannot nest: a transaction's writes must " +
+        "not open another transaction (compose the writes into one)")
+    val st = new Staging
+    staging.set(st)
+    try write finally staging.remove()
+    st
+  }
+
   /** Run `writes` (each an ordinary library-write call against its own
     * table) as ONE atomic transaction. Returns the published version per
     * table in staging order. `txnDir` hosts the decision file — any
@@ -81,9 +96,7 @@ object LakeAtomicTxn {
     */
   def commitAll(spark: SparkSession, txnDir: String)(writes: => Unit): Seq[Long] =
     VersionedLake.retryOnConflict(maxAttempts = 8) {
-      val st = new Staging
-      staging.set(st)
-      try writes finally staging.remove()
+      val st = stage(writes)
       if (st.staged.isEmpty) return Nil
       val txnId = java.util.UUID.randomUUID().toString
       val decisionDir = s"$txnDir/txn2pc"

@@ -57,18 +57,30 @@ object LakeRefs {
   def resolve(spark: SparkSession, tableDir: String, name: String): Option[Long] =
     list(spark, tableDir).get(name).map(_.version)
 
-  /** Immutable named version. Refuses to re-point an existing name. */
+  /** Immutable named version. Refuses to re-point an existing name
+    * (an identical re-create is a no-op — the idempotence [[GenCas]]'s
+    * ABA guard requires of mutation functions).
+    */
   def tag(spark: SparkSession, tableDir: String, name: String, version: Long): Unit =
-    mutate(spark, tableDir) { m =>
-      require(!m.contains(name), s"ref '$name' already exists on $tableDir")
-      m + (name -> Ref(version, "tag"))
-    }
+    create(spark, tableDir, name, Ref(version, "tag"))
 
   /** Movable named pointer (the WAP staging handle). */
   def branch(spark: SparkSession, tableDir: String, name: String, version: Long): Unit =
+    create(spark, tableDir, name, Ref(version, "branch"))
+
+  private def create(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      ref: Ref): Unit =
     mutate(spark, tableDir) { m =>
-      require(!m.contains(name), s"ref '$name' already exists on $tableDir")
-      m + (name -> Ref(version, "branch"))
+      m.get(name) match {
+        case Some(existing) if existing == ref => m // idempotent re-apply
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            s"ref '$name' already exists on $tableDir")
+        case None => m + (name -> ref)
+      }
     }
 
   def drop(spark: SparkSession, tableDir: String, name: String): Unit =
@@ -83,10 +95,13 @@ object LakeRefs {
       tableDir: String,
       name: String,
       expect: Long): Boolean = {
-    var ok = true
+    var ok = false
     mutate(spark, tableDir) { m =>
+      // re-evaluated per CAS attempt: only the LAST application's
+      // outcome may answer (a sticky flag would report "no change"
+      // after a retried attempt actually dropped the ref)
       m.get(name) match {
-        case Some(r) if r.version == expect => m - name
+        case Some(r) if r.version == expect => ok = true; m - name
         case _ => ok = false; m
       }
     }

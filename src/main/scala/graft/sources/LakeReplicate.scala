@@ -85,7 +85,14 @@ object LakeReplicate {
               "table would silently merge two histories; start from an " +
               "empty destination)"))
         if (applied >= srcV) return dstV // nothing new - no commit, no probe
-        alignSchema(spark, srcDir, dstDir, atVersion = Some(srcV))
+        // inside a syncAll transaction the alignment already ran
+        // pre-txn (it is per-table metadata-only, possibly SEVERAL
+        // commits — a staged context admits exactly one commit per
+        // table, and that one must be the row delta). A source schema
+        // change racing the pre-align window surfaces as the upsert's
+        // loud type-mismatch, not a silent half-align; rerun syncAll.
+        if (LakeAtomicTxn.staging.get() == null)
+          alignSchema(spark, srcDir, dstDir, atVersion = Some(srcV))
         applyDelta(spark,
           VersionedLake.readRowChanges(spark, srcDir, applied, srcV),
           dstDir, keys, app, batchId = srcV)

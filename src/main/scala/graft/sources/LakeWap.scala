@@ -53,9 +53,7 @@ object LakeWap {
       s"branch '$branch' already exists on $tableDir - a crashed WAP's " +
         "leftover ref? Inspect/audit it, then LakeRefs.drop it first")
     VersionedLake.retryOnConflict(maxAttempts = 8) {
-      val st = new LakeAtomicTxn.Staging
-      LakeAtomicTxn.staging.set(st)
-      try write finally LakeAtomicTxn.staging.remove()
+      val st = LakeAtomicTxn.stage(write)
       require(st.staged.size == 1 && st.staged.head.tableDir == tableDir,
         s"a WAP stages exactly ONE commit against $tableDir; " +
           s"got ${st.staged.size} staged writes")

@@ -4417,7 +4417,13 @@ object VersionedLake {
       // refs are the retention override, like Iceberg's), and every
       // PENDING txn/WAP claim above the resolved head (its data dirs
       // are referenced by a manifest the resolver merely hides; the
-      // orphan heal, not vacuum, is what reclaims dead claims)
+      // orphan heal, not vacuum, is what reclaims dead claims).
+      // Known check-then-act window, same as every file-based lake's
+      // vacuum-vs-reader race: a ref created on an out-of-retention
+      // version WHILE a vacuum is mid-delete may point at reclaimed
+      // files. Tag within retention (a ref pins from its creation on);
+      // vacuum is not linearizable against concurrent metadata either
+      // here or in Delta/Iceberg.
       val pinned: Set[Long] =
         LakeRefs.list(spark, tableDir).values.map(_.version).toSet ++ {
           val manRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifest")

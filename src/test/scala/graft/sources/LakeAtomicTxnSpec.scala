@@ -186,6 +186,41 @@ class LakeAtomicTxnSpec extends SparkSpec {
     assert(rows(a) === Set((1L, "a"), (9L, "heal")))
   }
 
+  test("staging does not nest: a transaction inside a transaction refuses up front") {
+    val s = spark
+    import s.implicits._
+    val a = tmp("txn_nest") + "/t"
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), a)
+    val e = intercept[IllegalArgumentException] {
+      LakeAtomicTxn.commitAll(s, a) {
+        LakeAtomicTxn.commitAll(s, a) {
+          VersionedLake.appendCommit(Seq((2L, "x")).toDF("id", "v"), a): Unit
+        }: Unit
+      }
+    }
+    assert(e.getMessage.contains("nest"),
+      "a nested txn would silently swap the outer staging out")
+    assert(VersionedLake.currentVersion(s, a).contains(0L),
+      "nothing may have committed from the refused composition")
+  }
+
+  test("syncAll aligns a renamed source pre-txn, then applies the delta atomically") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("txn_als") + "/t"
+    val dst = tmp("txn_ald") + "/t"
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), src)
+    LakeReplicate.syncAll(s, Seq((src, dst, Seq("id"))), txnDir = dst)
+    // a metadata-only rename + a data commit in one window: the
+    // alignment must run OUTSIDE the staged txn (it is its own commit)
+    VersionedLake.renameColumn(s, src, "v", "val")
+    VersionedLake.upsertMor(s, src, Seq((1L, "a2")).toDF("id", "val"), Seq("id"))
+    LakeReplicate.syncAll(s, Seq((src, dst, Seq("id"))), txnDir = dst)
+    val got = VersionedLake.read(s, dst).select("id", "val").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a2")))
+  }
+
   test("syncAll: two FK-related mirrors advance atomically, exactly-once") {
     val s = spark
     import s.implicits._

@@ -48,6 +48,27 @@ class LakeWapSpec extends SparkSpec {
       s.sql("SELECT id FROM gref.t VERSION AS OF 1").collect())
   }
 
+  test("refs CAS under contention: every writer's ref lands; re-create is idempotent") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("refs_race").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            (0 until 5).foreach(i => LakeRefs.tag(s, dir, s"r$t-$i", (t * 5 + i).toLong))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val got = LakeRefs.list(s, dir)
+    assert(got.size === 20, s"all 20 racing tags must land: ${got.keys.toSeq.sorted}")
+    // identical re-create is a no-op (the CAS retry contract), a
+    // conflicting one refuses
+    LakeRefs.tag(s, dir, "r0-0", 0L)
+    intercept[IllegalArgumentException](LakeRefs.tag(s, dir, "r0-0", 99L))
+  }
+
   test("WAP: staged invisible, audit reads the would-be table, publish swaps atomically") {
     val s = spark
     import s.implicits._
