@@ -619,6 +619,75 @@ object Relational5 {
     (src, mirror)
   }
 
+  /** The ATOMIC MULTI-MIRROR fixture: two order-band sources, each with
+    * one keyed upsert on top of its append, and two mirrors bootstrapped
+    * by ONE atomic [[graft.sources.LakeReplicate.syncAll]] in warm-up —
+    * the FK-consistent star shape. The timed body re-syncs (exactly-once
+    * watermark no-ops, zero commits) and reads both mirrors.
+    */
+  private def syncAllFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String, Seq[String])] = {
+    import graft.sources.VersionedLake
+    val half = maxOrderKey(s, dir) / 2
+    def orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val srcA = lakeFixture("sncsrca", dir) { a =>
+      VersionedLake.appendCommit(orders.filter(col("o_orderkey") <= half), a,
+        statsCols = Seq("o_orderkey"))
+      VersionedLake.upsert(s, a,
+        orders.filter(col("o_orderkey") <= half / 10)
+          .select(col("o_orderkey"), lit("SA").as("o_orderstatus"),
+            round(col("o_totalprice") * 2, 2).as("o_totalprice")),
+        keys = Seq("o_orderkey")): Unit
+    }
+    val srcB = lakeFixture("sncsrcb", dir) { b =>
+      VersionedLake.appendCommit(orders.filter(col("o_orderkey") > half), b,
+        statsCols = Seq("o_orderkey"))
+      VersionedLake.upsert(s, b,
+        orders.filter(col("o_orderkey") > half && col("o_orderkey") <= half + half / 10)
+          .select(col("o_orderkey"), lit("SB").as("o_orderstatus"),
+            round(col("o_totalprice") * 3, 2).as("o_totalprice")),
+        keys = Seq("o_orderkey")): Unit
+    }
+    val mA = lakeFixture("sncmira", dir)(_ => ())
+    val mB = lakeFixture("sncmirb", dir)(_ => ())
+    val pairs = Seq(
+      (srcA, s"$mA/t", Seq("o_orderkey")),
+      (srcB, s"$mB/t", Seq("o_orderkey")))
+    if (VersionedLake.currentVersion(s, s"$mA/t").isEmpty ||
+      VersionedLake.currentVersion(s, s"$mB/t").isEmpty)
+      graft.sources.LakeReplicate.syncAll(s, pairs, txnDir = s"$mA/t"): Unit
+    pairs
+  }
+
+  /** The WAP fixture table + one full write-audit-publish cycle: the
+    * staged commit is a replaceWhere whose batch re-derives
+    * value-identically from the immutable orders source, so every run's
+    * cycle converges on the same table (and the branch ref retires at
+    * publish, freeing the name for the next run).
+    */
+  private def runCatalogWap(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.{LakeWap, VersionedLake}
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "wap_orders")
+    val tbl = s"${catalogLake(s, dir)}/wap_orders"
+    val third = maxOrderKey(s, dir) / 3
+    val batch = t(s, dir, "orders")
+      .filter(col("o_orderkey") <= third / 5)
+      .select(col("o_orderkey"), lit("W").as("o_orderstatus"),
+        round(col("o_totalprice") * 3, 2).as("o_totalprice"))
+    val staged = LakeWap.begin(s, tbl, "bench-audit") {
+      VersionedLake.replaceWhere(s, tbl, col("o_orderkey") <= third / 5, batch): Unit
+    }
+    // the AUDIT: the staged snapshot must hold the would-be band; an
+    // empty audit aborts instead of publishing (the gate is the point)
+    val audited = LakeWap.read(s, staged)
+      .filter(col("o_orderstatus") === "W").limit(1).count()
+    if (audited > 0) LakeWap.publish(s, staged): Unit
+    else LakeWap.abort(s, staged)
+  }
+
   /** Z-CLUSTERED catalog table: orders appended in 3 commits, then
     * optimizeClustered into 8 Z-range-disjoint directories on
     * (o_custkey, o_totalprice) — each directory a narrow 2-D box in the
@@ -759,6 +828,8 @@ object Relational5 {
     runCatalogMergeRekey(s, dir)
     runCatalogMergeEvolve(s, dir)
     runCatalogOverwritePart(s, dir)
+    syncAllFixture(s, dir): Unit
+    runCatalogWap(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -1519,6 +1590,67 @@ object Relational5 {
              |  WHERE o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 5
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-rekey")),
+
+    // WRITE-AUDIT-PUBLISH — the WAP flow as one timed cycle: stage a
+    // replaceWhere INVISIBLY (pending claim + branch ref), AUDIT the
+    // staged snapshot (the full would-be table; an empty audit aborts
+    // instead of publishing), then one atomic decision swaps it to
+    // main. The staged batch re-derives value-identically from the
+    // immutable source, so every cycle converges on the same table.
+    // Oracle: the published truth.
+    QueryDef(
+      "q_catalog_wap",
+      (s, dir) => {
+        runCatalogWap(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.wap_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 3 AS third FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE o_orderkey > third // 5
+             |  UNION ALL
+             |  SELECT o_orderkey, 'W', round(o_totalprice * 3, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 5
+             |)""".stripMargin),
+      covers = Seq("ext-lake-wap")),
+
+    // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
+    // mirrors as ONE transaction (one decision-file create; no
+    // interleaving exposes one mirror ahead of the other). Warm-up
+    // bootstraps; the timed body re-syncs (exactly-once watermarks
+    // no-op both mirrors, zero commits) and reads the pair — the
+    // steady-state cost of the atomic guarantee. Oracle: the two
+    // sources' final truths, unioned.
+    QueryDef(
+      "q_lake_syncall",
+      (s, dir) => {
+        val pairs = syncAllFixture(s, dir)
+        graft.sources.LakeReplicate.syncAll(s, pairs, txnDir = pairs.head._2): Unit
+        pairs.map { case (_, m, _) =>
+          graft.sources.VersionedLake.read(s, m)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice"), 2).as("o_totalprice"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 2 AS half FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE o_orderkey > half // 10 AND o_orderkey <= half
+             |  UNION ALL
+             |  SELECT o_orderkey, 'SA', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey <= half // 10
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE o_orderkey > half + half // 10
+             |  UNION ALL
+             |  SELECT o_orderkey, 'SB', round(o_totalprice * 3, 2) FROM orders, m
+             |  WHERE o_orderkey > half AND o_orderkey <= half + half // 10
+             |)""".stripMargin),
+      covers = Seq("ext-lake-syncall")),
 
     // SCHEMA-EVOLVING SQL MERGE — `MERGE WITH SCHEMA EVOLUTION` onto a
     // target born WITHOUT the price column: Spark's analyzer widens the

@@ -30,7 +30,8 @@ object GraftProcedures {
 
   /** Procedure names under the `system` namespace. */
   val Names: Seq[String] = Seq(
-    "vacuum", "optimize", "rollback", "clone_table", "replicate")
+    "vacuum", "optimize", "rollback", "clone_table", "replicate",
+    "tag", "drop_ref")
 
   /** `resolve` maps a (possibly dotted) table name to its directory
     * under the calling catalog's root — creation targets (clone/replicate
@@ -93,6 +94,32 @@ object GraftProcedures {
               .comment("comma-separated key columns").build())) { in =>
           LakeReplicate.sync(spark, resolve(str(in, 0)), resolve(str(in, 1)),
             str(in, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        }
+      case "tag" =>
+        proc(name, "name a retained version (vacuum keeps it alive; " +
+          "read it via VERSION AS OF '<name>')",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build(),
+            ProcedureParameter.in("version", LongType).defaultValue("-1")
+              .comment("-1 = current").build())) { in =>
+          val dir = resolve(str(in, 0))
+          val v = in.getLong(2)
+          val at =
+            if (v >= 0) v
+            else VersionedLake.currentVersion(spark, dir).getOrElse(
+              throw new IllegalStateException(s"no published version in $dir"))
+          LakeRefs.tag(spark, dir, str(in, 1), at)
+          at
+        }
+      case "drop_ref" =>
+        proc(name, "drop a named ref (its version re-enters normal retention)",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build())) { in =>
+          val dir = resolve(str(in, 0))
+          LakeRefs.drop(spark, dir, str(in, 1))
+          VersionedLake.currentVersion(spark, dir).getOrElse(-1L)
         }
       case other =>
         throw new IllegalArgumentException(

@@ -68,6 +68,25 @@ class GraftProceduresSpec extends SparkSpec {
       "the branch's writes never touch the source")
   }
 
+  test("CALL system.tag names a version; VERSION AS OF reads it; drop_ref releases it") {
+    root
+    spark.sql("CREATE TABLE gproc.tg (k BIGINT)")
+    spark.sql("INSERT INTO gproc.tg VALUES (1)")
+    spark.sql("CALL gproc.system.tag('tg', 'v1-release')") // -1 = current
+    spark.sql("INSERT OVERWRITE gproc.tg VALUES (9)")
+    spark.sql("INSERT INTO gproc.tg VALUES (10)")
+    assert(spark.sql("SELECT k FROM gproc.tg VERSION AS OF 'v1-release'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the tag pins its version through vacuum
+    spark.sql("CALL gproc.system.vacuum('tg', 1, 0)")
+    assert(spark.sql("SELECT k FROM gproc.tg VERSION AS OF 'v1-release'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "a CALL-created tag must survive CALL-driven vacuum")
+    spark.sql("CALL gproc.system.drop_ref('tg', 'v1-release')")
+    intercept[Exception](
+      spark.sql("SELECT k FROM gproc.tg VERSION AS OF 'v1-release'").collect())
+  }
+
   test("unknown procedures and wrong namespaces refuse loudly") {
     root
     val e1 = intercept[Exception](spark.sql("CALL gproc.system.nonsense()"))
