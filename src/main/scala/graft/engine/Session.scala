@@ -31,6 +31,21 @@ object Session {
       // should broadcast rather than sort-merge; a cluster deployment
       // re-tunes this per executor memory. AQE demotes oversized builds.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // storage-partitioned joins. The two v2.bucketing confs are inert
+      // unless a lake table declares `spj.enabled` (only such scans
+      // report KeyGroupedPartitioning); pushPartValues lets one-sided
+      // partition-value gaps fill with empty partitions instead of
+      // falling back to a shuffle.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // NOT SPJ-scoped: this relaxes the co-partition check for EVERY
+      // join — two sides already partitioned on a subset of the join
+      // keys (SPJ's band + row-key shape, or a reused hash exchange)
+      // count as co-partitioned instead of reshuffling. That is the
+      // pre-Spark-3.3 default; the skew risk the strict default guards
+      // against is handled by AQE's skew-join split, and the full query
+      // suite is oracle-checked under it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); without this Spark refuses

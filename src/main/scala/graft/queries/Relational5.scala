@@ -688,6 +688,41 @@ object Relational5 {
     else LakeWap.abort(s, staged)
   }
 
+  /** STORAGE-PARTITIONED-JOIN fixture: orders and the per-order lineitem
+    * aggregate, each hive-partitioned on the SAME 16-way key band and
+    * declared `spj.enabled` — both scans report KeyGroupedPartitioning,
+    * so the fact⋈fact join on (band, key) plans with ZERO exchange on
+    * either side. The aggregate is materialized ONCE here (warm-up);
+    * the timed body pays only the shuffle-free join.
+    */
+  private def ensureSpjTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.{LakeProps, VersionedLake}
+    // runtime-settable: engage SPJ even under a driver-built session
+    // that didn't come through graft.engine.Session's builder
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val catRoot = catalogLake(s, dir)
+    val a = s"$catRoot/spj_orders"
+    val b = s"$catRoot/spj_lines"
+    if (VersionedLake.currentVersion(s, a).isEmpty) {
+      VersionedLake.appendCommit(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 16).as("ob"),
+            col("o_orderkey"), col("o_totalprice")),
+        a, parts = Seq("ob"))
+      LakeProps.set(s, a, "spj.enabled", "true")
+    }
+    if (VersionedLake.currentVersion(s, b).isEmpty) {
+      VersionedLake.appendCommit(
+        t(s, dir, "lineitem")
+          .groupBy((col("l_orderkey") % 16).as("lb"), col("l_orderkey"))
+          .agg(sum("l_quantity").as("sum_qty")),
+        b, parts = Seq("lb"))
+      LakeProps.set(s, b, "spj.enabled", "true")
+    }
+  }
+
   /** Z-CLUSTERED catalog table: orders appended in 3 commits, then
     * optimizeClustered into 8 Z-range-disjoint directories on
     * (o_custkey, o_totalprice) — each directory a narrow 2-D box in the
@@ -830,6 +865,7 @@ object Relational5 {
     runCatalogOverwritePart(s, dir)
     syncAllFixture(s, dir): Unit
     runCatalogWap(s, dir)
+    ensureSpjTables(s, dir)
   }
 
   // Declared before `defs` (a forward val reference is null at object init).
@@ -1651,6 +1687,30 @@ object Relational5 {
              |  WHERE o_orderkey > half AND o_orderkey <= half + half // 10
              |)""".stripMargin),
       covers = Seq("ext-lake-syncall")),
+
+    // STORAGE-PARTITIONED JOIN — both sides hive-partitioned on the same
+    // 16-way band and declared spj.enabled: the scans report
+    // KeyGroupedPartitioning, EnsureRequirements matches the key sets,
+    // and the fact⋈fact join runs with ZERO exchange (SpjSpec asserts
+    // the plan). The MERGE hint keeps AQE from broadcasting the agg side
+    // at test scale — at the sizes SPJ exists for, neither side fits a
+    // broadcast. Oracle: the same join in DuckDB (the band is plumbing).
+    QueryDef(
+      "q_catalog_spj",
+      (s, dir) => {
+        ensureSpjTables(s, dir)
+        s.sql(
+          """SELECT /*+ MERGE(b) */ a.o_orderkey, a.o_totalprice, b.sum_qty
+            |FROM graftcat.spj_orders a
+            |JOIN graftcat.spj_lines b
+            |  ON a.ob = b.lb AND a.o_orderkey = b.l_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey) l
+             |  ON o_orderkey = l_orderkey""".stripMargin),
+      covers = Seq("ext-lake-spj")),
 
     // SCHEMA-EVOLVING SQL MERGE — `MERGE WITH SCHEMA EVOLUTION` onto a
     // target born WITHOUT the price column: Spark's analyzer widens the

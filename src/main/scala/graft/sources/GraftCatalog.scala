@@ -284,7 +284,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     properties.asScala.toSeq.sortBy(_._1).foreach {
       case (k, pred) if k.startsWith("check.") =>
         LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
-      case (k, v) if k.startsWith("cdc.") =>
+      case (k, v) if k.startsWith("cdc.") || k == "spj.enabled" =>
         LakeProps.set(spark, dir, k, v)
       case _ =>
     }
@@ -367,9 +367,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         bloomBits = p.value.toInt
       case p: TableChange.SetProperty if p.property == "bloom.k" =>
         bloomK = p.value.toInt
-      case p: TableChange.SetProperty if p.property.startsWith("cdc.") =>
+      case p: TableChange.SetProperty
+          if p.property.startsWith("cdc.") || p.property == "spj.enabled" =>
         LakeProps.set(spark, dir, p.property, p.value)
-      case p: TableChange.RemoveProperty if p.property.startsWith("cdc.") =>
+      case p: TableChange.RemoveProperty
+          if p.property.startsWith("cdc.") || p.property == "spj.enabled" =>
         LakeProps.unset(spark, dir, p.property)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -958,8 +960,11 @@ final class LakeTable(
               s"GraftLakeMorReadThrough($identName@v$v, ${pending.size} pending deletes)"
           }
       }
-    val hasLayers = VersionedLake.dirStats(spark, tableDir, v).nonEmpty ||
-      VersionedLake.dirBlooms(spark, tableDir, v).nonEmpty
+    // computed ONCE per scan: dirBlooms base64-decodes every directory's
+    // bloom bitset — don't pay that twice for hasLayers + filter cols
+    val scanStats = VersionedLake.dirStats(spark, tableDir, v)
+    val scanBlooms = VersionedLake.dirBlooms(spark, tableDir, v)
+    val hasLayers = scanStats.nonEmpty || scanBlooms.nonEmpty
     // every catalog read goes through the one builder: stats/bloom
     // directory pruning when the table declares layers (a no-op pruner
     // otherwise), metadata-only count/min/max, and manifest-exact scan
@@ -983,7 +988,21 @@ final class LakeTable(
             VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters))
         else _ => dropEmpty(dirs),
       rowMeta = rowMeta,
-      aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg))
+      aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg),
+      // storage-partitioned joins are a declared layout contract, like
+      // bucket count: `spj.enabled` trades scan granularity (one task per
+      // live partition value) for shuffle-free partition-keyed joins
+      spjCols =
+        if (LakeProps.get(spark, tableDir).get("spj.enabled").contains("true"))
+          VersionedLake.declaredOrPhysicalParts(spark, tableDir, v)
+        else Nil,
+      // every STATS-layered column is runtime-filterable: a broadcast
+      // join's key set re-prunes the manifest at execution via min/max
+      // ranges. Bloom-ONLY columns are excluded deliberately: the pruner
+      // caps bloom probes at 16 IN values and a runtime key set is
+      // almost always larger, so declaring them would buy pure overhead
+      runtimeFilterCols =
+        scanStats.values.flatMap(_.keys).toSeq.distinct)
   }
 
   /** Spark source filters → a lake predicate Column — the vocabulary

@@ -54,17 +54,28 @@ object GraftProcedures {
           VersionedLake.currentVersion(spark, dir).get
         }
       case "optimize" =>
-        proc(name, "compaction: rewrite the layout (optionally Z-clustered) as one commit",
+        proc(name, "compaction: rewrite the layout (optionally Z-clustered) as one commit; " +
+          "small_rows > 0 = INCREMENTAL (consolidate only sub-threshold directories, " +
+          "O(small dirs) not O(table))",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("zorder_by", StringType).defaultValue("''")
               .comment("comma-separated cluster columns; empty = plain compaction").build(),
             ProcedureParameter.in("num_dirs", IntegerType).defaultValue("1")
-              .comment(">= 2 splits into Z-range-disjoint directories").build())) { in =>
+              .comment(">= 2 splits into Z-range-disjoint directories").build(),
+            ProcedureParameter.in("small_rows", LongType).defaultValue("-1")
+              .comment("> 0 compacts only directories under this row count").build())) { in =>
           val dir = resolve(str(in, 0))
           val z = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val n = in.getInt(2)
-          if (n >= 2) VersionedLake.optimizeClustered(spark, dir, z, n)
+          val smallRows = in.getLong(3)
+          if (smallRows > 0) {
+            require(z.isEmpty && n < 2,
+              "small_rows is incremental consolidation - it composes with " +
+                "neither zorder_by nor num_dirs (run a full optimize for those)")
+            VersionedLake.compactSmall(spark, dir, smallRows)
+              .getOrElse(VersionedLake.currentVersion(spark, dir).get)
+          } else if (n >= 2) VersionedLake.optimizeClustered(spark, dir, z, n)
           else VersionedLake.optimize(spark, dir, zorderBy = z)
         }
       case "rollback" =>

@@ -3835,6 +3835,67 @@ object VersionedLake {
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
     }
 
+  /** INCREMENTAL COMPACTION — rewrite ONLY the directories whose
+    * manifest row count falls below `smallRows`, consolidated into one
+    * new directory; every other directory carries verbatim (manifest
+    * line, stats, blooms, partition spec — zero reads, zero writes).
+    * Cost is O(small dirs), not O(table): the maintenance cadence a
+    * 100 TB table can actually afford between full [[optimize]]s — a
+    * thousand trickle-appends compact for the price of the trickle, not
+    * the fact table. Returns None (no commit) when fewer than two
+    * qualifying directories exist; zero-row directories (TRUNCATE
+    * leftovers, no-match replaceWhere batches) always qualify, so the
+    * cadence also sweeps them out of the manifest. Row-identical by
+    * construction; committed as `op=optimize`, so the CDC feed treats
+    * the window like any compaction (no row delta). Pending
+    * merge-on-read deletes refuse loudly, like every rewrite.
+    */
+  def compactSmall(
+      spark: SparkSession,
+      tableDir: String,
+      smallRows: Long,
+      maxRecordsPerFile: Long = 8L * 1000 * 1000): Option[Long] =
+    retryOnConflict(maxAttempts = 4) {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      requireNoEqDeletes(spark, tableDir, base, "compactSmall")
+      val dirs = manifest(spark, tableDir, base)
+      val rowMeta = dirRowCounts(spark, tableDir, base)
+      // directories without a row line (legacy manifests) are skipped:
+      // "small" must be KNOWN, not guessed, before paying a rewrite
+      // set-based split: the target workload is exactly the one with
+      // MANY directories, so O(dirs × small) contains-scans would eat
+      // the O(small dirs) cost contract on the driver
+      val smallSet = dirs.filter(d => rowMeta.get(d).exists(_._1 < smallRows)).toSet
+      if (smallSet.size < 2) return None
+      val small = dirs.filter(smallSet)
+      val kept = dirs.filterNot(smallSet)
+      val schemaOpt = versionSchema(spark, tableDir, base)
+      val data = readDirs(spark, tableDir, small.map(d => s"$tableDir/data/$d"), schemaOpt)
+      val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base, data.columns.toSeq)
+      // the consolidated dir follows the CURRENT declared layout; small
+      // dirs from older partition specs normalize in the same pass
+      val d = writeDataDir(data, tableDir,
+        declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
+      val priorStats = dirStats(spark, tableDir, base)
+      val priorBloomsRaw = dirBloomsRaw(spark, tableDir, base)
+      val stats = kept.flatMap(k => priorStats.get(k).map(k -> statsJson(_))).toMap ++
+        columnStats(data, statCols).map(d -> _)
+      val blooms = kept.flatMap(k => priorBloomsRaw.get(k).map(k -> _)).toMap ++
+        bloomJson(data, bloomCfg).map(d -> _)
+      // bucket alignment names specific directories; compacted ones are
+      // gone, kept ones stay aligned
+      val keptSet = kept.toSet
+      val buckets = dirBuckets(spark, tableDir, base)
+        .filter { case (bd, _) => keptSet.contains(bd) }
+      // schema verbatim (NOT stripAka): kept directories still carry
+      // former column names only the aka indirection can read
+      val schema = schemaOpt.getOrElse(nullableAll(data.schema))
+      Some(publishManifest(spark, tableDir, kept :+ d, schema, stats, blooms,
+        expectedBase = Some(Some(base)), buckets = buckets,
+        txns = txnWatermarks(spark, tableDir, base), op = "optimize"))
+    }
+
   /** OPTIMIZE ... CLUSTER BY into MULTIPLE Z-range-disjoint directories:
     * the snapshot is Z-order clustered ([[Lake.withZorderKey]]) and
     * range-split into `numDirs` directories covering DISJOINT Z-ranges,
@@ -4278,6 +4339,40 @@ object VersionedLake {
     def range(d: String, c: String): Option[(Option[String], Option[String])] =
       stats.get(d).flatMap(_.get(c))
 
+    // LARGE IN sets (a runtime dynamic-pruning key set can carry
+    // thousands of keys): the naive per-dir `vs.exists(inRangeEq)` costs
+    // O(dirs × values) driver time — sort each big set ONCE and
+    // binary-search every directory's [min,max] instead,
+    // O(dirs × log values). Values that fail numeric parsing fall back
+    // to the exact per-value path.
+    val bigIns = new java.util.IdentityHashMap[Filter, Array[String]]()
+    def collectBigIns(f: Filter): Unit = f match {
+      case in @ In(c, vs) if vs != null && vs.length > 64 && comparable(c) =>
+        val strs = vs.filter(_ != null).map(String.valueOf)
+        if (numeric(c)) {
+          // parse ONCE per value (not per comparison) — and the parse of
+          // every element is what makes the downstream "all sorted
+          // values compare" invariant explicit, not a sort-impl detail
+          scala.util.Try(strs.map(s => (BigDecimal(s), s)).sortBy(_._1).map(_._2))
+            .foreach(bigIns.put(in, _)): Unit
+        } else bigIns.put(in, strs.sorted(Ordering.fromLessThan[String](utf8Cmp(_, _) < 0))): Unit
+      case And(l, r) => collectBigIns(l); collectBigIns(r)
+      case Or(l, r)  => collectBigIns(l); collectBigIns(r)
+      case _         =>
+    }
+    filters.foreach(collectBigIns)
+    // does any sorted value land inside [mn, mx]? (first value >= mn,
+    // then check it's <= mx)
+    def anyInRange(sorted: Array[String], c: String, mn: String, mx: String): Boolean = {
+      var lo = 0
+      var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(c, sorted(mid), mn).forall(_ < 0)) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && cmp(c, sorted(lo), mx).forall(_ <= 0)
+    }
+
     def allNull(d: String, c: String): Boolean =
       range(d, c).contains((None, None))
 
@@ -4289,6 +4384,21 @@ object VersionedLake {
         inRangeEq(d, c, v) && bloomMay(d, c, v)
       case EqualNullSafe(c, null) => true // nulls aren't tracked beyond all-null
       case EqualNullSafe(c, v)    => inRangeEq(d, c, v) && bloomMay(d, c, v)
+      case in @ In(c, vs) if vs != null && bigIns.containsKey(in) =>
+        range(d, c) match {
+          case Some((Some(mn), Some(mx))) if comparable(c) =>
+            val sorted = bigIns.get(in)
+            // a bound the values can't compare against (a numeric column
+            // whose stat string is "-Infinity"/"NaN") must KEEP the dir,
+            // like inRangeEq's None case — an unordered binary search
+            // would over-prune and drop rows. All sorted values parse
+            // (sortBy(BigDecimal) succeeded), so probing one suffices.
+            if (sorted.isEmpty) false
+            else if (cmp(c, sorted(0), mn).isEmpty || cmp(c, sorted(0), mx).isEmpty) true
+            else anyInRange(sorted, c, mn, mx)
+          case Some((None, None)) => false // all-null dir: no non-null match
+          case _                  => true
+        }
       case In(c, vs) if vs != null =>
         vs.exists(v => v != null && inRangeEq(d, c, v) && bloomMay(d, c, v))
       case GreaterThan(c, v) if v != null =>

@@ -51,7 +51,9 @@ final class LakePruningScanBuilder(
     options: CaseInsensitiveStringMap,
     pruner: Seq[Filter] => Seq[String],
     rowMeta: Map[String, (Long, Long)] = Map.empty,
-    aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None)
+    aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None,
+    spjCols: Seq[String] = Nil,
+    runtimeFilterCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -112,18 +114,47 @@ final class LakePruningScanBuilder(
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
       val kept = pruner(translated)
       LakePruningScanBuilder.lastKept.set(kept)
-      val inner = ParquetTable(identName, spark,
-        options, kept.map(d => s"$dataRoot/$d"), Some(schema), classOf[ParquetFileFormat])
-        .newScanBuilder(options)
-      inner.pushFilters(pushed): Unit
-      inner.pruneColumns(required)
-      val scan = inner.build()
+      def innerScan(dirs: Seq[String]): Scan = {
+        val b = ParquetTable(identName, spark,
+          options, dirs.map(d => s"$dataRoot/$d"), Some(schema), classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+        b.pushFilters(pushed): Unit
+        b.pruneColumns(required)
+        b.build()
+      }
+      val scan = innerScan(kept)
       // exact stats only when every kept dir is accounted; a partial sum
       // would understate the table and could mis-broadcast a huge side
-      if (kept.forall(rowMeta.contains))
-        new LakePruningScanBuilder.ManifestStatsScan(scan,
-          kept.map(rowMeta(_)._1).sum, kept.map(rowMeta(_)._2).sum)
-      else scan
+      val stats =
+        if (kept.forall(rowMeta.contains))
+          Some((kept.map(rowMeta(_)._1).sum, kept.map(rowMeta(_)._2).sum))
+        else None
+      // STORAGE-PARTITIONED JOIN: a table that declared `spj.enabled` (and
+      // a session that enabled v2 bucketing) reports its hive layout as
+      // KeyGroupedPartitioning so partition-keyed joins skip the shuffle;
+      // tryWrap stands down on degenerate shapes (see KeyGroupedLakeScan)
+      if (spjCols.nonEmpty && spark.sessionState.conf.v2BucketingEnabled)
+        KeyGroupedLakeScan.tryWrap(spark, scan, spjCols, stats) match {
+          case Some(wrapped) => return wrapped
+          case None          => ()
+        }
+      // RUNTIME DIRECTORY PRUNING (dynamic file skipping): a table with
+      // stats/bloom layers declares those columns runtime-filterable, so
+      // a broadcast join's key set — known only at execution — re-prunes
+      // the manifest directories before any file is opened. This is DPP
+      // generalized beyond hive partition columns to every column the
+      // manifest carries min/max or bloom filters for.
+      val resolver = spark.sessionState.analyzer.resolver
+      val rtCols = runtimeFilterCols
+        .filter(c => required.fieldNames.exists(resolver(_, c)))
+      if (rtCols.nonEmpty)
+        new LakePruningScanBuilder.RuntimePrunedLakeScan(
+          scan, kept, translated, rtCols, innerScan, pruner, rowMeta)
+      else stats match {
+        case Some((rows, bytes)) =>
+          new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes)
+        case None => scan
+      }
   }
 }
 
@@ -131,6 +162,95 @@ object LakePruningScanBuilder {
   /** Observability hooks (specs assert pruning/meta-agg fired; harmless in prod). */
   val lastKept = new ThreadLocal[Seq[String]]
   val lastMetaAgg = new ThreadLocal[Seq[String]]
+  // runtime pruning runs on the execution-prep thread, not the test
+  // thread — a ThreadLocal would be invisible to the spec
+  val lastRuntimeKept = new java.util.concurrent.atomic.AtomicReference[Seq[String]]
+
+  /** RUNTIME-PRUNED lake scan ([[SupportsRuntimeV2Filtering]]): Spark's
+    * PartitionPruning rule injects the build side's key set as an IN
+    * predicate at execution time; [[filter]] folds it into the SAME
+    * manifest stats/bloom pruner the compile-time filters went through
+    * and rebuilds the delegated parquet scan over the surviving
+    * directories. A point-key broadcast join against a 100 TB
+    * stats-layered fact then opens only the directories whose min/max
+    * or bloom can hold the build keys — dynamic partition pruning
+    * generalized to EVERY manifest-layered column, not just the hive
+    * layout. Conservative by construction: the pruner only ever drops
+    * directories that cannot hold a match, and every filter stays
+    * post-scan, so a missed prune costs I/O, never rows.
+    *
+    * Statistics stay manifest-exact over the CURRENTLY-kept directories
+    * (join planning already happened when runtime filters fire, but AQE
+    * re-reads them for stage re-optimization).
+    */
+  final class RuntimePrunedLakeScan(
+      private val initial: Scan,
+      initialKept: Seq[String],
+      compiled: Seq[Filter],
+      private val rtCols: Seq[String],
+      rebuild: Seq[String] => Scan,
+      pruner: Seq[Filter] => Seq[String],
+      rowMeta: Map[String, (Long, Long)])
+      extends Scan
+      with org.apache.spark.sql.connector.read.Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      with SupportsReportStatistics {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+    @volatile private var kept: Seq[String] = initialKept
+    @volatile private var current: Scan = initial
+
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      rtCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+    override def filter(predicates: Array[Predicate]): Unit = {
+      val extra = org.apache.spark.sql.internal.connector.PredicateUtils
+        .toV1(predicates).toSeq
+      if (extra.nonEmpty) {
+        val now = pruner(compiled ++ extra)
+        lastRuntimeKept.set(now)
+        if (now.toSet != kept.toSet) {
+          kept = now
+          current = rebuild(now)
+        }
+      }
+    }
+
+    override def readSchema(): StructType = current.readSchema()
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"GraftRuntimePruned(${rtCols.mkString(",")}) " + current.description()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      current.columnarSupportMode()
+
+    override def planInputPartitions(): Array[InputPartition] =
+      current.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      current.toBatch.createReaderFactory()
+
+    override def estimateStatistics(): Statistics = {
+      val ds = kept
+      if (ds.forall(rowMeta.contains)) {
+        val (rows, bytes) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
+        new Statistics {
+          override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+          override def numRows(): OptionalLong = OptionalLong.of(rows)
+        }
+      } else current match {
+        case s: SupportsReportStatistics => s.estimateStatistics()
+        case _ => new Statistics {
+          override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+          override def numRows(): OptionalLong = OptionalLong.empty()
+        }
+      }
+    }
+
+    override def equals(other: Any): Boolean = other match {
+      case s: RuntimePrunedLakeScan => initial == s.initial && rtCols == s.rtCols
+      case _                        => false
+    }
+    override def hashCode(): Int = (initial, rtCols).hashCode()
+  }
 
   /** The delegated parquet scan with manifest-exact statistics: byte and
     * row totals come from `#rows` lines instead of a file listing, and

@@ -561,4 +561,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "covered positions come from exploding occurrences — never a range join")
   }
+
+  test("q_catalog_spj: the fact⋈fact join runs storage-partitioned, zero exchange") {
+    val plan = finalPlan("q_catalog_spj")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("GraftKeyGroupedScan"),
+      s"both sides must report key-grouped partitioning:\n$finalSection")
+    assert(finalSection.contains("SortMergeJoin"),
+      "the co-partitioned join is a sort-merge over aligned partitions")
+    assert(!finalSection.contains("Exchange"),
+      s"a storage-partitioned join must not shuffle either side:\n$finalSection")
+  }
 }
