@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => graft.plans.LakeDmlRules)
     ext.injectResolutionRule(_ => graft.plans.LakeReadThroughRule)
+    // post-hoc (after full resolution, Once): aggregate-over-corpus
+    // shapes are only recognizable on a resolved tree, and the rewrite
+    // splices an already-analyzed replacement — nothing left to resolve
+    ext.injectPostHocResolutionRule(_ => graft.plans.MvRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.NativeKernelRules)
     ext.injectOptimizerRule(_ => graft.plans.TopKPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)

@@ -1,0 +1,209 @@
+package graft.plans
+
+import graft.sources.{LakeMv, LakeTable, LakeView}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, sum => fsum, min => fmin, max => fmax}
+import org.apache.spark.sql.graft.Bridge
+
+/** AUTOMATIC QUERY REWRITE onto a maintained materialized view — the
+  * classic warehouse bargain (Calcite/Oracle `QUERY REWRITE`, BigQuery
+  * BI Engine, Databricks MV routing) as a Catalyst rule: an aggregate
+  * over a lake table registered in [[graft.sources.LakeMv]] re-plans as
+  * an aggregate over the view's O(groups) state table whenever the view
+  * can answer it exactly. At 100 TB the substitution is the difference
+  * between scanning the fact table and scanning a few thousand partial
+  * state rows — and the view itself costs O(delta) per corpus commit to
+  * maintain ([[graft.sources.LakeView.sync]]), so "query the rollup" is
+  * amortized into the ingest path the way bucketing amortizes the join
+  * shuffle.
+  *
+  * A rewrite fires only when ALL of:
+  *  - the aggregate's child is (a filter over) the registered corpus
+  *    table read AT ITS CURRENT VERSION (time travel pins stay on the
+  *    corpus — a view reflects one version only);
+  *  - the view is FRESH: its sync watermark equals the corpus's current
+  *    version (metadata-only check per plan; a stale view never serves);
+  *  - grouping expressions are plain corpus columns ⊆ the view keys
+  *    (equality yields the view's own grain; a strict subset ROLLS UP by
+  *    re-aggregating state — sums add, counts add, mins min);
+  *  - any filter is deterministic and touches view key columns only
+  *    (key predicates commute with the per-key aggregation, so they
+  *    apply verbatim to state rows; a measure predicate would not);
+  *  - every aggregate derives from registered state: sum(c) from a
+  *    (sum,c) state via re-sum, count(*)/count(1) from (count,*) via
+  *    re-sum, min/max(c) from (min/max,c), avg(c) from (sum,c)+(count,c)
+  *    as a quotient of re-sums, count(c)/first/last/distinct do not.
+  *
+  * The replacement is built with the DataFrame API against
+  * [[LakeView.read]]'s merged state (so liveness filtering and partial
+  * merge semantics stay in ONE place) and spliced under a Project that
+  * re-aliases every output under the original attribute's exprId — the
+  * same contract as [[LakeReadThroughRule]], so references above the
+  * aggregate keep resolving. Anything the rule declines falls through
+  * to the ordinary corpus scan: the rewrite is a strict plan upgrade,
+  * never a semantics carrier.
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  /** Re-entrancy guard: building the replacement analyzes a nested plan
+    * (the view read), which runs this rule again. The nested plan can
+    * never match (the view dir is not a registered corpus), but a guard
+    * makes non-recursion a property, not a hope.
+    */
+  private val rewriting = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (LakeMv.isEmpty || rewriting.get()) plan
+    else plan.transformUpWithSubqueries {
+      case a: Aggregate if a.resolved => tryRewrite(a).getOrElse(a)
+    }
+
+  /** The aggregate child shapes a user query produces: the relation
+    * itself, behind its catalog alias, an optional key-only filter, and
+    * optional pure-projection nodes from DataFrame `select`s.
+    */
+  private def destructure(
+      p: LogicalPlan): Option[(LakeTable, Option[Expression])] = p match {
+    case SubqueryAlias(_, child) => destructure(child)
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      destructure(child)
+    case Filter(cond, child) =>
+      destructure(child).flatMap {
+        // one filter shape is enough: nested filters analyze merged, and
+        // a second distinct Filter node (via DataFrame chaining) ANDs
+        case (t, None)    => Some((t, Some(cond)))
+        case (t, Some(c)) => Some((t, Some(And(cond, c))))
+      }
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case t: LakeTable if t.pinnedVersion.isEmpty => Some((t, None))
+        case _                                       => None
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(a: Aggregate): Option[LogicalPlan] = {
+    val (table, filterOpt) = destructure(a.child).getOrElse(return None)
+    val mv = LakeMv.forCorpus(table.tableDir).getOrElse(return None)
+    val res = conf.resolver
+    def isKey(name: String): Boolean = mv.keys.exists(res(_, name))
+
+    // grouping: plain corpus columns, all of them view keys
+    val groupNames = a.groupingExpressions.map {
+      case ar: AttributeReference if isKey(ar.name) => ar.name
+      case _                                        => return None
+    }
+    // filters: deterministic, key columns only — these commute with the
+    // per-key aggregation and apply verbatim to state rows
+    filterOpt.foreach { c =>
+      if (!c.deterministic) return None
+      if (c.exists(_.isInstanceOf[SubqueryExpression])) return None
+      if (!c.references.forall(at => isKey(at.name))) return None
+    }
+
+    // every output expression must be a deterministic scalar shell over
+    // grouping columns and DERIVABLE aggregate calls — `round(sum(v),2)`
+    // and `sum(a)/count(*)` rewrite; `count(DISTINCT r)` declines
+    if (a.aggregateExpressions.exists(!_.deterministic)) return None
+
+    def stateFor(op: String, src: String): Option[String] =
+      mv.aggs.collectFirst {
+        case (stateCol, (o, c)) if o == op && (c == src || res(c, src)) => stateCol
+      }
+    // one re-aggregation over view state per aggregate call, cast back
+    // to the call's own type (the re-aggregated type can out-grow it:
+    // sum of a DECIMAL sum widens again; the value fits by construction,
+    // it IS the original aggregate's value)
+    def derive(ae: AggregateExpression): Option[org.apache.spark.sql.Column] = ae match {
+      case AggregateExpression(fn, Complete, false, None, _) =>
+        val c: Option[org.apache.spark.sql.Column] = fn match {
+          case Sum(ar: AttributeReference, _) =>
+            stateFor("sum", ar.name).map(s => fsum(col(s)))
+          case Count(Seq(Literal(v, _))) if v != null =>
+            // count(*) / count(1): any non-null literal counts every row
+            stateFor("count", "*").map(s => fsum(col(s)))
+          case Count(Seq(ar: AttributeReference)) =>
+            stateFor("count", ar.name).map(s => fsum(col(s)))
+          case Min(ar: AttributeReference) =>
+            stateFor("min", ar.name).map(s => fmin(col(s)))
+          case Max(ar: AttributeReference) =>
+            stateFor("max", ar.name).map(s => fmax(col(s)))
+          case Average(ar: AttributeReference, _) =>
+            for {
+              sumC <- stateFor("sum", ar.name)
+              cntC <- stateFor("count", ar.name)
+            } yield fsum(col(sumC)) / fsum(col(cntC))
+          case _ => None
+        }
+        c.map(_.cast(ae.dataType))
+      case _ => None
+    }
+    // distinct aggregate calls across ALL output expressions, derived up
+    // front so a single underivable call declines the whole rewrite
+    val calls = scala.collection.mutable.LinkedHashMap
+      .empty[Expression, (String, org.apache.spark.sql.Column)]
+    a.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression if !calls.contains(ae.canonicalized) =>
+        val c = derive(ae).getOrElse(return None)
+        calls.put(ae.canonicalized, (s"_mv_agg_${calls.size}", c)): Unit
+      case _ =>
+    })
+    // non-aggregate references in the output can only be grouping
+    // columns (analysis guarantees it; groupings are plain keys here)
+
+    // freshness LAST: everything above is pure plan inspection; this one
+    // touches (memoized) table metadata
+    val spark = SparkSession.active
+    if (!LakeMv.fresh(spark, mv)) return None
+
+    rewriting.set(true)
+    try {
+      var df = LakeView.read(spark, mv.viewDir, mv.keys, mv.mergeSpec, mv.liveness)
+      filterOpt.foreach { c =>
+        val rebound = c.transform {
+          case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+        }
+        df = df.filter(Bridge.column(rebound))
+      }
+      val aggCols = calls.values.map { case (n, c) => c.as(n) }.toSeq
+      val out =
+        if (aggCols.isEmpty) df.select(groupNames.map(col): _*).distinct()
+        else if (groupNames.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(groupNames.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      val analyzed = Bridge.logicalPlan(out)
+      def outAttr(name: String): Option[Attribute] =
+        analyzed.output.filter(c => res(c.name, name)) match {
+          case Seq(one) => Some(one)
+          case _        => None
+        }
+      // rebuild each output expression over the replacement: aggregate
+      // calls become their derived columns (transformDown, so the
+      // attributes INSIDE a call are never touched), bare references
+      // are grouping columns and bind to the view's keys by name —
+      // everything re-aliased under the ORIGINAL exprId
+      val rebuilt = a.aggregateExpressions.map { orig =>
+        val body = orig match {
+          case Alias(c, _) => c
+          case other       => other
+        }
+        val sub = body.transformDown {
+          case ae: AggregateExpression =>
+            calls.get(ae.canonicalized).flatMap(n => outAttr(n._1)).getOrElse(return None)
+          case ar: AttributeReference =>
+            outAttr(ar.name).getOrElse(return None)
+        }
+        Alias(sub, orig.name)(exprId = orig.exprId, qualifier = orig.toAttribute.qualifier)
+      }
+      logInfo(s"MV rewrite: aggregate over ${table.tableDir} served by view ${mv.viewDir}")
+      Some(Project(rebuilt, analyzed))
+    } finally rewriting.set(false)
+  }
+}

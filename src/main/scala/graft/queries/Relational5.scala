@@ -785,6 +785,43 @@ object Relational5 {
     }
   }
 
+  /** MV auto-routing fixture: a dedicated corpus table under the
+    * catalog root (so no other query's plan can be hijacked by the
+    * registration), a LakeView at the (event_type, user_id) grain, and
+    * the [[graft.sources.LakeMv]] registration — idempotent, so the
+    * timed body pays registration + the routed O(groups) aggregate.
+    * Returns the view dir for the body's routing assertion.
+    */
+  private def ensureMvRoute(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.{LakeMv, LakeView, VersionedLake}
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/events_mv"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), tbl)
+    }
+    val viewDir = lakeFixture("mvstate", dir) { vd =>
+      LakeView.sync(s, tbl, vd, df =>
+        df.groupBy("event_type", "user_id").agg(
+          sum(col("value")).as("sum_value"),
+          count(lit(1)).as("cnt"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))): Unit
+    }
+    LakeMv.register(LakeMv.MvDef(
+      corpusDir = tbl,
+      viewDir = viewDir,
+      keys = Seq("event_type", "user_id"),
+      aggs = Map(
+        "sum_value" -> ("sum", "value"),
+        "cnt" -> ("count", "*"),
+        "min_value" -> ("min", "value"),
+        "max_value" -> ("max", "value"))))
+    viewDir
+  }
+
   private[queries] def retractStateOf(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy("event_type").agg(
@@ -839,6 +876,7 @@ object Relational5 {
     viewLake(s, dir): Unit
     retViewLakes(s, dir): Unit
     ensureCatalog(s, dir)
+    ensureMvRoute(s, dir): Unit
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
     ensureClusterOrders(s, dir)
@@ -1687,6 +1725,36 @@ object Relational5 {
              |  WHERE o_orderkey > half AND o_orderkey <= half + half // 10
              |)""".stripMargin),
       covers = Seq("ext-lake-syncall")),
+
+    // AUTOMATIC MV QUERY REWRITE — the SQL aggregate targets the CORPUS
+    // table by name; plans.MvRewriteRule recognizes that the registered
+    // LakeView can answer it (key-subset roll-up, derivable aggregates,
+    // fresh watermark) and re-plans it against the view's O(groups)
+    // state table. The body REQUIRES the routed plan (a silent
+    // fall-through to the corpus scan would still pass the oracle, and
+    // the whole point is scanning state, not facts — at 100 TB the
+    // difference between the view's few thousand rows and the table).
+    // Oracle: the same rollup computed from the source truth.
+    QueryDef(
+      "q_view_autoroute",
+      (s, dir) => {
+        val viewDir = ensureMvRoute(s, dir)
+        val df = s.sql(
+          """SELECT event_type, round(sum(value), 2) AS total,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  min(value) AS lo, max(value) AS hi
+            |FROM graftcat.events_mv GROUP BY event_type""".stripMargin)
+        // executedPlan (planning only — nothing runs) renders the scan's
+        // file index root; the logical Relation node elides its path
+        require(df.queryExecution.executedPlan.toString.contains(viewDir),
+          "MV rewrite must route this rollup to the view's state table")
+        df
+      },
+      Some("""SELECT event_type, round(sum(value), 2) AS total,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  min(value) AS lo, max(value) AS hi
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-view-autoroute")),
 
     // STORAGE-PARTITIONED JOIN — both sides hive-partitioned on the same
     // 16-way band and declared spj.enabled: the scans report

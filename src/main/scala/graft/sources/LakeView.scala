@@ -43,6 +43,15 @@ object LakeView {
 
   private val ViewApp = "view-sync"
 
+  /** The corpus version this view state table reflects (its sync
+    * watermark), or None when the table isn't a LakeView / is empty.
+    * Metadata-only (memoized manifest read) — [[graft.sources.LakeMv]]
+    * gates automatic query rewrite on it per plan.
+    */
+  def watermark(spark: SparkSession, viewDir: String): Option[Long] =
+    VersionedLake.currentVersion(spark, viewDir).flatMap(v =>
+      VersionedLake.txnWatermarks(spark, viewDir, v).get(ViewApp))
+
   /** Bring the view up to the corpus's current version. `stateOf` maps
     * any slice of corpus rows to a per-group PARTIAL state frame (its
     * output schema must be stable across calls); partials from different

@@ -3943,14 +3943,26 @@ object VersionedLake {
       // ranges into k=v subdirs the rename below promotes to top-level
       // lake directories
       val RangeTag = "_graft_zrange"
-      Lake.withZorderKey(snapshot, zorderBy)
-        .repartitionByRange(numDirs, col(Lake.ZKey))
-        .sortWithinPartitions(col(Lake.ZKey))
-        .withColumn(RangeTag, org.apache.spark.sql.functions.spark_partition_id())
-        .drop(Lake.ZKey)
-        .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy(RangeTag)
-        .parquet(s"$tableDir/data/$stage")
+      // range boundaries come from RangePartitioner's reservoir sample;
+      // at the default 100 points/partition a boundary can drift past a
+      // Z-quadrant edge, and ONE stray point widens the neighbor
+      // directory's [min,max] box across the whole tile — the skipping
+      // layer this rewrite exists to build. The boundaries are computed
+      // once per OPTIMIZE, so a 100× denser sample is noise in the
+      // rewrite cost and buys near-exact, skew-balanced tiles.
+      val SampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+      val prevSample = spark.conf.getOption(SampleKey)
+      spark.conf.set(SampleKey, "10000")
+      try {
+        Lake.withZorderKey(snapshot, zorderBy)
+          .repartitionByRange(numDirs, col(Lake.ZKey))
+          .sortWithinPartitions(col(Lake.ZKey))
+          .withColumn(RangeTag, org.apache.spark.sql.functions.spark_partition_id())
+          .drop(Lake.ZKey)
+          .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(RangeTag)
+          .parquet(s"$tableDir/data/$stage")
+      } finally prevSample.fold(spark.conf.unset(SampleKey))(spark.conf.set(SampleKey, _))
       val f = fs(spark, tableDir)
       val stagePath = new org.apache.hadoop.fs.Path(s"$tableDir/data/$stage")
       // small snapshots can fill fewer than numDirs ranges: take what

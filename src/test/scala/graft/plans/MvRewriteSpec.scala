@@ -1,0 +1,191 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{LakeMv, LakeView, VersionedLake}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Automatic query rewrite onto a maintained materialized view
+  * ([[MvRewriteRule]] + [[graft.sources.LakeMv]]): eligible aggregates
+  * over a registered corpus plan against the view's O(groups) state
+  * table; everything else falls through to the corpus scan untouched.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  private lazy val roots: (String, String, String) = {
+    val s = spark
+    import s.implicits._
+    val catRoot = java.nio.file.Files.createTempDirectory("mv_cat").toString
+    s.conf.set("spark.sql.catalog.mvcat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvcat.root", catRoot)
+    val corpus = s"$catRoot/sales"
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, s"t${i % 5}", s"r${i % 3}", (i % 97).toDouble / 4, (i % 11).toLong)
+    }
+    val df = rows.toDF("id", "event_type", "region", "value", "qty")
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 0), corpus)
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 1), corpus)
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_view").toString
+    LakeView.sync(s, corpus, viewDir, stateOf)
+    (catRoot, corpus, viewDir)
+  }
+
+  private def stateOf(df: DataFrame): DataFrame =
+    df.groupBy("event_type", "region").agg(
+      sum(col("value")).as("sum_value"),
+      count(lit(1)).as("cnt"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      sum(col("qty")).as("sum_qty"),
+      count(col("qty")).as("cnt_qty"))
+
+  private def mvDef: LakeMv.MvDef = {
+    val (_, corpus, viewDir) = roots
+    LakeMv.MvDef(
+      corpusDir = corpus,
+      viewDir = viewDir,
+      keys = Seq("event_type", "region"),
+      aggs = Map(
+        "sum_value" -> ("sum", "value"),
+        "cnt" -> ("count", "*"),
+        "min_value" -> ("min", "value"),
+        "max_value" -> ("max", "value"),
+        "sum_qty" -> ("sum", "qty"),
+        "cnt_qty" -> ("count", "qty")))
+  }
+
+  private def registered[A](body: => A): A = {
+    LakeMv.register(mvDef)
+    try body finally LakeMv.clear()
+  }
+
+  /** Does the executed plan read the view's state files (routed) or the
+    * corpus data files (fell through)?
+    */
+  private def scansOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertRouted(df: DataFrame): Unit = {
+    val (_, corpus, viewDir) = roots
+    val p = scansOf(df)
+    assert(p.contains(viewDir), s"expected a view scan of $viewDir in:\n$p")
+    assert(!p.contains(s"$corpus/data"), s"expected NO corpus scan in:\n$p")
+  }
+
+  private def assertNotRouted(df: DataFrame): Unit = {
+    val (_, corpus, _) = roots
+    assert(scansOf(df).contains(s"$corpus/data"),
+      "expected the corpus scan (rewrite must decline)")
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("exact-grain SQL aggregate routes to the view and answers exactly") {
+    val s = spark
+    roots: Unit
+    val q = """SELECT event_type, region, sum(value) AS total,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM mvcat.sales GROUP BY event_type, region""".stripMargin
+    val direct = sorted(s.sql(q))
+    registered {
+      val routed = s.sql(q)
+      assertRouted(routed)
+      assert(sorted(routed) === direct)
+    }
+  }
+
+  test("roll-up to a key subset re-aggregates state: sum/count/min/max/avg") {
+    val s = spark
+    roots: Unit
+    val q = """SELECT event_type, sum(value) AS total, CAST(count(*) AS BIGINT) AS n,
+              |  min(value) AS lo, max(value) AS hi, avg(qty) AS mq
+              |FROM mvcat.sales GROUP BY event_type""".stripMargin
+    val direct = sorted(s.sql(q))
+    registered {
+      val routed = s.sql(q)
+      assertRouted(routed)
+      assert(sorted(routed) === direct)
+    }
+  }
+
+  test("global aggregate (no GROUP BY) and key-only WHERE both route") {
+    val s = spark
+    roots: Unit
+    val g = "SELECT sum(value) AS total, CAST(count(*) AS BIGINT) AS n FROM mvcat.sales"
+    val w = """SELECT region, sum(value) AS total FROM mvcat.sales
+              |WHERE event_type IN ('t1', 't3') GROUP BY region""".stripMargin
+    val (gd, wd) = (sorted(s.sql(g)), sorted(s.sql(w)))
+    registered {
+      val (gr, wr) = (s.sql(g), s.sql(w))
+      assertRouted(gr); assertRouted(wr)
+      assert(sorted(gr) === gd)
+      assert(sorted(wr) === wd)
+    }
+  }
+
+  test("scalar shells over aggregates route: round(sum), quotient of calls") {
+    val s = spark
+    roots: Unit
+    val q = """SELECT event_type, round(sum(value), 2) AS total,
+              |  sum(value) / count(*) AS mean_v,
+              |  max(value) - min(value) AS spread
+              |FROM mvcat.sales GROUP BY event_type""".stripMargin
+    val direct = sorted(s.sql(q))
+    registered {
+      val routed = s.sql(q)
+      assertRouted(routed)
+      assert(sorted(routed) === direct)
+    }
+  }
+
+  test("declines: measure filter, non-key group, distinct, underivable aggregate") {
+    val s = spark
+    roots: Unit
+    registered {
+      // filter on a measure — does not commute with the aggregation
+      assertNotRouted(s.sql(
+        "SELECT event_type, sum(value) t FROM mvcat.sales WHERE value > 1 GROUP BY 1"))
+      // grouping on a non-key column
+      assertNotRouted(s.sql(
+        "SELECT qty, sum(value) t FROM mvcat.sales GROUP BY qty"))
+      // distinct aggregate has no stored state
+      assertNotRouted(s.sql(
+        "SELECT event_type, count(DISTINCT region) n FROM mvcat.sales GROUP BY 1"))
+      // sum of a column the view never aggregated
+      assertNotRouted(s.sql(
+        "SELECT event_type, sum(id) t FROM mvcat.sales GROUP BY 1"))
+    }
+  }
+
+  test("staleness gates the rewrite; the next sync restores it") {
+    val s = spark
+    import s.implicits._
+    val (_, corpus, viewDir) = roots
+    val q = "SELECT event_type, sum(value) AS total FROM mvcat.sales GROUP BY event_type"
+    registered {
+      assertRouted(s.sql(q))
+      VersionedLake.appendCommit(
+        Seq((9001L, "t1", "r0", 100.0, 3L)).toDF("id", "event_type", "region", "value", "qty"),
+        corpus)
+      // corpus moved past the watermark: the view must NOT serve
+      val stale = s.sql(q)
+      assertNotRouted(stale)
+      val fresh = sorted(stale)
+      LakeView.sync(s, corpus, viewDir, stateOf)
+      val routed = s.sql(q)
+      assertRouted(routed)
+      assert(sorted(routed) === fresh)
+    }
+  }
+
+  test("time travel never routes (a view reflects only the current version)") {
+    val s = spark
+    roots: Unit
+    registered {
+      assertNotRouted(s.sql(
+        """SELECT event_type, sum(value) AS total
+          |FROM mvcat.sales VERSION AS OF 0 GROUP BY event_type""".stripMargin))
+    }
+  }
+}
