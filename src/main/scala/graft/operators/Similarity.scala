@@ -277,6 +277,57 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) — SEMANTIC dedup over an
+    * embedding column: k-means cells block the corpus, and inside each
+    * cell a document is DROPPED when any lower-id neighbor sits above
+    * the cosine threshold (keep-first, the deterministic stand-in for
+    * the paper's per-group single survivor). The per-item rule (not
+    * connected components) matches the reference implementation: each
+    * item checks its own neighborhood once, no transitive chaining, so
+    * the decision is one within-cell join — Σ_cells occupancy²
+    * candidate work, never n². At 100 TB the assignment is written
+    * partitioned by cell and each cell's pair join runs partition-local
+    * (same layout as [[ivfBlockedPairs]]); dedup rates then tune by
+    * threshold, the paper's main knob.
+    *
+    * Returns every input id with its cell and a `kept` verdict —
+    * downstream either filters `kept` or audits the drop rate per cell.
+    * Cosines round to 6 decimals before the comparison so the verdict
+    * is reproducible across engines (the [[graft.operators.Mmr]]
+    * contract).
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val normed = withNorm(df)
+    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    // 1-probe: SemDeDup clusters partition the corpus (first argmax —
+    // the same tie rule the frozen-literal oracle replays)
+    val assigned = normed
+      .withColumn("dots", dots)
+      .withColumn(
+        "cell",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
+      .select(col(idCol), col("v"), col("norm"), col("cell"))
+    val dropped = assigned.as("a")
+      .join(
+        assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_dup", lit(true)), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("cell"),
+        not(coalesce(col("_dup"), lit(false))).as("kept"))
+  }
+
   def ivfTopK(
       assigned: DataFrame,
       idCol: String,

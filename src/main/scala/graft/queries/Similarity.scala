@@ -182,6 +182,36 @@ object Similarity {
     }
   }
 
+  /** Frozen centroids for the late-bound q_semdedup oracle: replays the
+    * 1-probe assignment (first argmax) and the keep-first drop rule.
+    */
+  private[queries] object SemDedupState {
+    @volatile private var cents: Option[Seq[Seq[Double]]] = None
+
+    def freeze(centroids: Seq[Seq[Double]]): Unit = cents = Some(centroids)
+
+    def oracleSql: Option[String] = cents.map { centroids =>
+      val dots = centroids
+        .map(c => s"list_dot_product(v, ${c.map(String.valueOf).mkString("[", ", ", "]")})")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |d AS (SELECT vec_id, v, nrm, $dots AS dots FROM e),
+         |asg AS (
+         |  SELECT vec_id, v, nrm,
+         |    CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cell
+         |  FROM d),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+         |SELECT asg.vec_id, asg.cell,
+         |  asg.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+         |FROM asg""".stripMargin
+    }
+  }
+
   // ------------------------------------------------------------------
   // One-time persisted-index fixtures: at 100 TB the ANN index EXISTS
   // (built once, maintained by delta) — a query that re-trains and
@@ -598,6 +628,26 @@ object Similarity {
       None,
       covers = Seq("ext-dedup-embed-ivf"),
       oracleDyn = Some(() => EmbedIvfDedupState.oracleSql)),
+
+    // ------------------------------------------------------------------
+    // SemDeDup (operators.Similarity.semDedup, arXiv:2303.09540) — the
+    // LLM-corpus SEMANTIC dedup pass: k-means cells block the space,
+    // keep-first inside a cell drops any doc with a lower-id cosine
+    // neighbor over the threshold. Per-item rule, no transitive
+    // chaining; Σ occupancy² work, partition-local per cell at scale.
+    // Oracle: late-bound frozen centroids replay assignment + drop rule.
+    QueryDef(
+      "q_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = Sim.trainIvfDistributed(e, "vec_id", k = 32, iters = 2, sampleCap = 8192)
+        SemDedupState.freeze(centroids)
+        Sim.semDedup(e, "vec_id", centroids, threshold = 0.4)
+          .localCheckpoint()
+      },
+      None,
+      covers = Seq("ext-semdedup"),
+      oracleDyn = Some(() => SemDedupState.oracleSql)),
 
     // ------------------------------------------------------------------
     // IVF-PQ composition (operators.Pq.ivfPqTopK) — the canonical 100 TB

@@ -100,4 +100,38 @@ class SimilaritySpec extends SparkSpec {
     // no duplicate pair rows despite 2-probe double assignment
     assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
   }
+
+  test("semDedup: keep-first inside cells, every doc verdicted, planted dup dropped") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // an exact duplicate of vector 3 under a HIGHER id: same direction ⇒
+    // same argmax cell ⇒ keep-first must keep 3 and drop the clone
+    val dup = emb.filter(col("vec_id") === 3)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val cents = Similarity.trainIvfDistributed(corpus, "vec_id", k = 16, iters = 2)
+    val out = Similarity.semDedup(corpus, "vec_id", cents, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size === corpus.count(), "one verdict per input doc")
+    assert(out(3L)._2, "the original survives (no lower-id neighbor that close)")
+    assert(!out(999999L)._2, "the planted exact duplicate must be dropped")
+    assert(out(3L)._1 === out(999999L)._1, "identical direction ⇒ identical cell")
+    // keep-first is per-cell sound: a dropped doc has a kept-or-dropped
+    // lower-id neighbor over the threshold in ITS OWN cell (verified
+    // against the direct cosine)
+    val byId = Similarity.withNorm(corpus)
+      .select(col("vec_id"), col("v"), col("norm")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    out.filter(!_._2._2).foreach { case (id, (cell, _)) =>
+      val (v, n) = byId(id)
+      val hasCloseLower = out.exists { case (o, (c2, _)) =>
+        o < id && c2 == cell && {
+          val (v2, n2) = byId(o)
+          v.zip(v2).map(p => p._1 * p._2).sum / (n * n2) >= 0.4 - 1e-6
+        }
+      }
+      assert(hasCloseLower, s"dropped $id must have a close lower-id cellmate")
+    }
+  }
 }
