@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.sources.{LakeMv, LakeTable, LakeView}
+import graft.sources.{LakeMv, LakeTable}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
@@ -27,8 +27,11 @@ import org.apache.spark.sql.graft.Bridge
   *  - the aggregate's child is (a filter over) the registered corpus
   *    table read AT ITS CURRENT VERSION (time travel pins stay on the
   *    corpus — a view reflects one version only);
-  *  - the view is FRESH: its sync watermark equals the corpus's current
-  *    version (metadata-only check per plan; a stale view never serves);
+  *  - the view can answer the CURRENT version exactly: fresh (watermark
+  *    = current), or stale behind PURE APPENDS — then the plan merges
+  *    the state with a mechanical aggregate of just the unsynced tail
+  *    directories ([[LakeMv.readCombined]]); a window containing any
+  *    rewrite declines (metadata-only checks per plan);
   *  - grouping expressions are plain corpus columns ⊆ the view keys
   *    (equality yields the view's own grain; a strict subset ROLLS UP by
   *    re-aggregating state — sums add, counts add, mins min);
@@ -159,14 +162,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // non-aggregate references in the output can only be grouping
     // columns (analysis guarantees it; groupings are plain keys here)
 
-    // freshness LAST: everything above is pure plan inspection; this one
-    // touches (memoized) table metadata
+    // freshness LAST: everything above is pure plan inspection; this
+    // touches (memoized) table metadata. A fresh view serves alone; a
+    // view stale behind pure appends serves COMBINED with a mechanical
+    // aggregate of just the tail directories (LakeMv.readCombined) —
+    // sync lag never forces the fact-table scan; anything else declines
     val spark = SparkSession.active
-    if (!LakeMv.fresh(spark, mv)) return None
 
     rewriting.set(true)
     try {
-      var df = LakeView.read(spark, mv.viewDir, mv.keys, mv.mergeSpec, mv.liveness)
+      var df = LakeMv.readCombined(spark, mv).getOrElse(return None)
       filterOpt.foreach { c =>
         val rebound = c.transform {
           case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)

@@ -822,6 +822,41 @@ object Relational5 {
     viewDir
   }
 
+  /** Stale-combine MV fixture: a corpus whose FIRST TWO thirds are
+    * synced into the view and whose last third stays a permanently
+    * unsynced append tail — the steady state of any real pipeline
+    * between sync cadences. Returns (viewDir, tail dirs) for the body's
+    * plan assertions.
+    */
+  private def ensureMvStale(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, Seq[String]) = {
+    import graft.sources.{LakeMv, LakeView, VersionedLake}
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/events_mvs"
+    val viewDir = lakeFixture("mvsstate", dir) { vd =>
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 1), tbl)
+      LakeView.sync(s, tbl, vd, df =>
+        df.groupBy("event_type", "user_id").agg(
+          sum(col("value")).as("sum_value"),
+          count(lit(1)).as("cnt"))): Unit
+      // the tail lands AFTER the sync and is never synced
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 3 === 2), tbl)
+    }
+    LakeMv.register(LakeMv.MvDef(
+      corpusDir = tbl,
+      viewDir = viewDir,
+      keys = Seq("event_type", "user_id"),
+      aggs = Map("sum_value" -> ("sum", "value"), "cnt" -> ("count", "*"))))
+    val wm = LakeView.watermark(s, viewDir).get
+    val cur = VersionedLake.currentVersion(s, tbl).get
+    val prior = VersionedLake.manifest(s, tbl, wm).toSet
+    (viewDir, VersionedLake.manifest(s, tbl, cur).filterNot(prior)
+      .map(d => s"$tbl/data/$d"))
+  }
+
   private[queries] def retractStateOf(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy("event_type").agg(
@@ -877,6 +912,7 @@ object Relational5 {
     retViewLakes(s, dir): Unit
     ensureCatalog(s, dir)
     ensureMvRoute(s, dir): Unit
+    ensureMvStale(s, dir): Unit
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
     ensureClusterOrders(s, dir)
@@ -1755,6 +1791,43 @@ object Relational5 {
              |  min(value) AS lo, max(value) AS hi
              |FROM events GROUP BY 1""".stripMargin),
       covers = Seq("ext-view-autoroute")),
+
+    // STALE-TOLERANT MV ROUTING — the corpus has a third commit the view
+    // never synced; the rewrite serves the query anyway as view state ⊕
+    // a mechanical aggregate of JUST the unsynced tail directories
+    // (LakeMv.readCombined: the window is pure appends, so the combine
+    // is exact). The body requires both halves of the plan AND that the
+    // already-synced directories are NOT rescanned — sync lag must never
+    // force the fact-table scan. Oracle: the full rollup truth.
+    QueryDef(
+      "q_view_autoroute_stale",
+      (s, dir) => {
+        val (viewDir, tailPaths) = ensureMvStale(s, dir)
+        val df = s.sql(
+          """SELECT event_type, round(sum(value), 2) AS total,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM graftcat.events_mvs GROUP BY event_type""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains(viewDir),
+          "stale MV rewrite must still read the view state")
+        val scanned = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+        }.flatten
+        require(tailPaths.forall(scanned.contains),
+          "stale MV rewrite must aggregate the unsynced tail directories")
+        require(scanned.count(_.contains("/events_mvs/")) == tailPaths.size,
+          "stale MV rewrite must NOT rescan already-synced directories")
+        df
+      },
+      Some("""SELECT event_type, round(sum(value), 2) AS total,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-view-autoroute-stale")),
 
     // STORAGE-PARTITIONED JOIN — both sides hive-partitioned on the same
     // 16-way band and declared spj.enabled: the scans report

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.concurrent.TrieMap
 
@@ -42,11 +42,32 @@ object LakeMv {
       aggs: Map[String, (String, String)],
       liveness: Option[String] = None) {
     require(aggs.nonEmpty, "an MV registration needs at least one aggregate")
+    require(
+      aggs.values.forall(a => Set("sum", "count", "min", "max")(a._1)),
+      s"MV state ops must be sum/count/min/max, got ${aggs.values.map(_._1).toSet}")
     val mergeSpec: Seq[(String, String)] =
       aggs.toSeq.sortBy(_._1).map {
         case (c, ("count", _)) => c -> "sum" // counts merge by summing
         case (c, (op, _))      => c -> op
       }
+
+    /** The registered state computed MECHANICALLY over a corpus slice —
+      * byte-for-byte the algebra `stateOf` promised at registration, so
+      * a tail of unsynced appends can aggregate into mergeable state
+      * without the caller's function.
+      */
+    private[sources] def stateOver(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val cols = aggs.toSeq.sortBy(_._1).map {
+        case (c, ("sum", src))    => sum(col(src)).as(c)
+        case (c, ("count", "*"))  => count(lit(1)).as(c)
+        case (c, ("count", src))  => count(col(src)).as(c)
+        case (c, ("min", src))    => min(col(src)).as(c)
+        case (c, ("max", src))    => max(col(src)).as(c)
+        case (c, (op, _)) => throw new IllegalStateException(s"$c: $op unreachable")
+      }
+      df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
   }
 
   private val registry = TrieMap.empty[String, MvDef]
@@ -71,5 +92,55 @@ object LakeMv {
   def fresh(spark: SparkSession, mv: MvDef): Boolean = {
     val corpusV = VersionedLake.currentVersion(spark, mv.corpusDir)
     corpusV.nonEmpty && LakeView.watermark(spark, mv.viewDir) == corpusV
+  }
+
+  /** The view's answer AT THE CORPUS'S CURRENT VERSION, or None when it
+    * cannot be given exactly:
+    *
+    *  - FRESH (watermark = current): the merged view state, as is.
+    *  - STALE behind PURE APPENDS: the state plus a mechanical
+    *    aggregation of just the tail directories — every commit in the
+    *    window must be an append (op header absent or "append") AND
+    *    strictly grow the directory set (a MoR delete leaves dirs
+    *    intact while rows vanish; the per-step subset check alone would
+    *    miss nothing only because those commits carry their op). Sync
+    *    lag then never forces a fact-table scan: the query pays
+    *    O(view groups + unsynced tail), the exactness of a fresh sync.
+    *  - anything else (rewrite/optimize/metadata op in the window,
+    *    corpus rolled back behind the watermark): None — the caller
+    *    falls back to the corpus scan.
+    *
+    * All window checks are memoized manifest reads (metadata-only).
+    */
+  def readCombined(spark: SparkSession, mv: MvDef): Option[DataFrame] = {
+    val corpusV = VersionedLake.currentVersion(spark, mv.corpusDir).getOrElse(return None)
+    val wm = LakeView.watermark(spark, mv.viewDir).getOrElse(return None)
+    if (wm == corpusV)
+      return Some(LakeView.read(spark, mv.viewDir, mv.keys, mv.mergeSpec, mv.liveness))
+    if (wm > corpusV) return None // corpus rolled back past the sync
+    val appendOnly = ((wm + 1) to corpusV).forall { v =>
+      VersionedLake.commitOp(spark, mv.corpusDir, v).forall(_ == "append") &&
+        VersionedLake.manifest(spark, mv.corpusDir, v - 1).toSet
+          .subsetOf(VersionedLake.manifest(spark, mv.corpusDir, v).toSet)
+    }
+    if (!appendOnly) return None
+    val prior = VersionedLake.manifest(spark, mv.corpusDir, wm).toSet
+    val added = VersionedLake.manifest(spark, mv.corpusDir, corpusV).filterNot(prior)
+    // liveness held back until AFTER the combine: a group cancelled in
+    // state could revive in the tail
+    val state = LakeView.read(spark, mv.viewDir, mv.keys, mv.mergeSpec, liveness = None)
+    val combined =
+      if (added.isEmpty) state
+      else {
+        val schema = VersionedLake.versionSchema(spark, mv.corpusDir, corpusV)
+        val reader = spark.read.option("basePath", s"${mv.corpusDir}/data")
+        val paths = added.map(d => s"${mv.corpusDir}/data/$d")
+        val tail =
+          schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
+        graft.operators.ViewMaintenance.merge(
+          Seq(state, mv.stateOver(tail)), mv.keys, mv.mergeSpec)
+      }
+    Some(mv.liveness.fold(combined)(c =>
+      combined.filter(org.apache.spark.sql.functions.col(c) > 0)))
   }
 }

@@ -82,7 +82,21 @@ object LakeView {
         val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced)
         val removed = priorDirs.filterNot(curDirs.toSet)
         val added = curDirs.filterNot(priorDirs.toSet)
-        if (removed.nonEmpty) {
+        // a MERGE-ON-READ delete changes LOGICAL rows without touching a
+        // single directory — the dir diff is blind to it, so the window
+        // is a rewrite whenever the pending equality-delete set moved
+        val delsChanged =
+          VersionedLake.dirEqDeletes(spark, corpusDir, lastSynced) !=
+            VersionedLake.dirEqDeletes(spark, corpusDir, corpusV)
+        if (removed.isEmpty && added.isEmpty && !delsChanged) {
+          // NET-ZERO window (e.g. an append whose rows a later delete in
+          // the same window removed again): identical dirs + identical
+          // delete debt = identical logical rows, so the state is
+          // already exact — advance the watermark METADATA-ONLY. Without
+          // this the watermark wedges behind corpusV forever (every
+          // freshness check fails) while each sync happily returns.
+          VersionedLake.commitTxnWatermark(spark, viewDir, ViewApp, corpusV): Unit
+        } else if (removed.nonEmpty || delsChanged) {
           // rewrite in the window: with a signed retraction function,
           // the row-level CDC feed IS the delta — pre-images retract,
           // post-images add, one O(changed rows) append commit. Falls

@@ -59,22 +59,40 @@ class MvRewriteSpec extends SparkSpec {
     try body finally LakeMv.clear()
   }
 
-  /** Does the executed plan read the view's state files (routed) or the
-    * corpus data files (fell through)?
+  /** The optimized plan's scan roots — exact paths, immune to the
+    * treeString's path truncation: file-source relation root paths plus
+    * lake-table dirs for surviving V2 relations.
     */
-  private def scansOf(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  private def scannedRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.LakeTable => Seq(t.tableDir)
+          case _                          => Nil
+        }
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        sr.relation.table match {
+          case t: graft.sources.LakeTable => Seq(t.tableDir)
+          case _                          => Nil
+        }
+    }.flatten
 
   private def assertRouted(df: DataFrame): Unit = {
     val (_, corpus, viewDir) = roots
-    val p = scansOf(df)
-    assert(p.contains(viewDir), s"expected a view scan of $viewDir in:\n$p")
-    assert(!p.contains(s"$corpus/data"), s"expected NO corpus scan in:\n$p")
+    val rs = scannedRoots(df)
+    assert(rs.exists(_.startsWith(viewDir)), s"expected a view scan of $viewDir in: $rs")
+    assert(!rs.exists(_.startsWith(corpus)), s"expected NO corpus scan in: $rs")
   }
 
   private def assertNotRouted(df: DataFrame): Unit = {
     val (_, corpus, _) = roots
-    assert(scansOf(df).contains(s"$corpus/data"),
+    assert(scannedRoots(df).exists(_.startsWith(corpus)),
       "expected the corpus scan (rewrite must decline)")
   }
 
@@ -158,24 +176,43 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("staleness gates the rewrite; the next sync restores it") {
+  test("stale behind appends: view state + tail aggregate, never the full scan") {
     val s = spark
     import s.implicits._
     val (_, corpus, viewDir) = roots
     val q = "SELECT event_type, sum(value) AS total FROM mvcat.sales GROUP BY event_type"
     registered {
       assertRouted(s.sql(q))
+      val synced = VersionedLake.currentVersion(s, corpus).get
       VersionedLake.appendCommit(
         Seq((9001L, "t1", "r0", 100.0, 3L)).toDF("id", "event_type", "region", "value", "qty"),
         corpus)
-      // corpus moved past the watermark: the view must NOT serve
-      val stale = s.sql(q)
-      assertNotRouted(stale)
-      val fresh = sorted(stale)
+      val cur = VersionedLake.currentVersion(s, corpus).get
+      val priorDirs = VersionedLake.manifest(s, corpus, synced)
+      val tailDirs = VersionedLake.manifest(s, corpus, cur).filterNot(priorDirs.toSet)
+      // the answer to compare against: the un-rewritten plan's truth
+      LakeMv.clear()
+      val truth = sorted(s.sql(q))
+      LakeMv.register(mvDef)
+      val combined = s.sql(q)
+      val rs = scannedRoots(combined)
+      assert(rs.exists(_.startsWith(viewDir)), s"combined plan must read the view state: $rs")
+      assert(tailDirs.forall(d => rs.contains(s"$corpus/data/$d")),
+        s"combined plan must read the unsynced tail directories: $rs vs $tailDirs")
+      assert(priorDirs.forall(d => !rs.contains(s"$corpus/data/$d")),
+        s"combined plan must NOT rescan the already-synced directories: $rs")
+      assert(sorted(combined) === truth)
+      // a REWRITE in the window poisons the combine: full fall-through
+      VersionedLake.deleteWhere(s, corpus, col("id") === 9001L): Unit
+      assertNotRouted(s.sql(q))
+      // the next sync (rebuild over the rewrite) restores pure-view routing
       LakeView.sync(s, corpus, viewDir, stateOf)
+      LakeMv.clear()
+      val truth2 = sorted(s.sql(q))
+      LakeMv.register(mvDef)
       val routed = s.sql(q)
       assertRouted(routed)
-      assert(sorted(routed) === fresh)
+      assert(sorted(routed) === truth2)
     }
   }
 

@@ -127,6 +127,36 @@ class LakeViewSpec extends SparkSpec {
     assert(answer === truth, "the rebuild fallback stays the honest default")
   }
 
+  test("net-zero window advances the watermark metadata-only; MoR deletes rebuild") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("lview_nz_corpus").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("lview_nz_state").toString
+    VersionedLake.appendCommit(batch(0 until 200), corpusDir)
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(0L))
+    val v0 = VersionedLake.currentVersion(s, viewDir).get
+    // append a batch, then CoW-delete exactly those rows: the window's
+    // NET dir diff is empty but the corpus version moved — the sync must
+    // advance the watermark (previously it returned success while the
+    // watermark wedged behind forever) WITHOUT rebuilding state
+    VersionedLake.appendCommit(batch(900 until 910), corpusDir)
+    VersionedLake.deleteWhere(s, corpusDir, col("id") >= 900L): Unit
+    assert(LakeView.sync(s, corpusDir, viewDir, stateOf) === Some(2L))
+    assert(LakeView.watermark(s, viewDir) === Some(2L),
+      "net-zero window must still advance the watermark")
+    assert(VersionedLake.manifest(s, viewDir, VersionedLake.currentVersion(s, viewDir).get)
+      === VersionedLake.manifest(s, viewDir, v0),
+      "net-zero advance must be metadata-only: state dirs untouched")
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir))
+    // a MERGE-ON-READ delete changes logical rows with ZERO dir changes —
+    // the dir diff alone is blind to it; the eq-delete set must trigger
+    // the rewrite path or the view silently keeps counting deleted rows
+    VersionedLake.deleteKeysMor(s, corpusDir,
+      batch(0 until 10).select("id"), keys = Seq("id")): Unit
+    LakeView.sync(s, corpusDir, viewDir, stateOf)
+    assert(LakeView.watermark(s, viewDir) === VersionedLake.currentVersion(s, corpusDir))
+    assert(render(LakeView.read(s, viewDir, Seq("g"), mergeOps)) === recomputed(corpusDir),
+      "a MoR delete in the window must reach the view")
+  }
+
   test("compact collapses partials, keeps the answer and the watermark") {
     val corpusDir = java.nio.file.Files.createTempDirectory("lview_cp_corpus").toString
     val viewDir = java.nio.file.Files.createTempDirectory("lview_cp_state").toString
