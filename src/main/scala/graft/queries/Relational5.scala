@@ -857,6 +857,27 @@ object Relational5 {
       .map(d => s"$tbl/data/$d"))
   }
 
+  /** SQL-native MV fixture: the corpus ingests by CATALOG name and the
+    * view is created/synced/registered entirely through
+    * `CALL graftcat.system.create_mv` — the DDL face of the MV stack.
+    */
+  private def ensureCatalogMv(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val catRoot = catalogLake(s, dir)
+    val tbl = s"$catRoot/events_mvc"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), tbl)
+    }
+    if (VersionedLake.currentVersion(s, s"$catRoot/events_mvc_rollup").isEmpty)
+      s.sql("""CALL graftcat.system.create_mv('events_mvc', 'events_mvc_rollup',
+              |  'event_type,user_id', 'sum_value=sum(value), cnt=count(*)')""".stripMargin)
+        .collect(): Unit
+  }
+
   private[queries] def retractStateOf(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy("event_type").agg(
@@ -913,6 +934,7 @@ object Relational5 {
     ensureCatalog(s, dir)
     ensureMvRoute(s, dir): Unit
     ensureMvStale(s, dir): Unit
+    ensureCatalogMv(s, dir)
     ensureMergeOrders(s, dir)
     ensureMetaOrders(s, dir)
     ensureClusterOrders(s, dir)
@@ -1828,6 +1850,33 @@ object Relational5 {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY 1""".stripMargin),
       covers = Seq("ext-view-autoroute-stale")),
+
+    // SQL-NATIVE MATERIALIZED VIEW — created, synced, and registered by
+    // ONE `CALL graftcat.system.create_mv`; the registration rides the
+    // corpus table's props, so ANY session that resolves the table by
+    // name rediscovers the view and routes matching rollups to its
+    // O(groups) state (refresh_mv maintains O(delta); append lag is
+    // served by the stale-combine). The body requires the routed plan.
+    // Oracle: the rollup truth from the source.
+    QueryDef(
+      "q_catalog_mv",
+      (s, dir) => {
+        ensureCatalogMv(s, dir)
+        val df = s.sql(
+          """SELECT event_type, round(sum(value), 2) AS total,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM graftcat.events_mvc GROUP BY event_type""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("events_mvc_rollup"),
+          "the CALL-created MV must serve this rollup")
+        require(!plan.contains("events_mvc/data"),
+          "the corpus data must not be scanned while the MV is fresh")
+        df
+      },
+      Some("""SELECT event_type, round(sum(value), 2) AS total,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-sql-mv")),
 
     // STORAGE-PARTITIONED JOIN — both sides hive-partitioned on the same
     // 16-way band and declared spj.enabled: the scans report

@@ -114,6 +114,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // durable MV rediscovery: a registration persisted on the table's
+    // props re-registers the moment ANY session resolves the table by
+    // name (consulted once per corpus per JVM — O(1) afterwards)
+    LakeMv.registerFromProps(spark, dir)
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 

@@ -31,7 +31,22 @@ object GraftProcedures {
   /** Procedure names under the `system` namespace. */
   val Names: Seq[String] = Seq(
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
-    "tag", "drop_ref")
+    "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv")
+
+  /** `cnt=count(*), total=sum(value), lo=min(value)` — the create_mv
+    * aggregate spec: each state column is one mergeable aggregate over a
+    * corpus column (exactly [[LakeMv.MvDef.aggs]]'s vocabulary).
+    */
+  private val MvAggPat = """^\s*(\w+)\s*=\s*(sum|count|min|max)\(\s*([^\s()]+)\s*\)\s*$""".r
+
+  private def parseMvAggs(spec: String): Map[String, (String, String)] =
+    spec.split(',').map {
+      case MvAggPat(stateCol, op, src) => stateCol -> (op, src)
+      case bad =>
+        throw new IllegalArgumentException(
+          s"bad aggregate spec '$bad' - want state_col=op(column) with " +
+            "op in sum/count/min/max (count takes * or a column)")
+    }.toMap
 
   /** `resolve` maps a (possibly dotted) table name to its directory
     * under the calling catalog's root — creation targets (clone/replicate
@@ -131,6 +146,52 @@ object GraftProcedures {
           val dir = resolve(str(in, 0))
           LakeRefs.drop(spark, dir, str(in, 1))
           VersionedLake.currentVersion(spark, dir).getOrElse(-1L)
+        }
+      case "create_mv" =>
+        proc(name, "materialized view over a lake table: the state lives as a " +
+          "catalog-visible lake table of mergeable partials, maintained O(delta) " +
+          "by refresh_mv, auto-routed into matching aggregate queries " +
+          "(plans.MvRewriteRule); the registration rides the corpus props, so " +
+          "every session that resolves the table rediscovers it",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType)
+              .comment("the view's own table name (resolved in this catalog)").build(),
+            ProcedureParameter.in("keys", StringType)
+              .comment("comma-separated grouping columns").build(),
+            ProcedureParameter.in("aggs", StringType)
+              .comment("state_col=op(column) list, op in sum/count/min/max").build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val viewDir = resolve(str(in, 1))
+          val keys = str(in, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(keys.nonEmpty, "create_mv needs at least one grouping key")
+          val mv = LakeMv.MvDef(corpus, viewDir, keys, parseMvAggs(str(in, 3)))
+          require(VersionedLake.currentVersion(spark, viewDir).isEmpty,
+            s"${str(in, 1)} already exists - drop_mv (or pick a fresh name) first")
+          val synced = LakeView.sync(spark, corpus, viewDir, mv.stateOver)
+            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+          LakeMv.persist(spark, mv)
+          synced
+        }
+      case "refresh_mv" =>
+        proc(name, "bring the table's materialized view up to the current version " +
+          "(O(delta) for appends, feed/rebuild across rewrites); until refreshed, " +
+          "append-only lag is served exactly by the stale-combine rewrite",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          LakeMv.registerFromProps(spark, corpus)
+          val mv = LakeMv.forCorpus(corpus).getOrElse(
+            throw new IllegalArgumentException(s"no materialized view on ${str(in, 0)}"))
+          LakeView.sync(spark, corpus, mv.viewDir, mv.stateOver)
+            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+        }
+      case "drop_mv" =>
+        proc(name, "unregister the table's materialized view (the state table " +
+          "remains a plain lake table; DROP TABLE it separately)",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          LakeMv.dropPersisted(spark, corpus)
+          VersionedLake.currentVersion(spark, corpus).getOrElse(-1L)
         }
       case other =>
         throw new IllegalArgumentException(

@@ -79,11 +79,93 @@ object LakeMv {
 
   def drop(corpusDir: String): Unit = registry.remove(norm(corpusDir)): Unit
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); consulted.clear() }
 
   def isEmpty: Boolean = registry.isEmpty
 
   def forCorpus(corpusDir: String): Option[MvDef] = registry.get(norm(corpusDir))
+
+  // ------------------------------------------------------------------
+  // Durable registrations: the MvDef rides the CORPUS table's props
+  // (`mv.def`, one JSON object — CAS-guarded like every property), so a
+  // fresh session rediscovers the view the moment it resolves the table
+  // by name (GraftCatalog.loadTable consults this once per corpus per
+  // JVM). SQL creates/refreshes/drops ride GraftProcedures.
+  // ------------------------------------------------------------------
+
+  private val PropKey = "mv.def"
+
+  /** corpus dirs whose props were already consulted this JVM — a table
+    * resolve must not pay a props read per query. Cross-session drops
+    * are invisible to a long-lived peer session until it restarts, the
+    * ordinary metadata-cache trade (Spark's own catalog caches the
+    * same way); same-session create/drop update both maps directly.
+    */
+  private val consulted = TrieMap.empty[String, Boolean]
+
+  private def renderDef(mv: MvDef): String = {
+    import org.json4s.JsonAST._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "viewDir" -> (JString(mv.viewDir): JValue),
+      "keys" -> (JArray(mv.keys.toList.map(JString(_): JValue)): JValue),
+      "aggs" -> (JObject(mv.aggs.toList.sortBy(_._1).map { case (c, (op, src)) =>
+        c -> (JString(s"$op($src)"): JValue)
+      }): JValue),
+      "liveness" -> (mv.liveness.fold(JNull: JValue)(JString(_)): JValue)))))
+  }
+
+  private val AggPat = """^(sum|count|min|max)\((.+)\)$""".r
+
+  private def parseDef(corpusDir: String, json: String): Option[MvDef] = {
+    import org.json4s.JsonAST._
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.flatMap {
+      case JObject(fields) =>
+        val m = fields.toMap
+        for {
+          viewDir <- m.get("viewDir").collect { case JString(s) => s }
+          keys <- m.get("keys").collect {
+            case JArray(ks) => ks.collect { case JString(k) => k }
+          }
+          aggs <- m.get("aggs").collect {
+            case JObject(as) => as.collect {
+              case (c, JString(AggPat(op, src))) => c -> (op, src)
+            }.toMap
+          } if aggs.nonEmpty
+        } yield MvDef(corpusDir, viewDir, keys, aggs,
+          m.get("liveness").collect { case JString(l) => l })
+      case _ => None
+    }
+  }
+
+  /** Write the registration onto the corpus table's props and register
+    * it in this session.
+    */
+  def persist(spark: SparkSession, mv: MvDef): Unit = {
+    LakeProps.set(spark, norm(mv.corpusDir), PropKey, renderDef(mv))
+    register(mv)
+    consulted.put(norm(mv.corpusDir), true): Unit
+  }
+
+  /** Drop the registration here AND from the corpus props. */
+  def dropPersisted(spark: SparkSession, corpusDir: String): Unit = {
+    LakeProps.unset(spark, norm(corpusDir), PropKey)
+    drop(corpusDir)
+    consulted.put(norm(corpusDir), true): Unit
+  }
+
+  /** Re-register a persisted MvDef for this corpus, once per JVM —
+    * called from table resolution, so it must stay O(1) after the first
+    * consult. A malformed/absent prop just means no registration.
+    */
+  def registerFromProps(spark: SparkSession, corpusDir: String): Unit = {
+    val dir = norm(corpusDir)
+    if (consulted.putIfAbsent(dir, true).isEmpty && !registry.contains(dir)) {
+      LakeProps.get(spark, dir).get(PropKey)
+        .flatMap(parseDef(dir, _))
+        .foreach(register)
+    }
+  }
 
   /** A view serves queries only while it reflects the corpus's CURRENT
     * version — both sides are memoized manifest reads, so the check is

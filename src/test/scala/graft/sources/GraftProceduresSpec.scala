@@ -87,6 +87,61 @@ class GraftProceduresSpec extends SparkSpec {
       spark.sql("SELECT k FROM gproc.tg VERSION AS OF 'v1-release'").collect())
   }
 
+  test("create_mv/refresh_mv/drop_mv: durable auto-routed materialized view") {
+    root
+    val corpus = s"$root/mvsrc"
+    def scannedRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          sr.relation.table match {
+            case t: LakeTable => Seq(t.tableDir)
+            case _            => Nil
+          }
+      }.flatten
+    val q = "SELECT g, sum(v) AS total, CAST(count(*) AS BIGINT) AS n FROM gproc.mvsrc GROUP BY g"
+    def answer(): Map[String, (Double, Long)] =
+      spark.sql(q).collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    spark.sql("CREATE TABLE gproc.mvsrc (g STRING, v DOUBLE)")
+    spark.sql("INSERT INTO gproc.mvsrc VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0)")
+    spark.sql(
+      "CALL gproc.system.create_mv('mvsrc', 'mv_rollup', 'g', 'total=sum(v), n=count(*)')")
+    // fresh: the rollup routes — no corpus scan at all
+    assert(!scannedRoots(spark.sql(q)).exists(_.startsWith(corpus)))
+    assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((5.0, 1L))))
+    // append without refresh: the STALE-COMBINE serves the new rows
+    // exactly (view state + tail aggregate; never a full corpus scan)
+    spark.sql("INSERT INTO gproc.mvsrc VALUES ('b', 7.0)")
+    assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((12.0, 2L))))
+    assert(scannedRoots(spark.sql(q)).exists(_.startsWith(s"$corpus/data/")),
+      "the stale route reads tail dirs, not the V2 corpus relation")
+    // a rewrite declines until refresh_mv re-syncs
+    spark.sql("UPDATE gproc.mvsrc SET v = 10.0 WHERE g = 'b' AND v = 5.0")
+    assert(scannedRoots(spark.sql(q)).contains(corpus), "rewrite in window: full fall-through")
+    assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((17.0, 2L))))
+    spark.sql("CALL gproc.system.refresh_mv('mvsrc')")
+    assert(!scannedRoots(spark.sql(q)).exists(_.startsWith(corpus)))
+    assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((17.0, 2L))))
+    // durability: a fresh session (registry wiped) rediscovers the MV
+    // from the corpus props at its first table resolution
+    LakeMv.clear()
+    assert(!scannedRoots(spark.sql(q)).exists(_.startsWith(corpus)),
+      "loadTable must re-register the persisted MV")
+    // the state table is itself a SELECTable lake table
+    assert(spark.sql("SELECT count(*) FROM gproc.mv_rollup").head().getLong(0) >= 2L)
+    // drop: routing stops, and stays stopped across a registry wipe
+    spark.sql("CALL gproc.system.drop_mv('mvsrc')")
+    assert(scannedRoots(spark.sql(q)).contains(corpus))
+    LakeMv.clear()
+    assert(scannedRoots(spark.sql(q)).contains(corpus))
+    assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((17.0, 2L))))
+  }
+
   test("unknown procedures and wrong namespaces refuse loudly") {
     root
     val e1 = intercept[Exception](spark.sql("CALL gproc.system.nonsense()"))
