@@ -122,6 +122,11 @@ object Bench {
       // maintenance) is warm-up
       graft.queries.Similarity.ensureAnnIndexes(spark, sfDir)
     } catch { case _: Throwable => () }
+    try {
+      // one-time persisted inverted index: q_bm25_indexed times the
+      // probe; the build is once-per-index-lifetime + delta maintenance
+      graft.queries.Text.ensureInvertedIndex(spark, sfDir)
+    } catch { case _: Throwable => () }
 
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries;
     // SPARK_GRAFT_EXPLAIN=1 also prints each formatted plan first.

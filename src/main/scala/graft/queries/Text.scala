@@ -774,6 +774,78 @@ object Text {
              |  string_agg(w, ' ' ORDER BY pos) AS clean_text,
              |  CAST(count(*) AS BIGINT) AS n_kept
              |FROM kept GROUP BY 1""".stripMargin),
-      covers = Seq("ext-boilerplate-strip"))
+      covers = Seq("ext-boilerplate-strip")),
+
+    // ------------------------------------------------------------------
+    // PERSISTED INVERTED INDEX (operators.InvertedIndex): the same BM25
+    // ranking function as q_bm25, but served off a postings index — the
+    // retrieval shape a 100 TB corpus requires (a probe reads the query
+    // terms' hash-bucket partitions + an O(commits) stats table, never
+    // the corpus; the corpus tokenizes ONCE at maintenance time). The
+    // fixture builds on the odd half and delta-appends the even half —
+    // two commits, exercising the maintenance path the index exists
+    // for — and the oracle is the INDEPENDENT corpus-scan SQL: the index
+    // changes where the work happens, never the answer.
+    QueryDef(
+      "q_bm25_indexed",
+      (s, dir) => {
+        val idxDir = invertedIndexFixture(s, dir)
+        graft.operators.InvertedIndex
+          .searchBm25(s, idxDir, Seq("join", "scan", "filter"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |avgl AS (SELECT avg(len) AS avgl FROM lens),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('join', 'scan', 'filter')),
+             |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtok GROUP BY 1),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM qtok GROUP BY 1, 2),
+             |contrib AS (
+             |  SELECT tf.doc_id,
+             |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1)) /
+             |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / avgl.avgl)),
+             |      9) AS c
+             |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+             |  CROSS JOIN avgl CROSS JOIN n)
+             |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
+      covers = Seq("ext-bm25-indexed"))
   )
+
+  // ------------------------------------------------------------------
+  // One-time persisted inverted-index fixture (the annFixture bargain):
+  // at 100 TB the index EXISTS — built once, maintained by delta — so a
+  // query that rebuilds it per run measures the build, not the probe it
+  // showcases. Bench's warm-up pays the build; in-body calls memoize.
+  // ------------------------------------------------------------------
+  private val invIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def invertedIndexFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    invIdx.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir): Unit
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir): Unit
+      val root = new java.io.File(idxDir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+      idxDir
+    })
+
+  /** Bench warm-up entry: pay the index build before any query is timed. */
+  def ensureInvertedIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    invertedIndexFixture(s, dir): Unit
 }

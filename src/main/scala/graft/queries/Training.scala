@@ -467,6 +467,71 @@ object Training {
              |FROM customer GROUP BY 1, 2
              |HAVING count(*) < 10
              |   OR count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3""".stripMargin),
-      covers = Seq("ext-privacy-k-anonymity"))
+      covers = Seq("ext-privacy-k-anonymity")),
+
+    // ------------------------------------------------------------------
+    // DSIR-style importance resampling (Xie et al., arXiv:2302.03169):
+    // rank raw documents by how target-like their unigram distribution
+    // is — log p_target(doc) − log p_raw(doc) under Laplace-smoothed
+    // unigram LMs — and keep the top slice. The data-mixing primitive
+    // for steering a 100 TB raw crawl toward a curated target domain
+    // (here: the `lang='en'` slice stands in for the target corpus).
+    // Plan shape: one tokenize pass feeds both LM count aggregations and
+    // the per-doc tf frame; the per-TERM log-ratio table (vocab-sized,
+    // NOT corpus-sized) joins tf on the term — two term-keyed shuffles +
+    // one doc-keyed agg, no driver-side state. At 100 TB the paper's
+    // hashed-n-gram trick bounds the ratio table to a fixed 2^k width
+    // (same plan, pmod(xxhash64(w)) as the join key); exact tokens here
+    // keep the oracle engine-independent. Per-(doc,term) contributions
+    // round at 9 before the doc sum (the PageRank discipline), the doc
+    // score at 6, and the top-100 cut breaks ties on doc_id — the
+    // selected SET is deterministic across engines.
+    QueryDef(
+      "q_dsir_sample",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(Text.words(col("text"))).as("w"))
+        val v = tok.agg(countDistinct(col("w")).as("v"))
+        val tgt = tok.filter(col("lang") === "en")
+        val tcnt = tgt.groupBy("w").agg(count(lit(1)).as("ct"))
+        val tt = tgt.agg(count(lit(1)).as("t"))
+        val scnt = tok.groupBy("w").agg(count(lit(1)).as("cs"))
+        val ss = tok.agg(count(lit(1)).as("s"))
+        val ratio = scnt.join(tcnt, Seq("w"), "left")
+          .crossJoin(broadcast(tt)).crossJoin(broadcast(ss)).crossJoin(broadcast(v))
+          .select(col("w"),
+            round(
+              log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("t") + col("v"))) -
+                log((col("cs") + 1.0) / (col("s") + col("v"))),
+              9).as("lr"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        tf.join(ratio, "w")
+          .select(col("doc_id"), round(col("tf") * col("lr"), 9).as("c"))
+          .groupBy("doc_id").agg(round(sum("c"), 6).as("dsir"))
+          .orderBy(col("dsir").desc, col("doc_id")).limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+             |tcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tok
+             |  WHERE lang = 'en' GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok WHERE lang = 'en'),
+             |scnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1),
+             |ss AS (SELECT CAST(count(*) AS BIGINT) AS s FROM tok),
+             |ratio AS (
+             |  SELECT w, round(ln((COALESCE(ct, 0) + 1.0) / (t + v)) -
+             |    ln((cs + 1.0) / (s + v)), 9) AS lr
+             |  FROM scnt LEFT JOIN tcnt USING (w)
+             |  CROSS JOIN tt CROSS JOIN ss CROSS JOIN v),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY 1, 2)
+             |SELECT doc_id, round(sum(round(tf * lr, 9)), 6) AS dsir
+             |FROM tf JOIN ratio USING (w) GROUP BY 1
+             |ORDER BY dsir DESC, doc_id LIMIT 100""".stripMargin),
+      covers = Seq("ext-dsir-sample"))
   )
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.Session
+import graft.sources.VersionedLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+
+  private val Terms = Seq("join", "scan", "filter")
+
+  private lazy val docs = Session.table(spark, sf, "documents")
+
+  /** Independent reference: the corpus-scan BM25 (the q_bm25 shape) over
+    * an arbitrary document frame — what the index must reproduce.
+    */
+  private def scanBm25(corpus: DataFrame, terms: Seq[String]): Map[Long, Double] = {
+    val tok = corpus.select(col("doc_id"),
+      explode(graft.functions.TextExprs.wordTokens(col("text"))).as("w"))
+    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val avgl = lens.agg(avg(col("len")).as("avgl"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val qtok = tok.filter(col("w").isin(terms: _*))
+    val dfq = qtok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qtok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfq), "w").join(lens, "doc_id")
+      .crossJoin(broadcast(avgl)).crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgl"))),
+          9).as("c"))
+      .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  private def indexed(idxDir: String, terms: Seq[String] = Terms): Map[Long, Double] =
+    InvertedIndex.searchBm25(spark, idxDir, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def statsSums(idxDir: String): (Long, Long, Long) = {
+    val r = VersionedLake.read(spark, InvertedIndex.statsDir(idxDir))
+      .agg(sum("n_docs"), sum("n_len_docs"), sum("sum_len")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("build + delta append reproduce the corpus-scan BM25 exactly") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx").toString
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir)
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+    assert(indexed(idxDir) === scanBm25(docs, Terms))
+  }
+
+  test("probe reads only the query terms' bucket partitions") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_prune").toString
+    InvertedIndex.build(docs, "doc_id", "text", idxDir)
+    val out = InvertedIndex.searchBm25(spark, idxDir, Terms)
+    out.collect()
+    // post-execution scan metrics: the postings scans (the ones reading
+    // tf) must have partition-pruned to the query terms' ≤3 buckets
+    val totalFiles = VersionedLake.read(spark, InvertedIndex.postingsDir(idxDir))
+      .inputFiles.length
+    def postingsScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          postingsScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          postingsScans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.requiredSchema.fieldNames.contains("tf") => Seq(f)
+      }.flatten
+    val scans = postingsScans(out.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.toString.contains("PartitionFilters"), f.toString.take(400))
+      val nFiles = f.metrics("numFiles").value
+      assert(nFiles > 0 && nFiles < totalFiles,
+        s"probe read $nFiles of $totalFiles postings files - no pruning")
+    }
+  }
+
+  test("CDC sync tracks update, delete and append; answers stay scan-exact") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_sync").toString
+    val base = docs.filter(col("doc_id") < 200)
+    VersionedLake.commit(base, corpusDir)
+    // first sync IS the build
+    assert(InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir).nonEmpty)
+    assert(indexed(idxDir) === scanBm25(base, Terms))
+
+    // update one doc's text, delete one, append two new
+    val s2 = spark
+    import s2.implicits._
+    VersionedLake.upsert(spark, corpusDir,
+      Seq((5L, "join join scan epsilon", "en", "web", 22L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      keys = Seq("doc_id"))
+    VersionedLake.deleteKeys(spark, corpusDir, Seq(7L).toDF("doc_id"), Seq("doc_id"))
+    VersionedLake.appendCommit(
+      Seq((9001L, "filter pushdown wins", "en", "web", 20L),
+        (9002L, "no relevant terms here", "en", "web", 23L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      corpusDir)
+    assert(InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir).nonEmpty)
+    assert(indexed(idxDir) === scanBm25(VersionedLake.read(spark, corpusDir), Terms))
+    // the updated doc scores under its new text, the deleted doc is gone
+    assert(indexed(idxDir).contains(5L) && !indexed(idxDir).contains(7L))
+  }
+
+  test("insert-then-delete window nets corpus stats to zero") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_net").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_net").toString
+    val base = docs.filter(col("doc_id") < 100)
+    VersionedLake.commit(base, corpusDir)
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    val before = statsSums(idxDir)
+    val s2 = spark
+    import s2.implicits._
+    VersionedLake.appendCommit(
+      Seq((8801L, "ephemeral join doc", "en", "web", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), corpusDir)
+    VersionedLake.deleteKeys(spark, corpusDir, Seq(8801L).toDF("doc_id"), Seq("doc_id"))
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    assert(statsSums(idxDir) === before)
+    assert(indexed(idxDir) === scanBm25(base, Terms))
+  }
+
+  test("sync replays exactly-once: a repeated window commits nothing") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString
+    VersionedLake.commit(docs.filter(col("doc_id") < 50), corpusDir)
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    val vP = VersionedLake.currentVersion(spark, InvertedIndex.postingsDir(idxDir))
+    val vS = VersionedLake.currentVersion(spark, InvertedIndex.statsDir(idxDir))
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    assert(VersionedLake.currentVersion(spark, InvertedIndex.postingsDir(idxDir)) === vP)
+    assert(VersionedLake.currentVersion(spark, InvertedIndex.statsDir(idxDir)) === vS)
+  }
+}
