@@ -66,8 +66,18 @@ import org.apache.spark.sql.graft.GraftDmlShim
   *     arms render as delete+insert inside the same keyed-CoW commit
   *     (probe = pre-update keys, batch = post-update rows).
   *
+  *   - Plain `UPDATE`/`DELETE` with UNCORRELATED subqueries in the
+  *     predicate or assignment values (`DELETE FROM t WHERE k IN
+  *     (SELECT ...)`, `UPDATE t SET v = (SELECT max(...) ...)`) →
+  *     [[SubqueryDmlLakeCommand]]: target attributes rebind BY NAME
+  *     (the subquery plans ride along analyzed), so the library's
+  *     copy-on-write evaluates the exact statement predicate against
+  *     its own scans. Correlated subqueries stay refused — their outer
+  *     references name the statement's relation instance, which the
+  *     library's fresh scans cannot re-resolve.
+  *
   * Statements outside this surface (non-equi merge conditions,
-  * subqueries in the plain-UPDATE path, which renders SQL text) are
+  * correlated subqueries in plain UPDATE/DELETE) are
   * left untouched, so Spark surfaces its own clear "not supported"
   * error instead of this rule guessing at semantics.
   * Commands carry analyzer-RESOLVED trees re-rendered as SQL text
@@ -96,6 +106,26 @@ object LakeDmlRules extends Rule[LogicalPlan] {
 
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  /** Rebind a resolved expression to resolve BY NAME against the library
+    * call's own fresh scans: target attributes become unresolved names,
+    * subquery plans ride along analyzed (their inner attributes are
+    * self-contained). None when the expression cannot survive the trip —
+    * a correlated subquery (its outer references name the statement's
+    * relation instance, invisible to a fresh scan) or a reference
+    * outside the target's output.
+    */
+  private def rebindByName(e: Expression, target: LogicalPlan): Option[Expression] = {
+    val correlated = e.exists {
+      case p: PlanExpression[_] => p.children.nonEmpty
+      case _                    => false
+    }
+    if (correlated || !e.references.subsetOf(target.outputSet)) None
+    else Some(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+  }
 
   private def unwrap(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => unwrap(c)
@@ -177,6 +207,39 @@ object LakeDmlRules extends Rule[LogicalPlan] {
         condition.map(c => renderSql(c).get),
         assignments.map(a =>
           a.key.asInstanceOf[AttributeReference].name -> renderSql(a.value).get))
+
+    // UPDATE with UNCORRELATED subqueries in the predicate or the
+    // assignment values — the Delta "conditional sync" shape on a plain
+    // UPDATE (`SET v = (SELECT ...) WHERE k IN (SELECT ...)`). The
+    // resolved trees rebind by name and the library's minimal-CoW
+    // updateWhere evaluates them verbatim; subqueries plan as real
+    // semi-joins/scalar-subqueries inside each evaluation.
+    case u @ UpdateTable(table, assignments, condition)
+        if u.resolved && lakeOf(table).isDefined &&
+          (condition.exists(hasSubquery) ||
+            assignments.exists(a => hasSubquery(a.value))) &&
+          assignments.forall(a => unwrap(a.key).isInstanceOf[AttributeReference]) &&
+          condition.forall(c => rebindByName(c, table).isDefined) &&
+          assignments.forall(a => rebindByName(a.value, table).isDefined) =>
+      SubqueryDmlLakeCommand(
+        lakeOf(table).get.tableDir,
+        ExprHolder(condition.map(c => rebindByName(c, table).get)
+          .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))),
+        assignments.map(a =>
+          unwrap(a.key).asInstanceOf[AttributeReference].name ->
+            ExprHolder(rebindByName(a.value, table).get)))
+
+    // DELETE whose predicate carries an UNCORRELATED subquery — the
+    // GDPR/allow-list shape (`DELETE FROM t WHERE k IN (SELECT ...)`).
+    // Pushable predicates keep the SupportsDelete fast path; this case
+    // takes exactly the statements that path must refuse.
+    case d @ DeleteFromTable(table, condition)
+        if d.resolved && lakeOf(table).isDefined && hasSubquery(condition) &&
+          rebindByName(condition, table).isDefined =>
+      SubqueryDmlLakeCommand(
+        lakeOf(table).get.tableDir,
+        ExprHolder(rebindByName(condition, table).get),
+        Nil)
 
     // MERGE, general composition: any of `WHEN MATCHED [AND p] THEN
     // UPDATE/DELETE` (multiple arms, first passing gate wins — SQL's
@@ -538,6 +601,45 @@ final case class UpdateLakeCommand(
   override def simpleString(maxFields: Int): String =
     s"UpdateLakeCommand $tableDir SET ${assignments.map(a => s"${a._1} = ${a._2}").mkString(", ")}" +
       conditionSql.map(c => s" WHERE $c").getOrElse("")
+}
+
+/** Subquery-bearing `UPDATE`/`DELETE` (empty `assignments` = DELETE)
+  * executed as the lake's minimal copy-on-write: the rebound-by-name
+  * condition — uncorrelated subqueries riding along analyzed — feeds
+  * [[VersionedLake.updateWhere]]/[[VersionedLake.deleteWhere]] directly,
+  * so an `IN (SELECT ...)` gate plans as a semi-join inside each of the
+  * copy-on-write's passes (directory attribution, rewrite, CDC
+  * artifact), never a driver-collected list.
+  *
+  * The subquery re-evaluates per pass. Over lake tables that is a
+  * version-pinned read (each pass sees the same snapshot the statement
+  * started from unless a concurrent commit lands mid-statement — the
+  * same read-committed window Delta's non-materialized DELETE
+  * subqueries have); a non-deterministic subquery source (a changing
+  * temp view) is the caller's contract to avoid, as in any engine that
+  * does not materialize DML sources.
+  */
+final case class SubqueryDmlLakeCommand(
+    tableDir: String,
+    cond: ExprHolder,
+    assignments: Seq[(String, ExprHolder)]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val c = GraftDmlShim.column(cond.e)
+    if (assignments.isEmpty)
+      VersionedLake.deleteWhere(spark, tableDir, c): Unit
+    else
+      VersionedLake.updateWhere(spark, tableDir, c,
+        assignments.map { case (n, h) => n -> GraftDmlShim.column(h.e) }.toMap): Unit
+    Nil
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"SubqueryDmlLakeCommand $tableDir " +
+      (if (assignments.isEmpty) "DELETE"
+       else s"SET ${assignments.map(_._1).mkString(", ")}")
 }
 
 /** CDC-shaped `MERGE` executed as the lake's keyed minimal copy-on-write

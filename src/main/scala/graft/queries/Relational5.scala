@@ -527,6 +527,40 @@ object Relational5 {
              |  o_orderstatus = 'K'""".stripMargin): Unit
   }
 
+  /** The SUBQUERY-PREDICATE UPDATE q_catalog_update_subq times — plain
+    * UPDATE gated by an `IN (SELECT ...)` allow-list with a
+    * scalar-subquery assignment, routed through the minimal-CoW
+    * updateWhere (SubqueryDmlLakeCommand). Convergent: both subqueries
+    * derive from the immutable orders source, so every run re-assigns
+    * the identical values.
+    */
+  private def runCatalogUpdateSubq(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "usub_orders")
+    t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("us_src")
+    s.sql("""UPDATE graftcat.usub_orders
+            |SET o_orderstatus = 'S',
+            |    o_totalprice = (SELECT max(o_totalprice) FROM us_src)
+            |WHERE o_orderkey IN
+            |  (SELECT o_orderkey FROM us_src WHERE o_orderkey % 7 = 0)""".stripMargin): Unit
+  }
+
+  /** The SUBQUERY-PREDICATE DELETE q_catalog_delete_subq times — the
+    * GDPR/allow-list shape `DELETE FROM t WHERE k IN (SELECT ...)`,
+    * refused by filter pushdown and routed through the minimal-CoW
+    * deleteWhere. Convergent: deletes are idempotent by construction.
+    */
+  private def runCatalogDeleteSubq(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "dsub_orders")
+    t(s, dir, "orders").select("o_orderkey")
+      .filter(col("o_orderkey") % 5 === 0)
+      .createOrReplaceTempView("ds_del")
+    s.sql("""DELETE FROM graftcat.dsub_orders
+            |WHERE o_orderkey IN (SELECT o_orderkey FROM ds_del)""".stripMargin): Unit
+  }
+
   /** The PARTITION-OVERWRITE statement q_catalog_overwrite_part times:
     * a hive-partitioned catalog table (by o_orderstatus), one partition
     * replaced atomically per run — the backfill shape. Convergent: the
@@ -1722,6 +1756,47 @@ object Relational5 {
              |  WHERE o_orderkey > 2 * third AND o_orderkey <= 2 * third + third // 5
              |)""".stripMargin),
       covers = Seq("ext-sql-catalog-merge-rekey")),
+
+    // SUBQUERY-PREDICATE SQL UPDATE — plain UPDATE with an `IN
+    // (SELECT ...)` allow-list and a scalar-subquery assignment, the
+    // conditional-sync shape outside MERGE. Routed through the same
+    // minimal-CoW machinery (only directories holding matches rewrite);
+    // the IN gate plans as a semi-join inside each copy-on-write pass.
+    // Oracle: the gated truth with both subqueries replayed.
+    QueryDef(
+      "q_catalog_update_subq",
+      (s, dir) => {
+        runCatalogUpdateSubq(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.usub_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH mx AS (SELECT max(o_totalprice) AS m FROM orders)
+             |SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN 'S' ELSE o_orderstatus END
+             |    AS o_orderstatus,
+             |  round(CASE WHEN o_orderkey % 7 = 0 THEN m ELSE o_totalprice END, 2)
+             |    AS o_totalprice
+             |FROM orders, mx""".stripMargin),
+      covers = Seq("ext-sql-update-subquery")),
+
+    // SUBQUERY-PREDICATE SQL DELETE — `DELETE FROM t WHERE k IN
+    // (SELECT ...)`, the GDPR/allow-list shape filter pushdown must
+    // refuse (the predicate is not a pushable Filter). Routed through
+    // the minimal-CoW deleteWhere with the subquery planned as a
+    // semi-join. Oracle: the surviving truth.
+    QueryDef(
+      "q_catalog_delete_subq",
+      (s, dir) => {
+        runCatalogDeleteSubq(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.dsub_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  round(o_totalprice, 2) AS o_totalprice
+             |FROM orders WHERE o_orderkey % 5 != 0""".stripMargin),
+      covers = Seq("ext-sql-delete-subquery")),
 
     // WRITE-AUDIT-PUBLISH — the WAP flow as one timed cycle: stage a
     // replaceWhere INVISIBLY (pending claim + branch ref), AUDIT the

@@ -545,4 +545,68 @@ class LakeDmlRulesSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 3L),
       "2 deleted (absent from source, not protected); 3 survives the EXISTS gate")
   }
+
+  test("DELETE FROM ... WHERE k IN (SELECT ...) — the allow-list delete") {
+    val s = spark
+    root
+    spark.sql("CREATE TABLE gdml.delsubq (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.delsubq VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW del_list AS
+                |SELECT * FROM VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT)) AS t(id)""".stripMargin)
+    spark.sql("DELETE FROM gdml.delsubq WHERE k IN (SELECT id FROM del_list)")
+    val got = spark.sql("SELECT k FROM gdml.delsubq ORDER BY k").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 3L))
+    // one commit, CoW (no pending eq-deletes), time travel intact
+    val cur = VersionedLake.currentVersion(s, s"$root/delsubq").get
+    assert(VersionedLake.dirEqDeletes(s, s"$root/delsubq", cur).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gdml.delsubq VERSION AS OF 1")
+      .head().getLong(0) === 4L)
+  }
+
+  test("UPDATE with IN-subquery predicate and scalar-subquery assignment") {
+    root
+    spark.sql("CREATE TABLE gdml.updsubq (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdml.updsubq VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW upd_allow AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)) AS t(id)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW upd_bonus AS
+                |SELECT * FROM VALUES (CAST(1000 AS BIGINT)) AS t(b)""".stripMargin)
+    spark.sql("""UPDATE gdml.updsubq
+                |SET v = v + (SELECT min(b) FROM upd_bonus)
+                |WHERE k IN (SELECT id FROM upd_allow)""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gdml.updsubq ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1010L), (2L, 20L), (3L, 1030L)))
+  }
+
+  test("NOT IN / NOT EXISTS delete predicates (uncorrelated) work; CDC carries the delta") {
+    val s = spark
+    root
+    spark.sql("CREATE TABLE gdml.delnot (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.delnot VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW keep_ids AS
+                |SELECT * FROM VALUES (CAST(2 AS BIGINT)) AS t(id)""".stripMargin)
+    spark.sql("DELETE FROM gdml.delnot WHERE k NOT IN (SELECT id FROM keep_ids)")
+    val got = spark.sql("SELECT k FROM gdml.delnot").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L))
+    val cur = VersionedLake.currentVersion(s, s"$root/delnot").get
+    val feed = VersionedLake.readRowChanges(s, s"$root/delnot", cur - 1, cur)
+    val deleted = feed.filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(deleted.toSeq === Seq(1L, 3L), "the CDC artifact carries the subquery-matched rows")
+  }
+
+  test("correlated subquery in a plain UPDATE stays refused (Spark's own error)") {
+    root
+    spark.sql("CREATE TABLE gdml.updcorr (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdml.updcorr VALUES (1, 10)")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW corr_dim AS
+                |SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(5 AS BIGINT)) AS t(id, b)""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gdml.updcorr SET v = (SELECT b FROM corr_dim d WHERE d.id = k)")
+    }
+    assert(e.getMessage != null)
+    // the table is untouched
+    assert(spark.sql("SELECT v FROM gdml.updcorr").head().getLong(0) === 10L)
+  }
 }
