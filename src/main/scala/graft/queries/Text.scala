@@ -813,8 +813,63 @@ object Text {
              |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
              |  CROSS JOIN avgl CROSS JOIN n)
              |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
-      covers = Seq("ext-bm25-indexed"))
+      covers = Seq("ext-bm25-indexed")),
+
+    // ------------------------------------------------------------------
+    // SQL-NATIVE TEXT RETRIEVAL (sources.GraftProcedures): the documents
+    // corpus as a catalog lake table, its inverted index created and
+    // registered by `CALL system.create_text_index`, the probe a
+    // `CALL system.text_search` — the full lifecycle a SQL-only client
+    // drives. Same independent corpus-scan oracle as q_bm25_indexed:
+    // the SQL surface changes who calls, never the answer.
+    QueryDef(
+      "q_catalog_text_search",
+      (s, dir) => {
+        textCatalogFixture(s, dir)
+        s.sql(
+          "CALL grafttxt.system.text_search('docs', 'join,scan,filter', 100000)")
+          .localCheckpoint()
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |avgl AS (SELECT avg(len) AS avgl FROM lens),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('join', 'scan', 'filter')),
+             |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtok GROUP BY 1),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM qtok GROUP BY 1, 2),
+             |contrib AS (
+             |  SELECT tf.doc_id,
+             |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1)) /
+             |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / avgl.avgl)),
+             |      9) AS c
+             |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+             |  CROSS JOIN avgl CROSS JOIN n)
+             |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
+      covers = Seq("ext-sql-text-search"))
   )
+
+  // One-time SQL text-retrieval fixture: the corpus as a catalog lake
+  // table + its registered index (built by CALL create_text_index).
+  private val txtCat = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def textCatalogFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    txtCat.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_txtcat").toString
+      s.conf.set("spark.sql.catalog.grafttxt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grafttxt.root", root)
+      graft.sources.VersionedLake.commit(t(s, dir, "documents"), s"$root/docs")
+      s.sql("CALL grafttxt.system.create_text_index('docs', 'docs_idx', 'doc_id', 'text')")
+        .collect()
+      root
+    }): Unit
 
   // ------------------------------------------------------------------
   // One-time persisted inverted-index fixture (the annFixture bargain):
@@ -845,7 +900,9 @@ object Text {
       idxDir
     })
 
-  /** Bench warm-up entry: pay the index build before any query is timed. */
-  def ensureInvertedIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  /** Bench warm-up entry: pay the index builds before any query is timed. */
+  def ensureInvertedIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     invertedIndexFixture(s, dir): Unit
+    textCatalogFixture(s, dir)
+  }
 }

@@ -31,7 +31,28 @@ object GraftProcedures {
   /** Procedure names under the `system` namespace. */
   val Names: Seq[String] = Seq(
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
-    "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv")
+    "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
+    "create_text_index", "refresh_text_index", "drop_text_index", "text_search")
+
+  /** The text-index registration rides the corpus props like `mv.def`:
+    * one CAS-guarded value, fields URL-encoded so paths/columns with
+    * commas survive the trip.
+    */
+  private val TextIdxKey = "textidx.def"
+
+  private def renderTextIdx(indexDir: String, idCol: String, textCol: String): String =
+    Seq(indexDir, idCol, textCol)
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+
+  private def parseTextIdx(v: String): (String, String, String) =
+    v.split(',').map(java.net.URLDecoder.decode(_, "UTF-8")) match {
+      case Array(d, i, t) => (d, i, t)
+      case _ => throw new IllegalStateException(s"malformed $TextIdxKey: $v")
+    }
+
+  private def textIdxOf(spark: SparkSession, corpus: String): (String, String, String) =
+    LakeProps.get(spark, corpus).get(TextIdxKey).map(parseTextIdx).getOrElse(
+      throw new IllegalArgumentException(s"no text index registered on $corpus"))
 
   /** `cnt=count(*), total=sum(value), lo=min(value)` — the create_mv
     * aggregate spec: each state column is one mergeable aggregate over a
@@ -193,12 +214,96 @@ object GraftProcedures {
           LakeMv.dropPersisted(spark, corpus)
           VersionedLake.currentVersion(spark, corpus).getOrElse(-1L)
         }
+      case "create_text_index" =>
+        proc(name, "inverted text index over a lake table: postings live as " +
+          "term-hash-bucketed lake tables under the index name, maintained " +
+          "O(changed docs) by refresh_text_index off the corpus CDC feed; " +
+          "query with text_search (BM25, probe = the query terms' buckets)",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType)
+              .comment("the index's own directory name (resolved in this catalog)").build(),
+            ProcedureParameter.in("id_col", StringType).build(),
+            ProcedureParameter.in("text_col", StringType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val idxDir = resolve(str(in, 1))
+          require(VersionedLake.currentVersion(spark,
+            graft.operators.InvertedIndex.postingsDir(idxDir)).isEmpty,
+            s"${str(in, 1)} already exists - drop_text_index (or pick a fresh name) first")
+          val v = graft.operators.InvertedIndex
+            .sync(spark, corpus, str(in, 2), str(in, 3), idxDir)
+            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+          LakeProps.set(spark, corpus, TextIdxKey,
+            renderTextIdx(idxDir, str(in, 2), str(in, 3)))
+          v
+        }
+      case "refresh_text_index" =>
+        proc(name, "bring the table's text index up to the current version " +
+          "(O(changed documents) off the CDC feed, manifest diff as fallback)",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, idCol, textCol) = textIdxOf(spark, corpus)
+          graft.operators.InvertedIndex.sync(spark, corpus, idCol, textCol, idxDir)
+            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+        }
+      case "drop_text_index" =>
+        proc(name, "unregister the table's text index (the postings/stats tables " +
+          "remain plain lake tables; DROP TABLE them separately)",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          LakeProps.unset(spark, corpus, TextIdxKey)
+          VersionedLake.currentVersion(spark, corpus).getOrElse(-1L)
+        }
+      case "text_search" =>
+        procRows(name, "BM25 top-k over the table's text index: reads the query " +
+          "terms' postings buckets + the O(commits) stats table, never the corpus",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("terms", StringType)
+              .comment("comma-separated query terms").build(),
+            ProcedureParameter.in("k", IntegerType).defaultValue("10").build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, _, _) = textIdxOf(spark, corpus)
+          val terms = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val k = in.getInt(2)
+          require(k > 0 && k <= 100000, s"k out of range: $k")
+          val df = graft.operators.InvertedIndex
+            .searchBm25(spark, idxDir, terms, k = Some(k))
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(df.schema)
+          (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure 'system.$other' - available: ${Names.mkString(", ")}")
     }
 
   private def str(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+
+  /** Multi-row result set with a body-supplied schema; `body` runs at
+    * CALL time and must return BOUNDED rows (procedure results are a
+    * LocalScan — the k of a top-k, never a table).
+    */
+  private def procRows(
+      procName: String,
+      desc: String,
+      params: Seq[ProcedureParameter])(
+      body: InternalRow => (StructType, Array[InternalRow])): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val (schema, out) = body(input)
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = schema
+          override def description(): String = s"graft.system.$procName result"
+        }).iterator()
+      }
+    }
 
   /** One-row (version BIGINT) result set; `body` runs at CALL time. */
   private def proc(

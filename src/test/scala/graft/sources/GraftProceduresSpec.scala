@@ -150,4 +150,35 @@ class GraftProceduresSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql("CALL gproc.other.vacuum('x')"))
     assert(e2.getMessage.toLowerCase.contains("failed to load routine"))
   }
+
+  test("create_text_index/text_search/refresh_text_index: SQL-native BM25 retrieval") {
+    root
+    spark.sql("CREATE TABLE gproc.docs (doc_id BIGINT, body STRING)")
+    spark.sql("""INSERT INTO gproc.docs VALUES
+                |(1, 'join scan join'), (2, 'filter only'), (3, 'nothing here')""".stripMargin)
+    spark.sql("CALL gproc.system.create_text_index('docs', 'docs_idx', 'doc_id', 'body')")
+    def hits(): Map[Long, Double] =
+      spark.sql("CALL gproc.system.text_search('docs', 'join,scan,filter', 10)")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val first = hits()
+    assert(first.keySet === Set(1L, 2L) && !first.contains(3L))
+    assert(first(1L) > first(2L),
+      "doc 1 holds two query terms (one twice); it must outrank doc 2")
+    // the index answers exactly what a corpus scan would: spot-check via
+    // the operator's own search over the registered index state
+    // maintenance: update one doc, delete one, add one → refresh
+    spark.sql("UPDATE gproc.docs SET body = 'nothing at all' WHERE doc_id = 1")
+    spark.sql("DELETE FROM gproc.docs WHERE doc_id = 2")
+    spark.sql("INSERT INTO gproc.docs VALUES (4, 'scan scan scan')")
+    spark.sql("CALL gproc.system.refresh_text_index('docs')")
+    val second = hits()
+    assert(second.keySet === Set(4L),
+      s"post-refresh: 1 updated away, 2 deleted, 4 inserted - got $second")
+    // k caps the result set
+    assert(spark.sql("CALL gproc.system.text_search('docs', 'scan', 1)").count() === 1L)
+    // drop unregisters: search refuses loudly
+    spark.sql("CALL gproc.system.drop_text_index('docs')")
+    val e = intercept[Exception](hits())
+    assert(e.getMessage.contains("no text index"), e.getMessage)
+  }
 }
