@@ -32,7 +32,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
-    "create_text_index", "refresh_text_index", "drop_text_index", "text_search")
+    "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
+    "replicate_verify")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -272,6 +273,21 @@ object GraftProcedures {
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToCatalystConverter(df.schema)
           (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        }
+      case "replicate_verify" =>
+        procRows(name, "anti-entropy audit: compare the mirror against the source " +
+          "AT THE VERSION THE MIRROR CLAIMS (its watermark) - src_only/dst_only row " +
+          "counts; both zero = byte-equivalent. O(rows) scan of each side",
+          Seq(
+            ProcedureParameter.in("src", StringType).build(),
+            ProcedureParameter.in("dst", StringType).build())) { in =>
+          val (v, so, dn) = LakeReplicate.verify(
+            spark, resolve(str(in, 0)), resolve(str(in, 1)))
+          (StructType(Seq(
+            StructField("applied_version", LongType, nullable = false),
+            StructField("src_only", LongType, nullable = false),
+            StructField("dst_only", LongType, nullable = false))),
+            Array[InternalRow](new GenericInternalRow(Array[Any](v, so, dn))))
         }
       case other =>
         throw new IllegalArgumentException(

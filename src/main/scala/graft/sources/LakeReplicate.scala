@@ -311,4 +311,52 @@ object LakeReplicate {
     sync(spark, srcDir, dstDir, keys)
     VersionedLake.read(spark, dstDir)
   }
+
+  /** ANTI-ENTROPY AUDIT: compare the mirror against the source AT THE
+    * VERSION THE MIRROR CLAIMS TO REFLECT (its applied watermark) — so
+    * the check measures replication correctness, never freshness lag
+    * (run [[sync]] first if you want both). Rows compare as full-row
+    * hashes grouped into per-(row-hash) multiset counts, so duplicate
+    * rows and multi-row keys audit exactly:
+    *
+    *   - `src_only` = rows the source version holds that the mirror
+    *     lacks (lost writes),
+    *   - `dst_only` = rows the mirror holds that the source version
+    *     lacks (phantom writes, out-of-band tampering).
+    *
+    * Both zero ⟺ the mirror is byte-equivalent to its claimed source
+    * snapshot. Cost is one scan of EACH side plus one hash-keyed
+    * aggregation — O(rows), the honest price of an audit without
+    * per-directory content digests; at 100 TB, schedule it like any
+    * full-table maintenance (the per-sync exactly-once watermark makes
+    * routine divergence impossible, this is the belt-and-braces check).
+    * Throws when the watermark's source version is no longer retained
+    * (vacuumed past) — verifying against a DIFFERENT version would
+    * report false divergence.
+    */
+  def verify(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      appId: Option[String] = None): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce => cls, greatest}
+    val applied = appliedVersion(spark, srcDir, dstDir, appId).getOrElse(
+      throw new IllegalStateException(
+        s"$dstDir carries no replication watermark for $srcDir - nothing to verify"))
+    def hashed(df: DataFrame): DataFrame = {
+      val cols = df.columns.sorted.map(col)
+      df.select(xxhash64(cols: _*).as("_h")).groupBy("_h").agg(count(lit(1)).as("n"))
+    }
+    val src = hashed(VersionedLake.readVersion(spark, srcDir, applied))
+    val dst = hashed(VersionedLake.read(spark, dstDir))
+    val d = src.withColumnRenamed("n", "ns")
+      .join(dst.withColumnRenamed("n", "nd"), Seq("_h"), "full_outer")
+      .select(
+        greatest(cls(col("ns"), lit(0L)) - cls(col("nd"), lit(0L)), lit(0L)).as("so"),
+        greatest(cls(col("nd"), lit(0L)) - cls(col("ns"), lit(0L)), lit(0L)).as("do"))
+      .agg(sum("so"), sum("do")).head()
+    val srcOnly = if (d.isNullAt(0)) 0L else d.getLong(0)
+    val dstOnly = if (d.isNullAt(1)) 0L else d.getLong(1)
+    (applied, srcOnly, dstOnly)
+  }
 }

@@ -151,6 +151,31 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("failed to load routine"))
   }
 
+  test("replicate_verify: zeros on a faithful mirror, counts divergence, ignores lag") {
+    val s = spark
+    root
+    spark.sql("CREATE TABLE gproc.vsrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gproc.vsrc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CALL gproc.system.replicate('vsrc', 'vdst', 'k')")
+    def audit(): (Long, Long, Long) = {
+      val r = spark.sql("CALL gproc.system.replicate_verify('vsrc', 'vdst')").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(audit()._2 === 0L)
+    assert(audit()._3 === 0L)
+    // source moves ahead: the audit compares at the mirror's WATERMARK,
+    // so pure lag is not divergence
+    spark.sql("INSERT INTO gproc.vsrc VALUES (9, 'z')")
+    val lagged = audit()
+    assert(lagged._2 === 0L && lagged._3 === 0L, s"lag must not read as divergence: $lagged")
+    // out-of-band tampering on the mirror IS divergence
+    import s.implicits._
+    VersionedLake.appendCommit(Seq((77L, "phantom")).toDF("k", "v"), s"$root/vdst")
+    val tampered = audit()
+    assert(tampered._3 === 1L, s"the phantom row must surface as dst_only: $tampered")
+    assert(tampered._2 === 0L)
+  }
+
   test("create_text_index/text_search/refresh_text_index: SQL-native BM25 retrieval") {
     root
     spark.sql("CREATE TABLE gproc.docs (doc_id BIGINT, body STRING)")
