@@ -629,7 +629,11 @@ final case class SubqueryDmlLakeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val c = GraftDmlShim.column(cond.e)
     if (assignments.isEmpty)
-      VersionedLake.deleteWhere(spark, tableDir, c): Unit
+      // honor the table's delete mode, like the SupportsDelete path
+      if (graft.sources.LakeProps.deleteModeMor(spark, tableDir))
+        VersionedLake.deleteWhereMor(spark, tableDir, c): Unit
+      else
+        VersionedLake.deleteWhere(spark, tableDir, c): Unit
     else
       VersionedLake.updateWhere(spark, tableDir, c,
         assignments.map { case (n, h) => n -> GraftDmlShim.column(h.e) }.toMap): Unit

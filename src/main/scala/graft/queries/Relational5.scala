@@ -238,6 +238,17 @@ object Relational5 {
     lakeDir
   }
 
+  private def posDelLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    orderedLake(s, dir, "posdel", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+  private def runLakeDeletePos(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.VersionedLake
+    val lakeDir = posDelLake(s, dir)
+    VersionedLake.deleteWhereMor(s, lakeDir,
+      col("o_orderkey") % 1000 === 13, txn = Some("bench-posmor" -> 1L)): Unit
+    lakeDir
+  }
+
   private def runLakeUpdate(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.sources.VersionedLake
     val lakeDir = updLake(s, dir)
@@ -1353,6 +1364,31 @@ object Relational5 {
              |FROM orders
              |WHERE o_orderkey % 1000 <> 7""".stripMargin),
       covers = Seq("ext-lake-delete-mor")),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ POSITION DELETE (deleteWhereMor) — the KEYLESS
+    // O(delta) delete: one position file (the matched rows' physical
+    // (_pos_file, _pos_row) identities), ZERO data rewritten, the read
+    // an anti-join on the scan's own metadata identity. Where
+    // q_lake_delete_mor needs key columns, this deletes by PREDICATE on
+    // a table with no key contract at all — the Iceberg-v2
+    // position-delete / deletion-vector design point. Exactly-once via
+    // the txn watermark, so every timed run measures the steady-state
+    // read. Oracle: the surviving truth.
+    QueryDef(
+      "q_lake_delete_pos",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        VersionedLake.read(s, runLakeDeletePos(s, dir))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .localCheckpoint()
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  round(o_totalprice, 2) AS o_totalprice
+             |FROM orders
+             |WHERE o_orderkey % 1000 <> 13""".stripMargin),
+      covers = Seq("ext-lake-delete-pos")),
 
     // ------------------------------------------------------------------
     // ROW-LEVEL UPDATE on the versioned lake: same minimal copy-on-write

@@ -288,7 +288,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     properties.asScala.toSeq.sortBy(_._1).foreach {
       case (k, pred) if k.startsWith("check.") =>
         LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
-      case (k, v) if k.startsWith("cdc.") || k == "spj.enabled" =>
+      case (k, v) if k.startsWith("cdc.") || k == "spj.enabled" ||
+          k == "delete.mode" =>
         LakeProps.set(spark, dir, k, v)
       case _ =>
     }
@@ -372,10 +373,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case p: TableChange.SetProperty if p.property == "bloom.k" =>
         bloomK = p.value.toInt
       case p: TableChange.SetProperty
-          if p.property.startsWith("cdc.") || p.property == "spj.enabled" =>
+          if p.property.startsWith("cdc.") || p.property == "spj.enabled" ||
+            p.property == "delete.mode" =>
         LakeProps.set(spark, dir, p.property, p.value)
       case p: TableChange.RemoveProperty
-          if p.property.startsWith("cdc.") || p.property == "spj.enabled" =>
+          if p.property.startsWith("cdc.") || p.property == "spj.enabled" ||
+            p.property == "delete.mode" =>
         LakeProps.unset(spark, dir, p.property)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -810,7 +813,12 @@ final class LakeTable(
     val cond = filters.flatMap(FilterToColumn(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    VersionedLake.deleteWhere(spark, tableDir, cond): Unit
+    // delete.mode=merge-on-read: O(matched positions), zero rewrite —
+    // reads route through the splice until the debt folds at optimize
+    if (LakeProps.deleteModeMor(spark, tableDir))
+      VersionedLake.deleteWhereMor(spark, tableDir, cond): Unit
+    else
+      VersionedLake.deleteWhere(spark, tableDir, cond): Unit
   }
 
   private def resolvedVersion: Long =

@@ -75,6 +75,15 @@ object LakeProps {
   def cdcArtifacts(spark: SparkSession, tableDir: String): Boolean =
     !get(spark, tableDir).get("cdc.artifacts").contains("false")
 
+  /** Whether SQL predicate DELETEs take the merge-on-read position-delete
+    * path (`TBLPROPERTIES('delete.mode'='merge-on-read')`) instead of the
+    * default minimal copy-on-write — the Iceberg `write.delete.mode`
+    * knob. Reads keep answering through the read-through splice; the
+    * debt folds at the next optimize/materializeDeletes.
+    */
+  def deleteModeMor(spark: SparkSession, tableDir: String): Boolean =
+    get(spark, tableDir).get("delete.mode").contains("merge-on-read")
+
   private def mutate(
       spark: SparkSession,
       tableDir: String)(f: Map[String, String] => Map[String, String]): Unit =

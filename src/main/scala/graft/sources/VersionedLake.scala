@@ -177,6 +177,35 @@ object VersionedLake {
     */
   final case class EqDelete(dir: String, keys: Seq[String], dirs: Seq[String])
 
+  /** Reserved "key" names marking a POSITION delete file (Iceberg v2
+    * position deletes / Delta deletion vectors): instead of key rows,
+    * the delete file holds `(_pos_file, _pos_row)` — the dir-relative
+    * parquet path and the row's index within it, taken off the scan's
+    * own `_metadata` columns. A position delete rides the SAME manifest
+    * line, scope rule, retention, and read-side anti-join machinery as
+    * an equality delete — the reserved names are what tell the reader
+    * to join on physical row identity (attached at scan time) rather
+    * than data columns. This is the KEYLESS O(delta) delete: a
+    * predicate delete on a table with no key columns pays O(matched
+    * rows) positions at write instead of rewriting every affected
+    * directory ([[deleteWhereMor]]). The sentinel names can never
+    * collide with data columns a delete would key on — keyed MoR
+    * deletes type-check their keys against the committed schema.
+    */
+  private[sources] val PosDeleteKeys = Seq("_pos_file", "_pos_row")
+
+  private[sources] def isPosDelete(e: EqDelete): Boolean = e.keys == PosDeleteKeys
+
+  /** The scan-time physical row identity the position-delete anti-join
+    * matches on: dir-relative file path (greedy `.*` anchors at the
+    * LAST `/data/`, so a table path containing "/data/" cannot shift
+    * it) + the parquet row index. Must be attached BEFORE any
+    * projection — Spark hides `_metadata` after a select.
+    */
+  private def posIdentityCols: Seq[org.apache.spark.sql.Column] = Seq(
+    regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("_pos_file"),
+    col("_metadata.row_index").as("_pos_row"))
+
   /** Manifest comment line carrying one data directory's EXACT row and
     * byte counts: `#rows=<dir>\t{"n":123,"bytes":4567}`. Rows come from
     * the parquet footers of the directory's files (the writer already
@@ -1836,21 +1865,28 @@ object VersionedLake {
       tableDir: String,
       version: Long,
       keep: Seq[String],
-      schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      keepPos: Boolean = false): DataFrame = {
     val dels = dirEqDeletes(spark, tableDir, version)
-    def scan(ds: Seq[String]) =
-      readDirs(spark, tableDir, ds.map(d => s"$tableDir/data/$d"), schemaOpt)
+    def scan(ds: Seq[String], withPos: Boolean) =
+      readDirs(spark, tableDir, ds.map(d => s"$tableDir/data/$d"), schemaOpt,
+        withPos = withPos)
     val relevant = dels.filter(_.dirs.exists(keep.contains))
-    if (relevant.isEmpty) scan(keep)
+    if (relevant.isEmpty) scan(keep, keepPos)
     else {
       val groups = keep.groupBy(d => relevant.filter(_.dirs.contains(d)).map(_.dir))
         .toSeq.sortBy(_._2.map(keep.indexOf).min)
       groups.map { case (applicableDirs, ds) =>
-        relevant.filter(e => applicableDirs.contains(e.dir)).foldLeft(scan(ds)) {
-          (acc, e) =>
-            acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
-              e.keys, "left_anti")
+        val es = relevant.filter(e => applicableDirs.contains(e.dir))
+        // position deletes anti-join on the scan's own (_pos_file,
+        // _pos_row) metadata identity — attach it whenever one applies
+        // (or the caller asked to keep it), drop it unless asked
+        val needPos = keepPos || es.exists(isPosDelete)
+        val out = es.foldLeft(scan(ds, needPos)) { (acc, e) =>
+          acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
+            e.keys, "left_anti")
         }
+        if (needPos && !keepPos) out.drop(PosDeleteKeys: _*) else out
       }.reduce(_ unionByName _)
     }
   }
@@ -2050,7 +2086,8 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       paths: Seq[String],
-      schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      withPos: Boolean = false): DataFrame = {
     def one(ps: Seq[String]): DataFrame = {
       val r = spark.read.option("basePath", s"$tableDir/data")
       schemaOpt match {
@@ -2075,7 +2112,7 @@ object VersionedLake {
             StructField(f.name, f.dataType, nullable = true) +:
               akaNames(f).map(n => StructField(n, f.dataType, nullable = true))
           })
-          r.schema(readSchema).parquet(ps: _*).select(live.map { f =>
+          val logical = live.map { f =>
             val variants = f.name +: akaNames(f)
             variants.find(v => partNames.contains(v.toLowerCase)) match {
               case Some(v) => col(v).as(f.name, f.metadata)
@@ -2084,9 +2121,17 @@ object VersionedLake {
                 (if (cols.size == 1) cols.head else coalesce(cols: _*))
                   .as(f.name, f.metadata)
             }
-          }.toIndexedSeq: _*)
-        case Some(s) => r.schema(s).parquet(ps: _*)
-        case None    => r.parquet(ps: _*)
+          }.toIndexedSeq
+          // position identity attaches INSIDE the projection — _metadata
+          // is hidden after any select
+          r.schema(readSchema).parquet(ps: _*)
+            .select((logical ++ (if (withPos) posIdentityCols else Nil)): _*)
+        case Some(s) =>
+          val base = r.schema(s).parquet(ps: _*)
+          if (withPos) base.select(col("*") +: posIdentityCols: _*) else base
+        case None =>
+          val base = r.parquet(ps: _*)
+          if (withPos) base.select(col("*") +: posIdentityCols: _*) else base
       }
     }
     if (paths.size <= 1) one(paths)
@@ -2309,6 +2354,11 @@ object VersionedLake {
       * MoR-deleted cannot re-delete), semi-joined on the delete keys.
       */
     def preImages(e: EqDelete): DataFrame = {
+      // position deletes never reach here: deleteWhereMor always writes
+      // its change artifact (or the artifact-less refusal below fires) —
+      // this reconstruction is for KEYED MoR commits only
+      require(!isPosDelete(e),
+        s"version $v of $tableDir: position delete in a keyed-MoR classification")
       val base = readDirsWithDeletes(spark, tableDir, v - 1, e.dirs,
         versionSchema(spark, tableDir, v - 1))
       base.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
@@ -2981,7 +3031,8 @@ object VersionedLake {
       val affected: Set[String] = dels.flatMap { e =>
         val scoped = e.dirs.filter(dirs.contains)
         if (scoped.isEmpty) Nil
-        else readDirs(spark, tableDir, scoped.map(d => s"$tableDir/data/$d"), schemaOpt)
+        else readDirs(spark, tableDir, scoped.map(d => s"$tableDir/data/$d"), schemaOpt,
+          withPos = isPosDelete(e))
           .withColumn("_graft_file", input_file_name())
           .join(delKeys(e), e.keys, "left_semi")
           .select("_graft_file").distinct().collect()
@@ -2989,10 +3040,14 @@ object VersionedLake {
           .flatMap(f => scoped.find(d => f.contains(s"/$d/")))
       }.toSet
       val rewritten: Map[String, Option[String]] = affected.map { d =>
-        val survivors = dels.filter(_.dirs.contains(d)).foldLeft(
-          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)) {
+        val es = dels.filter(_.dirs.contains(d))
+        val needPos = es.exists(isPosDelete)
+        val folded = es.foldLeft(
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt,
+            withPos = needPos)) {
           (acc, e) => acc.join(broadcast(delKeys(e)), e.keys, "left_anti")
         }
+        val survivors = if (needPos) folded.drop(PosDeleteKeys: _*) else folded
         if (survivors.isEmpty) d -> None
         else d -> Some(writeDataDir(survivors, tableDir,
           rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
@@ -3252,6 +3307,83 @@ object VersionedLake {
       changesOf = _.withColumn("_change_type", lit("delete")),
       changeArtifact = changeArtifact)
   }
+
+  /** MERGE-ON-READ predicate delete — the KEYLESS O(delta) delete:
+    * where [[deleteWhere]] rewrites every directory holding a match (a
+    * scattered predicate on a 100 TB table approaches a full rewrite),
+    * this writes ONE POSITION-DELETE file — the matched rows'
+    * `(_pos_file, _pos_row)` physical identities off the scan's own
+    * `_metadata` columns — and publishes it as a pending delete scoped
+    * to the current directories, ZERO data rewritten (Iceberg v2
+    * position deletes / Delta deletion vectors). Readers anti-join on
+    * the attached position identity; rows appended after the commit are
+    * outside the scope by construction. Needs no key columns at all —
+    * the position IS the identity — so it serves exactly the tables
+    * equality deletes cannot (no unique key, duplicate rows legal:
+    * only the matched physical rows vanish).
+    *
+    * The matched set is evaluated over the CURRENT logical rows (prior
+    * pending deletes applied — an already-deleted row cannot re-match,
+    * so the CDC artifact reports exactly the newly-deleted rows). Same
+    * debts as every MoR commit: reads pay a broadcast anti-join until
+    * [[materializeDeletes]]/[[optimize]] folds the file, keyed/predicate
+    * CoW rewrites refuse while it is pending, and the catalog scan
+    * routes through the library read. Stats and row counts carry
+    * verbatim (they become conservative over-approximations, like any
+    * MoR commit). `txn` gates exactly-once like [[appendCommitTxn]];
+    * a no-match delete commits nothing (metadata-only watermark when
+    * `txn` is given).
+    */
+  def deleteWhereMor(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      txn: Option[(String, Long)] = None): Long =
+    retryOnConflict() {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val priorTxns = txnWatermarks(spark, tableDir, base)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return base
+      }
+      val dirs = manifest(spark, tableDir, base)
+      val schemaOpt = versionSchema(spark, tableDir, base)
+      val schema = schemaOpt
+        .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      val matched = readDirsWithDeletes(spark, tableDir, base, dirs, schemaOpt,
+        keepPos = true)
+        .filter(coalesce(predicate, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        if (matched.isEmpty) {
+          txn.foreach { case (app, b) =>
+            return commitTxnWatermark(spark, tableDir, app, b)
+          }
+          return base
+        }
+        val delName = java.util.UUID.randomUUID().toString
+        matched.select(PosDeleteKeys.map(col): _*)
+          .write.mode("error").parquet(s"$tableDir/deletes/$delName")
+        // the commit-time artifact IS the CDC story for this op (the
+        // feed's reconstruction path is keyed; positions are physical) —
+        // with artifacts opted out, the feed refuses the window loudly
+        val changesName =
+          if (!LakeProps.cdcArtifacts(spark, tableDir)) None
+          else Some(writeChangesDir(
+            matched.drop(PosDeleteKeys: _*).withColumn("_change_type", lit("delete")),
+            tableDir))
+        publishManifest(spark, tableDir, dirs, schema,
+          dirStats(spark, tableDir, base).map { case (d, c) => d -> statsJson(c) },
+          dirBloomsRaw(spark, tableDir, base),
+          expectedBase = Some(Some(base)),
+          buckets = dirBuckets(spark, tableDir, base),
+          txns = priorTxns ++ txn.toMap,
+          eqdeletes = dirEqDeletes(spark, tableDir, base) :+
+            EqDelete(delName, PosDeleteKeys, dirs),
+          op = "delete_where_mor",
+          changes = changesName)
+      } finally matched.unpersist(blocking = false): Unit
+    }
 
   /** ATOMIC REPLACE-WHERE — `INSERT OVERWRITE ... PARTITION(...)` /
     * Delta `replaceWhere`: rows matching `predicate` vanish and `data`
@@ -4161,12 +4293,20 @@ object VersionedLake {
                |LOCATION '$tableDir/data/$d'""".stripMargin)
         // pending merge-on-read deletes apply as broadcast anti-joins,
         // which keep the probe side's HashPartitioning — the read stays
-        // exchange-free for downstream joins/aggs on the bucket key
-        dirEqDeletes(spark, tableDir, version).filter(_.dirs.contains(d))
-          .foldLeft(spark.table(tbl)) { (acc, e) =>
-            acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
-              e.keys, "left_anti")
-          }
+        // exchange-free for downstream joins/aggs on the bucket key.
+        // Position deletes attach the scan's metadata identity first
+        // (the bucket catalog table is a file source, so _metadata
+        // resolves) and drop it after.
+        val es = dirEqDeletes(spark, tableDir, version).filter(_.dirs.contains(d))
+        val needPos = es.exists(isPosDelete)
+        val base =
+          if (needPos) spark.table(tbl).select(col("*") +: posIdentityCols: _*)
+          else spark.table(tbl)
+        val folded = es.foldLeft(base) { (acc, e) =>
+          acc.join(broadcast(spark.read.parquet(s"$tableDir/deletes/${e.dir}")),
+            e.keys, "left_anti")
+        }
+        if (needPos) folded.drop(PosDeleteKeys: _*) else folded
       case _ => readVersion(spark, tableDir, version)
     }
   }
