@@ -591,10 +591,12 @@ final case class UpdateLakeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
-    VersionedLake.updateWhere(
-      spark, tableDir,
-      conditionSql.map(expr).getOrElse(lit(true)),
-      assignments.map { case (c, e) => c -> expr(e) }.toMap)
+    val cond = conditionSql.map(expr).getOrElse(lit(true))
+    val assigns = assignments.map { case (c, e) => c -> expr(e) }.toMap
+    if (graft.sources.LakeProps.updateModeMor(spark, tableDir))
+      VersionedLake.updateWhereMor(spark, tableDir, cond, assigns): Unit
+    else
+      VersionedLake.updateWhere(spark, tableDir, cond, assigns): Unit
     Nil
   }
 
@@ -634,9 +636,13 @@ final case class SubqueryDmlLakeCommand(
         VersionedLake.deleteWhereMor(spark, tableDir, c): Unit
       else
         VersionedLake.deleteWhere(spark, tableDir, c): Unit
-    else
-      VersionedLake.updateWhere(spark, tableDir, c,
-        assignments.map { case (n, h) => n -> GraftDmlShim.column(h.e) }.toMap): Unit
+    else {
+      val assigns = assignments.map { case (n, h) => n -> GraftDmlShim.column(h.e) }.toMap
+      if (graft.sources.LakeProps.updateModeMor(spark, tableDir))
+        VersionedLake.updateWhereMor(spark, tableDir, c, assigns): Unit
+      else
+        VersionedLake.updateWhere(spark, tableDir, c, assigns): Unit
+    }
     Nil
   }
 

@@ -289,7 +289,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case (k, pred) if k.startsWith("check.") =>
         LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
       case (k, v) if k.startsWith("cdc.") || k == "spj.enabled" ||
-          k == "delete.mode" =>
+          k == "delete.mode" || k == "update.mode" =>
         LakeProps.set(spark, dir, k, v)
       case _ =>
     }
@@ -374,11 +374,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         bloomK = p.value.toInt
       case p: TableChange.SetProperty
           if p.property.startsWith("cdc.") || p.property == "spj.enabled" ||
-            p.property == "delete.mode" =>
+            p.property == "delete.mode" || p.property == "update.mode" =>
         LakeProps.set(spark, dir, p.property, p.value)
       case p: TableChange.RemoveProperty
           if p.property.startsWith("cdc.") || p.property == "spj.enabled" ||
-            p.property == "delete.mode" =>
+            p.property == "delete.mode" || p.property == "update.mode" =>
         LakeProps.unset(spark, dir, p.property)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

@@ -84,6 +84,12 @@ object LakeProps {
   def deleteModeMor(spark: SparkSession, tableDir: String): Boolean =
     get(spark, tableDir).get("delete.mode").contains("merge-on-read")
 
+  /** [[deleteModeMor]]'s UPDATE twin: SQL predicate UPDATEs take the
+    * position-delete + appended-rows path instead of the CoW rewrite.
+    */
+  def updateModeMor(spark: SparkSession, tableDir: String): Boolean =
+    get(spark, tableDir).get("update.mode").contains("merge-on-read")
+
   private def mutate(
       spark: SparkSession,
       tableDir: String)(f: Map[String, String] => Map[String, String]): Unit =

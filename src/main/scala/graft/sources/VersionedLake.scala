@@ -3426,6 +3426,92 @@ object VersionedLake {
     } finally if (cached) df.unpersist(blocking = false): Unit
   }
 
+  /** MERGE-ON-READ predicate UPDATE — [[deleteWhereMor]]'s read/write
+    * bargain for updates: ONE position-delete file (the matched rows'
+    * physical identities) plus ONE appended directory holding the
+    * transformed rows, published in a single atomic commit with ZERO
+    * existing data rewritten. The appended directory sits outside the
+    * delete's pinned scope, so the new values are visible by
+    * construction; a scattered predicate update on a 100 TB table costs
+    * O(matched rows) instead of rewriting every affected directory.
+    * Keyless like its delete twin — duplicate physical rows all update.
+    * Assignments evaluate against the PRE-update row (SQL semantics,
+    * one projection) and must keep the column's committed type. Debts
+    * and guards are the MoR family's: broadcast anti-join at read until
+    * [[materializeDeletes]]/[[optimize]] folds, CoW rewrites refuse
+    * while pending, CDC rides the commit-time artifact
+    * (update_preimage + update_postimage). `txn` gates exactly-once.
+    */
+  def updateWhereMor(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      assignments: Map[String, Column],
+      maxRecordsPerFile: Long = 8L * 1000 * 1000,
+      txn: Option[(String, Long)] = None): Long = {
+    require(assignments.nonEmpty, "updateWhereMor needs at least one assignment")
+    retryOnConflict() {
+      val base = currentVersion(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+      val priorTxns = txnWatermarks(spark, tableDir, base)
+      txn.foreach { case (app, b) =>
+        if (priorTxns.get(app).exists(_ >= b)) return base
+      }
+      val dirs = manifest(spark, tableDir, base)
+      val schemaOpt = versionSchema(spark, tableDir, base)
+      val schema = schemaOpt
+        .getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      val matched = readDirsWithDeletes(spark, tableDir, base, dirs, schemaOpt,
+        keepPos = true)
+        .filter(coalesce(predicate, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        if (matched.isEmpty) {
+          txn.foreach { case (app, b) =>
+            return commitTxnWatermark(spark, tableDir, app, b)
+          }
+          return base
+        }
+        val dataCols = matched.columns.filterNot(PosDeleteKeys.contains).toSeq
+        assignments.keys.foreach(c =>
+          require(dataCols.contains(c), s"unknown column in assignment: $c"))
+        // ONE projection over the pre-update rows (`SET a = b, b = a`
+        // swaps) — every matched row updates, so no per-row gate
+        val transformed = matched.select(dataCols.map { c =>
+          assignments.get(c).fold(col(c))(_.as(c))
+        }: _*)
+        LakeConstraints.enforce(spark, tableDir, transformed, "updateWhereMor")
+        val delName = java.util.UUID.randomUUID().toString
+        matched.select(PosDeleteKeys.map(col): _*)
+          .write.mode("error").parquet(s"$tableDir/deletes/$delName")
+        val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base,
+          transformed.columns.toSeq)
+        val updDir = writeDataDir(transformed, tableDir,
+          declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
+        val changesName =
+          if (!LakeProps.cdcArtifacts(spark, tableDir)) None
+          else Some(writeChangesDir(
+            matched.drop(PosDeleteKeys: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(transformed.withColumn("_change_type", lit("update_postimage"))),
+            tableDir))
+        publishManifest(spark, tableDir, dirs :+ updDir,
+          mergeSchemas(schema, nullableAll(transformed.schema)),
+          dirStats(spark, tableDir, base).map { case (d, c) => d -> statsJson(c) } ++
+            columnStats(transformed, statCols).map(updDir -> _).toMap,
+          dirBloomsRaw(spark, tableDir, base) ++
+            bloomJson(transformed, bloomCfg).map(updDir -> _).toMap,
+          expectedBase = Some(Some(base)),
+          buckets = dirBuckets(spark, tableDir, base),
+          txns = priorTxns ++ txn.toMap,
+          eqdeletes = dirEqDeletes(spark, tableDir, base) :+
+            EqDelete(delName, PosDeleteKeys, dirs),
+          op = "update_where_mor",
+          changes = changesName)
+      } finally matched.unpersist(blocking = false): Unit
+    }
+  }
+
   /** Row-level UPDATE with the same minimal-copy-on-write machinery as
     * [[deleteWhere]]: only directories containing rows where `predicate`
     * is TRUE rewrite, applying each `assignments` column expression to

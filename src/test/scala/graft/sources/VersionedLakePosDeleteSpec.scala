@@ -160,6 +160,64 @@ class VersionedLakePosDeleteSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) FROM gpmode.t").head().getLong(0) === 0L)
   }
 
+  test("updateWhereMor: positions + appended rows, zero rewrite, pre-image semantics") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("vlake_pos_upd")
+    VersionedLake.appendCommit(
+      (1L to 60L).map(i => (i, i * 10L, s"s${i % 3}")).toDF("id", "v", "st"), dir)
+    val beforeDirs = VersionedLake.manifest(s, dir, 0)
+    val v = VersionedLake.updateWhereMor(s, dir, col("st") === "s1",
+      Map("v" -> (col("v") + col("id")), "st" -> lit("X")))
+    // zero rewrite: old dirs carry verbatim, ONE appended dir
+    val nowDirs = VersionedLake.manifest(s, dir, v)
+    assert(nowDirs.take(beforeDirs.size) === beforeDirs && nowDirs.size === beforeDirs.size + 1)
+    val got = VersionedLake.read(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    (1L to 60L).foreach { i =>
+      if (i % 3 == 1) assert(got(i) === ((i * 10 + i, "X")), s"row $i must update")
+      else assert(got(i) === ((i * 10, s"s${i % 3}")), s"row $i must carry")
+    }
+    // pre-update snapshot time-travels
+    assert(VersionedLake.readVersion(s, dir, 0).filter(col("st") === "X").count() === 0L)
+    // CDC: pre/postimages are exactly the matched rows
+    val d = VersionedLake.readRowChanges(s, dir, v - 1, v)
+    assert(d.filter(col("_change_type") === "update_preimage").count() === 20L)
+    assert(d.filter(col("_change_type") === "update_postimage")
+      .filter(col("st") === "X").count() === 20L)
+    // a second MoR update stacks; materialization folds both
+    VersionedLake.updateWhereMor(s, dir, col("id") === 1L, Map("st" -> lit("Y")))
+    val mv = VersionedLake.materializeDeletes(s, dir)
+    assert(VersionedLake.dirEqDeletes(s, dir, mv).isEmpty)
+    assert(VersionedLake.read(s, dir).filter(col("id") === 1L)
+      .head().getString(2) === "Y")
+    assert(VersionedLake.read(s, dir).count() === 60L)
+  }
+
+  test("TBLPROPERTIES('update.mode'='merge-on-read'): SQL UPDATE appends, never rewrites") {
+    val s = spark
+    val root = tmp("vlake_pos_umode")
+    s.conf.set("spark.sql.catalog.gpum", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gpum.root", root)
+    s.sql("""CREATE TABLE gpum.t (id BIGINT, v BIGINT)
+            |TBLPROPERTIES ('update.mode'='merge-on-read')""".stripMargin)
+    s.sql("INSERT INTO gpum.t VALUES (1, 10), (2, 20), (3, 30)")
+    val dir = s"$root/t"
+    val before = VersionedLake.manifest(s, dir, VersionedLake.currentVersion(s, dir).get)
+    s.sql("UPDATE gpum.t SET v = v + 1 WHERE id <= 2")
+    val cur = VersionedLake.currentVersion(s, dir).get
+    assert(VersionedLake.manifest(s, dir, cur).take(before.size) === before,
+      "MoR mode: prior directories carry verbatim")
+    assert(VersionedLake.dirEqDeletes(s, dir, cur).exists(VersionedLake.isPosDelete))
+    assert(s.sql("SELECT v FROM gpum.t ORDER BY id").collect().map(_.getLong(0)).toSeq
+      === Seq(11L, 21L, 30L))
+    // subquery UPDATE honors the mode too
+    s.sql("CREATE OR REPLACE TEMP VIEW um_allow AS SELECT CAST(3 AS BIGINT) AS id")
+    s.sql("UPDATE gpum.t SET v = v * 2 WHERE id IN (SELECT id FROM um_allow)")
+    assert(s.sql("SELECT v FROM gpum.t ORDER BY id").collect().map(_.getLong(0)).toSeq
+      === Seq(11L, 21L, 60L))
+  }
+
   test("catalog SQL reads route through the pending position delete") {
     val s = spark
     import s.implicits._
