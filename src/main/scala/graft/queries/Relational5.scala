@@ -249,6 +249,20 @@ object Relational5 {
     lakeDir
   }
 
+  private def posUpdLake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    orderedLake(s, dir, "posupd", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+  private def runLakeUpdatePos(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.VersionedLake
+    val lakeDir = posUpdLake(s, dir)
+    VersionedLake.updateWhereMor(s, lakeDir,
+      col("o_orderkey") % 500 === 77,
+      Map("o_orderstatus" -> lit("M"),
+        "o_totalprice" -> round(col("o_totalprice") * 2, 2)),
+      txn = Some("bench-posupd" -> 1L)): Unit
+    lakeDir
+  }
+
   private def runLakeUpdate(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.sources.VersionedLake
     val lakeDir = updLake(s, dir)
@@ -1389,6 +1403,29 @@ object Relational5 {
              |FROM orders
              |WHERE o_orderkey % 1000 <> 13""".stripMargin),
       covers = Seq("ext-lake-delete-pos")),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ POSITION UPDATE (updateWhereMor): one position file
+    // + ONE appended directory of transformed rows, zero data rewritten
+    // — the predicate-update twin of q_lake_delete_pos. Exactly-once via
+    // the txn watermark (the doubled price applies once; every later run
+    // times the steady-state anti-join read). Oracle: the mapped truth.
+    QueryDef(
+      "q_lake_update_pos",
+      (s, dir) => {
+        import graft.sources.VersionedLake
+        VersionedLake.read(s, runLakeUpdatePos(s, dir))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .localCheckpoint()
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 500 = 77 THEN 'M' ELSE o_orderstatus END
+             |    AS o_orderstatus,
+             |  round(CASE WHEN o_orderkey % 500 = 77 THEN o_totalprice * 2
+             |             ELSE o_totalprice END, 2) AS o_totalprice
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-lake-update-pos")),
 
     // ------------------------------------------------------------------
     // ROW-LEVEL UPDATE on the versioned lake: same minimal copy-on-write
