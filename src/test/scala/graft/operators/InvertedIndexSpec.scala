@@ -128,6 +128,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(indexed(idxDir) === scanBm25(base, Terms))
   }
 
+  test("continuous maintenance: a readChanges stream keeps the index live") {
+    val s = spark
+    val s2 = spark
+    import s2.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_stream").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_stream").toString
+    val ck = java.nio.file.Files.createTempDirectory("inv_idx_ck").toString
+    VersionedLake.commit(docs.filter(col("doc_id") < 120), corpusDir)
+    // sync is idempotent + corpus-version-watermarked, so the foreachBatch
+    // body just re-syncs on every CDC batch — exactly-once falls out
+    val q = s.readStream.format("graft-lake")
+      .option("path", corpusDir).option("readChanges", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        InvertedIndex.sync(s, corpusDir, "doc_id", "text", idxDir): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 120), Terms))
+      VersionedLake.upsert(spark, corpusDir,
+        Seq((3L, "scan join filter scan", "en", "web", 21L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        keys = Seq("doc_id"))
+      q.processAllAvailable()
+      assert(indexed(idxDir) === scanBm25(VersionedLake.read(s, corpusDir), Terms))
+    } finally q.stop()
+  }
+
   test("sync replays exactly-once: a repeated window commits nothing") {
     val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString
