@@ -373,6 +373,8 @@ object InvertedIndex {
     val st = readMember(spark, indexDir, Stats)
       .agg(sum("n_docs").as("n"), sum("n_len_docs").as("nl"), sum("sum_len").as("sl"))
       .head()
+    require(!st.isNullAt(0),
+      s"$indexDir has no corpus-stats partials - build() or sync() the index first")
     val n = st.getLong(0)
     val avgl = st.getLong(2).toDouble / math.max(st.getLong(1), 1L)
     val buckets = terms.map(bucketOf).distinct
