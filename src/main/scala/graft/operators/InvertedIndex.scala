@@ -161,9 +161,43 @@ object InvertedIndex {
 
   /** Maintain for an append-only document delta: tokenize ONLY `delta`
     * and append-commit its postings + one stats partial — O(delta).
+    *
+    * CONTRACT: every `delta` document id must be NEW to the index —
+    * re-supplying an existing document would double-count its postings
+    * and corpus stats. The contract is ENFORCED (not just documented):
+    * the default probes the existing postings for the delta's ids
+    * through the keyed-CoW pruning layers (manifest stats, then the
+    * doc_id bloom — the same machinery [[sync]]'s upsert prunes with),
+    * so a disjoint delta proves itself against metadata and the guard
+    * stays O(delta); a real overlap throws, pointing at [[sync]] (whose
+    * keyed upsert replaces postings and nets the stats). Callers with
+    * an external uniqueness guarantee pass `assumeNew = true` to skip
+    * the probe. Blind spot, by construction: a previously-appended
+    * ZERO-TOKEN document has no postings row, so re-supplying it is
+    * undetectable here and still double-counts `n_docs`.
     */
-  def append(delta: DataFrame, idCol: String, textCol: String, indexDir: String): Long = {
+  def append(delta: DataFrame, idCol: String, textCol: String, indexDir: String,
+      assumeNew: Boolean = false): Long = {
     val spark = delta.sparkSession
+    if (!assumeNew) {
+      val postDir = postingsDir(indexDir)
+      VersionedLake.currentVersion(spark, postDir).foreach { v =>
+        val ids = delta.select(col(idCol).as("doc_id")).distinct()
+        val candidates = VersionedLake.pruneCandidates(spark, postDir, v, ids, Seq("doc_id"))
+        val overlaps = candidates.nonEmpty && !VersionedLake
+          .readDirsWithDeletes(spark, postDir, v, candidates,
+            VersionedLake.versionSchema(spark, postDir, v))
+          .join(ids, Seq("doc_id"), "left_semi")
+          .isEmpty
+        if (overlaps)
+          throw new IllegalStateException(
+            s"append() delta re-supplies document ids already indexed in $indexDir " +
+              "- appending would double-count their postings and corpus stats; " +
+              "maintain overlapping batches through sync() (lake corpora) or " +
+              "rebuild with build(), or pass assumeNew = true only when ids " +
+              "are externally guaranteed fresh")
+      }
+    }
     val vP = VersionedLake.appendCommit(postingsOf(delta, idCol, textCol),
       postingsDir(indexDir), parts = Seq("b"), bloom = PostBloom)
     val vS = VersionedLake.appendCommit(statsPartial(delta, idCol, textCol, 1),
@@ -264,7 +298,7 @@ object InvertedIndex {
     val feed =
       try VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      catch { case _: IllegalStateException => return None }
+      catch { case _: VersionedLake.CdcWindowRefusedException => return None }
     try {
       import org.apache.spark.sql.expressions.Window
       val byDoc = Window.partitionBy(col(idCol))
@@ -299,12 +333,22 @@ object InvertedIndex {
     } finally feed.unpersist(blocking = false)
   }
 
-  /** Directory-diff fallback: documents in removed directories that did
-    * not resurface in added ones left the corpus; everything in added
-    * directories re-indexes via the same keyed upsert. Stats net to the
-    * added rows minus the removed rows, so compaction-moved documents
+  /** Directory-diff fallback: documents in AFFECTED directories that did
+    * not survive to the new version left the corpus; everything affected
+    * and still live re-indexes via the same keyed upsert. Stats net to
+    * the new rows minus the old rows, so compaction-moved documents
     * cancel exactly. O(changed directories) — the bound the rewrite
     * itself paid.
+    *
+    * "Affected" is more than the data-directory diff: a merge-on-read
+    * DELETE/UPDATE (or a rollback that only removes a delete file)
+    * changes the manifest's eqdelete lines WITHOUT touching a data
+    * directory, so the window also includes every directory a
+    * changed delete file scopes — and both sides read LOGICAL rows
+    * ([[VersionedLake.readDirsWithDeletes]] at each side's own version),
+    * never raw parquet, so rows already MoR-deleted at `lastSynced`
+    * (which the index therefore never counted) cannot be subtracted
+    * again, and rows MoR-deleted inside the window drop exactly once.
     */
   private def syncManifestDiff(
       spark: SparkSession,
@@ -318,28 +362,36 @@ object InvertedIndex {
     val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced)
     val removed = priorDirs.filterNot(curDirs.toSet)
     val added = curDirs.filterNot(priorDirs.toSet)
-    if (added.isEmpty && removed.isEmpty) {
+    // delete files that appeared (MoR DELETE/UPDATE in the window) or
+    // vanished (rollback) re-scope their directories into the diff even
+    // when no data directory moved
+    val priorDels = VersionedLake.dirEqDeletes(spark, corpusDir, lastSynced)
+    val curDels = VersionedLake.dirEqDeletes(spark, corpusDir, corpusV)
+    val priorDelIds = priorDels.map(_.dir).toSet
+    val curDelIds = curDels.map(_.dir).toSet
+    val delTouched = (curDels.filterNot(e => priorDelIds(e.dir)) ++
+      priorDels.filterNot(e => curDelIds(e.dir))).flatMap(_.dirs).distinct
+    val oldAffected = (removed ++ delTouched.filter(priorDirs.contains)).distinct
+    val newAffected = (added ++ delTouched.filter(curDirs.contains)).distinct
+    if (oldAffected.isEmpty && newAffected.isEmpty) {
       // metadata-only window: advance the watermarks, touch no data
       VersionedLake.commitTxnWatermark(spark, postingsDir(indexDir), SyncApp, corpusV)
       VersionedLake.commitTxnWatermark(spark, statsDir(indexDir), SyncApp, corpusV)
       return corpusV
     }
-    def readCorpusDirs(dirs: Seq[String], version: Long): DataFrame = {
-      val schema = VersionedLake.versionSchema(spark, corpusDir, version)
-      val reader = spark.read.option("basePath", s"$corpusDir/data")
-      val paths = dirs.map(d => s"$corpusDir/data/$d")
-      schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
-    }
+    def readLogical(dirs: Seq[String], version: Long): DataFrame =
+      VersionedLake.readDirsWithDeletes(spark, corpusDir, version, dirs,
+        VersionedLake.versionSchema(spark, corpusDir, version))
     val emptyDocs = {
       val schema = VersionedLake.versionSchema(spark, corpusDir, corpusV)
-        .getOrElse(readCorpusDirs(curDirs, corpusV).schema)
+        .getOrElse(readLogical(curDirs, corpusV).schema)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     }
     val oldRows =
-      if (removed.isEmpty) emptyDocs else readCorpusDirs(removed, lastSynced)
+      if (oldAffected.isEmpty) emptyDocs else readLogical(oldAffected, lastSynced)
     val newRows =
-      if (added.isEmpty) emptyDocs else readCorpusDirs(added, corpusV)
+      if (newAffected.isEmpty) emptyDocs else readLogical(newAffected, corpusV)
     val touched = oldRows.select(col(idCol).as("doc_id"))
       .unionByName(newRows.select(col(idCol).as("doc_id"))).distinct()
     val statsDelta = statsNet(

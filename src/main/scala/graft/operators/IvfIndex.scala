@@ -273,22 +273,34 @@ object IvfIndex {
         val priorDirs = VersionedLake.manifest(spark, corpusDir, lastSynced)
         val removed = priorDirs.filterNot(curDirs.toSet)
         val added = curDirs.filterNot(priorDirs.toSet)
-        if (added.isEmpty && removed.isEmpty) {
+        // a merge-on-read DELETE/UPDATE (or a rollback removing a delete
+        // file) changes eqdelete manifest lines WITHOUT moving a data
+        // directory — the window is not metadata-only, and every
+        // directory a changed delete file scopes joins the diff
+        val priorDels = VersionedLake.dirEqDeletes(spark, corpusDir, lastSynced)
+        val curDels = VersionedLake.dirEqDeletes(spark, corpusDir, corpusV)
+        val priorDelIds = priorDels.map(_.dir).toSet
+        val curDelIds = curDels.map(_.dir).toSet
+        val delTouched = (curDels.filterNot(e => priorDelIds(e.dir)) ++
+          priorDels.filterNot(e => curDelIds(e.dir))).flatMap(_.dirs).distinct
+        val oldAffected = (removed ++ delTouched.filter(priorDirs.contains)).distinct
+        val newAffected = (added ++ delTouched.filter(curDirs.contains)).distinct
+        if (oldAffected.isEmpty && newAffected.isEmpty) {
           publishMaintenance(spark, indexDir, asgV)
           return Some(corpusV)
         }
         val cents = centroids(spark, indexDir)
-        def readCorpusDirs(dirs: Seq[String], version: Long): DataFrame = {
-          val schema = VersionedLake.versionSchema(spark, corpusDir, version)
-          val reader = spark.read.option("basePath", s"$corpusDir/data")
-          val paths = dirs.map(d => s"$corpusDir/data/$d")
-          schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
-        }
+        // LOGICAL rows at each side's own version (pending delete files
+        // applied): raw parquet would resurrect rows already MoR-deleted
+        // at lastSynced and keep rows MoR-deleted inside the window
+        def readCorpusDirs(dirs: Seq[String], version: Long): DataFrame =
+          VersionedLake.readDirsWithDeletes(spark, corpusDir, version, dirs,
+            VersionedLake.versionSchema(spark, corpusDir, version))
         val vA =
-          if (removed.isEmpty) {
+          if (oldAffected.isEmpty) {
             // pure appends: assign the new directories, O(delta)
             VersionedLake.appendCommitTxn(
-              assignRows(readCorpusDirs(added, corpusV), idCol, cents), asgDir,
+              assignRows(readCorpusDirs(newAffected, corpusV), idCol, cents), asgDir,
               appId = SyncApp, batchId = corpusV, parts = Seq("cell"), bloom = AsgBloom)
           } else {
             // rewrites in the window — prefer the ROW-LEVEL delta: the
@@ -307,9 +319,12 @@ object IvfIndex {
               // in added dirs left the corpus — delete their assignments
               // (idempotent on replay). Everything in the added dirs
               // re-assigns via keyed upsert.
-              val oldIds = readCorpusDirs(removed, lastSynced)
+              val oldIds = readCorpusDirs(oldAffected, lastSynced)
                 .select(col(idCol).as("id")).distinct()
-              val newRows = readCorpusDirs(added, corpusV)
+              val newRows =
+                if (newAffected.isEmpty)
+                  readCorpusDirs(oldAffected, lastSynced).limit(0)
+                else readCorpusDirs(newAffected, corpusV)
               val vanished = oldIds.join(
                 newRows.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
               VersionedLake.deleteKeys(spark, asgDir, vanished, Seq("id"))
@@ -346,7 +361,7 @@ object IvfIndex {
     val feed =
       try VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      catch { case _: IllegalStateException => return None }
+      catch { case _: VersionedLake.CdcWindowRefusedException => return None }
     try {
       import org.apache.spark.sql.expressions.Window
       val isAdd = col("_change_type").isin("insert", "update_postimage")

@@ -1014,7 +1014,13 @@ final class LakeTable(
       // caps bloom probes at 16 IN values and a runtime key set is
       // almost always larger, so declaring them would buy pure overhead
       runtimeFilterCols =
-        scanStats.values.flatMap(_.keys).toSeq.distinct)
+        scanStats.values.flatMap(_.keys).toSeq.distinct,
+      // column-level CBO statistics: the manifest's #ndv layer (HLL
+      // sketch + null count per directory) merges over the KEPT dirs at
+      // build time and reports through DSv2 columnStats, so Catalyst's
+      // join estimation sees per-column cardinalities, not just row
+      // counts
+      ndvMeta = VersionedLake.dirNdv(spark, tableDir, v))
   }
 
   /** Spark source filters → a lake predicate Column — the vocabulary

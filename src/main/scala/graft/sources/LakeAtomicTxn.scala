@@ -73,6 +73,23 @@ object LakeAtomicTxn {
 
   private[sources] val staging = new ThreadLocal[Staging]
 
+  /** Decision paths THIS thread treats as committed while resolving
+    * pending manifests — the mechanism that lets a multi-commit branch
+    * ([[LakeWap.write]]) base its next staged commit on the chain tip:
+    * inside the override, `currentVersion` resolves the branch's own
+    * pending manifests as if published, while every other reader and
+    * writer still sees them as invisible fences. Thread-local by
+    * design: visibility leaks nowhere.
+    */
+  private[sources] val assumeDecided = new ThreadLocal[Set[String]]
+
+  private[sources] def withAssumedDecision[T](decisionPath: String)(f: => T): T = {
+    val prev = assumeDecided.get()
+    assumeDecided.set(Option(prev).getOrElse(Set.empty) + decisionPath)
+    try f
+    finally if (prev == null) assumeDecided.remove() else assumeDecided.set(prev)
+  }
+
   /** Run `write` under a fresh staging context and return what it
     * staged. Staging does NOT nest — a commitAll/WAP inside another's
     * writes would silently swap the outer context out and let later

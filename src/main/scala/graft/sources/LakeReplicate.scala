@@ -344,7 +344,13 @@ object LakeReplicate {
       throw new IllegalStateException(
         s"$dstDir carries no replication watermark for $srcDir - nothing to verify"))
     def hashed(df: DataFrame): DataFrame = {
+      // xxhash64 SKIPS null inputs (a null leaves the running hash
+      // unchanged), so hashing bare columns would read (NULL,'a') and
+      // ('a',NULL) as identical. Interleave an isnull marker before each
+      // value: the marker is never null, so the null's POSITION enters
+      // the hash even though its value cannot.
       val cols = df.columns.sorted.map(col)
+        .flatMap(c => Seq(isnull(c).cast("int"), c))
       df.select(xxhash64(cols: _*).as("_h")).groupBy("_h").agg(count(lit(1)).as("n"))
     }
     val src = hashed(VersionedLake.readVersion(spark, srcDir, applied))

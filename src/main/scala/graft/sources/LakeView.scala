@@ -108,7 +108,7 @@ object LakeView {
             // the commit itself must surface, not silently degrade
             val feedOpt =
               try Some(VersionedLake.readRowChanges(spark, corpusDir, lastSynced, corpusV))
-              catch { case _: IllegalStateException => None }
+              catch { case _: VersionedLake.CdcWindowRefusedException => None }
             feedOpt.map { feed0 =>
               import org.apache.spark.sql.functions.col
               // the feed plan embeds per-version MoR pre-image joins —

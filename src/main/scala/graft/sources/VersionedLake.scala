@@ -54,6 +54,19 @@ import org.apache.spark.sql.functions._
   */
 object VersionedLake {
 
+  /** The DOCUMENTED CDC refusal: [[readRowChanges]] (and the `t$changes`
+    * view riding it) throws this — and only this — when a window cannot
+    * be replayed row-level (a pre-artifact copy-on-write rewrite, a
+    * rollback/snapshot replace). Extends IllegalStateException so
+    * callers that matched the broad type keep working, but fallback
+    * sites (index/view maintenance downgrading to the manifest diff)
+    * catch THIS type specifically — an unrelated IllegalStateException
+    * from deeper in the read must surface, not silently reroute onto
+    * the lossier path.
+    */
+  final class CdcWindowRefusedException(msg: String)
+      extends IllegalStateException(msg)
+
   private val Pointer = "_latest"
 
   /** Age beyond which a zero-length manifest is judged a crashed
@@ -123,6 +136,24 @@ object VersionedLake {
     * bloom-less directories are read conservatively.
     */
   private val BloomHeader = "#bloom="
+
+  /** Manifest comment line carrying one data directory's per-column NDV
+    * layer: `#ndv=<dir>\t{"col":{"h":"<base64 HLL sketch>","n":nulls},...}`
+    * — a mergeable DataSketches HLL sketch of the column's non-null
+    * values (built in the SAME aggregation pass as the min/max stats
+    * line, so it costs the commit nothing extra in passes) plus the
+    * exact null count. This is the COLUMN-LEVEL half of CBO statistics:
+    * `#rows` gives Catalyst exact row counts, but join ordering on a
+    * multi-join plan needs per-column cardinalities — at 100 TB a build
+    * side chosen on row count alone is the classic 10× plan miss. At
+    * planning time the kept directories' sketches UNION driver-side
+    * (O(dirs) metadata work, sketches are a few KB) into one
+    * distinct-count estimate the scan reports through DSv2
+    * `columnStats()`. Comment-prefixed like stats/bloom: absence just
+    * means no column statistics (conservative), and directories are
+    * immutable so lines carry forward verbatim.
+    */
+  private val NdvHeader = "#ndv="
 
   /** Manifest comment line recording that one data directory is laid out
     * bucket-aligned: `#bucketspec=<dir>\t{"key":"k","n":8}`. The files in
@@ -776,6 +807,12 @@ object VersionedLake {
   private def txn2pcVisible(spark: SparkSession, tableDir: String, v: Long): Boolean =
     txn2pcDecisionPath(spark, tableDir, v) match {
       case None => true
+      case Some(dp)
+          if Option(LakeAtomicTxn.assumeDecided.get()).exists(_.contains(dp)) =>
+        // a multi-commit branch staging its NEXT write: this thread
+        // treats its own chain as committed (and must NOT finalize — the
+        // real decision has not happened)
+        true
       case Some(dp) =>
         val committed = txn2pcDecision(spark, tableDir, dp).contains("commit")
         // eager hygiene: the first reader of a committed-but-unfinalized
@@ -925,24 +962,43 @@ object VersionedLake {
     org.apache.spark.sql.types.StructType(out.toSeq)
   }
 
-  /** One aggregation pass over the batch: per-column min/max, string-cast
+  /** One aggregation pass over the batch: per-column min/max (string-cast
     * by Spark itself so the stored form matches what a reader's literal
-    * would cast to. O(delta) like the write it accompanies.
+    * would cast to), an HLL distinct-count sketch, and the exact null
+    * count — the `#stats` and `#ndv` lines of one directory from ONE
+    * job. O(delta) like the write it accompanies. The sketch hashes the
+    * STRING form: type-uniform, and every legal widen (int chain,
+    * decimal scale growth, date→timestamp) is injective on values, so a
+    * stored-form sketch keeps estimating the logical distinct count
+    * across schema evolution without a rewrite.
     */
-  private def columnStats(df: DataFrame, statsCols: Seq[String]): Option[String] = {
+  private def columnStatsNdv(
+      df: DataFrame, statsCols: Seq[String]): Option[(String, String)] = {
     if (statsCols.isEmpty) return None
     val missing = statsCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"statsCols not in the batch schema: ${missing.mkString(", ")}")
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string"),
+      hll_sketch_agg(col(c).cast("string")),
+      count(when(col(c).isNull, 1))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import org.json4s.JsonAST._
-    val obj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
+    val statsObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       def v(j: Int): JValue =
         if (row.isNullAt(j)) JNull else JString(row.getString(j))
-      c -> (JArray(List(v(2 * i), v(2 * i + 1))): JValue)
+      c -> (JArray(List(v(4 * i), v(4 * i + 1))): JValue)
     }.toList)
-    Some(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(obj)))
+    val ndvObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
+      val h: JValue =
+        if (row.isNullAt(4 * i + 2)) JNull
+        else JString(java.util.Base64.getEncoder.encodeToString(
+          row.getAs[Array[Byte]](4 * i + 2)))
+      c -> (JObject(List(
+        "h" -> h, "n" -> (JInt(row.getLong(4 * i + 3)): JValue))): JValue)
+    }.toList)
+    def render(o: JObject) =
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
+    Some((render(statsObj), render(ndvObj)))
   }
 
   /** Kirsch–Mitzenmacher double hashing: k bit positions for one value as
@@ -1039,6 +1095,61 @@ object VersionedLake {
         if (tab < 0) None else Some(rest.substring(0, tab) -> rest.substring(tab + 1))
       }
       .toMap
+
+  private def dirNdvRaw(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, String] =
+    manifestLines(spark, tableDir, version)
+      .filter(_.startsWith(NdvHeader))
+      .flatMap { line =>
+        val rest = line.stripPrefix(NdvHeader)
+        val tab = rest.indexOf('\t')
+        if (tab < 0) None else Some(rest.substring(0, tab) -> rest.substring(tab + 1))
+      }
+      .toMap
+
+  /** Per-directory NDV layer a version's manifest carries:
+    * dir -> col -> (HLL sketch bytes — None for an all-null directory —
+    * and the exact null count). Lenient parse like bucket specs: a
+    * malformed line degrades to "no column statistics", never a failed
+    * read.
+    */
+  def dirNdv(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, (Option[Array[Byte]], Long)]] = {
+    import org.json4s.JsonAST._
+    dirNdvRaw(spark, tableDir, version).flatMap { case (d, json) =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.map {
+        case JObject(fields) =>
+          d -> fields.collect { case (c, JObject(entry)) =>
+            val m = entry.toMap
+            val h = m.get("h").collect { case JString(b) =>
+              java.util.Base64.getDecoder.decode(b)
+            }
+            val n = m.get("n").collect { case JInt(v) => v.toLong }.getOrElse(0L)
+            c -> (h, n)
+          }.toMap
+        case _ => d -> Map.empty[String, (Option[Array[Byte]], Long)]
+      }
+    }
+  }
+
+  /** Union a set of per-directory HLL sketches into one distinct-count
+    * estimate (DataSketches union — the mergeability that makes
+    * per-directory sketches a TABLE statistic). `None` sketches (all-null
+    * directories) contribute nothing. Driver-side, O(sketches), a few KB
+    * each — planning-time metadata work.
+    */
+  def ndvEstimate(sketches: Seq[Option[Array[Byte]]]): Long = {
+    val u = new org.apache.datasketches.hll.Union(12)
+    sketches.foreach(_.foreach { bytes =>
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(bytes)))
+    })
+    math.round(u.getResult.getEstimate)
+  }
 
   /** Per-directory stats a version's manifest carries:
     * dir -> col -> (min, max) as Spark string-casts, None = all-null.
@@ -1411,7 +1522,8 @@ object VersionedLake {
       txns: Map[String, Long] = Map.empty,
       eqdeletes: Seq[EqDelete] = Nil,
       op: String = "commit",
-      changes: Option[String] = None): Long = {
+      changes: Option[String] = None,
+      ndv: Map[String, String] = Map.empty): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -1457,6 +1569,14 @@ object VersionedLake {
     }
     val statsLines = dirs.flatMap(d => stats.get(d).map(j => s"$StatsHeader$d\t$j"))
     val bloomLines = dirs.flatMap(d => blooms.get(d).map(j => s"$BloomHeader$d\t$j"))
+    // NDV lines: caller-supplied for new directories, carried VERBATIM
+    // from the current version for any directory it already accounts
+    // (immutable data ⟹ immutable sketches) — so the layer survives
+    // every commit path that reuses directories with zero call-site
+    // involvement, exactly like the `#rows` layer
+    val priorNdv = cur.map(v => dirNdvRaw(spark, tableDir, v)).getOrElse(Map.empty)
+    val ndvLines = dirs.flatMap(d =>
+      ndv.get(d).orElse(priorNdv.get(d)).map(j => s"$NdvHeader$d\t$j"))
     val bucketLines = dirs.flatMap(d => buckets.get(d).map { case (key, n) =>
       // render through json4s so a key containing quotes/backslashes
       // escapes properly instead of writing a malformed manifest line
@@ -1483,8 +1603,8 @@ object VersionedLake {
       }
     val changesLines = changes.map(c => s"$ChangesHeader$c").toSeq
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
-      (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ bucketLines ++
-        txnLines ++ eqLines ++ changesLines ++ dirs)
+      (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ ndvLines ++
+        bucketLines ++ txnLines ++ eqLines ++ changesLines ++ dirs)
     // inside a LakeAtomicTxn: register the intended publish and stop — the
     // transaction claims every table's slot, writes the one decision
     // file, and finalizes (see [[LakeAtomicTxn.commitAll]])
@@ -1611,7 +1731,9 @@ object VersionedLake {
       txn: Option[(String, Long)] = None): Long = {
     LakeConstraints.enforce(df.sparkSession, tableDir, df, "commit")
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    val stats = columnStats(df, statsCols).map(d -> _).toMap
+    val statsNdv = columnStatsNdv(df, statsCols)
+    val stats = statsNdv.map { case (s, _) => d -> s }.toMap
+    val ndv = statsNdv.map { case (_, n) => d -> n }.toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
     // a full snapshot replaces the table regardless of base version, so a
     // lost race only means re-claiming the next number — data is written.
@@ -1626,7 +1748,8 @@ object VersionedLake {
         if (priorTxns.get(app).exists(_ >= b)) return cur.get
       }
       publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema), stats, blooms,
-        expectedBase = Some(cur), txns = priorTxns ++ txn.toMap, op = "snapshot")
+        expectedBase = Some(cur), txns = priorTxns ++ txn.toMap, op = "snapshot",
+        ndv = ndv)
     }
   }
 
@@ -1756,7 +1879,7 @@ object VersionedLake {
     // happens ONCE; the directory is immutable, so losing the publish race
     // only costs re-reading the prior manifest and retrying the publish
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
-    val batchStats = columnStats(df, statsCols)
+    val batchStats = columnStatsNdv(df, statsCols)
     val batchBloom = bloomJson(df, bloom)
     val batchSchema = nullableAll(df.schema)
     retryOnConflict() {
@@ -1791,11 +1914,12 @@ object VersionedLake {
       val merged = priorSchema
         .map(p => mergeSchemas(p, batchSchema))
         .getOrElse(batchSchema)
-      val stats = priorStats ++ batchStats.map(d -> _).toMap
+      val stats = priorStats ++ batchStats.map { case (s, _) => d -> s }.toMap
       val blooms = priorBlooms ++ batchBloom.map(d -> _).toMap
       publishManifest(spark, tableDir, prior :+ d, merged, stats, blooms,
         expectedBase = Some(cur), buckets = priorBuckets,
-        txns = priorTxns ++ txn.toMap, eqdeletes = priorEq, op = "append")
+        txns = priorTxns ++ txn.toMap, eqdeletes = priorEq, op = "append",
+        ndv = batchStats.map { case (_, n) => d -> n }.toMap)
     }
   }
 
@@ -1860,7 +1984,7 @@ object VersionedLake {
     * Delete key sets are broadcast (they are deltas by design — bulk
     * deletions belong on the copy-on-write [[deleteKeys]] path).
     */
-  private def readDirsWithDeletes(
+  private[graft] def readDirsWithDeletes(
       spark: SparkSession,
       tableDir: String,
       version: Long,
@@ -2416,7 +2540,7 @@ object VersionedLake {
         changesArtifact(spark, tableDir, v) match {
           case Some(cd) => ArtifactDelta(v, cd)
           case None =>
-            throw new IllegalStateException(
+            throw new CdcWindowRefusedException(
               s"version $v of $tableDir ($other) is a rewrite with no change " +
                 "artifact, which the commit log cannot replay row-level; " +
                 "copy-on-write commits made before change artifacts existed " +
@@ -2752,12 +2876,14 @@ object VersionedLake {
         else Some(writeDataDir(updates, tableDir, parts, maxRecordsPerFile))
       val newDirs = kr.survivingDirs ++ updDirOpt
       val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
-      val (cowStats, cowBlooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
+      val (cowStats, cowBlooms, cowNdv) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
         kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
       val updStatCols = kr.priorStats.values.flatMap(_.keys).toSeq.distinct.sorted
         .filter(updates.columns.contains)
-      val updStats = updDirOpt.flatMap(d =>
-        columnStats(updates, updStatCols).map(d -> _)).toMap
+      val updStatsNdv = updDirOpt.flatMap(d =>
+        columnStatsNdv(updates, updStatCols).map(d -> _))
+      val updStats = updStatsNdv.map { case (d, (s, _)) => d -> s }.toMap
+      val updNdv = updStatsNdv.map { case (d, (_, n)) => d -> n }.toMap
       val updBloom = updDirOpt.flatMap { d =>
         val cols = kr.priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
           .filter(updates.columns.contains)
@@ -2784,7 +2910,7 @@ object VersionedLake {
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
           txns = priorTxns ++ txn.toMap, op = "upsert",
-          changes = changesName)
+          changes = changesName, ndv = cowNdv ++ updNdv)
     }
   }
 
@@ -2848,7 +2974,8 @@ object VersionedLake {
       val priorStats = dirStats(spark, tableDir, cur).map { case (d, c) => d -> statsJson(c) }
       val statCols = dirStats(spark, tableDir, cur).values.flatMap(_.keys)
         .toSeq.distinct.sorted.filter(updates.columns.contains)
-      val updStats = columnStats(updates, statCols).map(updDir -> _).toMap
+      val updStatsNdv = columnStatsNdv(updates, statCols)
+      val updStats = updStatsNdv.map { case (s, _) => updDir -> s }.toMap
       val priorBlooms = dirBlooms(spark, tableDir, cur)
       val updBloom = {
         val cols = priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -2866,7 +2993,8 @@ object VersionedLake {
         buckets = dirBuckets(spark, tableDir, cur),
         txns = priorTxns ++ txn.toMap,
         eqdeletes = dirEqDeletes(spark, tableDir, cur) :+ EqDelete(delName, keys, dirs),
-        op = "upsert_mor")
+        op = "upsert_mor",
+        ndv = updStatsNdv.map { case (_, n) => updDir -> n }.toMap)
     }
   }
 
@@ -2918,7 +3046,7 @@ object VersionedLake {
             .withColumn("_change_type", lit("delete"))
         writeChangesDir(frame, tableDir)
       }
-      val (stats, blooms) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
+      val (stats, blooms, rewriteNdv) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
         kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
       if (newDirs.isEmpty) {
         val empty = spark.createDataFrame(
@@ -2933,7 +3061,7 @@ object VersionedLake {
           expectedBase = Some(Some(base)),
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
           txns = priorTxns ++ txn.toMap, op = "delete_keys",
-          changes = changesName)
+          changes = changesName, ndv = rewriteNdv)
     }
   }
 
@@ -3053,7 +3181,7 @@ object VersionedLake {
           rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
       }.toMap
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
-      val (stats, blooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
+      val (stats, blooms, rewriteNdv) = carryRewriteMeta(spark, tableDir, schemaOpt,
         dirStats(spark, tableDir, base), dirBloomsRaw(spark, tableDir, base),
         dirBlooms(spark, tableDir, base), newDirs, rewritten)
       if (newDirs.isEmpty) {
@@ -3069,7 +3197,8 @@ object VersionedLake {
           expectedBase = Some(Some(base)),
           buckets = dirBuckets(spark, tableDir, base)
             .filter { case (d, _) => !rewritten.contains(d) },
-          txns = txnWatermarks(spark, tableDir, base), op = "materialize")
+          txns = txnWatermarks(spark, tableDir, base), op = "materialize",
+          ndv = rewriteNdv)
     }
 
   /** Keyed/predicate rewrites re-distribute rows across directories,
@@ -3495,10 +3624,11 @@ object VersionedLake {
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(transformed.withColumn("_change_type", lit("update_postimage"))),
             tableDir))
+        val updStatsNdv = columnStatsNdv(transformed, statCols)
         publishManifest(spark, tableDir, dirs :+ updDir,
           mergeSchemas(schema, nullableAll(transformed.schema)),
           dirStats(spark, tableDir, base).map { case (d, c) => d -> statsJson(c) } ++
-            columnStats(transformed, statCols).map(updDir -> _).toMap,
+            updStatsNdv.map { case (s, _) => updDir -> s }.toMap,
           dirBloomsRaw(spark, tableDir, base) ++
             bloomJson(transformed, bloomCfg).map(updDir -> _).toMap,
           expectedBase = Some(Some(base)),
@@ -3507,7 +3637,8 @@ object VersionedLake {
           eqdeletes = dirEqDeletes(spark, tableDir, base) :+
             EqDelete(delName, PosDeleteKeys, dirs),
           op = "update_where_mor",
-          changes = changesName)
+          changes = changesName,
+          ndv = updStatsNdv.map { case (_, n) => updDir -> n }.toMap)
       } finally matched.unpersist(blocking = false): Unit
     }
   }
@@ -3572,17 +3703,23 @@ object VersionedLake {
       priorBloomsRaw: Map[String, String],
       priorBlooms: Map[String, Map[String, (Int, Int, Array[Byte])]],
       newDirs: Seq[String],
-      rewritten: Map[String, Option[String]]): (Map[String, String], Map[String, String]) = {
-    val stats = newDirs.flatMap { nd =>
+      rewritten: Map[String, Option[String]])
+      : (Map[String, String], Map[String, String], Map[String, String]) = {
+    val statsNdv = newDirs.flatMap { nd =>
       rewritten.collectFirst { case (old, Some(`nd`)) => old } match {
         case Some(old) =>
           val cols = priorStats.get(old).map(_.keys.toSeq.sorted).getOrElse(Nil)
-          columnStats(
+          columnStatsNdv(
             readDirs(spark, tableDir, Seq(s"$tableDir/data/$nd"), schemaOpt), cols)
             .map(nd -> _)
-        case None => priorStats.get(nd).map(c => nd -> statsJson(c))
+        // untouched dirs: the stats line re-renders here (legacy shape);
+        // their #ndv line carries verbatim via publishManifest's own
+        // prior-version pass, so it is NOT re-emitted from this map
+        case None => priorStats.get(nd).map(c => nd -> ((statsJson(c), "")))
       }
     }.toMap
+    val stats = statsNdv.map { case (d, (s, _)) => d -> s }
+    val ndv = statsNdv.collect { case (d, (_, n)) if n.nonEmpty => d -> n }
     val blooms = newDirs.flatMap { nd =>
       rewritten.collectFirst { case (old, Some(`nd`)) => old } match {
         case Some(old) =>
@@ -3595,7 +3732,7 @@ object VersionedLake {
         case None => priorBloomsRaw.get(nd).map(nd -> _)
       }
     }.toMap
-    (stats, blooms)
+    (stats, blooms, ndv)
   }
 
   private def copyOnWrite(
@@ -3652,7 +3789,7 @@ object VersionedLake {
         // layout (no self-describing chain exists yet to copy)
         val d = writeDataDir(df, tableDir,
           declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
-        (d, columnStats(df, statCols), bloomJson(df, bloomCfg))
+        (d, columnStatsNdv(df, statCols), bloomJson(df, bloomCfg))
       }
       val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d))) ++
         appendedMeta.map(_._1)
@@ -3683,10 +3820,13 @@ object VersionedLake {
               allowMissingColumns = true))
           Some(writeChangesDir(frame, tableDir))
         }
-      val (carriedStats, carriedBlooms) = carryRewriteMeta(spark, tableDir, schemaOpt,
+      val (carriedStats, carriedBlooms, carriedNdv) = carryRewriteMeta(
+        spark, tableDir, schemaOpt,
         priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
       val stats = carriedStats ++
-        appendedMeta.flatMap { case (d, st, _) => st.map(d -> _) }
+        appendedMeta.flatMap { case (d, st, _) => st.map { case (s, _) => d -> s } }
+      val ndv = carriedNdv ++
+        appendedMeta.flatMap { case (d, st, _) => st.map { case (_, n) => d -> n } }
       val blooms = carriedBlooms ++
         appendedMeta.flatMap { case (d, _, bl) => bl.map(d -> _) }
       // bucket alignment does not survive an unbucketed rewrite
@@ -3705,7 +3845,7 @@ object VersionedLake {
         publishManifest(spark, tableDir, newDirs, schema, stats, blooms,
           expectedBase = Some(Some(base)), buckets = buckets,
           txns = txnWatermarks(spark, tableDir, base), op = op,
-          changes = changesName)
+          changes = changesName, ndv = ndv)
     }
 
   /** METADATA-ONLY RENAME COLUMN — the Iceberg field-id bargain without
@@ -3784,12 +3924,26 @@ object VersionedLake {
         (if (c.equalsIgnoreCase(oldName)) newName else c) -> v
       })
     }
+    // the NDV layer is keyed by column name like stats: re-key the
+    // renamed column's entries (sketches are value-based — a rename
+    // changes no values, so the sketch itself carries verbatim)
+    val ndv = dirNdvRaw(spark, tableDir, cur).map { case (d, json) =>
+      import org.json4s.JsonAST._
+      d -> (org.json4s.jackson.JsonMethods.parse(json) match {
+        case JObject(fields) =>
+          org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+            JObject(fields.map { case (c, v) =>
+              (if (c.equalsIgnoreCase(oldName)) newName else c) -> v
+            })))
+        case _ => json
+      })
+    }
     val out = publishManifest(spark, tableDir, dirs, newSchema, stats,
       dirBloomsRaw(spark, tableDir, cur),
       expectedBase = Some(Some(cur)),
       buckets = dirBuckets(spark, tableDir, cur),
       txns = txnWatermarks(spark, tableDir, cur),
-      eqdeletes = eqd, op = "rename_column")
+      eqdeletes = eqd, op = "rename_column", ndv = ndv)
     // keep the DDL carrier current: a renamed partition column must
     // steer NEW directories under its new name (the physical fallback
     // translates through the aka indirection, but the prop is what an
@@ -4046,11 +4200,13 @@ object VersionedLake {
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
       // a compaction merges N directories into one, so per-directory stats
       // and blooms must be recomputed over the union, not carried forward
-      val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
+      val statsNdv = columnStatsNdv(snapshot, statsCols)
+      val stats = statsNdv.map { case (s, _) => d -> s }.toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
-        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize",
+        ndv = statsNdv.map { case (_, n) => d -> n }.toMap)
     }
 
   /** INCREMENTAL COMPACTION — rewrite ONLY the directories whose
@@ -4097,8 +4253,9 @@ object VersionedLake {
         declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
       val priorStats = dirStats(spark, tableDir, base)
       val priorBloomsRaw = dirBloomsRaw(spark, tableDir, base)
+      val dataStatsNdv = columnStatsNdv(data, statCols)
       val stats = kept.flatMap(k => priorStats.get(k).map(k -> statsJson(_))).toMap ++
-        columnStats(data, statCols).map(d -> _)
+        dataStatsNdv.map { case (s, _) => d -> s }
       val blooms = kept.flatMap(k => priorBloomsRaw.get(k).map(k -> _)).toMap ++
         bloomJson(data, bloomCfg).map(d -> _)
       // bucket alignment names specific directories; compacted ones are
@@ -4111,7 +4268,8 @@ object VersionedLake {
       val schema = schemaOpt.getOrElse(nullableAll(data.schema))
       Some(publishManifest(spark, tableDir, kept :+ d, schema, stats, blooms,
         expectedBase = Some(Some(base)), buckets = buckets,
-        txns = txnWatermarks(spark, tableDir, base), op = "optimize"))
+        txns = txnWatermarks(spark, tableDir, base), op = "optimize",
+        ndv = dataStatsNdv.map { case (_, n) => d -> n }.toMap))
     }
 
   /** OPTIMIZE ... CLUSTER BY into MULTIPLE Z-range-disjoint directories:
@@ -4203,11 +4361,13 @@ object VersionedLake {
       // on the clustered columns (plus any extras) give each directory
       // its narrow multi-dimensional box
       val statCols = (zorderBy ++ statsCols).distinct.sorted
-      val stats = newDirs.flatMap { d =>
-        columnStats(
+      val statsNdvByDir = newDirs.flatMap { d =>
+        columnStatsNdv(
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), statCols)
           .map(d -> _)
       }.toMap
+      val stats = statsNdvByDir.map { case (d, (s, _)) => d -> s }
+      val zNdv = statsNdvByDir.map { case (d, (_, n)) => d -> n }
       val blooms = newDirs.flatMap { d =>
         bloomJson(
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), bloom)
@@ -4226,7 +4386,8 @@ object VersionedLake {
       // dirs then would corrupt the current version; vacuum backstops.
       try publishManifest(spark, tableDir, newDirs, stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
-        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize",
+        ndv = zNdv)
       catch {
         case e: CommitConflictException =>
           newDirs.foreach { d =>
@@ -4271,7 +4432,8 @@ object VersionedLake {
       statsCols: Seq[String] = Nil,
       bloom: Option[BloomConfig] = None): Long = {
     val d = writeBucketedDataDir(df, tableDir, key, buckets, maxRecordsPerFile)
-    val stats = columnStats(df, statsCols).map(d -> _).toMap
+    val statsNdv = columnStatsNdv(df, statsCols)
+    val stats = statsNdv.map { case (s, _) => d -> s }.toMap
     val blooms = bloomJson(df, bloom).map(d -> _).toMap
     retryOnConflict() {
       val spark = df.sparkSession
@@ -4279,7 +4441,8 @@ object VersionedLake {
       publishManifest(spark, tableDir, Seq(d), nullableAll(df.schema),
         stats, blooms, expectedBase = Some(cur),
         buckets = Map(d -> ((key, buckets))),
-        txns = txnsAt(spark, tableDir, cur), op = "snapshot")
+        txns = txnsAt(spark, tableDir, cur), op = "snapshot",
+        ndv = statsNdv.map { case (_, n) => d -> n }.toMap)
     }
   }
 
@@ -4301,7 +4464,8 @@ object VersionedLake {
       val snapshot = readVersion(spark, tableDir, cur)
       val d = writeBucketedDataDir(snapshot, tableDir, key, buckets, maxRecordsPerFile)
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
-      val stats = columnStats(snapshot, statsCols).map(d -> _).toMap
+      val statsNdv = columnStatsNdv(snapshot, statsCols)
+      val stats = statsNdv.map { case (s, _) => d -> s }.toMap
       val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
       // full rewrite like optimize: files now carry logical names only —
       // shed rename/drop indirection (readBucketedVersion renders the
@@ -4310,7 +4474,8 @@ object VersionedLake {
       // metadata would pin catalog scans on the V1 read-through forever)
       publishManifest(spark, tableDir, Seq(d), stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)), buckets = Map(d -> ((key, buckets))),
-        txns = txnWatermarks(spark, tableDir, cur), op = "optimize")
+        txns = txnWatermarks(spark, tableDir, cur), op = "optimize",
+        ndv = statsNdv.map { case (_, n) => d -> n }.toMap)
     }
 
   /** Bucketed writes only exist behind `saveAsTable`, so the directory is
@@ -4491,7 +4656,11 @@ object VersionedLake {
       publishManifest(spark, tableDir, dirs, schema, stats, blooms,
         expectedBase = Some(Some(cur)), buckets = buckets,
         txns = txnWatermarks(spark, tableDir, cur),
-        eqdeletes = dirEqDeletes(spark, tableDir, toVersion), op = "rollback")
+        eqdeletes = dirEqDeletes(spark, tableDir, toVersion), op = "rollback",
+        // dirs reinstated from toVersion may be absent from cur's
+        // manifest, so the auto-carry cannot see their #ndv lines —
+        // carry them from the version being restored, like stats/blooms
+        ndv = dirNdvRaw(spark, tableDir, toVersion))
     }
 
   /** Manifest-level directory pruning for ARBITRARY pushed filters — the

@@ -53,7 +53,8 @@ final class LakePruningScanBuilder(
     rowMeta: Map[String, (Long, Long)] = Map.empty,
     aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None,
     spjCols: Seq[String] = Nil,
-    runtimeFilterCols: Seq[String] = Nil)
+    runtimeFilterCols: Seq[String] = Nil,
+    ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -149,16 +150,63 @@ final class LakePruningScanBuilder(
         .filter(c => required.fieldNames.exists(resolver(_, c)))
       if (rtCols.nonEmpty)
         new LakePruningScanBuilder.RuntimePrunedLakeScan(
-          scan, kept, translated, rtCols, innerScan, pruner, rowMeta)
+          scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta)
       else stats match {
         case Some((rows, bytes)) =>
-          new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes)
+          new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes,
+            LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta))
         case None => scan
       }
   }
 }
 
 object LakePruningScanBuilder {
+
+  /** COLUMN-LEVEL CBO STATISTICS from the manifest's `#ndv` layer: the
+    * kept directories' per-column HLL sketches union driver-side into
+    * one distinct-count estimate, null counts sum exactly. A column is
+    * reported ONLY when every row-bearing kept directory carries its
+    * sketch — a partial union would understate NDV and mis-steer join
+    * ordering the same way a partial row sum would mis-broadcast (the
+    * conservatism rule [[build]] applies to rows/bytes). Zero-row
+    * directories contribute nothing and need no line. O(dirs × cols)
+    * driver metadata work on sketches of a few KB — planning-time cost,
+    * never a file open.
+    */
+  def columnStatsFor(
+      kept: Seq[String],
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]])
+      : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    // only row-bearing dirs need a sketch; a dir without a #rows line is
+    // unknown (legacy) and blocks reporting entirely — stats must never
+    // describe data they cannot see
+    if (!kept.forall(rowMeta.contains)) return out
+    val live = kept.filter(d => rowMeta(d)._1 > 0)
+    if (live.isEmpty) return out
+    val perDir = live.map(ndvMeta.getOrElse(_, Map.empty))
+    val covered = perDir.map(_.keySet).reduce(_ intersect _)
+    covered.foreach { c =>
+      if (perDir.forall(_.contains(c))) {
+        val entries = perDir.map(_(c))
+        val distinct = graft.sources.VersionedLake.ndvEstimate(entries.map(_._1))
+        val nulls = entries.map(_._2).sum
+        out.put(Expressions.column(c), new ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(distinct)
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(nulls)
+        })
+      }
+    }
+    out
+  }
+
   /** Observability hooks (specs assert pruning/meta-agg fired; harmless in prod). */
   val lastKept = new ThreadLocal[Seq[String]]
   val lastMetaAgg = new ThreadLocal[Seq[String]]
@@ -190,7 +238,8 @@ object LakePruningScanBuilder {
       private val rtCols: Seq[String],
       rebuild: Seq[String] => Scan,
       pruner: Seq[Filter] => Seq[String],
-      rowMeta: Map[String, (Long, Long)])
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty)
       extends Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -232,9 +281,13 @@ object LakePruningScanBuilder {
       val ds = kept
       if (ds.forall(rowMeta.contains)) {
         val (rows, bytes) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
+        val cs = columnStatsFor(ds, rowMeta, ndvMeta)
         new Statistics {
           override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
           override def numRows(): OptionalLong = OptionalLong.of(rows)
+          override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cs
         }
       } else current match {
         case s: SupportsReportStatistics => s.estimateStatistics()
@@ -259,7 +312,11 @@ object LakePruningScanBuilder {
     * inner scan still plans its own partitions, columnar mode, and
     * runtime metrics).
     */
-  final class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
+  final class ManifestStatsScan(
+      val inner: Scan, rows: Long, bytes: Long,
+      colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        java.util.Collections.emptyMap())
       extends Scan with SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     override def readSchema(): StructType = inner.readSchema()
@@ -274,6 +331,9 @@ object LakePruningScanBuilder {
     override def estimateStatistics(): Statistics = new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
     // runtime filtering (dynamic partition pruning) must survive the
     // wrap: forward to the inner scan when it participates; an empty

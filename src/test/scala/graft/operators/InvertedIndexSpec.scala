@@ -156,6 +156,53 @@ class InvertedIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("refused window whose only data change is a MoR delete file syncs exactly") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_mor").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_mor").toString
+    val base = docs.filter(col("doc_id") < 60)
+    VersionedLake.commit(base, corpusDir)
+    val v0 = VersionedLake.currentVersion(spark, corpusDir).get
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    // a window the CDC feed REFUSES (rollback inside) whose net data
+    // change is one merge-on-read delete file: the data-directory diff
+    // is EMPTY (append + rollback cancel; the MoR delete adds no dir),
+    // so a dirs-only fallback would call it metadata-only and leave the
+    // deleted document indexed forever
+    val s2 = spark
+    import s2.implicits._
+    VersionedLake.appendCommit(
+      Seq((8901L, "transient join row", "en", "web", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), corpusDir)
+    VersionedLake.rollback(spark, corpusDir, v0)
+    VersionedLake.deleteKeysMor(spark, corpusDir, Seq(7L).toDF("doc_id"), Seq("doc_id"))
+    assert(VersionedLake.manifest(spark, corpusDir,
+      VersionedLake.currentVersion(spark, corpusDir).get) ===
+      VersionedLake.manifest(spark, corpusDir, v0),
+      "fixture must keep data directories identical across the window")
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idxDir)
+    val cur = VersionedLake.read(spark, corpusDir)
+    assert(!indexed(idxDir).contains(7L), "MoR-deleted doc must leave the index")
+    assert(indexed(idxDir) === scanBm25(cur, Terms))
+    // corpus stats netted the deleted doc (N and sum_len shrink exactly)
+    val exp = cur.select(size(graft.functions.TextExprs.wordTokens(col("text"))).as("len"))
+      .agg(count(lit(1)), count(when(col("len") > 0, 1)),
+        coalesce(sum(when(col("len") > 0, col("len"))), lit(0L))).head()
+    assert(statsSums(idxDir) === ((exp.getLong(0), exp.getLong(1), exp.getLong(2))))
+  }
+
+  test("append refuses a delta that re-supplies indexed document ids") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_guard").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", idxDir)
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.append(docs.filter(col("doc_id") < 10), "doc_id", "text", idxDir)
+    }
+    assert(e.getMessage.contains("re-supplies"))
+    // a genuinely disjoint delta passes the guard (bloom-pruned probe)
+    InvertedIndex.append(
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 50), "doc_id", "text", idxDir)
+    assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 50), Terms))
+  }
+
   test("sync replays exactly-once: a repeated window commits nothing") {
     val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString

@@ -274,4 +274,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
       s"probe must partition-prune on cell; got:\n${plan.toString.take(2000)}")
   }
+
+  test("refused window whose only data change is a MoR delete file drops assignments") {
+    val s = spark
+    val s2 = s
+    import s2.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("ivf_corpus_mor").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_mor").toString
+    val corpus = emb.filter(col("vec_id") =!= 0 && col("vec_id") <= 100)
+    VersionedLake.commit(corpus, corpusDir)
+    val v0 = VersionedLake.currentVersion(s, corpusDir).get
+    IvfIndex.sync(s, corpusDir, "vec_id", idxDir, k = 4, iters = 2)
+    val asgDir = IvfIndex.assignmentsDir(idxDir)
+    val n0 = VersionedLake.read(s, asgDir).count()
+    // append + rollback cancel (the CDC feed refuses the window at the
+    // rollback), then a merge-on-read delete file lands with NO data
+    // directory change — a dirs-only diff would call this metadata-only
+    // and keep vec 5's assignment forever
+    VersionedLake.appendCommit(
+      emb.filter(col("vec_id") > 100 && col("vec_id") <= 105), corpusDir)
+    VersionedLake.rollback(s, corpusDir, v0)
+    VersionedLake.deleteKeysMor(s, corpusDir, Seq(5L).toDF("vec_id"), Seq("vec_id"))
+    assert(VersionedLake.manifest(s, corpusDir,
+      VersionedLake.currentVersion(s, corpusDir).get).toSet ===
+      VersionedLake.manifest(s, corpusDir, v0).toSet,
+      "fixture must keep data directories identical across the window")
+    IvfIndex.sync(s, corpusDir, "vec_id", idxDir)
+    val after = VersionedLake.read(s, asgDir)
+    assert(after.filter(col("id") === 5L).count() === 0L,
+      "MoR-deleted id must leave the assignments")
+    assert(after.count() === n0 - 1)
+  }
 }

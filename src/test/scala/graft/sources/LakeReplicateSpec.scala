@@ -261,4 +261,26 @@ class LakeReplicateSpec extends SparkSpec {
     LakeReplicate.sync(s, mid, end, keys = Seq("id"))
     assert(rows(end) === Set((2L, "b2")), "the delta propagates through the chain")
   }
+
+  test("verify detects rows differing only in WHICH column holds the null") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_ver_src")
+    val dst = fresh("rep_ver_dst")
+    VersionedLake.appendCommit(
+      Seq((1L, Some("a"), Option.empty[String]), (2L, Some("b"), Some("c")))
+        .toDF("id", "x", "y"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    val (_, so0, do0) = LakeReplicate.verify(s, src, dst)
+    assert(so0 === 0L && do0 === 0L, "a faithful mirror audits clean")
+    // out-of-band tamper: row 1's value migrates x -> y. xxhash64 SKIPS
+    // null inputs, so without null-position markers both variants hash
+    // the same byte sequence and the divergence would read as clean.
+    VersionedLake.upsert(s, dst,
+      Seq((1L, Option.empty[String], Some("a"))).toDF("id", "x", "y"),
+      keys = Seq("id"))
+    val (_, so1, do1) = LakeReplicate.verify(s, src, dst)
+    assert(so1 === 1L && do1 === 1L,
+      "null-position swaps are real divergence and must be reported")
+  }
 }

@@ -129,6 +129,11 @@ class LakeRowChangesSpec extends SparkSpec {
     val e = intercept[IllegalStateException](changes(dir, 1, 2))
     assert(e.getMessage.contains("diff snapshots"),
       "the refusal must direct users to a snapshot diff")
+    // the refusal is the DEDICATED type fallback sites catch — an
+    // unrelated IllegalStateException must never reroute a maintenance
+    // sync onto the lossier manifest-diff path
+    assert(e.isInstanceOf[VersionedLake.CdcWindowRefusedException],
+      s"refusal must be CdcWindowRefusedException, was ${e.getClass.getName}")
   }
 
   test("replaying the feed over the starting snapshot reproduces the ending snapshot") {
