@@ -86,6 +86,28 @@ object LakeRefs {
   def drop(spark: SparkSession, tableDir: String, name: String): Unit =
     mutate(spark, tableDir)(_ - name)
 
+  /** Move a BRANCH from `expect` to `to` (value-level CAS, like
+    * [[dropIf]]): false and no change when the ref moved, vanished, or
+    * is a tag — a multi-commit WAP advancing its own chain tip must
+    * never clobber a name someone else re-pointed under it.
+    */
+  def repointIf(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      expect: Long,
+      to: Long): Boolean = {
+    var ok = false
+    mutate(spark, tableDir) { m =>
+      m.get(name) match {
+        case Some(Ref(`expect`, "branch")) => ok = true; m + (name -> Ref(to, "branch"))
+        case Some(Ref(`to`, "branch"))     => ok = true; m // idempotent re-apply
+        case _                             => ok = false; m
+      }
+    }
+    ok
+  }
+
   /** Value-level CAS retire: drop `name` only while it still points at
     * `expect`; false (and no change) when it moved or vanished — a
     * re-pointed branch belongs to whoever re-pointed it.

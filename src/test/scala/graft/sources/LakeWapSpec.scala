@@ -180,6 +180,73 @@ class LakeWapSpec extends SparkSpec {
       "abort's ref retire is value-CAS'd: the re-pointed ref is not ours to drop")
   }
 
+  test("multi-commit branch: N writes chain on the branch, one atomic publish") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_chain")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val v0 = VersionedLake.currentVersion(s, dir).get
+    // write 1: the backfill
+    val h1 = LakeWap.begin(s, dir, "window") {
+      VersionedLake.appendCommit(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir): Unit
+    }
+    // write 2: corrections that must SEE the backfill — the upsert's
+    // probe reads the chain tip, not published main
+    val h2 = LakeWap.write(s, h1) {
+      VersionedLake.upsert(s, dir, Seq((3L, "c-fixed"), (4L, "d")).toDF("id", "v"),
+        keys = Seq("id")): Unit
+    }
+    assert(h2.chain === Seq(v0 + 1, v0 + 2))
+    assert(LakeRefs.resolve(s, dir, "window").contains(v0 + 2),
+      "the branch ref tracks the chain tip")
+    // main sees NOTHING; the audit sees BOTH writes at once
+    assert(ids(dir) === Set(1L))
+    val audited = LakeWap.read(s, h2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(audited === Set((1L, "a"), (2L, "b"), (3L, "c-fixed"), (4L, "d")),
+      "the audit reads the whole chain: backfill + corrections")
+    // a concurrent main-branch writer conflicts on the chain's fence
+    // (bounded retries, then gives up — the staged claim holds)
+    intercept[VersionedLake.CommitConflictException] {
+      VersionedLake.retryOnConflict(maxAttempts = 2) {
+        VersionedLake.claimManifestSlot(s, dir, v0 + 1, "#op=append\nx")
+      }
+    }
+    assert(ids(dir) === Set(1L), "the loser's attempts changed nothing")
+    // ONE publish decides the whole chain atomically
+    LakeWap.publish(s, h2)
+    assert(ids(dir) === Set(1L, 2L, 3L, 4L))
+    assert(VersionedLake.currentVersion(s, dir).contains(v0 + 2))
+    assert(VersionedLake.read(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === audited,
+      "published main is exactly what the audit approved")
+    // after publish, ordinary writes proceed
+    VersionedLake.appendCommit(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(ids(dir) === Set(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("multi-commit branch abort removes the whole chain without a trace") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("wap_chain_abort")
+    VersionedLake.appendCommit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val v0 = VersionedLake.currentVersion(s, dir).get
+    val h1 = LakeWap.begin(s, dir, "oops") {
+      VersionedLake.appendCommit(Seq((2L, "b")).toDF("id", "v"), dir): Unit
+    }
+    val h2 = LakeWap.write(s, h1) {
+      VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir): Unit
+    }
+    LakeWap.abort(s, h2)
+    assert(ids(dir) === Set(1L))
+    assert(VersionedLake.currentVersion(s, dir).contains(v0))
+    assert(LakeRefs.resolve(s, dir, "oops").isEmpty, "the branch ref retires")
+    // the slots are genuinely free again: the next writer claims v0+1
+    VersionedLake.appendCommit(Seq((7L, "g")).toDF("id", "v"), dir)
+    assert(VersionedLake.currentVersion(s, dir).contains(v0 + 1))
+    assert(ids(dir) === Set(1L, 7L))
+  }
+
   test("WAP through SQL: audit with VERSION AS OF '<branch>', DQ-gate, publish") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("wap_cat").toString
