@@ -63,6 +63,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     override def initialValue(): Boolean = false
   }
 
+  /** Parsed+analyzed registered source expressions, keyed by (source
+    * SQL, child attribute names/types) — the schema key makes a cache
+    * hit safe across queries and registrations while coercion stays
+    * schema-dependent. Entries are tiny expression trees; normalize()
+    * strips their attribute ids before comparison, so reuse across
+    * plans with different exprIds is sound.
+    */
+  private[plans] val srcCache = scala.collection.concurrent.TrieMap
+    .empty[(String, List[(String, org.apache.spark.sql.types.DataType)]),
+      Option[Expression]]
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (LakeMv.isEmpty || rewriting.get()) plan
     else plan.transformUpWithSubqueries {
@@ -117,10 +128,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // and `sum(a)/count(*)` rewrite; `count(DISTINCT r)` declines
     if (a.aggregateExpressions.exists(!_.deterministic)) return None
 
-    def stateFor(op: String, src: String): Option[String] =
+    // EXPRESSION-NORMALIZED matching (the Calcite-class upgrade over
+    // column identity): a registered source is any SQL expression, and
+    // it matches the query's aggregate argument when both ANALYZED
+    // trees agree modulo attribute ids. The registered source parses
+    // and analyzes against the query child's own attributes, so type
+    // coercion inserts the SAME casts on both sides (`value * qty`
+    // over double×long carries cast(qty as double) in both trees);
+    // comparison then replaces attribute references with their
+    // lower-cased names and compares the rendered SQL — exact on
+    // everything structural, deliberately NOT matching commuted forms
+    // (`qty * value`), which stay on the corpus scan.
+    val spark0 = SparkSession.active
+    def normalize(e: Expression): String =
+      e.transform {
+        case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name.toLowerCase)
+      }.sql
+    lazy val childAttrs = a.child.output
+    def analyzedSrc(src: String): Option[Expression] =
+      MvRewriteRule.srcCache.getOrElseUpdate(
+        (src, childAttrs.map(at => (at.name, at.dataType)).toList), {
+          scala.util.Try {
+            val parsed = spark0.sessionState.sqlParser.parseExpression(src)
+            val plan = spark0.sessionState.analyzer.execute(
+              Project(Seq(Alias(parsed, "_mv_src")()), LocalRelation(childAttrs)))
+            plan match {
+              case Project(Seq(Alias(e, _)), _) if e.resolved => Some(e)
+              case _                                          => None
+            }
+          }.toOption.flatten
+        })
+    def srcMatches(src: String, arg: Expression): Boolean = arg match {
+      // fast path: bare column vs bare name, no parse needed
+      case ar: AttributeReference if res(src, ar.name) => true
+      case _ => analyzedSrc(src).exists(s => normalize(s) == normalize(arg))
+    }
+    def stateFor(op: String, arg: Expression): Option[String] =
       mv.aggs.collectFirst {
-        case (stateCol, (o, c)) if o == op && (c == src || res(c, src)) => stateCol
+        case (stateCol, (o, src)) if o == op && src != "*" && srcMatches(src, arg) =>
+          stateCol
       }
+    def stateStar: Option[String] =
+      mv.aggs.collectFirst { case (stateCol, ("count", "*")) => stateCol }
     // one re-aggregation over view state per aggregate call, cast back
     // to the call's own type (the re-aggregated type can out-grow it:
     // sum of a DECIMAL sum widens again; the value fits by construction,
@@ -128,21 +177,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def derive(ae: AggregateExpression): Option[org.apache.spark.sql.Column] = ae match {
       case AggregateExpression(fn, Complete, false, None, _) =>
         val c: Option[org.apache.spark.sql.Column] = fn match {
-          case Sum(ar: AttributeReference, _) =>
-            stateFor("sum", ar.name).map(s => fsum(col(s)))
+          case Sum(e, _) =>
+            stateFor("sum", e).map(s => fsum(col(s)))
           case Count(Seq(Literal(v, _))) if v != null =>
             // count(*) / count(1): any non-null literal counts every row
-            stateFor("count", "*").map(s => fsum(col(s)))
-          case Count(Seq(ar: AttributeReference)) =>
-            stateFor("count", ar.name).map(s => fsum(col(s)))
-          case Min(ar: AttributeReference) =>
-            stateFor("min", ar.name).map(s => fmin(col(s)))
-          case Max(ar: AttributeReference) =>
-            stateFor("max", ar.name).map(s => fmax(col(s)))
-          case Average(ar: AttributeReference, _) =>
+            stateStar.map(s => fsum(col(s)))
+          case Count(Seq(e)) =>
+            stateFor("count", e).map(s => fsum(col(s)))
+          case Min(e) =>
+            stateFor("min", e).map(s => fmin(col(s)))
+          case Max(e) =>
+            stateFor("max", e).map(s => fmax(col(s)))
+          case Average(e, _) =>
             for {
-              sumC <- stateFor("sum", ar.name)
-              cntC <- stateFor("count", ar.name)
+              sumC <- stateFor("sum", e)
+              cntC <- stateFor("count", e)
             } yield fsum(col(sumC)) / fsum(col(cntC))
           case _ => None
         }

@@ -31,9 +31,15 @@ import scala.collection.concurrent.TrieMap
   */
 object LakeMv {
 
-  /** op ∈ sum|count|min|max; count's source column is "*" (count(*) /
-    * count(1) at registration time). A query's avg(c) is served when
-    * BOTH (sum, c) and (count, c) state columns exist.
+  /** op ∈ sum|count|min|max; count's source is "*" (count(*) / count(1)
+    * at registration time). A query's avg(c) is served when BOTH
+    * (sum, c) and (count, c) state columns exist. `src` is any SQL
+    * expression over corpus columns, not just a column name —
+    * `sum(value * qty)` registers as ("sum", "value * qty") and the
+    * rewrite matches the query's aggregate argument by ANALYZED
+    * expression equivalence (coercion casts inserted on both sides, so
+    * `value * qty` over a double×long pair matches the query's coerced
+    * tree exactly; see [[graft.plans.MvRewriteRule]]).
     */
   final case class MvDef(
       corpusDir: String,
@@ -58,12 +64,15 @@ object LakeMv {
       */
     private[sources] def stateOver(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions._
+      // expr(), not col(): a registered source may be any SQL expression
+      // over corpus columns (`value * qty`); a bare column name parses
+      // to the same attribute reference it always was
       val cols = aggs.toSeq.sortBy(_._1).map {
-        case (c, ("sum", src))    => sum(col(src)).as(c)
+        case (c, ("sum", src))    => sum(expr(src)).as(c)
         case (c, ("count", "*"))  => count(lit(1)).as(c)
-        case (c, ("count", src))  => count(col(src)).as(c)
-        case (c, ("min", src))    => min(col(src)).as(c)
-        case (c, ("max", src))    => max(col(src)).as(c)
+        case (c, ("count", src))  => count(expr(src)).as(c)
+        case (c, ("min", src))    => min(expr(src)).as(c)
+        case (c, ("max", src))    => max(expr(src)).as(c)
         case (c, (op, _)) => throw new IllegalStateException(s"$c: $op unreachable")
       }
       df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)

@@ -226,6 +226,49 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("expression aggregates route: sum(value * qty) by analyzed equivalence") {
+    val s = spark
+    import org.apache.spark.sql.functions.expr
+    val (_, corpus, _) = roots
+    val viewDir2 = java.nio.file.Files.createTempDirectory("mv_expr_view").toString
+    def stateOfX(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        sum(expr("value * qty")).as("rev"),
+        count(expr("value * qty")).as("rev_n"),
+        count(lit(1)).as("cnt"))
+    LakeView.sync(s, corpus, viewDir2, stateOfX)
+    val mvx = LakeMv.MvDef(corpus, viewDir2, keys = Seq("event_type"),
+      aggs = Map(
+        "rev" -> ("sum", "value * qty"),
+        "rev_n" -> ("count", "value * qty"),
+        "cnt" -> ("count", "*")))
+    LakeMv.register(mvx)
+    try {
+      val q = "SELECT event_type, sum(value * qty) AS rev, avg(value * qty) AS a " +
+        "FROM mvcat.sales GROUP BY event_type"
+      // the reference bypasses the catalog (library read), so it can
+      // never route — the routed answer must reproduce it exactly
+      val direct = sorted(VersionedLake.read(s, corpus).groupBy("event_type")
+        .agg(sum(expr("value * qty")).as("rev"), avg(expr("value * qty")).as("a")))
+      val routed = s.sql(q)
+      val rs = scannedRoots(routed)
+      assert(rs.exists(_.startsWith(viewDir2)), s"expected the expression view: $rs")
+      assert(!rs.exists(_.startsWith(corpus)), s"expected NO corpus scan: $rs")
+      assert(sorted(routed) === direct,
+        "coercion casts land on BOTH sides, so the routed answer is exact")
+      // commuted and different expressions decline — matching is exact
+      // on the analyzed tree, never a semantics guess
+      assertNotRouted(s.sql(
+        "SELECT event_type, sum(qty * value) FROM mvcat.sales GROUP BY 1"))
+      assertNotRouted(s.sql(
+        "SELECT event_type, sum(value * value) FROM mvcat.sales GROUP BY 1"))
+      // an explicit narrowing cast in the query is NOT the registered
+      // expression: must stay on the corpus
+      assertNotRouted(s.sql(
+        "SELECT event_type, sum(cast(value AS INT) * qty) FROM mvcat.sales GROUP BY 1"))
+    } finally LakeMv.clear()
+  }
+
   test("continuous refresh: a live ingest keeps the MV fresh at every batch boundary") {
     val s = spark
     import s.implicits._
