@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shapes are only recognizable on a resolved tree, and the rewrite
     // splices an already-analyzed replacement — nothing left to resolve
     ext.injectPostHocResolutionRule(_ => graft.plans.MvRewriteRule)
+    ext.injectPostHocResolutionRule(_ => graft.plans.Bm25AutoRoute)
     ext.injectOptimizerRule(_ => graft.plans.NativeKernelRules)
     ext.injectOptimizerRule(_ => graft.plans.TopKPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)

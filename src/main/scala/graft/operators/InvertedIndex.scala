@@ -67,7 +67,7 @@ object InvertedIndex {
 
   private val Post = "postings"
   private val Stats = "stats"
-  private val SyncApp = "corpus-sync"
+  private[graft] val SyncApp = "corpus-sync"
 
   /** Maintenance probes by doc_id (keyed-CoW upsert of a document's
     * postings) — bloom is the only pruning layer that works for

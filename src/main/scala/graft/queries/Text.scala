@@ -889,6 +889,12 @@ object Text {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir): Unit
       graft.operators.InvertedIndex.append(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir): Unit
+      // the built index makes the scan-shaped q_bm25 eligible for
+      // automatic routing (plans.Bm25AutoRoute): register the parquet
+      // corpus root -> index mapping. Test parquet is immutable, so the
+      // registration's freshness claim holds by construction.
+      graft.sources.TextIndexes.register(s"$dir/documents.parquet",
+        graft.sources.TextIndexes.Entry(idxDir, "doc_id", "text", lakeCorpus = false))
       val root = new java.io.File(idxDir)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {

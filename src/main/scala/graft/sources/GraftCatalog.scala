@@ -118,6 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // props re-registers the moment ANY session resolves the table by
     // name (consulted once per corpus per JVM — O(1) afterwards)
     LakeMv.registerFromProps(spark, dir)
+    TextIndexes.registerFromProps(spark, dir)
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 

@@ -39,17 +39,13 @@ object GraftProcedures {
     * one CAS-guarded value, fields URL-encoded so paths/columns with
     * commas survive the trip.
     */
-  private val TextIdxKey = "textidx.def"
+  private val TextIdxKey = TextIndexes.PropKey
 
   private def renderTextIdx(indexDir: String, idCol: String, textCol: String): String =
-    Seq(indexDir, idCol, textCol)
-      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    TextIndexes.render(indexDir, idCol, textCol)
 
   private def parseTextIdx(v: String): (String, String, String) =
-    v.split(',').map(java.net.URLDecoder.decode(_, "UTF-8")) match {
-      case Array(d, i, t) => (d, i, t)
-      case _ => throw new IllegalStateException(s"malformed $TextIdxKey: $v")
-    }
+    TextIndexes.parse(v)
 
   private def textIdxOf(spark: SparkSession, corpus: String): (String, String, String) =
     LakeProps.get(spark, corpus).get(TextIdxKey).map(parseTextIdx).getOrElse(
@@ -236,6 +232,9 @@ object GraftProcedures {
             .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
           LakeProps.set(spark, corpus, TextIdxKey,
             renderTextIdx(idxDir, str(in, 2), str(in, 3)))
+          // eligible for automatic BM25 routing from this session on
+          TextIndexes.register(corpus,
+            TextIndexes.Entry(idxDir, str(in, 2), str(in, 3), lakeCorpus = true))
           v
         }
       case "refresh_text_index" =>
@@ -253,6 +252,7 @@ object GraftProcedures {
           Seq(ProcedureParameter.in("table", StringType).build())) { in =>
           val corpus = resolve(str(in, 0))
           LakeProps.unset(spark, corpus, TextIdxKey)
+          TextIndexes.drop(corpus)
           VersionedLake.currentVersion(spark, corpus).getOrElse(-1L)
         }
       case "text_search" =>
