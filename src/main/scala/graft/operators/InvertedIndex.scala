@@ -121,6 +121,18 @@ object InvertedIndex {
       .select("b", "w", "doc_id", "tf", "len")
   }
 
+  /** TERM-CLUSTERED postings layout: every postings commit sorts by `w`
+    * inside each bucket's files ([[VersionedLake]]'s `sortWithin`), so
+    * every parquet row group covers a narrow term range and a probe's
+    * pushed `w IN (...)` filter skips row groups INSIDE the bucket it
+    * already partition-pruned to — whole-bucket reads shrink to
+    * near-term-only reads with zero read-path code (footer min/max
+    * stats do the work). Cost: one in-task sort per maintenance batch,
+    * amortized like the write; a keyed-CoW rewrite of a survivor file
+    * streams it in order, so clustering survives maintenance.
+    */
+  private val PostSort = Seq("w")
+
   /** One (n_docs, n_len_docs, sum_len) partial for `docs`, `sign`-ed so
     * deletions subtract. `n_len_docs` counts documents with ≥1 token
     * (zero-token documents join N but not the average-length base —
@@ -153,7 +165,7 @@ object InvertedIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Long = {
     val spark = docs.sparkSession
     val vP = VersionedLake.commit(postingsOf(docs, idCol, textCol), postingsDir(indexDir),
-      parts = Seq("b"), bloom = PostBloom)
+      parts = Seq("b"), bloom = PostBloom, sortWithin = PostSort)
     val vS = VersionedLake.commit(statsPartial(docs, idCol, textCol, 1), statsDir(indexDir))
     LakeTxn.publish(spark, indexDir, Map(Post -> vP, Stats -> vS))
     vP
@@ -199,7 +211,8 @@ object InvertedIndex {
       }
     }
     val vP = VersionedLake.appendCommit(postingsOf(delta, idCol, textCol),
-      postingsDir(indexDir), parts = Seq("b"), bloom = PostBloom)
+      postingsDir(indexDir), parts = Seq("b"), bloom = PostBloom,
+      sortWithin = PostSort)
     val vS = VersionedLake.appendCommit(statsPartial(delta, idCol, textCol, 1),
       statsDir(indexDir))
     LakeTxn.publish(spark, indexDir, Map(Post -> vP, Stats -> vS))
@@ -235,7 +248,7 @@ object InvertedIndex {
         val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
         val vP = VersionedLake.appendCommitTxn(postingsOf(snapshot, idCol, textCol),
           postDir, appId = SyncApp, batchId = corpusV,
-          parts = Seq("b"), bloom = PostBloom)
+          parts = Seq("b"), bloom = PostBloom, sortWithin = PostSort)
         val vS = VersionedLake.appendCommitTxn(statsPartial(snapshot, idCol, textCol, 1),
           statsDir(indexDir), appId = SyncApp, batchId = corpusV)
         LakeTxn.publish(spark, indexDir, Map(Post -> vP, Stats -> vS))
@@ -326,7 +339,7 @@ object InvertedIndex {
       VersionedLake.upsert(spark, postingsDir(indexDir),
         postingsOf(added, idCol, textCol), keys = Seq("doc_id"),
         parts = Seq("b"), txn = Some(SyncApp -> corpusV),
-        probeKeys = Some(touched))
+        probeKeys = Some(touched), sortWithin = PostSort)
       VersionedLake.appendCommitTxn(statsDelta, statsDir(indexDir),
         appId = SyncApp, batchId = corpusV)
       Some(corpusV)
@@ -399,7 +412,8 @@ object InvertedIndex {
       statsPartial(oldRows, idCol, textCol, -1))
     VersionedLake.upsert(spark, postingsDir(indexDir),
       postingsOf(newRows, idCol, textCol), keys = Seq("doc_id"),
-      parts = Seq("b"), txn = Some(SyncApp -> corpusV), probeKeys = Some(touched))
+      parts = Seq("b"), txn = Some(SyncApp -> corpusV), probeKeys = Some(touched),
+      sortWithin = PostSort)
     VersionedLake.appendCommitTxn(statsDelta, statsDir(indexDir),
       appId = SyncApp, batchId = corpusV)
     corpusV

@@ -295,6 +295,21 @@ object Similarity {
     * Cosines round to 6 decimals before the comparison so the verdict
     * is reproducible across engines (the [[graft.operators.Mmr]]
     * contract).
+    *
+    * THE k-VS-CORPUS CONTRACT (the [[InvertedIndex.NumBuckets]]
+    * discipline): `centroids.size` is the caller's scaling knob, and
+    * the within-cell pair join costs Σ_cells occupancy². With balanced
+    * cells that is n²/k, so k must GROW with the corpus — k ≈ n/c for
+    * a target mean cell occupancy c keeps per-cell work at c·n
+    * regardless of scale (the paper runs k = 11k cells over 1.1B
+    * embeddings for the same reason: ~100k-item cells, never
+    * whole-corpus pairs). k is a call-time argument, not a schema
+    * commitment — re-run with a larger k as the corpus grows; verdicts
+    * at the same threshold stay semantically comparable (cells only
+    * block the candidate space). A skewed embedding space concentrates
+    * occupancy regardless of k; re-train centroids on a fresh sample
+    * (Similarity.kmeans) when a cell's occupancy² dominates the join
+    * (observable per cell from this function's own output).
     */
   def semDedup(
       df: DataFrame,

@@ -747,6 +747,77 @@ object Relational5 {
     else LakeWap.abort(s, staged)
   }
 
+  /** MULTI-COMMIT WAP fixture: a branch takes TWO writes — a
+    * replaceWhere backfill, then corrections that must SEE the backfill
+    * (the upsert probes the chain tip, not published main) — audited
+    * once and published through ONE decision. Both writes re-derive
+    * value-identically from the immutable orders source, so every run
+    * converges; the branch ref retires at publish, freeing the name.
+    */
+  private def runCatalogWapChain(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.{LakeWap, VersionedLake}
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "wapc_orders")
+    val tbl = s"${catalogLake(s, dir)}/wapc_orders"
+    val third = maxOrderKey(s, dir) / 3
+    val o = t(s, dir, "orders")
+    val backfill = o.filter(col("o_orderkey") <= third / 6)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+    val corrections = o.filter(col("o_orderkey") <= third / 12)
+      .select(col("o_orderkey"), lit("Y").as("o_orderstatus"),
+        round(col("o_totalprice") * 4, 2).as("o_totalprice"))
+    val h1 = LakeWap.begin(s, tbl, "chain-audit") {
+      VersionedLake.replaceWhere(s, tbl, col("o_orderkey") <= third / 6, backfill): Unit
+    }
+    val h2 = LakeWap.write(s, h1) {
+      VersionedLake.upsert(s, tbl, corrections, keys = Seq("o_orderkey")): Unit
+    }
+    // ONE audit sees both writes at once; gate then publish the chain
+    val audited = LakeWap.read(s, h2)
+      .filter(col("o_orderstatus").isin("X", "Y")).limit(1).count()
+    if (audited > 0) LakeWap.publish(s, h2): Unit
+    else LakeWap.abort(s, h2)
+  }
+
+  /** DECIMAL-partition widen fixture: the table lays out under
+    * DECIMAL(6,2) renders ("p=1.00"), widens metadata-only to
+    * DECIMAL(16,6), then appends under the wide spec ("p=1.000000") —
+    * two spellings of the same logical values on disk, zero rewrites.
+    */
+  private def ensureWidenDecPart(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/decpart_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 4).cast(org.apache.spark.sql.types.DecimalType(6, 2)).as("p"))
+      VersionedLake.appendCommit(o.filter(col("o_orderkey") <= half), tbl,
+        parts = Seq("p"))
+      VersionedLake.widenColumn(s, tbl, "p",
+        org.apache.spark.sql.types.DecimalType(16, 6))
+      // post-widen batches supply the widened type (the evolution contract)
+      VersionedLake.appendCommit(
+        o.filter(col("o_orderkey") > half)
+          .withColumn("p", col("p").cast(org.apache.spark.sql.types.DecimalType(16, 6))),
+        tbl, parts = Seq("p"))
+    }
+  }
+
+  private def ensureNdvJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    ensureRangeOrders(s, dir, "ndv_orders")
+    val lines = s"${catalogLake(s, dir)}/ndv_lines"
+    if (VersionedLake.currentVersion(s, lines).isEmpty)
+      VersionedLake.appendCommit(
+        t(s, dir, "lineitem").groupBy("l_orderkey")
+          .agg(sum("l_quantity").cast("long").as("sum_qty")),
+        lines, statsCols = Seq("l_orderkey"))
+  }
+
   /** STORAGE-PARTITIONED-JOIN fixture: orders and the per-order lineitem
     * aggregate, each hive-partitioned on the SAME 16-way key band and
     * declared `spj.enabled` — both scans report KeyGroupedPartitioning,
@@ -1896,6 +1967,105 @@ object Relational5 {
              |  WHERE o_orderkey <= third // 5
              |)""".stripMargin),
       covers = Seq("ext-lake-wap")),
+
+    // MULTI-COMMIT WAP BRANCH — a backfill and its corrections stage as
+    // TWO chained writes on one branch (the second bases on the chain
+    // tip and sees the first), audited once, published atomically
+    // through one decision file. Oracle: the final table truth —
+    // corrections over backfill over the untouched band.
+    QueryDef(
+      "q_catalog_wap_chain",
+      (s, dir) => {
+        runCatalogWapChain(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+                |  round(o_totalprice, 2) AS o_totalprice
+                |FROM graftcat.wapc_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 3 AS third FROM orders)
+             |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+             |FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, m
+             |  WHERE o_orderkey > third // 6
+             |  UNION ALL
+             |  SELECT o_orderkey, 'X', round(o_totalprice * 2, 2) FROM orders, m
+             |  WHERE o_orderkey > third // 12 AND o_orderkey <= third // 6
+             |  UNION ALL
+             |  SELECT o_orderkey, 'Y', round(o_totalprice * 4, 2) FROM orders, m
+             |  WHERE o_orderkey <= third // 12
+             |)""".stripMargin),
+      covers = Seq("ext-lake-wap-chain")),
+
+    // DECIMAL PARTITION WIDEN — the table's hive layout carries BOTH
+    // spellings of the partition values (narrow pre-widen renders, wide
+    // post-widen ones); reads re-bind every render to its exact logical
+    // value (string-parse + cast — the stock parquet partition reader
+    // would shift "1.00" to 0.0001 under scale 6). Oracle: the same
+    // projection from the source truth.
+    QueryDef(
+      "q_lake_widen_decpart",
+      (s, dir) => {
+        ensureWidenDecPart(s, dir)
+        s.sql("""SELECT o_orderkey, o_orderstatus, CAST(p AS STRING) AS p
+                |FROM graftcat.decpart_orders""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(CAST(CAST(o_orderkey % 4 AS DECIMAL(6,2)) AS DECIMAL(16,6)) AS VARCHAR) AS p
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-lake-widen-decpart")),
+
+    // CBO WITH NDV COLUMN STATISTICS — the point-filtered fact joins a
+    // same-keyed aggregate table; with the manifest's #ndv layer feeding
+    // DSv2 columnStats, cost-based estimation shrinks the filtered side
+    // to ~1 row and BROADCASTS it despite both raw tables sitting far
+    // above the threshold. The body REQUIRES that build-side choice (a
+    // silent shuffle join would still pass the oracle; the NDV-driven
+    // plan is the point — at 100 TB it is the classic 10x join-order
+    // save). Oracle: the joined truth from source tables.
+    QueryDef(
+      "q_join_cbo_ndv",
+      (s, dir) => {
+        ensureNdvJoinTables(s, dir)
+        val k = maxOrderKey(s, dir)
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+          val df = s.sql(
+            s"""SELECT f.o_orderkey, f.o_orderstatus, d.sum_qty
+               |FROM graftcat.ndv_orders f
+               |JOIN graftcat.ndv_lines d ON f.o_orderkey = d.l_orderkey
+               |WHERE f.o_orderkey = $k""".stripMargin)
+          val buildSides = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).output.map(_.name).toSet
+          }
+          // constant propagation lands the point predicate on BOTH join
+          // inputs, and each carries an o_orderkey/l_orderkey NDV sketch,
+          // so either side legitimately estimates to ~1 row — the planner
+          // may build whichever. The NDV proof is that ANY broadcast
+          // happened at all: both raw tables sit far above the 1KB
+          // threshold, and without column statistics the filter does not
+          // shrink a size-only estimate (the join would shuffle).
+          require(buildSides.nonEmpty,
+            "NDV-fed CBO must shrink a point-filtered side under the " +
+              "broadcast threshold - no BroadcastHashJoin in the plan")
+          df.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.cbo.enabled", prevCbo)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+             |SELECT o.o_orderkey, o.o_orderstatus, d.sum_qty
+             |FROM orders o, m,
+             |  (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |   FROM lineitem GROUP BY 1) d
+             |WHERE o.o_orderkey = d.l_orderkey AND o.o_orderkey = m.mk""".stripMargin),
+      covers = Seq("ext-cbo-ndv")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

@@ -610,6 +610,79 @@ object Text {
       covers = Seq("ext-bm25")),
 
     // ------------------------------------------------------------------
+    // AUTOMATIC BM25 ROUTING (plans.Bm25AutoRoute): the IDENTICAL
+    // scan-shaped plan as q_bm25, but with the corpus's inverted index
+    // registered — the planner recognizes the exact BM25 function and
+    // serves it from the index's pruned postings buckets instead of
+    // re-tokenizing the corpus. The body REQUIRES the routed plan (no
+    // corpus leaf — a silent fall-through would still pass the oracle,
+    // and the point is ≤|terms| bucket reads, never the corpus), and
+    // the ORACLE is the independent corpus-scan SQL: the route changes
+    // where the work happens, never the answer — the same hash, planned
+    // through the index.
+    QueryDef(
+      "q_bm25_autoroute",
+      (s, dir) => {
+        invertedIndexFixture(s, dir): Unit // builds + registers the index
+        val terms = Seq("hash", "vector", "stream")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val avgl = lens.agg(avg(col("len")).as("avgl"))
+        val n = docs.select(count(lit(1)).as("n"))
+        val qtok = tok.filter(col("w").isin(terms: _*))
+        val df = qtok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = qtok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val out = tf.join(broadcast(df), "w")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(avgl))
+          .crossJoin(broadcast(n))
+          .select(
+            col("doc_id"),
+            round(
+              log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+                (col("tf") * (k1 + 1)) /
+                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgl"))),
+              9).as("contrib"))
+          .groupBy("doc_id")
+          .agg(round(sum("contrib"), 6).as("bm25"))
+        val corpusScans = out.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+        }.flatten.filter(_.contains("documents.parquet"))
+        require(corpusScans.isEmpty,
+          s"the BM25 route must serve this plan from the index, got $corpusScans")
+        out
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |avgl AS (SELECT avg(len) AS avgl FROM lens),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('hash', 'vector', 'stream')),
+             |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtok GROUP BY 1),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM qtok GROUP BY 1, 2),
+             |contrib AS (
+             |  SELECT tf.doc_id,
+             |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1)) /
+             |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / avgl.avgl)),
+             |      9) AS c
+             |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+             |  CROSS JOIN avgl CROSS JOIN n)
+             |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
+      covers = Seq("ext-bm25-autoroute")),
+
+    // ------------------------------------------------------------------
     // Per-document token-distribution entropy: H = −Σ p·ln p over the
     // doc's token frequencies — the standard gibberish/boilerplate signal
     // (low H = repetitive, high H = diverse). One explode + two doc-keyed

@@ -850,7 +850,10 @@ final class LakeTable(
     // scan would refuse both the mixed k=v / flat layout and the uuid
     // level between data root and k=v chains
     val perDir = VersionedLake.needsPerDirRead(spark, tableDir, v)
-    if (pending || renamed || perDir) Some(v) else None
+    // decimal partition renders need the library read's exact
+    // string-parse (see VersionedLake.hasDecimalPartition)
+    val decPart = VersionedLake.hasDecimalPartition(spark, tableDir, v)
+    if (pending || renamed || perDir || decPart) Some(v) else None
   }
 
   /** The library read of `v`, for [[readThroughVersion]]'s splice. */
@@ -939,7 +942,8 @@ final class LakeTable(
     if (pending.nonEmpty ||
       VersionedLake.hasRenames(VersionedLake.visibleSchema(
         VersionedLake.versionSchema(spark, tableDir, v).getOrElse(new StructType()))) ||
-      VersionedLake.needsPerDirRead(spark, tableDir, v))
+      VersionedLake.needsPerDirRead(spark, tableDir, v) ||
+      VersionedLake.hasDecimalPartition(spark, tableDir, v))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {

@@ -1479,7 +1479,8 @@ object VersionedLake {
       tableDir: String,
       parts: Seq[String],
       maxRecordsPerFile: Long,
-      zorderBy: Seq[String] = Nil): String = {
+      zorderBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil): String = {
     val name = java.util.UUID.randomUUID().toString
     val keyed = if (zorderBy.isEmpty) df else Lake.withZorderKey(df, zorderBy)
     val shaped =
@@ -1491,6 +1492,14 @@ object VersionedLake {
     val sorted =
       if (zorderBy.nonEmpty)
         shaped.sortWithinPartitions((parts.map(col) :+ col(Lake.ZKey)): _*)
+      else if (sortWithin.nonEmpty)
+        // clustered layout INSIDE each partition directory's files: the
+        // sort runs after the partition shuffle (prefixed by the
+        // partition columns so multiple hive values sharing a task stay
+        // contiguous), so every written file is ordered by `sortWithin`
+        // and parquet row-group min/max prune on it — the term-clustered
+        // postings contract
+        shaped.sortWithinPartitions((parts ++ sortWithin).map(col): _*)
       else shaped
     val writer0 = sorted.drop(Lake.ZKey)
       .write.mode("error").option("maxRecordsPerFile", maxRecordsPerFile)
@@ -1728,9 +1737,11 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
       bloom: Option[BloomConfig] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      sortWithin: Seq[String] = Nil): Long = {
     LakeConstraints.enforce(df.sparkSession, tableDir, df, "commit")
-    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile,
+      sortWithin = sortWithin)
     val statsNdv = columnStatsNdv(df, statsCols)
     val stats = statsNdv.map { case (s, _) => d -> s }.toMap
     val ndv = statsNdv.map { case (_, n) => d -> n }.toMap
@@ -1788,8 +1799,10 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
-      bloom: Option[BloomConfig] = None): Long =
-    appendCommitInternal(df, tableDir, parts, maxRecordsPerFile, statsCols, bloom, None)
+      bloom: Option[BloomConfig] = None,
+      sortWithin: Seq[String] = Nil): Long =
+    appendCommitInternal(df, tableDir, parts, maxRecordsPerFile, statsCols, bloom,
+      None, sortWithin)
 
   /** [[appendCommit]] with EXACTLY-ONCE semantics for replayable writers
     * (Structured Streaming `foreachBatch`): the commit records
@@ -1814,7 +1827,8 @@ object VersionedLake {
       parts: Seq[String] = Nil,
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       statsCols: Seq[String] = Nil,
-      bloom: Option[BloomConfig] = None): Long = {
+      bloom: Option[BloomConfig] = None,
+      sortWithin: Seq[String] = Nil): Long = {
     require(appId.forall(c => c != '\t' && c != '\n' && c != '\r'),
       s"appId must not contain tab/newline: $appId")
     val spark = df.sparkSession
@@ -1823,7 +1837,7 @@ object VersionedLake {
       if (txnWatermarks(spark, tableDir, v).get(appId).exists(_ >= batchId)) return v
     }
     appendCommitInternal(df, tableDir, parts, maxRecordsPerFile, statsCols, bloom,
-      Some(appId -> batchId))
+      Some(appId -> batchId), sortWithin)
   }
 
   /** METADATA-ONLY WATERMARK COMMIT — record `appId -> batchId` without
@@ -1872,13 +1886,15 @@ object VersionedLake {
       maxRecordsPerFile: Long,
       statsCols: Seq[String],
       bloom: Option[BloomConfig],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      sortWithin: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     LakeConstraints.enforce(spark, tableDir, df, "appendCommit")
     // the expensive work — writing the batch and aggregating its stats —
     // happens ONCE; the directory is immutable, so losing the publish race
     // only costs re-reading the prior manifest and retrying the publish
-    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile,
+      sortWithin = sortWithin)
     val batchStats = columnStatsNdv(df, statsCols)
     val batchBloom = bloomJson(df, bloom)
     val batchSchema = nullableAll(df.schema)
@@ -2154,6 +2170,25 @@ object VersionedLake {
     else partitionColumns(spark, tableDir, version).toSet
   }
 
+  /** Whether any hive-partition column of `version` is DECIMAL-typed.
+    * Decimal dir-name renders parse UNSAFELY under the stock parquet
+    * partition reader once the declared scale outgrows a render
+    * ([[widenColumn]]): the digits bind as the unscaled value of the
+    * declared type, a silent 10^Δscale shift. [[readDirs]] reads such
+    * levels as strings and casts exactly; catalog scans consult THIS to
+    * route through the V1 read-through that carries that fix.
+    */
+  private[graft] def hasDecimalPartition(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Boolean = {
+    val parts = allPartitionColumns(spark, tableDir, version)
+    parts.nonEmpty && versionSchema(spark, tableDir, version).exists(s =>
+      s.fields.exists(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+          parts.exists(_.equalsIgnoreCase(f.name))))
+  }
+
   private def partitionColsOf(spark: SparkSession, tableDir: String, d: String): Seq[String] =
     partChainOfPath(spark, tableDir, s"$tableDir/data/$d")
 
@@ -2214,6 +2249,28 @@ object VersionedLake {
       withPos: Boolean = false): DataFrame = {
     def one(ps: Seq[String]): DataFrame = {
       val r = spark.read.option("basePath", s"$tableDir/data")
+      // DECIMAL hive-partition values parse UNSAFELY under a widened
+      // scale: Spark binds the dir name's digits as the unscaled value
+      // of the DECLARED type ("p=1.50" under DECIMAL(22,6) reads
+      // 0.000150, a 10^4 shift). The render is authoritative as a
+      // STRING, and a string→decimal cast is exact — so decimal
+      // partition levels read as strings and cast in the projection.
+      // Hive-level pruning on such columns degrades to a post-scan
+      // filter (the cast blocks partition-filter pushdown); the
+      // manifest stats layer still prunes whole DIRECTORIES, which is
+      // the skipping layer that matters at scale. Detection is gated on
+      // the schema carrying any decimal at all, so the common read pays
+      // zero extra metadata walks.
+      def decPartCols(s: org.apache.spark.sql.types.StructType): Set[String] =
+        if (!s.fields.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+          Set.empty
+        else {
+          val partNames = ps.flatMap(p => partChainOfPath(spark, tableDir, p))
+            .map(_.toLowerCase).toSet
+          s.fields.filter(f => partNames.contains(f.name.toLowerCase) &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+            .map(_.name).toSet
+        }
       schemaOpt match {
         case Some(s) if needsResolve(s) =>
           // rename/drop indirection: force a read schema holding EVERY
@@ -2232,13 +2289,22 @@ object VersionedLake {
           val partNames = ps.flatMap(p => partChainOfPath(spark, tableDir, p))
             .map(_.toLowerCase).toSet
           val live = s.fields.filterNot(isDropped)
+          def isDec(dt: org.apache.spark.sql.types.DataType) =
+            dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+          def readType(f: StructField, variant: String) =
+            if (isDec(f.dataType) && partNames.contains(variant.toLowerCase))
+              org.apache.spark.sql.types.StringType
+            else f.dataType
           val readSchema = StructType(live.flatMap { f =>
-            StructField(f.name, f.dataType, nullable = true) +:
-              akaNames(f).map(n => StructField(n, f.dataType, nullable = true))
+            StructField(f.name, readType(f, f.name), nullable = true) +:
+              akaNames(f).map(n => StructField(n, readType(f, n), nullable = true))
           })
           val logical = live.map { f =>
             val variants = f.name +: akaNames(f)
             variants.find(v => partNames.contains(v.toLowerCase)) match {
+              case Some(v) if isDec(f.dataType) =>
+                // decimal partition level: string-read, exact cast
+                col(v).cast(f.dataType).as(f.name, f.metadata)
               case Some(v) => col(v).as(f.name, f.metadata)
               case None =>
                 val cols = variants.map(col)
@@ -2251,8 +2317,21 @@ object VersionedLake {
           r.schema(readSchema).parquet(ps: _*)
             .select((logical ++ (if (withPos) posIdentityCols else Nil)): _*)
         case Some(s) =>
-          val base = r.schema(s).parquet(ps: _*)
-          if (withPos) base.select(col("*") +: posIdentityCols: _*) else base
+          val dec = decPartCols(s)
+          if (dec.isEmpty) {
+            val base = r.schema(s).parquet(ps: _*)
+            if (withPos) base.select(col("*") +: posIdentityCols: _*) else base
+          } else {
+            import org.apache.spark.sql.types.{StringType, StructType}
+            val rs = StructType(s.fields.map(f =>
+              if (dec(f.name)) f.copy(dataType = StringType) else f))
+            val logical = s.fields.map { f =>
+              if (dec(f.name)) col(f.name).cast(f.dataType).as(f.name, f.metadata)
+              else col(f.name)
+            }.toIndexedSeq
+            r.schema(rs).parquet(ps: _*)
+              .select(logical ++ (if (withPos) posIdentityCols else Nil): _*)
+          }
         case None =>
           val base = r.parquet(ps: _*)
           if (withPos) base.select(col("*") +: posIdentityCols: _*) else base
@@ -2790,7 +2869,8 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       txn: Option[(String, Long)] = None,
       probeKeys: Option[DataFrame] = None,
-      changeArtifact: Boolean = true): Long = {
+      changeArtifact: Boolean = true,
+      sortWithin: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
@@ -2873,7 +2953,8 @@ object VersionedLake {
       // pays a second batch evaluation
       val updDirOpt =
         if (probeKeys.isDefined && updates.isEmpty) None
-        else Some(writeDataDir(updates, tableDir, parts, maxRecordsPerFile))
+        else Some(writeDataDir(updates, tableDir, parts, maxRecordsPerFile,
+          sortWithin = sortWithin))
       val newDirs = kr.survivingDirs ++ updDirOpt
       val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
       val (cowStats, cowBlooms, cowNdv) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,

@@ -203,6 +203,24 @@ class InvertedIndexSpec extends SparkSpec {
     assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 50), Terms))
   }
 
+  test("postings are term-clustered: w sorted within every data file") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_clust").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", idxDir)
+    InvertedIndex.append(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), "doc_id", "text", idxDir)
+    val files = VersionedLake.read(spark, InvertedIndex.postingsDir(idxDir)).inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      // a single parquet file reads back in row order: the written
+      // clustering is observable as monotonic w — the property that
+      // makes the probe's pushed `w IN (...)` skip row groups
+      val ws = spark.read.parquet(f).select("w").collect().map(_.getString(0)).toSeq
+      assert(ws === ws.sorted, s"postings file not term-clustered: $f")
+    }
+    // clustering changes layout only: answers stay scan-exact
+    assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 200), Terms))
+  }
+
   test("sync replays exactly-once: a repeated window commits nothing") {
     val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString

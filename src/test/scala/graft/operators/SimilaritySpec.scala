@@ -134,4 +134,37 @@ class SimilaritySpec extends SparkSpec {
       assert(hasCloseLower, s"dropped $id must have a close lower-id cellmate")
     }
   }
+
+  test("semDedup k-vs-corpus contract: raising k bounds per-cell pair work on skew") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // a SKEWED space: most vectors point near one direction (the shape
+    // that concentrates cell occupancy), plus a dispersed remainder
+    val skew = spark.range(0, 2000).select(
+      col("id").as("vec_id"),
+      array(
+        (lit(1.0) + col("id") % 7 / lit(1000.0)),
+        (col("id") % 13) / lit(100.0),
+        when(col("id") % 5 === 0, col("id") % 17 / lit(10.0)).otherwise(lit(0.01)))
+        .as("embedding"))
+    def pairWork(k: Int): (Long, Long) = {
+      val cents = Similarity.trainIvfDistributed(skew, "vec_id", k = k, iters = 2)
+      val occ = Similarity.semDedup(skew, "vec_id", cents, threshold = 0.999999)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1))
+      (occ.map(n => n * n).sum, occ.max)
+    }
+    val (work4, max4) = pairWork(4)
+    val (work32, max32) = pairWork(32)
+    // the operator's cost is Σ occupancy² — the caller's k is the knob
+    // that keeps it linear-ish as the corpus grows (the documented
+    // contract): more cells must strictly shrink both the total pair
+    // work and the worst cell on this skewed fixture
+    assert(work32 < work4,
+      s"k=32 must cut total pair work on skew: $work32 !< $work4")
+    assert(max32 < max4,
+      s"k=32 must cut the worst cell's occupancy: $max32 !< $max4")
+    assert(work32 <= 4L * 2000L * (2000L / 32L + 1L),
+      "pair work stays within a small multiple of n * mean-occupancy")
+  }
 }

@@ -184,6 +184,50 @@ class VersionedLakeWidenSpec extends SparkSpec {
     assert(e.getMessage.contains("FLOAT hive-partition"))
   }
 
+  test("a DECIMAL hive-PARTITION column widens metadata-only; dir renders re-bind exactly") {
+    val s = spark
+    val root = tmp("widen_partdec")
+    val dir = s"$root/t"
+    // two specs on disk: dirs rendered under DECIMAL(10,2) ("p=1.50")
+    // and, post-widen, a new dir rendered under DECIMAL(22,6)
+    // ("p=1.500000") — the same logical value in two spellings
+    VersionedLake.appendCommit(
+      s.sql("SELECT id, CAST(id * 1.5 AS DECIMAL(10,2)) AS p FROM range(1, 4)"),
+      dir, parts = Seq("p"))
+    val dirsBefore = VersionedLake.manifest(s, dir, 0L)
+    VersionedLake.widenColumn(s, dir, "p", DecimalType(22, 6))
+    assert(VersionedLake.manifest(s, dir, 1L) === dirsBefore, "no rewrite")
+    VersionedLake.appendCommit(
+      s.sql("SELECT id, CAST(id * 1.5 AS DECIMAL(22,6)) AS p FROM range(4, 6)"),
+      dir, parts = Seq("p"))
+    val df = VersionedLake.read(s, dir)
+    assert(df.schema("p").dataType === DecimalType(22, 6))
+    assert(df.select("p").collect().map(_.getDecimal(0).toPlainString).sorted.toSeq ===
+      Seq("1.500000", "3.000000", "4.500000", "6.000000", "7.500000"),
+      "old dirs' narrow renders re-parse exactly under the widened type")
+    // point filters bind by VALUE across both spellings: 1.50 (old
+    // spec) and 6.000000 (new spec) each prune to their own partition
+    assert(VersionedLake.read(s, dir)
+      .filter(col("p") === lit(BigDecimal("1.5"))).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(VersionedLake.read(s, dir)
+      .filter(col("p") === lit(BigDecimal("6"))).collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+    // range predicates across the widen boundary stay exact
+    assert(VersionedLake.read(s, dir).filter(col("p") > lit(BigDecimal("4.5")))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    // the CATALOG path routes through the read-through (stock parquet
+    // partition parsing would shift the narrow renders by 10^4) and
+    // answers identically in SQL
+    s.conf.set("spark.sql.catalog.gwdec", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gwdec.root", root)
+    assert(s.sql("SELECT CAST(p AS STRING) FROM gwdec.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq ===
+      Seq("1.500000", "3.000000", "4.500000", "6.000000", "7.500000"))
+    assert(s.sql("SELECT id FROM gwdec.t WHERE p = 1.5").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("CDC feed spans a widen_column: one schema out, values promoted, no row events") {
     val s = spark
     import s.implicits._
