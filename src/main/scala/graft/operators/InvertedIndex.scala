@@ -109,16 +109,24 @@ object InvertedIndex {
     }
   }
 
-  /** (b, w, doc_id, tf, len) postings of `docs` — the one tokenization
-    * pass a document ever pays.
+  /** (b, w, doc_id, tf, len, pos) postings of `docs` — the one
+    * tokenization pass a document ever pays. POSITIONAL: `pos` is the
+    * term's sorted token offsets within the document, which is what
+    * lifts the index from OR-of-terms BM25 to PHRASE queries
+    * ([[searchPhrase]]) — the Lucene positional-postings bargain. The
+    * arrays ride the same row as tf/len (no separate position table to
+    * join at probe time), and sorting them at build makes the probe's
+    * adjacency intersections order-stable.
     */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol)))).toDF("doc_id", "pos", "w")
     val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
       .join(lens, "doc_id")
       .withColumn("b", pmod(xxhash64(col("w")), lit(NumBuckets.toLong)))
-      .select("b", "w", "doc_id", "tf", "len")
+      .select("b", "w", "doc_id", "tf", "len", "pos")
   }
 
   /** TERM-CLUSTERED postings layout: every postings commit sorts by `w`
@@ -459,5 +467,50 @@ object InvertedIndex {
       .agg(round(sum("contrib"), 6).as("bm25"))
     k.fold(scored)(top =>
       scored.orderBy(col("bm25").desc, col("doc_id")).limit(top))
+  }
+
+  /** EXACT PHRASE search over the positional postings: documents where
+    * `terms` occur as consecutive tokens, with the occurrence count —
+    * `(doc_id, n_phrase)`, `n_phrase > 0` only. `k = Some(n)` keeps the
+    * top n by (count desc, doc_id).
+    *
+    * The probe reads ≤ |distinct terms| postings buckets (the same
+    * partition pruning as [[searchBm25]] — cost independent of corpus
+    * size), inner-joins the per-term position lists on doc_id (a
+    * document missing ANY phrase term cannot match, so the join chain
+    * only narrows), and counts phrase occurrences with an ADJACENCY
+    * CHAIN of array intersections: positions of term i, shifted by one,
+    * intersected with positions of term i+1 — after the last term the
+    * surviving positions ARE the phrase's end offsets. Duplicate terms
+    * in the phrase reuse the same postings row ("a a" works), and the
+    * per-document work is O(Σ positions of the phrase terms), never
+    * O(document length).
+    */
+  def searchPhrase(
+      spark: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Option[Int] = None): DataFrame = {
+    require(terms.size >= 2, "searchPhrase needs at least two terms; " +
+      "single-term retrieval is searchBm25")
+    val post = readMember(spark, indexDir, Post)
+    require(post.columns.contains("pos"),
+      s"$indexDir predates positional postings - rebuild (or re-sync from " +
+        "scratch) to enable phrase queries")
+    val buckets = terms.map(bucketOf).distinct
+    val hits = post
+      .filter(col("b").isin(buckets: _*) && col("w").isin(terms.distinct: _*))
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      hits.filter(col("w") === t).select(col("doc_id"), col("pos").as(s"_p$i"))
+    }
+    val joined = frames.reduce(_.join(_, "doc_id"))
+    val chain = (1 until terms.size).foldLeft(col("_p0")) { (acc, i) =>
+      array_intersect(transform(acc, x => x + 1), col(s"_p$i"))
+    }
+    val scored = joined
+      .select(col("doc_id"), size(chain).cast("long").as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+    k.fold(scored)(top =>
+      scored.orderBy(col("n_phrase").desc, col("doc_id")).limit(top))
   }
 }

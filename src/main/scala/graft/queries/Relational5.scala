@@ -1091,6 +1091,9 @@ object Relational5 {
     runCatalogOverwritePart(s, dir)
     syncAllFixture(s, dir): Unit
     runCatalogWap(s, dir)
+    runCatalogWapChain(s, dir)
+    ensureWidenDecPart(s, dir)
+    ensureNdvJoinTables(s, dir)
     ensureSpjTables(s, dir)
   }
 

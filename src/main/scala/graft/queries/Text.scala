@@ -889,6 +889,36 @@ object Text {
       covers = Seq("ext-bm25-indexed")),
 
     // ------------------------------------------------------------------
+    // EXACT PHRASE SEARCH over the POSITIONAL postings: documents where
+    // "table hash" occurs as consecutive tokens, with occurrence
+    // counts. The probe reads the two terms' postings buckets and
+    // counts adjacency by intersecting shifted position lists —
+    // O(postings of the phrase terms), never a corpus re-tokenization
+    // (the Lucene positional-postings bargain the OR-of-terms BM25
+    // couldn't give). Oracle: an INDEPENDENT corpus-scan adjacency
+    // count in SQL.
+    QueryDef(
+      "q_phrase_search",
+      (s, dir) => {
+        val idxDir = invertedIndexFixture(s, dir)
+        graft.operators.InvertedIndex.searchPhrase(s, idxDir, Seq("table", "hash"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '') AS ws
+             |  FROM documents),
+             |hits AS (
+             |  SELECT doc_id,
+             |    unnest([CASE WHEN ws[i + 1] = 'table' AND ws[i + 2] = 'hash'
+             |            THEN 1 ELSE 0 END
+             |            for i in range(len(ws) - 1)]) AS m
+             |  FROM toks WHERE len(ws) >= 2)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_phrase
+             |FROM hits GROUP BY 1 HAVING sum(m) > 0""".stripMargin),
+      covers = Seq("ext-phrase-search")),
+
+    // ------------------------------------------------------------------
     // SQL-NATIVE TEXT RETRIEVAL (sources.GraftProcedures): the documents
     // corpus as a catalog lake table, its inverted index created and
     // registered by `CALL system.create_text_index`, the probe a

@@ -33,7 +33,7 @@ object GraftProcedures {
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
-    "replicate_verify")
+    "text_search_phrase", "replicate_verify")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -270,6 +270,27 @@ object GraftProcedures {
           require(k > 0 && k <= 100000, s"k out of range: $k")
           val df = graft.operators.InvertedIndex
             .searchBm25(spark, idxDir, terms, k = Some(k))
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(df.schema)
+          (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        }
+      case "text_search_phrase" =>
+        procRows(name, "EXACT PHRASE top-k over the table's positional text " +
+          "index: documents where the phrase's terms occur consecutively, " +
+          "with occurrence counts - reads only the phrase terms' postings " +
+          "buckets, never the corpus",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("phrase", StringType)
+              .comment("space-separated phrase, two or more terms").build(),
+            ProcedureParameter.in("k", IntegerType).defaultValue("10").build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, _, _) = textIdxOf(spark, corpus)
+          val terms = str(in, 1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          val k = in.getInt(2)
+          require(k > 0 && k <= 100000, s"k out of range: $k")
+          val df = graft.operators.InvertedIndex
+            .searchPhrase(spark, idxDir, terms, k = Some(k))
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToCatalystConverter(df.schema)
           (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))

@@ -221,6 +221,45 @@ class InvertedIndexSpec extends SparkSpec {
     assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 200), Terms))
   }
 
+  test("phrase search: adjacency off positional postings; overlaps and dup terms exact") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_phrase").toString
+    InvertedIndex.build(docs, "doc_id", "text", idxDir)
+    // independent reference: Scala sliding-window count over the same
+    // tokenizer semantics (lowercase, ws-split, empties dropped)
+    def direct(terms: Seq[String]): Map[Long, Long] =
+      docs.select("doc_id", "text").collect().flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val n = if (toks.size < terms.size) 0L
+          else toks.sliding(terms.size).count(_ == terms).toLong
+        if (n > 0) Some(r.getLong(0) -> n) else None
+      }.toMap
+    def viaIndex(terms: Seq[String]): Map[Long, Long] =
+      InvertedIndex.searchPhrase(spark, idxDir, terms)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoTerm = direct(Seq("table", "hash"))
+    assert(twoTerm.nonEmpty, "fixture phrase must occur - pick another if data changed")
+    assert(viaIndex(Seq("table", "hash")) === twoTerm)
+    // duplicate-term phrase: overlapping occurrences count like the
+    // sliding window ("a a a" holds "a a" twice)
+    assert(viaIndex(Seq("a", "a")) === direct(Seq("a", "a")))
+    // three terms narrow further and still match exactly
+    assert(viaIndex(Seq("table", "hash", "value")) === direct(Seq("table", "hash", "value")))
+    // maintenance carries positions: a re-supplied doc re-phrases
+    val corpusDir = java.nio.file.Files.createTempDirectory("inv_phrase_corpus").toString
+    val idx2 = java.nio.file.Files.createTempDirectory("inv_phrase_idx2").toString
+    VersionedLake.commit(docs.filter(col("doc_id") < 50), corpusDir)
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idx2)
+    val s2 = spark
+    import s2.implicits._
+    VersionedLake.upsert(spark, corpusDir,
+      Seq((5L, "table hash table hash", "en", "web", 21L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), keys = Seq("doc_id"))
+    InvertedIndex.sync(spark, corpusDir, "doc_id", "text", idx2)
+    val after = InvertedIndex.searchPhrase(spark, idx2, Seq("table", "hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.get(5L).contains(2L), s"updated doc must phrase-count 2, got $after")
+  }
+
   test("sync replays exactly-once: a repeated window commits nothing") {
     val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString

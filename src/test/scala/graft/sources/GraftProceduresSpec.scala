@@ -201,6 +201,15 @@ class GraftProceduresSpec extends SparkSpec {
       s"post-refresh: 1 updated away, 2 deleted, 4 inserted - got $second")
     // k caps the result set
     assert(spark.sql("CALL gproc.system.text_search('docs', 'scan', 1)").count() === 1L)
+    // PHRASE search off the positional postings: doc 4 is 'scan scan
+    // scan' → the phrase 'scan scan' occurs twice (overlapping)
+    val phrase = spark.sql(
+      "CALL gproc.system.text_search_phrase('docs', 'scan scan', 10)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phrase === Map(4L -> 2L), s"overlapping phrase count: $phrase")
+    assert(spark.sql(
+      "CALL gproc.system.text_search_phrase('docs', 'nothing at', 10)")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
     // drop unregisters: search refuses loudly
     spark.sql("CALL gproc.system.drop_text_index('docs')")
     val e = intercept[Exception](hits())
