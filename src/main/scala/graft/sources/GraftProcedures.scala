@@ -33,7 +33,7 @@ object GraftProcedures {
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
-    "text_search_phrase", "replicate_verify")
+    "text_search_phrase", "column_stats", "replicate_verify")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -294,6 +294,41 @@ object GraftProcedures {
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToCatalystConverter(df.schema)
           (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        }
+      case "column_stats" =>
+        procRows(name, "column-level statistics off the manifest's NDV layer: " +
+          "per stats column, the merged HLL distinct-count estimate and exact " +
+          "null count over the current version - O(directories) metadata, " +
+          "zero file opens (the ANALYZE TABLE answer a 100 TB table can " +
+          "afford on every call)",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val dir = resolve(str(in, 0))
+          val v = VersionedLake.currentVersion(spark, dir).getOrElse(
+            throw new IllegalStateException(s"no published version in $dir"))
+          val rowMeta = VersionedLake.dirRowCounts(spark, dir, v)
+          val ndv = VersionedLake.dirNdv(spark, dir, v)
+          val live = VersionedLake.manifest(spark, dir, v)
+            .filter(d => rowMeta.get(d).forall(_._1 > 0))
+          val perDir = live.map(ndv.getOrElse(_, Map.empty))
+          // report only columns every row-bearing directory covers — the
+          // scan-side conservatism rule (a partial union understates NDV)
+          val covered =
+            if (perDir.isEmpty) Set.empty[String]
+            else perDir.map(_.keySet).reduce(_ intersect _)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column", StringType),
+            org.apache.spark.sql.types.StructField("ndv",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("nulls",
+              org.apache.spark.sql.types.LongType)))
+          val rows = covered.toSeq.sorted.map { c =>
+            val entries = perDir.map(_(c))
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(c),
+              VersionedLake.ndvEstimate(entries.map(_._1)),
+              entries.map(_._2).sum)
+          }.toArray
+          (schema, rows)
         }
       case "replicate_verify" =>
         procRows(name, "anti-entropy audit: compare the mirror against the source " +

@@ -111,6 +111,17 @@ class NdvStatsSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.column_stats answers from the manifest alone") {
+    root
+    val rows = spark.sql("CALL gndv.system.column_stats('fct')")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set("k", "grp", "tag"))
+    assert(rows("grp") === ((7L, 0L)), s"7-value column exact: ${rows("grp")}")
+    assert(rows("tag")._2 === 6000L, "null counts are exact")
+    assert(math.abs(rows("k")._1 - 60000L) <= 3000L,
+      s"60k-unique column within 5%: ${rows("k")._1}")
+  }
+
   test("the NDV layer survives a keyed rewrite and a rename re-keys it") {
     val s = spark
     import s.implicits._
