@@ -1025,7 +1025,8 @@ final class LakeTable(
       // build time and reports through DSv2 columnStats, so Catalyst's
       // join estimation sees per-column cardinalities, not just row
       // counts
-      ndvMeta = VersionedLake.dirNdv(spark, tableDir, v))
+      ndvMeta = VersionedLake.dirNdv(spark, tableDir, v),
+      statsMeta = scanStats)
   }
 
   /** Spark source filters → a lake predicate Column — the vocabulary

@@ -54,7 +54,8 @@ final class LakePruningScanBuilder(
     aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None,
     spjCols: Seq[String] = Nil,
     runtimeFilterCols: Seq[String] = Nil,
-    ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty)
+    ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
+    statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -150,11 +151,13 @@ final class LakePruningScanBuilder(
         .filter(c => required.fieldNames.exists(resolver(_, c)))
       if (rtCols.nonEmpty)
         new LakePruningScanBuilder.RuntimePrunedLakeScan(
-          scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta)
+          scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta,
+          statsMeta, schema)
       else stats match {
         case Some((rows, bytes)) =>
           new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes,
-            LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta))
+            LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta,
+              statsMeta, schema))
         case None => scan
       }
   }
@@ -162,25 +165,34 @@ final class LakePruningScanBuilder(
 
 object LakePruningScanBuilder {
 
-  /** COLUMN-LEVEL CBO STATISTICS from the manifest's `#ndv` layer: the
-    * kept directories' per-column HLL sketches union driver-side into
-    * one distinct-count estimate, null counts sum exactly. A column is
-    * reported ONLY when every row-bearing kept directory carries its
-    * sketch — a partial union would understate NDV and mis-steer join
-    * ordering the same way a partial row sum would mis-broadcast (the
-    * conservatism rule [[build]] applies to rows/bytes). Zero-row
-    * directories contribute nothing and need no line. O(dirs × cols)
-    * driver metadata work on sketches of a few KB — planning-time cost,
-    * never a file open.
+  /** COLUMN-LEVEL CBO STATISTICS from the manifest's `#ndv` + `#stats`
+    * layers: the kept directories' per-column HLL sketches union
+    * driver-side into one distinct-count estimate, null counts sum
+    * exactly, and min/max merge from the stats lines as TYPED Catalyst
+    * values (numeric and date columns — what FilterEstimation's range
+    * selectivity consumes; conversion failures or unparseable renders
+    * just omit the bound). A column is reported ONLY when every
+    * row-bearing kept directory carries its sketch — a partial union
+    * would understate NDV and mis-steer join ordering the same way a
+    * partial row sum would mis-broadcast (the conservatism rule
+    * [[build]] applies to rows/bytes); min/max likewise require every
+    * live dir's stats entry (an all-null dir contributes bounds of
+    * nothing and is skipped, a MISSING entry blocks the bound).
+    * Zero-row directories contribute nothing and need no line.
+    * O(dirs × cols) driver metadata work on sketches of a few KB —
+    * planning-time cost, never a file open.
     */
   def columnStatsFor(
       kept: Seq[String],
       rowMeta: Map[String, (Long, Long)],
-      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]])
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
+      dataSchema: StructType = new StructType())
       : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import org.apache.spark.sql.types._
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
     // only row-bearing dirs need a sketch; a dir without a #rows line is
@@ -189,6 +201,39 @@ object LakePruningScanBuilder {
     if (!kept.forall(rowMeta.contains)) return out
     val live = kept.filter(d => rowMeta(d)._1 > 0)
     if (live.isEmpty) return out
+    // stored-string render → the Catalyst-internal value CBO expects
+    def toCatalyst(s: String, dt: DataType): Option[Object] =
+      scala.util.Try[Object](dt match {
+        case ByteType      => java.lang.Byte.valueOf(s)
+        case ShortType     => java.lang.Short.valueOf(s)
+        case IntegerType   => java.lang.Integer.valueOf(s)
+        case LongType      => java.lang.Long.valueOf(s)
+        case FloatType     => java.lang.Float.valueOf(s)
+        case DoubleType    => java.lang.Double.valueOf(s)
+        case d: DecimalType =>
+          org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+        case DateType =>
+          java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case _ => null
+      }).toOption.filter(_ != null)
+    def mergeBound(c: String, takeMin: Boolean): Option[Object] = {
+      val dt = dataSchema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      val numeric = dt.isInstanceOf[NumericType]
+      if (!numeric && dt != DateType) return None
+      val perDir = live.map(d => statsMeta.get(d).flatMap(_.get(c)))
+      if (perDir.exists(_.isEmpty)) return None // a dir with NO entry blocks
+      // all-null dirs ((None, None)) bound nothing; rows there are null
+      val bounds = perDir.flatten.flatMap(p => if (takeMin) p._1 else p._2)
+      if (bounds.isEmpty) return None
+      val best = bounds.reduce { (a, b) =>
+        val cmp =
+          if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b)))
+            .getOrElse(return None)
+          else a.compareTo(b) // DATE: ISO renders compare lexicographically
+        if ((cmp <= 0) == takeMin) a else b
+      }
+      toCatalyst(best, dt)
+    }
     val perDir = live.map(ndvMeta.getOrElse(_, Map.empty))
     val covered = perDir.map(_.keySet).reduce(_ intersect _)
     covered.foreach { c =>
@@ -196,11 +241,17 @@ object LakePruningScanBuilder {
         val entries = perDir.map(_(c))
         val distinct = graft.sources.VersionedLake.ndvEstimate(entries.map(_._1))
         val nulls = entries.map(_._2).sum
+        val lo = mergeBound(c, takeMin = true)
+        val hi = mergeBound(c, takeMin = false)
         out.put(Expressions.column(c), new ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
             java.util.OptionalLong.of(distinct)
           override def nullCount(): java.util.OptionalLong =
             java.util.OptionalLong.of(nulls)
+          override def min(): java.util.Optional[Object] =
+            lo.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def max(): java.util.Optional[Object] =
+            hi.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
         })
       }
     }
@@ -239,7 +290,9 @@ object LakePruningScanBuilder {
       rebuild: Seq[String] => Scan,
       pruner: Seq[Filter] => Seq[String],
       rowMeta: Map[String, (Long, Long)],
-      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty)
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
+      dataSchema: StructType = new StructType())
       extends Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -281,7 +334,7 @@ object LakePruningScanBuilder {
       val ds = kept
       if (ds.forall(rowMeta.contains)) {
         val (rows, bytes) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
-        val cs = columnStatsFor(ds, rowMeta, ndvMeta)
+        val cs = columnStatsFor(ds, rowMeta, ndvMeta, statsMeta, dataSchema)
         new Statistics {
           override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
           override def numRows(): OptionalLong = OptionalLong.of(rows)

@@ -71,6 +71,10 @@ class NdvStatsSpec extends SparkSpec {
       (d - BigInt(60000)).abs <= BigInt(3000)), s"k NDV off: ${k.distinctCount}")
     assert(byName("tag").nullCount.contains(BigInt(6000)))
     assert(byName("grp").distinctCount.contains(BigInt(7)))
+    // typed min/max merge across directories (range estimation's input)
+    assert(k.min.contains(0L) && k.max.contains(59999L),
+      s"k bounds: ${k.min} .. ${k.max}")
+    assert(byName("grp").min.contains(0L) && byName("grp").max.contains(6L))
   }
 
   test("CBO: a point-filtered fact estimates to ~1 row via NDV and becomes the broadcast side") {
@@ -105,6 +109,14 @@ class NdvStatsSpec extends SparkSpec {
       assert(withCbo.exists(_.contains("tag")),
         "with NDV-fed CBO the k=777 side estimates to ~1 row and must be " +
           s"the broadcast build side, got $withCbo")
+      // RANGE selectivity rides the merged typed min/max: k < 40 over
+      // [0, 59999] estimates ~40 rows — broadcastable where a size-only
+      // estimate is 60k rows of fact
+      val rangeSql = "SELECT f.tag, d.nm FROM gndv.fct f JOIN gndv.dm d " +
+        "ON f.grp = d.dk WHERE f.k < 40"
+      val withRange = buildSideOutputs(spark.sql(rangeSql).queryExecution.sparkPlan)
+      assert(withRange.exists(_.contains("tag")),
+        s"min/max-fed CBO must broadcast the range-filtered fact, got $withRange")
     } finally {
       conf.set("spark.sql.cbo.enabled", prevCbo)
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
