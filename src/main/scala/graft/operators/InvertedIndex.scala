@@ -513,4 +513,43 @@ object InvertedIndex {
     k.fold(scored)(top =>
       scored.orderBy(col("n_phrase").desc, col("doc_id")).limit(top))
   }
+
+  /** PROXIMITY search: documents where `terms` occur IN ORDER with at
+    * most `window` tokens between consecutive terms (window = 1 is
+    * exact adjacency, i.e. [[searchPhrase]]), with the chain count —
+    * `(doc_id, n_near)`. Same probe shape as the phrase: ≤ |distinct
+    * terms| postings buckets, an inner join on doc_id, and a fold over
+    * position lists — here each step keeps the NEXT term's positions
+    * that land within (x, x + window] of a surviving chain end, so the
+    * final list holds the chains' end offsets. Per-document work is
+    * O(Σ |p_i| · |chain|), bounded by the phrase terms' postings —
+    * never document length, never the corpus.
+    */
+  def searchNear(
+      spark: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      window: Int,
+      k: Option[Int] = None): DataFrame = {
+    require(terms.size >= 2, "searchNear needs at least two terms")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val post = readMember(spark, indexDir, Post)
+    require(post.columns.contains("pos"),
+      s"$indexDir predates positional postings - rebuild to enable proximity queries")
+    val buckets = terms.map(bucketOf).distinct
+    val hits = post
+      .filter(col("b").isin(buckets: _*) && col("w").isin(terms.distinct: _*))
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      hits.filter(col("w") === t).select(col("doc_id"), col("pos").as(s"_p$i"))
+    }
+    val joined = frames.reduce(_.join(_, "doc_id"))
+    val chain = (1 until terms.size).foldLeft(col("_p0")) { (acc, i) =>
+      filter(col(s"_p$i"), y => exists(acc, x => y > x && y <= x + window))
+    }
+    val scored = joined
+      .select(col("doc_id"), size(chain).cast("long").as("n_near"))
+      .filter(col("n_near") > 0)
+    k.fold(scored)(top =>
+      scored.orderBy(col("n_near").desc, col("doc_id")).limit(top))
+  }
 }

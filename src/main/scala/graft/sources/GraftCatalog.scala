@@ -122,7 +122,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 
-  private val MetaKinds = Set("history", "files", "constraints")
+  private val MetaKinds = Set("history", "files", "constraints", "stats")
 
   // ---- procedures (CALL graft.system.<proc>) -----------------------------
 
@@ -193,6 +193,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         }.toDF("dir", "rows", "bytes", "parts", "stats", "bucket_key", "bucket_n")
       case "constraints" =>
         LakeConstraints.constraintsOf(s, dir).toDF("name", "check")
+      case "stats" =>
+        // column-level statistics off the manifest's NDV + stats layers
+        // (the `CALL system.column_stats` answer as a metadata table):
+        // merged HLL distinct-count estimate, exact null count, and the
+        // stored-string min/max per covered stats column — O(dirs)
+        // metadata, zero file opens
+        val v = VersionedLake.currentVersion(s, dir).get
+        val rowsMeta = VersionedLake.dirRowCounts(s, dir, v)
+        val ndv = VersionedLake.dirNdv(s, dir, v)
+        val stats = VersionedLake.dirStats(s, dir, v)
+        val live = VersionedLake.manifest(s, dir, v)
+          .filter(d => rowsMeta.get(d).forall(_._1 > 0))
+        val perDir = live.map(ndv.getOrElse(_, Map.empty))
+        val covered =
+          if (perDir.isEmpty) Set.empty[String]
+          else perDir.map(_.keySet).reduce(_ intersect _)
+        val schema0 = VersionedLake.versionSchema(s, dir, v)
+        // stored-domain merge, like the pruner: numeric columns compare
+        // as numbers ("9" < "10"), everything else lexicographically
+        def pick(c: String, vals: Seq[String], takeMin: Boolean): String = {
+          val numeric = schema0.exists(_.fields.exists(f => f.name == c &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          vals.reduce { (a, b) =>
+            val cmp =
+              if (numeric) scala.util.Try(BigDecimal(a).compare(BigDecimal(b)))
+                .getOrElse(a.compareTo(b))
+              else a.compareTo(b)
+            if ((cmp <= 0) == takeMin) a else b
+          }
+        }
+        covered.toSeq.sorted.map { c =>
+          val entries = perDir.map(_(c))
+          val mins = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._1))
+          val maxs = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._2))
+          (c,
+            VersionedLake.ndvEstimate(entries.map(_._1)),
+            entries.map(_._2).sum,
+            if (mins.isEmpty) null else pick(c, mins, takeMin = true),
+            if (maxs.isEmpty) null else pick(c, maxs, takeMin = false))
+        }.toDF("column", "ndv", "nulls", "min", "max")
     }
     new LocalRowsTable(s"${base.toString}$$$kind", df)
   }

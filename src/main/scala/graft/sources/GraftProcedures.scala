@@ -33,7 +33,7 @@ object GraftProcedures {
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
-    "text_search_phrase", "column_stats", "replicate_verify")
+    "text_search_phrase", "text_search_near", "column_stats", "replicate_verify")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -291,6 +291,29 @@ object GraftProcedures {
           require(k > 0 && k <= 100000, s"k out of range: $k")
           val df = graft.operators.InvertedIndex
             .searchPhrase(spark, idxDir, terms, k = Some(k))
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(df.schema)
+          (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        }
+      case "text_search_near" =>
+        procRows(name, "PROXIMITY top-k over the table's positional text " +
+          "index: documents where the terms occur in order with at most " +
+          "`window` tokens between consecutive terms (window=1 is the exact " +
+          "phrase), with chain counts - reads only the terms' postings buckets",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("terms", StringType)
+              .comment("space-separated terms, two or more").build(),
+            ProcedureParameter.in("window", IntegerType).defaultValue("3").build(),
+            ProcedureParameter.in("k", IntegerType).defaultValue("10").build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, _, _) = textIdxOf(spark, corpus)
+          val terms = str(in, 1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          val w = in.getInt(2)
+          val k = in.getInt(3)
+          require(k > 0 && k <= 100000, s"k out of range: $k")
+          val df = graft.operators.InvertedIndex
+            .searchNear(spark, idxDir, terms, window = w, k = Some(k))
           val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToCatalystConverter(df.schema)
           (df.schema, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))

@@ -260,6 +260,38 @@ class InvertedIndexSpec extends SparkSpec {
     assert(after.get(5L).contains(2L), s"updated doc must phrase-count 2, got $after")
   }
 
+  test("proximity search: in-order within-window chains; window=1 equals the phrase") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_near").toString
+    InvertedIndex.build(docs, "doc_id", "text", idxDir)
+    def viaNear(terms: Seq[String], w: Int): Map[Long, Long] =
+      InvertedIndex.searchNear(spark, idxDir, terms, window = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viaPhrase(terms: Seq[String]): Map[Long, Long] =
+      InvertedIndex.searchPhrase(spark, idxDir, terms)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // window = 1 IS exact adjacency
+    assert(viaNear(Seq("table", "hash"), 1) === viaPhrase(Seq("table", "hash")))
+    // independent reference: the same chain fold over raw token arrays
+    def direct(terms: Seq[String], w: Int): Map[Long, Long] =
+      docs.select("doc_id", "text").collect().flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val chain = terms.tail.foldLeft(
+          toks.zipWithIndex.collect { case (t, i) if t == terms.head => i }) {
+          (acc, t) =>
+            toks.zipWithIndex.collect {
+              case (tk, y) if tk == t && acc.exists(x => y > x && y <= x + w) => y
+            }
+        }
+        if (chain.nonEmpty) Some(r.getLong(0) -> chain.size.toLong) else None
+      }.toMap
+    val wide = viaNear(Seq("table", "hash"), 4)
+    assert(wide === direct(Seq("table", "hash"), 4))
+    assert(wide.size >= viaPhrase(Seq("table", "hash")).size,
+      "a wider window can only admit more documents")
+    assert(viaNear(Seq("scan", "group", "value"), 3) ===
+      direct(Seq("scan", "group", "value"), 3))
+  }
+
   test("sync replays exactly-once: a repeated window commits nothing") {
     val corpusDir = java.nio.file.Files.createTempDirectory("inv_corpus_once").toString
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_once").toString

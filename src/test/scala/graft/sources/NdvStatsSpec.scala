@@ -134,6 +134,19 @@ class NdvStatsSpec extends SparkSpec {
       s"60k-unique column within 5%: ${rows("k")._1}")
   }
 
+  test("t$stats metadata table: SELECT-able column statistics, stored-domain bounds") {
+    root
+    val rows = spark.sql("SELECT * FROM gndv.`fct$stats`").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(rows.keySet === Set("k", "grp", "tag"))
+    assert(rows("grp") === ((7L, 0L, "0", "6")))
+    // numeric merge, not lexicographic: max across dirs is 59999, and a
+    // string compare would have picked "9..."-prefixed renders
+    assert(rows("k")._3 === "0" && rows("k")._4 === "59999")
+    assert(rows("tag")._2 === 6000L)
+  }
+
   test("the NDV layer survives a keyed rewrite and a rename re-keys it") {
     val s = spark
     import s.implicits._
