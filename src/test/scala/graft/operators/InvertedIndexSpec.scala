@@ -136,14 +136,9 @@ class InvertedIndexSpec extends SparkSpec {
     val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_stream").toString
     val ck = java.nio.file.Files.createTempDirectory("inv_idx_ck").toString
     VersionedLake.commit(docs.filter(col("doc_id") < 120), corpusDir)
-    // sync is idempotent + corpus-version-watermarked, so the foreachBatch
+    // sync is idempotent + corpus-version-watermarked, so the per-batch
     // body just re-syncs on every CDC batch — exactly-once falls out
-    val q = s.readStream.format("graft-lake")
-      .option("path", corpusDir).option("readChanges", "true").load()
-      .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        InvertedIndex.sync(s, corpusDir, "doc_id", "text", idxDir): Unit
-      }.start()
+    val q = InvertedIndex.continuousSync(s, corpusDir, "doc_id", "text", idxDir, ck)
     try {
       q.processAllAvailable()
       assert(indexed(idxDir) === scanBm25(docs.filter(col("doc_id") < 120), Terms))
