@@ -806,6 +806,38 @@ object Relational5 {
     }
   }
 
+  /** PARTITION-SPEC-EVOLUTION fixture: `pevo_orders` lives its first era
+    * hive-partitioned by `band`, then ONE metadata-only
+    * `set_partition_spec` commit re-declares the layout as `cell`, and
+    * the second era lands through the SQL INSERT path — which must
+    * follow the DECLARATION, not the newest directory's render. Both
+    * eras derive from the immutable orders table, so every run converges
+    * on the same truth; reads splice the two specs per directory.
+    */
+  private def ensurePartitionEvolve(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/pevo_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 3).as("band"),
+        (col("o_orderkey") % 5).as("cell"),
+        col("o_totalprice"))
+      VersionedLake.appendCommit(o.filter(col("o_orderkey") <= half), tbl,
+        parts = Seq("band"), statsCols = Seq("o_orderkey", "cell"))
+      s.sql("CALL graftcat.system.set_partition_spec(table => 'pevo_orders', " +
+        "parts => 'cell')")
+      // INSERT by the table's own column order (partitioning reorders
+      // the stored schema; positional SQL INSERT must match it)
+      val tableCols = s.table("graftcat.pevo_orders").columns.toSeq
+      o.filter(col("o_orderkey") > half).select(tableCols.map(col): _*)
+        .createOrReplaceTempView("pevo_src")
+      s.sql("INSERT INTO graftcat.pevo_orders SELECT * FROM pevo_src")
+    }
+  }
+
   private def ensureNdvJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.sources.VersionedLake
     ensureCatalog(s, dir)
@@ -2015,6 +2047,27 @@ object Relational5 {
              |  CAST(CAST(CAST(o_orderkey % 4 AS DECIMAL(6,2)) AS DECIMAL(16,6)) AS VARCHAR) AS p
              |FROM orders""".stripMargin),
       covers = Seq("ext-lake-widen-decpart")),
+
+    // PARTITION SPEC EVOLUTION — one metadata-only commit re-declares
+    // the hive layout NEW batches follow (band -> cell); era-1
+    // directories keep reading (and pruning) under their own spec, the
+    // era-2 SQL INSERT lays out under the declaration, and the read
+    // splices both specs. Zero data movement at any scale: the
+    // alternative on a 100 TB table is a full re-ingest. Oracle: the
+    // two-era union IS the whole orders projection.
+    QueryDef(
+      "q_catalog_partition_evolve",
+      (s, dir) => {
+        ensurePartitionEvolve(s, dir)
+        s.sql("""SELECT band, cell, count(*) AS n,
+                |  round(sum(o_totalprice), 2) AS total
+                |FROM graftcat.pevo_orders
+                |GROUP BY band, cell""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT o_orderkey % 3 AS band, o_orderkey % 5 AS cell,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      covers = Seq("ext-lake-partition-evolve")),
 
     // CBO WITH NDV COLUMN STATISTICS — the point-filtered fact joins a
     // same-keyed aggregate table; with the manifest's #ndv layer feeding

@@ -33,7 +33,8 @@ object GraftProcedures {
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
-    "text_search_phrase", "text_search_near", "column_stats", "replicate_verify")
+    "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
+    "set_partition_spec")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -110,6 +111,19 @@ object GraftProcedures {
               .getOrElse(VersionedLake.currentVersion(spark, dir).get)
           } else if (n >= 2) VersionedLake.optimizeClustered(spark, dir, z, n)
           else VersionedLake.optimize(spark, dir, zorderBy = z)
+        }
+      case "set_partition_spec" =>
+        proc(name, "partition spec evolution: one metadata-only commit declares the " +
+          "hive layout NEW batches follow; existing directories keep reading " +
+          "(and pruning) under the spec they were written with; a later full " +
+          "optimize migrates the layout if/when wanted",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("parts", StringType)
+              .comment("comma-separated partition columns; empty = unpartitioned " +
+                "going forward").build())) { in =>
+          val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          VersionedLake.setPartitionSpec(spark, resolve(str(in, 0)), cols)
         }
       case "rollback" =>
         proc(name, "republish a retained version's exact content as the new current",

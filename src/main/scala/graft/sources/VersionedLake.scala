@@ -303,6 +303,24 @@ object VersionedLake {
     */
   private val PartsHeader = "#parts="
 
+  /** Manifest header DECLARING the partition spec NEW batches follow:
+    * `#declspec=["region","day"]` — the write-side half of partition
+    * spec evolution (the `#parts` lines are the read-side half). Without
+    * it the spec for new writes is whatever the NEWEST data directory
+    * happens to render ([[declaredOrPhysicalParts]]' physical fallback),
+    * which is self-reinforcing and therefore unchangeable. A
+    * [[setPartitionSpec]] commit writes the line; every later commit
+    * carries it verbatim (like `#rows`), so the declaration is
+    * snapshot-versioned — time travel to a pre-evolution version plans
+    * new hypothetical writes under THAT version's spec, and a rollback
+    * restores the old declaration with the old data. An empty array is
+    * a real declaration (evolve to UNPARTITIONED going forward), which
+    * the physical fallback could never express. Absence = no declaration
+    * ever made = newest-dir physical behavior, byte-compatible with
+    * every pre-header manifest.
+    */
+  private val DeclSpecHeader = "#declspec="
+
   /** Field-metadata key carrying a renamed column's FORMER physical
     * names — the lake's field-id indirection. [[renameColumn]] is a
     * manifest-only commit: the schema's field takes the new name and
@@ -1258,6 +1276,33 @@ object VersionedLake {
     }
   }
 
+  /** Raw `#declspec` JSON at `version`, for O(1) verbatim carry. */
+  private def declaredSpecRaw(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Option[String] =
+    manifestLines(spark, tableDir, version)
+      .find(_.startsWith(DeclSpecHeader))
+      .map(_.stripPrefix(DeclSpecHeader))
+
+  /** The version's DECLARED partition spec, when one was ever set
+    * ([[setPartitionSpec]]): the hive layout new batches must follow,
+    * independent of what the newest directory happens to render.
+    * `Some(Nil)` is a real answer — declared unpartitioned. `None` =
+    * never declared, callers fall back to the physical chain.
+    */
+  def declaredSpec(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Option[Seq[String]] = {
+    import org.json4s.JsonAST._
+    declaredSpecRaw(spark, tableDir, version).flatMap { json =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.collect {
+        case JArray(vs) => vs.collect { case JString(c) => c }
+      }
+    }
+  }
+
   /** Whether the version's directories were written under MORE THAN ONE
     * partition spec (flat counts as a spec) — the partition-evolution
     * read shape. One memoized manifest parse; manifests predating the
@@ -1532,7 +1577,8 @@ object VersionedLake {
       eqdeletes: Seq[EqDelete] = Nil,
       op: String = "commit",
       changes: Option[String] = None,
-      ndv: Map[String, String] = Map.empty): Long = {
+      ndv: Map[String, String] = Map.empty,
+      declSpec: Option[Option[Seq[String]]] = None): Long = {
     val cur = currentVersion(spark, tableDir)
     expectedBase.foreach { exp =>
       if (cur != exp)
@@ -1611,8 +1657,21 @@ object VersionedLake {
         s"$EqDeleteHeader${e.dir}\t$j"
       }
     val changesLines = changes.map(c => s"$ChangesHeader$c").toSeq
+    // declared-spec line: outer None = carry VERBATIM from the current
+    // version (every ordinary commit path — a declaration survives until
+    // re-declared, zero call-site involvement, the `#rows` discipline);
+    // Some(Some(cols)) = declare (setPartitionSpec); Some(None) = no line
+    // (rollback restoring a never-declared version)
+    val declLine = (declSpec match {
+      case Some(explicit) => explicit.map { cols =>
+        import org.json4s.JsonAST._
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          JArray(cols.map(JString(_): JValue).toList)))
+      }
+      case None => cur.flatMap(v => declaredSpecRaw(spark, tableDir, v))
+    }).map(j => s"$DeclSpecHeader$j").toSeq
     val body = (SchemaHeader + schema.json) +: (OpHeader + op) +:
-      (rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ ndvLines ++
+      (declLine ++ rowsLines ++ partsLines ++ statsLines ++ bloomLines ++ ndvLines ++
         bucketLines ++ txnLines ++ eqLines ++ changesLines ++ dirs)
     // inside a LakeAtomicTxn: register the intended publish and stop — the
     // transaction claims every table's slot, writes the one decision
@@ -2055,12 +2114,17 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       version: Long): Seq[String] = {
-    val phys = partitionColumns(spark, tableDir, version)
-    val raw =
+    // precedence: an explicit declaration ([[setPartitionSpec]]'s
+    // `#declspec` line — may legitimately be EMPTY, meaning evolved to
+    // unpartitioned) > the newest directory's physical chain > the DDL
+    // carrier prop (empty created tables, which have neither)
+    val raw = declaredSpec(spark, tableDir, version).getOrElse {
+      val phys = partitionColumns(spark, tableDir, version)
       if (phys.nonEmpty) phys
       else LakeProps.get(spark, tableDir).get("table.parts")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+    }
     if (raw.isEmpty) raw
     else {
       // translate FORMER names through the aka indirection: after a
@@ -2166,8 +2230,13 @@ object VersionedLake {
       tableDir: String,
       version: Long): Set[String] = {
     val byDir = dirParts(spark, tableDir, version)
-    if (byDir.nonEmpty) byDir.values.flatten.toSet
-    else partitionColumns(spark, tableDir, version).toSet
+    val physical =
+      if (byDir.nonEmpty) byDir.values.flatten.toSet
+      else partitionColumns(spark, tableDir, version).toSet
+    // a DECLARED-but-not-yet-materialized spec column counts too: the
+    // very next INSERT lays out under it, so dropping it now would make
+    // the declaration unfulfillable one commit later
+    physical ++ declaredSpec(spark, tableDir, version).getOrElse(Nil)
   }
 
   /** Whether any hive-partition column of `version` is DECIMAL-typed.
@@ -2579,8 +2648,10 @@ object VersionedLake {
         if (addedDirs.isEmpty) NoDelta else FrameDelta(tagged(appended, "insert"))
       case "optimize" | "materialize" =>
         NoDelta // layout-only: identical logical rows before and after
-      case "rename_column" | "drop_column" | "widen_column" | "watermark" =>
-        NoDelta // metadata-only: schema or txn watermark, no logical row
+      case "rename_column" | "drop_column" | "widen_column" | "watermark"
+           | "set_spec" =>
+        NoDelta // metadata-only: schema/spec declaration or txn watermark,
+                // no logical row
       case "delete_mor" =>
         newDels.map(preImages).reduceOption(_.unionByName(_))
           .fold[VersionDelta](NoDelta)(p => FrameDelta(tagged(p, "delete")))
@@ -4038,6 +4109,85 @@ object VersionedLake {
     out
   }
 
+  /** PARTITION SPEC EVOLUTION — change the hive layout NEW batches
+    * follow, as ONE metadata-only commit with ZERO data movement. The
+    * commit republishes the current snapshot verbatim plus a
+    * [[DeclSpecHeader]] declaration; every existing directory keeps its
+    * own per-dir `#parts` line and keeps reading (and pruning) under the
+    * spec it was written with, while every later write path that
+    * consults [[declaredOrPhysicalParts]] (catalog INSERT, MERGE's
+    * append arm, replaceWhere batches, MoR update appends, OPTIMIZE
+    * rewrites) lays out under the new spec. `Nil` is a legal target:
+    * evolve to unpartitioned going forward.
+    *
+    * At 100 TB this is the difference between re-ingesting a table to
+    * change its partitioning and a one-line commit: the history answers
+    * time travel under each version's own declaration, and a FULL
+    * [[optimize]] is the (optional, incremental-by-directory) migration
+    * path that rewrites old-spec directories under the current
+    * declaration — run it when the mixed-spec per-directory read union
+    * (which bypasses the single-root DSv2 scan and its columnStats
+    * reporting) starts to matter for the workload; until then old data
+    * still dir-prunes through its own chains and the manifest stats
+    * layer.
+    *
+    * Refused: unknown/dropped/former-name columns, non-atomic partition
+    * types (array/map/struct/binary cannot render as `k=v` names), a
+    * spec covering EVERY column (a data file needs at least one data
+    * column), and bucketed layouts (the bucketed read materializes ONE
+    * layout as DDL — re-bucket after evolving, the [[renameColumn]]
+    * hazard). Pending MoR deletes are fine: data does not move.
+    */
+  def setPartitionSpec(
+      spark: SparkSession,
+      tableDir: String,
+      newParts: Seq[String]): Long = retryOnConflict() {
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
+    val vis = visibleSchema(schema)
+    val resolved = newParts.map { c =>
+      vis.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$c' in $tableDir — partition spec columns must be " +
+            "live (non-dropped) schema columns"))
+    }
+    require(resolved.map(_.name.toLowerCase).distinct.size == resolved.size,
+      s"duplicate column in partition spec: ${newParts.mkString(",")}")
+    resolved.foreach { f =>
+      import org.apache.spark.sql.types._
+      require(f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }, s"column '${f.name}' (${f.dataType.simpleString}) cannot be a " +
+        "hive-partition column: no k=v directory-name rendering exists")
+    }
+    require(resolved.size < vis.fields.length,
+      "partition spec cannot cover every column - a data file needs at " +
+        "least one non-partition column")
+    require(dirBuckets(spark, tableDir, cur).isEmpty,
+      s"$tableDir@v$cur carries a bucket spec; evolve after re-bucketing " +
+        "(optimizeBucketed) or on the unbucketed layout")
+    val names = resolved.map(_.name)
+    val out = publishManifest(spark, tableDir,
+      manifest(spark, tableDir, cur), schema,
+      dirStats(spark, tableDir, cur).map { case (d, c) => d -> statsJson(c) },
+      dirBloomsRaw(spark, tableDir, cur),
+      expectedBase = Some(Some(cur)),
+      buckets = dirBuckets(spark, tableDir, cur),
+      txns = txnWatermarks(spark, tableDir, cur),
+      eqdeletes = dirEqDeletes(spark, tableDir, cur),
+      op = "set_spec",
+      ndv = dirNdvRaw(spark, tableDir, cur),
+      declSpec = Some(Some(names)))
+    // keep the DDL carrier prop coherent (it only steers tables with no
+    // published manifest, but clones/replicas copy props — a stale value
+    // there would contradict the manifest the moment one exists)
+    LakeProps.set(spark, tableDir, "table.parts", names.mkString(","))
+    out
+  }
+
   /** METADATA-ONLY DROP COLUMN — the other half of the field-id bargain
     * [[renameColumn]] opened: one manifest commit marks the field a
     * TOMBSTONE ([[DroppedKey]]); every read projects it away, its stats
@@ -4277,7 +4427,14 @@ object VersionedLake {
       val cur = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
       val snapshot = readVersion(spark, tableDir, cur)
-      val d = writeDataDir(snapshot, tableDir, parts, maxRecordsPerFile, zorderBy)
+      // empty `parts` means THE TABLE'S OWN layout (declared spec, else
+      // newest-dir physical), not flat: a default CALL optimize must
+      // never silently strip a 100 TB table's partitioning — and it is
+      // exactly how a spec evolution migrates old directories. To
+      // flatten deliberately, declare it: setPartitionSpec(Nil) first.
+      val layout =
+        if (parts.nonEmpty) parts else declaredOrPhysicalParts(spark, tableDir, cur)
+      val d = writeDataDir(snapshot, tableDir, layout, maxRecordsPerFile, zorderBy)
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
       // a compaction merges N directories into one, so per-directory stats
       // and blooms must be recomputed over the union, not carried forward
@@ -4741,7 +4898,11 @@ object VersionedLake {
         // dirs reinstated from toVersion may be absent from cur's
         // manifest, so the auto-carry cannot see their #ndv lines —
         // carry them from the version being restored, like stats/blooms
-        ndv = dirNdvRaw(spark, tableDir, toVersion))
+        ndv = dirNdvRaw(spark, tableDir, toVersion),
+        // the partition-spec declaration is snapshot-versioned state:
+        // a rollback restores the TARGET's declaration (or its absence),
+        // so an accidental setPartitionSpec undoes like any other commit
+        declSpec = Some(declaredSpec(spark, tableDir, toVersion)))
     }
 
   /** Manifest-level directory pruning for ARBITRARY pushed filters — the
@@ -4961,8 +5122,12 @@ object VersionedLake {
       }
     }
     val out = commit(snap, dstDir,
-      parts = partitionColumns(spark, srcDir, v),
+      parts = declaredOrPhysicalParts(spark, srcDir, v),
       statsCols = statCols, bloom = bloomCfg)
+    // an evolved source's declaration steers the clone's FUTURE writes
+    // the same way (the clone's single rewritten dir already follows it)
+    declaredSpec(spark, srcDir, v).foreach(cols =>
+      setPartitionSpec(spark, dstDir, cols): Unit)
     LakeConstraints.copyTo(spark, srcDir, dstDir)
     out
   }

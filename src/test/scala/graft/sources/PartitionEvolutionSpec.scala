@@ -99,4 +99,109 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(dirs.exists(d => specs.get(d).contains(Seq("day"))),
       "a rewritten hive directory keeps its own layout")
   }
+
+  test("setPartitionSpec: metadata-only declaration steers writers; history answers per version") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pevo_decl")
+    VersionedLake.appendCommit(
+      Seq((1L, "d1", "us", "a"), (2L, "d2", "eu", "b")).toDF("id", "day", "region", "v"),
+      dir, parts = Seq("day"))
+    val dirsBefore = VersionedLake.manifest(s, dir, 0L)
+    val v = VersionedLake.setPartitionSpec(s, dir, Seq("region"))
+    assert(v === 1L)
+    assert(VersionedLake.manifest(s, dir, v) === dirsBefore,
+      "the declaration is one manifest commit - zero data movement")
+    assert(VersionedLake.commitOp(s, dir, v).contains("set_spec"))
+    assert(VersionedLake.declaredSpec(s, dir, v) === Some(Seq("region")))
+    // the PRE-evolution version never saw a declaration: time travel
+    // plans under the newest-dir physical spec of ITS day
+    assert(VersionedLake.declaredSpec(s, dir, 0L) === None)
+    assert(VersionedLake.declaredOrPhysicalParts(s, dir, 0L) === Seq("day"))
+    // new batches follow the declared spec, not the newest dir's render
+    assert(VersionedLake.declaredOrPhysicalParts(s, dir, v) === Seq("region"))
+    VersionedLake.appendCommit(
+      Seq((3L, "d1", "us", "c")).toDF("id", "day", "region", "v"), dir,
+      parts = VersionedLake.declaredOrPhysicalParts(s, dir, v))
+    val cur = VersionedLake.currentVersion(s, dir).get
+    // both physical renders coexist; the declaration carried verbatim
+    val renders = new java.io.File(s"$dir/data").listFiles()
+      .flatMap(_.listFiles()).map(_.getName.takeWhile(_ != '='))
+      .filter(n => n == "day" || n == "region").toSet
+    assert(renders === Set("day", "region"), s"mixed renders expected: $renders")
+    assert(VersionedLake.declaredSpec(s, dir, cur) === Some(Seq("region")),
+      "every later commit carries the declaration verbatim")
+    // reads splice both specs
+    val df = VersionedLake.read(s, dir)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // a full OPTIMIZE migrates the whole layout under the declaration
+    VersionedLake.optimize(s, dir)
+    val optV = VersionedLake.currentVersion(s, dir).get
+    val optDirs = VersionedLake.manifest(s, dir, optV)
+    val optSpecs = VersionedLake.dirParts(s, dir, optV)
+    assert(optDirs.forall(d => optSpecs.get(d).contains(Seq("region"))),
+      s"optimize must rewrite everything under the declared spec: $optSpecs")
+    assert(VersionedLake.read(s, dir).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    // rollback to the pre-evolution version restores the old declaration
+    // state (none) with the old data
+    VersionedLake.rollback(s, dir, 0L)
+    val rb = VersionedLake.currentVersion(s, dir).get
+    assert(VersionedLake.declaredSpec(s, dir, rb) === None,
+      "rollback republishes the old version's metadata - no declaration")
+  }
+
+  test("setPartitionSpec: empty spec evolves to UNPARTITIONED, overriding the physical fallback") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pevo_flat")
+    VersionedLake.appendCommit(
+      Seq((1L, "d1", "a")).toDF("id", "day", "v"), dir, parts = Seq("day"))
+    val v = VersionedLake.setPartitionSpec(s, dir, Nil)
+    assert(VersionedLake.declaredSpec(s, dir, v) === Some(Nil))
+    assert(VersionedLake.declaredOrPhysicalParts(s, dir, v) === Nil,
+      "an empty DECLARATION must beat the newest-dir physical chain")
+  }
+
+  test("setPartitionSpec guards: unknown column, every-column spec, duplicates, drop of a declared column") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pevo_guard")
+    VersionedLake.appendCommit(Seq((1L, "d1", "a")).toDF("id", "day", "v"), dir)
+    intercept[IllegalArgumentException](
+      VersionedLake.setPartitionSpec(s, dir, Seq("nope")))
+    intercept[IllegalArgumentException](
+      VersionedLake.setPartitionSpec(s, dir, Seq("id", "day", "v")))
+    intercept[IllegalArgumentException](
+      VersionedLake.setPartitionSpec(s, dir, Seq("day", "DAY")))
+    VersionedLake.setPartitionSpec(s, dir, Seq("day"))
+    // the declared column is a partition column NOW, before any dir
+    // materializes it - dropping it would break the very next INSERT
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.dropColumn(s, dir, "day"))
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("SQL: CALL system.set_partition_spec steers INSERT; pruning holds per spec") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pevo_sql").toString
+    s.conf.set("spark.sql.catalog.pevocat", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.pevocat.root", root)
+    s.sql("CREATE TABLE pevocat.ev (id BIGINT, day STRING, region STRING, v STRING) " +
+      "PARTITIONED BY (day)")
+    s.sql("INSERT INTO pevocat.ev VALUES (1, 'd1', 'us', 'a'), (2, 'd2', 'eu', 'b')")
+    s.sql("CALL pevocat.system.set_partition_spec(table => 'ev', parts => 'region')")
+    s.sql("INSERT INTO pevocat.ev VALUES (3, 'd1', 'us', 'c'), (4, 'd3', 'ap', 'd')")
+    val dir = s"$root/ev"
+    val cur = VersionedLake.currentVersion(s, dir).get
+    val specs = VersionedLake.dirParts(s, dir, cur)
+    assert(specs.values.toSet === Set(Seq("day"), Seq("region")),
+      s"the post-evolution INSERT must lay out by region: $specs")
+    val got = s.sql("SELECT id FROM pevocat.ev WHERE region = 'us' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L))
+    assert(s.sql("SELECT id FROM pevocat.ev WHERE day = 'd3'")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
 }
