@@ -33,10 +33,17 @@ import org.apache.spark.sql.graft.Bridge
   *  - every LEAF under the aggregate reads the SAME registered corpus
   *    (a lake table dir or a parquet root in [[TextIndexes]]) — a join
   *    against anything else declines;
+  *  - the subtree contains ONLY the canonical shape's node kinds
+  *    (project/filter/join/generate/aggregate/alias/hint) — a Limit, a
+  *    Sample, a Union would have its semantics silently discarded by the
+  *    whole-subtree splice;
   *  - the subtree tokenizes ONLY the registered text column through the
-  *    native [[WordTokens]] expression, and every token-set membership
-  *    filter in the subtree carries ONE identical string-literal term
-  *    set (the query terms);
+  *    native [[WordTokens]] expression; EVERY filter conjunct is either
+  *    the token-set membership on a TOKEN attribute (traced from the
+  *    explode's generator output through bare aliases) or its null
+  *    guard, and all membership sets agree — one extra predicate (a
+  *    doc-id range, a language allow-list) declines, because the probe
+  *    could not honor it and dropping it would answer a different query;
   *  - the doc key is the registered id column;
   *  - `<formula>` is EXACTLY the BM25 contribution for some (k1, b):
   *    candidate constants are read off the formula's own double
@@ -111,6 +118,19 @@ object Bm25AutoRoute extends Rule[LogicalPlan] {
     val res = conf.resolver
     if (!res(docAttr.name, entry.idCol)) return None
 
+    // ---- the subtree may contain ONLY the canonical shape's node kinds.
+    // The rewrite REPLACES the whole subtree, so any node that can drop,
+    // duplicate, or reorder rows beyond that shape (Limit, Sample, Union,
+    // Window, ...) would have its semantics silently discarded — decline.
+    var badNode = false
+    a.child.foreach {
+      case _: Project | _: Filter | _: Join | _: Generate | _: Aggregate |
+          _: SubqueryAlias | _: ResolvedHint => ()
+      case leaf if leaf.children.isEmpty => () // leaves were validated above
+      case _ => badNode = true
+    }
+    if (badNode) return None
+
     // ---- tokenization and the query-term filters ----
     var tokenizedOther = false
     a.child.foreach { n =>
@@ -121,18 +141,56 @@ object Bm25AutoRoute extends Rule[LogicalPlan] {
       })
     }
     if (tokenizedOther) return None
+    // attributes that ARE tokens of the registered text column: the
+    // generator outputs of explode(word_tokens(text)), followed through
+    // bare-alias projections to a fixpoint
+    val tokenIds = scala.collection.mutable.Set.empty[ExprId]
+    a.child.foreach {
+      case g: Generate => g.generator match {
+        case Explode(WordTokens(ar: AttributeReference)) if res(ar.name, entry.textCol) =>
+          g.generatorOutput.foreach(o => tokenIds += o.exprId)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    var grew = tokenIds.nonEmpty
+    while (grew) {
+      grew = false
+      a.child.foreach {
+        case p: Project => p.projectList.foreach {
+          case al @ Alias(ar: AttributeReference, _)
+              if tokenIds.contains(ar.exprId) && !tokenIds.contains(al.exprId) =>
+            tokenIds += al.exprId; grew = true
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    // EVERY filter conjunct must be accounted for: the membership test on
+    // a TOKEN attribute (the query terms) or its null guard. Anything
+    // else — a doc-id range, a language allow-list, a NOT(IN ...) — is a
+    // predicate the index probe cannot honor, and dropping it would
+    // answer a DIFFERENT query over the whole corpus. Decline.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
     val termSets = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    var badFilter = false
     a.child.foreach {
       case Filter(cond, _) =>
-        cond.foreach {
-          case In(_: AttributeReference, vs) if vs.nonEmpty &&
+        conjuncts(cond).foreach {
+          case In(ar: AttributeReference, vs) if tokenIds.contains(ar.exprId) &&
+            vs.nonEmpty &&
             vs.forall { case Literal(s, org.apache.spark.sql.types.StringType) => s != null
                         case _ => false } =>
             termSets += vs.map(_.asInstanceOf[Literal].value.toString)
-          case _ => ()
+          case IsNotNull(ar: AttributeReference) if tokenIds.contains(ar.exprId) => ()
+          case _ => badFilter = true
         }
       case _ => ()
     }
+    if (badFilter) return None
     val terms = termSets.toList match {
       case sets @ (first :: _) if sets.forall(_ == first) => first
       case _                                              => return None
