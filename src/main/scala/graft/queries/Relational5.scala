@@ -838,6 +838,39 @@ object Relational5 {
     }
   }
 
+  /** HISTOGRAM-CBO fixture: a fact whose value column is violently
+    * skewed — the overwhelming mass in [0,9), exactly 100 rows (absolute,
+    * SF-independent) strung out to o_orderkey·100 — plus a same-keyed
+    * dim. Both committed with a `v`/key stats layer, so the manifest
+    * carries per-directory quantile edges alongside NDV.
+    */
+  private def ensureHistJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val fact = s"${catalogLake(s, dir)}/hist_skw"
+    if (VersionedLake.currentVersion(s, fact).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") <= 1000 && col("o_orderkey") % 10 === 0,
+          col("o_orderkey") * 100)
+          .otherwise(col("o_orderkey") % 9).as("v"),
+        col("o_orderstatus"))
+      VersionedLake.appendCommit(o.filter(col("k") <= half), fact,
+        statsCols = Seq("k", "v"))
+      VersionedLake.appendCommit(o.filter(col("k") > half), fact,
+        statsCols = Seq("k", "v"))
+    }
+    val dim = s"${catalogLake(s, dir)}/hist_dim"
+    if (VersionedLake.currentVersion(s, dim).isEmpty)
+      // wide enough that the dim can NEVER sneak under the fact-sized
+      // broadcast threshold — only the histogram-priced fact side can
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey").as("hk"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("o_custkey")), dim, statsCols = Seq("hk"))
+  }
+
   private def ensureNdvJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.sources.VersionedLake
     ensureCatalog(s, dir)
@@ -2122,6 +2155,58 @@ object Relational5 {
              |   FROM lineitem GROUP BY 1) d
              |WHERE o.o_orderkey = d.l_orderkey AND o.o_orderkey = m.mk""".stripMargin),
       covers = Seq("ext-cbo-ndv")),
+
+    // CBO WITH EQUI-HEIGHT HISTOGRAMS — a range predicate on a violently
+    // skewed column (99.9% of the mass in [0,9), an absolute 100-row
+    // tail above). Min/max-uniform estimation prices `v > 8` at ~100% of
+    // the table; the manifest's merged mixture histogram prices it at
+    // ~one bin. The body REQUIRES the broadcast that only the histogram
+    // estimate can justify, with the threshold derived from the table's
+    // OWN manifest size (a third of it) so the proof holds at every SF:
+    // uniform ⇒ ~full size ⇒ shuffle; histogram ⇒ ~1/32 ⇒ broadcast.
+    // Oracle: the joined tail truth.
+    QueryDef(
+      "q_join_cbo_hist",
+      (s, dir) => {
+        ensureHistJoinTables(s, dir)
+        // threshold = the fact's own manifest byte size: the uniform
+        // estimate keeps ~every row (in-memory width ≥ parquet width, so
+        // its size estimate clears the threshold), while the histogram
+        // estimate keeps ~1 bin (~3% — an order under it). SF-independent.
+        val bytes = s.table("graftcat.hist_skw")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", bytes.toString)
+          val df = s.sql(
+            """SELECT f.k, f.v, f.o_orderstatus, d.o_totalprice
+              |FROM graftcat.hist_skw f
+              |JOIN graftcat.hist_dim d ON f.k = d.hk
+              |WHERE f.v > 8""".stripMargin)
+          val factBuilds = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).output.map(_.name)
+          }.exists(_.contains("v"))
+          require(factBuilds,
+            "histogram-fed CBO must price the skewed tail under the " +
+              "broadcast threshold - the filtered FACT side did not broadcast")
+          df.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.cbo.enabled", prevCbo)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""SELECT o.o_orderkey AS k, o.o_orderkey * 100 AS v,
+             |  o.o_orderstatus, d.o_totalprice
+             |FROM orders o JOIN orders d ON o.o_orderkey = d.o_orderkey
+             |WHERE o.o_orderkey <= 1000 AND o.o_orderkey % 10 = 0
+             |  AND o.o_orderkey * 100 > 8""".stripMargin),
+      covers = Seq("ext-cbo-histogram")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

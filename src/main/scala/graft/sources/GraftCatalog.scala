@@ -122,7 +122,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new LakeTable(spark, ident.toString, dir, pinnedVersion = None)
   }
 
-  private val MetaKinds = Set("history", "files", "constraints", "stats")
+  private val MetaKinds =
+    Set("history", "files", "constraints", "stats", "refs", "partitions")
 
   // ---- procedures (CALL graft.system.<proc>) -----------------------------
 
@@ -193,6 +194,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         }.toDF("dir", "rows", "bytes", "parts", "stats", "bucket_key", "bucket_n")
       case "constraints" =>
         LakeConstraints.constraintsOf(s, dir).toDF("name", "check")
+      case "refs" =>
+        // named refs (tags + branches) with each target's commit op —
+        // `` SELECT * FROM graft.`t$refs` `` answers "what can I VERSION
+        // AS OF by name, and is it older than the WAP branch I staged"
+        LakeRefs.list(s, dir).toSeq.sortBy(_._1).map { case (n, r) =>
+          (n, r.kind, r.version,
+            VersionedLake.commitOp(s, dir, r.version).orNull)
+        }.toDF("name", "kind", "version", "op")
+      case "partitions" =>
+        // the partition-spec landscape: one row per DISTINCT spec over
+        // the current version's directories (+ the declared spec for NEW
+        // writes, flagged) — rows/bytes/dirs per spec straight off the
+        // manifest, zero file opens. This is the table that answers "did
+        // my spec evolution take, and how much data still lives under
+        // the old layout" (= how much a migrating OPTIMIZE would move).
+        val v = VersionedLake.currentVersion(s, dir).get
+        val rows = VersionedLake.dirRowCounts(s, dir, v)
+        val specs = VersionedLake.dirParts(s, dir, v)
+        val declared = VersionedLake.declaredOrPhysicalParts(s, dir, v)
+        val live = VersionedLake.manifest(s, dir, v)
+          .filter(d => rows.get(d).forall(_._1 > 0))
+        val grouped = live.groupBy(d => specs.getOrElse(d, Nil)).toSeq
+        val present = grouped.map { case (spec, ds) =>
+          (spec.mkString(","), ds.size,
+            ds.flatMap(rows.get).map(_._1).sum,
+            ds.flatMap(rows.get).map(_._2).sum,
+            spec == declared)
+        }
+        val all =
+          if (grouped.exists(_._1 == declared)) present
+          else present :+ ((declared.mkString(","), 0, 0L, 0L, true))
+        all.sortBy(_._1)
+          .toDF("spec", "data_dirs", "rows", "bytes", "writes_here")
       case "stats" =>
         // column-level statistics off the manifest's NDV + stats layers
         // (the `CALL system.column_stats` answer as a metadata table):
@@ -1066,7 +1100,11 @@ final class LakeTable(
       // join estimation sees per-column cardinalities, not just row
       // counts
       ndvMeta = VersionedLake.dirNdv(spark, tableDir, v),
-      statsMeta = scanStats)
+      statsMeta = scanStats,
+      // equi-height histogram edges (riding the #ndv layer) merge into
+      // ONE mixture histogram per column at build time — skew-correct
+      // range selectivity for CBO, still zero file opens
+      histMeta = VersionedLake.dirHist(spark, tableDir, v))
   }
 
   /** Spark source filters → a lake predicate Column — the vocabulary

@@ -990,29 +990,59 @@ object VersionedLake {
     * stored-form sketch keeps estimating the logical distinct count
     * across schema evolution without a rewrite.
     */
+  /** Per-directory equi-height histogram resolution: numeric stats
+    * columns carry `HistBins+1` quantile edges (percentile_approx in the
+    * same single stats aggregate — no extra pass), riding the `#ndv`
+    * JSON as an `"e"` array so every carry/re-key path that preserves
+    * NDV preserves the histogram for free. At read, the kept dirs' edge
+    * sets merge into ONE mixture-CDF equi-height histogram for CBO
+    * ([[org.apache.spark.sql.graft.LakePruningScanBuilder.columnStatsFor]])
+    * — the layer that prices SKEWED range predicates correctly where
+    * min/max-uniform estimation is off by orders of magnitude.
+    */
+  val HistBins = 32
+
   private def columnStatsNdv(
       df: DataFrame, statsCols: Seq[String]): Option[(String, String)] = {
     if (statsCols.isEmpty) return None
     val missing = statsCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"statsCols not in the batch schema: ${missing.mkString(", ")}")
-    val aggs = statsCols.flatMap(c => Seq(
+    val numeric = statsCols.map(c => df.schema.fields
+      .find(_.name == c).exists(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])).toIndexedSeq
+    val qs = (0 to HistBins).map(_.toDouble / HistBins).toArray
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string"),
       hll_sketch_agg(col(c).cast("string")),
-      count(when(col(c).isNull, 1))))
+      count(when(col(c).isNull, 1)),
+      // histogram edges for numeric columns; a typed null placeholder
+      // keeps the row layout fixed for the rest
+      if (numeric(i)) percentile_approx(col(c).cast("double"), lit(qs), lit(2000))
+      else lit(null).cast("array<double>"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import org.json4s.JsonAST._
     val statsObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       def v(j: Int): JValue =
         if (row.isNullAt(j)) JNull else JString(row.getString(j))
-      c -> (JArray(List(v(4 * i), v(4 * i + 1))): JValue)
+      c -> (JArray(List(v(5 * i), v(5 * i + 1))): JValue)
     }.toList)
     val ndvObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       val h: JValue =
-        if (row.isNullAt(4 * i + 2)) JNull
+        if (row.isNullAt(5 * i + 2)) JNull
         else JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](4 * i + 2)))
-      c -> (JObject(List(
-        "h" -> h, "n" -> (JInt(row.getLong(4 * i + 3)): JValue))): JValue)
+          row.getAs[Array[Byte]](5 * i + 2)))
+      val base = List(
+        "h" -> h, "n" -> (JInt(row.getLong(5 * i + 3)): JValue))
+      val edges =
+        if (row.isNullAt(5 * i + 4)) Nil
+        else row.getSeq[Double](5 * i + 4) match {
+          case es if es != null && es.nonEmpty && es.forall(e =>
+            !java.lang.Double.isNaN(e) && !java.lang.Double.isInfinite(e)) =>
+            List("e" -> (JArray(es.map(JDouble(_): JValue).toList): JValue))
+          case _ => Nil
+        }
+      c -> (JObject(base ++ edges): JValue)
     }.toList)
     def render(o: JObject) =
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
@@ -1150,6 +1180,30 @@ object VersionedLake {
             c -> (h, n)
           }.toMap
         case _ => d -> Map.empty[String, (Option[Array[Byte]], Long)]
+      }
+    }
+  }
+
+  /** Per-directory equi-height histogram EDGES a version's manifest
+    * carries (the `"e"` arrays riding the `#ndv` layer): dir -> col ->
+    * ascending quantile edges ([[HistBins]]+1 doubles, numeric columns
+    * only). Lenient like [[dirNdv]]: absence or malformation degrades to
+    * "no histogram", never a failed read.
+    */
+  def dirHist(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, Array[Double]]] = {
+    import org.json4s.JsonAST._
+    dirNdvRaw(spark, tableDir, version).flatMap { case (d, json) =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.map {
+        case JObject(fields) =>
+          d -> fields.collect { case (c, JObject(entry)) =>
+            entry.toMap.get("e").collect { case JArray(vs) =>
+              c -> vs.collect { case JDouble(e) => e }.toArray
+            }
+          }.flatten.toMap
+        case _ => d -> Map.empty[String, Array[Double]]
       }
     }
   }

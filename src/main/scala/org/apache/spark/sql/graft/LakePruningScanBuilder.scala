@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -55,14 +55,34 @@ final class LakePruningScanBuilder(
     spjCols: Seq[String] = Nil,
     runtimeFilterCols: Seq[String] = Nil,
     ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
-    statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty)
+    statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
+    histMeta: Map[String, Map[String, Array[Double]]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = schema
   private var answered: Option[(StructType, Array[Any])] = None
+  private var limitOpt: Option[Int] = None
+
+  /** LIMIT pushdown as MANIFEST-PREFIX pruning: `LIMIT n` with no data
+    * filters scans only the smallest prefix of kept directories whose
+    * exact `#rows` counts cover n — on a 100 TB table, `SELECT * LIMIT
+    * 10` opens one directory instead of planning every file. Sound by
+    * two facts: this builder keeps EVERY filter post-scan, so accepting
+    * a limit only when none were pushed means nothing downstream can
+    * reject rows (the fast path this builder serves already excludes
+    * pending MoR deletes); and LIMIT without ORDER BY is any-n-rows, so
+    * any row-sufficient directory subset is a correct answer set.
+    * Always PARTIAL (the default [[SupportsPushDownLimit.isPartiallyPushed]]):
+    * Spark keeps its own Limit operator, this layer only shrinks I/O.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty) return false
+    limitOpt = Some(n)
+    true
+  }
 
   // Spark probes supportCompletePushDown THEN pushAggregation with the
   // same Aggregation instance; aggAnswer re-reads the manifest on the
@@ -114,7 +134,23 @@ final class LakePruningScanBuilder(
     case None =>
       val translated = pushed.flatMap(e =>
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-      val kept = pruner(translated)
+      val keptAll = pruner(translated)
+      // limit-prefix pruning (see pushLimit): exact row counts for every
+      // kept dir are required — an unaccounted dir could hide the rows
+      // that make up n, so any gap disables the prune, never the answer
+      val kept = limitOpt match {
+        case Some(n) if pushed.isEmpty && keptAll.nonEmpty &&
+            keptAll.forall(rowMeta.contains) =>
+          val picked = Seq.newBuilder[String]
+          var acc = 0L
+          val it = keptAll.iterator
+          while (acc < n && it.hasNext) {
+            val d = it.next(); picked += d; acc += rowMeta(d)._1
+          }
+          val p = picked.result()
+          if (p.isEmpty) keptAll.take(1) else p // LIMIT 0: one plannable root
+        case _ => keptAll
+      }
       LakePruningScanBuilder.lastKept.set(kept)
       def innerScan(dirs: Seq[String]): Scan = {
         val b = ParquetTable(identName, spark,
@@ -152,12 +188,12 @@ final class LakePruningScanBuilder(
       if (rtCols.nonEmpty)
         new LakePruningScanBuilder.RuntimePrunedLakeScan(
           scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta,
-          statsMeta, schema)
+          statsMeta, schema, histMeta)
       else stats match {
         case Some((rows, bytes)) =>
           new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes,
             LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta,
-              statsMeta, schema))
+              statsMeta, schema, histMeta))
         case None => scan
       }
   }
@@ -187,7 +223,8 @@ object LakePruningScanBuilder {
       rowMeta: Map[String, (Long, Long)],
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
       statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
-      dataSchema: StructType = new StructType())
+      dataSchema: StructType = new StructType(),
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty)
       : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -234,6 +271,88 @@ object LakePruningScanBuilder {
       }
       toCatalyst(best, dt)
     }
+    // EQUI-HEIGHT HISTOGRAM from the per-directory edge sets (the `"e"`
+    // arrays riding the #ndv layer): each directory's edges describe an
+    // equi-height distribution of its non-null rows; the kept dirs form
+    // a row-weighted MIXTURE whose CDF is the sum of piecewise-linear
+    // per-dir CDFs, and inverting it at K cumulative targets yields one
+    // global equi-height histogram — the statistic that prices SKEWED
+    // range predicates correctly where min/max-uniform estimation is
+    // off by orders of magnitude. Per-bin NDV is the uniform share of
+    // the merged HLL estimate (documented approximation: edges carry the
+    // skew, which is what range selectivity consumes; per-bin distinct
+    // structure would need per-bin sketches for marginal gain).
+    // Conservatism rule as everywhere: any row-bearing dir missing the
+    // column's edges blocks the histogram, never distorts it. Driver
+    // cost O(K · log(range) · dirs · log(bins)) on plain doubles.
+    def mergedHistogram(c: String, globalNdv: Long)
+        : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+      import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
+      val parts = Seq.newBuilder[(Array[Double], Double)]
+      live.foreach { d =>
+        val nonNull =
+          rowMeta(d)._1 - ndvMeta.get(d).flatMap(_.get(c)).map(_._2).getOrElse(0L)
+        if (nonNull > 0) histMeta.get(d).flatMap(_.get(c)) match {
+          case Some(es) if es.length >= 2 &&
+              es.sliding(2).forall(p => p(0) <= p(1)) &&
+              !es.exists(e => e.isNaN || e.isInfinite) =>
+            parts += ((es, nonNull.toDouble))
+          case _ => return None
+        }
+      }
+      val ps = parts.result()
+      if (ps.isEmpty) return None
+      val total = ps.map(_._2).sum
+      val lo = ps.map(_._1.head).min
+      val hi = ps.map(_._1.last).max
+      if (!(lo < hi)) return None // a point column: min/max already say it all
+      def cdf(x: Double): Double = ps.iterator.map { case (es, w) =>
+        if (x <= es.head) 0.0
+        else if (x >= es.last) w
+        else {
+          var j = java.util.Arrays.binarySearch(es, x)
+          if (j < 0) j = -j - 2
+          // clamp onto the last bin STARTING at x's position (duplicate
+          // edges = point masses; their full weight counts once passed)
+          while (j + 1 < es.length - 1 && es(j + 1) <= x) j += 1
+          val width = es(j + 1) - es(j)
+          val frac = if (width <= 0) 1.0 else (x - es(j)) / width
+          w * ((j + frac) / (es.length - 1))
+        }
+      }.sum
+      val K = graft.sources.VersionedLake.HistBins
+      val edges = new Array[Double](K + 1)
+      edges(0) = lo; edges(K) = hi
+      var k = 1
+      while (k < K) {
+        val target = total * k / K
+        var a = lo; var b = hi; var i = 0
+        while (i < 48) {
+          val m = a / 2 + b / 2
+          if (cdf(m) < target) a = m else b = m
+          i += 1
+        }
+        edges(k) = a / 2 + b / 2
+        k += 1
+      }
+      k = 1
+      while (k <= K) { // monotone despite bisection jitter on point masses
+        if (edges(k) < edges(k - 1)) edges(k) = edges(k - 1)
+        k += 1
+      }
+      val binNdv = math.max(1L, globalNdv / K)
+      val binArr: Array[HistogramBin] = Array.tabulate(K) { i =>
+        new HistogramBin {
+          override def lo(): Double = edges(i)
+          override def hi(): Double = edges(i + 1)
+          override def ndv(): Long = binNdv
+        }
+      }
+      Some(new Histogram {
+        override def height(): Double = total / K
+        override def bins(): Array[HistogramBin] = binArr
+      })
+    }
     val perDir = live.map(ndvMeta.getOrElse(_, Map.empty))
     val covered = perDir.map(_.keySet).reduce(_ intersect _)
     covered.foreach { c =>
@@ -243,6 +362,7 @@ object LakePruningScanBuilder {
         val nulls = entries.map(_._2).sum
         val lo = mergeBound(c, takeMin = true)
         val hi = mergeBound(c, takeMin = false)
+        val hist = mergedHistogram(c, distinct)
         out.put(Expressions.column(c), new ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
             java.util.OptionalLong.of(distinct)
@@ -252,6 +372,11 @@ object LakePruningScanBuilder {
             lo.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
           override def max(): java.util.Optional[Object] =
             hi.fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def histogram(): java.util.Optional[
+            org.apache.spark.sql.connector.read.colstats.Histogram] =
+            hist.fold(java.util.Optional.empty[
+              org.apache.spark.sql.connector.read.colstats.Histogram]())(
+              java.util.Optional.of)
         })
       }
     }
@@ -292,7 +417,8 @@ object LakePruningScanBuilder {
       rowMeta: Map[String, (Long, Long)],
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
       statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
-      dataSchema: StructType = new StructType())
+      dataSchema: StructType = new StructType(),
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty)
       extends Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -334,7 +460,7 @@ object LakePruningScanBuilder {
       val ds = kept
       if (ds.forall(rowMeta.contains)) {
         val (rows, bytes) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
-        val cs = columnStatsFor(ds, rowMeta, ndvMeta, statsMeta, dataSchema)
+        val cs = columnStatsFor(ds, rowMeta, ndvMeta, statsMeta, dataSchema, histMeta)
         new Statistics {
           override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
           override def numRows(): OptionalLong = OptionalLong.of(rows)
