@@ -490,4 +490,57 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.tmp_b").collect())
     assert(e.getMessage.toLowerCase.contains("tmp_b") || e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
+
+  test("metadata tables: $refs lists named refs, $partitions maps the spec landscape") {
+    root
+    spark.sql("CREATE TABLE graft.meta2_t (id BIGINT, band BIGINT, cell BIGINT) " +
+      "PARTITIONED BY (band)")
+    spark.sql("INSERT INTO graft.meta2_t VALUES (1, 0, 0), (2, 1, 1)")
+    LakeRefs.tag(spark, s"$root/meta2_t", "stable", 1L)
+    val refs = spark.sql("SELECT name, kind, version, op FROM graft.`meta2_t$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(refs.toSeq === Seq(("stable", "tag", 1L, "append")))
+    // pre-evolution: one live spec, and it is where writes go
+    val before = spark.sql(
+      "SELECT spec, data_dirs, rows, writes_here FROM graft.`meta2_t$partitions`")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(before.toSeq === Seq(("band", 1, 2L, true)))
+    // evolve: the declared spec appears immediately (zero dirs yet), the
+    // old spec stops being the write target
+    spark.sql("CALL graft.system.set_partition_spec(table => 'meta2_t', parts => 'cell')")
+    val mid = spark.sql(
+      "SELECT spec, data_dirs, rows, writes_here FROM graft.`meta2_t$partitions` ORDER BY spec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(mid.toSeq === Seq(("band", 1, 2L, false), ("cell", 0, 0L, true)))
+    spark.sql("INSERT INTO graft.meta2_t VALUES (3, 2, 2)")
+    val after = spark.sql(
+      "SELECT spec, data_dirs, rows, writes_here FROM graft.`meta2_t$partitions` ORDER BY spec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(after.toSeq === Seq(("band", 1, 2L, false), ("cell", 1, 1L, true)),
+      "the post-evolution INSERT must land under the declared spec")
+    // the evolved read still answers whole
+    assert(spark.sql("SELECT id FROM graft.meta2_t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LIMIT pushdown scans a manifest prefix; pushed filters disable it") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/limit_t"
+    VersionedLake.appendCommit((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit((100L until 200L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    VersionedLake.appendCommit((200L until 300L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    def kept(): Int = org.apache.spark.sql.graft.LakePruningScanBuilder.lastKept.get.size
+    assert(spark.sql("SELECT id FROM graft.limit_t LIMIT 10").collect().length === 10)
+    assert(kept() === 1, s"LIMIT 10 covers inside the first 100-row dir, kept ${kept()}")
+    assert(spark.sql("SELECT id FROM graft.limit_t LIMIT 150").collect().length === 150)
+    assert(kept() === 2, s"LIMIT 150 needs two dirs, kept ${kept()}")
+    // a data filter makes raw row counts meaningless for the prefix:
+    // the limit must NOT shrink the dir set (every filter is post-scan)
+    assert(spark.sql("SELECT id FROM graft.limit_t WHERE id % 2 = 0 LIMIT 10")
+      .collect().length === 10)
+    assert(kept() === 3, s"filtered LIMIT must scan all candidate dirs, kept ${kept()}")
+    assert(spark.sql("SELECT count(*) FROM graft.limit_t").head().getLong(0) === 300L,
+      "the un-limited read is untouched")
+  }
 }
