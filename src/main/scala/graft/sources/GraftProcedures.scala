@@ -34,7 +34,7 @@ object GraftProcedures {
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
-    "set_partition_spec")
+    "set_partition_spec", "explain_scan")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -364,6 +364,68 @@ object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(c),
               VersionedLake.ndvEstimate(entries.map(_._1)),
               entries.map(_._2).sum)
+          }.toArray
+          (schema, rows)
+        }
+      case "explain_scan" =>
+        procRows(name, "dry-run the manifest pruning for a predicate: per directory, " +
+          "its rows/bytes and whether the stats/bloom layer keeps it - the " +
+          "'why is this query reading N directories' answer, O(directories) " +
+          "metadata, zero file opens. Also reports predicate conjuncts the " +
+          "pushdown channel cannot translate (those prune nothing)",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("predicate", StringType).build())) { in =>
+          val dir = resolve(str(in, 0))
+          val predSql = str(in, 1)
+          val v = VersionedLake.currentVersion(spark, dir).getOrElse(
+            throw new IllegalStateException(s"no published version in $dir"))
+          val schema0 = VersionedLake.visibleSchema(
+            VersionedLake.versionSchema(spark, dir, v).getOrElse(
+              throw new IllegalStateException(s"$dir@v$v carries no schema header")))
+          // bind the predicate against the table's own schema (names,
+          // types, coercions land exactly as a real scan would see them)
+          val attrs = schema0.fields.toSeq.map(f =>
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              f.name, f.dataType, f.nullable)())
+          val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
+          val analyzed = spark.sessionState.analyzer.execute(
+            org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
+              org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs)))
+          val bound = analyzed.collectFirst {
+            case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+          }.getOrElse(throw new IllegalStateException(s"unanalyzable predicate: $predSql"))
+          // the analyzer leaves coercion casts around literals (constant
+          // folding is an optimizer rule); fold them here so the
+          // translation sees the same shape a real scan's pushdown would
+          val folded = bound.transformUp {
+            case e if e.foldable &&
+                !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+              org.apache.spark.sql.catalyst.expressions.Literal.create(
+                e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType)
+          }
+          val (filters, leftover) =
+            org.apache.spark.sql.graft.Bridge.translateConjuncts(folded)
+          val kept = VersionedLake.pruneDirsForFilters(spark, dir, v, filters).toSet
+          val rowMeta = VersionedLake.dirRowCounts(spark, dir, v)
+          val schema = StructType(Seq(
+            StructField("dir", StringType, nullable = false),
+            StructField("rows", LongType, nullable = false),
+            StructField("bytes", LongType, nullable = false),
+            StructField("kept", org.apache.spark.sql.types.BooleanType,
+              nullable = false),
+            StructField("untranslated", StringType, nullable = true)))
+          val untrans =
+            if (leftover.isEmpty) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(
+              leftover.map(_.sql).mkString(" AND "))
+          val rows = VersionedLake.manifest(spark, dir, v).map { d =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(d),
+              rowMeta.get(d).map(_._1).getOrElse(-1L),
+              rowMeta.get(d).map(_._2).getOrElse(-1L),
+              kept.contains(d),
+              untrans)): InternalRow
           }.toArray
           (schema, rows)
         }

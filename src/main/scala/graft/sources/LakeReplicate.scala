@@ -205,6 +205,20 @@ object LakeReplicate {
         }
       }
     }
+    // partition-spec declarations are metadata-only at the source, so the
+    // feed carries no row to say so (the same reason renames are mirrored
+    // here): re-declare on the mirror when the source's declaration
+    // differs, so both lakes lay NEW directories out the same way. Runs
+    // AFTER the rename pass so a renamed spec column resolves. The
+    // mirror's EXISTING directories keep their own chains — evolution
+    // semantics, zero data movement on either side.
+    VersionedLake.declaredSpec(spark, srcDir, srcV).foreach { cols =>
+      val dstV = VersionedLake.currentVersion(spark, dstDir)
+      val dstDecl = dstV.flatMap(v => VersionedLake.declaredSpec(spark, dstDir, v))
+      if (dstV.isDefined && !dstDecl.contains(cols) &&
+          cols.forall(c => dstVisible.exists(_.equalsIgnoreCase(c))))
+        VersionedLake.setPartitionSpec(spark, dstDir, cols): Unit
+    }
   }
 
   /** Apply ONE CDC delta frame (rows carrying `_change_type` /

@@ -19,6 +19,25 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
+  /** Conjuncts of an analyzed predicate translated to DSv1 source
+    * filters, with the untranslatable leftovers — the dry-run face of
+    * the pushdown channel the scan builder rides
+    * ([[org.apache.spark.sql.execution.datasources.DataSourceStrategy]]
+    * is `private[sql]`, hence here).
+    */
+  def translateConjuncts(pred: Expression)
+      : (Seq[org.apache.spark.sql.sources.Filter], Seq[Expression]) = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val (ok, bad) = split(pred).partition(e =>
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(e, supportNestedPredicatePushdown = true).isDefined)
+    (ok.flatMap(e => org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)), bad)
+  }
+
   /** Wrap a (possibly custom) logical plan back into a DataFrame. */
   def ofRows(
       spark: org.apache.spark.sql.SparkSession,

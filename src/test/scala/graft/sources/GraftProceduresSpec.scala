@@ -215,4 +215,46 @@ class GraftProceduresSpec extends SparkSpec {
     val e = intercept[Exception](hits())
     assert(e.getMessage.contains("no text index"), e.getMessage)
   }
+
+  test("CALL system.explain_scan dry-runs the pruning: kept flags + untranslated conjuncts") {
+    root
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/xscan"
+    VersionedLake.appendCommit((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"))
+    VersionedLake.appendCommit((100L until 200L).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"))
+    val out = spark.sql(
+      "CALL gproc.system.explain_scan(table => 'xscan', predicate => 'id >= 150')")
+      .collect().map(r => (r.getLong(1), r.getBoolean(3), r.getString(4)))
+    assert(out.length === 2)
+    assert(out.count(_._2) === 1, s"only the second dir can hold id >= 150: ${out.toSeq}")
+    assert(out.forall(_._3 == null), "a plain range translates fully")
+    // an untranslatable conjunct is reported, and pruning stays sound
+    // (both dirs kept - the stats layer cannot reason about id % 7)
+    val messy = spark.sql(
+      "CALL gproc.system.explain_scan('xscan', 'id >= 150 AND id % 7 = 0')")
+      .collect().map(r => (r.getBoolean(3), r.getString(4)))
+    assert(messy.count(_._1) === 1, "the translatable range still prunes")
+    assert(messy.forall(_._2 != null) && messy.head._2.contains("%"),
+      s"the modulo conjunct must be reported untranslated: ${messy.toSeq}")
+  }
+
+  test("CALL system.set_partition_spec + replicate: the declaration propagates to mirrors") {
+    root
+    spark.sql("CREATE TABLE gproc.evsrc (k BIGINT, band BIGINT, cell BIGINT) " +
+      "PARTITIONED BY (band)")
+    spark.sql("INSERT INTO gproc.evsrc VALUES (1, 0, 0), (2, 1, 1)")
+    spark.sql("CALL gproc.system.replicate(src => 'evsrc', dst => 'evdst', keys => 'k')")
+    spark.sql("CALL gproc.system.set_partition_spec(table => 'evsrc', parts => 'cell')")
+    spark.sql("INSERT INTO gproc.evsrc VALUES (3, 2, 2)")
+    spark.sql("CALL gproc.system.replicate('evsrc', 'evdst', 'k')")
+    val dst = s"$root/evdst"
+    val v = VersionedLake.currentVersion(spark, dst).get
+    assert(VersionedLake.declaredSpec(spark, dst, v) === Some(Seq("cell")),
+      "alignSchema must re-declare the mirror's layout")
+    assert(spark.sql("SELECT k FROM gproc.evdst ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
 }
