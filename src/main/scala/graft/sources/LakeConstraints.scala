@@ -3,9 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Table-level CHECK constraints for [[VersionedLake]] tables — the
-  * admission-gate idea of the DQ suite ([[graft.operators.Quality]])
-  * promoted to a property OF the table: once declared, every ingest
+/** Table-level constraints for [[VersionedLake]] tables — CHECK
+  * predicates, UNIQUE (primary-key-style) column sets, and FOREIGN KEYs
+  * — the admission-gate idea of the DQ suite
+  * ([[graft.operators.Quality]]) promoted to a property OF the table:
+  * once declared, every ingest
   * path (append, txn append, snapshot commit, upsert, updateWhere — and
   * therefore the streaming sink and the SQL catalog's INSERTs, which
   * ride those paths) validates the incoming rows and REFUSES the commit
@@ -39,8 +41,17 @@ object LakeConstraints {
 
   private val FileName = "constraints.txt"
 
-  /** Declared constraints, in declaration order. */
-  def constraintsOf(spark: SparkSession, tableDir: String): Seq[(String, String)] = {
+  /** One declared constraint: a CHECK predicate, a UNIQUE column set, or
+    * a FOREIGN KEY (child columns referencing a parent table's columns).
+    */
+  private sealed trait Decl { def name: String }
+  private final case class CheckDecl(name: String, check: String) extends Decl
+  private final case class UniqueDecl(name: String, cols: Seq[String]) extends Decl
+  private final case class FkDecl(
+      name: String, cols: Seq[String], parentDir: String, parentCols: Seq[String])
+      extends Decl
+
+  private def declsOf(spark: SparkSession, tableDir: String): Seq[Decl] = {
     val p = new org.apache.hadoop.fs.Path(tableDir, FileName)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(p)) Nil
@@ -52,8 +63,18 @@ object LakeConstraints {
         org.json4s.jackson.JsonMethods.parse(line) match {
           case JObject(fields) =>
             val m = fields.toMap
-            (m.get("name"), m.get("check")) match {
-              case (Some(JString(n)), Some(JString(c))) => n -> c
+            (m.get("name"), m.get("check"), m.get("unique"), m.get("fk")) match {
+              case (Some(JString(n)), Some(JString(c)), _, _) => CheckDecl(n, c)
+              case (Some(JString(n)), _, Some(JString(u)), _) =>
+                UniqueDecl(n, u.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              case (Some(JString(n)), _, _, Some(JString(f))) =>
+                (m.get("parent"), m.get("pcols")) match {
+                  case (Some(JString(pd)), Some(JString(pc))) =>
+                    FkDecl(n, f.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                      pd, pc.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  case _ =>
+                    throw new IllegalStateException(s"malformed fk line: $line")
+                }
               case _ => throw new IllegalStateException(s"malformed constraint line: $line")
             }
           case _ => throw new IllegalStateException(s"malformed constraint line: $line")
@@ -62,20 +83,210 @@ object LakeConstraints {
     }
   }
 
+  /** Declared CHECK constraints, in declaration order. */
+  def constraintsOf(spark: SparkSession, tableDir: String): Seq[(String, String)] =
+    declsOf(spark, tableDir).collect { case CheckDecl(n, c) => n -> c }
+
+  /** Declared UNIQUE constraints: name -> column set, declaration order. */
+  def uniquesOf(spark: SparkSession, tableDir: String): Seq[(String, Seq[String])] =
+    declsOf(spark, tableDir).collect { case UniqueDecl(n, cs) => n -> cs }
+
+  /** Declared FOREIGN KEYs: name -> (child cols, parent dir, parent cols). */
+  def fksOf(
+      spark: SparkSession,
+      tableDir: String): Seq[(String, (Seq[String], String, Seq[String]))] =
+    declsOf(spark, tableDir).collect {
+      case FkDecl(n, cs, pd, pc) => n -> ((cs, pd, pc))
+    }
+
   /** Declare a CHECK constraint. Validates the current snapshot FIRST
     * (a table already violating the predicate refuses the DDL, like
     * Delta's ADD CONSTRAINT), then persists.
     */
   def add(spark: SparkSession, tableDir: String, name: String, check: String): Unit = {
-    val existing = constraintsOf(spark, tableDir)
-    require(!existing.exists(_._1 == name), s"constraint '$name' already exists on $tableDir")
+    val existing = declsOf(spark, tableDir)
+    require(!existing.exists(_.name == name), s"constraint '$name' already exists on $tableDir")
     // fail fast on an unparseable predicate before scanning anything
     expr(check): Unit
     VersionedLake.currentVersion(spark, tableDir).foreach { _ =>
       enforceOn(VersionedLake.read(spark, tableDir), tableDir,
         Seq(name -> check), "ADD CONSTRAINT (existing rows)")
     }
-    write(spark, tableDir, existing :+ (name -> check))
+    write(spark, tableDir, existing :+ CheckDecl(name, check))
+  }
+
+  /** Declare a UNIQUE (primary-key-style) constraint over `cols`.
+    * Validates the CURRENT snapshot first — a table already holding
+    * duplicates refuses the DDL, like [[add]]'s full-scan moment — then
+    * persists; every later insert-family commit enforces at O(batch +
+    * overlapping directories) INSIDE the commit's critical section, so
+    * two racing writers serialize through the manifest slot (the loser
+    * re-bases and re-probes against the winner's rows — see
+    * [[enforceUnique]]). NULL semantics follow the SQL standard: rows
+    * with any NULL key column never conflict (UNIQUE, not NOT NULL).
+    */
+  def addUnique(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "UNIQUE constraint needs at least one column")
+    require(cols.map(_.toLowerCase).distinct.size == cols.size,
+      s"duplicate column in UNIQUE($name): ${cols.mkString(",")}")
+    val existing = declsOf(spark, tableDir)
+    require(!existing.exists(_.name == name), s"constraint '$name' already exists on $tableDir")
+    VersionedLake.currentVersion(spark, tableDir).foreach { _ =>
+      val snap = VersionedLake.read(spark, tableDir)
+      val missing = cols.filterNot(c => snap.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"UNIQUE($name) references missing column(s): ${missing.mkString(",")}")
+      val dup = snap.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"cannot ADD UNIQUE '$name' (${cols.mkString(",")}): existing rows " +
+          s"already duplicate ${dup.headOption.fold("")(_.toString)}")
+    }
+    write(spark, tableDir, existing :+ UniqueDecl(name, cols))
+  }
+
+  /** Declare a FOREIGN KEY: `cols` of this (child) table must exist in
+    * `parentDir`'s `parentCols`. Validates the CURRENT child snapshot
+    * against the CURRENT parent first (one anti-join, the DDL-time
+    * moment), then every insert-family commit on the child probes at
+    * O(batch + parent directories the batch's key range overlaps) —
+    * see [[enforceFk]]. SQL MATCH SIMPLE semantics: a child row with ANY
+    * NULL key column passes. The parent side is NOT gated (no reverse
+    * pointers; a parent delete orphaning children is drift the
+    * `verify_constraints` audit reports, the lakehouse norm — RESTRICT
+    * semantics would need a cross-table transaction on every parent
+    * delete).
+    */
+  def addFk(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      cols: Seq[String],
+      parentDir: String,
+      parentCols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.size == parentCols.size,
+      s"FK($name): child and parent column lists must align, got " +
+        s"(${cols.mkString(",")}) vs (${parentCols.mkString(",")})")
+    val existing = declsOf(spark, tableDir)
+    require(!existing.exists(_.name == name), s"constraint '$name' already exists on $tableDir")
+    require(VersionedLake.currentVersion(spark, parentDir).isDefined,
+      s"FK($name): parent table $parentDir has no published version")
+    VersionedLake.currentVersion(spark, tableDir).foreach { _ =>
+      val bad = fkViolations(spark, VersionedLake.read(spark, tableDir),
+        cols, parentDir, parentCols, rangePrune = false).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot ADD FOREIGN KEY '$name': existing child rows reference " +
+          s"missing parent keys, e.g. ${bad.headOption.fold("")(_.toString)}")
+    }
+    write(spark, tableDir, existing :+ FkDecl(name, cols, parentDir, parentCols))
+  }
+
+  /** Child rows of `frame` whose non-null FK key is absent from the
+    * parent. `rangePrune` narrows the parent read to the directories the
+    * frame's key range overlaps (the O(delta) ingest path); the audit
+    * path scans the whole parent.
+    */
+  private def fkViolations(
+      spark: SparkSession,
+      frame: DataFrame,
+      cols: Seq[String],
+      parentDir: String,
+      parentCols: Seq[String],
+      rangePrune: Boolean): DataFrame = {
+    val bcols = cols.flatMap(c => frame.columns.find(_.equalsIgnoreCase(c)))
+    require(bcols.size == cols.size,
+      s"FK columns missing from the frame: ${cols.filterNot(c =>
+        frame.columns.exists(_.equalsIgnoreCase(c))).mkString(",")}")
+    val keyed = frame.filter(bcols.map(col(_).isNotNull).reduce(_ && _))
+      .select(bcols.zipWithIndex.map { case (c, i) => col(c).as(s"_f$i") }: _*)
+      .distinct()
+    val pv = VersionedLake.currentVersion(spark, parentDir).getOrElse(
+      throw new IllegalStateException(s"FK parent $parentDir has no published version"))
+    val pSchema = VersionedLake.versionSchema(spark, parentDir, pv)
+    def parentName(c: String): String = pSchema
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
+    val parentFrame =
+      if (!rangePrune) VersionedLake.readVersion(spark, parentDir, pv)
+      else {
+        import org.apache.spark.sql.sources.{Filter => SFilter, GreaterThanOrEqual, LessThanOrEqual}
+        val aggs = (0 until bcols.size).flatMap(i =>
+          Seq(min(col(s"_f$i")), max(col(s"_f$i"))))
+        val mm = keyed.agg(aggs.head, aggs.tail: _*).head()
+        if (mm.isNullAt(0)) return keyed.limit(0)
+        val filters: Seq[SFilter] = parentCols.zipWithIndex.flatMap { case (pc, i) =>
+          val (lo, hi) = (mm.get(2 * i), mm.get(2 * i + 1))
+          if (lo == null || hi == null) Nil
+          else Seq(GreaterThanOrEqual(parentName(pc), lo),
+            LessThanOrEqual(parentName(pc), hi))
+        }
+        val candidates = VersionedLake.pruneDirsForFilters(spark, parentDir, pv, filters)
+        if (candidates.isEmpty) return keyed // nothing can match: ALL violate
+        VersionedLake.readDirsWithDeletes(spark, parentDir, pv, candidates, pSchema)
+      }
+    keyed.join(parentFrame,
+      parentCols.zipWithIndex.map { case (pc, i) =>
+        keyed(s"_f$i") === parentFrame(parentName(pc))
+      }.reduce(_ && _), "left_anti")
+  }
+
+  /** Insert-family commit hook for FOREIGN KEYs: every batch row's
+    * non-null key must exist in the parent's CURRENT snapshot, probed
+    * against only the parent directories the batch's key range overlaps.
+    * Not serialized against concurrent parent deletes (cross-table
+    * serialization is [[LakeAtomicTxn]]'s job when a pipeline needs it);
+    * `verify_constraints` audits the steady state.
+    */
+  private[sources] def enforceFk(
+      spark: SparkSession,
+      tableDir: String,
+      batch: DataFrame,
+      op: String): Unit =
+    fksOf(spark, tableDir).foreach { case (name, (cols, parentDir, parentCols)) =>
+      if (cols.forall(c => batch.columns.exists(_.equalsIgnoreCase(c)))) {
+        val bad = fkViolations(spark, batch, cols, parentDir, parentCols,
+          rangePrune = true).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$op on $tableDir violates FOREIGN KEY '$name' " +
+              s"(${cols.mkString(",")} -> $parentDir(${parentCols.mkString(",")})): " +
+              s"key ${bad.head.toSeq.mkString("(", ",", ")")} has no parent row")
+      }
+    }
+
+  /** Audit every declared constraint of `tableDir` against its CURRENT
+    * snapshot: (constraint, kind, violations). O(rows) per constraint —
+    * the steady-state drift check for invariants the commit gates cannot
+    * serialize (FK vs parent deletes), and a sanity face for the rest.
+    */
+  def verifyAll(
+      spark: SparkSession,
+      tableDir: String): Seq[(String, String, Long)] = {
+    val snap = VersionedLake.read(spark, tableDir)
+    declsOf(spark, tableDir).map {
+      case CheckDecl(n, p) =>
+        val withMissing = referencedMissing(snap, p)
+          .foldLeft(snap)((d, m) => d.withColumn(m, lit(null)))
+        (n, "check",
+          withMissing.select(sum(when(violates(p), 1L).otherwise(0L)).as("n"))
+            .head().getLong(0))
+      case UniqueDecl(n, cols) =>
+        val bcols = cols.flatMap(c => snap.columns.find(_.equalsIgnoreCase(c)))
+        val v =
+          if (bcols.size != cols.size) 0L
+          else snap.filter(bcols.map(col(_).isNotNull).reduce(_ && _))
+            .groupBy(bcols.map(col): _*).agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > 1)
+            .agg(coalesce(sum(col("_n") - 1), lit(0L))).head().getLong(0)
+        (n, "unique", v)
+      case FkDecl(n, cols, pd, pc) =>
+        (n, "fk",
+          fkViolations(spark, snap, cols, pd, pc, rangePrune = false).count())
+    }
   }
 
   /** Verbatim constraint carry for [[VersionedLake.cloneTable]]: the
@@ -83,25 +294,36 @@ object LakeConstraints {
     * re-validating (as [[add]] would) is a wasted scan.
     */
   private[sources] def copyTo(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    val cs = constraintsOf(spark, srcDir)
+    val cs = declsOf(spark, srcDir)
     if (cs.nonEmpty) write(spark, dstDir, cs)
   }
 
-  /** Remove a constraint (no-op if absent). */
+  /** Remove a constraint of either kind (no-op if absent). */
   def drop(spark: SparkSession, tableDir: String, name: String): Unit = {
-    val existing = constraintsOf(spark, tableDir)
-    if (existing.exists(_._1 == name))
-      write(spark, tableDir, existing.filterNot(_._1 == name))
+    val existing = declsOf(spark, tableDir)
+    if (existing.exists(_.name == name))
+      write(spark, tableDir, existing.filterNot(_.name == name))
   }
 
   private def write(
       spark: SparkSession,
       tableDir: String,
-      all: Seq[(String, String)]): Unit = {
+      all: Seq[Decl]): Unit = {
     import org.json4s.JsonAST._
-    val body = all.map { case (n, c) =>
-      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-        JObject(List("name" -> (JString(n): JValue), "check" -> (JString(c): JValue)))))
+    val body = all.map {
+      case CheckDecl(n, c) =>
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          JObject(List("name" -> (JString(n): JValue), "check" -> (JString(c): JValue)))))
+      case UniqueDecl(n, cs) =>
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          JObject(List("name" -> (JString(n): JValue),
+            "unique" -> (JString(cs.mkString(",")): JValue)))))
+      case FkDecl(n, cs, pd, pc) =>
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          JObject(List("name" -> (JString(n): JValue),
+            "fk" -> (JString(cs.mkString(",")): JValue),
+            "parent" -> (JString(pd): JValue),
+            "pcols" -> (JString(pc.mkString(",")): JValue)))))
     }.mkString("\n")
     val f = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -125,6 +347,77 @@ object LakeConstraints {
       op: String): Unit = {
     val cs = constraintsOf(spark, tableDir)
     if (cs.nonEmpty) enforceOn(batch, tableDir, cs, op)
+  }
+
+  /** Insert-family commit hook for UNIQUE constraints — run INSIDE the
+    * committing path's critical section (after the base version is
+    * read), so two racing writers SERIALIZE through the manifest slot:
+    * the loser's retry re-reads the winner's version and re-probes
+    * against its rows. Cost is O(batch) for the within-batch check plus
+    * ONE semi-join over the directories the batch's own key RANGE
+    * overlaps (range-pruned through the manifest stats layer — on
+    * time-clustered keys that is the newest directory or none). A batch
+    * omitting a key column evolves it as NULL, and NULL keys never
+    * conflict (SQL UNIQUE semantics). `exclude` scopes the probe for
+    * replacement writes (replaceWhere probes only rows OUTSIDE the
+    * replaced predicate).
+    */
+  private[sources] def enforceUnique(
+      spark: SparkSession,
+      tableDir: String,
+      batch: DataFrame,
+      baseVersion: Option[Long],
+      op: String,
+      exclude: Option[Column] = None): Unit = {
+    val us = uniquesOf(spark, tableDir)
+    if (us.isEmpty) return
+    us.foreach { case (name, cols) =>
+      val bcols = cols.flatMap(c => batch.columns.find(_.equalsIgnoreCase(c)))
+      if (bcols.size == cols.size) {
+        val keyed = batch.filter(bcols.map(col(_).isNotNull).reduce(_ && _))
+        val dup = keyed.groupBy(bcols.map(col): _*).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$op on $tableDir violates UNIQUE '$name' (${cols.mkString(",")}): " +
+              s"the batch itself duplicates ${dup.head.toSeq.init.mkString("(", ",", ")")}")
+        baseVersion.foreach { v =>
+          // range-prune: the batch's own min/max per key column against
+          // the manifest stats layer — candidate dirs only
+          val aggs = bcols.flatMap(c => Seq(min(col(c)), max(col(c))))
+          val mm = keyed.agg(aggs.head, aggs.tail: _*).head()
+          if (!mm.isNullAt(0)) {
+            import org.apache.spark.sql.sources.{Filter => SFilter, GreaterThanOrEqual, LessThanOrEqual}
+            val schema0 = VersionedLake.versionSchema(spark, tableDir, v)
+            def tableName(c: String): String = schema0
+              .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
+            val filters: Seq[SFilter] = bcols.zipWithIndex.flatMap { case (c, i) =>
+              val (lo, hi) = (mm.get(2 * i), mm.get(2 * i + 1))
+              if (lo == null || hi == null) Nil
+              else Seq(GreaterThanOrEqual(tableName(c), lo), LessThanOrEqual(tableName(c), hi))
+            }
+            val candidates = VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters)
+            if (candidates.nonEmpty) {
+              val existing0 = VersionedLake.readDirsWithDeletes(
+                spark, tableDir, v, candidates, schema0)
+              val existing = exclude.fold(existing0)(p =>
+                existing0.filter(!coalesce(p, lit(false))))
+              val probe = keyed.select(bcols.zipWithIndex.map { case (c, i) =>
+                col(c).as(s"_u$i")
+              }: _*).distinct()
+              val clash = probe.join(existing,
+                bcols.zipWithIndex.map { case (c, i) =>
+                  probe(s"_u$i") === existing(tableName(c))
+                }.reduce(_ && _), "left_semi").limit(1).collect()
+              if (clash.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"$op on $tableDir violates UNIQUE '$name' (${cols.mkString(",")}): " +
+                    s"key ${clash.head.toSeq.mkString("(", ",", ")")} already exists")
+            }
+          }
+        }
+      }
+    }
   }
 
   private def enforceOn(

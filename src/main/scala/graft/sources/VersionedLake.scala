@@ -1853,6 +1853,10 @@ object VersionedLake {
       txn: Option[(String, Long)] = None,
       sortWithin: Seq[String] = Nil): Long = {
     LakeConstraints.enforce(df.sparkSession, tableDir, df, "commit")
+    LakeConstraints.enforceFk(df.sparkSession, tableDir, df, "commit")
+    // a snapshot REPLACES the table, so UNIQUE needs only the
+    // within-batch check (no base version to probe)
+    LakeConstraints.enforceUnique(df.sparkSession, tableDir, df, None, "commit")
     val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile,
       sortWithin = sortWithin)
     val statsNdv = columnStatsNdv(df, statsCols)
@@ -2003,6 +2007,7 @@ object VersionedLake {
       sortWithin: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     LakeConstraints.enforce(spark, tableDir, df, "appendCommit")
+    LakeConstraints.enforceFk(spark, tableDir, df, "appendCommit")
     // the expensive work — writing the batch and aggregating its stats —
     // happens ONCE; the directory is immutable, so losing the publish race
     // only costs re-reading the prior manifest and retrying the publish
@@ -2019,6 +2024,11 @@ object VersionedLake {
       txn.foreach { case (app, b) =>
         if (priorTxns.get(app).exists(_ >= b)) return cur.get
       }
+      // UNIQUE constraints probe INSIDE the critical section: losing the
+      // publish race re-enters here with the winner's version, so two
+      // racing inserts of the same key serialize through the manifest
+      // slot instead of both passing a stale probe
+      LakeConstraints.enforceUnique(spark, tableDir, df, cur, "appendCommit")
       val prior = cur.map(v => manifest(spark, tableDir, v)).getOrElse(Nil)
       val priorSchema = cur.map { v =>
         versionSchema(spark, tableDir, v)
@@ -2985,6 +2995,68 @@ object VersionedLake {
     * watermarks carry. Publishes optimistically (expectedBase-gated
     * read-modify-write; a lost race re-probes against the new snapshot).
     */
+  /** Predicate UPDATEs that assign a FOREIGN-KEY column validate the
+    * POST-update keys of the matched rows before any rewrite: one
+    * filtered projection (only when an FK column is actually assigned),
+    * probed through the same range-pruned parent lookup as inserts.
+    */
+  private def enforceFkOnUpdate(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      assignments: Map[String, Column],
+      op: String): Unit = {
+    val fks = LakeConstraints.fksOf(spark, tableDir)
+    val touched = fks.exists { case (_, (cols, _, _)) =>
+      assignments.keys.exists(a => cols.exists(_.equalsIgnoreCase(a)))
+    }
+    if (touched) {
+      val matched = read(spark, tableDir).filter(coalesce(predicate, lit(false)))
+      val post = matched.select(matched.columns.toIndexedSeq.map { c =>
+        assignments.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.as(c) }
+          .getOrElse(col(c))
+      }: _*)
+      LakeConstraints.enforceFk(spark, tableDir, post, op)
+    }
+  }
+
+  /** Keyed write paths preserve UNIQUE constraints for free exactly when
+    * the constraint's column set IS the upsert key set (same-keyed rows
+    * REPLACE — the PK-upsert shape). Any other unique set could be
+    * silently violated by an upsert that lands a new key whose unique
+    * columns duplicate an untouched row, so it refuses loudly: route
+    * such writes through delete+insert (one atomic replaceWhere) instead.
+    */
+  private def requireUniqueCompatibleKeys(
+      spark: SparkSession,
+      tableDir: String,
+      keys: Seq[String],
+      op: String): Unit =
+    LakeConstraints.uniquesOf(spark, tableDir).foreach { case (n, cols) =>
+      require(cols.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+        s"$op keyed on (${keys.mkString(",")}) cannot preserve UNIQUE '$n' " +
+          s"(${cols.mkString(",")}) - keyed writes only uphold a unique set " +
+          "equal to their key set; use replaceWhere (delete+insert, one " +
+          "atomic commit) for this shape")
+    }
+
+  /** Predicate UPDATEs refuse to assign a UNIQUE column: the new values
+    * would need probing against the whole table MINUS the matched rows —
+    * reconstructable, but the honest O(delta) answer for key rewrites is
+    * delete+insert (replaceWhere, one atomic commit), so point there.
+    */
+  private def requireUniqueUntouched(
+      spark: SparkSession,
+      tableDir: String,
+      assigned: Iterable[String],
+      op: String): Unit =
+    LakeConstraints.uniquesOf(spark, tableDir).foreach { case (n, cols) =>
+      val touched = assigned.filter(a => cols.exists(_.equalsIgnoreCase(a)))
+      require(touched.isEmpty,
+        s"$op assigns UNIQUE '$n' key column(s) ${touched.mkString(",")} - " +
+          "rewrite keys via replaceWhere (delete+insert, one atomic commit)")
+    }
+
   def upsert(
       spark: SparkSession,
       tableDir: String,
@@ -3002,6 +3074,9 @@ object VersionedLake {
     probeKeys.foreach(p => require(keys.forall(p.columns.contains),
       s"probeKeys missing key columns: ${keys.filterNot(p.columns.contains).mkString(", ")}"))
     LakeConstraints.enforce(spark, tableDir, updates, "upsert")
+    LakeConstraints.enforceFk(spark, tableDir, updates, "upsert")
+    requireUniqueCompatibleKeys(spark, tableDir, keys, "upsert")
+    LakeConstraints.enforceUnique(spark, tableDir, updates, None, "upsert")
     // probeKeys generalizes the replace set beyond the batch's own keys:
     // rows of probed keys NOT re-supplied by the batch are DELETED (the
     // conditional-MERGE delete shape — gate-failing rows of a key ride
@@ -3150,6 +3225,9 @@ object VersionedLake {
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
     LakeConstraints.enforce(spark, tableDir, updates, "upsertMor")
+    LakeConstraints.enforceFk(spark, tableDir, updates, "upsertMor")
+    requireUniqueCompatibleKeys(spark, tableDir, keys, "upsertMor")
+    LakeConstraints.enforceUnique(spark, tableDir, updates, None, "upsertMor")
     val base0 = currentVersion(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
     val committed = versionSchema(spark, tableDir, base0)
@@ -3742,6 +3820,7 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       changeArtifact: Boolean = true): Long = {
     LakeConstraints.enforce(spark, tableDir, data, "replaceWhere")
+    LakeConstraints.enforceFk(spark, tableDir, data, "replaceWhere")
     // the batch feeds up to four evaluations (stats agg, bloom agg, the
     // data write, the CDC-artifact union): persist it once — unless the
     // caller already did (the dynamic-overwrite command persists for its
@@ -3785,6 +3864,8 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       txn: Option[(String, Long)] = None): Long = {
     require(assignments.nonEmpty, "updateWhereMor needs at least one assignment")
+    requireUniqueUntouched(spark, tableDir, assignments.keys, "updateWhereMor")
+    enforceFkOnUpdate(spark, tableDir, predicate, assignments, "updateWhereMor")
     retryOnConflict() {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -3864,6 +3945,8 @@ object VersionedLake {
       maxRecordsPerFile: Long = 8L * 1000 * 1000,
       changeArtifact: Boolean = true): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    requireUniqueUntouched(spark, tableDir, assignments.keys, "updateWhere")
+    enforceFkOnUpdate(spark, tableDir, predicate, assignments, "updateWhere")
     val isMatch = coalesce(predicate, lit(false))
     val transform: DataFrame => DataFrame = { df =>
       assignments.keys.foreach(c =>
@@ -3988,6 +4071,12 @@ object VersionedLake {
       // expose). Layout and skipping layers continue: the table's hive
       // partitioning and declared stat columns apply to the new dir.
       val appendedMeta = appendDf.map { df =>
+        // UNIQUE: the batch must not collide with rows OUTSIDE the
+        // replaced scope (rows matching `predicate` leave in this same
+        // commit). Probed inside the retry against the re-read base,
+        // like appendCommit — racing writers serialize on the slot.
+        LakeConstraints.enforceUnique(spark, tableDir, df, Some(base), op,
+          exclude = Some(predicate))
         val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base,
           df.columns.toSeq)
         // declaredOrPhysicalParts, NOT partitionColumns: the first write
@@ -4114,6 +4203,19 @@ object VersionedLake {
     LakeConstraints.constraintsOf(spark, tableDir).foreach { case (cn, check) =>
       require(!renIdent.matcher(check).find(),
         s"CHECK constraint '$cn' mentions '$oldName'; drop and re-declare " +
+          "the constraint around the rename")
+    }
+    // a UNIQUE constraint's column list is stored by name: renaming out
+    // from under it would silently neutralize enforcement (future probes
+    // would evolve the old name as NULL, and NULL keys never conflict)
+    LakeConstraints.uniquesOf(spark, tableDir).foreach { case (cn, cols) =>
+      require(!cols.exists(_.equalsIgnoreCase(oldName)),
+        s"UNIQUE constraint '$cn' covers '$oldName'; drop and re-declare " +
+          "the constraint around the rename")
+    }
+    LakeConstraints.fksOf(spark, tableDir).foreach { case (cn, (cols, _, _)) =>
+      require(!cols.exists(_.equalsIgnoreCase(oldName)),
+        s"FOREIGN KEY '$cn' covers '$oldName'; drop and re-declare " +
           "the constraint around the rename")
     }
     val newSchema = StructType(schema.fields.map { f =>
@@ -4288,6 +4390,14 @@ object VersionedLake {
     LakeConstraints.constraintsOf(spark, tableDir).foreach { case (cn, check) =>
       require(!ident.matcher(check).find(),
         s"CHECK constraint '$cn' mentions '$name'; drop the constraint first")
+    }
+    LakeConstraints.uniquesOf(spark, tableDir).foreach { case (cn, cols) =>
+      require(!cols.exists(_.equalsIgnoreCase(name)),
+        s"UNIQUE constraint '$cn' covers '$name'; drop the constraint first")
+    }
+    LakeConstraints.fksOf(spark, tableDir).foreach { case (cn, (cols, _, _)) =>
+      require(!cols.exists(_.equalsIgnoreCase(name)),
+        s"FOREIGN KEY '$cn' covers '$name'; drop the constraint first")
     }
     val newSchema = StructType(schema.fields.map { f =>
       if (f.name.equalsIgnoreCase(name) && !isDropped(f))
