@@ -871,6 +871,25 @@ object Relational5 {
           col("o_custkey")), dim, statsCols = Seq("hk"))
   }
 
+  /** UNIQUE-constraint fixture: half of orders under a PRIMARY-KEY-style
+    * declaration, built once; every run then proves the O(delta)
+    * enforcement (a duplicate refuses atomically, a fresh row lands).
+    */
+  private def ensureCatalogUnique(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/uq_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .filter(col("o_orderkey") <= half),
+        tbl, statsCols = Seq("o_orderkey"))
+      s.sql("ALTER TABLE graftcat.uq_orders SET TBLPROPERTIES " +
+        "('unique.pk' = 'o_orderkey')")
+    }
+  }
+
   private def ensureNdvJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.sources.VersionedLake
     ensureCatalog(s, dir)
@@ -2207,6 +2226,41 @@ object Relational5 {
              |WHERE o.o_orderkey <= 1000 AND o.o_orderkey % 10 = 0
              |  AND o.o_orderkey * 100 > 8""".stripMargin),
       covers = Seq("ext-cbo-histogram")),
+
+    // UNIQUE CONSTRAINT — PRIMARY-KEY-style declaration with O(delta)
+    // enforcement: the commit-time probe checks the batch against itself
+    // and against only the directories its key RANGE overlaps (manifest
+    // stats pruning + one semi-join), INSIDE the commit's critical
+    // section so racing writers serialize through the manifest slot.
+    // The timed body proves the gate both ways every run: a duplicate
+    // INSERT refuses atomically (count unchanged), and the table still
+    // answers. Oracle: the committed half of orders.
+    QueryDef(
+      "q_catalog_unique",
+      (s, dir) => {
+        ensureCatalogUnique(s, dir)
+        val n0 = s.sql("SELECT count(*) FROM graftcat.uq_orders").head().getLong(0)
+        val refused =
+          try {
+            s.sql("INSERT INTO graftcat.uq_orders " +
+              "SELECT o_orderkey, o_orderstatus FROM graftcat.uq_orders " +
+              "ORDER BY o_orderkey LIMIT 1")
+            false
+          } catch { case e: Exception =>
+            (e.getMessage != null && e.getMessage.contains("UNIQUE")) ||
+              (e.getCause != null && e.getCause.getMessage != null &&
+                e.getCause.getMessage.contains("UNIQUE"))
+          }
+        require(refused, "a duplicate key INSERT must refuse on UNIQUE 'pk'")
+        require(s.sql("SELECT count(*) FROM graftcat.uq_orders").head().getLong(0) == n0,
+          "the refused INSERT must land NOTHING")
+        s.sql("SELECT o_orderkey, o_orderstatus FROM graftcat.uq_orders")
+          .localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 2 AS half FROM orders)
+             |SELECT o_orderkey, o_orderstatus FROM orders, m
+             |WHERE o_orderkey <= half""".stripMargin),
+      covers = Seq("ext-lake-unique")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

@@ -193,7 +193,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             buckets.get(d).map(_._2).getOrElse(0))
         }.toDF("dir", "rows", "bytes", "parts", "stats", "bucket_key", "bucket_n")
       case "constraints" =>
-        LakeConstraints.constraintsOf(s, dir).toDF("name", "check")
+        (LakeConstraints.constraintsOf(s, dir) ++
+          LakeConstraints.uniquesOf(s, dir).map { case (n, cols) =>
+            n -> s"UNIQUE(${cols.mkString(",")})"
+          } ++
+          LakeConstraints.fksOf(s, dir).map { case (n, (cols, pd, pc)) =>
+            n -> s"FOREIGN KEY(${cols.mkString(",")}) REFERENCES $pd(${pc.mkString(",")})"
+          }).toDF("name", "check")
       case "refs" =>
         // named refs (tags + branches) with each target's commit op —
         // `` SELECT * FROM graft.`t$refs` `` answers "what can I VERSION
@@ -439,6 +445,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         LakeConstraints.add(spark, dir, p.property.stripPrefix("check."), p.value)
       case p: TableChange.RemoveProperty if p.property.startsWith("check.") =>
         LakeConstraints.drop(spark, dir, p.property.stripPrefix("check."))
+      case p: TableChange.SetProperty if p.property.startsWith("unique.") =>
+        LakeConstraints.addUnique(spark, dir, p.property.stripPrefix("unique."),
+          p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case p: TableChange.RemoveProperty if p.property.startsWith("unique.") =>
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("unique."))
+      case p: TableChange.SetProperty if p.property.startsWith("fk.") =>
+        // 'fk.<name>' = '<cols> REFERENCES <table> (<pcols>)' - the parent
+        // resolves through this catalog's own directory scheme
+        val FkSpec = """(?i)\s*([\w\s,]+?)\s+REFERENCES\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
+        p.value match {
+          case FkSpec(cols, parent, pcols) =>
+            LakeConstraints.addFk(spark, dir, p.property.stripPrefix("fk."),
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              (root +: parent.split('.').toSeq.map(seg)).mkString("/"),
+              pcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case other => throw new IllegalArgumentException(
+            s"fk property wants '<cols> REFERENCES <table> (<pcols>)', got '$other'")
+        }
+      case p: TableChange.RemoveProperty if p.property.startsWith("fk.") =>
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("fk."))
       case p: TableChange.SetProperty if p.property == "stats.cols" =>
         statsCols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case p: TableChange.SetProperty if p.property == "bloom.cols" =>

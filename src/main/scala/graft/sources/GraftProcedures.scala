@@ -34,7 +34,7 @@ object GraftProcedures {
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
-    "set_partition_spec", "explain_scan")
+    "set_partition_spec", "explain_scan", "verify_constraints")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -428,6 +428,24 @@ object GraftProcedures {
               untrans)): InternalRow
           }.toArray
           (schema, rows)
+        }
+      case "verify_constraints" =>
+        procRows(name, "audit every declared constraint (check/unique/fk) against " +
+          "the CURRENT snapshot: O(rows) per constraint - the steady-state drift " +
+          "check for invariants the commit gates cannot serialize (an FK vs a " +
+          "later parent delete)",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          val dir = resolve(str(in, 0))
+          val rows = LakeConstraints.verifyAll(spark, dir).map { case (n, k, v) =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String.fromString(k),
+              v)): InternalRow
+          }.toArray
+          (StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("kind", StringType, nullable = false),
+            StructField("violations", LongType, nullable = false))), rows)
         }
       case "replicate_verify" =>
         procRows(name, "anti-entropy audit: compare the mirror against the source " +
