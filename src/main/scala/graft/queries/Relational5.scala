@@ -890,6 +890,54 @@ object Relational5 {
     }
   }
 
+  /** FOREIGN-KEY fixture: a customer dim and an orders child under a
+    * declared FK, built once; every run proves the O(delta) gate (an
+    * orphan insert refuses atomically) and reads the joined truth.
+    */
+  private def ensureCatalogFk(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val cat = catalogLake(s, dir)
+    val parent = s"$cat/fk_cust"
+    val child = s"$cat/fk_orders"
+    if (VersionedLake.currentVersion(s, parent).isEmpty)
+      VersionedLake.appendCommit(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        parent, statsCols = Seq("c_custkey"))
+    if (VersionedLake.currentVersion(s, child).isEmpty) {
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")),
+        child, statsCols = Seq("o_orderkey", "o_custkey"))
+      s.sql("ALTER TABLE graftcat.fk_orders SET TBLPROPERTIES " +
+        "('fk.orders_cust' = 'o_custkey REFERENCES fk_cust (c_custkey)')")
+    }
+  }
+
+  /** DEFAULT-column fixture: era 1 predates the column, ADD COLUMN
+    * DEFAULT is one metadata commit (zero rewrite), era 2 inserts
+    * explicit values through SQL — reads must fill 'legacy' into era 1
+    * from the existence default and keep era 2's explicit values.
+    */
+  private def ensureCatalogDefault(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val tbl = s"${catalogLake(s, dir)}/dflt_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .filter(col("o_orderkey") <= half),
+        tbl, statsCols = Seq("o_orderkey"))
+      s.sql("ALTER TABLE graftcat.dflt_orders ADD COLUMN src STRING DEFAULT 'legacy'")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          lit("live").as("src"))
+        .filter(col("o_orderkey") > half)
+        .createOrReplaceTempView("dflt_src")
+      s.sql("INSERT INTO graftcat.dflt_orders SELECT * FROM dflt_src")
+    }
+  }
+
   private def ensureNdvJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.sources.VersionedLake
     ensureCatalog(s, dir)
@@ -2261,6 +2309,58 @@ object Relational5 {
              |SELECT o_orderkey, o_orderstatus FROM orders, m
              |WHERE o_orderkey <= half""".stripMargin),
       covers = Seq("ext-lake-unique")),
+
+    // ADD COLUMN DEFAULT — metadata-only at any scale: files predating
+    // the column fill the EXISTENCE default at read (stock parquet
+    // machinery off the schema metadata), later INSERTs fill the CURRENT
+    // default or supply their own. The 100 TB backfill that never
+    // happens. Oracle: the era split reconstructed from orders.
+    QueryDef(
+      "q_catalog_default",
+      (s, dir) => {
+        ensureCatalogDefault(s, dir)
+        s.sql("""SELECT src, count(*) AS n,
+                |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
+                |FROM graftcat.dflt_orders GROUP BY src""".stripMargin)
+          .localCheckpoint()
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 2 AS half FROM orders)
+             |SELECT CASE WHEN o_orderkey <= half THEN 'legacy' ELSE 'live' END AS src,
+             |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS keysum
+             |FROM orders, m GROUP BY 1""".stripMargin),
+      covers = Seq("ext-lake-default")),
+
+    // FOREIGN KEY — the declaration the reference reflects out of its
+    // RDBMS catalogs, enforced on the lake at O(delta): the orphan
+    // INSERT's keys anti-join only the parent directories the batch's
+    // range overlaps, refuse atomically; valid ingest proceeds. Oracle:
+    // the child⋈parent rollup from the source tables.
+    QueryDef(
+      "q_catalog_fk",
+      (s, dir) => {
+        ensureCatalogFk(s, dir)
+        val orphan = maxOrderKey(s, dir) * 100
+        val refused =
+          try {
+            s.sql(s"INSERT INTO graftcat.fk_orders VALUES ($orphan, $orphan, 'X')")
+            false
+          } catch { case e: Exception =>
+            (e.getMessage != null && e.getMessage.contains("orders_cust")) ||
+              (e.getCause != null && e.getCause.getMessage != null &&
+                e.getCause.getMessage.contains("orders_cust"))
+          }
+        require(refused, "an orphan-key INSERT must refuse on FK 'orders_cust'")
+        s.sql("""SELECT c.c_mktsegment, count(*) AS n,
+                |  CAST(sum(f.o_orderkey) AS BIGINT) AS keysum
+                |FROM graftcat.fk_orders f
+                |JOIN graftcat.fk_cust c ON f.o_custkey = c.c_custkey
+                |GROUP BY c.c_mktsegment""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT c.c_mktsegment, count(*) AS n,
+             |  CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin),
+      covers = Seq("ext-lake-fk")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

@@ -71,6 +71,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def name(): String = catalogName
 
+  /** CREATE/ALTER with column DEFAULT values is accepted: defaults ride
+    * the committed schema's field metadata (Spark's own
+    * CURRENT_DEFAULT/EXISTS_DEFAULT keys), so INSERTs omitting the
+    * column fill the current default at write and files predating the
+    * column fill the existence default at read - a 100 TB backfill that
+    * never happens.
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Path-traversal guard: identifier parts become path segments. */
   private def seg(s: String): String = {
     require(s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
@@ -439,8 +450,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           p.name.equalsIgnoreCase(nm) && !VersionedLake.isDropped(p)) &&
           !added.exists(_.name.equalsIgnoreCase(nm)),
           s"cannot add column '$nm': it already exists")
+        // ADD COLUMN ... DEFAULT v: metadata-only at any scale. The
+        // current default (future INSERTs) and the existence default
+        // (files predating the column, applied by the parquet readers
+        // off the schema metadata) both record the ANALYZED, folded
+        // literal - Spark's own default-column keys, so every fill path
+        // is stock machinery.
+        val md = Option(a.defaultValue()).map { dv =>
+          val lit = dv.getValue
+          val existsSql = org.apache.spark.sql.catalyst.expressions.Literal(
+            lit.value, lit.dataType).sql
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(existsSql))
+            .putString("EXISTS_DEFAULT", existsSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         added += org.apache.spark.sql.types.StructField(
-          nm, a.dataType, nullable = true)
+          nm, a.dataType, nullable = true, md)
       case p: TableChange.SetProperty if p.property.startsWith("check.") =>
         LakeConstraints.add(spark, dir, p.property.stripPrefix("check."), p.value)
       case p: TableChange.RemoveProperty if p.property.startsWith("check.") =>

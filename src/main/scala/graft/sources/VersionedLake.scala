@@ -2429,7 +2429,16 @@ object VersionedLake {
               org.apache.spark.sql.types.StringType
             else f.dataType
           val readSchema = StructType(live.flatMap { f =>
-            StructField(f.name, readType(f, f.name), nullable = true) +:
+            // a single-variant field keeps its metadata so EXISTENCE
+            // DEFAULTS still fill on this bridge (files predating an ADD
+            // COLUMN DEFAULT read the default, not null). Multi-variant
+            // fields strip it: a default filled into an absent VARIANT
+            // would shadow a legit NULL in the present one through the
+            // coalesce — renameColumn refuses defaulted columns for
+            // exactly this reason, so the combination cannot occur.
+            val md = if (akaNames(f).isEmpty) f.metadata
+              else org.apache.spark.sql.types.Metadata.empty
+            StructField(f.name, readType(f, f.name), nullable = true, md) +:
               akaNames(f).map(n => StructField(n, readType(f, n), nullable = true))
           })
           val logical = live.map { f =>
@@ -4218,6 +4227,14 @@ object VersionedLake {
         s"FOREIGN KEY '$cn' covers '$oldName'; drop and re-declare " +
           "the constraint around the rename")
     }
+    // a renamed column reads through a coalesce of its name variants on
+    // the per-directory bridge, where an EXISTENCE DEFAULT filled into an
+    // absent variant would shadow a legit NULL in the present one —
+    // refuse the combination instead of silently corrupting nulls
+    schema.fields.find(f => f.name.equalsIgnoreCase(oldName) && !isDropped(f))
+      .foreach(f => require(!f.metadata.contains("EXISTS_DEFAULT"),
+        s"column '$oldName' carries a DEFAULT; renaming it would make the " +
+          "existence default ambiguous across its name variants"))
     val newSchema = StructType(schema.fields.map { f =>
       if (f.name.equalsIgnoreCase(oldName)) {
         val aka = (f.name +: akaNames(f)).distinct
