@@ -507,6 +507,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           if p.property.startsWith("cdc.") || p.property == "spj.enabled" ||
             p.property == "delete.mode" || p.property == "update.mode" =>
         LakeProps.unset(spark, dir, p.property)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"nested ALTER COLUMN DEFAULT not supported: ${u.fieldNames.mkString(".")}")
+        // empty string = DROP DEFAULT (Spark's encoding); the existence
+        // default stays - SET DEFAULT is policy for FUTURE inserts, never
+        // a rewrite of what old rows mean
+        VersionedLake.setColumnDefault(spark, dir, u.fieldNames.head,
+          Option(u.newDefaultValue()).filter(_.nonEmpty)): Unit
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")

@@ -2722,7 +2722,7 @@ object VersionedLake {
       case "optimize" | "materialize" =>
         NoDelta // layout-only: identical logical rows before and after
       case "rename_column" | "drop_column" | "widen_column" | "watermark"
-           | "set_spec" =>
+           | "set_spec" | "set_default" =>
         NoDelta // metadata-only: schema/spec declaration or txn watermark,
                 // no logical row
       case "delete_mor" =>
@@ -4359,6 +4359,48 @@ object VersionedLake {
     // there would contradict the manifest the moment one exists)
     LakeProps.set(spark, tableDir, "table.parts", names.mkString(","))
     out
+  }
+
+  /** ALTER COLUMN SET/DROP DEFAULT — one metadata commit updating the
+    * CURRENT default (what future INSERTs omitting the column fill).
+    * The EXISTENCE default is deliberately untouched: it records what
+    * rows written BEFORE the column existed mean, which is history, not
+    * policy — exactly SQL's split (SET DEFAULT never rewrites old rows).
+    * `None` drops the current default (later INSERTs must supply the
+    * column or get NULL).
+    */
+  def setColumnDefault(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      currentDefaultSql: Option[String]): Long = retryOnConflict() {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val cur = currentVersion(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
+    val schema = versionSchema(spark, tableDir, cur)
+      .getOrElse(nullableAll(readVersion(spark, tableDir, cur).schema))
+    require(schema.fields.exists(f => f.name.equalsIgnoreCase(name) && !isDropped(f)),
+      s"no column '$name' in $tableDir")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(name) && !isDropped(f)) {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        currentDefaultSql match {
+          case Some(sql) => b.putString("CURRENT_DEFAULT", sql)
+          case None      => b.remove("CURRENT_DEFAULT")
+        }
+        StructField(f.name, f.dataType, f.nullable, b.build())
+      } else f
+    })
+    publishManifest(spark, tableDir,
+      manifest(spark, tableDir, cur), newSchema,
+      dirStats(spark, tableDir, cur).map { case (d, c) => d -> statsJson(c) },
+      dirBloomsRaw(spark, tableDir, cur),
+      expectedBase = Some(Some(cur)),
+      buckets = dirBuckets(spark, tableDir, cur),
+      txns = txnWatermarks(spark, tableDir, cur),
+      eqdeletes = dirEqDeletes(spark, tableDir, cur),
+      op = "set_default",
+      ndv = dirNdvRaw(spark, tableDir, cur))
   }
 
   /** METADATA-ONLY DROP COLUMN — the other half of the field-id bargain

@@ -71,6 +71,24 @@ class DefaultColumnSpec extends SparkSpec {
     assert(e.getMessage.contains("DEFAULT"), e.getMessage)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT changes future inserts only; history untouched") {
+    root
+    spark.sql("CREATE TABLE gdflt.sd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdflt.sd VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gdflt.sd ADD COLUMN tier STRING DEFAULT 'bronze'")
+    spark.sql("INSERT INTO gdflt.sd (id, v) VALUES (2, 'b')")
+    // retarget the CURRENT default: future inserts fill the new value,
+    // the pre-column row keeps its EXISTENCE default, row 2 keeps its
+    // written value
+    spark.sql("ALTER TABLE gdflt.sd ALTER COLUMN tier SET DEFAULT 'silver'")
+    spark.sql("INSERT INTO gdflt.sd (id, v) VALUES (3, 'c')")
+    spark.sql("ALTER TABLE gdflt.sd ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO gdflt.sd (id, v) VALUES (4, 'd')")
+    assert(spark.sql("SELECT id, tier FROM gdflt.sd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "bronze"), (2L, "bronze"), (3L, "silver"), (4L, null)))
+  }
+
   test("library appends omitting the column read the existence default; optimize materializes") {
     root
     spark.sql("CREATE TABLE gdflt.l (id BIGINT)")
