@@ -182,6 +182,72 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("a declaration racing concurrent appends serializes cleanly; later writers follow it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pevo_race")
+    VersionedLake.appendCommit(
+      Seq((1L, "d1", "us", "a")).toDF("id", "day", "region", "v"), dir,
+      parts = Seq("day"))
+    // fire the declaration and two appends concurrently: every commit
+    // rides retryOnConflict, so all three land in SOME serial order. An
+    // append that based on a pre-declaration version legitimately lays
+    // out under the OLD spec (it read that world); correctness is that
+    // nothing is lost, the declaration survives verbatim, and a write
+    // issued strictly AFTER follows it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val ops = Seq(
+      Future(scala.util.Try(VersionedLake.setPartitionSpec(s, dir, Seq("region")))),
+      Future(scala.util.Try(VersionedLake.appendCommit(
+        Seq((2L, "d2", "eu", "b")).toDF("id", "day", "region", "v"), dir,
+        parts = Seq("day")))),
+      Future(scala.util.Try(VersionedLake.appendCommit(
+        Seq((3L, "d3", "ap", "c")).toDF("id", "day", "region", "v"), dir,
+        parts = Seq("day")))))
+    val results = Await.result(Future.sequence(ops), 120.seconds)
+    assert(results.forall(_.isSuccess), s"all three commits must land: $results")
+    val cur = VersionedLake.currentVersion(s, dir).get
+    assert(VersionedLake.declaredSpec(s, dir, cur) === Some(Seq("region")),
+      "the declaration survives whatever serial order the race produced")
+    assert(VersionedLake.read(s, dir).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L), "no append lost to the race")
+    // a strictly-after writer follows the declaration
+    VersionedLake.appendCommit(
+      Seq((4L, "d4", "us", "d")).toDF("id", "day", "region", "v"), dir,
+      parts = VersionedLake.declaredOrPhysicalParts(s, dir,
+        VersionedLake.currentVersion(s, dir).get))
+    val specs = VersionedLake.dirParts(s, dir,
+      VersionedLake.currentVersion(s, dir).get)
+    assert(specs.values.toSeq.contains(Seq("region")),
+      s"the post-declaration append must lay out by region: $specs")
+  }
+
+  test("a streaming source keeps delivering across a spec evolution mid-stream") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pevo_stream")
+    VersionedLake.appendCommit(
+      Seq((1L, "d1", "us")).toDF("id", "day", "region"), dir, parts = Seq("day"))
+    val q = s.readStream.format("graft-lake").option("path", dir).load()
+      .writeStream.format("memory").queryName("pevo_feed").outputMode("append")
+      .option("checkpointLocation", tmp("pevo_stream_ck")).start()
+    try {
+      q.processAllAvailable()
+      // evolve mid-stream (metadata-only: delivers no rows), then append
+      // under the NEW spec - the incremental read is per-directory, so
+      // the mixed layout must not disturb delivery
+      VersionedLake.setPartitionSpec(s, dir, Seq("region"))
+      VersionedLake.appendCommit(
+        Seq((2L, "d2", "eu")).toDF("id", "day", "region"), dir,
+        parts = Seq("region"))
+      q.processAllAvailable()
+      assert(s.table("pevo_feed").collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+        "rows from both eras delivered exactly once across the evolution")
+    } finally q.stop()
+  }
+
   test("SQL: CALL system.set_partition_spec steers INSERT; pruning holds per spec") {
     val s = spark
     import s.implicits._
