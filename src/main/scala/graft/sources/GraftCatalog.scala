@@ -274,6 +274,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             if ((cmp <= 0) == takeMin) a else b
           }
         }
+        // histogram coverage: a column reports bins only when every
+        // row-bearing directory carries its edge array (the scan-side
+        // conservatism rule)
+        val hist = VersionedLake.dirHist(s, dir, v)
         covered.toSeq.sorted.map { c =>
           val entries = perDir.map(_(c))
           val mins = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._1))
@@ -282,8 +286,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             VersionedLake.ndvEstimate(entries.map(_._1)),
             entries.map(_._2).sum,
             if (mins.isEmpty) null else pick(c, mins, takeMin = true),
-            if (maxs.isEmpty) null else pick(c, maxs, takeMin = false))
-        }.toDF("column", "ndv", "nulls", "min", "max")
+            if (maxs.isEmpty) null else pick(c, maxs, takeMin = false),
+            if (live.forall(d => hist.get(d).exists(_.contains(c))))
+              VersionedLake.HistBins else 0)
+        }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins")
     }
     new LocalRowsTable(s"${base.toString}$$$kind", df)
   }
