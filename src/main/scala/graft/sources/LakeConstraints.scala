@@ -387,15 +387,29 @@ object LakeConstraints {
           val aggs = bcols.flatMap(c => Seq(min(col(c)), max(col(c))))
           val mm = keyed.agg(aggs.head, aggs.tail: _*).head()
           if (!mm.isNullAt(0)) {
-            import org.apache.spark.sql.sources.{Filter => SFilter, GreaterThanOrEqual, LessThanOrEqual}
+            import org.apache.spark.sql.sources.{Filter => SFilter, GreaterThanOrEqual, In, LessThanOrEqual}
             val schema0 = VersionedLake.versionSchema(spark, tableDir, v)
             def tableName(c: String): String = schema0
               .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
-            val filters: Seq[SFilter] = bcols.zipWithIndex.flatMap { case (c, i) =>
+            val rangeFilters: Seq[SFilter] = bcols.zipWithIndex.flatMap { case (c, i) =>
               val (lo, hi) = (mm.get(2 * i), mm.get(2 * i + 1))
               if (lo == null || hi == null) Nil
               else Seq(GreaterThanOrEqual(tableName(c), lo), LessThanOrEqual(tableName(c), hi))
             }
+            // point batches (the single-row INSERT shape) additionally
+            // probe the BLOOM layer: an In over ≤16 keys lets the pruner
+            // hash-test each directory, so a fresh key against a
+            // bloom-layered table probes ZERO directories instead of the
+            // range-overlapping one. The 17-row peek bounds the collect.
+            val filters: Seq[SFilter] =
+              if (bcols.size != 1) rangeFilters
+              else {
+                val ks = keyed.select(col(bcols.head)).distinct().limit(17)
+                  .collect().map(_.get(0))
+                if (ks.length <= 16 && ks.nonEmpty)
+                  In(tableName(bcols.head), ks) +: rangeFilters
+                else rangeFilters
+              }
             val candidates = VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters)
             if (candidates.nonEmpty) {
               val existing0 = VersionedLake.readDirsWithDeletes(

@@ -108,6 +108,31 @@ class UniqueConstraintSpec extends SparkSpec {
     assert(e3.getMessage.contains("already exists"), e3.getMessage)
   }
 
+  test("point inserts ride the bloom layer: an in-range fresh key probes zero directories") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("uq_bloom")
+    val bloom = Some(VersionedLake.BloomConfig(Seq("id"), bits = 1 << 14, k = 5))
+    // EVEN ids only: every odd id is in-range but absent, so range
+    // pruning alone would read the directory - the bloom proves absence
+    VersionedLake.appendCommit((0L until 200L by 2).map(i => (i, s"r$i")).toDF("id", "v"),
+      dir, statsCols = Seq("id"), bloom = bloom)
+    LakeConstraints.addUnique(s, dir, "pk", Seq("id"))
+    val v = VersionedLake.currentVersion(s, dir).get
+    // the probe's own filter shape (point In + range) prunes to zero
+    // candidate dirs for an absent odd key
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThanOrEqual}
+    assert(VersionedLake.pruneDirsForFilters(s, dir, v, Seq(
+      In("id", Array(101L)),
+      GreaterThanOrEqual("id", 101L), LessThanOrEqual("id", 101L))).isEmpty,
+      "an in-range absent key must be proven absent by the bloom")
+    // and the hook lands the insert (no false refusal), refuses a present key
+    VersionedLake.appendCommit(Seq((101L, "fresh")).toDF("id", "v"), dir)
+    val e = intercept[IllegalArgumentException](VersionedLake.appendCommit(
+      Seq((100L, "dup")).toDF("id", "v"), dir))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("racing writers serialize: the publish-race loser re-probes and refuses") {
     val s = spark
     import s.implicits._
