@@ -274,10 +274,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             if ((cmp <= 0) == takeMin) a else b
           }
         }
-        // histogram coverage: a column reports bins only when every
-        // row-bearing directory carries its edge array (the scan-side
-        // conservatism rule)
+        // histogram coverage: ask the SCAN's own merge whether a
+        // histogram would actually be served — running the same code is
+        // the only way the diagnostic cannot drift from the behavior it
+        // diagnoses (all-null dirs are skipped there, point columns and
+        // truncated edge sets return None; a hand-copied predicate here
+        // already disagreed once)
         val hist = VersionedLake.dirHist(s, dir, v)
+        val served = org.apache.spark.sql.graft.LakePruningScanBuilder
+          .columnStatsFor(VersionedLake.manifest(s, dir, v), rowsMeta, ndv,
+            stats, schema0.getOrElse(new org.apache.spark.sql.types.StructType()),
+            hist)
+        def histBins(c: String): Int = {
+          val k = org.apache.spark.sql.connector.expressions.Expressions.column(c)
+          if (Option(served.get(k)).exists(_.histogram().isPresent))
+            VersionedLake.HistBins else 0
+        }
         covered.toSeq.sorted.map { c =>
           val entries = perDir.map(_(c))
           val mins = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._1))
@@ -287,8 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             entries.map(_._2).sum,
             if (mins.isEmpty) null else pick(c, mins, takeMin = true),
             if (maxs.isEmpty) null else pick(c, maxs, takeMin = false),
-            if (live.forall(d => hist.get(d).exists(_.contains(c))))
-              VersionedLake.HistBins else 0)
+            histBins(c))
         }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins")
     }
     new LocalRowsTable(s"${base.toString}$$$kind", df)
@@ -341,6 +352,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
   }
 
+  /** 'fk.<name>' = '<cols> REFERENCES <table> (<pcols>)' — the parent
+    * resolves through this catalog's own directory scheme. Shared by
+    * CREATE TABLE TBLPROPERTIES and ALTER TABLE SET TBLPROPERTIES.
+    */
+  private def addFkProperty(dir: String, name: String, value: String): Unit = {
+    val FkSpec = """(?i)\s*([\w\s,]+?)\s+REFERENCES\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
+    value match {
+      case FkSpec(cols, parent, pcols) =>
+        LakeConstraints.addFk(spark, dir, name,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          (root +: parent.split('.').toSeq.map(seg)).mkString("/"),
+          pcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"fk property wants '<cols> REFERENCES <table> (<pcols>)', got '$other'")
+    }
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -386,6 +414,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     properties.asScala.toSeq.sortBy(_._1).foreach {
       case (k, pred) if k.startsWith("check.") =>
         LakeConstraints.add(spark, dir, k.stripPrefix("check."), pred)
+      case (k, v) if k.startsWith("unique.") =>
+        // declared on the empty table, so the snapshot validation is
+        // free and every later write is gated — same as check.
+        LakeConstraints.addUnique(spark, dir, k.stripPrefix("unique."),
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case (k, v) if k.startsWith("fk.") =>
+        addFkProperty(dir, k.stripPrefix("fk."), v)
       case (k, v) if k.startsWith("cdc.") || k == "spj.enabled" ||
           k == "delete.mode" || k == "update.mode" =>
         LakeProps.set(spark, dir, k, v)
@@ -476,27 +511,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case p: TableChange.SetProperty if p.property.startsWith("check.") =>
         LakeConstraints.add(spark, dir, p.property.stripPrefix("check."), p.value)
       case p: TableChange.RemoveProperty if p.property.startsWith("check.") =>
-        LakeConstraints.drop(spark, dir, p.property.stripPrefix("check."))
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("check."),
+          kind = Some("check"))
       case p: TableChange.SetProperty if p.property.startsWith("unique.") =>
         LakeConstraints.addUnique(spark, dir, p.property.stripPrefix("unique."),
           p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case p: TableChange.RemoveProperty if p.property.startsWith("unique.") =>
-        LakeConstraints.drop(spark, dir, p.property.stripPrefix("unique."))
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("unique."),
+          kind = Some("unique"))
       case p: TableChange.SetProperty if p.property.startsWith("fk.") =>
-        // 'fk.<name>' = '<cols> REFERENCES <table> (<pcols>)' - the parent
-        // resolves through this catalog's own directory scheme
-        val FkSpec = """(?i)\s*([\w\s,]+?)\s+REFERENCES\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
-        p.value match {
-          case FkSpec(cols, parent, pcols) =>
-            LakeConstraints.addFk(spark, dir, p.property.stripPrefix("fk."),
-              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-              (root +: parent.split('.').toSeq.map(seg)).mkString("/"),
-              pcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          case other => throw new IllegalArgumentException(
-            s"fk property wants '<cols> REFERENCES <table> (<pcols>)', got '$other'")
-        }
+        addFkProperty(dir, p.property.stripPrefix("fk."), p.value)
       case p: TableChange.RemoveProperty if p.property.startsWith("fk.") =>
-        LakeConstraints.drop(spark, dir, p.property.stripPrefix("fk."))
+        LakeConstraints.drop(spark, dir, p.property.stripPrefix("fk."),
+          kind = Some("fk"))
       case p: TableChange.SetProperty if p.property == "stats.cols" =>
         statsCols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case p: TableChange.SetProperty if p.property == "bloom.cols" =>

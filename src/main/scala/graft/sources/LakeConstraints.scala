@@ -289,20 +289,54 @@ object LakeConstraints {
     }
   }
 
-  /** Verbatim constraint carry for [[VersionedLake.cloneTable]]: the
-    * clone's rows ARE a snapshot that satisfied these constraints, so
-    * re-validating (as [[add]] would) is a wasted scan.
+  /** Constraint carry for [[VersionedLake.cloneTable]]: the clone's rows
+    * ARE a snapshot that satisfied these constraints, so re-validating
+    * (as [[add]] would) is a wasted scan. FK parent pointers are
+    * REWRITTEN through `rewriteParent`: an absolute `parentDir` carried
+    * verbatim would keep the clone enforcing against the ORIGINAL
+    * parent — wrong lake for a mirrored child+parent pair, and broken
+    * outright once the source root moves or is vacuumed. The default
+    * maps a self-referencing FK (parent == the cloned table) onto the
+    * clone; callers cloning a whole namespace pass their own root map.
     */
-  private[sources] def copyTo(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    val cs = declsOf(spark, srcDir)
+  private[sources] def copyTo(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      rewriteParent: String => String = identity): Unit = {
+    val cs = declsOf(spark, srcDir).map {
+      case f: FkDecl =>
+        val p = if (f.parentDir == srcDir) dstDir else rewriteParent(f.parentDir)
+        f.copy(parentDir = p)
+      case other => other
+    }
     if (cs.nonEmpty) write(spark, dstDir, cs)
   }
 
-  /** Remove a constraint of either kind (no-op if absent). */
-  def drop(spark: SparkSession, tableDir: String, name: String): Unit = {
+  /** Remove a constraint (no-op if absent). `kind` — when given, one of
+    * `"check"`/`"unique"`/`"fk"` — must match the declaration being
+    * dropped: the SQL face spells the kind in the property prefix
+    * (`UNSET TBLPROPERTIES('unique.x')`), and silently dropping a CHECK
+    * or FK that merely shares the name would revoke an invariant the
+    * user never named.
+    */
+  def drop(
+      spark: SparkSession,
+      tableDir: String,
+      name: String,
+      kind: Option[String] = None): Unit = {
     val existing = declsOf(spark, tableDir)
-    if (existing.exists(_.name == name))
+    existing.find(_.name == name).foreach { d =>
+      val actual = d match {
+        case _: CheckDecl  => "check"
+        case _: UniqueDecl => "unique"
+        case _: FkDecl     => "fk"
+      }
+      kind.foreach(k => require(k == actual,
+        s"constraint '$name' on $tableDir is a ${actual.toUpperCase} " +
+          s"constraint; refusing to drop it through the '$k.' property"))
       write(spark, tableDir, existing.filterNot(_.name == name))
+    }
   }
 
   private def write(

@@ -1202,7 +1202,13 @@ object VersionedLake {
             entry.toMap.get("e").collect { case JArray(vs) =>
               c -> vs.collect { case JDouble(e) => e }.toArray
             }
-          }.flatten.toMap
+          }.flatten
+            // a written edge set is always exactly HistBins+1 doubles; a
+            // shorter array means elements were dropped or re-typed, and
+            // consuming the remnant would feed a mass-distorted histogram
+            // to CBO — degrade to "no histogram", the conservatism rule
+            .filter(_._2.length == HistBins + 1)
+            .toMap
         case _ => d -> Map.empty[String, Array[Double]]
       }
     }

@@ -543,4 +543,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.limit_t").head().getLong(0) === 300L,
       "the un-limited read is untouched")
   }
+
+  test("CREATE TABLE TBLPROPERTIES declares UNIQUE and FK constraints, enforced from row one") {
+    root
+    spark.sql("CREATE TABLE graft.ct_parent (pid BIGINT, nm STRING, " +
+      "t STRING) TBLPROPERTIES('stats.cols'='pid')")
+    spark.sql("INSERT INTO graft.ct_parent VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql("CREATE TABLE graft.ct_child (id BIGINT, pid BIGINT, v STRING) " +
+      "TBLPROPERTIES('unique.pk'='id', 'fk.par'='pid REFERENCES ct_parent (pid)', " +
+      "'stats.cols'='id')")
+    spark.sql("INSERT INTO graft.ct_child VALUES (10, 1, 'ok')")
+    // duplicate key: the unique declared at CREATE time gates the insert
+    val du = intercept[Exception](
+      spark.sql("INSERT INTO graft.ct_child VALUES (10, 2, 'dup')"))
+    assert(du.getMessage.contains("UNIQUE"), du.getMessage)
+    // orphan key: the fk declared at CREATE time gates the insert
+    val fk = intercept[Exception](
+      spark.sql("INSERT INTO graft.ct_child VALUES (11, 99, 'orphan')"))
+    assert(fk.getMessage.contains("FOREIGN KEY"), fk.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.ct_child").head().getLong(0) === 1L)
+    // UNSET through the wrong kind prefix refuses; the right one drops
+    val wrong = intercept[Exception](
+      spark.sql("ALTER TABLE graft.ct_child UNSET TBLPROPERTIES('fk.pk')"))
+    assert(wrong.getMessage.contains("UNIQUE"), wrong.getMessage)
+    spark.sql("ALTER TABLE graft.ct_child UNSET TBLPROPERTIES('unique.pk')")
+    spark.sql("INSERT INTO graft.ct_child VALUES (10, 2, 'dup-now-fine')")
+    assert(spark.sql("SELECT count(*) FROM graft.ct_child").head().getLong(0) === 2L)
+  }
 }

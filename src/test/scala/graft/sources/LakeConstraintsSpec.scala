@@ -88,6 +88,44 @@ class LakeConstraintsSpec extends SparkSpec {
     assert(VersionedLake.read(s, dir).count() === 2)
   }
 
+  test("drop verifies the declared kind: 'unique.x' cannot revoke a CHECK named x") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_kind")
+    VersionedLake.appendCommit(Seq((1L, 10.0)).toDF("id", "price"), dir)
+    LakeConstraints.add(s, dir, "x", "price > 0")
+    val e = intercept[IllegalArgumentException](
+      LakeConstraints.drop(s, dir, "x", kind = Some("unique")))
+    assert(e.getMessage.contains("CHECK"))
+    assert(LakeConstraints.constraintsOf(s, dir).nonEmpty, "mismatched drop must not remove")
+    LakeConstraints.drop(s, dir, "x", kind = Some("check"))
+    assert(LakeConstraints.constraintsOf(s, dir).isEmpty)
+    // kind-less drop (library face) stays kind-agnostic
+    LakeConstraints.addUnique(s, dir, "x", Seq("id"))
+    LakeConstraints.drop(s, dir, "x")
+    assert(LakeConstraints.uniquesOf(s, dir).isEmpty)
+  }
+
+  test("cloneTable rewrites a self-referencing FK onto the clone, not the source") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("lc_fk_src")
+    val dst = tmp("lc_fk_dst") + "/clone"
+    VersionedLake.appendCommit(
+      Seq((1L, Option.empty[Long]), (2L, Some(1L))).toDF("id", "mgr"), src,
+      statsCols = Seq("id"))
+    LakeConstraints.addFk(s, src, "mgr_fk", Seq("mgr"), src, Seq("id"))
+    VersionedLake.cloneTable(s, src, dst)
+    val (_, (_, parent, _)) = LakeConstraints.fksOf(s, dst).head
+    assert(parent === dst, s"self-FK must follow the clone, got $parent")
+    // the clone enforces against ITS OWN rows: referencing the clone's
+    // id=2 passes even though nothing new landed in the source
+    VersionedLake.appendCommit(Seq((3L, Some(2L))).toDF("id", "mgr"), dst)
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((4L, Some(99L))).toDF("id", "mgr"), dst))
+    assert(VersionedLake.read(s, dst).count() === 3)
+  }
+
   test("the streaming sink and catalog INSERT ride the gated paths") {
     val s = spark
     import s.implicits._
