@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   * non-O(delta) moment in the design), so the invariant holds
   * inductively afterward at O(batch) per commit.
   *
-  * Constraints live in one small `constraints.txt` beside the manifest
-  * (atomic replace, JSON-per-line) — table metadata, not per-version
-  * state: like Delta, a constraint governs WRITES from the moment it
-  * exists; time-traveled reads of old versions are unaffected.
-  * Constraint DDL is not designed for concurrent DDL racing itself; a
-  * constraint added while a commit is in flight governs the next
-  * commit, not the in-flight one (enforcement reads the file at commit
-  * start).
+  * Constraints live in a small `constraints/` generation store beside
+  * the manifest (JSON-per-line payload re-published whole through
+  * [[GenCas]] — the same exclusive-create CAS fence [[LakeProps]] and
+  * [[LakeRefs]] ride), so concurrent DDL serializes: two racing
+  * `addUnique`+`addFk` both survive, the loser re-basing onto the
+  * winner's declarations. A legacy `constraints.txt` (the pre-fence
+  * atomic-replace layout) is still read and is migrated into the store
+  * by the first DDL that touches it. A constraint added while a commit
+  * is in flight governs the next commit, not the in-flight one
+  * (enforcement reads the declarations at commit start).
   *
   * Enforcement is ONE aggregate job over the batch per commit (all
   * constraints summed in a single pass), so at 100 TB the cost tracks
@@ -51,14 +53,29 @@ object LakeConstraints {
       name: String, cols: Seq[String], parentDir: String, parentCols: Seq[String])
       extends Decl
 
-  private def declsOf(spark: SparkSession, tableDir: String): Seq[Decl] = {
+  private def genRoot(tableDir: String): String = s"$tableDir/constraints"
+
+  private def declsOf(spark: SparkSession, tableDir: String): Seq[Decl] =
+    GenCas.read(spark, genRoot(tableDir))._2
+      .map(parse)
+      .getOrElse(legacyDecls(spark, tableDir))
+
+  /** The pre-fence `constraints.txt` layout (atomic replace): read-only
+    * compatibility — the first fenced DDL migrates it into the store.
+    */
+  private def legacyDecls(spark: SparkSession, tableDir: String): Seq[Decl] = {
     val p = new org.apache.hadoop.fs.Path(tableDir, FileName)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(p)) Nil
     else {
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      text.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      parse(text)
+    }
+  }
+
+  private def parse(text: String): Seq[Decl] =
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
         import org.json4s.JsonAST._
         org.json4s.jackson.JsonMethods.parse(line) match {
           case JObject(fields) =>
@@ -80,8 +97,6 @@ object LakeConstraints {
           case _ => throw new IllegalStateException(s"malformed constraint line: $line")
         }
       }.toSeq
-    }
-  }
 
   /** Declared CHECK constraints, in declaration order. */
   def constraintsOf(spark: SparkSession, tableDir: String): Seq[(String, String)] =
@@ -112,7 +127,7 @@ object LakeConstraints {
       enforceOn(VersionedLake.read(spark, tableDir), tableDir,
         Seq(name -> check), "ADD CONSTRAINT (existing rows)")
     }
-    write(spark, tableDir, existing :+ CheckDecl(name, check))
+    addDecl(spark, tableDir, CheckDecl(name, check))
   }
 
   /** Declare a UNIQUE (primary-key-style) constraint over `cols`.
@@ -147,7 +162,7 @@ object LakeConstraints {
         s"cannot ADD UNIQUE '$name' (${cols.mkString(",")}): existing rows " +
           s"already duplicate ${dup.headOption.fold("")(_.toString)}")
     }
-    write(spark, tableDir, existing :+ UniqueDecl(name, cols))
+    addDecl(spark, tableDir, UniqueDecl(name, cols))
   }
 
   /** Declare a FOREIGN KEY: `cols` of this (child) table must exist in
@@ -183,7 +198,7 @@ object LakeConstraints {
         s"cannot ADD FOREIGN KEY '$name': existing child rows reference " +
           s"missing parent keys, e.g. ${bad.headOption.fold("")(_.toString)}")
     }
-    write(spark, tableDir, existing :+ FkDecl(name, cols, parentDir, parentCols))
+    addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols))
   }
 
   /** Child rows of `frame` whose non-null FK key is absent from the
@@ -310,7 +325,7 @@ object LakeConstraints {
         f.copy(parentDir = p)
       case other => other
     }
-    if (cs.nonEmpty) write(spark, dstDir, cs)
+    if (cs.nonEmpty) mutate(spark, dstDir)(_ => cs)
   }
 
   /** Remove a constraint (no-op if absent). `kind` — when given, one of
@@ -325,26 +340,33 @@ object LakeConstraints {
       tableDir: String,
       name: String,
       kind: Option[String] = None): Unit = {
-    val existing = declsOf(spark, tableDir)
-    existing.find(_.name == name).foreach { d =>
-      val actual = d match {
-        case _: CheckDecl  => "check"
-        case _: UniqueDecl => "unique"
-        case _: FkDecl     => "fk"
+    // fast path: nothing declared at all — don't publish a generation
+    if (!declsOf(spark, tableDir).exists(_.name == name)) return
+    mutate(spark, tableDir) { existing =>
+      existing.find(_.name == name) match {
+        case None => existing // already dropped (idempotent retry)
+        case Some(d) =>
+          val actual = d match {
+            case _: CheckDecl  => "check"
+            case _: UniqueDecl => "unique"
+            case _: FkDecl     => "fk"
+          }
+          kind.foreach(k => require(k == actual,
+            s"constraint '$name' on $tableDir is a ${actual.toUpperCase} " +
+              s"constraint; refusing to drop it through the '$k.' property"))
+          existing.filterNot(_.name == name)
       }
-      kind.foreach(k => require(k == actual,
-        s"constraint '$name' on $tableDir is a ${actual.toUpperCase} " +
-          s"constraint; refusing to drop it through the '$k.' property"))
-      write(spark, tableDir, existing.filterNot(_.name == name))
     }
   }
 
-  private def write(
-      spark: SparkSession,
-      tableDir: String,
-      all: Seq[Decl]): Unit = {
+  /** Payload render. ALWAYS newline-terminated: [[GenCas.read]] treats a
+    * zero-length generation file as a crashed committer's slot, so an
+    * empty declaration set (last constraint dropped) must still publish
+    * a non-empty payload or the drop would silently resurrect.
+    */
+  private def render(all: Seq[Decl]): String = {
     import org.json4s.JsonAST._
-    val body = all.map {
+    all.map {
       case CheckDecl(n, c) =>
         org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
           JObject(List("name" -> (JString(n): JValue), "check" -> (JString(c): JValue)))))
@@ -358,17 +380,45 @@ object LakeConstraints {
             "fk" -> (JString(cs.mkString(",")): JValue),
             "parent" -> (JString(pd): JValue),
             "pcols" -> (JString(pc.mkString(",")): JValue)))))
-    }.mkString("\n")
-    val f = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    f.mkdirs(new org.apache.hadoop.fs.Path(tableDir))
-    val tmp = new org.apache.hadoop.fs.Path(tableDir, s".$FileName.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(tableDir, FileName)
-    if (f.exists(dst)) f.delete(dst, false): Unit
-    require(f.rename(tmp, dst), s"failed to publish $dst")
+    }.mkString("", "\n", "\n")
   }
+
+  /** Fenced declaration mutation: re-reads the current set (generation
+    * store, seeded from the legacy file on first touch), applies `f`,
+    * publishes the next generation through the exclusive-create CAS —
+    * so two concurrent DDL statements BOTH survive, the loser re-basing
+    * onto the winner's declarations. Per [[GenCas.mutate]]'s contract,
+    * `f` must be idempotent on its own effect: adds no-op when an
+    * identical declaration is already present, drops no-op on an absent
+    * name. The legacy `constraints.txt` retires (best-effort delete)
+    * once its contents live in the store.
+    */
+  private def mutate(
+      spark: SparkSession,
+      tableDir: String)(f: Seq[Decl] => Seq[Decl]): Unit = {
+    GenCas.mutate(spark, genRoot(tableDir)) { cur =>
+      render(f(cur.map(parse).getOrElse(legacyDecls(spark, tableDir))))
+    }
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(tableDir, FileName)
+      val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fsys.exists(p)) fsys.delete(p, false)
+    }: Unit
+  }
+
+  /** Append one declaration under the fence; `name` collision with a
+    * DIFFERENT declaration refuses (re-applying the identical one is the
+    * idempotent retry [[GenCas.mutate]]'s ABA guard can issue).
+    */
+  private def addDecl(spark: SparkSession, tableDir: String, d: Decl): Unit =
+    mutate(spark, tableDir) { existing =>
+      if (existing.contains(d)) existing
+      else {
+        require(!existing.exists(_.name == d.name),
+          s"constraint '${d.name}' already exists on $tableDir")
+        existing :+ d
+      }
+    }
 
   /** Commit-path hook: validate `batch` against the table's declared
     * constraints, throwing on any violation. Zero cost (one small-file

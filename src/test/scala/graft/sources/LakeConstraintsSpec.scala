@@ -126,6 +126,63 @@ class LakeConstraintsSpec extends SparkSpec {
     assert(VersionedLake.read(s, dst).count() === 3)
   }
 
+  test("racing DDL: concurrent addUnique and addFk both survive the CAS fence") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_race")
+    val parent = tmp("lc_race_par")
+    VersionedLake.appendCommit(Seq((1L, 10L)).toDF("id", "pid"), dir)
+    VersionedLake.appendCommit(Seq(Tuple1(10L)).toDF("pid"), parent)
+    // the pre-fence layout lost one of these two (atomic replace, last
+    // writer wins); the generation store serializes them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val a = Future { gate.await(); LakeConstraints.addUnique(s, dir, "pk", Seq("id")) }
+    val b = Future {
+      gate.await(); LakeConstraints.addFk(s, dir, "par", Seq("pid"), parent, Seq("pid"))
+    }
+    Await.result(a, 120.seconds); Await.result(b, 120.seconds)
+    assert(LakeConstraints.uniquesOf(s, dir).map(_._1) === Seq("pk"))
+    assert(LakeConstraints.fksOf(s, dir).map(_._1) === Seq("par"))
+    // both gates live: duplicate and orphan each refuse
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((1L, 10L)).toDF("id", "pid"), dir))
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((2L, 99L)).toDF("id", "pid"), dir))
+    VersionedLake.appendCommit(Seq((2L, 10L)).toDF("id", "pid"), dir)
+    assert(VersionedLake.read(s, dir).count() === 2)
+  }
+
+  test("legacy constraints.txt reads, and the first fenced DDL migrates it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("lc_legacy")
+    VersionedLake.appendCommit(Seq((1L, 10.0)).toDF("id", "price"), dir)
+    // write the pre-fence layout by hand
+    val p = new org.apache.hadoop.fs.Path(dir, "constraints.txt")
+    val fsys = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fsys.create(p, true)
+    try out.write("""{"name":"price_pos","check":"price > 0"}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(LakeConstraints.constraintsOf(s, dir) === Seq("price_pos" -> "price > 0"))
+    intercept[IllegalArgumentException](
+      VersionedLake.appendCommit(Seq((2L, -1.0)).toDF("id", "price"), dir))
+    // a fenced DDL carries the legacy declaration into the store and
+    // retires the file; dropping to an EMPTY set must also stick (a
+    // zero-length generation payload would resurrect the constraint)
+    LakeConstraints.addUnique(s, dir, "pk", Seq("id"))
+    assert(!fsys.exists(p), "legacy file must retire after migration")
+    assert(LakeConstraints.constraintsOf(s, dir) === Seq("price_pos" -> "price > 0"))
+    LakeConstraints.drop(s, dir, "price_pos")
+    LakeConstraints.drop(s, dir, "pk")
+    assert(LakeConstraints.constraintsOf(s, dir).isEmpty)
+    assert(LakeConstraints.uniquesOf(s, dir).isEmpty)
+    VersionedLake.appendCommit(Seq((2L, -1.0)).toDF("id", "price"), dir)
+    assert(VersionedLake.read(s, dir).count() === 2)
+  }
+
   test("the streaming sink and catalog INSERT ride the gated paths") {
     val s = spark
     import s.implicits._
