@@ -914,6 +914,30 @@ object Relational5 {
     }
   }
 
+  /** RESTRICT-FK fixture: the same parent/child pair as [[ensureCatalogFk]]
+    * but the declaration opts into ON DELETE RESTRICT, so the PARENT's
+    * delete paths gate on still-referenced keys.
+    */
+  private def ensureCatalogFkRestrict(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val cat = catalogLake(s, dir)
+    val parent = s"$cat/fkr_cust"
+    val child = s"$cat/fkr_orders"
+    if (VersionedLake.currentVersion(s, parent).isEmpty)
+      VersionedLake.appendCommit(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        parent, statsCols = Seq("c_custkey"))
+    if (VersionedLake.currentVersion(s, child).isEmpty) {
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        child, statsCols = Seq("o_custkey"))
+      s.sql("ALTER TABLE graftcat.fkr_orders SET TBLPROPERTIES " +
+        "('fk.ord_cust' = 'o_custkey REFERENCES fkr_cust (c_custkey) ON DELETE RESTRICT')")
+    }
+  }
+
   /** DEFAULT-column fixture: era 1 predates the column, ADD COLUMN
     * DEFAULT is one metadata commit (zero rewrite), era 2 inserts
     * explicit values through SQL — reads must fill 'legacy' into era 1
@@ -2361,6 +2385,47 @@ object Relational5 {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY c.c_mktsegment""".stripMargin),
       covers = Seq("ext-lake-fk")),
+
+    // FOREIGN KEY — ON DELETE RESTRICT, the opt-in PARENT-side gate:
+    // deleting a still-referenced key refuses inside the parent's own
+    // commit (the child-probe machinery reversed — removed keys semi-join
+    // only the child directories their range overlaps, O(parent delta ×
+    // child overlap)); an unreferenced key deletes freely. The timed body
+    // proves BOTH ways every run (insert-then-delete keeps state
+    // pass-stable). Oracle: the child⋈parent rollup, untouched by either
+    // attempt.
+    QueryDef(
+      "q_catalog_fk_restrict",
+      (s, dir) => {
+        ensureCatalogFkRestrict(s, dir)
+        val referenced = t(s, dir, "orders")
+          .agg(min(col("o_custkey"))).head().getLong(0)
+        val refused =
+          try {
+            s.sql(s"DELETE FROM graftcat.fkr_cust WHERE c_custkey = $referenced")
+            false
+          } catch { case e: Exception =>
+            (e.getMessage != null && e.getMessage.contains("RESTRICT")) ||
+              (e.getCause != null && e.getCause.getMessage != null &&
+                e.getCause.getMessage.contains("RESTRICT"))
+          }
+        require(refused, "deleting a referenced parent key must refuse under RESTRICT")
+        // an unreferenced key deletes freely: prove the gate is not a
+        // blanket refusal (fresh key in, then out — net zero state)
+        val free = maxOrderKey(s, dir) * 1000
+        s.sql(s"INSERT INTO graftcat.fkr_cust VALUES ($free, 'TRANSIENT')")
+        s.sql(s"DELETE FROM graftcat.fkr_cust WHERE c_custkey = $free")
+        s.sql("""SELECT c.c_mktsegment, count(*) AS n,
+                |  CAST(sum(f.o_orderkey) AS BIGINT) AS keysum
+                |FROM graftcat.fkr_orders f
+                |JOIN graftcat.fkr_cust c ON f.o_custkey = c.c_custkey
+                |GROUP BY c.c_mktsegment""".stripMargin).localCheckpoint()
+      },
+      Some("""SELECT c.c_mktsegment, count(*) AS n,
+             |  CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin),
+      covers = Seq("ext-lake-fk-restrict")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

@@ -210,6 +210,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           } ++
           LakeConstraints.fksOf(s, dir).map { case (n, (cols, pd, pc)) =>
             n -> s"FOREIGN KEY(${cols.mkString(",")}) REFERENCES $pd(${pc.mkString(",")})"
+          } ++
+          LakeConstraints.restrictsOf(s, dir).map { case (n, (cd, cc, pc)) =>
+            n -> s"RESTRICT(${pc.mkString(",")}) <- $cd(${cc.mkString(",")})"
           }).toDF("name", "check")
       case "refs" =>
         // named refs (tags + branches) with each target's commit op —
@@ -352,20 +355,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new LakeTable(spark, s"$ident@v$v", dir, pinnedVersion = Some(v))
   }
 
-  /** 'fk.<name>' = '<cols> REFERENCES <table> (<pcols>)' — the parent
-    * resolves through this catalog's own directory scheme. Shared by
-    * CREATE TABLE TBLPROPERTIES and ALTER TABLE SET TBLPROPERTIES.
+  /** 'fk.<name>' = '<cols> REFERENCES <table> (<pcols>) [ON DELETE
+    * RESTRICT]' — the parent resolves through this catalog's own
+    * directory scheme. Shared by CREATE TABLE TBLPROPERTIES and ALTER
+    * TABLE SET TBLPROPERTIES. The optional RESTRICT clause opts the
+    * PARENT's delete/update paths into refusing removals of
+    * still-referenced keys (see [[LakeConstraints.enforceRestrict]]).
     */
   private def addFkProperty(dir: String, name: String, value: String): Unit = {
-    val FkSpec = """(?i)\s*([\w\s,]+?)\s+REFERENCES\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
+    val FkSpec =
+      """(?i)\s*([\w\s,]+?)\s+REFERENCES\s+([\w.]+)\s*\(([\w\s,]+)\)\s*(ON\s+DELETE\s+RESTRICT\s*)?""".r
     value match {
-      case FkSpec(cols, parent, pcols) =>
+      case FkSpec(cols, parent, pcols, restrict) =>
         LakeConstraints.addFk(spark, dir, name,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           (root +: parent.split('.').toSeq.map(seg)).mkString("/"),
-          pcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          pcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          restrict = restrict != null)
       case other => throw new IllegalArgumentException(
-        s"fk property wants '<cols> REFERENCES <table> (<pcols>)', got '$other'")
+        s"fk property wants '<cols> REFERENCES <table> (<pcols>) " +
+          s"[ON DELETE RESTRICT]', got '$other'")
     }
   }
 

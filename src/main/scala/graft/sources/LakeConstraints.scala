@@ -43,14 +43,22 @@ object LakeConstraints {
 
   private val FileName = "constraints.txt"
 
-  /** One declared constraint: a CHECK predicate, a UNIQUE column set, or
-    * a FOREIGN KEY (child columns referencing a parent table's columns).
+  /** One declared constraint: a CHECK predicate, a UNIQUE column set, a
+    * FOREIGN KEY (child columns referencing a parent table's columns),
+    * or the PARENT-side reverse pointer of a RESTRICT FK (the handle
+    * that lets the parent's own delete paths discover which child to
+    * probe — without it a parent delete cannot know referencing children
+    * exist).
     */
   private sealed trait Decl { def name: String }
   private final case class CheckDecl(name: String, check: String) extends Decl
   private final case class UniqueDecl(name: String, cols: Seq[String]) extends Decl
   private final case class FkDecl(
-      name: String, cols: Seq[String], parentDir: String, parentCols: Seq[String])
+      name: String, cols: Seq[String], parentDir: String, parentCols: Seq[String],
+      restrict: Boolean = false)
+      extends Decl
+  private final case class RestrictDecl(
+      name: String, childDir: String, childCols: Seq[String], parentCols: Seq[String])
       extends Decl
 
   private def genRoot(tableDir: String): String = s"$tableDir/constraints"
@@ -80,17 +88,27 @@ object LakeConstraints {
         org.json4s.jackson.JsonMethods.parse(line) match {
           case JObject(fields) =>
             val m = fields.toMap
-            (m.get("name"), m.get("check"), m.get("unique"), m.get("fk")) match {
-              case (Some(JString(n)), Some(JString(c)), _, _) => CheckDecl(n, c)
-              case (Some(JString(n)), _, Some(JString(u)), _) =>
-                UniqueDecl(n, u.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              case (Some(JString(n)), _, _, Some(JString(f))) =>
+            def csv(s: String): Seq[String] =
+              s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            (m.get("name"), m.get("check"), m.get("unique"), m.get("fk"),
+              m.get("restrict")) match {
+              case (Some(JString(n)), Some(JString(c)), _, _, _) => CheckDecl(n, c)
+              case (Some(JString(n)), _, Some(JString(u)), _, _) =>
+                UniqueDecl(n, csv(u))
+              case (Some(JString(n)), _, _, Some(JString(f)), _) =>
                 (m.get("parent"), m.get("pcols")) match {
                   case (Some(JString(pd)), Some(JString(pc))) =>
-                    FkDecl(n, f.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-                      pd, pc.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                    FkDecl(n, csv(f), pd, csv(pc),
+                      restrict = m.get("mode").contains(JString("restrict")))
                   case _ =>
                     throw new IllegalStateException(s"malformed fk line: $line")
+                }
+              case (Some(JString(n)), _, _, _, Some(JString(cc))) =>
+                (m.get("child"), m.get("pcols")) match {
+                  case (Some(JString(cd)), Some(JString(pc))) =>
+                    RestrictDecl(n, cd, csv(cc), csv(pc))
+                  case _ =>
+                    throw new IllegalStateException(s"malformed restrict line: $line")
                 }
               case _ => throw new IllegalStateException(s"malformed constraint line: $line")
             }
@@ -111,7 +129,17 @@ object LakeConstraints {
       spark: SparkSession,
       tableDir: String): Seq[(String, (Seq[String], String, Seq[String]))] =
     declsOf(spark, tableDir).collect {
-      case FkDecl(n, cs, pd, pc) => n -> ((cs, pd, pc))
+      case FkDecl(n, cs, pd, pc, _) => n -> ((cs, pd, pc))
+    }
+
+  /** Parent-side RESTRICT reverse pointers:
+    * name -> (child dir, child cols, this table's key cols).
+    */
+  def restrictsOf(
+      spark: SparkSession,
+      tableDir: String): Seq[(String, (String, Seq[String], Seq[String]))] =
+    declsOf(spark, tableDir).collect {
+      case RestrictDecl(n, cd, cc, pc) => n -> ((cd, cc, pc))
     }
 
   /** Declare a CHECK constraint. Validates the current snapshot FIRST
@@ -171,11 +199,19 @@ object LakeConstraints {
     * moment), then every insert-family commit on the child probes at
     * O(batch + parent directories the batch's key range overlaps) —
     * see [[enforceFk]]. SQL MATCH SIMPLE semantics: a child row with ANY
-    * NULL key column passes. The parent side is NOT gated (no reverse
-    * pointers; a parent delete orphaning children is drift the
-    * `verify_constraints` audit reports, the lakehouse norm — RESTRICT
-    * semantics would need a cross-table transaction on every parent
-    * delete).
+    * NULL key column passes.
+    *
+    * The parent side is ungated BY DEFAULT (a parent delete orphaning
+    * children is drift the `verify_constraints` audit reports — the
+    * lakehouse norm). `restrict = true` opts into ON DELETE RESTRICT:
+    * a reverse pointer lands in the PARENT's own constraint store
+    * (before the child's declaration — the conservative order: during
+    * the non-atomic two-store window the parent is gated for a child
+    * not yet enforcing, never the reverse), and every predicate
+    * delete/update commit on the parent then probes its REMOVED keys
+    * against the child at O(parent delta × child directories the delta's
+    * key range overlaps) — see [[enforceRestrict]] for the exact cost
+    * and duplicate-key contract.
     */
   def addFk(
       spark: SparkSession,
@@ -183,7 +219,8 @@ object LakeConstraints {
       name: String,
       cols: Seq[String],
       parentDir: String,
-      parentCols: Seq[String]): Unit = {
+      parentCols: Seq[String],
+      restrict: Boolean = false): Unit = {
     require(cols.nonEmpty && cols.size == parentCols.size,
       s"FK($name): child and parent column lists must align, got " +
         s"(${cols.mkString(",")}) vs (${parentCols.mkString(",")})")
@@ -198,7 +235,12 @@ object LakeConstraints {
         s"cannot ADD FOREIGN KEY '$name': existing child rows reference " +
           s"missing parent keys, e.g. ${bad.headOption.fold("")(_.toString)}")
     }
-    addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols))
+    if (restrict)
+      // parent-side names are qualified by the child dir: two children
+      // may declare same-named FKs against one parent
+      addDecl(spark, parentDir,
+        RestrictDecl(s"$name@$tableDir", tableDir, cols, parentCols))
+    addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols, restrict))
   }
 
   /** Child rows of `frame` whose non-null FK key is absent from the
@@ -273,6 +315,100 @@ object LakeConstraints {
       }
     }
 
+  /** ON DELETE RESTRICT commit hook — run on the PARENT's predicate
+    * delete/update paths. `removedPre` is the pre-image rows leaving the
+    * table in this commit; `retainedPost` (when the op re-supplies rows —
+    * an update's post-image, a replace's batch) subtracts keys that
+    * survive, so an update not touching the key column removes nothing.
+    * For each removed key, ONE semi-join probes the child's directories
+    * range-pruned by the delta's own key min/max (bloom point-probe for
+    * ≤16 keys, like the UNIQUE gate) — O(parent delta × overlapping
+    * child directories), never O(child).
+    *
+    * Duplicate-key contract: a key is treated as leaving when its LAST
+    * copy inside the commit's scope leaves. A duplicate surviving in a
+    * directory the commit never touched can still refuse conservatively
+    * — exact for the UNIQUE-keyed parent (the normal FK shape), never
+    * unsound: RESTRICT may over-refuse, it may not orphan. Not gated:
+    * whole-snapshot replacement ([[VersionedLake.commit]]) and keyed
+    * upserts that rewrite the key itself — `verify_constraints` audits
+    * those, as documented on [[addFk]].
+    */
+  private[sources] def enforceRestrict(
+      spark: SparkSession,
+      tableDir: String,
+      removedPre: => DataFrame,
+      retainedPost: Option[DataFrame],
+      op: String): Unit = {
+    val rs = restrictsOf(spark, tableDir)
+    if (rs.isEmpty) return
+    val pre = removedPre
+    rs.foreach { case (name, (childDir, childCols, parentCols)) =>
+      val pcols = parentCols.flatMap(c => pre.columns.find(_.equalsIgnoreCase(c)))
+      if (pcols.size == parentCols.size) {
+        val removed0 = pre.filter(pcols.map(col(_).isNotNull).reduce(_ && _))
+          .select(pcols.zipWithIndex.map { case (c, i) => col(c).as(s"_r$i") }: _*)
+          .distinct()
+        val removed = retainedPost match {
+          case Some(post)
+              if parentCols.forall(c => post.columns.exists(_.equalsIgnoreCase(c))) =>
+            val kcols = parentCols.map(c =>
+              post.columns.find(_.equalsIgnoreCase(c)).get)
+            val postKeys = post.select(kcols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"_p$i")
+            }: _*).distinct()
+            removed0.join(postKeys,
+              parentCols.indices.map(i =>
+                removed0(s"_r$i") <=> postKeys(s"_p$i")).reduce(_ && _),
+              "left_anti")
+          case _ => removed0
+        }
+        VersionedLake.currentVersion(spark, childDir).foreach { cv =>
+          val cSchema = VersionedLake.versionSchema(spark, childDir, cv)
+          def childName(c: String): String = cSchema
+            .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
+          import org.apache.spark.sql.sources.{Filter => SFilter, GreaterThanOrEqual, In, LessThanOrEqual}
+          val aggs = parentCols.indices.flatMap(i =>
+            Seq(min(col(s"_r$i")), max(col(s"_r$i"))))
+          val mm = removed.agg(aggs.head, aggs.tail: _*).head()
+          if (!mm.isNullAt(0)) {
+            val rangeFilters: Seq[SFilter] = childCols.zipWithIndex.flatMap {
+              case (c, i) =>
+                val (lo, hi) = (mm.get(2 * i), mm.get(2 * i + 1))
+                if (lo == null || hi == null) Nil
+                else Seq(GreaterThanOrEqual(childName(c), lo),
+                  LessThanOrEqual(childName(c), hi))
+            }
+            val filters: Seq[SFilter] =
+              if (childCols.size != 1) rangeFilters
+              else {
+                val ks = removed.select(col("_r0")).distinct().limit(17)
+                  .collect().map(_.get(0))
+                if (ks.length <= 16 && ks.nonEmpty)
+                  In(childName(childCols.head), ks) +: rangeFilters
+                else rangeFilters
+              }
+            val candidates =
+              VersionedLake.pruneDirsForFilters(spark, childDir, cv, filters)
+            if (candidates.nonEmpty) {
+              val children = VersionedLake.readDirsWithDeletes(
+                spark, childDir, cv, candidates, cSchema)
+              val hit = removed.join(children,
+                childCols.zipWithIndex.map { case (c, i) =>
+                  removed(s"_r$i") === children(childName(c))
+                }.reduce(_ && _), "left_semi").limit(1).collect()
+              if (hit.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"$op on $tableDir violates RESTRICT FK '$name': key " +
+                    s"${hit.head.toSeq.mkString("(", ",", ")")} is still " +
+                    s"referenced by $childDir(${childCols.mkString(",")})")
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Audit every declared constraint of `tableDir` against its CURRENT
     * snapshot: (constraint, kind, violations). O(rows) per constraint —
     * the steady-state drift check for invariants the commit gates cannot
@@ -298,9 +434,16 @@ object LakeConstraints {
             .filter(col("_n") > 1)
             .agg(coalesce(sum(col("_n") - 1), lit(0L))).head().getLong(0)
         (n, "unique", v)
-      case FkDecl(n, cols, pd, pc) =>
+      case FkDecl(n, cols, pd, pc, _) =>
         (n, "fk",
           fkViolations(spark, snap, cols, pd, pc, rangePrune = false).count())
+      case RestrictDecl(n, cd, cc, pc) =>
+        // the parent-side audit of the same invariant: child rows whose
+        // key no longer has a parent row (orphans a racing or pre-RESTRICT
+        // delete left behind)
+        (n, "restrict",
+          fkViolations(spark, VersionedLake.read(spark, cd), cc, tableDir, pc,
+            rangePrune = false).count())
     }
   }
 
@@ -323,6 +466,11 @@ object LakeConstraints {
       case f: FkDecl =>
         val p = if (f.parentDir == srcDir) dstDir else rewriteParent(f.parentDir)
         f.copy(parentDir = p)
+      case r: RestrictDecl =>
+        // same pointer problem in reverse: a cloned PARENT must not gate
+        // its deletes against the source's child unless the caller maps it
+        val c = if (r.childDir == srcDir) dstDir else rewriteParent(r.childDir)
+        r.copy(childDir = c)
       case other => other
     }
     if (cs.nonEmpty) mutate(spark, dstDir)(_ => cs)
@@ -341,21 +489,29 @@ object LakeConstraints {
       name: String,
       kind: Option[String] = None): Unit = {
     // fast path: nothing declared at all — don't publish a generation
-    if (!declsOf(spark, tableDir).exists(_.name == name)) return
+    val found = declsOf(spark, tableDir).find(_.name == name).getOrElse(return)
     mutate(spark, tableDir) { existing =>
       existing.find(_.name == name) match {
         case None => existing // already dropped (idempotent retry)
         case Some(d) =>
           val actual = d match {
-            case _: CheckDecl  => "check"
-            case _: UniqueDecl => "unique"
-            case _: FkDecl     => "fk"
+            case _: CheckDecl    => "check"
+            case _: UniqueDecl   => "unique"
+            case _: FkDecl       => "fk"
+            case _: RestrictDecl => "restrict"
           }
           kind.foreach(k => require(k == actual,
             s"constraint '$name' on $tableDir is a ${actual.toUpperCase} " +
               s"constraint; refusing to drop it through the '$k.' property"))
           existing.filterNot(_.name == name)
       }
+    }
+    // a RESTRICT FK owns a reverse pointer in the parent's store: revoke
+    // it with the declaration, or the parent would gate deletes for a
+    // constraint that no longer exists
+    found match {
+      case FkDecl(n, _, pd, _, true) => drop(spark, pd, s"$n@$tableDir")
+      case _                         => ()
     }
   }
 
@@ -374,11 +530,18 @@ object LakeConstraints {
         org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
           JObject(List("name" -> (JString(n): JValue),
             "unique" -> (JString(cs.mkString(",")): JValue)))))
-      case FkDecl(n, cs, pd, pc) =>
+      case FkDecl(n, cs, pd, pc, restrict) =>
         org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
           JObject(List("name" -> (JString(n): JValue),
             "fk" -> (JString(cs.mkString(",")): JValue),
             "parent" -> (JString(pd): JValue),
+            "pcols" -> (JString(pc.mkString(",")): JValue)) ++
+            (if (restrict) List("mode" -> (JString("restrict"): JValue)) else Nil))))
+      case RestrictDecl(n, cd, cc, pc) =>
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          JObject(List("name" -> (JString(n): JValue),
+            "restrict" -> (JString(cc.mkString(",")): JValue),
+            "child" -> (JString(cd): JValue),
             "pcols" -> (JString(pc.mkString(",")): JValue)))))
     }.mkString("", "\n", "\n")
   }

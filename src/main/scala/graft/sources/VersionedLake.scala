@@ -3789,6 +3789,11 @@ object VersionedLake {
           }
           return base
         }
+        // ON DELETE RESTRICT: a pure delete re-supplies nothing, so every
+        // matched key counts as leaving (the documented duplicate-key
+        // conservatism — unmatched copies elsewhere do not excuse)
+        LakeConstraints.enforceRestrict(spark, tableDir,
+          matched.drop(PosDeleteKeys: _*), None, "delete_where_mor")
         val delName = java.util.UUID.randomUUID().toString
         matched.select(PosDeleteKeys.map(col): _*)
           .write.mode("error").parquet(s"$tableDir/deletes/$delName")
@@ -3912,6 +3917,10 @@ object VersionedLake {
           assignments.get(c).fold(col(c))(_.as(c))
         }: _*)
         LakeConstraints.enforce(spark, tableDir, transformed, "updateWhereMor")
+        // ON DELETE RESTRICT: an update removes exactly the keys its
+        // post-image stops supplying (a non-key update removes none)
+        LakeConstraints.enforceRestrict(spark, tableDir,
+          matched.drop(PosDeleteKeys: _*), Some(transformed), "updateWhereMor")
         val delName = java.util.UUID.randomUUID().toString
         matched.select(PosDeleteKeys.map(col): _*)
           .write.mode("error").parquet(s"$tableDir/deletes/$delName")
@@ -4069,6 +4078,19 @@ object VersionedLake {
         .map(_.getString(0))
         .flatMap(f => dirs.find(d => f.contains(s"/$d/")))
         .toSet
+      // ON DELETE RESTRICT (parent side): keys leaving in this commit
+      // (matched pre-images minus everything the rewrite and the
+      // replace-batch re-supply) must not still be referenced by a
+      // declared child. Zero cost without a restrict declaration; probed
+      // BEFORE any directory rewrite is paid.
+      if (affected.nonEmpty && LakeConstraints.restrictsOf(spark, tableDir).nonEmpty) {
+        val preAff = readDirs(spark, tableDir,
+          affected.toSeq.map(d => s"$tableDir/data/$d"), schemaOpt)
+        val post = appendDf.foldLeft(rewriteDir(preAff))(
+          (acc, df) => acc.unionByName(df, allowMissingColumns = true))
+        LakeConstraints.enforceRestrict(spark, tableDir,
+          preAff.filter(coalesce(predicate, lit(false))), Some(post), op)
+      }
       val rewritten: Map[String, Option[String]] = affected.map { d =>
         val survivors = rewriteDir(
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt))

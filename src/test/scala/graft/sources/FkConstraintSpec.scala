@@ -93,4 +93,68 @@ class FkConstraintSpec extends SparkSpec {
     assert(audit1.toSeq === Seq(("fct_dim", 1L)),
       s"the orphaned child must surface in the audit: ${audit1.toSeq}")
   }
+
+  test("ON DELETE RESTRICT: referenced-key delete refuses, unreferenced commits, audit stays green") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp("fkr_parent")
+    val child = tmp("fkr_child")
+    VersionedLake.appendCommit(
+      (0L until 100L).map(i => (i, s"p$i")).toDF("pid", "pname"), parent,
+      statsCols = Seq("pid"))
+    VersionedLake.appendCommit(
+      Seq((1L, 5L), (2L, 7L)).toDF("id", "fk"), child, statsCols = Seq("fk"))
+    LakeConstraints.addFk(s, child, "fk_par", Seq("fk"), parent, Seq("pid"),
+      restrict = true)
+    // deleting a referenced parent key refuses, atomically
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.deleteWhere(s, parent, col("pid") === 5L))
+    assert(e.getMessage.contains("RESTRICT") && e.getMessage.contains("fk_par"),
+      e.getMessage)
+    assert(VersionedLake.read(s, parent).count() === 100L, "refused delete must not publish")
+    // deleting an unreferenced key commits; MoR delete is gated the same way
+    VersionedLake.deleteWhere(s, parent, col("pid") === 50L)
+    intercept[IllegalArgumentException](
+      VersionedLake.deleteWhereMor(s, parent, col("pid") === 7L))
+    VersionedLake.deleteWhereMor(s, parent, col("pid") === 51L)
+    assert(VersionedLake.read(s, parent).count() === 98L)
+    // update NOT touching the key passes; update that rewrites a
+    // referenced key away refuses
+    VersionedLake.materializeDeletes(s, parent)
+    VersionedLake.updateWhere(s, parent, col("pid") === 5L,
+      Map("pname" -> lit("renamed")))
+    intercept[IllegalArgumentException](
+      VersionedLake.updateWhere(s, parent, col("pid") === 5L,
+        Map("pid" -> lit(500L))))
+    // the audit never saw an orphan
+    assert(LakeConstraints.verifyAll(s, child).forall(_._3 === 0L))
+    assert(LakeConstraints.verifyAll(s, parent).forall(_._3 === 0L))
+    // dropping the FK revokes the parent-side gate with it
+    LakeConstraints.drop(s, child, "fk_par")
+    assert(LakeConstraints.restrictsOf(s, parent).isEmpty,
+      "dropping the FK must revoke the reverse pointer")
+    VersionedLake.deleteWhere(s, parent, col("pid") === 5L)
+    assert(VersionedLake.read(s, parent).count() === 97L)
+  }
+
+  test("RESTRICT via SQL: ON DELETE RESTRICT property, gated DELETE, t$constraints row") {
+    val s = spark
+    val root = tmp("fkr_cat")
+    s.conf.set("spark.sql.catalog.fkrcat", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.fkrcat.root", root)
+    s.sql("CREATE TABLE fkrcat.dim (pid BIGINT, nm STRING) TBLPROPERTIES('stats.cols'='pid')")
+    s.sql("INSERT INTO fkrcat.dim VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    s.sql("CREATE TABLE fkrcat.fct (id BIGINT, pid BIGINT) " +
+      "TBLPROPERTIES('stats.cols'='pid', " +
+      "'fk.fd'='pid REFERENCES dim (pid) ON DELETE RESTRICT')")
+    s.sql("INSERT INTO fkrcat.fct VALUES (10, 1)")
+    val e = intercept[Exception](s.sql("DELETE FROM fkrcat.dim WHERE pid = 1"))
+    assert(e.getMessage.contains("RESTRICT"), e.getMessage)
+    s.sql("DELETE FROM fkrcat.dim WHERE pid = 3")
+    assert(s.sql("SELECT count(*) FROM fkrcat.dim").head().getLong(0) === 2L)
+    val rows = s.sql("SELECT name, check FROM fkrcat.`dim$constraints`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.exists { case (n, c) => n.startsWith("fd@") && c.startsWith("RESTRICT") },
+      s"parent must list the reverse pointer: $rows")
+  }
 }
