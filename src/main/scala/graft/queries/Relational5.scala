@@ -871,6 +871,36 @@ object Relational5 {
           col("o_custkey")), dim, statsCols = Seq("hk"))
   }
 
+  /** Frequent-values fixture: a violently skewed STRING status column —
+    * 95% 'COMMON', the rest spread across 97 'RARE-n' values — in two
+    * stats-layered directories, plus a dim wide enough that only the
+    * sketch-priced fact side can ever broadcast.
+    */
+  private def ensureFreqJoinTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val fact = s"${catalogLake(s, dir)}/freq_skw"
+    if (VersionedLake.currentVersion(s, fact).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 20 === 0,
+          concat(lit("RARE-"), (col("o_orderkey") % 97).cast("string")))
+          .otherwise(lit("COMMON")).as("status"),
+        col("o_orderstatus"))
+      VersionedLake.appendCommit(o.filter(col("k") <= half), fact,
+        statsCols = Seq("k", "status"))
+      VersionedLake.appendCommit(o.filter(col("k") > half), fact,
+        statsCols = Seq("k", "status"))
+    }
+    val dim = s"${catalogLake(s, dir)}/freq_dim"
+    if (VersionedLake.currentVersion(s, dim).isEmpty)
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey").as("fk"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("o_custkey")), dim, statsCols = Seq("fk"))
+  }
+
   /** UNIQUE-constraint fixture: half of orders under a PRIMARY-KEY-style
     * declaration, built once; every run then proves the O(delta)
     * enforcement (a duplicate refuses atomically, a fresh row lands).
@@ -2298,6 +2328,58 @@ object Relational5 {
              |WHERE o.o_orderkey <= 1000 AND o.o_orderkey % 10 = 0
              |  AND o.o_orderkey * 100 > 8""".stripMargin),
       covers = Seq("ext-cbo-histogram")),
+
+    // CBO WITH FREQUENT-VALUES SKETCHES — an equality on a violently
+    // skewed STRING column (95% 'COMMON', a 97-value rare tail). The
+    // DSv2 stats interface has no per-value frequency channel for
+    // strings, so the SCAN itself prices the pushed equality from the
+    // manifest's frequent-items sketches: a rare value reports
+    // tail-share rows (~0.05%/97 of the table), where uniform-over-NDV
+    // said rows/98 (~1%) — 20× too big, and above any threshold the full
+    // fact also clears. The body REQUIRES the broadcast only the sketch
+    // estimate can justify, with the threshold from the fact's own
+    // unfiltered size so the proof is SF-independent. No CBO flag needed:
+    // size-only estimation reads the scan's sizeInBytes directly.
+    // Oracle: the joined rare-tail truth.
+    QueryDef(
+      "q_join_cbo_freq",
+      (s, dir) => {
+        ensureFreqJoinTables(s, dir)
+        // threshold = 1/20 of the unfiltered fact bytes: uniform-NDV
+        // keeps ~1% of rows but the scan cannot see that (it reports
+        // full size without the sketch — the filter estimate lives
+        // ABOVE the scan only under CBO); the sketch estimate reports
+        // ~0.05% of bytes, two orders under the threshold
+        val bytes = s.table("graftcat.freq_skw")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", (bytes / 20).toString)
+          val df = s.sql(
+            """SELECT f.k, f.status, f.o_orderstatus, d.o_totalprice
+              |FROM graftcat.freq_skw f
+              |JOIN graftcat.freq_dim d ON f.k = d.fk
+              |WHERE f.status = 'RARE-13'""".stripMargin)
+          val factBuilds = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).output.map(_.name)
+          }.exists(_.contains("status"))
+          require(factBuilds,
+            "sketch-priced equality must put the rare-tail fact side " +
+              "under the broadcast threshold - the fact did not broadcast")
+          df.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""SELECT o.o_orderkey AS k, 'RARE-13' AS status,
+             |  o.o_orderstatus, d.o_totalprice
+             |FROM orders o JOIN orders d ON o.o_orderkey = d.o_orderkey
+             |WHERE o.o_orderkey % 20 = 0 AND o.o_orderkey % 97 = 13""".stripMargin),
+      covers = Seq("ext-cbo-freq-sketch")),
 
     // UNIQUE CONSTRAINT — PRIMARY-KEY-style declaration with O(delta)
     // enforcement: the commit-time probe checks the batch against itself

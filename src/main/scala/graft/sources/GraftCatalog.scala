@@ -1206,7 +1206,11 @@ final class LakeTable(
       // equi-height histogram edges (riding the #ndv layer) merge into
       // ONE mixture histogram per column at build time — skew-correct
       // range selectivity for CBO, still zero file opens
-      histMeta = VersionedLake.dirHist(spark, tableDir, v))
+      histMeta = VersionedLake.dirHist(spark, tableDir, v),
+      // frequent-values sketches (also riding #ndv): pushed string
+      // equalities refine the scan's reported rows/bytes, the
+      // categorical counterpart of the histogram layer
+      freqMeta = VersionedLake.dirFreq(spark, tableDir, v))
   }
 
   /** Spark source filters → a lake predicate Column — the vocabulary

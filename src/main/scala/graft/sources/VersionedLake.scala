@@ -1018,31 +1018,42 @@ object VersionedLake {
       // histogram edges for numeric columns; a typed null placeholder
       // keeps the row layout fixed for the rest
       if (numeric(i)) percentile_approx(col(c).cast("double"), lit(qs), lit(2000))
-      else lit(null).cast("array<double>"))
+      else lit(null).cast("array<double>"),
+      // the categorical counterpart: a frequent-values sketch for
+      // NON-numeric columns (the stored-string domain, like the HLL and
+      // min/max renders — equality literals compare through the same
+      // cast), so skewed string filters price correctly where
+      // uniform-over-NDV is off by orders of magnitude
+      if (numeric(i)) lit(null).cast("binary")
+      else graft.functions.FreqSketch.freqSketchAgg(col(c).cast("string")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import org.json4s.JsonAST._
     val statsObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       def v(j: Int): JValue =
         if (row.isNullAt(j)) JNull else JString(row.getString(j))
-      c -> (JArray(List(v(5 * i), v(5 * i + 1))): JValue)
+      c -> (JArray(List(v(6 * i), v(6 * i + 1))): JValue)
     }.toList)
     val ndvObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       val h: JValue =
-        if (row.isNullAt(5 * i + 2)) JNull
+        if (row.isNullAt(6 * i + 2)) JNull
         else JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](5 * i + 2)))
+          row.getAs[Array[Byte]](6 * i + 2)))
       val base = List(
-        "h" -> h, "n" -> (JInt(row.getLong(5 * i + 3)): JValue))
+        "h" -> h, "n" -> (JInt(row.getLong(6 * i + 3)): JValue))
       val edges =
-        if (row.isNullAt(5 * i + 4)) Nil
-        else row.getSeq[Double](5 * i + 4) match {
+        if (row.isNullAt(6 * i + 4)) Nil
+        else row.getSeq[Double](6 * i + 4) match {
           case es if es != null && es.nonEmpty && es.forall(e =>
             !java.lang.Double.isNaN(e) && !java.lang.Double.isInfinite(e)) =>
             List("e" -> (JArray(es.map(JDouble(_): JValue).toList): JValue))
           case _ => Nil
         }
-      c -> (JObject(base ++ edges): JValue)
+      val freq =
+        if (row.isNullAt(6 * i + 5)) Nil
+        else List("f" -> (JString(java.util.Base64.getEncoder.encodeToString(
+          row.getAs[Array[Byte]](6 * i + 5))): JValue))
+      c -> (JObject(base ++ edges ++ freq): JValue)
     }.toList)
     def render(o: JObject) =
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
@@ -1210,6 +1221,33 @@ object VersionedLake {
             .filter(_._2.length == HistBins + 1)
             .toMap
         case _ => d -> Map.empty[String, Array[Double]]
+      }
+    }
+  }
+
+  /** Per-directory FREQUENT-VALUES sketches a version's manifest carries
+    * (the `"f"` entries riding the `#ndv` layer): dir -> col -> serialized
+    * frequent-items sketch (non-numeric stats columns only). Lenient like
+    * [[dirHist]]: absence or malformation degrades to "no sketch" — the
+    * consumer ([[org.apache.spark.sql.graft.LakePruningScanBuilder]]'s
+    * equality-selectivity refinement) then stands down to the plain
+    * row-sum estimate, never a distorted one.
+    */
+  def dirFreq(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, Array[Byte]]] = {
+    import org.json4s.JsonAST._
+    dirNdvRaw(spark, tableDir, version).flatMap { case (d, json) =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.map {
+        case JObject(fields) =>
+          d -> fields.collect { case (c, JObject(entry)) =>
+            entry.toMap.get("f").collect { case JString(b64) =>
+              scala.util.Try(
+                c -> java.util.Base64.getDecoder.decode(b64)).toOption
+            }.flatten
+          }.flatten.toMap
+        case _ => d -> Map.empty[String, Array[Byte]]
       }
     }
   }
@@ -4688,10 +4726,18 @@ object VersionedLake {
       val d = writeDataDir(snapshot, tableDir, layout, maxRecordsPerFile, zorderBy)
       val schema = versionSchema(spark, tableDir, cur).getOrElse(nullableAll(snapshot.schema))
       // a compaction merges N directories into one, so per-directory stats
-      // and blooms must be recomputed over the union, not carried forward
-      val statsNdv = columnStatsNdv(snapshot, statsCols)
+      // and blooms must be recomputed over the union, not carried forward.
+      // Defaults CONTINUE the table's own layers (same rule as the layout
+      // above and as TRUNCATE): a plain CALL optimize on a stats/bloom-
+      // layered 100 TB table must never silently strip its pruning and
+      // CBO statistics — explicit arguments still override
+      val (contStats, contBloom) = continuedLayers(spark, tableDir, cur,
+        snapshot.columns.toSeq)
+      val effStats = if (statsCols.nonEmpty) statsCols else contStats
+      val effBloom = bloom.orElse(contBloom)
+      val statsNdv = columnStatsNdv(snapshot, effStats)
       val stats = statsNdv.map { case (s, _) => d -> s }.toMap
-      val blooms = bloomJson(snapshot, bloom).map(d -> _).toMap
+      val blooms = bloomJson(snapshot, effBloom).map(d -> _).toMap
       publishManifest(spark, tableDir, Seq(d), stripAka(schema), stats, blooms,
         expectedBase = Some(Some(cur)),
         txns = txnWatermarks(spark, tableDir, cur), op = "optimize",
@@ -4848,8 +4894,13 @@ object VersionedLake {
       f.delete(stagePath, true): Unit // only the empty shell + _SUCCESS remain
       // per-directory skipping layers over the clustered layout: stats
       // on the clustered columns (plus any extras) give each directory
-      // its narrow multi-dimensional box
-      val statCols = (zorderBy ++ statsCols).distinct.sorted
+      // its narrow multi-dimensional box. The table's OWN declared layers
+      // continue by default (same rule as optimize): a re-cluster must
+      // never strip the pruning/CBO statistics the table already carried
+      val (contStats, contBloom) = continuedLayers(spark, tableDir, cur,
+        snapshot.columns.toSeq)
+      val statCols = (zorderBy ++ statsCols ++ contStats).distinct.sorted
+      val effBloom = bloom.orElse(contBloom)
       val statsNdvByDir = newDirs.flatMap { d =>
         columnStatsNdv(
           readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), statCols)
@@ -4859,7 +4910,7 @@ object VersionedLake {
       val zNdv = statsNdvByDir.map { case (d, (_, n)) => d -> n }
       val blooms = newDirs.flatMap { d =>
         bloomJson(
-          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), bloom)
+          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), Some(schema)), effBloom)
           .map(d -> _)
       }.toMap
       // a lost publish race re-runs this whole block with a fresh stage

@@ -56,7 +56,8 @@ final class LakePruningScanBuilder(
     runtimeFilterCols: Seq[String] = Nil,
     ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
     statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
-    histMeta: Map[String, Map[String, Array[Double]]] = Map.empty)
+    histMeta: Map[String, Map[String, Array[Double]]] = Map.empty,
+    freqMeta: Map[String, Map[String, Array[Byte]]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -188,10 +189,12 @@ final class LakePruningScanBuilder(
       if (rtCols.nonEmpty)
         new LakePruningScanBuilder.RuntimePrunedLakeScan(
           scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta,
-          statsMeta, schema, histMeta)
+          statsMeta, schema, histMeta, freqMeta)
       else stats match {
         case Some((rows, bytes)) =>
-          new LakePruningScanBuilder.ManifestStatsScan(scan, rows, bytes,
+          val (r2, b2) = LakePruningScanBuilder.refineForFilters(
+            translated, kept, rowMeta, ndvMeta, freqMeta, schema, rows, bytes)
+          new LakePruningScanBuilder.ManifestStatsScan(scan, r2, b2,
             LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta,
               statsMeta, schema, histMeta))
         case None => scan
@@ -200,6 +203,74 @@ final class LakePruningScanBuilder(
 }
 
 object LakePruningScanBuilder {
+
+  /** EQUALITY SELECTIVITY for SKEWED CATEGORICAL columns, from the
+    * manifest's frequent-values layer: when the pushed filters carry a
+    * top-level string equality (or IN) on a column every kept row-bearing
+    * directory holds a sketch for, the scan's REPORTED row/byte totals
+    * shrink to the sketch estimate instead of the raw directory sum. The
+    * DSv2 stats interface has no per-value frequency channel, so this is
+    * where categorical skew must reach the planner: the scan itself
+    * prices the filter it was handed — a rare-value probe on a
+    * 95%-skewed status column reports ~tail-share and auto-broadcasts,
+    * the heavy value reports ~full and correctly shuffles, where
+    * uniform-over-NDV called both rows/ndv. Size-only estimation
+    * consumes it directly (no CBO flag needed: Filter forwards the
+    * child's sizeInBytes), and CBO's own FilterEstimation only shrinks
+    * it further. Never a correctness lever — every filter stays
+    * post-scan; a bad estimate costs plan quality only, and the
+    * estimate is built from upper bounds for tracked (heavy) values,
+    * residual-uniform for the tail ([[graft.functions.FreqSketch.estimate]]).
+    * Conservatism rule as everywhere: a single live directory missing
+    * the column's sketch (or its NDV entry) disables the refinement.
+    * Multiple sketched equalities take the MINIMUM single-column
+    * estimate (never multiplied — independence across skewed columns is
+    * exactly the assumption this layer exists to avoid).
+    */
+  def refineForFilters(
+      pushed: Seq[Filter],
+      kept: Seq[String],
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
+      freqMeta: Map[String, Map[String, Array[Byte]]],
+      dataSchema: StructType,
+      rows: Long,
+      bytes: Long): (Long, Long) = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    if (freqMeta.isEmpty || rows <= 0L) return (rows, bytes)
+    // top-level conjuncts only: Spark pushes each AND leg as its own
+    // Filter, so every entry here independently bounds the result
+    val eqs: Seq[(String, Seq[String])] = pushed.collect {
+      case EqualTo(a, v: String)       => a -> Seq(v)
+      case EqualNullSafe(a, v: String) => a -> Seq(v)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        a -> vs.toSeq.map(_.asInstanceOf[String])
+    }
+    if (eqs.isEmpty || !kept.forall(rowMeta.contains)) return (rows, bytes)
+    val live = kept.filter(d => rowMeta(d)._1 > 0)
+    if (live.isEmpty) return (rows, bytes)
+    var best = rows
+    eqs.foreach { case (c, values) =>
+      val isString = dataSchema.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+      val covered = live.forall(d =>
+        freqMeta.get(d).exists(_.contains(c)) &&
+          ndvMeta.get(d).exists(_.contains(c)))
+      if (isString && covered) {
+        val est = live.iterator.map { d =>
+          val (nd, nulls) = ndvMeta(d)(c)
+          val nonNull = math.max(0L, rowMeta(d)._1 - nulls)
+          val ndv = graft.sources.VersionedLake.ndvEstimate(Seq(nd))
+          val perDir = values.iterator.map(v =>
+            graft.functions.FreqSketch.estimate(freqMeta(d)(c), nonNull, ndv, v)).sum
+          math.min(nonNull.toDouble, perDir)
+        }.sum
+        best = math.min(best, math.max(1L, math.ceil(est).toLong))
+      }
+    }
+    if (best >= rows) (rows, bytes)
+    else (best, math.max(1L, math.ceil(bytes.toDouble * best / rows).toLong))
+  }
 
   /** COLUMN-LEVEL CBO STATISTICS from the manifest's `#ndv` + `#stats`
     * layers: the kept directories' per-column HLL sketches union
@@ -418,7 +489,8 @@ object LakePruningScanBuilder {
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
       statsMeta: Map[String, Map[String, (Option[String], Option[String])]] = Map.empty,
       dataSchema: StructType = new StructType(),
-      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty)
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty,
+      freqMeta: Map[String, Map[String, Array[Byte]]] = Map.empty)
       extends Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -459,7 +531,9 @@ object LakePruningScanBuilder {
     override def estimateStatistics(): Statistics = {
       val ds = kept
       if (ds.forall(rowMeta.contains)) {
-        val (rows, bytes) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
+        val (rows0, bytes0) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
+        val (rows, bytes) = refineForFilters(
+          compiled, ds, rowMeta, ndvMeta, freqMeta, dataSchema, rows0, bytes0)
         val cs = columnStatsFor(ds, rowMeta, ndvMeta, statsMeta, dataSchema, histMeta)
         new Statistics {
           override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)

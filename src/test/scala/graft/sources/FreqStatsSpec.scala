@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Frequent-values (top-K) sketches for CATEGORICAL selectivity: every
+  * stats-layered commit sketches its non-numeric stats columns in the
+  * same single aggregation pass as min/max/HLL/histogram, the sketch
+  * rides the `#ndv` manifest layer (so every carry path preserves it for
+  * free), and the catalog scan refines its REPORTED rows/bytes when a
+  * pushed string equality lands on a fully-covered column — the
+  * categorical counterpart of the numeric histogram layer. At 100 TB
+  * this is what lets `WHERE status = 'FAILED'` on a 95%-'OK' table
+  * auto-broadcast (tail share, not rows/NDV) while `WHERE status = 'OK'`
+  * correctly shuffles.
+  */
+class FreqStatsSpec extends SparkSpec {
+
+  // one heavy value (~95%) + ~97 rare values (~5% spread thin)
+  private def statusOf(k: org.apache.spark.sql.Column) =
+    when(k % 20 === 0, concat(lit("RARE-"), (k % 97).cast("string")))
+      .otherwise(lit("COMMON"))
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_frq").toString
+    spark.conf.set("spark.sql.catalog.gfrq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfrq.root", r)
+    val fact = spark.range(0, 60000).select(
+      col("id").as("k"), statusOf(col("id")).as("status"))
+    val f = s"$r/fct"
+    VersionedLake.appendCommit(fact.filter(col("k") < 30000), f,
+      statsCols = Seq("k", "status"))
+    VersionedLake.appendCommit(fact.filter(col("k") >= 30000), f,
+      statsCols = Seq("k", "status"))
+    r
+  }
+
+  test("the sketch rides #ndv: heavy value prices heavy, rare value prices tail-share") {
+    val f = s"$root/fct"
+    val v = VersionedLake.currentVersion(spark, f).get
+    val freq = VersionedLake.dirFreq(spark, f, v)
+    assert(freq.size === 2, "both appended directories carry a status sketch")
+    freq.values.foreach { cols =>
+      assert(cols.contains("status"), "non-numeric stats column sketches")
+      assert(!cols.contains("k"), "numeric columns carry histograms, not sketches")
+    }
+    val ndv = VersionedLake.dirNdv(spark, f, v)
+    val rows = VersionedLake.dirRowCounts(spark, f, v)
+    val perDir = freq.map { case (d, cols) =>
+      val nonNull = rows(d)._1 - ndv(d)("status")._2
+      val dNdv = VersionedLake.ndvEstimate(Seq(ndv(d)("status")._1))
+      (graft.functions.FreqSketch.estimate(cols("status"), nonNull, dNdv, "COMMON"),
+        graft.functions.FreqSketch.estimate(cols("status"), nonNull, dNdv, "RARE-13"),
+        nonNull)
+    }.toSeq
+    perDir.foreach { case (common, rare, nonNull) =>
+      assert(common >= nonNull * 0.90 && common <= nonNull * 1.05,
+        s"heavy value must price ~95% of $nonNull rows, got $common")
+      // true count per rare value ≈ nonNull*0.05/97 ≈ 15; uniform-over-NDV
+      // would say nonNull/98 ≈ 306 — the sketch must land near the tail
+      assert(rare <= nonNull * 0.05,
+        s"rare value must price within the 5% tail, got $rare of $nonNull")
+    }
+  }
+
+  test("scan refinement: a rare-value equality reports tail-share rows, the heavy value ~all") {
+    root
+    def reportedRows(value: String): BigInt = {
+      val df = spark.table("gfrq.fct").filter(col("status") === value)
+      val rel = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }
+      assert(rel.nonEmpty, "catalog read must plan as a DSv2 scan relation")
+      rel.head.computeStats().rowCount.getOrElse(fail("no row count reported"))
+    }
+    val rare = reportedRows("RARE-13")
+    val heavy = reportedRows("COMMON")
+    assert(rare <= BigInt(3100),
+      s"rare equality must report ~tail-share (true ~31, uniform-NDV ~612), got $rare")
+    assert(heavy >= BigInt(50000),
+      s"heavy equality must report ~95% of 60000, got $heavy")
+    // no sketched equality pushed -> the raw manifest sum, untouched
+    val unfiltered = spark.table("gfrq.fct").queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats().rowCount
+    }.head
+    assert(unfiltered.contains(BigInt(60000)))
+  }
+
+  test("carry and re-key: appends keep old sketches verbatim; optimize re-sketches the rewrite") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_frq2").toString
+    val f = s"$r/t"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id").as("k"), statusOf(col("id")).as("status"))
+    VersionedLake.appendCommit(mk(0, 10000), f, statsCols = Seq("k", "status"))
+    val v0 = VersionedLake.currentVersion(spark, f).get
+    val raw0 = VersionedLake.dirFreq(spark, f, v0)
+    VersionedLake.appendCommit(mk(10000, 20000), f, statsCols = Seq("k", "status"))
+    val v1 = VersionedLake.currentVersion(spark, f).get
+    val raw1 = VersionedLake.dirFreq(spark, f, v1)
+    assert(raw1.size === 2, "the append adds its own sketch")
+    raw0.foreach { case (d, cols) =>
+      assert(raw1(d)("status").toSeq === cols("status").toSeq,
+        "the untouched directory's sketch carries byte-verbatim")
+    }
+    // re-key: optimize rewrites both dirs into one — the new dir must
+    // re-sketch (estimates over the union), not lose the layer
+    VersionedLake.optimize(spark, f)
+    val v2 = VersionedLake.currentVersion(spark, f).get
+    val freq2 = VersionedLake.dirFreq(spark, f, v2)
+    val ndv2 = VersionedLake.dirNdv(spark, f, v2)
+    val rows2 = VersionedLake.dirRowCounts(spark, f, v2)
+    assert(freq2.nonEmpty, "optimize must re-sketch the rewritten directory")
+    val d = freq2.keys.head
+    val nonNull = rows2(d)._1 - ndv2(d)("status")._2
+    val est = graft.functions.FreqSketch.estimate(
+      freq2(d)("status"), nonNull,
+      VersionedLake.ndvEstimate(Seq(ndv2(d)("status")._1)), "COMMON")
+    assert(est >= nonNull * 0.90, s"re-keyed sketch prices the heavy value, got $est")
+  }
+
+  test("conservatism: one covered-dir gap disables refinement, never distorts it") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_frq3").toString
+    spark.conf.set("spark.sql.catalog.gfrq3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfrq3.root", r)
+    val f = s"$r/t"
+    VersionedLake.appendCommit(
+      spark.range(0, 10000).select(col("id").as("k"), statusOf(col("id")).as("status")),
+      f, statsCols = Seq("k", "status"))
+    // second dir committed WITHOUT the stats layer: no sketch there
+    VersionedLake.appendCommit(
+      spark.range(10000, 20000).select(col("id").as("k"), statusOf(col("id")).as("status")),
+      f)
+    val df = spark.table("gfrq3.t").filter(col("status") === "RARE-13")
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case rr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => rr
+    }
+    val rows = rel.head.computeStats().rowCount
+    assert(rows.contains(BigInt(20000)),
+      s"a dir without the sketch must block refinement (full rows), got $rows")
+  }
+}
