@@ -55,15 +55,94 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** Term-hash partition count: a probe for q terms reads ≤ q buckets.
-    * 32 keeps directory counts civil while still cutting a probe's scan
-    * to ~3% of postings; at 100 TB raise it with the corpus (it is a
-    * build-time constant, not a schema commitment — rebuild re-buckets).
+  /** DEFAULT term-hash partition count: a probe for q terms reads ≤ q
+    * buckets. 32 keeps directory counts civil while still cutting a
+    * probe's scan to ~3% of postings. NOT a build-time commitment: the
+    * count is a DECLARED property of the index ([[setNumBuckets]] — one
+    * metadata write, the partition-spec-evolution idea applied to the
+    * bucket layout), new postings commits bucket under the declaration,
+    * probes read every generation still present (≤ generations·|terms|
+    * buckets), and [[migrateBuckets]] re-buckets incrementally — growing
+    * a 100 TB corpus 10× never forces a full index rebuild.
     */
   val NumBuckets = 32
 
   def postingsDir(indexDir: String): String = s"$indexDir/postings"
   def statsDir(indexDir: String): String = s"$indexDir/stats"
+
+  private val BucketsKey = "buckets.n"
+  private val LegacyKey = "buckets.legacy"
+
+  /** The declared bucket count new postings commits use ([[NumBuckets]]
+    * when never declared — every pre-evolution index keeps working).
+    */
+  def numBuckets(spark: SparkSession, indexDir: String): Int =
+    graft.sources.LakeProps.get(spark, postingsDir(indexDir))
+      .get(BucketsKey).map(_.toInt).getOrElse(NumBuckets)
+
+  /** Bucket counts OLDER generations of postings may still sit under —
+    * probes must consider them until [[migrateBuckets]] drains them.
+    */
+  def legacyBuckets(spark: SparkSession, indexDir: String): Seq[Int] =
+    graft.sources.LakeProps.get(spark, postingsDir(indexDir))
+      .get(LegacyKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+
+  /** DECLARE a new bucket count — one metadata write, zero data moved:
+    * commits from now on bucket under `n`; the old count joins the
+    * legacy list so probes keep finding old-generation postings (each
+    * term probes ≤ one bucket per generation). Write order is
+    * legacy-first: a probe racing the declaration sees at worst a
+    * superset of candidate buckets, never a miss. Run [[migrateBuckets]]
+    * to drain the old generation and restore single-bucket probes.
+    */
+  def setNumBuckets(spark: SparkSession, indexDir: String, n: Int): Unit = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    val cur = numBuckets(spark, indexDir)
+    if (cur == n) return
+    val legacy = ((legacyBuckets(spark, indexDir) :+ cur).distinct.filterNot(_ == n))
+    graft.sources.LakeProps.set(spark, postingsDir(indexDir), LegacyKey,
+      legacy.mkString(","))
+    graft.sources.LakeProps.set(spark, postingsDir(indexDir), BucketsKey, n.toString)
+  }
+
+  /** MIGRATE old-generation postings onto the declared bucket count, up
+    * to `maxBuckets` stale bucket VALUES per call (the incremental
+    * unit: one atomic replaceWhere per call rewrites only the
+    * directories holding those values — bounded work, probes stay
+    * correct throughout because they read both generations until the
+    * legacy list clears). Returns the number of stale bucket values
+    * still remaining AFTER this call; 0 means the index is fully on the
+    * declared count and single-bucket probes are restored.
+    */
+  def migrateBuckets(
+      spark: SparkSession,
+      indexDir: String,
+      maxBuckets: Int = Int.MaxValue): Int = {
+    val postDir = postingsDir(indexDir)
+    if (legacyBuckets(spark, indexDir).isEmpty) return 0
+    val cur = numBuckets(spark, indexDir)
+    val wrongB = col("b") =!= pmod(xxhash64(col("w")), lit(cur.toLong))
+    val staleVals = VersionedLake.read(spark, postDir)
+      .filter(wrongB).select("b").distinct().orderBy("b")
+      .collect().map(_.getLong(0)).toSeq // bounded by Σ legacy counts
+    if (staleVals.isEmpty) {
+      graft.sources.LakeProps.unset(spark, postDir, LegacyKey)
+      return 0
+    }
+    val chunkVals = staleVals.take(maxBuckets)
+    val post = VersionedLake.read(spark, postDir)
+    val chunk = post
+      .filter(col("b").isin(chunkVals: _*) && wrongB)
+      .withColumn("b", pmod(xxhash64(col("w")), lit(cur.toLong)))
+    VersionedLake.replaceWhere(spark, postDir,
+      col("b").isin(chunkVals: _*) && wrongB, chunk,
+      changeArtifact = false)
+    val remaining = staleVals.size - chunkVals.size
+    if (remaining == 0) graft.sources.LakeProps.unset(spark, postDir, LegacyKey)
+    publishCurrent(spark, indexDir)
+    remaining
+  }
 
   private val Post = "postings"
   private val Stats = "stats"
@@ -82,16 +161,25 @@ object InvertedIndex {
     */
   private def words(c: Column): Column = graft.functions.TextExprs.wordTokens(c)
 
-  /** Bucket of one term, evaluated driver-side through the SAME Catalyst
-    * expression the postings writer uses — the probe's pruning key and
-    * the stored partition key cannot drift.
+  /** Bucket of one term under a count, evaluated driver-side through the
+    * SAME Catalyst expression the postings writer uses — the probe's
+    * pruning key and the stored partition key cannot drift.
     */
-  def bucketOf(term: String): Long = {
+  def bucketOf(term: String, n: Int = NumBuckets): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
     // seed 42L = the `functions.xxhash64` default the writer uses
-    Pmod(XxHash64(Seq(Literal(term)), 42L), Literal(NumBuckets.toLong))
+    Pmod(XxHash64(Seq(Literal(term)), 42L), Literal(n.toLong))
       .eval().asInstanceOf[Long]
   }
+
+  /** EVERY candidate bucket of one term: its bucket under the declared
+    * count plus under each legacy count still present — the
+    * mid-migration probe key set (≤ one bucket per generation; the
+    * `w IN (...)` filter keeps the superset exact).
+    */
+  private[operators] def bucketsOf(spark: SparkSession, indexDir: String, term: String): Seq[Long] =
+    (numBuckets(spark, indexDir) +: legacyBuckets(spark, indexDir))
+      .map(n => bucketOf(term, n)).distinct
 
   // ------------------------------------------------------------------
   // Txn-resolved reads (the IvfIndex pattern): the LakeTxn record pins
@@ -118,14 +206,15 @@ object InvertedIndex {
     * join at probe time), and sorting them at build makes the probe's
     * adjacency intersections order-stable.
     */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def postingsOf(
+      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol)))).toDF("doc_id", "pos", "w")
     val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
     tok.groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
       .join(lens, "doc_id")
-      .withColumn("b", pmod(xxhash64(col("w")), lit(NumBuckets.toLong)))
+      .withColumn("b", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
       .select("b", "w", "doc_id", "tf", "len", "pos")
   }
 
@@ -172,7 +261,9 @@ object InvertedIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Long = {
     val spark = docs.sparkSession
-    val vP = VersionedLake.commit(postingsOf(docs, idCol, textCol), postingsDir(indexDir),
+    val vP = VersionedLake.commit(
+      postingsOf(docs, idCol, textCol, numBuckets(spark, indexDir)),
+      postingsDir(indexDir),
       parts = Seq("b"), bloom = PostBloom, sortWithin = PostSort)
     val vS = VersionedLake.commit(statsPartial(docs, idCol, textCol, 1), statsDir(indexDir))
     LakeTxn.publish(spark, indexDir, Map(Post -> vP, Stats -> vS))
@@ -218,7 +309,8 @@ object InvertedIndex {
               "are externally guaranteed fresh")
       }
     }
-    val vP = VersionedLake.appendCommit(postingsOf(delta, idCol, textCol),
+    val vP = VersionedLake.appendCommit(
+      postingsOf(delta, idCol, textCol, numBuckets(spark, indexDir)),
       postingsDir(indexDir), parts = Seq("b"), bloom = PostBloom,
       sortWithin = PostSort)
     val vS = VersionedLake.appendCommit(statsPartial(delta, idCol, textCol, 1),
@@ -254,7 +346,8 @@ object InvertedIndex {
         // first sync IS the build, with the corpus watermark riding the
         // same commits (crash-replay safe)
         val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
-        val vP = VersionedLake.appendCommitTxn(postingsOf(snapshot, idCol, textCol),
+        val vP = VersionedLake.appendCommitTxn(
+          postingsOf(snapshot, idCol, textCol, numBuckets(spark, indexDir)),
           postDir, appId = SyncApp, batchId = corpusV,
           parts = Seq("b"), bloom = PostBloom, sortWithin = PostSort)
         val vS = VersionedLake.appendCommitTxn(statsPartial(snapshot, idCol, textCol, 1),
@@ -368,7 +461,8 @@ object InvertedIndex {
       // ONE keyed-CoW commit: re-supplied documents replace their
       // postings, probed-but-absent documents' postings vanish
       VersionedLake.upsert(spark, postingsDir(indexDir),
-        postingsOf(added, idCol, textCol), keys = Seq("doc_id"),
+        postingsOf(added, idCol, textCol, numBuckets(spark, indexDir)),
+        keys = Seq("doc_id"),
         parts = Seq("b"), txn = Some(SyncApp -> corpusV),
         probeKeys = Some(touched), sortWithin = PostSort)
       VersionedLake.appendCommitTxn(statsDelta, statsDir(indexDir),
@@ -442,7 +536,8 @@ object InvertedIndex {
       statsPartial(newRows, idCol, textCol, 1),
       statsPartial(oldRows, idCol, textCol, -1))
     VersionedLake.upsert(spark, postingsDir(indexDir),
-      postingsOf(newRows, idCol, textCol), keys = Seq("doc_id"),
+      postingsOf(newRows, idCol, textCol, numBuckets(spark, indexDir)),
+      keys = Seq("doc_id"),
       parts = Seq("b"), txn = Some(SyncApp -> corpusV), probeKeys = Some(touched),
       sortWithin = PostSort)
     VersionedLake.appendCommitTxn(statsDelta, statsDir(indexDir),
@@ -474,7 +569,7 @@ object InvertedIndex {
       s"$indexDir has no corpus-stats partials - build() or sync() the index first")
     val n = st.getLong(0)
     val avgl = st.getLong(2).toDouble / math.max(st.getLong(1), 1L)
-    val buckets = terms.map(bucketOf).distinct
+    val buckets = terms.flatMap(bucketsOf(spark, indexDir, _)).distinct
     val hits = readMember(spark, indexDir, Post)
       .filter(col("b").isin(buckets: _*) && col("w").isin(terms: _*))
     val dfq = hits.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
@@ -520,7 +615,7 @@ object InvertedIndex {
     require(post.columns.contains("pos"),
       s"$indexDir predates positional postings - rebuild (or re-sync from " +
         "scratch) to enable phrase queries")
-    val buckets = terms.map(bucketOf).distinct
+    val buckets = terms.flatMap(bucketsOf(spark, indexDir, _)).distinct
     val hits = post
       .filter(col("b").isin(buckets: _*) && col("w").isin(terms.distinct: _*))
     val frames = terms.zipWithIndex.map { case (t, i) =>
@@ -559,7 +654,7 @@ object InvertedIndex {
     val post = readMember(spark, indexDir, Post)
     require(post.columns.contains("pos"),
       s"$indexDir predates positional postings - rebuild to enable proximity queries")
-    val buckets = terms.map(bucketOf).distinct
+    val buckets = terms.flatMap(bucketsOf(spark, indexDir, _)).distinct
     val hits = post
       .filter(col("b").isin(buckets: _*) && col("w").isin(terms.distinct: _*))
     val frames = terms.zipWithIndex.map { case (t, i) =>

@@ -298,4 +298,50 @@ class InvertedIndexSpec extends SparkSpec {
     assert(VersionedLake.currentVersion(spark, InvertedIndex.postingsDir(idxDir)) === vP)
     assert(VersionedLake.currentVersion(spark, InvertedIndex.statsDir(idxDir)) === vS)
   }
+
+  test("bucket evolution: declare 32 -> 64 live, probes exact mid-migration, incremental drain") {
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_evolve").toString
+    val gen32 = docs.filter(col("doc_id") % 2 === 1)
+    val gen64 = docs.filter(col("doc_id") % 2 === 0)
+    InvertedIndex.build(gen32, "doc_id", "text", idxDir)
+    // one metadata write re-steers every later commit; zero data moved
+    InvertedIndex.setNumBuckets(spark, idxDir, 64)
+    assert(InvertedIndex.numBuckets(spark, idxDir) === 64)
+    assert(InvertedIndex.legacyBuckets(spark, idxDir) === Seq(32))
+    InvertedIndex.append(gen64, "doc_id", "text", idxDir)
+    // mid-migration probe cost: at most one bucket PER GENERATION per term
+    Terms.foreach { t =>
+      val bs = InvertedIndex.bucketsOf(spark, idxDir, t)
+      assert(bs.nonEmpty && bs.size <= 2, s"term '$t' probes ${bs.size} buckets")
+    }
+    // answers stay scan-exact while both generations coexist
+    assert(indexed(idxDir) === scanBm25(docs, Terms))
+    val phraseMid = InvertedIndex.searchPhrase(spark, idxDir, Seq("join", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // incremental drain: bounded chunks, probes exact between every chunk
+    var remaining = InvertedIndex.migrateBuckets(spark, idxDir, maxBuckets = 8)
+    var guard = 0
+    while (remaining > 0 && guard < 20) {
+      assert(indexed(idxDir) === scanBm25(docs, Terms),
+        "probe between migration chunks must stay exact")
+      remaining = InvertedIndex.migrateBuckets(spark, idxDir, maxBuckets = 8)
+      guard += 1
+    }
+    assert(remaining === 0 && guard < 20)
+    assert(InvertedIndex.legacyBuckets(spark, idxDir).isEmpty,
+      "a drained migration must clear the legacy list")
+    // fully on the declared count: single-bucket probes, no stale rows
+    Terms.foreach(t => assert(InvertedIndex.bucketsOf(spark, idxDir, t).size === 1))
+    val post = VersionedLake.read(spark, InvertedIndex.postingsDir(idxDir))
+    assert(post.filter(col("b") =!= pmod(xxhash64(col("w")), lit(64L))).isEmpty,
+      "every posting must sit in its declared-count bucket after the drain")
+    assert(indexed(idxDir) === scanBm25(docs, Terms))
+    val phrasePost = InvertedIndex.searchPhrase(spark, idxDir, Seq("join", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phrasePost === phraseMid, "positional probes unchanged by the re-bucket")
+    // the sync watermark survived the migration commits (replaceWhere
+    // carries txns) - a later append still enforces its freshness contract
+    intercept[IllegalStateException](
+      InvertedIndex.append(gen32.limit(1), "doc_id", "text", idxDir))
+  }
 }
