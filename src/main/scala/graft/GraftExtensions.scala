@@ -63,5 +63,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))
+    // positional retrieval as TABLE functions — `SELECT * FROM
+    // phrase_search('corpus', 'exact phrase')` reads ≤|terms| postings
+    // buckets of the registered index, never the corpus (see
+    // graft.plans.TextSearchTvf for the freshness contract)
+    ext.injectTableFunction((
+      FunctionIdentifier("phrase_search"),
+      new ExpressionInfo(graft.plans.TextSearchTvf.getClass.getName, "phrase_search"),
+      (children: Seq[Expression]) => graft.plans.TextSearchTvf.phrasePlan(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("near_search"),
+      new ExpressionInfo(graft.plans.TextSearchTvf.getClass.getName, "near_search"),
+      (children: Seq[Expression]) => graft.plans.TextSearchTvf.nearPlan(children)))
   }
 }

@@ -953,12 +953,96 @@ object Text {
              |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
              |  CROSS JOIN avgl CROSS JOIN n)
              |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
-      covers = Seq("ext-sql-text-search"))
+      covers = Seq("ext-sql-text-search")),
+
+    // ------------------------------------------------------------------
+    // PHRASE SEARCH AS A SQL TABLE FUNCTION: `FROM phrase_search(corpus,
+    // phrase)` splices the positional-postings probe into the plan — a
+    // SQL-only client gets exact-phrase retrieval with no CALL and no
+    // Column API. The body PROVES the plan shape: every file scan in the
+    // executed plan reads postings buckets, never the corpus (at 100 TB
+    // that is the whole bargain — adjacency off ≤|terms| hash buckets
+    // vs re-tokenizing every document). Oracle: the independent
+    // corpus-scan adjacency count.
+    QueryDef(
+      "q_phrase_tvf",
+      (s, dir) => {
+        textCatalogFixture(s, dir)
+        val df = s.sql(
+          "SELECT doc_id, n_phrase FROM phrase_search('grafttxt.docs', 'table hash')")
+        val scans = tvfScanRoots(df.queryExecution.executedPlan)
+        require(scans.nonEmpty && scans.forall(_.contains("/postings")),
+          s"the TVF plan must read ONLY postings buckets, scanned: $scans")
+        df.localCheckpoint()
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '') AS ws
+             |  FROM documents),
+             |hits AS (
+             |  SELECT doc_id,
+             |    unnest([CASE WHEN ws[i + 1] = 'table' AND ws[i + 2] = 'hash'
+             |            THEN 1 ELSE 0 END
+             |            for i in range(len(ws) - 1)]) AS m
+             |  FROM toks WHERE len(ws) >= 2)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_phrase
+             |FROM hits GROUP BY 1 HAVING sum(m) > 0""".stripMargin),
+      covers = Seq("ext-phrase-tvf")),
+
+    // PROXIMITY SEARCH AS A SQL TABLE FUNCTION: in-order within-window
+    // chains ("table ... hash" with ≤3 tokens between) off the same
+    // positional postings — proximity's first oracle row. Same plan
+    // proof; oracle counts, in DuckDB, the distinct end positions of the
+    // second term reachable from some first-term position within the
+    // window — exactly the probe's chain fold for two terms.
+    QueryDef(
+      "q_near_tvf",
+      (s, dir) => {
+        textCatalogFixture(s, dir)
+        val df = s.sql(
+          "SELECT doc_id, n_near FROM near_search('grafttxt.docs', 'table hash', 3)")
+        val scans = tvfScanRoots(df.queryExecution.executedPlan)
+        require(scans.nonEmpty && scans.forall(_.contains("/postings")),
+          s"the TVF plan must read ONLY postings buckets, scanned: $scans")
+        df.localCheckpoint()
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '') AS ws
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS p
+             |  FROM toks),
+             |a AS (SELECT doc_id, p FROM pos WHERE w = 'table'),
+             |b AS (SELECT doc_id, p FROM pos WHERE w = 'hash'),
+             |hits AS (
+             |  SELECT DISTINCT b.doc_id, b.p FROM b
+             |  JOIN a ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+             |FROM hits GROUP BY 1""".stripMargin),
+      covers = Seq("ext-near-tvf"))
   )
 
   // One-time SQL text-retrieval fixture: the corpus as a catalog lake
   // table + its registered index (built by CALL create_text_index).
   private val txtCat = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Every file-scan root in a physical plan, descending through AQE
+    * wrappers (the TVF plan-shape proof needs the real scans, and before
+    * execution they sit under the adaptive root).
+    */
+  private def tvfScanRoots(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        tvfScanRoots(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        tvfScanRoots(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).toSeq
+    }.flatten
 
   private def textCatalogFixture(
       s: org.apache.spark.sql.SparkSession,
