@@ -38,9 +38,13 @@ object ViewMaintenance {
       case (c, "sum") => sum(col(c)).as(c)
       case (c, "min") => min(col(c)).as(c)
       case (c, "max") => max(col(c)).as(c)
+      // DataSketches HLL union: register-wise max, associative — the
+      // merged sketch is bit-identical to a one-pass sketch, which is
+      // what lets an hll state answer sketch-estimate queries exactly
+      case (c, "hll") => hll_union_agg(col(c)).as(c)
       case (c, op) =>
         throw new IllegalArgumentException(
-          s"column $c: op $op is not mergeable (use sum/min/max; " +
+          s"column $c: op $op is not mergeable (use sum/min/max/hll; " +
             "decompose algebraic aggregates into distributive state)")
     }
     views.reduce(_.unionByName(_))

@@ -40,8 +40,11 @@ import org.apache.spark.sql.graft.Bridge
   *    apply verbatim to state rows; a measure predicate would not);
   *  - every aggregate derives from registered state: sum(c) from a
   *    (sum,c) state via re-sum, count(*)/count(1) from (count,*) via
-  *    re-sum, min/max(c) from (min/max,c), avg(c) from (sum,c)+(count,c)
-  *    as a quotient of re-sums, count(c)/first/last/distinct do not.
+  *    re-sum, count(c) (non-null) from a (count,c) state via re-sum,
+  *    min/max(c) from (min/max,c), avg(c) from (sum,c)+(count,c) as a
+  *    quotient of re-sums, hll_sketch_estimate(hll_sketch_agg(c)) from
+  *    an (hll,c) sketch state via union (estimate-exact — see derive);
+  *    first/last/exact-DISTINCT/approx_count_distinct do not.
   *
   * The replacement is built with the DataFrame API against
   * [[LakeView.read]]'s merged state (so liveness filtering and partial
@@ -145,6 +148,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name.toLowerCase)
       }.sql
     lazy val childAttrs = a.child.output
+    // bound the cache: a long-lived session re-registering MVs against
+    // evolving schemas accretes (source, schema) keys forever; entries
+    // are tiny, so a generous cap + full reset is cheaper than LRU
+    if (MvRewriteRule.srcCache.size > 1024) MvRewriteRule.srcCache.clear()
     def analyzedSrc(src: String): Option[Expression] =
       MvRewriteRule.srcCache.getOrElseUpdate(
         (src, childAttrs.map(at => (at.name, at.dataType)).toList), {
@@ -193,6 +200,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               sumC <- stateFor("sum", e)
               cntC <- stateFor("count", e)
             } yield fsum(col(sumC)) / fsum(col(cntC))
+          // the sketch-native approximate distinct: union of the view's
+          // per-delta sketches reaches the SAME register state as the
+          // query's one-pass sketch (register-wise max is associative),
+          // so hll_sketch_estimate(hll_sketch_agg(c)) answers EXACTLY
+          // from ("hll", c) state. approx_count_distinct stays declined:
+          // HLL++ is a different estimator — routing it would change the
+          // answer, and this rule is a plan upgrade, never a semantics
+          // trade. Non-default lgK declines too (state is sketched at
+          // the Spark default; a coarser/finer query sketch differs).
+          case h: HllSketchAgg if h.lgConfigK == 12 =>
+            stateFor("hll", h.children.head).map(s =>
+              org.apache.spark.sql.functions.hll_union_agg(col(s)))
           case _ => None
         }
         c.map(_.cast(ae.dataType))

@@ -1138,6 +1138,30 @@ object Relational5 {
     viewDir
   }
 
+  /** Sketch-state MV fixture: distinct-user rollup kept as per-group HLL
+    * sketches (the `hll` state op) through the SQL lifecycle — the
+    * approximate-distinct dashboard query served from O(groups) state.
+    * The modulus keeps per-group cardinality ≤89, inside the sketch's
+    * exact (list/set mode) range, so the DuckDB exact-distinct oracle
+    * hashes identically.
+    */
+  private def ensureMvHll(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val cat = catalogLake(s, dir)
+    val tbl = s"$cat/hll_events"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 89).as("uk"))
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), tbl)
+      s.sql("CALL graftcat.system.create_mv('hll_events', 'hll_events_state', " +
+        "'event_type', 'd=hll(uk), n=count(uk)')").collect()
+    }
+    s"$cat/hll_events_state"
+  }
+
   /** Stale-combine MV fixture: a corpus whose FIRST TWO thirds are
     * synced into the view and whose last third stays a permanently
     * unsynced append tail — the steady state of any real pipeline
@@ -2573,6 +2597,39 @@ object Relational5 {
              |  min(value) AS lo, max(value) AS hi
              |FROM events GROUP BY 1""".stripMargin),
       covers = Seq("ext-view-autoroute")),
+
+    // SKETCH-STATE MV ROUTING — approximate-distinct from merges: the
+    // view keeps a per-group DataSketches HLL sketch (the `hll` state
+    // op, created through CALL create_mv's SQL face) and the rewrite
+    // serves `hll_sketch_estimate(hll_sketch_agg(uk))` by UNIONING the
+    // stored sketches — estimate-exact, because sketch union reaches the
+    // same register state as the one-pass sketch. count(uk) (non-null
+    // count) re-sums its state column in the same query. The body
+    // REQUIRES the routed plan; per-group cardinality sits in the
+    // sketch's exact range, so the DuckDB exact-distinct oracle hashes
+    // identically. approx_count_distinct deliberately stays on the
+    // corpus scan (different estimator — see MvRewriteRule.derive).
+    QueryDef(
+      "q_view_hll_route",
+      (s, dir) => {
+        val viewDir = ensureMvHll(s, dir)
+        val df = s.sql(
+          """SELECT event_type,
+            |  CAST(hll_sketch_estimate(hll_sketch_agg(uk)) AS BIGINT) AS d,
+            |  count(uk) AS n
+            |FROM graftcat.hll_events GROUP BY event_type""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains(viewDir),
+          "sketch-estimate distinct must be served from the view's hll state")
+        require(!plan.contains("/hll_events/"),
+          "the routed plan must not rescan the corpus")
+        df.localCheckpoint()
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id % 89) AS BIGINT) AS d,
+             |  count(user_id % 89) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-mv-hll")),
 
     // STALE-TOLERANT MV ROUTING — the corpus has a third commit the view
     // never synced; the rewrite serves the query anyway as view state ⊕

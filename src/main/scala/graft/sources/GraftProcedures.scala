@@ -56,7 +56,7 @@ object GraftProcedures {
     * aggregate spec: each state column is one mergeable aggregate over a
     * corpus column (exactly [[LakeMv.MvDef.aggs]]'s vocabulary).
     */
-  private val MvAggPat = """^\s*(\w+)\s*=\s*(sum|count|min|max)\(\s*([^\s()]+)\s*\)\s*$""".r
+  private val MvAggPat = """^\s*(\w+)\s*=\s*(sum|count|min|max|hll)\(\s*([^\s()]+)\s*\)\s*$""".r
 
   private def parseMvAggs(spec: String): Map[String, (String, String)] =
     spec.split(',').map {

@@ -31,9 +31,17 @@ import scala.collection.concurrent.TrieMap
   */
 object LakeMv {
 
-  /** op ∈ sum|count|min|max; count's source is "*" (count(*) / count(1)
-    * at registration time). A query's avg(c) is served when BOTH
-    * (sum, c) and (count, c) state columns exist. `src` is any SQL
+  /** op ∈ sum|count|min|max|hll; count's source is "*" (count(*) /
+    * count(1) at registration time), and `count(col)` state (non-null
+    * counts) registers as ("count", col). A query's avg(c) is served
+    * when BOTH (sum, c) and (count, c) state columns exist. ("hll", c)
+    * stores a DataSketches HLL sketch per group (lgK 12, the Spark
+    * default) merged by union — it serves the sketch-native
+    * approximate-distinct spelling `hll_sketch_estimate(
+    * hll_sketch_agg(c))` EXACTLY (union of per-delta sketches and the
+    * one-pass sketch reach identical register states), while
+    * `approx_count_distinct` stays on the corpus scan (a different
+    * estimator — routing it would change the answer). `src` is any SQL
     * expression over corpus columns, not just a column name —
     * `sum(value * qty)` registers as ("sum", "value * qty") and the
     * rewrite matches the query's aggregate argument by ANALYZED
@@ -49,8 +57,8 @@ object LakeMv {
       liveness: Option[String] = None) {
     require(aggs.nonEmpty, "an MV registration needs at least one aggregate")
     require(
-      aggs.values.forall(a => Set("sum", "count", "min", "max")(a._1)),
-      s"MV state ops must be sum/count/min/max, got ${aggs.values.map(_._1).toSet}")
+      aggs.values.forall(a => Set("sum", "count", "min", "max", "hll")(a._1)),
+      s"MV state ops must be sum/count/min/max/hll, got ${aggs.values.map(_._1).toSet}")
     val mergeSpec: Seq[(String, String)] =
       aggs.toSeq.sortBy(_._1).map {
         case (c, ("count", _)) => c -> "sum" // counts merge by summing
@@ -73,6 +81,7 @@ object LakeMv {
         case (c, ("count", src))  => count(expr(src)).as(c)
         case (c, ("min", src))    => min(expr(src)).as(c)
         case (c, ("max", src))    => max(expr(src)).as(c)
+        case (c, ("hll", src))    => hll_sketch_agg(expr(src)).as(c)
         case (c, (op, _)) => throw new IllegalStateException(s"$c: $op unreachable")
       }
       df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)

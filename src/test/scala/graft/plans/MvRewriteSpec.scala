@@ -321,4 +321,58 @@ class MvRewriteSpec extends SparkSpec {
       } finally q.stop()
     } finally LakeMv.clear()
   }
+
+  test("hll state: sketch-estimate distinct routes exactly; approx_count_distinct declines") {
+    val s = spark
+    import s.implicits._
+    val (catRoot, _, _) = roots
+    val corpus = s"$catRoot/hllsales"
+    val rows = (1 to 3000).map { i =>
+      (i.toLong, s"t${i % 4}", (i % 757).toLong) // 757 distinct custs, spread
+    }
+    val df = rows.toDF("id", "event_type", "cust")
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 0), corpus)
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 1), corpus)
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_hll").toString
+    def st(d: DataFrame): DataFrame = d.groupBy("event_type").agg(
+      hll_sketch_agg(col("cust")).as("hll_cust"),
+      count(col("cust")).as("cnt_cust"))
+    LakeView.sync(s, corpus, viewDir, st)
+    val mv = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("hll_cust" -> ("hll", "cust"), "cnt_cust" -> ("count", "cust")))
+    // the un-routed truth first (nothing registered)
+    val sql =
+      """SELECT event_type,
+        |  hll_sketch_estimate(hll_sketch_agg(cust)) AS approx_d,
+        |  count(cust) AS n
+        |FROM mvcat.hllsales GROUP BY 1""".stripMargin
+    val truth = sorted(s.sql(sql))
+    val globalTruth = sorted(s.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(cust)) AS d FROM mvcat.hllsales"))
+    LakeMv.register(mv)
+    try {
+      val routed = s.sql(sql)
+      val rs = scannedRoots(routed)
+      assert(rs.exists(_.startsWith(viewDir)) && !rs.exists(_.startsWith(corpus)),
+        s"sketch-estimate distinct must route to the view: $rs")
+      // union of per-delta sketches == one-pass sketch: estimates EXACT
+      assert(sorted(routed) === truth)
+      // roll-up to the global grain re-unions the sketches
+      val global = s.sql(
+        "SELECT hll_sketch_estimate(hll_sketch_agg(cust)) AS d FROM mvcat.hllsales")
+      assert(scannedRoots(global).exists(_.startsWith(viewDir)))
+      assert(sorted(global) === globalTruth)
+      // a DIFFERENT estimator must not be served from sketch state
+      val acd = s.sql(
+        "SELECT event_type, approx_count_distinct(cust) AS d FROM mvcat.hllsales GROUP BY 1")
+      assert(scannedRoots(acd).exists(_.startsWith(corpus)),
+        "approx_count_distinct must decline (HLL++ is a different estimator)")
+      // non-default lgK sketches decline too
+      val lgk = s.sql(
+        "SELECT event_type, hll_sketch_estimate(hll_sketch_agg(cust, 14)) AS d " +
+          "FROM mvcat.hllsales GROUP BY 1")
+      assert(scannedRoots(lgk).exists(_.startsWith(corpus)),
+        "an lgK-14 sketch cannot be served from lgK-12 state")
+    } finally LakeMv.clear()
+  }
 }
