@@ -944,6 +944,19 @@ object Relational5 {
     }
   }
 
+  /** Atomic-SQL fixture: two empty halves the timed body INSERT
+    * OVERWRITEs through one `CALL system.atomic` per run.
+    */
+  private def ensureCatalogAtomic(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ensureCatalog(s, dir)
+    val cat = catalogLake(s, dir)
+    if (graft.sources.VersionedLake.currentVersion(s, s"$cat/atm_a").isEmpty) {
+      s.sql("CREATE TABLE graftcat.atm_a (o_orderkey BIGINT, o_orderstatus STRING)")
+      s.sql("CREATE TABLE graftcat.atm_b (o_orderkey BIGINT, o_orderstatus STRING)")
+    }
+  }
+
   /** RESTRICT-FK fixture: the same parent/child pair as [[ensureCatalogFk]]
     * but the declaration opts into ON DELETE RESTRICT, so the PARENT's
     * delete paths gate on still-referenced keys.
@@ -2532,6 +2545,49 @@ object Relational5 {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |GROUP BY c.c_mktsegment""".stripMargin),
       covers = Seq("ext-lake-fk-restrict")),
+
+    // ATOMIC MULTI-STATEMENT SQL — `CALL system.atomic('stmt1; stmt2',
+    // host)`: the 2PC machinery's SQL face. The timed body proves both
+    // halves every run: a pair of INSERT OVERWRITEs lands as ONE
+    // decision (idempotent across passes), and a pair whose second
+    // statement fails publishes NOTHING (versions pinned unchanged) —
+    // a SQL-only client gets the FK-consistent star load LakeAtomicTxn
+    // gives the library. Oracle: the two halves' union from orders.
+    QueryDef(
+      "q_catalog_atomic",
+      (s, dir) => {
+        ensureCatalogAtomic(s, dir)
+        val half = maxOrderKey(s, dir) / 2
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .filter(col("o_orderkey") <= half).createOrReplaceTempView("atm_lo")
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .filter(col("o_orderkey") > half).createOrReplaceTempView("atm_hi")
+        s.sql("CALL graftcat.system.atomic(" +
+          "'INSERT OVERWRITE graftcat.atm_a SELECT * FROM atm_lo; " +
+          "INSERT OVERWRITE graftcat.atm_b SELECT * FROM atm_hi', 'atm_a')")
+          .collect()
+        val cat = catalogLake(s, dir)
+        val va = graft.sources.VersionedLake.currentVersion(s, s"$cat/atm_a")
+        val vb = graft.sources.VersionedLake.currentVersion(s, s"$cat/atm_b")
+        val refused =
+          try {
+            s.sql("CALL graftcat.system.atomic(" +
+              "'INSERT OVERWRITE graftcat.atm_a SELECT * FROM atm_lo WHERE 0=1; " +
+              "INSERT INTO graftcat.atm_no_such VALUES (1)', 'atm_a')")
+            false
+          } catch { case _: Exception => true }
+        require(refused, "a failing second statement must abort the transaction")
+        require(
+          graft.sources.VersionedLake.currentVersion(s, s"$cat/atm_a") == va &&
+            graft.sources.VersionedLake.currentVersion(s, s"$cat/atm_b") == vb,
+          "a failed transaction must publish NOTHING on any participant")
+        s.sql("""SELECT o_orderkey, o_orderstatus FROM graftcat.atm_a
+                |UNION ALL
+                |SELECT o_orderkey, o_orderstatus FROM graftcat.atm_b""".stripMargin)
+          .localCheckpoint()
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders"),
+      covers = Seq("ext-sql-atomic")),
 
     // ATOMIC MULTI-MIRROR SYNC — syncAll advances two FK-related
     // mirrors as ONE transaction (one decision-file create; no

@@ -34,7 +34,7 @@ object GraftProcedures {
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
-    "set_partition_spec", "explain_scan", "verify_constraints")
+    "set_partition_spec", "explain_scan", "verify_constraints", "atomic")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -67,12 +67,50 @@ object GraftProcedures {
             "op in sum/count/min/max (count takes * or a column)")
     }.toMap
 
+  /** Split on ';' outside quoted strings. SQL's doubled-quote escape
+    * ('it''s') splits correctly by construction: each quote toggles the
+    * in-string state, and a doubled pair re-balances.
+    */
+  private def splitSql(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var q: Char = 0
+    s.foreach { c =>
+      if (q != 0) { cur += c; if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') { q = c; cur += c }
+      else if (c == ';') { out += cur.toString; cur.clear(): Unit }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** `resolve` maps a (possibly dotted) table name to its directory
     * under the calling catalog's root — creation targets (clone/replicate
     * destinations) resolve the same way without existing yet.
     */
   def load(spark: SparkSession, name: String, resolve: String => String): UnboundProcedure =
     name match {
+      case "atomic" =>
+        proc(name, "run several ;-separated SQL statements as ONE atomic " +
+          "multi-table commit (LakeAtomicTxn 2PC): every lake write inside " +
+          "stages instead of publishing, all staged versions become visible " +
+          "at one decision-file create, and any failure publishes NOTHING - " +
+          "the SQL face of the FK-consistent star load. One commit per table " +
+          "per call; txn_table hosts the decision file (any table on the " +
+          "same store)",
+          Seq(
+            ProcedureParameter.in("statements", StringType)
+              .comment("SQL statements separated by ';' (quotes respected)").build(),
+            ProcedureParameter.in("txn_table", StringType).build())) { in =>
+          val stmts = splitSql(str(in, 0))
+          require(stmts.nonEmpty, "atomic needs at least one statement")
+          val txnDir = resolve(str(in, 1))
+          val versions = LakeAtomicTxn.commitAll(spark, txnDir) {
+            stmts.foreach(stmt => spark.sql(stmt).collect(): Unit)
+          }
+          versions.size.toLong
+        }
       case "vacuum" =>
         proc(name, "retention: keep the newest versions, reclaim the rest",
           Seq(

@@ -257,4 +257,37 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gproc.evdst ORDER BY k").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("CALL system.atomic: two INSERTs publish together or not at all") {
+    root
+    spark.sql("CREATE TABLE gproc.atm_a (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE gproc.atm_b (k BIGINT, v STRING)")
+    val out = spark.sql(
+      "CALL gproc.system.atomic(" +
+        "'INSERT INTO gproc.atm_a VALUES (1, ''x;y''); " +   // quoted ';' survives
+        "INSERT INTO gproc.atm_b VALUES (2, ''b'')', 'atm_a')").head().getLong(0)
+    assert(out === 2L, "two staged table commits")
+    assert(spark.sql("SELECT v FROM gproc.atm_a").head().getString(0) === "x;y")
+    assert(spark.sql("SELECT count(*) FROM gproc.atm_b").head().getLong(0) === 1L)
+    val va = VersionedLake.currentVersion(spark, s"$root/atm_a").get
+    val vb = VersionedLake.currentVersion(spark, s"$root/atm_b").get
+    // the second statement fails (unknown table): the first, already
+    // staged, must never become visible
+    intercept[Exception](spark.sql(
+      "CALL gproc.system.atomic(" +
+        "'INSERT INTO gproc.atm_a VALUES (3, ''dead''); " +
+        "INSERT INTO gproc.no_such VALUES (1)', 'atm_a')"))
+    assert(VersionedLake.currentVersion(spark, s"$root/atm_a").contains(va),
+      "a failed transaction must publish nothing")
+    assert(VersionedLake.currentVersion(spark, s"$root/atm_b").contains(vb))
+    assert(spark.sql("SELECT count(*) FROM gproc.atm_a").head().getLong(0) === 1L)
+    // constraint refusal aborts the same way (the gate runs at staging)
+    spark.sql("ALTER TABLE gproc.atm_b SET TBLPROPERTIES('check.pos'='k > 0')")
+    intercept[Exception](spark.sql(
+      "CALL gproc.system.atomic(" +
+        "'INSERT INTO gproc.atm_a VALUES (4, ''dead''); " +
+        "INSERT INTO gproc.atm_b VALUES (-1, ''bad'')', 'atm_a')"))
+    assert(VersionedLake.currentVersion(spark, s"$root/atm_a").contains(va),
+      "a constraint refusal in statement 2 must abort statement 1's publish")
+  }
 }
