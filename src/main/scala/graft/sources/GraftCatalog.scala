@@ -293,6 +293,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           if (Option(served.get(k)).exists(_.histogram().isPresent))
             VersionedLake.HistBins else 0
         }
+        // merged heavy hitters off the frequent-values layer (string
+        // columns; scan-side coverage rule), "v:est" top-5 — the "what
+        // is this column's skew" diagnostic with zero file opens
+        val freq = VersionedLake.dirFreq(s, dir, v)
+        def topValues(c: String): String = {
+          val liveNonEmpty = live.filter(d => rowsMeta.get(d).exists(_._1 > 0))
+          if (liveNonEmpty.isEmpty ||
+            !liveNonEmpty.forall(d => freq.get(d).exists(_.contains(c)))) null
+          else graft.functions.FreqSketch
+            .topK(liveNonEmpty.map(d => freq(d)(c)), 5)
+            .map { case (value, est) => s"$value:$est" }.mkString(",")
+        }
         covered.toSeq.sorted.map { c =>
           val entries = perDir.map(_(c))
           val mins = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._1))
@@ -302,8 +314,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             entries.map(_._2).sum,
             if (mins.isEmpty) null else pick(c, mins, takeMin = true),
             if (maxs.isEmpty) null else pick(c, maxs, takeMin = false),
-            histBins(c))
-        }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins")
+            histBins(c),
+            topValues(c))
+        }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins", "top_values")
     }
     new LocalRowsTable(s"${base.toString}$$$kind", df)
   }

@@ -226,6 +226,11 @@ object LakePruningScanBuilder {
     * Multiple sketched equalities take the MINIMUM single-column
     * estimate (never multiplied — independence across skewed columns is
     * exactly the assumption this layer exists to avoid).
+    *
+    * IS NULL / IS NOT NULL conjuncts refine EXACTLY off the ndv layer's
+    * per-directory null counts (no sketch needed) — the other
+    * categorical filter curation queries live on, priced at its true
+    * cardinality instead of the planner's default fraction.
     */
   def refineForFilters(
       pushed: Seq[Filter],
@@ -236,8 +241,8 @@ object LakePruningScanBuilder {
       dataSchema: StructType,
       rows: Long,
       bytes: Long): (Long, Long) = {
-    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
-    if (freqMeta.isEmpty || rows <= 0L) return (rows, bytes)
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In, IsNotNull, IsNull}
+    if (rows <= 0L) return (rows, bytes)
     // top-level conjuncts only: Spark pushes each AND leg as its own
     // Filter, so every entry here independently bounds the result
     val eqs: Seq[(String, Seq[String])] = pushed.collect {
@@ -246,10 +251,27 @@ object LakePruningScanBuilder {
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         a -> vs.toSeq.map(_.asInstanceOf[String])
     }
-    if (eqs.isEmpty || !kept.forall(rowMeta.contains)) return (rows, bytes)
+    // null-ness conjuncts price EXACTLY off the ndv layer's null counts —
+    // `WHERE c IS NOT NULL` on a mostly-null enrichment column is the
+    // other categorical filter curation queries live on
+    val nullness: Seq[(String, Boolean)] = pushed.collect {
+      case IsNull(a)    => a -> true
+      case IsNotNull(a) => a -> false
+    }
+    if ((eqs.isEmpty && nullness.isEmpty) || !kept.forall(rowMeta.contains))
+      return (rows, bytes)
     val live = kept.filter(d => rowMeta(d)._1 > 0)
     if (live.isEmpty) return (rows, bytes)
     var best = rows
+    nullness.foreach { case (c, wantNull) =>
+      if (live.forall(d => ndvMeta.get(d).exists(_.contains(c)))) {
+        val est = live.iterator.map { d =>
+          val nulls = ndvMeta(d)(c)._2
+          if (wantNull) nulls else math.max(0L, rowMeta(d)._1 - nulls)
+        }.sum
+        best = math.min(best, math.max(if (wantNull) 0L else 1L, est))
+      }
+    }
     eqs.foreach { case (c, values) =>
       val isString = dataSchema.fields.find(_.name == c)
         .exists(_.dataType == org.apache.spark.sql.types.StringType)

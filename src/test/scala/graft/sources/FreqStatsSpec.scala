@@ -85,6 +85,35 @@ class FreqStatsSpec extends SparkSpec {
         r.computeStats().rowCount
     }.head
     assert(unfiltered.contains(BigInt(60000)))
+    // the diagnostic face: t$stats surfaces the merged heavy hitter
+    val top = spark.sql("SELECT column, top_values FROM gfrq.`fct$stats`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("status") != null && top("status").startsWith("COMMON:"),
+      s"the skew diagnostic must lead with the heavy value, got '${top("status")}'")
+  }
+
+  test("IS NULL / IS NOT NULL refine exactly off the null counts") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_frq4").toString
+    spark.conf.set("spark.sql.catalog.gfrq4", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfrq4.root", r)
+    val f = s"$r/t"
+    // 10% of rows carry the enrichment column
+    VersionedLake.appendCommit(
+      spark.range(0, 20000).select(col("id").as("k"),
+        when(col("id") % 10 === 0, concat(lit("e"), col("id")).cast("string"))
+          .otherwise(lit(null).cast("string")).as("enrich")),
+      f, statsCols = Seq("k", "enrich"))
+    def reported(cond: org.apache.spark.sql.Column): BigInt =
+      spark.table("gfrq4.t").filter(cond).queryExecution.optimizedPlan.collect {
+        case rr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          rr.computeStats().rowCount
+      }.head.getOrElse(fail("no row count"))
+    assert(reported(col("enrich").isNotNull) === BigInt(2000),
+      "IS NOT NULL must price at the exact non-null count")
+    assert(reported(col("enrich").isNull) === BigInt(18000),
+      "IS NULL must price at the exact null count")
   }
 
   test("carry and re-key: appends keep old sketches verbatim; optimize re-sketches the rewrite") {

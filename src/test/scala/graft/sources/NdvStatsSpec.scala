@@ -145,6 +145,15 @@ class NdvStatsSpec extends SparkSpec {
     // string compare would have picked "9..."-prefixed renders
     assert(rows("k")._3 === "0" && rows("k")._4 === "59999")
     assert(rows("tag")._2 === 6000L)
+    // top_values: merged heavy hitters for string columns — null means
+    // no sketch coverage (numerics), empty means covered but no
+    // CONFIDENT heavy hitter (tag is near-unique: the honest answer on
+    // a flat column is "nothing dominates", never a fabricated top-5)
+    val top = spark.sql("SELECT column, top_values FROM gndv.`fct$stats`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("k") == null, "numeric columns carry no frequent-values sketch")
+    assert(top("tag") != null && top("tag").isEmpty,
+      s"a near-unique string column is covered but dominated by nothing, got '${top("tag")}'")
   }
 
   test("the NDV layer survives a keyed rewrite and a rename re-keys it") {
