@@ -12,19 +12,22 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** FREQUENT-VALUES (top-K / heavy-hitter) sketch aggregate over a string
-  * column — the DataSketches frequent-items sketch (Misra–Gries family:
+/** FREQUENT-VALUES (top-K / heavy-hitter) sketch aggregate over a
+  * column's stored-string domain (string and integral stats columns) —
+  * the DataSketches frequent-items sketch (Misra–Gries family:
   * space-bounded, mergeable, deterministic error ≤ n/maxMapSize) as a
   * native Catalyst [[TypedImperativeAggregate]], so it rides the lake's
   * single per-commit stats pass exactly like the HLL NDV sketch does.
   *
-  * Purpose: CATEGORICAL selectivity for CBO. Numeric skew is served by
-  * the equi-height histogram edges; a skewed STRING column (status
-  * codes, language tags — the filters of curation queries) had only
-  * uniform-over-NDV estimation, off by orders of magnitude when one
-  * value holds 95% of the rows. The per-directory sketch pins every
-  * heavy value's count within maxError and bounds the residual mass the
-  * rare tail shares — see [[FreqSketch.estimate]].
+  * Purpose: EQUALITY selectivity for skewed categorical domains. Range
+  * skew is served by the equi-height histogram edges (CBO mode); a
+  * skewed STRING column (status codes, language tags) or INT code had
+  * only uniform-over-NDV estimation, off by orders of magnitude when
+  * one value holds 95% of the rows — and in size-only mode, no
+  * refinement at all. The per-directory sketch pins every heavy value's
+  * count within maxError and bounds the residual mass the rare tail
+  * shares — see [[FreqSketch.estimate]]; a point filter on a
+  * near-unique integral key prices at ~1 row with no CBO flag.
   *
   * Partial aggregation applies (each partition sketches locally, merge
   * is the sketch's own merge), so the shuffle carries one ~KB sketch

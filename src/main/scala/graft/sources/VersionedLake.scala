@@ -1010,6 +1010,14 @@ object VersionedLake {
     val numeric = statsCols.map(c => df.schema.fields
       .find(_.name == c).exists(_.dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType])).toIndexedSeq
+    val integral = statsCols.map(c => df.schema.fields
+      .find(_.name == c).exists { f =>
+        import org.apache.spark.sql.types._
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
+        }
+      }).toIndexedSeq
     val qs = (0 to HistBins).map(_.toDouble / HistBins).toArray
     val aggs = statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string"),
@@ -1019,12 +1027,14 @@ object VersionedLake {
       // keeps the row layout fixed for the rest
       if (numeric(i)) percentile_approx(col(c).cast("double"), lit(qs), lit(2000))
       else lit(null).cast("array<double>"),
-      // the categorical counterpart: a frequent-values sketch for
-      // NON-numeric columns (the stored-string domain, like the HLL and
-      // min/max renders — equality literals compare through the same
-      // cast), so skewed string filters price correctly where
-      // uniform-over-NDV is off by orders of magnitude
-      if (numeric(i)) lit(null).cast("binary")
+      // the categorical counterpart: a frequent-values sketch over the
+      // stored-string domain (like the HLL and min/max renders) for
+      // string AND integral columns — skewed status strings and skewed
+      // int codes both price correctly where uniform-over-NDV is off by
+      // orders of magnitude. Fractional types are excluded: their
+      // cast-to-string renders ("1.5" vs "1.50") don't reliably match a
+      // probe literal's toString, and equality on them is rare anyway
+      if (numeric(i) && !integral(i)) lit(null).cast("binary")
       else graft.functions.FreqSketch.freqSketchAgg(col(c).cast("string")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()

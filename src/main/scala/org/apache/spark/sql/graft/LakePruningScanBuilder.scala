@@ -245,11 +245,23 @@ object LakePruningScanBuilder {
     if (rows <= 0L) return (rows, bytes)
     // top-level conjuncts only: Spark pushes each AND leg as its own
     // Filter, so every entry here independently bounds the result
-    val eqs: Seq[(String, Seq[String])] = pushed.collect {
-      case EqualTo(a, v: String)       => a -> Seq(v)
-      case EqualNullSafe(a, v: String) => a -> Seq(v)
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        a -> vs.toSeq.map(_.asInstanceOf[String])
+    // values render to the sketch's stored-string domain: strings as-is,
+    // integrals via toString (matches the column's cast-to-string render
+    // bit-for-bit; fractional types are never sketched — see
+    // columnStatsNdv)
+    def render(v: Any): Option[String] = v match {
+      case s: String                                                 => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+          _: java.lang.Long                                          => Some(v.toString)
+      case _                                                         => None
+    }
+    val eqs: Seq[(String, Seq[String])] = pushed.flatMap {
+      case EqualTo(a, v)       => render(v).map(r => a -> Seq(r))
+      case EqualNullSafe(a, v) if v != null => render(v).map(r => a -> Seq(r))
+      case In(a, vs) if vs.nonEmpty =>
+        val rs = vs.toSeq.map(render)
+        if (rs.forall(_.isDefined)) Some(a -> rs.flatten) else None
+      case _ => None
     }
     // null-ness conjuncts price EXACTLY off the ndv layer's null counts —
     // `WHERE c IS NOT NULL` on a mostly-null enrichment column is the
@@ -273,12 +285,17 @@ object LakePruningScanBuilder {
       }
     }
     eqs.foreach { case (c, values) =>
-      val isString = dataSchema.fields.find(_.name == c)
-        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+      val sketchable = dataSchema.fields.find(_.name == c).exists { f =>
+        import org.apache.spark.sql.types._
+        f.dataType match {
+          case StringType | ByteType | ShortType | IntegerType | LongType => true
+          case _                                                          => false
+        }
+      }
       val covered = live.forall(d =>
         freqMeta.get(d).exists(_.contains(c)) &&
           ndvMeta.get(d).exists(_.contains(c)))
-      if (isString && covered) {
+      if (sketchable && covered) {
         val est = live.iterator.map { d =>
           val (nd, nulls) = ndvMeta(d)(c)
           val nonNull = math.max(0L, rowMeta(d)._1 - nulls)

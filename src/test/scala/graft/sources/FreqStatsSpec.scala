@@ -41,8 +41,8 @@ class FreqStatsSpec extends SparkSpec {
     val freq = VersionedLake.dirFreq(spark, f, v)
     assert(freq.size === 2, "both appended directories carry a status sketch")
     freq.values.foreach { cols =>
-      assert(cols.contains("status"), "non-numeric stats column sketches")
-      assert(!cols.contains("k"), "numeric columns carry histograms, not sketches")
+      assert(cols.contains("status"), "string stats columns sketch")
+      assert(cols.contains("k"), "integral stats columns sketch too (point-filter selectivity)")
     }
     val ndv = VersionedLake.dirNdv(spark, f, v)
     val rows = VersionedLake.dirRowCounts(spark, f, v)
@@ -171,5 +171,30 @@ class FreqStatsSpec extends SparkSpec {
     val rows = rel.head.computeStats().rowCount
     assert(rows.contains(BigInt(20000)),
       s"a dir without the sketch must block refinement (full rows), got $rows")
+  }
+
+  test("integral skew refines like string skew: a rare int code prices at tail share") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_frq5").toString
+    spark.conf.set("spark.sql.catalog.gfrq5", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfrq5.root", r)
+    val f = s"$r/t"
+    // heavy code 7777 (95%), rare codes 0..96 in the tail
+    VersionedLake.appendCommit(
+      spark.range(0, 40000).select(col("id").as("k"),
+        when(col("id") % 20 === 0, col("id") % 97).otherwise(lit(7777L)).as("code")),
+      f, statsCols = Seq("code"))
+    def reported(cond: org.apache.spark.sql.Column): BigInt =
+      spark.table("gfrq5.t").filter(cond).queryExecution.optimizedPlan.collect {
+        case rr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          rr.computeStats().rowCount
+      }.head.getOrElse(fail("no row count"))
+    val rare = reported(col("code") === 13L)
+    val heavy = reported(col("code") === 7777L)
+    assert(rare <= BigInt(2000),
+      s"rare int code must price within the 5% tail (true ~21), got $rare")
+    assert(heavy >= BigInt(35000),
+      s"heavy int code must price ~95% of 40000, got $heavy")
   }
 }

@@ -94,16 +94,18 @@ class NdvStatsSpec extends SparkSpec {
     val prevCbo = conf.get("spark.sql.cbo.enabled")
     val prevThr = conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      // threshold below BOTH raw table sizes: without column statistics
-      // neither side broadcasts (the filter does not shrink a
-      // size-only estimate), so the join plans as a shuffle
+      // threshold below BOTH raw table sizes
       conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
       conf.set("spark.sql.cbo.enabled", "false")
       // the fact side's surviving outputs are (grp, tag) — k is pruned
-      // after the filter — so "tag" identifies the fact as build side
+      // after the filter — so "tag" identifies the fact as build side.
+      // Since round 15 the point filter broadcasts even in SIZE-ONLY
+      // mode: k is an integral stats column, so the scan's
+      // frequent-values refinement prices `k = 777` at ~1 row (tracked
+      // upper bound / residual tail share) with no CBO flag at all
       val without = buildSideOutputs(spark.sql(sql).queryExecution.sparkPlan)
-      assert(!without.exists(_.contains("tag")),
-        s"without CBO column stats the filtered fact must not broadcast, got $without")
+      assert(without.exists(_.contains("tag")),
+        s"size-only mode must already broadcast via the sketch refinement, got $without")
       conf.set("spark.sql.cbo.enabled", "true")
       val withCbo = buildSideOutputs(spark.sql(sql).queryExecution.sparkPlan)
       assert(withCbo.exists(_.contains("tag")),
@@ -151,7 +153,8 @@ class NdvStatsSpec extends SparkSpec {
     // a flat column is "nothing dominates", never a fabricated top-5)
     val top = spark.sql("SELECT column, top_values FROM gndv.`fct$stats`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(top("k") == null, "numeric columns carry no frequent-values sketch")
+    assert(top("k") != null && top("k").isEmpty,
+      "a near-unique integral column is covered but dominated by nothing")
     assert(top("tag") != null && top("tag").isEmpty,
       s"a near-unique string column is covered but dominated by nothing, got '${top("tag")}'")
   }
