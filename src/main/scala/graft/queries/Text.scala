@@ -889,6 +889,46 @@ object Text {
       covers = Seq("ext-bm25-indexed")),
 
     // ------------------------------------------------------------------
+    // BUCKET-COUNT EVOLUTION, oracle-visible: the fixture declares a new
+    // term-hash bucket count on a LIVE index (one metadata write),
+    // appends a second generation under it, and PARTIALLY migrates —
+    // then pins the index mid-migration forever. Every run proves the
+    // mixed-generation probe answers the INDEPENDENT corpus-scan BM25
+    // exactly while reading ≤ one bucket per generation per term; at
+    // 100 TB this is "grow the corpus 10× without rebuilding the index".
+    QueryDef(
+      "q_bm25_evolved",
+      (s, dir) => {
+        val idxDir = evolvedIndexFixture(s, dir)
+        require(
+          graft.operators.InvertedIndex.legacyBuckets(s, idxDir).nonEmpty,
+          "the fixture must stay MID-migration: both bucket generations live")
+        graft.operators.InvertedIndex
+          .searchBm25(s, idxDir, Seq("join", "scan", "filter"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x != '')) AS w
+             |  FROM documents),
+             |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+             |avgl AS (SELECT avg(len) AS avgl FROM lens),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('join', 'scan', 'filter')),
+             |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtok GROUP BY 1),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM qtok GROUP BY 1, 2),
+             |contrib AS (
+             |  SELECT tf.doc_id,
+             |    round(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1)) /
+             |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / avgl.avgl)),
+             |      9) AS c
+             |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+             |  CROSS JOIN avgl CROSS JOIN n)
+             |SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY 1""".stripMargin),
+      covers = Seq("ext-index-bucket-evolve")),
+
+    // ------------------------------------------------------------------
     // EXACT PHRASE SEARCH over the POSITIONAL postings: documents where
     // "table hash" occurs as consecutive tokens, with occurrence
     // counts. The probe reads the two terms' postings buckets and
@@ -1065,6 +1105,30 @@ object Text {
   // showcases. Bench's warm-up pays the build; in-body calls memoize.
   // ------------------------------------------------------------------
   private val invIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Mid-migration index fixture: generation 1 built at the default 32
+    * buckets, the count re-declared to 48, generation 2 appended under
+    * it, and the drain deliberately stopped after a few bucket values —
+    * the steady state of a large re-bucketing, held so every run probes
+    * both generations.
+    */
+  private def evolvedIndexFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    invIdxEvolved.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_invevo").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir): Unit
+      graft.operators.InvertedIndex.setNumBuckets(s, idxDir, 48)
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir): Unit
+      val left = graft.operators.InvertedIndex.migrateBuckets(s, idxDir, maxBuckets = 4)
+      require(left > 0, s"fixture wants a partial drain, all migrated ($left left)")
+      idxDir
+    })
+
+  private val invIdxEvolved = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def invertedIndexFixture(
       s: org.apache.spark.sql.SparkSession,
