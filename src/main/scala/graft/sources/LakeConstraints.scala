@@ -329,10 +329,12 @@ object LakeConstraints {
     * copy inside the commit's scope leaves. A duplicate surviving in a
     * directory the commit never touched can still refuse conservatively
     * — exact for the UNIQUE-keyed parent (the normal FK shape), never
-    * unsound: RESTRICT may over-refuse, it may not orphan. Not gated:
-    * whole-snapshot replacement ([[VersionedLake.commit]]) and keyed
-    * upserts that rewrite the key itself — `verify_constraints` audits
-    * those, as documented on [[addFk]].
+    * unsound: RESTRICT may over-refuse, it may not orphan. Gated paths:
+    * the predicate delete/update family (CoW and MoR) and keyed upserts
+    * (pre-images = the matched keys' rows; a rekey that strips a
+    * referenced value refuses). Not gated: whole-snapshot replacement
+    * ([[VersionedLake.commit]]) — `verify_constraints` audits it, as
+    * documented on [[addFk]].
     */
   private[sources] def enforceRestrict(
       spark: SparkSession,

@@ -3162,6 +3162,19 @@ object VersionedLake {
       // publishing a version (plus an empty data dir and artifact) for a
       // no-match empty batch would grow the manifest per idempotent call
       if (kr.rewritten.isEmpty && updates.isEmpty) return base
+      // ON DELETE RESTRICT (parent side): a keyed upsert REMOVES a parent
+      // key when the matched pre-images carried it and neither the batch
+      // nor the probeKeys-surviving rows re-supply it — a rekey or a
+      // probed delete. Matched pre-images = the affected dirs semi-joined
+      // on the probe keys; retained = the batch (untouched rows of
+      // affected dirs never left). Zero cost without a restrict decl.
+      if (kr.rewritten.nonEmpty &&
+        LakeConstraints.restrictsOf(spark, tableDir).nonEmpty) {
+        val pre = readDirs(spark, tableDir,
+          kr.rewritten.keySet.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
+          .join(keyDf.distinct(), keys, "left_semi")
+        LakeConstraints.enforceRestrict(spark, tableDir, pre, Some(updates), "upsert")
+      }
       // CDC artifact: pre-images are the matched rows of the affected
       // directories (the same rows the rewrite just removed), split into
       // update_preimage (key re-supplied by the batch) vs delete (key
@@ -3306,6 +3319,19 @@ object VersionedLake {
     val typedKeys = updates.select(keys.map { k =>
       col(k).cast(committed(committed.fieldIndex(k)).dataType).as(k)
     }: _*).distinct()
+    // ON DELETE RESTRICT (parent side): the MoR upsert's pre-images are
+    // the CURRENT logical rows of the batch's keys (the eq-delete hides
+    // them); keys the batch stops supplying must not still be referenced.
+    // Probed against only the key-range-overlapping directories, BEFORE
+    // the delete/data artifacts are paid. Zero cost without a decl.
+    if (LakeConstraints.restrictsOf(spark, tableDir).nonEmpty) {
+      val candidates = pruneCandidates(spark, tableDir, base0, typedKeys, keys)
+      if (candidates.nonEmpty) {
+        val pre = readDirsWithDeletes(spark, tableDir, base0, candidates,
+          Some(committed)).join(typedKeys, keys, "left_semi")
+        LakeConstraints.enforceRestrict(spark, tableDir, pre, Some(updates), "upsertMor")
+      }
+    }
     val delName = java.util.UUID.randomUUID().toString
     typedKeys.write.mode("error").parquet(s"$tableDir/deletes/$delName")
     val updDir = writeDataDir(updates, tableDir, parts, maxRecordsPerFile)

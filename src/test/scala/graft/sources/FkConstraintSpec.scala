@@ -157,4 +157,41 @@ class FkConstraintSpec extends SparkSpec {
     assert(rows.exists { case (n, c) => n.startsWith("fd@") && c.startsWith("RESTRICT") },
       s"parent must list the reverse pointer: $rows")
   }
+
+  test("RESTRICT gates keyed upserts: a rekey away from a referenced value refuses") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp("fkr_up_parent")
+    val child = tmp("fkr_up_child")
+    // parent keyed by id; the FK references the EMAIL column, so an
+    // upsert-by-id can rewrite the referenced value (the rekey shape)
+    VersionedLake.appendCommit(
+      Seq((1L, "a@x"), (2L, "b@x"), (3L, "c@x")).toDF("id", "email"), parent,
+      statsCols = Seq("id", "email"))
+    VersionedLake.appendCommit(
+      Seq((10L, "a@x")).toDF("cid", "ref_email"), child, statsCols = Seq("ref_email"))
+    LakeConstraints.addFk(s, child, "em_fk", Seq("ref_email"), parent, Seq("email"),
+      restrict = true)
+    // rekeying the referenced email away refuses (CoW upsert)
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.upsert(s, parent, Seq((1L, "a2@x")).toDF("id", "email"),
+        keys = Seq("id")))
+    assert(e.getMessage.contains("RESTRICT"), e.getMessage)
+    // rekeying an UNREFERENCED email commits; re-supplying the same
+    // referenced value commits (nothing leaves)
+    VersionedLake.upsert(s, parent, Seq((2L, "b2@x")).toDF("id", "email"),
+      keys = Seq("id"))
+    VersionedLake.upsert(s, parent, Seq((1L, "a@x")).toDF("id", "email"),
+      keys = Seq("id"))
+    // the MoR twin gates the same way, before any artifact lands
+    intercept[IllegalArgumentException](
+      VersionedLake.upsertMor(s, parent, Seq((1L, "a3@x")).toDF("id", "email"),
+        keys = Seq("id")))
+    VersionedLake.upsertMor(s, parent, Seq((3L, "c2@x")).toDF("id", "email"),
+      keys = Seq("id"))
+    assert(VersionedLake.read(s, parent).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a@x"), (2L, "b2@x"), (3L, "c2@x")))
+    assert(LakeConstraints.verifyAll(s, child).forall(_._3 === 0L))
+  }
 }
