@@ -34,7 +34,8 @@ object GraftProcedures {
     "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
-    "set_partition_spec", "explain_scan", "verify_constraints", "atomic")
+    "set_partition_spec", "explain_scan", "verify_constraints", "atomic",
+    "set_text_index_buckets", "migrate_text_index")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -297,6 +298,33 @@ object GraftProcedures {
           val (idxDir, idCol, textCol) = textIdxOf(spark, corpus)
           graft.operators.InvertedIndex.sync(spark, corpus, idCol, textCol, idxDir)
             .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+        }
+      case "set_text_index_buckets" =>
+        proc(name, "declare a new term-hash bucket count for the table's text " +
+          "index - one metadata write, zero data moved: new postings commits " +
+          "bucket under it, probes read every generation still present " +
+          "(<= one bucket per generation per term); run migrate_text_index " +
+          "to drain the old generation",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("n", IntegerType).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, _, _) = textIdxOf(spark, corpus)
+          graft.operators.InvertedIndex.setNumBuckets(spark, idxDir, in.getInt(1))
+          in.getInt(1).toLong
+        }
+      case "migrate_text_index" =>
+        proc(name, "drain old-generation postings onto the declared bucket " +
+          "count, up to max_buckets stale bucket values per call (one atomic " +
+          "replaceWhere - bounded work, probes stay exact throughout); " +
+          "returns the stale values still remaining (0 = fully migrated)",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("max_buckets", IntegerType)
+              .defaultValue(Int.MaxValue.toString).build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val (idxDir, _, _) = textIdxOf(spark, corpus)
+          graft.operators.InvertedIndex.migrateBuckets(spark, idxDir, in.getInt(1)).toLong
         }
       case "drop_text_index" =>
         proc(name, "unregister the table's text index (the postings/stats tables " +

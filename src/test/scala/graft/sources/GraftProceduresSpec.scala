@@ -290,4 +290,51 @@ class GraftProceduresSpec extends SparkSpec {
     assert(VersionedLake.currentVersion(spark, s"$root/atm_a").contains(va),
       "a constraint refusal in statement 2 must abort statement 1's publish")
   }
+
+  test("CALL set_text_index_buckets + migrate_text_index: SQL-driven bucket evolution") {
+    root
+    spark.sql("CREATE TABLE gproc.evo_docs (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO gproc.evo_docs VALUES " +
+      (1 to 200).map(i => s"($i, 'alpha beta w$i gamma')").mkString(", "))
+    spark.sql("CALL gproc.system.create_text_index('evo_docs', 'evo_idx', 'doc_id', 'text')")
+      .collect()
+    val before = spark.sql(
+      "CALL gproc.system.text_search('evo_docs', 'alpha,beta', 300)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    spark.sql("CALL gproc.system.set_text_index_buckets('evo_docs', 8)").collect()
+    // new commits land under the declaration; probes stay exact across
+    // both generations
+    spark.sql("INSERT INTO gproc.evo_docs VALUES (900, 'alpha beta omega')")
+    spark.sql("CALL gproc.system.refresh_text_index('evo_docs')").collect()
+    val idxDir = s"$root/evo_idx"
+    assert(InvertedIndexFacts.numBuckets(spark, idxDir) === 8)
+    val mid = spark.sql(
+      "CALL gproc.system.text_search('evo_docs', 'alpha,beta', 300)")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(mid.contains(900L) && before.forall(b => mid.contains(b._1)),
+      "mixed-generation probe finds both eras")
+    // bounded drains tick down to 0; the legacy list clears
+    var left = spark.sql(
+      "CALL gproc.system.migrate_text_index('evo_docs', 2)").head().getLong(0)
+    var guard = 0
+    while (left > 0 && guard < 40) {
+      left = spark.sql(
+        "CALL gproc.system.migrate_text_index('evo_docs', 2)").head().getLong(0)
+      guard += 1
+    }
+    assert(left === 0L && guard < 40)
+    assert(InvertedIndexFacts.legacyBuckets(spark, idxDir).isEmpty)
+    val after = spark.sql(
+      "CALL gproc.system.text_search('evo_docs', 'alpha,beta', 300)")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(after === mid, "the drain changes layout, never the answer")
+  }
+}
+
+/** Test-side alias: the operators package members under their public API. */
+private object InvertedIndexFacts {
+  def numBuckets(s: org.apache.spark.sql.SparkSession, idx: String): Int =
+    graft.operators.InvertedIndex.numBuckets(s, idx)
+  def legacyBuckets(s: org.apache.spark.sql.SparkSession, idx: String): Seq[Int] =
+    graft.operators.InvertedIndex.legacyBuckets(s, idx)
 }
