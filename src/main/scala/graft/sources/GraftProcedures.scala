@@ -35,7 +35,7 @@ object GraftProcedures {
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
     "set_partition_spec", "explain_scan", "verify_constraints", "atomic",
-    "set_text_index_buckets", "migrate_text_index")
+    "set_text_index_buckets", "migrate_text_index", "estimate_rows")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -67,6 +67,40 @@ object GraftProcedures {
           s"bad aggregate spec '$bad' - want state_col=op(column) with " +
             "op in sum/count/min/max (count takes * or a column)")
     }.toMap
+
+  /** Bind a predicate string against a table's own committed schema
+    * (names, types, coercions land exactly as a real scan would see
+    * them), fold the coercion casts the analyzer leaves around literals,
+    * and translate the conjuncts through the same pushdown channel the
+    * scan rides. Returns (translated filters, untranslatable conjuncts).
+    */
+  private def bindPredicate(
+      spark: SparkSession,
+      dir: String,
+      v: Long,
+      predSql: String): (Seq[org.apache.spark.sql.sources.Filter],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    val schema0 = VersionedLake.visibleSchema(
+      VersionedLake.versionSchema(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"$dir@v$v carries no schema header")))
+    val attrs = schema0.fields.toSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable)())
+    val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
+    val analyzed = spark.sessionState.analyzer.execute(
+      org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs)))
+    val bound = analyzed.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    }.getOrElse(throw new IllegalStateException(s"unanalyzable predicate: $predSql"))
+    val folded = bound.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType)
+    }
+    org.apache.spark.sql.graft.Bridge.translateConjuncts(folded)
+  }
 
   /** Split on ';' outside quoted strings. SQL's doubled-quote escape
     * ('it''s') splits correctly by construction: each quote toggles the
@@ -433,6 +467,36 @@ object GraftProcedures {
           }.toArray
           (schema, rows)
         }
+      case "estimate_rows" =>
+        proc(name, "the row count the PLANNER will see for this predicate: " +
+          "manifest pruning + the selectivity layers (frequent-values " +
+          "equality, exact null counts) applied to the kept directories - " +
+          "what drives broadcast decisions, O(directories) metadata, zero " +
+          "file opens. Conservative by construction: missing coverage " +
+          "returns the raw kept-row sum, never a guess",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("predicate", StringType).build())) { in =>
+          val dir = resolve(str(in, 0))
+          val v = VersionedLake.currentVersion(spark, dir).getOrElse(
+            throw new IllegalStateException(s"no published version in $dir"))
+          val (filters, _) = bindPredicate(spark, dir, v, str(in, 1))
+          val kept = VersionedLake.pruneDirsForFilters(spark, dir, v, filters)
+          val rowMeta = VersionedLake.dirRowCounts(spark, dir, v)
+          if (!kept.forall(rowMeta.contains))
+            throw new IllegalStateException(
+              s"$dir@v$v has directories without exact row counts - no estimate")
+          val raw = kept.map(rowMeta(_)._1).sum
+          val schema0 = VersionedLake.versionSchema(spark, dir, v)
+            .getOrElse(new org.apache.spark.sql.types.StructType())
+          val (refined, _) = org.apache.spark.sql.graft.LakePruningScanBuilder
+            .refineForFilters(filters, kept, rowMeta,
+              VersionedLake.dirNdv(spark, dir, v),
+              VersionedLake.dirFreq(spark, dir, v),
+              VersionedLake.visibleSchema(schema0), raw,
+              math.max(1L, kept.map(rowMeta(_)._2).sum))
+          refined
+        }
       case "explain_scan" =>
         procRows(name, "dry-run the manifest pruning for a predicate: per directory, " +
           "its rows/bytes and whether the stats/bloom layer keeps it - the " +
@@ -443,35 +507,9 @@ object GraftProcedures {
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("predicate", StringType).build())) { in =>
           val dir = resolve(str(in, 0))
-          val predSql = str(in, 1)
           val v = VersionedLake.currentVersion(spark, dir).getOrElse(
             throw new IllegalStateException(s"no published version in $dir"))
-          val schema0 = VersionedLake.visibleSchema(
-            VersionedLake.versionSchema(spark, dir, v).getOrElse(
-              throw new IllegalStateException(s"$dir@v$v carries no schema header")))
-          // bind the predicate against the table's own schema (names,
-          // types, coercions land exactly as a real scan would see them)
-          val attrs = schema0.fields.toSeq.map(f =>
-            org.apache.spark.sql.catalyst.expressions.AttributeReference(
-              f.name, f.dataType, f.nullable)())
-          val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
-          val analyzed = spark.sessionState.analyzer.execute(
-            org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
-              org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs)))
-          val bound = analyzed.collectFirst {
-            case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
-          }.getOrElse(throw new IllegalStateException(s"unanalyzable predicate: $predSql"))
-          // the analyzer leaves coercion casts around literals (constant
-          // folding is an optimizer rule); fold them here so the
-          // translation sees the same shape a real scan's pushdown would
-          val folded = bound.transformUp {
-            case e if e.foldable &&
-                !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-              org.apache.spark.sql.catalyst.expressions.Literal.create(
-                e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), e.dataType)
-          }
-          val (filters, leftover) =
-            org.apache.spark.sql.graft.Bridge.translateConjuncts(folded)
+          val (filters, leftover) = bindPredicate(spark, dir, v, str(in, 1))
           val kept = VersionedLake.pruneDirsForFilters(spark, dir, v, filters).toSet
           val rowMeta = VersionedLake.dirRowCounts(spark, dir, v)
           val schema = StructType(Seq(

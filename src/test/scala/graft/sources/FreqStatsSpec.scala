@@ -197,4 +197,18 @@ class FreqStatsSpec extends SparkSpec {
     assert(heavy >= BigInt(35000),
       s"heavy int code must price ~95% of 40000, got $heavy")
   }
+
+  test("CALL system.estimate_rows reports the planner's refined estimate") {
+    root // the gfrq catalog with the skewed status fixture
+    spark.conf.set("spark.sql.catalog.gfrq.root",
+      spark.conf.get("spark.sql.catalog.gfrq.root"))
+    def est(pred: String): Long = spark.sql(
+      s"CALL gfrq.system.estimate_rows('fct', '$pred')").head().getLong(0)
+    assert(est("status = ''RARE-13''") <= 3100L,
+      "rare equality estimates at tail share through the SQL face")
+    assert(est("status = ''COMMON''") >= 50000L,
+      "heavy equality estimates near full")
+    assert(est("k >= 0") === 60000L,
+      "a range predicate keeps the raw kept-row sum (no equality to refine)")
+  }
 }
