@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => graft.plans.LakeDmlRules)
     ext.injectResolutionRule(_ => graft.plans.LakeReadThroughRule)
+    // identifier spelling for the retrieval TVFs' corpus argument
+    ext.injectResolutionRule(_ => graft.plans.TextSearchTvf.IdentifierArgRule)
     // post-hoc (after full resolution, Once): aggregate-over-corpus
     // shapes are only recognizable on a resolved tree, and the rewrite
     // splices an already-analyzed replacement — nothing left to resolve

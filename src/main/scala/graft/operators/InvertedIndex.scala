@@ -127,6 +127,13 @@ object InvertedIndex {
       .filter(wrongB).select("b").distinct().orderBy("b")
       .collect().map(_.getLong(0)).toSeq // bounded by Σ legacy counts
     if (staleVals.isEmpty) {
+      // Publish BEFORE retiring the legacy probe keys: a prior call (or a
+      // crashed one) may have rewritten the postings without re-pinning
+      // them, and probes compute candidate buckets from LIVE props but
+      // read the TXN-PINNED version — unsetting first would leave a
+      // window (durable, after a crash) where new-count-only probes read
+      // old-bucketed pinned postings and silently miss.
+      publishCurrent(spark, indexDir)
       graft.sources.LakeProps.unset(spark, postDir, LegacyKey)
       return 0
     }
@@ -139,8 +146,12 @@ object InvertedIndex {
       col("b").isin(chunkVals: _*) && wrongB, chunk,
       changeArtifact = false)
     val remaining = staleVals.size - chunkVals.size
-    if (remaining == 0) graft.sources.LakeProps.unset(spark, postDir, LegacyKey)
+    // Pin the rewritten postings FIRST, then retire the legacy probe
+    // keys — the reverse order opens a window where bucketsOf (live
+    // props) yields new-count-only buckets while readMember still serves
+    // the pre-migration pinned version, i.e. silent probe misses.
     publishCurrent(spark, indexDir)
+    if (remaining == 0) graft.sources.LakeProps.unset(spark, postDir, LegacyKey)
     remaining
   }
 

@@ -42,9 +42,14 @@ object ViewMaintenance {
       // merged sketch is bit-identical to a one-pass sketch, which is
       // what lets an hll state answer sketch-estimate queries exactly
       case (c, "hll") => hll_union_agg(col(c)).as(c)
+      // exact-distinct value sets: set union (sorted for determinism) —
+      // bounded by the MV's declared cap per partial, asserted at
+      // maintenance time (LakeMv.stateOverGuarded), never here
+      case (c, "distinct") =>
+        array_sort(array_distinct(flatten(collect_list(col(c))))).as(c)
       case (c, op) =>
         throw new IllegalArgumentException(
-          s"column $c: op $op is not mergeable (use sum/min/max/hll; " +
+          s"column $c: op $op is not mergeable (use sum/min/max/hll/distinct; " +
             "decompose algebraic aggregates into distributive state)")
     }
     views.reduce(_.unionByName(_))

@@ -182,6 +182,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // sum of a DECIMAL sum widens again; the value fits by construction,
     // it IS the original aggregate's value)
     def derive(ae: AggregateExpression): Option[org.apache.spark.sql.Column] = ae match {
+      // exact count(DISTINCT c) from a ("distinct", c) value-set state:
+      // the union of per-partial sets IS the group's value set (bounded
+      // by the view's declared cap at maintenance time), so re-unioning
+      // across state rows and sizing is exact at the view's grain AND
+      // under rollup. Multi-arg count(DISTINCT a, b) stays declined.
+      case AggregateExpression(Count(Seq(e)), Complete, true, None, _) =>
+        stateFor("distinct", e).map { s =>
+          import org.apache.spark.sql.functions.{array_distinct, collect_list, flatten, size}
+          size(array_distinct(flatten(collect_list(col(s))))).cast(ae.dataType)
+        }
       case AggregateExpression(fn, Complete, false, None, _) =>
         val c: Option[org.apache.spark.sql.Column] = fn match {
           case Sum(e, _) =>

@@ -35,6 +35,19 @@ object TextSearchTvf {
       s"$what must be a string literal, got $other")
   }
 
+  /** The corpus argument accepts an UNQUOTED table identifier too —
+    * `FROM phrase_search(docs, ...)` — which the parser hands over as an
+    * unresolved attribute; its dotted name is exactly the catalog name
+    * [[entryOf]] resolves.
+    */
+  private def corpusArg(e: Expression): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      u.nameParts.mkString(".")
+    case other => throw new IllegalArgumentException(
+      s"corpus must be a string literal or a table identifier, got $other")
+  }
+
   private def intArg(e: Expression, what: String): Int = e.eval() match {
     case n: Number => n.intValue()
     case other => throw new IllegalArgumentException(
@@ -48,11 +61,15 @@ object TextSearchTvf {
   private def entryOf(
       spark: SparkSession, corpus: String): (String, TextIndexes.Entry) =
     TextIndexes.lookup(corpus).map(corpus -> _).getOrElse {
+      // the guard lives IN the pattern: a resolvable table that is not an
+      // unpinned LakeTable must fall through to the explicit error below,
+      // not blow up with a raw MatchError
       val dir = scala.util.Try(Bridge.logicalPlan(spark.table(corpus))).toOption
         .flatMap(_.collectLeaves().collectFirst {
-          case r: DataSourceV2Relation => r.table match {
-            case t: LakeTable if t.pinnedVersion.isEmpty => t.tableDir
-          }
+          case r: DataSourceV2Relation
+              if r.table.isInstanceOf[LakeTable] &&
+                r.table.asInstanceOf[LakeTable].pinnedVersion.isEmpty =>
+            r.table.asInstanceOf[LakeTable].tableDir
         })
         .getOrElse(throw new IllegalArgumentException(
           s"'$corpus' is neither a registered text-index corpus nor a " +
@@ -82,26 +99,63 @@ object TextSearchTvf {
     phrase.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).toSeq
 
-  /** `phrase_search(corpus, phrase)` → (doc_id, n_phrase). */
-  def phrasePlan(children: Seq[Expression]): LogicalPlan = {
-    require(children.size == 2,
-      s"phrase_search(corpus, phrase) wants 2 arguments, got ${children.size}")
-    val spark = SparkSession.active
-    val (key, entry) = entryOf(spark, stringArg(children(0), "corpus"))
-    requireFresh(spark, key, entry)
-    Bridge.logicalPlan(graft.operators.InvertedIndex.searchPhrase(
-      spark, entry.indexDir, terms(stringArg(children(1), "phrase"))))
+  private def kArg(e: Expression): Option[Int] = {
+    val k = intArg(e, "k")
+    require(k >= 1, s"k must be >= 1, got $k")
+    Some(k)
   }
 
-  /** `near_search(corpus, terms, window)` → (doc_id, n_near). */
-  def nearPlan(children: Seq[Expression]): LogicalPlan = {
-    require(children.size == 3,
-      s"near_search(corpus, terms, window) wants 3 arguments, got ${children.size}")
+  /** `phrase_search(corpus, phrase [, k])` → (doc_id, n_phrase); `k`
+    * bounds the probe itself (top-k by count desc, doc_id — the same
+    * ordered limit the procedure face takes), not just the output.
+    */
+  def phrasePlan(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 2 || children.size == 3,
+      s"phrase_search(corpus, phrase[, k]) wants 2-3 arguments, got ${children.size}")
     val spark = SparkSession.active
-    val (key, entry) = entryOf(spark, stringArg(children(0), "corpus"))
+    val (key, entry) = entryOf(spark, corpusArg(children(0)))
+    requireFresh(spark, key, entry)
+    Bridge.logicalPlan(graft.operators.InvertedIndex.searchPhrase(
+      spark, entry.indexDir, terms(stringArg(children(1), "phrase")),
+      k = children.lift(2).flatMap(kArg)))
+  }
+
+  /** Analyzer hook for the IDENTIFIER corpus spelling: the analyzer
+    * resolves a TVF's argument EXPRESSIONS before consulting the
+    * function builder, so a bare `FROM phrase_search(docs, ...)` would
+    * die as an unresolved column long before [[phrasePlan]] sees it.
+    * This rule rewrites the first argument of our two TVFs from an
+    * unresolved attribute into the string literal of its dotted name —
+    * after which the ordinary builder path (and its own resolution
+    * errors) take over.
+    */
+  object IdentifierArgRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedTableValuedFunction}
+    private val Names = Set("phrase_search", "near_search")
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case u: UnresolvedTableValuedFunction
+            if u.name.nonEmpty && Names(u.name.last.toLowerCase) &&
+              u.functionArgs.headOption.exists(_.isInstanceOf[UnresolvedAttribute]) =>
+          val corpus = u.functionArgs.head.asInstanceOf[UnresolvedAttribute]
+            .nameParts.mkString(".")
+          u.copy(functionArgs =
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(corpus),
+              StringType) +: u.functionArgs.tail)
+      }
+  }
+
+  /** `near_search(corpus, terms, window [, k])` → (doc_id, n_near). */
+  def nearPlan(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 3 || children.size == 4,
+      s"near_search(corpus, terms, window[, k]) wants 3-4 arguments, got ${children.size}")
+    val spark = SparkSession.active
+    val (key, entry) = entryOf(spark, corpusArg(children(0)))
     requireFresh(spark, key, entry)
     Bridge.logicalPlan(graft.operators.InvertedIndex.searchNear(
       spark, entry.indexDir, terms(stringArg(children(1), "terms")),
-      window = intArg(children(2), "window")))
+      window = intArg(children(2), "window"),
+      k = children.lift(3).flatMap(kArg)))
   }
 }

@@ -901,6 +901,37 @@ object Relational5 {
           col("o_custkey")), dim, statsCols = Seq("fk"))
   }
 
+  /** Temporal frequent-values fixture: a violently skewed DATE column —
+    * 95% of rows on one heavy day, the rest spread across a 97-day tail
+    * — the daily-partitioned-corpus shape where point-date equality is
+    * the natural probe. Same two-directory stats layout as the string
+    * fixture; the sketch stores the date's canonical ISO render.
+    */
+  private def ensureDateFreqTables(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val fact = s"${catalogLake(s, dir)}/datefreq_skw"
+    if (VersionedLake.currentVersion(s, fact).isEmpty) {
+      val half = maxOrderKey(s, dir) / 2
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 20 === 0,
+          date_add(to_date(lit("1995-01-01")), (col("o_orderkey") % 97).cast("int")))
+          .otherwise(to_date(lit("1995-01-01"))).as("d"),
+        col("o_orderstatus"))
+      VersionedLake.appendCommit(o.filter(col("k") <= half), fact,
+        statsCols = Seq("k", "d"))
+      VersionedLake.appendCommit(o.filter(col("k") > half), fact,
+        statsCols = Seq("k", "d"))
+    }
+    val dim = s"${catalogLake(s, dir)}/datefreq_dim"
+    if (VersionedLake.currentVersion(s, dim).isEmpty)
+      VersionedLake.appendCommit(
+        t(s, dir, "orders").select(col("o_orderkey").as("fk"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("o_custkey")), dim, statsCols = Seq("fk"))
+  }
+
   /** UNIQUE-constraint fixture: half of orders under a PRIMARY-KEY-style
     * declaration, built once; every run then proves the O(delta)
     * enforcement (a duplicate refuses atomically, a fresh row lands).
@@ -1173,6 +1204,30 @@ object Relational5 {
         "'event_type', 'd=hll(uk), n=count(uk)')").collect()
     }
     s"$cat/hll_events_state"
+  }
+
+  /** Exact-distinct MV fixture: the per-group VALUE SET kept as bounded
+    * `distinct` state (cap declared at the CALL — the DDL refuses a
+    * cap-busting column up front), serving exact `count(DISTINCT uk)`
+    * from O(groups) state rows. The modulus bounds per-group cardinality
+    * at ≤89, well inside the declared 128.
+    */
+  private def ensureMvDistinct(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.VersionedLake
+    ensureCatalog(s, dir)
+    val cat = catalogLake(s, dir)
+    val tbl = s"$cat/dst_events"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 89).as("uk"))
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 0), tbl)
+      VersionedLake.appendCommit(ev.filter(col("event_id") % 2 === 1), tbl)
+      s.sql("CALL graftcat.system.create_mv('dst_events', 'dst_events_state', " +
+        "'event_type', 'du=distinct(uk), n=count(uk)', distinct_cap => 128)")
+        .collect()
+    }
+    s"$cat/dst_events_state"
   }
 
   /** Stale-combine MV fixture: a corpus whose FIRST TWO thirds are
@@ -2418,6 +2473,99 @@ object Relational5 {
              |WHERE o.o_orderkey % 20 = 0 AND o.o_orderkey % 97 = 13""".stripMargin),
       covers = Seq("ext-cbo-freq-sketch")),
 
+    // SIZE-ONLY RANGE SELECTIVITY — the same violently skewed column as
+    // q_join_cbo_hist (99.9% of the mass in [0,9), an absolute 100-row
+    // tail above), but with NO CBO flag: the SCAN itself prices the
+    // pushed `v > 8` off the per-directory histogram edges riding the
+    // #ndv layer (row-weighted mixture CDF), reporting ~one bin of rows
+    // where the raw kept-directory sum is the whole fact. This is the
+    // single most common curation filter shape (date windows, score
+    // thresholds) priced correctly in the planner's DEFAULT mode — at
+    // 100 TB the difference between a broadcast and a full fact shuffle.
+    // The body REQUIRES the broadcast only the histogram estimate can
+    // justify: threshold = a third of the fact's own manifest size, so
+    // the unrefined estimate (full size) provably cannot clear it.
+    // Oracle: the joined tail truth.
+    QueryDef(
+      "q_join_cbo_range",
+      (s, dir) => {
+        ensureHistJoinTables(s, dir)
+        val bytes = s.table("graftcat.hist_skw")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", (bytes / 3).toString)
+          val df = s.sql(
+            """SELECT f.k, f.v, f.o_orderstatus, d.o_totalprice
+              |FROM graftcat.hist_skw f
+              |JOIN graftcat.hist_dim d ON f.k = d.hk
+              |WHERE f.v > 8""".stripMargin)
+          val factBuilds = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).output.map(_.name)
+          }.exists(_.contains("v"))
+          require(factBuilds,
+            "size-only range refinement must price the skewed tail under " +
+              "the broadcast threshold with NO CBO flag - the filtered " +
+              "fact side did not broadcast")
+          df.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""SELECT o.o_orderkey AS k, o.o_orderkey * 100 AS v,
+             |  o.o_orderstatus, d.o_totalprice
+             |FROM orders o JOIN orders d ON o.o_orderkey = d.o_orderkey
+             |WHERE o.o_orderkey <= 1000 AND o.o_orderkey % 10 = 0
+             |  AND o.o_orderkey * 100 > 8""".stripMargin),
+      covers = Seq("ext-cbo-range-sizeonly")),
+
+    // TEMPORAL FREQUENT-VALUES — point-date equality on a daily-skewed
+    // DATE column (95% one heavy day, a 97-day rare tail): the sketch
+    // stores the date's canonical ISO render, the probe literal renders
+    // identically by construction, and the scan prices the rare day at
+    // tail share where uniform-over-NDV is ~20× too big — the
+    // daily-partitioned-corpus shape (`WHERE dt = '2026-08-16'`). No CBO
+    // flag; threshold from the fact's own unfiltered size. Oracle: the
+    // joined rare-day truth.
+    QueryDef(
+      "q_join_cbo_date",
+      (s, dir) => {
+        ensureDateFreqTables(s, dir)
+        val bytes = s.table("graftcat.datefreq_skw")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", (bytes / 20).toString)
+          val df = s.sql(
+            """SELECT f.k, f.d, f.o_orderstatus, d.o_totalprice
+              |FROM graftcat.datefreq_skw f
+              |JOIN graftcat.datefreq_dim d ON f.k = d.fk
+              |WHERE f.d = DATE '1995-01-14'""".stripMargin)
+          val factBuilds = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).output.map(_.name)
+          }.exists(_.contains("d"))
+          require(factBuilds,
+            "sketch-priced DATE equality must put the rare-day fact side " +
+              "under the broadcast threshold - the fact did not broadcast")
+          df.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        }
+      },
+      Some("""SELECT o.o_orderkey AS k, DATE '1995-01-14' AS d,
+             |  o.o_orderstatus, dd.o_totalprice
+             |FROM orders o JOIN orders dd ON o.o_orderkey = dd.o_orderkey
+             |WHERE o.o_orderkey % 20 = 0 AND o.o_orderkey % 97 = 13""".stripMargin),
+      covers = Seq("ext-cbo-freq-date")),
+
     // UNIQUE CONSTRAINT — PRIMARY-KEY-style declaration with O(delta)
     // enforcement: the commit-time probe checks the batch against itself
     // and against only the directories its key RANGE overlaps (manifest
@@ -2686,6 +2834,39 @@ object Relational5 {
              |  count(user_id % 89) AS n
              |FROM events GROUP BY 1""".stripMargin),
       covers = Seq("ext-mv-hll")),
+
+    // BOUNDED EXACT-DISTINCT MV STATE — the last common dashboard
+    // aggregate the rewrite declined: `count(DISTINCT c)` is holistic,
+    // but under a DECLARED per-group cardinality cap the per-group value
+    // SET is itself mergeable state (set union), so the view serves the
+    // EXACT distinct count from O(groups) KB-sized state rows — no
+    // estimator change, unlike the hll spelling. The cap is enforced at
+    // DDL time (a cap-busting column refuses the CALL) and re-asserted
+    // per sync (an outgrowing group fails the SYNC, the view goes stale,
+    // and the rewrite declines by freshness — a query is never wrong and
+    // never errors). The body REQUIRES the routed plan and that the
+    // corpus is untouched. Oracle: DuckDB's exact distinct.
+    QueryDef(
+      "q_view_distinct_route",
+      (s, dir) => {
+        val viewDir = ensureMvDistinct(s, dir)
+        val df = s.sql(
+          """SELECT event_type,
+            |  CAST(count(DISTINCT uk) AS BIGINT) AS d,
+            |  count(uk) AS n
+            |FROM graftcat.dst_events GROUP BY event_type""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains(viewDir),
+          "exact count(DISTINCT) must be served from the view's set state")
+        require(!plan.contains("/dst_events/"),
+          "the routed plan must not rescan the corpus")
+        df.localCheckpoint()
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id % 89) AS BIGINT) AS d,
+             |  count(user_id % 89) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      covers = Seq("ext-mv-distinct")),
 
     // STALE-TOLERANT MV ROUTING — the corpus has a third commit the view
     // never synced; the rewrite serves the query anyway as view state ⊕

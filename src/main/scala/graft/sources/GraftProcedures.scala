@@ -57,7 +57,7 @@ object GraftProcedures {
     * aggregate spec: each state column is one mergeable aggregate over a
     * corpus column (exactly [[LakeMv.MvDef.aggs]]'s vocabulary).
     */
-  private val MvAggPat = """^\s*(\w+)\s*=\s*(sum|count|min|max|hll)\(\s*([^\s()]+)\s*\)\s*$""".r
+  private val MvAggPat = """^\s*(\w+)\s*=\s*(sum|count|min|max|hll|distinct)\(\s*([^\s()]+)\s*\)\s*$""".r
 
   private def parseMvAggs(spec: String): Map[String, (String, String)] =
     spec.split(',').map {
@@ -65,7 +65,7 @@ object GraftProcedures {
       case bad =>
         throw new IllegalArgumentException(
           s"bad aggregate spec '$bad' - want state_col=op(column) with " +
-            "op in sum/count/min/max (count takes * or a column)")
+            "op in sum/count/min/max/hll/distinct (count takes * or a column)")
     }.toMap
 
   /** Bind a predicate string against a table's own committed schema
@@ -104,20 +104,46 @@ object GraftProcedures {
 
   /** Split on ';' outside quoted strings. SQL's doubled-quote escape
     * ('it''s') splits correctly by construction: each quote toggles the
-    * in-string state, and a doubled pair re-balances.
+    * in-string state, and a doubled pair re-balances. Backslash escapes
+    * ('it\'s' under Spark's default non-escapedStringLiterals lexer) are
+    * honored too: inside a string, the character after a backslash never
+    * toggles the state, so a ';' later in the same literal cannot split.
     */
   private def splitSql(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var q: Char = 0
+    var esc = false
     s.foreach { c =>
-      if (q != 0) { cur += c; if (c == q) q = 0 }
+      if (q != 0) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == q) q = 0
+      }
       else if (c == '\'' || c == '"') { q = c; cur += c }
       else if (c == ';') { out += cur.toString; cur.clear(): Unit }
       else cur += c
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Refuse non-statement SQL inside `system.atomic`: the batch exists
+    * to stage WRITES behind one decision file, and a smuggled SELECT
+    * would materialize unbounded rows on the driver for an answer the
+    * caller can't see anyway. Commands (DML, DDL, CALL) parse to
+    * [[org.apache.spark.sql.catalyst.plans.logical.Command]] or a
+    * [[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]]
+    * (INSERT before resolution); anything else is a bare query.
+    */
+  private def requireDml(spark: SparkSession, stmt: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+    val ok = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+    if (!ok) throw new IllegalArgumentException(
+      s"system.atomic runs DML/DDL statements only; got a bare query: " +
+        s"${stmt.take(120)} - run queries outside the atomic batch")
   }
 
   /** `resolve` maps a (possibly dotted) table name to its directory
@@ -140,9 +166,12 @@ object GraftProcedures {
             ProcedureParameter.in("txn_table", StringType).build())) { in =>
           val stmts = splitSql(str(in, 0))
           require(stmts.nonEmpty, "atomic needs at least one statement")
+          stmts.foreach(requireDml(spark, _)) // refuse BEFORE any side effect
           val txnDir = resolve(str(in, 1))
           val versions = LakeAtomicTxn.commitAll(spark, txnDir) {
-            stmts.foreach(stmt => spark.sql(stmt).collect(): Unit)
+            // commands execute eagerly at sql(); no driver-side collect of
+            // result rows — the guard above already barred bare queries
+            stmts.foreach(stmt => spark.sql(stmt): Unit)
           }
           versions.size.toLong
         }
@@ -211,10 +240,21 @@ object GraftProcedures {
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("dst", StringType).build(),
             ProcedureParameter.in("version", LongType).defaultValue("-1")
-              .comment("-1 = current").build())) { in =>
+              .comment("-1 = current").build(),
+            ProcedureParameter.in("parent_map", StringType).defaultValue("''")
+              .comment("comma-separated src=dst table-name pairs remapping " +
+                "cross-table FK pointers into the clone set (pass the same " +
+                "map to every clone of the namespace)").build())) { in =>
           val v = in.getLong(2)
+          val pm = str(in, 3).split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(s, d) => resolve(s.trim) -> resolve(d.trim)
+              case _ => throw new IllegalArgumentException(
+                s"parent_map entry '$kv' is not src=dst")
+            }
+          }.toMap
           VersionedLake.cloneTable(spark, resolve(str(in, 0)), resolve(str(in, 1)),
-            version = if (v < 0) None else Some(v))
+            version = if (v < 0) None else Some(v), parentMap = pm)
         }
       case "replicate" =>
         proc(name, "CDC-fed mirror sync: bootstrap or apply the row delta, exactly-once",
@@ -265,18 +305,31 @@ object GraftProcedures {
             ProcedureParameter.in("keys", StringType)
               .comment("comma-separated grouping columns").build(),
             ProcedureParameter.in("aggs", StringType)
-              .comment("state_col=op(column) list, op in sum/count/min/max").build())) { in =>
+              .comment("state_col=op(column) list, op in " +
+                "sum/count/min/max/hll/distinct").build(),
+            ProcedureParameter.in("distinct_cap", IntegerType)
+              .defaultValue(LakeMv.DefaultDistinctCap.toString)
+              .comment("per-group cardinality cap for distinct state " +
+                "columns; the DDL refuses a column already above it").build())) { in =>
           val corpus = resolve(str(in, 0))
           val viewDir = resolve(str(in, 1))
           val keys = str(in, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           require(keys.nonEmpty, "create_mv needs at least one grouping key")
-          val mv = LakeMv.MvDef(corpus, viewDir, keys, parseMvAggs(str(in, 3)))
+          val mv = LakeMv.MvDef(corpus, viewDir, keys, parseMvAggs(str(in, 3)),
+            distinctCap = in.getInt(4))
           require(VersionedLake.currentVersion(spark, viewDir).isEmpty,
             s"${str(in, 1)} already exists - drop_mv (or pick a fresh name) first")
-          val synced = LakeView.sync(spark, corpus, viewDir, mv.stateOver)
-            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+          // cap validation (inside persist) BEFORE the first sync
+          // materializes any state; a failed first sync revokes the
+          // registration so nothing dangles
           LakeMv.persist(spark, mv)
-          synced
+          try LakeView.sync(spark, corpus, viewDir, mv.stateOverGuarded)
+            .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+          catch {
+            case e: Throwable =>
+              scala.util.Try(LakeMv.dropPersisted(spark, corpus)): Unit
+              throw e
+          }
         }
       case "refresh_mv" =>
         proc(name, "bring the table's materialized view up to the current version " +
@@ -287,7 +340,7 @@ object GraftProcedures {
           LakeMv.registerFromProps(spark, corpus)
           val mv = LakeMv.forCorpus(corpus).getOrElse(
             throw new IllegalArgumentException(s"no materialized view on ${str(in, 0)}"))
-          LakeView.sync(spark, corpus, mv.viewDir, mv.stateOver)
+          LakeView.sync(spark, corpus, mv.viewDir, mv.stateOverGuarded)
             .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
         }
       case "drop_mv" =>
@@ -351,14 +404,30 @@ object GraftProcedures {
         proc(name, "drain old-generation postings onto the declared bucket " +
           "count, up to max_buckets stale bucket values per call (one atomic " +
           "replaceWhere - bounded work, probes stay exact throughout); " +
-          "returns the stale values still remaining (0 = fully migrated)",
+          "returns the stale values still remaining (0 = fully migrated). " +
+          "NOTE: pre-migration versions keep the stale postings on disk " +
+          "until a vacuum ends their time-travel window - pass " +
+          "vacuum => true to reclaim them the moment the drain completes " +
+          "(vacuum_min_age_ms guards in-flight commits, as system.vacuum)",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("max_buckets", IntegerType)
-              .defaultValue(Int.MaxValue.toString).build())) { in =>
+              .defaultValue(Int.MaxValue.toString).build(),
+            ProcedureParameter.in("vacuum", BooleanType)
+              .defaultValue("false")
+              .comment("reclaim pre-migration postings versions once " +
+                "remaining = 0 (ends their time-travel window)").build(),
+            ProcedureParameter.in("vacuum_min_age_ms", LongType)
+              .defaultValue(VersionedLake.DefaultVacuumMinAgeMs.toString).build())) { in =>
           val corpus = resolve(str(in, 0))
           val (idxDir, _, _) = textIdxOf(spark, corpus)
-          graft.operators.InvertedIndex.migrateBuckets(spark, idxDir, in.getInt(1)).toLong
+          val remaining =
+            graft.operators.InvertedIndex.migrateBuckets(spark, idxDir, in.getInt(1))
+          if (remaining == 0 && in.getBoolean(2))
+            VersionedLake.vacuum(spark,
+              graft.operators.InvertedIndex.postingsDir(idxDir),
+              keepVersions = 1, minAgeMs = in.getLong(3))
+          remaining.toLong
         }
       case "drop_text_index" =>
         proc(name, "unregister the table's text index (the postings/stats tables " +
@@ -470,7 +539,7 @@ object GraftProcedures {
       case "estimate_rows" =>
         proc(name, "the row count the PLANNER will see for this predicate: " +
           "manifest pruning + the selectivity layers (frequent-values " +
-          "equality, exact null counts) applied to the kept directories - " +
+          "equality, histogram ranges, exact null counts) applied to the kept directories - " +
           "what drives broadcast decisions, O(directories) metadata, zero " +
           "file opens. Conservative by construction: missing coverage " +
           "returns the raw kept-row sum, never a guess",
@@ -494,7 +563,8 @@ object GraftProcedures {
               VersionedLake.dirNdv(spark, dir, v),
               VersionedLake.dirFreq(spark, dir, v),
               VersionedLake.visibleSchema(schema0), raw,
-              math.max(1L, kept.map(rowMeta(_)._2).sum))
+              math.max(1L, kept.map(rowMeta(_)._2).sum),
+              VersionedLake.dirHist(spark, dir, v))
           refined
         }
       case "explain_scan" =>

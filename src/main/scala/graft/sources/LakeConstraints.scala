@@ -235,12 +235,23 @@ object LakeConstraints {
         s"cannot ADD FOREIGN KEY '$name': existing child rows reference " +
           s"missing parent keys, e.g. ${bad.headOption.fold("")(_.toString)}")
     }
-    if (restrict)
+    if (restrict) {
       // parent-side names are qualified by the child dir: two children
       // may declare same-named FKs against one parent
       addDecl(spark, parentDir,
         RestrictDecl(s"$name@$tableDir", tableDir, cols, parentCols))
-    addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols, restrict))
+      // if the child-side declaration refuses (a racing DDL won the name
+      // with a DIFFERENT declaration), the parent pointer just written
+      // would permanently gate the parent's deletes for a constraint that
+      // never existed — revoke it before rethrowing
+      try addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols, restrict))
+      catch {
+        case e: Throwable =>
+          scala.util.Try(drop(spark, parentDir, s"$name@$tableDir")): Unit
+          throw e
+      }
+    } else
+      addDecl(spark, tableDir, FkDecl(name, cols, parentDir, parentCols, restrict))
   }
 
   /** Child rows of `frame` whose non-null FK key is absent from the
@@ -451,31 +462,89 @@ object LakeConstraints {
 
   /** Constraint carry for [[VersionedLake.cloneTable]]: the clone's rows
     * ARE a snapshot that satisfied these constraints, so re-validating
-    * (as [[add]] would) is a wasted scan. FK parent pointers are
-    * REWRITTEN through `rewriteParent`: an absolute `parentDir` carried
-    * verbatim would keep the clone enforcing against the ORIGINAL
-    * parent — wrong lake for a mirrored child+parent pair, and broken
-    * outright once the source root moves or is vacuumed. The default
-    * maps a self-referencing FK (parent == the cloned table) onto the
-    * clone; callers cloning a whole namespace pass their own root map.
+    * (as [[add]] would) is a wasted scan. FK pointers are REWRITTEN
+    * through `parentMap` (source dir -> its clone): an absolute
+    * `parentDir` carried verbatim would keep the clone enforcing against
+    * the ORIGINAL parent — wrong lake for a mirrored child+parent pair,
+    * and broken outright once the source root moves or is vacuumed.
+    * A caller cloning a whole namespace passes the same map to every
+    * [[VersionedLake.cloneTable]] call, in any order, and the pair's
+    * declaration AND enforcement land inside the clone set:
+    *
+    *   - a self-referencing FK always maps onto the clone (no map needed);
+    *   - a mapped RESTRICT FK stays RESTRICT, and the reverse pointer is
+    *     INSTALLED in the mapped parent's store (idempotent with the
+    *     pointer the parent's own clone carries — same name, same decl);
+    *   - an UNMAPPED cross-table RESTRICT FK downgrades to a plain FK:
+    *     the source parent's reverse pointer names the SOURCE child only,
+    *     so carrying `restrict` would declare an enforcement that nothing
+    *     performs — the downgrade keeps the declaration truthful (inserts
+    *     still validate against the live source parent);
+    *   - an unmapped cross-table [[RestrictDecl]] (cloning a PARENT) is
+    *     DROPPED: the clone's deletes must not be gated by a child table
+    *     it doesn't own.
+    *
+    * The destination store MERGES rather than replaces, so a reverse
+    * pointer installed by the child's earlier clone survives the parent's
+    * own carry (names collide only on the identical declaration).
     */
   private[sources] def copyTo(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
-      rewriteParent: String => String = identity): Unit = {
-    val cs = declsOf(spark, srcDir).map {
+      parentMap: Map[String, String] = Map.empty): Unit = {
+    // parent-side reverse-pointer names embed the child dir; keep the
+    // name in lockstep with the remapped pointer so drop() on the cloned
+    // child finds it
+    def renamed(n: String, oldChild: String, newChild: String): String =
+      if (n.endsWith(s"@$oldChild")) n.dropRight(oldChild.length + 1) + s"@$newChild"
+      else n
+    val carried = declsOf(spark, srcDir).flatMap {
+      case f: FkDecl if f.parentDir == srcDir => Some(f.copy(parentDir = dstDir))
       case f: FkDecl =>
-        val p = if (f.parentDir == srcDir) dstDir else rewriteParent(f.parentDir)
-        f.copy(parentDir = p)
+        parentMap.get(f.parentDir) match {
+          case Some(p) => Some(f.copy(parentDir = p))
+          case None    => Some(f.copy(restrict = false))
+        }
+      case r: RestrictDecl if r.childDir == srcDir =>
+        Some(r.copy(name = renamed(r.name, srcDir, dstDir), childDir = dstDir))
       case r: RestrictDecl =>
-        // same pointer problem in reverse: a cloned PARENT must not gate
-        // its deletes against the source's child unless the caller maps it
-        val c = if (r.childDir == srcDir) dstDir else rewriteParent(r.childDir)
-        r.copy(childDir = c)
-      case other => other
+        parentMap.get(r.childDir).map(c =>
+          r.copy(name = renamed(r.name, r.childDir, c), childDir = c))
+      case other => Some(other)
     }
-    if (cs.nonEmpty) mutate(spark, dstDir)(_ => cs)
+    if (carried.nonEmpty)
+      mutate(spark, dstDir)(existing =>
+        existing.filterNot(e => carried.exists(_.name == e.name)) ++ carried)
+    // a surviving RESTRICT FK needs its reverse pointer in the NEW
+    // parent's store (the self case already carried it above)
+    carried.foreach {
+      case FkDecl(n, cols, pd, pc, true) if pd != dstDir =>
+        addDecl(spark, pd, RestrictDecl(s"$n@$dstDir", dstDir, cols, pc))
+      case _ => ()
+    }
+  }
+
+  /** ROW-LOCAL constraint carry for replication mirrors: CHECK
+    * declarations only. A CHECK is order-independent and cannot refuse a
+    * faithful mirror (every mirrored row passed the identical predicate
+    * at the source), so carrying it gives readers of the mirror the same
+    * trust the source promises, at O(batch) per sync like any ingest.
+    * UNIQUE and FK deliberately do NOT carry: FK enforcement on a mirror
+    * would refuse a faithful single-table sync whose child lands before
+    * its parent's (use [[LakeReplicate.syncAll]] for FK-consistent star
+    * snapshots), and UNIQUE probes would re-pay per sync an invariant
+    * the source's own writers already serialize on — enforcement belongs
+    * at the writer; `verify_constraints` audits the mirror on demand.
+    */
+  private[sources] def copyChecksTo(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String): Unit = {
+    val checks = declsOf(spark, srcDir).collect { case c: CheckDecl => c }
+    if (checks.nonEmpty)
+      mutate(spark, dstDir)(existing =>
+        existing.filterNot(e => checks.exists(_.name == e.name)) ++ checks)
   }
 
   /** Remove a constraint (no-op if absent). `kind` — when given, one of

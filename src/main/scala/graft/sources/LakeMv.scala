@@ -31,20 +31,33 @@ import scala.collection.concurrent.TrieMap
   */
 object LakeMv {
 
-  /** op ∈ sum|count|min|max|hll; count's source is "*" (count(*) /
-    * count(1) at registration time), and `count(col)` state (non-null
-    * counts) registers as ("count", col). A query's avg(c) is served
-    * when BOTH (sum, c) and (count, c) state columns exist. ("hll", c)
-    * stores a DataSketches HLL sketch per group (lgK 12, the Spark
-    * default) merged by union — it serves the sketch-native
+  /** Default per-group cardinality cap for `distinct` state columns —
+    * generous for the dashboard dimensions exact-distinct serves, small
+    * enough that a state ROW stays KB-sized.
+    */
+  val DefaultDistinctCap = 4096
+
+  /** op ∈ sum|count|min|max|hll|distinct; count's source is "*"
+    * (count(*) / count(1) at registration time), and `count(col)` state
+    * (non-null counts) registers as ("count", col). A query's avg(c) is
+    * served when BOTH (sum, c) and (count, c) state columns exist.
+    * ("hll", c) stores a DataSketches HLL sketch per group (lgK 12, the
+    * Spark default) merged by union — it serves the sketch-native
     * approximate-distinct spelling `hll_sketch_estimate(
     * hll_sketch_agg(c))` EXACTLY (union of per-delta sketches and the
     * one-pass sketch reach identical register states), while
     * `approx_count_distinct` stays on the corpus scan (a different
-    * estimator — routing it would change the answer). `src` is any SQL
-    * expression over corpus columns, not just a column name —
-    * `sum(value * qty)` registers as ("sum", "value * qty") and the
-    * rewrite matches the query's aggregate argument by ANALYZED
+    * estimator — routing it would change the answer). ("distinct", c)
+    * stores the per-group VALUE SET, merged by set union, serving exact
+    * `count(DISTINCT c)` — bounded by `distinctCap`: registration
+    * REFUSES a column whose current per-group cardinality exceeds the
+    * cap (the DDL-time moment, like ADD CONSTRAINT's full scan), and
+    * maintenance asserts it per sync so a group that outgrows the
+    * declaration fails the SYNC (the view goes stale and the rewrite
+    * declines by freshness) — a query is never wrong and never errors.
+    * `src` is any SQL expression over corpus columns, not just a column
+    * name — `sum(value * qty)` registers as ("sum", "value * qty") and
+    * the rewrite matches the query's aggregate argument by ANALYZED
     * expression equivalence (coercion casts inserted on both sides, so
     * `value * qty` over a double×long pair matches the query's coerced
     * tree exactly; see [[graft.plans.MvRewriteRule]]).
@@ -54,11 +67,14 @@ object LakeMv {
       viewDir: String,
       keys: Seq[String],
       aggs: Map[String, (String, String)],
-      liveness: Option[String] = None) {
+      liveness: Option[String] = None,
+      distinctCap: Int = DefaultDistinctCap) {
     require(aggs.nonEmpty, "an MV registration needs at least one aggregate")
     require(
-      aggs.values.forall(a => Set("sum", "count", "min", "max", "hll")(a._1)),
-      s"MV state ops must be sum/count/min/max/hll, got ${aggs.values.map(_._1).toSet}")
+      aggs.values.forall(a =>
+        Set("sum", "count", "min", "max", "hll", "distinct")(a._1)),
+      s"MV state ops must be sum/count/min/max/hll/distinct, got ${aggs.values.map(_._1).toSet}")
+    require(distinctCap >= 1, s"distinctCap must be >= 1, got $distinctCap")
     val mergeSpec: Seq[(String, String)] =
       aggs.toSeq.sortBy(_._1).map {
         case (c, ("count", _)) => c -> "sum" // counts merge by summing
@@ -70,21 +86,44 @@ object LakeMv {
       * a tail of unsynced appends can aggregate into mergeable state
       * without the caller's function.
       */
-    private[sources] def stateOver(df: DataFrame): DataFrame = {
+    private[graft] def stateOver(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions._
       // expr(), not col(): a registered source may be any SQL expression
       // over corpus columns (`value * qty`); a bare column name parses
       // to the same attribute reference it always was
       val cols = aggs.toSeq.sortBy(_._1).map {
-        case (c, ("sum", src))    => sum(expr(src)).as(c)
-        case (c, ("count", "*"))  => count(lit(1)).as(c)
-        case (c, ("count", src))  => count(expr(src)).as(c)
-        case (c, ("min", src))    => min(expr(src)).as(c)
-        case (c, ("max", src))    => max(expr(src)).as(c)
-        case (c, ("hll", src))    => hll_sketch_agg(expr(src)).as(c)
+        case (c, ("sum", src))      => sum(expr(src)).as(c)
+        case (c, ("count", "*"))    => count(lit(1)).as(c)
+        case (c, ("count", src))    => count(expr(src)).as(c)
+        case (c, ("min", src))      => min(expr(src)).as(c)
+        case (c, ("max", src))      => max(expr(src)).as(c)
+        case (c, ("hll", src))      => hll_sketch_agg(expr(src)).as(c)
+        case (c, ("distinct", src)) => array_sort(collect_set(expr(src))).as(c)
         case (c, (op, _)) => throw new IllegalStateException(s"$c: $op unreachable")
       }
       df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+
+    /** [[stateOver]] with the distinct-cap assertion — the MAINTENANCE
+      * path's state function: a delta whose per-group value set already
+      * busts the declared cap fails the sync itself (the view then lags
+      * and the rewrite declines by freshness — a metadata check at plan
+      * time), so the cap can never surface as a query-time error or a
+      * silently unbounded state row. The query-path tail combine
+      * ([[readCombined]]) deliberately uses the unguarded [[stateOver]]:
+      * the set is exact regardless of size, and a query must not throw.
+      */
+    private[graft] def stateOverGuarded(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val distinctCols = aggs.collect { case (c, ("distinct", _)) => c }.toSeq
+      distinctCols.foldLeft(stateOver(df)) { (d, c) =>
+        d.withColumn(c,
+          when(assert_true(size(col(c)) <= distinctCap,
+            lit(s"MV distinct state '$c' exceeds the declared cap " +
+              s"$distinctCap for a group - re-declare the view with a " +
+              "larger cap (or drop the distinct column)")).isNull,
+            col(c)))
+      }
     }
   }
 
@@ -130,10 +169,11 @@ object LakeMv {
       "aggs" -> (JObject(mv.aggs.toList.sortBy(_._1).map { case (c, (op, src)) =>
         c -> (JString(s"$op($src)"): JValue)
       }): JValue),
-      "liveness" -> (mv.liveness.fold(JNull: JValue)(JString(_)): JValue)))))
+      "liveness" -> (mv.liveness.fold(JNull: JValue)(JString(_)): JValue),
+      "distinctCap" -> (JInt(mv.distinctCap): JValue)))))
   }
 
-  private val AggPat = """^(sum|count|min|max)\((.+)\)$""".r
+  private val AggPat = """^(sum|count|min|max|hll|distinct)\((.+)\)$""".r
 
   private def parseDef(corpusDir: String, json: String): Option[MvDef] = {
     import org.json4s.JsonAST._
@@ -151,18 +191,47 @@ object LakeMv {
             }.toMap
           } if aggs.nonEmpty
         } yield MvDef(corpusDir, viewDir, keys, aggs,
-          m.get("liveness").collect { case JString(l) => l })
+          m.get("liveness").collect { case JString(l) => l },
+          m.get("distinctCap").collect { case JInt(n) => n.toInt }
+            .getOrElse(DefaultDistinctCap))
       case _ => None
     }
   }
 
   /** Write the registration onto the corpus table's props and register
-    * it in this session.
+    * it in this session. A `distinct` state column validates the CURRENT
+    * corpus first — a group already holding more than `distinctCap`
+    * values refuses the DDL (the ADD CONSTRAINT full-scan moment), so
+    * the cap is a promise from declaration day one, never a query-time
+    * surprise.
     */
   def persist(spark: SparkSession, mv: MvDef): Unit = {
+    validateDistinctCap(spark, mv)
     LakeProps.set(spark, norm(mv.corpusDir), PropKey, renderDef(mv))
     register(mv)
     consulted.put(norm(mv.corpusDir), true): Unit
+  }
+
+  private def validateDistinctCap(spark: SparkSession, mv: MvDef): Unit = {
+    import org.apache.spark.sql.functions._
+    val srcs = mv.aggs.collect { case (c, ("distinct", s)) => c -> s }.toSeq
+    if (srcs.isEmpty) return
+    VersionedLake.currentVersion(spark, mv.corpusDir).foreach { _ =>
+      val snap = VersionedLake.read(spark, mv.corpusDir)
+      val aggs = srcs.map { case (c, s) => countDistinct(expr(s)).as(c) }
+      val tops = srcs.map { case (c, _) => max(col(c)).as(c) }
+      val maxes = snap.groupBy(mv.keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .agg(tops.head, tops.tail: _*)
+        .head()
+      srcs.zipWithIndex.foreach { case ((c, s), i) =>
+        val mx = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+        require(mx <= mv.distinctCap,
+          s"cannot declare distinct state '$c' = distinct($s): a group " +
+            s"already holds $mx distinct values, above the declared cap " +
+            s"${mv.distinctCap} - raise the cap or use the hll sketch state")
+      }
+    }
   }
 
   /** Drop the registration here AND from the corpus props. */
@@ -206,7 +275,7 @@ object LakeMv {
       .option("path", dir).option("readChanges", "true").load()
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        LakeView.sync(spark, dir, mv.viewDir, mv.stateOver): Unit
+        LakeView.sync(spark, dir, mv.viewDir, mv.stateOverGuarded): Unit
       }
       .start()
   }

@@ -73,7 +73,12 @@ object LakeReplicate {
     VersionedLake.currentVersion(spark, dstDir) match {
       case None =>
         // bootstrap: snapshot at srcV, watermarked so a crash between
-        // commit and caller-visible return replays as a no-op
+        // commit and caller-visible return replays as a no-op. The
+        // source's CHECK declarations carry FIRST (row-local, cannot
+        // refuse a faithful mirror — see LakeConstraints.copyChecksTo
+        // for why UNIQUE/FK deliberately stay source-side), so the
+        // mirror promises readers the same row invariants from birth.
+        LakeConstraints.copyChecksTo(spark, srcDir, dstDir)
         VersionedLake.appendCommitTxn(
           VersionedLake.readVersion(spark, srcDir, srcV), dstDir,
           appId = app, batchId = srcV, statsCols = keys)

@@ -1018,15 +1018,27 @@ object VersionedLake {
           case _                                             => false
         }
       }).toIndexedSeq
+    // temporal columns histogram on their Catalyst-internal double domain
+    // (dates as epoch days, timestamps as epoch micros) — the domain the
+    // read-side range refinement and CBO's own HistogramBin expect
+    val histDomain: IndexedSeq[Option[org.apache.spark.sql.Column]] =
+      statsCols.map(c => df.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+        case _: org.apache.spark.sql.types.NumericType => Some(col(c).cast("double"))
+        case org.apache.spark.sql.types.DateType =>
+          Some(unix_date(col(c)).cast("double"))
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(unix_micros(col(c)).cast("double"))
+        case _ => None
+      }).toIndexedSeq
     val qs = (0 to HistBins).map(_.toDouble / HistBins).toArray
     val aggs = statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string"),
       hll_sketch_agg(col(c).cast("string")),
       count(when(col(c).isNull, 1)),
-      // histogram edges for numeric columns; a typed null placeholder
-      // keeps the row layout fixed for the rest
-      if (numeric(i)) percentile_approx(col(c).cast("double"), lit(qs), lit(2000))
-      else lit(null).cast("array<double>"),
+      // histogram edges for numeric and temporal columns; a typed null
+      // placeholder keeps the row layout fixed for the rest
+      histDomain(i).map(h => percentile_approx(h, lit(qs), lit(2000)))
+        .getOrElse(lit(null).cast("array<double>")),
       // the categorical counterpart: a frequent-values sketch over the
       // stored-string domain (like the HLL and min/max renders) for
       // string AND integral columns — skewed status strings and skewed
@@ -5437,11 +5449,19 @@ object VersionedLake {
     * watermarks (a new table must not suppress a writer's first
     * batches). O(version bytes) — this IS a copy, priced like one.
     */
+  /** `parentMap` (source dir -> its clone) remaps cross-table FOREIGN
+    * KEY pointers into the clone set: a caller cloning a whole namespace
+    * passes the same map to every cloneTable call (any order) and a
+    * cloned child+parent pair declares AND enforces entirely within the
+    * clones — see [[LakeConstraints.copyTo]] for the unmapped-pointer
+    * downgrade rules.
+    */
   def cloneTable(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
-      version: Option[Long] = None): Long = {
+      version: Option[Long] = None,
+      parentMap: Map[String, String] = Map.empty): Long = {
     val v = version.getOrElse(currentVersion(spark, srcDir)
       .getOrElse(throw new IllegalStateException(s"no published version in $srcDir")))
     require(currentVersion(spark, dstDir).isEmpty,
@@ -5466,7 +5486,7 @@ object VersionedLake {
     // the same way (the clone's single rewritten dir already follows it)
     declaredSpec(spark, srcDir, v).foreach(cols =>
       setPartitionSpec(spark, dstDir, cols): Unit)
-    LakeConstraints.copyTo(spark, srcDir, dstDir)
+    LakeConstraints.copyTo(spark, srcDir, dstDir, parentMap)
     out
   }
 

@@ -193,7 +193,8 @@ final class LakePruningScanBuilder(
       else stats match {
         case Some((rows, bytes)) =>
           val (r2, b2) = LakePruningScanBuilder.refineForFilters(
-            translated, kept, rowMeta, ndvMeta, freqMeta, schema, rows, bytes)
+            translated, kept, rowMeta, ndvMeta, freqMeta, schema, rows, bytes,
+            histMeta)
           new LakePruningScanBuilder.ManifestStatsScan(scan, r2, b2,
             LakePruningScanBuilder.columnStatsFor(kept, rowMeta, ndvMeta,
               statsMeta, schema, histMeta))
@@ -231,6 +232,21 @@ object LakePruningScanBuilder {
     * per-directory null counts (no sketch needed) — the other
     * categorical filter curation queries live on, priced at its true
     * cardinality instead of the planner's default fraction.
+    *
+    * RANGE conjuncts (`>`/`>=`/`<`/`<=`, and BETWEEN as the pushed
+    * conjunct pair) price off the per-directory equi-height histogram
+    * edges riding the same `#ndv` layer: each directory's edges give a
+    * piecewise-linear CDF of its non-null rows, the kept directories sum
+    * row-weighted, and the interval's mass IS the estimate — the single
+    * most common curation filter (date windows, score thresholds) now
+    * refines in SIZE-ONLY mode, where min/max-uniform estimation lives
+    * only behind the CBO flag and the raw directory sum is off by orders
+    * of magnitude on a skewed column. Bounds on the same column tighten
+    * one interval; distinct columns take the MINIMUM single-column
+    * estimate, never a product (same non-independence rule as the
+    * sketches). Full-coverage-or-stand-down as everywhere: one live
+    * directory missing the column's edges (or its null count) disables
+    * that column's refinement.
     */
   def refineForFilters(
       pushed: Seq[Filter],
@@ -240,19 +256,31 @@ object LakePruningScanBuilder {
       freqMeta: Map[String, Map[String, Array[Byte]]],
       dataSchema: StructType,
       rows: Long,
-      bytes: Long): (Long, Long) = {
-    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In, IsNotNull, IsNull}
+      bytes: Long,
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
     if (rows <= 0L) return (rows, bytes)
     // top-level conjuncts only: Spark pushes each AND leg as its own
     // Filter, so every entry here independently bounds the result
     // values render to the sketch's stored-string domain: strings as-is,
-    // integrals via toString (matches the column's cast-to-string render
-    // bit-for-bit; fractional types are never sketched — see
-    // columnStatsNdv)
+    // integrals via toString, DATE/TIMESTAMP through the same Catalyst
+    // Cast the writer's `cast(col as string)` evaluated (session-TZ
+    // timestamps render identically by construction; fractional types
+    // are never sketched — see columnStatsNdv)
     def render(v: Any): Option[String] = v match {
       case s: String                                                 => Some(s)
       case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
           _: java.lang.Long                                          => Some(v.toString)
+      case d: java.sql.Date                                          => Some(d.toString)
+      case d: java.time.LocalDate                                    => Some(d.toString)
+      case _: java.sql.Timestamp | _: java.time.Instant =>
+        scala.util.Try {
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          import org.apache.spark.sql.types.{StringType, TimestampType}
+          Cast(Literal.create(v, TimestampType), StringType,
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+            .eval().toString
+        }.toOption
       case _                                                         => None
     }
     val eqs: Seq[(String, Seq[String])] = pushed.flatMap {
@@ -270,7 +298,13 @@ object LakePruningScanBuilder {
       case IsNull(a)    => a -> true
       case IsNotNull(a) => a -> false
     }
-    if ((eqs.isEmpty && nullness.isEmpty) || !kept.forall(rowMeta.contains))
+    val hasRange = pushed.exists {
+      case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+          _: LessThanOrEqual => true
+      case _ => false
+    }
+    if ((eqs.isEmpty && nullness.isEmpty && !hasRange) ||
+        !kept.forall(rowMeta.contains))
       return (rows, bytes)
     val live = kept.filter(d => rowMeta(d)._1 > 0)
     if (live.isEmpty) return (rows, bytes)
@@ -288,8 +322,9 @@ object LakePruningScanBuilder {
       val sketchable = dataSchema.fields.find(_.name == c).exists { f =>
         import org.apache.spark.sql.types._
         f.dataType match {
-          case StringType | ByteType | ShortType | IntegerType | LongType => true
-          case _                                                          => false
+          case StringType | ByteType | ShortType | IntegerType | LongType |
+              DateType | TimestampType => true
+          case _ => false
         }
       }
       val covered = live.forall(d =>
@@ -307,8 +342,111 @@ object LakePruningScanBuilder {
         best = math.min(best, math.max(1L, math.ceil(est).toLong))
       }
     }
+    // range conjuncts: per column, the conjuncts tighten ONE interval on
+    // the histogram's double domain (numerics as-is, dates as epoch days,
+    // timestamps as epoch micros — the writer's own edge domain). The >
+    // vs >= distinction matters exactly at a duplicated-edge point mass
+    // (a 95%-heavy value IS one), so each bound carries its strictness
+    // into the inclusive/exclusive CDF.
+    def renderNum(v: Any): Option[Double] = v match {
+      case n: java.lang.Number   => Some(n.doubleValue())
+      case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay.toDouble)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+      case t: java.sql.Timestamp =>
+        Some(math.floorDiv(t.getTime, 1000L) * 1e6 + t.getNanos / 1000.0)
+      case i: java.time.Instant  =>
+        Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+      case d: scala.math.BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    // per column: (lo, loStrict, hi, hiStrict); equal bounds tighten
+    // toward strict (the smaller row set)
+    val bounds = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean, Double, Boolean)]()
+    def tightenLo(c: String, x: Double, strict: Boolean): Unit = {
+      val (l0, ls0, h0, hs0) = bounds.getOrElse(c,
+        (Double.NegativeInfinity, false, Double.PositiveInfinity, false))
+      val (l, ls) =
+        if (x > l0) (x, strict)
+        else if (x == l0) (l0, ls0 || strict)
+        else (l0, ls0)
+      bounds(c) = (l, ls, h0, hs0)
+    }
+    def tightenHi(c: String, x: Double, strict: Boolean): Unit = {
+      val (l0, ls0, h0, hs0) = bounds.getOrElse(c,
+        (Double.NegativeInfinity, false, Double.PositiveInfinity, false))
+      val (h, hs) =
+        if (x < h0) (x, strict)
+        else if (x == h0) (h0, hs0 || strict)
+        else (h0, hs0)
+      bounds(c) = (l0, ls0, h, hs)
+    }
+    pushed.foreach {
+      case GreaterThan(a, v)        => renderNum(v).foreach(tightenLo(a, _, strict = true))
+      case GreaterThanOrEqual(a, v) => renderNum(v).foreach(tightenLo(a, _, strict = false))
+      case LessThan(a, v)           => renderNum(v).foreach(tightenHi(a, _, strict = true))
+      case LessThanOrEqual(a, v)    => renderNum(v).foreach(tightenHi(a, _, strict = false))
+      case _                        => ()
+    }
+    bounds.foreach { case (c, (lo, loStrict, hi, hiStrict)) =>
+      val covered = live.forall(d =>
+        ndvMeta.get(d).exists(_.contains(c)) &&
+          histMeta.get(d).exists(_.get(c).exists(es =>
+            es.length >= 2 && es.sliding(2).forall(p => p(0) <= p(1)) &&
+              !es.exists(e => e.isNaN || e.isInfinite))))
+      if (covered) {
+        val est = live.iterator.map { d =>
+          val nonNull = math.max(0L, rowMeta(d)._1 - ndvMeta(d)(c)._2)
+          val es = histMeta(d)(c)
+          // rows in the interval: F(hi side) − F(lo side).
+          //   v >  lo excludes the point mass at lo → subtract F≤(lo)
+          //   v >= lo includes it                   → subtract F<(lo)
+          //   v <  hi excludes the mass at hi       → take F<(hi)
+          //   v <= hi includes it                   → take F≤(hi)
+          val hiF =
+            if (hi == Double.PositiveInfinity) 1.0
+            else edgeCdf(es, hi, inclusive = !hiStrict)
+          val loF =
+            if (lo == Double.NegativeInfinity) 0.0
+            else edgeCdf(es, lo, inclusive = loStrict)
+          nonNull * math.max(0.0, hiF - loF)
+        }.sum
+        best = math.min(best, math.max(1L, math.ceil(est).toLong))
+      }
+    }
     if (best >= rows) (rows, bytes)
     else (best, math.max(1L, math.ceil(bytes.toDouble * best / rows).toLong))
+  }
+
+  /** Fraction of one directory's non-null rows relative to `x`, from its
+    * equi-height edge array: piecewise-linear between edges, with
+    * duplicate edges read as a point mass spanning bins. `inclusive`
+    * gives F(x) = P[v <= x] (the point mass AT x counts); exclusive
+    * gives P[v < x] — the distinction that prices `>= heavy_value`
+    * correctly when the heavy value sits on duplicated edges (including
+    * the head or tail edge). The shared CDF for the size-only range
+    * refinement and the merged CBO histogram.
+    */
+  private def edgeCdf(es: Array[Double], x: Double, inclusive: Boolean = true): Double = {
+    val n = es.length - 1
+    if (x < es.head) 0.0
+    else if (x > es.last) 1.0
+    else {
+      var j = java.util.Arrays.binarySearch(es, x)
+      if (j < 0) {
+        j = -j - 2
+        val width = es(j + 1) - es(j)
+        val frac = if (width <= 0) 1.0 else (x - es(j)) / width
+        math.min(1.0, (j + frac) / n)
+      } else if (inclusive) {
+        // last occurrence: all bins of the duplicate span count
+        while (j < n && es(j + 1) == x) j += 1
+        j.toDouble / n
+      } else {
+        // first occurrence: none of the duplicate span counts
+        while (j > 0 && es(j - 1) == x) j -= 1
+        j.toDouble / n
+      }
+    }
   }
 
   /** COLUMN-LEVEL CBO STATISTICS from the manifest's `#ndv` + `#stats`
@@ -416,20 +554,8 @@ object LakePruningScanBuilder {
       val lo = ps.map(_._1.head).min
       val hi = ps.map(_._1.last).max
       if (!(lo < hi)) return None // a point column: min/max already say it all
-      def cdf(x: Double): Double = ps.iterator.map { case (es, w) =>
-        if (x <= es.head) 0.0
-        else if (x >= es.last) w
-        else {
-          var j = java.util.Arrays.binarySearch(es, x)
-          if (j < 0) j = -j - 2
-          // clamp onto the last bin STARTING at x's position (duplicate
-          // edges = point masses; their full weight counts once passed)
-          while (j + 1 < es.length - 1 && es(j + 1) <= x) j += 1
-          val width = es(j + 1) - es(j)
-          val frac = if (width <= 0) 1.0 else (x - es(j)) / width
-          w * ((j + frac) / (es.length - 1))
-        }
-      }.sum
+      def cdf(x: Double): Double =
+        ps.iterator.map { case (es, w) => w * edgeCdf(es, x) }.sum
       val K = graft.sources.VersionedLake.HistBins
       val edges = new Array[Double](K + 1)
       edges(0) = lo; edges(K) = hi
@@ -572,7 +698,8 @@ object LakePruningScanBuilder {
       if (ds.forall(rowMeta.contains)) {
         val (rows0, bytes0) = (ds.map(rowMeta(_)._1).sum, ds.map(rowMeta(_)._2).sum)
         val (rows, bytes) = refineForFilters(
-          compiled, ds, rowMeta, ndvMeta, freqMeta, dataSchema, rows0, bytes0)
+          compiled, ds, rowMeta, ndvMeta, freqMeta, dataSchema, rows0, bytes0,
+          histMeta)
         val cs = columnStatsFor(ds, rowMeta, ndvMeta, statsMeta, dataSchema, histMeta)
         new Statistics {
           override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)

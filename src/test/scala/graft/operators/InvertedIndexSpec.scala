@@ -344,4 +344,38 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalStateException](
       InvertedIndex.append(gen32.limit(1), "doc_id", "text", idxDir))
   }
+
+  test("migration crash-retry: publish precedes legacy retirement, probes never miss") {
+    import graft.sources.{LakeProps, LakeTxn}
+    val idxDir = java.nio.file.Files.createTempDirectory("inv_idx_crash").toString
+    InvertedIndex.build(docs, "doc_id", "text", idxDir)
+    val postDir = InvertedIndex.postingsDir(idxDir)
+    val statsDir = InvertedIndex.statsDir(idxDir)
+    val preV = VersionedLake.currentVersion(spark, postDir).get
+    InvertedIndex.setNumBuckets(spark, idxDir, 48)
+    assert(InvertedIndex.migrateBuckets(spark, idxDir) === 0)
+    // SIMULATE the ADVICE crash window: replaceWhere landed (live
+    // postings are 48-bucketed) but publishCurrent never ran — the txn
+    // record still pins the PRE-migration 32-bucketed version, and the
+    // legacy declaration survives
+    LakeTxn.publish(spark, idxDir, Map(
+      "postings" -> preV,
+      "stats" -> VersionedLake.currentVersion(spark, statsDir).get))
+    LakeProps.set(spark, postDir, "buckets.legacy", "32")
+    // mid-crash probes stay exact: candidate buckets span BOTH layouts,
+    // the pinned postings are old-bucketed, the superset finds them
+    assert(indexed(idxDir) === scanBm25(docs, Terms))
+    // the retry takes the staleVals.isEmpty branch: it must RE-PIN the
+    // rewritten postings BEFORE retiring the legacy probe keys — the
+    // reverse order leaves new-count-only probes reading old-bucketed
+    // pinned postings (silent misses)
+    assert(InvertedIndex.migrateBuckets(spark, idxDir) === 0)
+    assert(InvertedIndex.legacyBuckets(spark, idxDir).isEmpty)
+    assert(LakeTxn.current(spark, idxDir).flatMap(_.get("postings"))
+      === VersionedLake.currentVersion(spark, postDir),
+      "the retry must pin the rewritten postings")
+    Terms.foreach(t => assert(InvertedIndex.bucketsOf(spark, idxDir, t).size === 1))
+    assert(indexed(idxDir) === scanBm25(docs, Terms),
+      "post-retry single-bucket probes must find every posting")
+  }
 }

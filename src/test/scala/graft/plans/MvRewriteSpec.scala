@@ -375,4 +375,89 @@ class MvRewriteSpec extends SparkSpec {
         "an lgK-14 sketch cannot be served from lgK-12 state")
     } finally LakeMv.clear()
   }
+
+  test("distinct state: exact count(DISTINCT) routes under the cap; rollup re-unions sets") {
+    val s = spark
+    import s.implicits._
+    val (catRoot, _, _) = roots
+    val corpus = s"$catRoot/dsales"
+    val rows = (1 to 3000).map { i => (i.toLong, s"t${i % 4}", (i % 67).toLong) }
+    val df = rows.toDF("id", "event_type", "cust")
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 0), corpus)
+    VersionedLake.appendCommit(df.filter($"id" % 2 === 1), corpus)
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_dst").toString
+    val mv = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("set_cust" -> ("distinct", "cust"), "cnt_cust" -> ("count", "cust")),
+      distinctCap = 128)
+    LakeView.sync(s, corpus, viewDir, mv.stateOverGuarded)
+    val sql =
+      """SELECT event_type, CAST(count(DISTINCT cust) AS BIGINT) AS d,
+        |  count(cust) AS n
+        |FROM mvcat.dsales GROUP BY 1""".stripMargin
+    val truth = sorted(s.sql(sql))
+    val globalTruth = sorted(s.sql(
+      "SELECT CAST(count(DISTINCT cust) AS BIGINT) AS d FROM mvcat.dsales"))
+    LakeMv.register(mv)
+    try {
+      val routed = s.sql(sql)
+      val rs = scannedRoots(routed)
+      assert(rs.exists(_.startsWith(viewDir)) && !rs.exists(_.startsWith(corpus)),
+        s"exact count(DISTINCT) must route to the view's set state: $rs")
+      assert(sorted(routed) === truth)
+      // rollup to the global grain re-unions the per-group sets
+      val global = s.sql(
+        "SELECT CAST(count(DISTINCT cust) AS BIGINT) AS d FROM mvcat.dsales")
+      assert(scannedRoots(global).exists(_.startsWith(viewDir)))
+      assert(sorted(global) === globalTruth)
+      // multi-arg count(DISTINCT a, b) has no set state: declines
+      val multi = s.sql(
+        "SELECT event_type, count(DISTINCT cust, id) AS d FROM mvcat.dsales GROUP BY 1")
+      assert(scannedRoots(multi).exists(_.startsWith(corpus)),
+        "multi-arg count(DISTINCT) must decline to the corpus scan")
+    } finally LakeMv.clear()
+  }
+
+  test("distinct state: the declared cap refuses at DDL, and a cap-busting sync fails (view stays stale)") {
+    val s = spark
+    import s.implicits._
+    val (catRoot, _, _) = roots
+    val corpus = s"$catRoot/dcap"
+    val rows = (1 to 2000).map { i => (i.toLong, s"t${i % 2}", (i % 500).toLong) }
+    VersionedLake.appendCommit(rows.toDF("id", "event_type", "cust"), corpus)
+    // DDL-time refusal: ~500 distinct per group over a cap of 100
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_dcap").toString
+    val mvBust = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("set_cust" -> ("distinct", "cust")), distinctCap = 100)
+    val e = intercept[IllegalArgumentException] {
+      LakeMv.persist(s, mvBust)
+    }
+    assert(e.getMessage.contains("above the declared cap"))
+    assert(LakeMv.forCorpus(corpus).isEmpty, "a refused DDL must not register")
+    // a view synced under a sufficient cap, then outgrown by a delta:
+    // the SYNC fails, the watermark stays behind, and the rewrite
+    // declines by freshness — the query answers from the corpus, exactly
+    val mvOk = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("set_cust" -> ("distinct", "cust")), distinctCap = 600)
+    LakeView.sync(s, corpus, viewDir, mvOk.stateOverGuarded)
+    val wm0 = LakeView.watermark(s, viewDir)
+    VersionedLake.appendCommit(
+      (1 to 2000).map(i => (i + 10000L, "t0", (i + 1000).toLong))
+        .toDF("id", "event_type", "cust"), corpus)
+    val boom = intercept[Exception] {
+      LakeView.sync(s, corpus, viewDir, mvOk.stateOverGuarded)
+    }
+    assert(boom.getMessage != null)
+    assert(LakeView.watermark(s, viewDir) === wm0,
+      "a failed cap assertion must not advance the sync watermark")
+    // the query is NEVER wrong and NEVER errors: the stale view serves
+    // through the pure-append combine (exact — the tail's sets are
+    // computed at query time), or falls back to the corpus; either way
+    // the answer matches the source truth
+    val sql2 = "SELECT event_type, CAST(count(DISTINCT cust) AS BIGINT) AS d " +
+      "FROM mvcat.dcap GROUP BY 1"
+    val truth2 = sorted(s.sql(sql2))
+    LakeMv.register(mvOk)
+    try assert(sorted(s.sql(sql2)) === truth2)
+    finally LakeMv.clear()
+  }
 }

@@ -194,4 +194,85 @@ class FkConstraintSpec extends SparkSpec {
       Seq((1L, "a@x"), (2L, "b2@x"), (3L, "c2@x")))
     assert(LakeConstraints.verifyAll(s, child).forall(_._3 === 0L))
   }
+
+  test("clone with parentMap: a cloned child+parent pair enforces INSIDE the clone set") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp("fkc_parent")
+    val child = tmp("fkc_child")
+    VersionedLake.appendCommit(
+      (0L until 50L).map(i => (i, s"p$i")).toDF("pid", "pname"), parent,
+      statsCols = Seq("pid"))
+    VersionedLake.appendCommit(
+      Seq((1L, 5L, "r1"), (2L, 7L, "r2")).toDF("id", "fk", "v"), child,
+      statsCols = Seq("fk"))
+    LakeConstraints.addFk(s, child, "fk_p", Seq("fk"), parent, Seq("pid"),
+      restrict = true)
+    // clone BOTH tables with the same map, child first (order-free)
+    val parent2 = tmp("fkc_parent2")
+    val child2 = tmp("fkc_child2")
+    val pm = Map(parent -> parent2, child -> child2)
+    VersionedLake.cloneTable(s, child, child2, parentMap = pm)
+    VersionedLake.cloneTable(s, parent, parent2, parentMap = pm)
+    // the cloned child's FK points at the CLONED parent: delete a key
+    // from the cloned parent only, then an insert referencing it refuses
+    VersionedLake.deleteWhere(s, parent2, col("pid") === 40L)
+    val e = intercept[IllegalArgumentException](VersionedLake.appendCommit(
+      Seq((3L, 40L, "orphan")).toDF("id", "fk", "v"), child2))
+    assert(e.getMessage.contains("no parent row"), e.getMessage)
+    // ...while the SOURCE child still accepts it (its parent keeps 40)
+    VersionedLake.appendCommit(Seq((3L, 40L, "ok")).toDF("id", "fk", "v"), child)
+    // the RESTRICT reverse pointer remapped too: deleting a key the
+    // CLONED child references refuses on the CLONED parent...
+    val r = intercept[IllegalArgumentException](
+      VersionedLake.deleteWhere(s, parent2, col("pid") === 5L))
+    assert(r.getMessage.contains("RESTRICT"), r.getMessage)
+    // ...and names the cloned child, never the source tables
+    assert(r.getMessage.contains(child2) && !r.getMessage.contains(child + "("),
+      r.getMessage)
+    // the declarations resolve inside the clone set only
+    assert(LakeConstraints.fksOf(s, child2).head._2._2 === parent2)
+    assert(LakeConstraints.restrictsOf(s, parent2).head._2._1 === child2)
+    // dropping the clone's FK revokes the clone parent's pointer, not
+    // the source's
+    LakeConstraints.drop(s, child2, "fk_p")
+    assert(LakeConstraints.restrictsOf(s, parent2).isEmpty)
+    assert(LakeConstraints.restrictsOf(s, parent).nonEmpty)
+  }
+
+  test("clone WITHOUT a map: restrict downgrades to a plain FK, a cloned parent drops the foreign pointer") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp("fkn_parent")
+    val child = tmp("fkn_child")
+    VersionedLake.appendCommit(
+      (0L until 20L).map(i => (i, s"p$i")).toDF("pid", "pname"), parent,
+      statsCols = Seq("pid"))
+    VersionedLake.appendCommit(
+      Seq((1L, 5L, "r1")).toDF("id", "fk", "v"), child, statsCols = Seq("fk"))
+    LakeConstraints.addFk(s, child, "fk_p", Seq("fk"), parent, Seq("pid"),
+      restrict = true)
+    // cloned CHILD alone: the FK carries against the live source parent
+    // but RESTRICT downgrades (the source parent's pointer names the
+    // source child only — carrying `restrict` would declare an
+    // enforcement nothing performs)
+    val child2 = tmp("fkn_child2")
+    VersionedLake.cloneTable(s, child, child2)
+    val Seq((_, (_, pdir, _))) = LakeConstraints.fksOf(s, child2)
+    assert(pdir === parent, "an unmapped cross FK keeps validating against the source parent")
+    // downgraded: no reverse pointer anywhere names the clone
+    assert(LakeConstraints.restrictsOf(s, parent).forall(_._2._1 != child2),
+      "an unmapped restrict FK must downgrade - no pointer may name the clone")
+    intercept[IllegalArgumentException](VersionedLake.appendCommit(
+      Seq((9L, 999L, "orphan")).toDF("id", "fk", "v"), child2))
+    // cloned PARENT alone: the foreign RestrictDecl is DROPPED — the
+    // clone's deletes are not gated by a child it doesn't own
+    val parent2 = tmp("fkn_parent2")
+    VersionedLake.cloneTable(s, parent, parent2)
+    assert(LakeConstraints.restrictsOf(s, parent2).isEmpty)
+    VersionedLake.deleteWhere(s, parent2, col("pid") === 5L) // must commit
+    // the source pair still enforces
+    intercept[IllegalArgumentException](
+      VersionedLake.deleteWhere(s, parent, col("pid") === 5L))
+  }
 }

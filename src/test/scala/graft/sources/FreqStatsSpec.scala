@@ -209,6 +209,11 @@ class FreqStatsSpec extends SparkSpec {
     assert(est("status = ''COMMON''") >= 50000L,
       "heavy equality estimates near full")
     assert(est("k >= 0") === 60000L,
-      "a range predicate keeps the raw kept-row sum (no equality to refine)")
+      "an all-covering range estimates the full table (CDF mass = 1)")
+    // k is uniform 0..59999 in two 30000-row dirs; `k < 6000` prunes the
+    // upper dir entirely and the histogram CDF prices ~20% of the lower
+    val windowed = est("k < 6000")
+    assert(windowed >= 4500L && windowed <= 7500L,
+      s"a range predicate must price off the histogram edges (true 6000), got $windowed")
   }
 }

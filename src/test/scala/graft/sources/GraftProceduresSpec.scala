@@ -289,6 +289,26 @@ class GraftProceduresSpec extends SparkSpec {
         "INSERT INTO gproc.atm_b VALUES (-1, ''bad'')', 'atm_a')"))
     assert(VersionedLake.currentVersion(spark, s"$root/atm_a").contains(va),
       "a constraint refusal in statement 2 must abort statement 1's publish")
+    // a bare SELECT refuses BEFORE any side effect — the batch stages
+    // writes; a query would just materialize rows on the driver
+    val q = intercept[Exception](spark.sql(
+      "CALL gproc.system.atomic(" +
+        "'SELECT * FROM gproc.atm_a; " +
+        "INSERT INTO gproc.atm_a VALUES (5, ''dead'')', 'atm_a')"))
+    assert(q.getMessage.contains("DML"), q.getMessage)
+    assert(VersionedLake.currentVersion(spark, s"$root/atm_a").contains(va),
+      "the refusal must precede every statement's execution")
+    // backslash-escaped quotes inside a literal must not split the batch
+    // outer literal encodes inner `it\'s; fine` (backslash-escaped quote):
+    // the old quote-toggle splitter closed the inner string at \' and
+    // split the batch at the ';' inside the literal
+    spark.sql(
+      "CALL gproc.system.atomic(" +
+        raw"""'INSERT INTO gproc.atm_a VALUES (6, ''it\\''s; fine'')', """ +
+        "'atm_a')").collect()
+    val got = spark.sql("SELECT v FROM gproc.atm_a WHERE k = 6").head().getString(0)
+    assert(got === "it's; fine" || got === raw"it\'s; fine",
+      s"the escaped quote stays inside one statement, got '$got'")
   }
 
   test("CALL set_text_index_buckets + migrate_text_index: SQL-driven bucket evolution") {
@@ -328,6 +348,22 @@ class GraftProceduresSpec extends SparkSpec {
       "CALL gproc.system.text_search('evo_docs', 'alpha,beta', 300)")
       .collect().map(r => r.getLong(0)).toSet
     assert(after === mid, "the drain changes layout, never the answer")
+    // drained-to-zero with vacuum => true: pre-migration postings
+    // versions reclaim (their stale-bucket data was the only thing
+    // keeping them alive), the single surviving generation still answers
+    val postDir = graft.operators.InvertedIndex.postingsDir(idxDir)
+    val vCur = VersionedLake.currentVersion(spark, postDir).get
+    assert(vCur > 0, "migration committed new postings versions")
+    spark.sql("CALL gproc.system.migrate_text_index('evo_docs', 2147483647, " +
+      "true, 0)").collect()
+    assert(VersionedLake.currentVersion(spark, postDir).contains(vCur),
+      "a post-drain vacuum reclaims history, never the live snapshot")
+    intercept[Exception](
+      VersionedLake.readVersion(spark, postDir, 0).collect())
+    val vacd = spark.sql(
+      "CALL gproc.system.text_search('evo_docs', 'alpha,beta', 300)")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(vacd === mid, "the vacuumed single-generation index still answers")
   }
 }
 

@@ -283,4 +283,32 @@ class LakeReplicateSpec extends SparkSpec {
     assert(so1 === 1L && do1 === 1L,
       "null-position swaps are real divergence and must be reported")
   }
+
+  test("bootstrap carries CHECK constraints to the mirror; UNIQUE/FK stay source-side") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("rep_csrc")
+    val dst = fresh("rep_cdst")
+    val parent = fresh("rep_cpar")
+    VersionedLake.appendCommit(Seq((1L, "p")).toDF("pid", "p"), parent)
+    VersionedLake.appendCommit(Seq((1L, 10L, 1L), (2L, 20L, 1L))
+      .toDF("id", "amount", "fk"), src)
+    LakeConstraints.add(s, src, "pos_amount", "amount > 0")
+    LakeConstraints.addUnique(s, src, "pk", Seq("id"))
+    LakeConstraints.addFk(s, src, "fkp", Seq("fk"), parent, Seq("pid"))
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    // the CHECK carried: a direct bad write into the mirror refuses
+    assert(LakeConstraints.constraintsOf(s, dst) === Seq("pos_amount" -> "amount > 0"))
+    val e = intercept[IllegalArgumentException](VersionedLake.appendCommit(
+      Seq((9L, -5L, 1L)).toDF("id", "amount", "fk"), dst))
+    assert(e.getMessage.contains("pos_amount"), e.getMessage)
+    // UNIQUE/FK did NOT carry (documented: FK enforcement would refuse a
+    // faithful child-first sync; UNIQUE re-pays the writer's invariant)
+    assert(LakeConstraints.uniquesOf(s, dst).isEmpty)
+    assert(LakeConstraints.fksOf(s, dst).isEmpty)
+    // the carried CHECK never refuses a faithful sync
+    VersionedLake.appendCommit(Seq((3L, 30L, 1L)).toDF("id", "amount", "fk"), src)
+    LakeReplicate.sync(s, src, dst, keys = Seq("id"))
+    assert(VersionedLake.read(s, dst).count() === 3L)
+  }
 }
