@@ -1109,6 +1109,28 @@ object Relational5 {
     * metadata-only aggregate query — never mutated, so count/min/max
     * stay run-invariant.
     */
+  /** Daily-ingest fixture for the FILTERED metadata aggregate: three
+    * commits, each carrying exactly one `ingest_day` value (min == max,
+    * zero nulls in its #stats/#ndv lines) — the manifest-provable
+    * uniform-column shape the scan claims pushed day filters on.
+    */
+  private def ensureDailyOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.VersionedLake
+    val tbl = s"${catalogLake(s, dir)}/daily_orders"
+    if (VersionedLake.currentVersion(s, tbl).isEmpty) {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val third = maxOrderKey(s, dir) / 3
+      Seq(
+        (col("o_orderkey") <= third, "1994-01-01"),
+        (col("o_orderkey") > third && col("o_orderkey") <= 2 * third, "1994-01-02"),
+        (col("o_orderkey") > 2 * third, "1994-01-03")).foreach { case (p, day) =>
+        VersionedLake.appendCommit(
+          o.filter(p).withColumn("ingest_day", to_date(lit(day))),
+          tbl, statsCols = Seq("o_orderkey", "ingest_day"))
+      }
+    }
+  }
+
   private def ensureMetaOrders(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.sources.VersionedLake
     val tbl = s"${catalogLake(s, dir)}/meta_orders"
@@ -3098,13 +3120,88 @@ object Relational5 {
         ensureCatalog(s, dir)
         ensureMetaOrders(s, dir)
         s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
-                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+                |  sum(o_orderkey) AS tot
                 |FROM graftcat.meta_orders""".stripMargin)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n,
-             |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+             |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS tot
              |FROM orders""".stripMargin),
       covers = Seq("ext-catalog-meta-agg")),
+
+    // FILTERED METADATA-ONLY AGGREGATES over a directory-uniform column
+    // — the daily-ingest shape: each commit covers exactly one ingest
+    // day, the manifest proves it (#stats min==max + #ndv zero nulls),
+    // so the scan claims the pushed `day = …` as EXACTLY decided by
+    // directory selection and the filtered count/min/max answer from the
+    // surviving directories' #rows/#stats lines. The body REQUIRES the
+    // LocalTableScan plan: at 100 TB, `count(*) WHERE dt = today` is the
+    // most common operational query there is, and this is it costing
+    // O(directories) driver metadata instead of a partition scan.
+    // Oracle: the same filtered aggregate from the source rows.
+    QueryDef(
+      "q_catalog_agg_meta_filtered",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureDailyOrders(s, dir)
+        val df = s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n,
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+            |FROM graftcat.daily_orders
+            |WHERE ingest_day = DATE '1994-01-02'""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+          "a uniform-column filtered aggregate must stay metadata-only - " +
+            s"got:\n$plan")
+        df.localCheckpoint()
+      },
+      {
+        val third = "(SELECT max(o_orderkey) // 3 FROM orders)"
+        Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                |FROM orders
+                |WHERE o_orderkey > $third AND o_orderkey <= 2 * $third""".stripMargin)
+      },
+      covers = Seq("ext-catalog-meta-agg-filtered")),
+
+    // GROUPED METADATA-ONLY AGGREGATES — `GROUP BY ingest_day` where
+    // every directory is provably uniform in the grouping column:
+    // directories group by their proven values and the per-group
+    // count/min/max stay manifest-exact — the daily row-count dashboard
+    // (one row per ingest day over years of commits) computed without
+    // opening a file. Non-uniform grouping columns fall back to the
+    // real scan (LakeMetaAggSpec pins the negative). The body REQUIRES
+    // the LocalTableScan plan. Oracle: the same rollup derived from the
+    // source rows.
+    QueryDef(
+      "q_catalog_agg_meta_grouped",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureDailyOrders(s, dir)
+        val df = s.sql(
+          """SELECT ingest_day, CAST(count(*) AS BIGINT) AS n,
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+            |  sum(o_orderkey) AS tot
+            |FROM graftcat.daily_orders
+            |GROUP BY ingest_day""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+          "a uniform-column GROUP BY must stay metadata-only - " +
+            s"got:\n$plan")
+        df.localCheckpoint()
+      },
+      {
+        val third = "(SELECT max(o_orderkey) // 3 FROM orders)"
+        Some(s"""SELECT CASE WHEN o_orderkey <= $third THEN DATE '1994-01-01'
+                |  WHEN o_orderkey <= 2 * $third THEN DATE '1994-01-02'
+                |  ELSE DATE '1994-01-03' END AS ingest_day,
+                |  CAST(count(*) AS BIGINT) AS n,
+                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+                |  CAST(sum(o_orderkey) AS BIGINT) AS tot
+                |FROM orders GROUP BY 1""".stripMargin)
+      },
+      covers = Seq("ext-catalog-meta-agg-grouped")),
 
     // ROW-LEVEL CDC CHANGE FEED: readRowChanges replays the warm-up
     // lake's 5-version history (3 appends, one MoR upsert, one MoR

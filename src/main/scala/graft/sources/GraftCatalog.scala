@@ -305,6 +305,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             .topK(liveNonEmpty.map(d => freq(d)(c)), 5)
             .map { case (value, est) => s"$value:$est" }.mkString(",")
         }
+        // exact table sum off the "s" layer — rendered as the decimal
+        // string; null when any live non-all-null dir lacks its entry
+        // (legacy/overflow/unsummable), the consumer-visible face of the
+        // same coverage rule the metadata-aggregate path applies
+        val sums = VersionedLake.dirSums(s, dir, v)
+        def sumOf(c: String): String = {
+          val liveNonEmpty = live.filter(d => rowsMeta.get(d).exists(_._1 > 0))
+          val parts = liveNonEmpty.map { d =>
+            sums.get(d).flatMap(_.get(c)) match {
+              case Some(b) => Some(Some(b))
+              case None =>
+                ndv.get(d).flatMap(_.get(c)) match {
+                  case Some((_, n)) if rowsMeta.get(d).exists(_._1 == n) => Some(None)
+                  case _ => None
+                }
+            }
+          }
+          if (parts.exists(_.isEmpty)) null
+          else {
+            val vs = parts.flatten.flatten
+            if (vs.isEmpty) null else vs.reduce(_.add(_)).toPlainString
+          }
+        }
         covered.toSeq.sorted.map { c =>
           val entries = perDir.map(_(c))
           val mins = live.flatMap(d => stats.get(d).flatMap(_.get(c)).flatMap(_._1))
@@ -315,8 +338,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             if (mins.isEmpty) null else pick(c, mins, takeMin = true),
             if (maxs.isEmpty) null else pick(c, maxs, takeMin = false),
             histBins(c),
-            topValues(c))
-        }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins", "top_values")
+            topValues(c),
+            sumOf(c))
+        }.toDF("column", "ndv", "nulls", "min", "max", "hist_bins", "top_values",
+          "sum")
     }
     new LocalRowsTable(s"${base.toString}$$$kind", df)
   }
@@ -1194,7 +1219,8 @@ final class LakeTable(
             VersionedLake.pruneDirsForFilters(spark, tableDir, v, filters))
         else _ => dropEmpty(dirs),
       rowMeta = rowMeta,
-      aggAnswer = agg => LakeMetaAgg.answer(spark, tableDir, v, schema(), agg),
+      aggAnswer = (agg, dirsScope) =>
+        LakeMetaAgg.answer(spark, tableDir, v, schema(), agg, dirsScope),
       // storage-partitioned joins are a declared layout contract, like
       // bucket count: `spj.enabled` trades scan granularity (one task per
       // live partition value) for shuffle-free partition-keyed joins

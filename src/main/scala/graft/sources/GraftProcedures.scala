@@ -558,14 +558,25 @@ object GraftProcedures {
           val raw = kept.map(rowMeta(_)._1).sum
           val schema0 = VersionedLake.versionSchema(spark, dir, v)
             .getOrElse(new org.apache.spark.sql.types.StructType())
-          val (refined, _) = org.apache.spark.sql.graft.LakePruningScanBuilder
-            .refineForFilters(filters, kept, rowMeta,
-              VersionedLake.dirNdv(spark, dir, v),
-              VersionedLake.dirFreq(spark, dir, v),
-              VersionedLake.visibleSchema(schema0), raw,
+          val visible = VersionedLake.visibleSchema(schema0)
+          val ndv = VersionedLake.dirNdv(spark, dir, v)
+          val stats = VersionedLake.dirStats(spark, dir, v)
+          // the scan's own uniform-column claims: when EVERY conjunct is
+          // decided exactly at directory granularity, the estimate IS the
+          // satisfying directories' row sum — exact, like the plan
+          val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+          if (filters.nonEmpty && filters.forall(f =>
+              B.exactlyDecidable(f, kept, rowMeta, ndv, stats, visible)))
+            kept.filter(d => filters.forall(f =>
+              B.dirSatisfies(f, d, rowMeta, ndv, stats, visible)))
+              .map(rowMeta(_)._1).sum
+          else {
+            val (refined, _) = B.refineForFilters(filters, kept, rowMeta, ndv,
+              VersionedLake.dirFreq(spark, dir, v), visible, raw,
               math.max(1L, kept.map(rowMeta(_)._2).sum),
               VersionedLake.dirHist(spark, dir, v))
-          refined
+            refined
+          }
         }
       case "explain_scan" =>
         procRows(name, "dry-run the manifest pruning for a predicate: per directory, " +

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,9 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregate pushdown, lifted to the manifest so even footers stay
   * closed.
   *
+  * GROUP BY joins the path when every grouping column is DIRECTORY-
+  * UNIFORM: the manifest proves each live directory holds exactly one
+  * value of it (`#stats` min == max with `#ndv` nulls == 0, or all
+  * null), so directories group by their proven values and the per-group
+  * aggregates stay manifest-exact — `SELECT ingest_day, count(*) GROUP
+  * BY ingest_day` on a daily-ingested fact is one row per commit day,
+  * computed without opening a file.
+  *
   * Strictly conservative: any shape the manifest cannot answer EXACTLY
-  * — a group-by, a filter (the caller refuses before asking), a
-  * directory missing its rows/stats line, an aggregate that isn't
+  * — a non-uniform grouping column, a filter the caller didn't decide
+  * exactly (the scan builder refuses before asking), a directory
+  * missing its rows/stats line, an aggregate that isn't
   * count(*)/min/max, or a column type whose stats string-cast is not a
   * faithful round-trip (timestamps render session-TZ-dependently) —
   * returns None and the scan proceeds as a normal file read. A refusal
@@ -27,41 +36,175 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeMetaAgg {
 
   /** Try to answer `agg` from version metadata. Returns the output
-    * schema (positional, matching `agg.aggregateExpressions`) and the
-    * answer values in Spark's INTERNAL representations (UTF8String,
-    * Decimal, epoch-day Int, ...), or None when the manifest cannot
-    * answer exactly. Callers must ensure the version has no pending
-    * merge-on-read deletes (counts are physical).
+    * schema (grouping columns first, then aggregates — the positional
+    * contract V2ScanRelationPushDown rebinds by) and the answer rows in
+    * Spark's INTERNAL representations (UTF8String, Decimal, epoch-day
+    * Int, ...), or None when the manifest cannot answer exactly.
+    * Callers must ensure the version has no pending merge-on-read
+    * deletes (counts are physical).
+    *
+    * `dirsOverride` scopes the answer to a SELECTED directory subset —
+    * the filtered-metadata-aggregate path: when every pushed conjunct
+    * was decided exactly at directory granularity (see
+    * [[org.apache.spark.sql.graft.LakePruningScanBuilder]]'s uniform-
+    * column claims), the surviving directories' rows ARE the filtered
+    * rows, and the answers over them stay manifest-exact.
     */
   def answer(
       spark: SparkSession,
       tableDir: String,
       version: Long,
       schema: StructType,
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation,
+      dirsOverride: Option[Seq[String]] = None): Option[(StructType, Seq[Array[Any]])] = {
     val funcs = agg.aggregateExpressions.toSeq
     if (funcs.isEmpty) return None
-    val dirs = VersionedLake.manifest(spark, tableDir, version)
+    val dirs = dirsOverride.getOrElse(VersionedLake.manifest(spark, tableDir, version))
     lazy val rowCounts = VersionedLake.dirRowCounts(spark, tableDir, version)
     lazy val stats = VersionedLake.dirStats(spark, tableDir, version)
-    val answered = funcs.map {
-      case _: CountStar =>
-        // exact only when every directory accounts its rows
-        if (dirs.forall(rowCounts.contains))
-          Some((StructField("count(*)", LongType, nullable = false),
-            java.lang.Long.valueOf(dirs.map(rowCounts(_)._1).sum): Any))
-        else None
-      case m: Min => extremum(m.column, isMin = true, dirs, stats, schema)
-      case m: Max => extremum(m.column, isMin = false, dirs, stats, schema)
-      case _ => None
+    lazy val ndv = VersionedLake.dirNdv(spark, tableDir, version)
+    lazy val sums = VersionedLake.dirSums(spark, tableDir, version)
+
+    // exact SUM from the "s" layer: every live directory must carry the
+    // column's sum entry OR be provably all-null in it (the exact null
+    // count — an all-null dir contributes nothing); the total must fit
+    // the type Spark's own sum would return, else the real scan answers
+    // (and under ANSI, errors) honestly
+    def sumOver(
+        colExpr: org.apache.spark.sql.connector.expressions.Expression,
+        ds: Seq[String]): Option[(StructField, Any)] = {
+      val name = colExpr match {
+        case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+        case _ => return None
+      }
+      val field = schema.fields.find(_.name == name).getOrElse(return None)
+      val resultType: DataType = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+        case _ => return None
+      }
+      if (!ds.forall(rowCounts.contains)) return None
+      val live = ds.filter(d => rowCounts(d)._1 > 0)
+      val parts = live.map { d =>
+        sums.get(d).flatMap(_.get(name)) match {
+          case Some(s) => Some(Some(s))
+          case None =>
+            // all-null proof: exact null count == row count
+            ndv.get(d).flatMap(_.get(name)) match {
+              case Some((_, n)) if n == rowCounts(d)._1 => Some(None)
+              case _                                    => None
+            }
+        }
+      }
+      if (parts.exists(_.isEmpty)) return None
+      val vs = parts.flatten.flatten
+      val out: Any =
+        if (vs.isEmpty) null
+        else {
+          val total = vs.reduce(_.add(_))
+          resultType match {
+            case LongType =>
+              scala.util.Try(java.lang.Long.valueOf(total.longValueExact()))
+                .getOrElse(return None)
+            case d: DecimalType =>
+              val dec = Decimal(total)
+              if (dec.changePrecision(d.precision, d.scale)) dec else return None
+            case _ => return None
+          }
+        }
+      Some((StructField(s"sum($name)", resultType, nullable = true), out))
     }
-    if (answered.exists(_.isEmpty)) None
+
+    def answerOver(ds: Seq[String]): Option[(Seq[StructField], Seq[Any])] = {
+      val answered = funcs.map {
+        case _: CountStar =>
+          // exact only when every directory accounts its rows
+          if (ds.forall(rowCounts.contains))
+            Some((StructField("count(*)", LongType, nullable = false),
+              java.lang.Long.valueOf(ds.map(rowCounts(_)._1).sum): Any))
+          else None
+        case m: Min => extremum(m.column, isMin = true, ds, stats, schema)
+        case m: Max => extremum(m.column, isMin = false, ds, stats, schema)
+        case s: Sum if !s.isDistinct => sumOver(s.column, ds)
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None
+      else Some(answered.flatten.unzip)
+    }
+
+    val groupCols: Seq[(String, DataType)] = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val name = r.fieldNames.head
+        schema.fields.find(_.name == name) match {
+          case Some(f) => (f.name, f.dataType)
+          case None    => return None
+        }
+      case _ => return None
+    }
+
+    if (groupCols.isEmpty)
+      answerOver(dirs).map { case (fields, values) =>
+        (StructType(fields), Seq(values.toArray))
+      }
     else {
-      val (fields, values) = answered.flatten.unzip
-      Some((StructType(fields), values.toArray))
+      // every LIVE directory must be uniform in every grouping column —
+      // its proven value IS its group key (all-null dirs group under
+      // SQL's one null group); zero-row dirs contribute nothing
+      if (!dirs.forall(rowCounts.contains)) return None
+      val live = dirs.filter(d => rowCounts(d)._1 > 0)
+      val keyed: Seq[(List[Any], String)] = live.map { d =>
+        val key = groupCols.map { case (c, dt) =>
+          val nulls = ndv.get(d).flatMap(_.get(c)).map(_._2).getOrElse(return None)
+          val bounds = stats.get(d).flatMap(_.get(c)).getOrElse(return None)
+          uniformValue(dt, rowCounts(d)._1, nulls, bounds) match {
+            case Some(v) => v.orNull
+            case None    => return None
+          }
+        }.toList
+        (key, d)
+      }
+      val groups = keyed.groupBy(_._1).toSeq.map { case (k, ds) => (k, ds.map(_._2)) }
+      val perGroup = groups.map { case (k, ds) =>
+        answerOver(ds).map(a => (k, a))
+      }
+      if (perGroup.exists(_.isEmpty)) return None
+      val rows = perGroup.flatten
+      val aggFields = rows.headOption.map(_._2._1).getOrElse(return None)
+      val keyFields = groupCols.map { case (c, dt) => StructField(c, dt, nullable = true) }
+      // deterministic output (nulls first, then the comparable order) —
+      // irrelevant to the aggregate's semantics, kind to hash-comparers
+      val sorted = rows.sortWith { case ((a, _), (b, _)) =>
+        a.zip(b).collectFirst {
+          case (x, y) if !eq0(x, y) =>
+            if (x == null) true
+            else if (y == null) false
+            else x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        }.getOrElse(false)
+      }
+      Some((StructType(keyFields ++ aggFields),
+        sorted.map { case (k, (_, vs)) => (k ++ vs).toArray }))
     }
   }
+
+  private def eq0(x: Any, y: Any): Boolean =
+    if (x == null) y == null else y != null && x.equals(y)
+
+  /** The directory-uniform value of a column, from its manifest lines:
+    * `Some(None)` = every row null, `Some(Some(v))` = every row holds
+    * `v` (parsed into the comparable internal domain), `None` = not
+    * uniform / not provable. The shared proof behind the scan builder's
+    * exact filter claims and grouped metadata aggregates.
+    */
+  def uniformValue(
+      dt: DataType,
+      rows: Long,
+      nulls: Long,
+      bounds: (Option[String], Option[String])): Option[Option[Any]] =
+    (nulls, bounds._1, bounds._2) match {
+      case (n, None, None) if n == rows => Some(None)
+      case (0L, Some(a), Some(b)) if a == b => parse(dt, a).map(v => Some(v))
+      case _ => None
+    }
 
   private def extremum(
       colExpr: org.apache.spark.sql.connector.expressions.Expression,
@@ -102,8 +245,10 @@ object LakeMetaAgg {
     * Spark's string order; Double/Float boxed compareTo puts NaN
     * greatest, matching Spark's sort order). Timestamps are refused:
     * their rendering depends on the session timezone at commit time.
+    * Public: the scan builder's uniform-column filter decisions parse
+    * the same stored renders under the same round-trip contract.
     */
-  private def parse(dt: DataType, s: String): Option[Any] = dt match {
+  def parse(dt: DataType, s: String): Option[Any] = dt match {
     case LongType    => s.toLongOption
     case IntegerType => s.toIntOption
     case ShortType   => s.toShortOption

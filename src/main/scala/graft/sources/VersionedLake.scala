@@ -1030,6 +1030,24 @@ object VersionedLake {
           Some(unix_micros(col(c)).cast("double"))
         case _ => None
       }).toIndexedSeq
+    // exact per-directory SUMS for integral/decimal stats columns (`"s"`
+    // on the #ndv layer): summed in decimal(38, scale) so the partial is
+    // EXACT, via try_sum so a 38-digit overflow degrades to "no entry"
+    // (the conservatism rule) instead of failing the commit under ANSI.
+    // Doubles are excluded — their sum is evaluation-order-dependent, so
+    // a stored value could disagree with a scan's. These answer
+    // metadata-only SUM (unfiltered, uniform-filtered, grouped).
+    val sumDomain: IndexedSeq[Option[org.apache.spark.sql.Column]] =
+      statsCols.map(c => df.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          Some(try_sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string"))
+        case d: org.apache.spark.sql.types.DecimalType if d.scale >= 0 && d.scale <= 18 =>
+          Some(try_sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, d.scale)))
+            .cast("string"))
+        case _ => None
+      }).toIndexedSeq
     val qs = (0 to HistBins).map(_.toDouble / HistBins).toArray
     val aggs = statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string"),
@@ -1047,35 +1065,42 @@ object VersionedLake {
       // cast-to-string renders ("1.5" vs "1.50") don't reliably match a
       // probe literal's toString, and equality on them is rare anyway
       if (numeric(i) && !integral(i)) lit(null).cast("binary")
-      else graft.functions.FreqSketch.freqSketchAgg(col(c).cast("string")))
+      else graft.functions.FreqSketch.freqSketchAgg(col(c).cast("string")),
+      sumDomain(i).getOrElse(lit(null).cast("string")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import org.json4s.JsonAST._
     val statsObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       def v(j: Int): JValue =
         if (row.isNullAt(j)) JNull else JString(row.getString(j))
-      c -> (JArray(List(v(6 * i), v(6 * i + 1))): JValue)
+      c -> (JArray(List(v(7 * i), v(7 * i + 1))): JValue)
     }.toList)
     val ndvObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       val h: JValue =
-        if (row.isNullAt(6 * i + 2)) JNull
+        if (row.isNullAt(7 * i + 2)) JNull
         else JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](6 * i + 2)))
+          row.getAs[Array[Byte]](7 * i + 2)))
       val base = List(
-        "h" -> h, "n" -> (JInt(row.getLong(6 * i + 3)): JValue))
+        "h" -> h, "n" -> (JInt(row.getLong(7 * i + 3)): JValue))
       val edges =
-        if (row.isNullAt(6 * i + 4)) Nil
-        else row.getSeq[Double](6 * i + 4) match {
+        if (row.isNullAt(7 * i + 4)) Nil
+        else row.getSeq[Double](7 * i + 4) match {
           case es if es != null && es.nonEmpty && es.forall(e =>
             !java.lang.Double.isNaN(e) && !java.lang.Double.isInfinite(e)) =>
             List("e" -> (JArray(es.map(JDouble(_): JValue).toList): JValue))
           case _ => Nil
         }
       val freq =
-        if (row.isNullAt(6 * i + 5)) Nil
+        if (row.isNullAt(7 * i + 5)) Nil
         else List("f" -> (JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](6 * i + 5))): JValue))
-      c -> (JObject(base ++ edges ++ freq): JValue)
+          row.getAs[Array[Byte]](7 * i + 5))): JValue))
+      // an absent "s" with non-null rows present = refused (overflow or
+      // unsummable type); an all-null dir ALSO omits it — consumers
+      // disambiguate via the exact null count (n == rows)
+      val sums =
+        if (row.isNullAt(7 * i + 6)) Nil
+        else List("s" -> (JString(row.getString(7 * i + 6)): JValue))
+      c -> (JObject(base ++ edges ++ freq ++ sums): JValue)
     }.toList)
     def render(o: JObject) =
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
@@ -1270,6 +1295,31 @@ object VersionedLake {
             }.flatten
           }.flatten.toMap
         case _ => d -> Map.empty[String, Array[Byte]]
+      }
+    }
+  }
+
+  /** Per-directory EXACT SUMS a version's manifest carries (the `"s"`
+    * entries riding the `#ndv` layer): dir -> col -> exact decimal sum
+    * of the directory's non-null values (integral and bounded-scale
+    * decimal stats columns only — see columnStatsNdv). Absence means
+    * refused/legacy/all-null; consumers disambiguate all-null via the
+    * layer's exact null counts. Lenient like [[dirHist]].
+    */
+  def dirSums(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long): Map[String, Map[String, java.math.BigDecimal]] = {
+    import org.json4s.JsonAST._
+    dirNdvRaw(spark, tableDir, version).flatMap { case (d, json) =>
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(json)).toOption.map {
+        case JObject(fields) =>
+          d -> fields.collect { case (c, JObject(entry)) =>
+            entry.toMap.get("s").collect { case JString(s) =>
+              scala.util.Try(c -> new java.math.BigDecimal(s)).toOption
+            }.flatten
+          }.flatten.toMap
+        case _ => d -> Map.empty[String, java.math.BigDecimal]
       }
     }
   }

@@ -31,13 +31,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Two further manifest-powered layers ride the same builder:
   *
-  *   - METADATA-ONLY AGGREGATES ([[SupportsPushDownAggregates]]): an
-  *     unfiltered, un-grouped `count(*)`/`min`/`max` the `#rows`/`#stats`
-  *     lines can answer exactly becomes a [[LocalScan]] — the 100 TB
-  *     table is never opened, not even its footers. Spark only offers
-  *     aggregates here when no post-scan filters remain, and this
-  *     builder keeps every filter post-scan, so a filtered aggregate
-  *     can never reach the metadata path by construction.
+  *   - METADATA-ONLY AGGREGATES ([[SupportsPushDownAggregates]]): a
+  *     `count(*)`/`min`/`max`/`sum` the `#rows`/`#stats`/`#ndv` lines can
+  *     answer exactly becomes a [[LocalScan]] — the 100 TB table is never
+  *     opened, not even its footers. Spark only offers aggregates here
+  *     when no post-scan filters remain; filters and GROUP BYs reach the
+  *     path exactly when every conjunct/grouping column is decided at
+  *     directory granularity by the uniform-column proof (see
+  *     [[pushFilters]]) — everything else keeps its post-scan filter and
+  *     a real scan, by construction.
   *   - EXACT STATISTICS ([[SupportsReportStatistics]] on the returned
   *     scan): row/byte totals of the KEPT directories from the manifest,
   *     so Catalyst's join planning sees exact numbers without listing a
@@ -51,7 +53,8 @@ final class LakePruningScanBuilder(
     options: CaseInsensitiveStringMap,
     pruner: Seq[Filter] => Seq[String],
     rowMeta: Map[String, (Long, Long)] = Map.empty,
-    aggAnswer: Aggregation => Option[(StructType, Array[Any])] = _ => None,
+    aggAnswer: (Aggregation, Option[Seq[String]]) => Option[(StructType, Seq[Array[Any]])] =
+      (_, _) => None,
     spjCols: Seq[String] = Nil,
     runtimeFilterCols: Seq[String] = Nil,
     ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
@@ -64,23 +67,32 @@ final class LakePruningScanBuilder(
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = schema
-  private var answered: Option[(StructType, Array[Any])] = None
+  private var answered: Option[(StructType, Seq[Array[Any]])] = None
   private var limitOpt: Option[Int] = None
+  // conjuncts CLAIMED as handled (dropped from Spark's post-scan Filter)
+  // because directory selection decides them exactly — see pushFilters
+  private var claimed: Seq[Filter] = Nil
+  private var postScan: Seq[Expression] = Nil
+  // the directories surviving the claimed conjuncts' exact decisions
+  // (None = no claims; the full pruner result governs alone)
+  private var exactKept: Option[Set[String]] = None
 
-  /** LIMIT pushdown as MANIFEST-PREFIX pruning: `LIMIT n` with no data
-    * filters scans only the smallest prefix of kept directories whose
-    * exact `#rows` counts cover n — on a 100 TB table, `SELECT * LIMIT
-    * 10` opens one directory instead of planning every file. Sound by
-    * two facts: this builder keeps EVERY filter post-scan, so accepting
-    * a limit only when none were pushed means nothing downstream can
-    * reject rows (the fast path this builder serves already excludes
-    * pending MoR deletes); and LIMIT without ORDER BY is any-n-rows, so
-    * any row-sufficient directory subset is a correct answer set.
-    * Always PARTIAL (the default [[SupportsPushDownLimit.isPartiallyPushed]]):
-    * Spark keeps its own Limit operator, this layer only shrinks I/O.
+  /** LIMIT pushdown as MANIFEST-PREFIX pruning: `LIMIT n` with no
+    * post-scan data filters scans only the smallest prefix of kept
+    * directories whose exact `#rows` counts cover n — on a 100 TB
+    * table, `SELECT * LIMIT 10` opens one directory instead of planning
+    * every file. Sound by two facts: every surviving filter is either
+    * post-scan (none here) or CLAIMED-EXACT (every row of every kept
+    * directory satisfies it — see pushFilters), so nothing downstream
+    * can reject rows (the fast path this builder serves already
+    * excludes pending MoR deletes); and LIMIT without ORDER BY is
+    * any-n-rows, so any row-sufficient directory subset is a correct
+    * answer set. Always PARTIAL (the default
+    * [[SupportsPushDownLimit.isPartiallyPushed]]): Spark keeps its own
+    * Limit operator, this layer only shrinks I/O.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (postScan.nonEmpty) return false
     limitOpt = Some(n)
     true
   }
@@ -89,19 +101,51 @@ final class LakePruningScanBuilder(
   // same Aggregation instance; aggAnswer re-reads the manifest on the
   // driver, so memoize by identity instead of paying the metadata I/O
   // twice per metadata-answerable query.
-  private var aggCache: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
-  private def answerFor(agg: Aggregation): Option[(StructType, Array[Any])] =
+  private var aggCache: Option[(Aggregation, Option[(StructType, Seq[Array[Any]])])] = None
+  private def answerFor(agg: Aggregation): Option[(StructType, Seq[Array[Any]])] =
     aggCache match {
       case Some((a, r)) if a eq agg => r
       case _ =>
-        val r = aggAnswer(agg)
+        val r = aggAnswer(agg, exactKept.map(_.toSeq.sorted))
         aggCache = Some((agg, r))
         r
     }
 
+  /** Every filter STAYS post-scan (pruning is additive) — except
+    * conjuncts the manifest decides EXACTLY at directory granularity,
+    * which are CLAIMED as handled. A conjunct is claimed when its column
+    * is UNIFORM in every live directory (all rows null, or all rows one
+    * non-null value with a zero null count — the `#stats` min==max +
+    * `#ndv` null-count proof; the daily-ingest commit shape, where each
+    * commit covers one day/partition value) and its shape/type are in
+    * the decidable set. A claimed conjunct's rows are then exactly the
+    * kept directories' rows, which buys two things the post-scan rule
+    * forbids by construction: FILTERED metadata-only aggregates
+    * (`SELECT count(*) WHERE dt = '…'` answers from `#rows` lines of the
+    * satisfying directories — zero file opens on a 100 TB table) and
+    * LIMIT-prefix pruning under a filter. The claim is decided by THIS
+    * builder's own evaluation over the stored renders, never the
+    * pruner's may-overlap semantics; anything undecidable stays
+    * post-scan and costs nothing.
+    */
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
-    filters // everything stays a post-scan filter: pruning is additive
+    val allDirs = pruner(Nil)
+    val (claim, post) = filters.partition { e =>
+      DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
+        .exists(f =>
+          LakePruningScanBuilder.exactlyDecidable(
+            f, allDirs, rowMeta, ndvMeta, statsMeta, schema))
+    }
+    postScan = post
+    if (claim.nonEmpty) {
+      claimed = claim.flatMap(e =>
+        DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+      exactKept = Some(allDirs.filter(d => claimed.forall(f =>
+        LakePruningScanBuilder.dirSatisfies(
+          f, d, rowMeta, ndvMeta, statsMeta, schema))).toSet)
+    }
+    post
   }
 
   override def pushedFilters(): Array[Predicate] = Array.empty
@@ -110,12 +154,15 @@ final class LakePruningScanBuilder(
     required = requiredSchema
 
   // only COMPLETE pushdown is ever claimed: a partial answer would make
-  // Spark re-aggregate metadata rows as if they were data rows
+  // Spark re-aggregate metadata rows as if they were data rows. Spark
+  // offers aggregates only when no post-scan filters remain — i.e. when
+  // every pushed conjunct was claimed-exact — and the answer then scopes
+  // to the surviving directories.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    pushed.isEmpty && answerFor(aggregation).isDefined
+    postScan.isEmpty && answerFor(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (postScan.nonEmpty) return false
     answerFor(aggregation) match {
       case Some(a) => answered = Some(a); true
       case None    => false
@@ -123,11 +170,11 @@ final class LakePruningScanBuilder(
   }
 
   override def build(): Scan = answered match {
-    case Some((aggSchema, values)) =>
+    case Some((aggSchema, rows0)) =>
       LakePruningScanBuilder.lastMetaAgg.set(aggSchema.fieldNames.toSeq)
       new LocalScan {
         override def rows(): Array[InternalRow] =
-          Array(new GenericInternalRow(values))
+          rows0.map(vs => new GenericInternalRow(vs): InternalRow).toArray
         override def readSchema(): StructType = aggSchema
         override def description(): String =
           s"GraftLakeMetaAgg($identName: ${aggSchema.fieldNames.mkString(", ")})"
@@ -135,12 +182,22 @@ final class LakePruningScanBuilder(
     case None =>
       val translated = pushed.flatMap(e =>
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-      val keptAll = pruner(translated)
+      // claimed-exact conjuncts OWN their decision: the pruner's
+      // may-overlap keep is not enough once the post-scan filter is gone,
+      // so the kept set intersects with the exact satisfying directories
+      val keptAll = {
+        val p = pruner(translated)
+        exactKept.fold(p)(ek => p.filter(ek))
+      }
+      // a claimed filter that no directory satisfies yields a ZERO-ROW
+      // scan (a planning root would leak its non-satisfying rows)
+      if (exactKept.isDefined && keptAll.isEmpty)
+        return new LakePruningScanBuilder.EmptyLakeScan(identName, required)
       // limit-prefix pruning (see pushLimit): exact row counts for every
       // kept dir are required — an unaccounted dir could hide the rows
       // that make up n, so any gap disables the prune, never the answer
       val kept = limitOpt match {
-        case Some(n) if pushed.isEmpty && keptAll.nonEmpty &&
+        case Some(n) if postScan.isEmpty && keptAll.nonEmpty &&
             keptAll.forall(rowMeta.contains) =>
           val picked = Seq.newBuilder[String]
           var acc = 0L
@@ -157,7 +214,12 @@ final class LakePruningScanBuilder(
         val b = ParquetTable(identName, spark,
           options, dirs.map(d => s"$dataRoot/$d"), Some(schema), classOf[ParquetFileFormat])
           .newScanBuilder(options)
-        b.pushFilters(pushed): Unit
+        // only the POST-SCAN conjuncts reach the delegated parquet scan:
+        // a CLAIMED conjunct is already decided by directory selection
+        // (every surviving row satisfies it), and its column may be
+        // pruned from the read schema — pushing it would evaluate
+        // against a missing column and drop every row
+        b.pushFilters(postScan): Unit
         b.pruneColumns(required)
         b.build()
       }
@@ -188,8 +250,15 @@ final class LakePruningScanBuilder(
         .filter(c => required.fieldNames.exists(resolver(_, c)))
       if (rtCols.nonEmpty)
         new LakePruningScanBuilder.RuntimePrunedLakeScan(
-          scan, kept, translated, rtCols, innerScan, pruner, rowMeta, ndvMeta,
-          statsMeta, schema, histMeta, freqMeta)
+          scan, kept, translated, rtCols, innerScan,
+          // runtime re-prunes must keep the claimed conjuncts' exact
+          // intersection — the post-scan filter that would catch a
+          // may-overlap keep is gone for claimed conjuncts
+          fs => {
+            val p = pruner(fs)
+            exactKept.fold(p)(ek => p.filter(ek))
+          },
+          rowMeta, ndvMeta, statsMeta, schema, histMeta, freqMeta)
       else stats match {
         case Some((rows, bytes)) =>
           val (r2, b2) = LakePruningScanBuilder.refineForFilters(
@@ -204,6 +273,169 @@ final class LakePruningScanBuilder(
 }
 
 object LakePruningScanBuilder {
+
+  // ------------------------------------------------------------------
+  // UNIFORM-COLUMN exact filter decisions. A directory is UNIFORM in a
+  // column when its manifest lines prove every row holds one value:
+  // `#ndv` nulls == 0 and `#stats` min == max (one non-null value), or
+  // nulls == rows (all null). Conjuncts on such columns are decided
+  // exactly by directory selection — the proof behind claiming them as
+  // handled (filtered metadata aggregates, limit-under-filter). The
+  // value domain reuses LakeMetaAgg.parse's round-trip contract, so
+  // timestamps (session-TZ renders) are excluded the same way.
+  // ------------------------------------------------------------------
+
+  private sealed trait Uniform
+  private case object Vacuous extends Uniform // zero rows: satisfies all
+  private case object AllNull extends Uniform
+  private final case class Single(v: Any) extends Uniform
+
+  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+
+  private def shapeOf(f: Filter): Option[(String, Seq[Any])] = f match {
+    case EqualTo(a, v)            => Some((a, Seq(v)))
+    case EqualNullSafe(a, v)      => Some((a, Seq(v)))
+    case In(a, vs)                => Some((a, vs.toSeq))
+    case GreaterThan(a, v)        => Some((a, Seq(v)))
+    case GreaterThanOrEqual(a, v) => Some((a, Seq(v)))
+    case LessThan(a, v)           => Some((a, Seq(v)))
+    case LessThanOrEqual(a, v)    => Some((a, Seq(v)))
+    case IsNull(a)                => Some((a, Nil))
+    case IsNotNull(a)             => Some((a, Nil))
+    case _                        => None
+  }
+
+  /** The filter's JVM literal in the same comparable domain
+    * [[graft.sources.LakeMetaAgg.parse]] yields for stored renders.
+    */
+  private def toInternal(dt: org.apache.spark.sql.types.DataType, v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (LongType, n: java.lang.Long)       => Some(n.longValue())
+      case (IntegerType, n: java.lang.Integer) => Some(n.intValue())
+      case (ShortType, n: java.lang.Short)     => Some(n.shortValue())
+      case (ByteType, n: java.lang.Byte)       => Some(n.byteValue())
+      case (DoubleType, n: java.lang.Double)   => Some(n.doubleValue())
+      case (FloatType, n: java.lang.Float)     => Some(n.floatValue())
+      case (StringType, s: String) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case (DateType, d: java.sql.Date)        => Some(d.toLocalDate.toEpochDay.toInt)
+      case (DateType, d: java.time.LocalDate)  => Some(d.toEpochDay.toInt)
+      case (d: DecimalType, b: java.math.BigDecimal) =>
+        scala.util.Try(org.apache.spark.sql.types.Decimal(b, d.precision, d.scale)).toOption
+      case (d: DecimalType, b: scala.math.BigDecimal) =>
+        scala.util.Try(org.apache.spark.sql.types.Decimal(b, d.precision, d.scale)).toOption
+      case _ => None
+    }
+  }
+
+  private def uniformOf(
+      d: String,
+      c: String,
+      dt: org.apache.spark.sql.types.DataType,
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]])
+      : Option[Uniform] =
+    rowMeta.get(d).flatMap { case (rows, _) =>
+      if (rows == 0L) Some(Vacuous)
+      else for {
+        nulls <- ndvMeta.get(d).flatMap(_.get(c)).map(_._2)
+        bounds <- statsMeta.get(d).flatMap(_.get(c))
+        u <- graft.sources.LakeMetaAgg.uniformValue(dt, rows, nulls, bounds)
+          .map(_.fold(AllNull: Uniform)(Single.apply))
+      } yield u
+    }
+
+  /** Can directory selection decide `f` exactly over EVERY given dir? */
+  def exactlyDecidable(
+      f: Filter,
+      dirs: Seq[String],
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]],
+      schema: StructType): Boolean =
+    shapeOf(f) match {
+      case None => false
+      case Some((c, vs)) =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case None => false
+          case Some(dt) =>
+            val valuesOk = f match {
+              case EqualNullSafe(_, null) => true // <=> NULL: pure nullness
+              case _: In => // null elements never match; the rest must convert
+                vs.filter(_ != null).forall(v => toInternal(dt, v).isDefined)
+              case _ => vs.forall(v => v != null && toInternal(dt, v).isDefined)
+            }
+            valuesOk && dirs.forall(d =>
+              uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta).isDefined)
+        }
+    }
+
+  /** Does every row of `d` satisfy `f`? Call only after
+    * [[exactlyDecidable]] held for the dir set containing `d`.
+    */
+  def dirSatisfies(
+      f: Filter,
+      d: String,
+      rowMeta: Map[String, (Long, Long)],
+      ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]],
+      schema: StructType): Boolean = {
+    val (c, _) = shapeOf(f).getOrElse(return false)
+    val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return false)
+    uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta) match {
+      case None          => false // unreachable after exactlyDecidable
+      case Some(Vacuous) => true  // zero rows: nothing can leak
+      case Some(AllNull) =>
+        f match {
+          case _: IsNull              => true
+          case EqualNullSafe(_, null) => true
+          case _                      => false // value predicates and IS NOT NULL all fail on null
+        }
+      case Some(Single(u)) =>
+        def cmp(v: Any): Option[Int] =
+          toInternal(dt, v).map(i => u.asInstanceOf[Comparable[Any]].compareTo(i))
+        f match {
+          case _: IsNull                => false
+          case _: IsNotNull             => true
+          case EqualNullSafe(_, null)   => false
+          case EqualTo(_, v)            => cmp(v).contains(0)
+          case EqualNullSafe(_, v)      => cmp(v).contains(0)
+          case In(_, vs)                => vs.exists(v => v != null && cmp(v).contains(0))
+          case GreaterThan(_, v)        => cmp(v).exists(_ > 0)
+          case GreaterThanOrEqual(_, v) => cmp(v).exists(_ >= 0)
+          case LessThan(_, v)           => cmp(v).exists(_ < 0)
+          case LessThanOrEqual(_, v)    => cmp(v).exists(_ <= 0)
+          case _                        => false
+        }
+    }
+  }
+
+  /** A zero-row scan with a concrete schema — what a claimed-exact
+    * filter that no directory satisfies plans to (any real planning
+    * root would leak its non-satisfying rows once the post-scan filter
+    * is claimed away).
+    */
+  final class EmptyLakeScan(identName: String, schema: StructType)
+      extends Scan with org.apache.spark.sql.connector.read.Batch
+      with SupportsReportStatistics {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+    override def readSchema(): StructType = schema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def description(): String = s"GraftLakeEmpty($identName)"
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition)
+            : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+          throw new IllegalStateException("empty scan has no partitions")
+      }
+    override def estimateStatistics(): Statistics = new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(1L)
+      override def numRows(): OptionalLong = OptionalLong.of(0L)
+    }
+  }
 
   /** EQUALITY SELECTIVITY for SKEWED CATEGORICAL columns, from the
     * manifest's frequent-values layer: when the pushed filters carry a

@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FILTERED metadata-only aggregates over directory-uniform columns: a
+  * pushed conjunct whose column is provably uniform per directory (all
+  * rows one non-null value with a zero null count, or all null — the
+  * `#stats` min==max + `#ndv` proof; the daily-ingest commit shape) is
+  * decided exactly by directory selection and CLAIMED as handled, so
+  * `SELECT count(*) WHERE dt = '…'` answers from the satisfying
+  * directories' `#rows` lines — zero file opens on a 100 TB table —
+  * and a claimed filter nobody satisfies plans a zero-row scan instead
+  * of leaking a planning root's rows. Everything undecidable stays a
+  * post-scan filter, exactly as before.
+  */
+class FilteredMetaAggSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_fma").toString
+    spark.conf.set("spark.sql.catalog.gfma", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfma.root", r)
+    // three daily commits: dt is UNIFORM per directory, v is not
+    val dir = s"$r/days"
+    Seq("2026-01-01" -> 40, "2026-01-02" -> 25, "2026-01-03" -> 35).foreach {
+      case (day, n) =>
+        VersionedLake.appendCommit(
+          (1 to n).map(i => (day, i.toLong)).toDF("d", "v")
+            .select(to_date(col("d")).as("dt"), col("v")),
+          dir, statsCols = Seq("dt", "v"))
+    }
+    r
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("count(*) under a uniform-column equality answers from the manifest") {
+    root
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM gfma.days WHERE dt = DATE '2026-01-02'")
+    assert(df.collect().head.getLong(0) === 25L)
+    assert(plan(df).contains("LocalTableScan"),
+      s"filtered count over a uniform column must stay metadata-only:\n${plan(df)}")
+    // range and IN shapes too
+    val rng = spark.sql(
+      "SELECT count(*) AS n FROM gfma.days WHERE dt >= DATE '2026-01-02'")
+    assert(rng.collect().head.getLong(0) === 60L)
+    assert(plan(rng).contains("LocalTableScan"))
+    val in = spark.sql("SELECT count(*) AS n FROM gfma.days " +
+      "WHERE dt IN (DATE '2026-01-01', DATE '2026-01-03')")
+    assert(in.collect().head.getLong(0) === 75L)
+    assert(plan(in).contains("LocalTableScan"))
+  }
+
+  test("min/max under the claimed filter scope to the surviving directories") {
+    root
+    val df = spark.sql("SELECT min(v) AS lo, max(v) AS hi FROM gfma.days " +
+      "WHERE dt = DATE '2026-01-02'")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 25L)))
+    assert(plan(df).contains("LocalTableScan"))
+  }
+
+  test("a claimed filter nobody satisfies plans a zero-row scan, never a leaking root") {
+    root
+    val none = spark.sql("SELECT * FROM gfma.days WHERE dt = DATE '2030-01-01'")
+    assert(none.count() === 0L, "no directory satisfies: zero rows")
+    val cnt = spark.sql(
+      "SELECT count(*) AS n FROM gfma.days WHERE dt = DATE '2030-01-01'")
+    assert(cnt.collect().head.getLong(0) === 0L)
+  }
+
+  test("plain reads under a claimed filter return exactly the satisfying rows") {
+    root
+    val rows = spark.sql(
+      "SELECT v FROM gfma.days WHERE dt = DATE '2026-01-03' ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === (1L to 35L), "claimed-exact selection must do the filtering")
+    // LIMIT under the claimed filter is sound (any-n-rows of satisfying dirs)
+    assert(spark.sql(
+      "SELECT * FROM gfma.days WHERE dt = DATE '2026-01-01' LIMIT 7").count() === 7L)
+  }
+
+  test("a non-uniform column filter stays post-scan and never claims") {
+    root
+    val df = spark.sql("SELECT count(*) AS n FROM gfma.days WHERE v <= 10")
+    assert(df.collect().head.getLong(0) === 30L)
+    assert(!plan(df).contains("LocalTableScan"),
+      "v spans a range per dir - the filter must stay post-scan")
+    // mixed conjuncts: the uniform one claims, the other stays post-scan,
+    // the aggregate correctly does NOT take the metadata path
+    val mixed = spark.sql("SELECT count(*) AS n FROM gfma.days " +
+      "WHERE dt = DATE '2026-01-01' AND v <= 10")
+    assert(mixed.collect().head.getLong(0) === 10L)
+    assert(!plan(mixed).contains("LocalTableScan"))
+  }
+
+  test("GROUP BY a uniform column answers entirely from the manifest") {
+    root
+    val df = spark.sql(
+      "SELECT dt, CAST(count(*) AS BIGINT) AS n FROM gfma.days GROUP BY dt ORDER BY dt")
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2026-01-01", 40L), ("2026-01-02", 25L), ("2026-01-03", 35L)))
+    assert(plan(df).contains("LocalTableScan"),
+      s"a uniform-column GROUP BY must stay metadata-only:\n${plan(df)}")
+    // grouped extrema scope per group's directories
+    val mm = spark.sql(
+      "SELECT dt, min(v) AS lo, max(v) AS hi FROM gfma.days GROUP BY dt ORDER BY dt")
+    assert(mm.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("2026-01-01", 1L, 40L), ("2026-01-02", 1L, 25L),
+        ("2026-01-03", 1L, 35L)))
+    assert(plan(mm).contains("LocalTableScan"))
+    // a claimed filter composes: the group set shrinks to satisfying dirs
+    val filtered = spark.sql(
+      "SELECT dt, CAST(count(*) AS BIGINT) AS n FROM gfma.days " +
+        "WHERE dt >= DATE '2026-01-02' GROUP BY dt ORDER BY dt")
+    assert(filtered.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      === Seq(("2026-01-02", 25L), ("2026-01-03", 35L)))
+    assert(plan(filtered).contains("LocalTableScan"))
+    // a NON-uniform grouping column falls back to the real scan
+    val nu = spark.sql("SELECT v, count(*) AS n FROM gfma.days GROUP BY v")
+    assert(nu.collect().length === 40)
+    assert(!plan(nu).contains("LocalTableScan"))
+    // grouped + filtered EXACT SUM from the "s" layer: daily revenue
+    // with zero file opens
+    val sm = spark.sql(
+      "SELECT dt, sum(v) AS sv FROM gfma.days " +
+        "WHERE dt >= DATE '2026-01-02' GROUP BY dt ORDER BY dt")
+    assert(sm.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2026-01-02", (1L to 25L).sum), ("2026-01-03", (1L to 35L).sum)))
+    assert(plan(sm).contains("LocalTableScan"),
+      s"grouped+filtered sum must stay metadata-only:\n${plan(sm)}")
+  }
+
+  test("a directory mixing nulls and values blocks the claim (no uniform proof)") {
+    val s = spark
+    import s.implicits._
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fma2").toString
+    spark.conf.set("spark.sql.catalog.gfma2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfma2.root", r2)
+    val dir = s"$r2/t"
+    VersionedLake.appendCommit(
+      (1 to 20).map(i =>
+        (if (i % 2 == 0) "2026-01-01" else null, i.toLong)).toDF("d", "v")
+        .select(to_date(col("d")).as("dt"), col("v")),
+      dir, statsCols = Seq("dt"))
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM gfma2.t WHERE dt = DATE '2026-01-01'")
+    assert(df.collect().head.getLong(0) === 10L,
+      "a mixed null/value dir must answer through a real filtered scan")
+    assert(!plan(df).contains("LocalTableScan"))
+    // an ALL-NULL directory decides IS NULL / IS NOT NULL exactly
+    val dir2 = s"$r2/t2"
+    VersionedLake.appendCommit(
+      (1 to 8).map(i => (null.asInstanceOf[String], i.toLong)).toDF("d", "v")
+        .select(to_date(col("d")).as("dt"), col("v")),
+      dir2, statsCols = Seq("dt"))
+    VersionedLake.appendCommit(
+      (1 to 5).map(i => ("2026-01-01", i.toLong)).toDF("d", "v")
+        .select(to_date(col("d")).as("dt"), col("v")),
+      dir2, statsCols = Seq("dt"))
+    val nn = spark.sql("SELECT count(*) AS n FROM gfma2.t2 WHERE dt IS NOT NULL")
+    assert(nn.collect().head.getLong(0) === 5L)
+    assert(plan(nn).contains("LocalTableScan"),
+      s"all-null vs all-value dirs decide nullness exactly:\n${plan(nn)}")
+    val isn = spark.sql("SELECT count(*) AS n FROM gfma2.t2 WHERE dt IS NULL")
+    assert(isn.collect().head.getLong(0) === 8L)
+    assert(plan(isn).contains("LocalTableScan"))
+  }
+}

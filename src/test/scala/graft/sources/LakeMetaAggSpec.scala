@@ -57,6 +57,24 @@ class LakeMetaAggSpec extends SparkSpec {
     assert(both.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("unfiltered SUM over an integral stats column answers from the manifest") {
+    mkTable("sm")
+    val df = spark.sql("SELECT sum(k) AS s, count(*) AS n FROM gma.sm")
+    val r = df.collect().head
+    assert(r.getLong(0) === (1L to 130L).sum)
+    assert(r.getLong(1) === 130L)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "sum over the #ndv layer's exact per-dir sums must stay metadata-only")
+    // a DOUBLE column never stores a sum (order-dependent): real scan
+    val dbl = spark.sql("SELECT sum(x) AS s FROM gma.sm")
+    assert(math.abs(dbl.collect().head.getDouble(0) - (1 to 130).map(_ * 1.5).sum) < 1e-6)
+    assert(!dbl.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // DISTINCT sums decline
+    val ds = spark.sql("SELECT sum(DISTINCT k) AS s FROM gma.sm")
+    assert(ds.collect().head.getLong(0) === (1L to 130L).sum)
+    assert(!ds.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("a filter forces a real scan (post-scan filters block aggregate pushdown)") {
     mkTable("flt")
     val df = spark.sql("SELECT count(*) AS n FROM gma.flt WHERE k <= 50")
@@ -72,7 +90,7 @@ class LakeMetaAggSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
-  test("group-by never uses the metadata path") {
+  test("group-by on a NON-uniform column never uses the metadata path") {
     mkTable("grp")
     val df = spark.sql("SELECT s, count(*) AS n FROM gma.grp GROUP BY s")
     assert(df.collect().length === 130)

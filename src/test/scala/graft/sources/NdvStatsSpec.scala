@@ -157,6 +157,17 @@ class NdvStatsSpec extends SparkSpec {
       "a near-unique integral column is covered but dominated by nothing")
     assert(top("tag") != null && top("tag").isEmpty,
       s"a near-unique string column is covered but dominated by nothing, got '${top("tag")}'")
+    // the exact-sum layer's diagnostic face: integral columns report the
+    // table's true sum; string columns carry no sum
+    val sums = spark.sql("SELECT column, sum FROM gndv.`fct$stats`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val trueSum = spark.table("gndv.fct")
+      .agg(org.apache.spark.sql.functions.expr("sum(cast(k as decimal(38,0)))"))
+      .head().getDecimal(0).toBigInteger.toString
+    assert(sums("k") != null && new java.math.BigDecimal(sums("k"))
+      .toBigInteger.toString === trueSum,
+      s"t$$stats sum must be the exact table sum, got ${sums("k")} want $trueSum")
+    assert(sums("tag") == null, "string columns carry no sum")
   }
 
   test("the NDV layer survives a keyed rewrite and a rename re-keys it") {
