@@ -3165,6 +3165,42 @@ object Relational5 {
       },
       covers = Seq("ext-catalog-meta-agg-filtered")),
 
+    // STATS BACKFILL WITHOUT REWRITE — `CALL system.analyze` adds the
+    // full column-statistics layer set (min/max, NDV+nulls, histogram,
+    // frequent-values, exact sums) to a table committed with NO layers:
+    // one scan per directory, ONE metadata-only commit, zero data moved.
+    // At 100 TB this is the answer to "this column became filter-hot
+    // after ingest" — the alternative is an optimize rewrite of the
+    // whole table. The body proves the layers WORK: the post-analyze
+    // min/max/sum answers as a LocalTableScan (REQUIRED), and the
+    // filtered count range-prunes. Oracle: the aggregate truth.
+    QueryDef(
+      "q_catalog_analyze",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val tbl = s"${catalogLake(s, dir)}/anl_orders"
+        if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty) {
+          val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+          val half = maxOrderKey(s, dir) / 2
+          graft.sources.VersionedLake.appendCommit(o.filter(col("o_orderkey") <= half), tbl)
+          graft.sources.VersionedLake.appendCommit(o.filter(col("o_orderkey") > half), tbl)
+          s.sql("CALL graftcat.system.analyze('anl_orders', 'o_orderkey,o_orderstatus')")
+            .collect()
+        }
+        val df = s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS lo,
+            |  max(o_orderkey) AS hi, sum(o_orderkey) AS tot
+            |FROM graftcat.anl_orders""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+          s"post-analyze aggregates must be metadata-only - got:\n$plan")
+        df.localCheckpoint()
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, min(o_orderkey) AS lo,
+             |  max(o_orderkey) AS hi, CAST(sum(o_orderkey) AS BIGINT) AS tot
+             |FROM orders""".stripMargin),
+      covers = Seq("ext-catalog-analyze")),
+
     // GROUPED METADATA-ONLY AGGREGATES — `GROUP BY ingest_day` where
     // every directory is provably uniform in the grouping column:
     // directories group by their proven values and the per-group

@@ -35,7 +35,7 @@ object GraftProcedures {
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
     "set_partition_spec", "explain_scan", "verify_constraints", "atomic",
-    "set_text_index_buckets", "migrate_text_index", "estimate_rows")
+    "set_text_index_buckets", "migrate_text_index", "estimate_rows", "analyze")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -174,6 +174,21 @@ object GraftProcedures {
             stmts.foreach(stmt => spark.sql(stmt): Unit)
           }
           versions.size.toLong
+        }
+      case "analyze" =>
+        proc(name, "add or refresh the column-statistics layers (min/max, " +
+          "NDV + null counts, histogram edges, frequent-values sketches, " +
+          "exact sums) on an existing table WITHOUT rewriting data: one scan " +
+          "per directory + one metadata-only commit - the stats backfill for " +
+          "a column that became filter-hot after ingest; also upgrades legacy " +
+          "directories to the full current layer set",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("cols", StringType)
+              .comment("comma-separated columns to analyze").build())) { in =>
+          val dir = resolve(str(in, 0))
+          val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          VersionedLake.analyzeStats(spark, dir, cols)
         }
       case "vacuum" =>
         proc(name, "retention: keep the newest versions, reclaim the rest",

@@ -314,7 +314,11 @@ object LakeMv {
       return Some(LakeView.read(spark, mv.viewDir, mv.keys, mv.mergeSpec, mv.liveness))
     if (wm > corpusV) return None // corpus rolled back past the sync
     val appendOnly = ((wm + 1) to corpusV).forall { v =>
-      VersionedLake.commitOp(spark, mv.corpusDir, v).forall(_ == "append") &&
+      // "analyze" is a stats-only commit: zero rows change, the directory
+      // set is identical — it must not force the stale view off the
+      // combine path (the subset check still guards it like any append)
+      VersionedLake.commitOp(spark, mv.corpusDir, v)
+        .forall(op => op == "append" || op == "analyze") &&
         VersionedLake.manifest(spark, mv.corpusDir, v - 1).toSet
           .subsetOf(VersionedLake.manifest(spark, mv.corpusDir, v).toSet)
     }

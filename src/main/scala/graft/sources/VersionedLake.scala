@@ -4792,6 +4792,83 @@ object VersionedLake {
     * vacuum; on a real cluster, schedule by manifest length (e.g. every
     * 64 appends) so read-side file listing stays O(1)-ish.
     */
+  /** ANALYZE: add or refresh the column-statistics layers (`#stats`
+    * min/max, `#ndv` HLL + null counts + histogram edges +
+    * frequent-values sketches + exact sums) on an EXISTING table WITHOUT
+    * rewriting a byte of data — the stats-backfill a 100 TB table needs
+    * when a column becomes filter-hot after ingest, where the only
+    * alternative today is an `optimize` rewrite of the whole table. One
+    * scan per live directory (reading LOGICAL rows through the variant
+    * bridge, so renamed columns analyze under their CURRENT names and
+    * rows already MoR-deleted don't widen the bounds) computes exactly
+    * the payloads every commit writes, and ONE metadata-only commit
+    * (`op = analyze`, zero data directories moved) publishes them —
+    * which also upgrades legacy directories to the full current layer
+    * set (a pre-sum-layer table gains its "s" entries here). Columns
+    * already analyzed refresh; other columns' entries carry untouched.
+    * Cost: O(dirs) single-directory scan jobs + one manifest write;
+    * concurrent commits win the slot and the analyze retries against
+    * the moved version like any read-modify-write committer.
+    */
+  def analyzeStats(
+      spark: SparkSession,
+      tableDir: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "analyzeStats needs at least one column")
+    retryOnConflict(maxAttempts = 4) {
+      val v = currentVersion(spark, tableDir).getOrElse(
+        throw new IllegalStateException(s"no published version in $tableDir"))
+      val dirs = manifest(spark, tableDir, v)
+      val schema0 = versionSchema(spark, tableDir, v)
+        .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
+      val visible = visibleSchema(schema0)
+      val missing = cols.filterNot(c => visible.fields.exists(_.name == c))
+      require(missing.isEmpty,
+        s"analyzeStats: columns not in the table schema: ${missing.mkString(", ")}")
+      val rowsMeta = dirRowCounts(spark, tableDir, v)
+      import org.json4s.JsonAST._
+      def parseObj(s: String): List[(String, JValue)] =
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(s)).toOption match {
+          case Some(JObject(fs)) => fs
+          case _                 => Nil
+        }
+      def renderObj(fs: List[(String, JValue)]): String =
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(fs)))
+      // analyzed columns REPLACE their prior entries; everything else
+      // carries verbatim (immutable data, immutable statistics)
+      def overlay(prior: Option[String], fresh: String): String = {
+        val freshFs = parseObj(fresh)
+        val keys = freshFs.map(_._1).toSet
+        renderObj(prior.map(parseObj).getOrElse(Nil)
+          .filterNot(f => keys(f._1)) ++ freshFs)
+      }
+      val priorStatsRaw: Map[String, String] =
+        dirStats(spark, tableDir, v).map { case (d, cs) => d -> statsJson(cs) }
+      val priorNdv = dirNdvRaw(spark, tableDir, v)
+      val stats = scala.collection.mutable.Map[String, String]() ++ priorStatsRaw
+      val ndv = scala.collection.mutable.Map[String, String]() ++ priorNdv
+      dirs.foreach { d =>
+        if (rowsMeta.get(d).forall(_._1 > 0)) {
+          val df = readDirsWithDeletes(spark, tableDir, v, Seq(d), Some(visible))
+          columnStatsNdv(df, cols).foreach { case (sj, nj) =>
+            stats(d) = overlay(priorStatsRaw.get(d), sj)
+            ndv(d) = overlay(priorNdv.get(d), nj)
+          }
+        }
+      }
+      publishManifest(spark, tableDir, dirs, schema0,
+        stats = stats.toMap,
+        blooms = dirBloomsRaw(spark, tableDir, v),
+        expectedBase = Some(Some(v)),
+        buckets = dirBuckets(spark, tableDir, v),
+        txns = txnsAt(spark, tableDir, Some(v)),
+        eqdeletes = dirEqDeletes(spark, tableDir, v),
+        op = "analyze",
+        ndv = ndv.toMap)
+    }
+  }
+
   /** `zorderBy` makes this OPTIMIZE ... ZORDER BY: the compacted rewrite
     * also co-clusters rows on 2-4 columns, so the one table rewrite the
     * compaction already pays buys multi-dimensional footer-stat pruning

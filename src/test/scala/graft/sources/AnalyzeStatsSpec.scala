@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `analyzeStats` / `CALL system.analyze`: add or refresh the
+  * column-statistics layers on an EXISTING table without rewriting a
+  * byte of data — one scan per live directory, one metadata-only
+  * commit. The stats backfill for a column that became filter-hot after
+  * ingest, and the upgrade path that brings legacy directories onto the
+  * full current layer set (histogram edges, frequent-values sketches,
+  * exact sums).
+  */
+class AnalyzeStatsSpec extends SparkSpec {
+
+  private def dataFiles(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/data")).map(_.getPath).toSet
+  }
+
+  test("analyze adds every layer to a stats-less table; zero data movement") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl").toString
+    spark.conf.set("spark.sql.catalog.ganl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ganl.root", r)
+    val t = s"$r/t"
+    // two commits, NO statsCols — the post-ingest "oops, k is filter-hot"
+    VersionedLake.appendCommit(
+      (1L to 1000L).map(i => (i, s"s${i % 7}")).toDF("k", "tag"), t)
+    VersionedLake.appendCommit(
+      (1001L to 2000L).map(i => (i, s"s${i % 7}")).toDF("k", "tag"), t)
+    val v0 = VersionedLake.currentVersion(spark, t).get
+    assert(VersionedLake.dirStats(spark, t, v0).isEmpty, "no layers yet")
+    val before = dataFiles(t)
+
+    val v1 = spark.sql("CALL ganl.system.analyze('t', 'k,tag')").head().getLong(0)
+    assert(v1 === v0 + 1, "analyze is ONE commit")
+    assert(dataFiles(t) === before, "analyze must not move a byte of data")
+    assert(VersionedLake.manifest(spark, t, v1) ===
+      VersionedLake.manifest(spark, t, v0), "same directories, new layers")
+
+    // every layer present for both dirs
+    val stats = VersionedLake.dirStats(spark, t, v1)
+    val ndv = VersionedLake.dirNdv(spark, t, v1)
+    val hist = VersionedLake.dirHist(spark, t, v1)
+    val freq = VersionedLake.dirFreq(spark, t, v1)
+    val sums = VersionedLake.dirSums(spark, t, v1)
+    assert(stats.size === 2 && stats.values.forall(m => m.contains("k") && m.contains("tag")))
+    assert(ndv.size === 2 && hist.values.forall(_.contains("k")))
+    assert(freq.values.forall(m => m.contains("k") && m.contains("tag")))
+    assert(sums.values.forall(_.contains("k")))
+    // and they WORK: manifest pruning, metadata aggregates, estimates
+    val pruned = spark.table("ganl.t").filter(col("k") === 5L)
+    org.apache.spark.sql.graft.LakePruningScanBuilder.lastKept.remove()
+    pruned.collect()
+    val keptNow = org.apache.spark.sql.graft.LakePruningScanBuilder.lastKept.get()
+    assert(keptNow != null && keptNow.size === 1,
+      s"post-analyze stats must range-prune to one dir, kept $keptNow")
+    val mm = spark.sql("SELECT min(k) AS lo, max(k) AS hi, sum(k) AS s FROM ganl.t")
+    assert(mm.collect().head.toSeq === Seq(1L, 2000L, (1L to 2000L).sum))
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "post-analyze min/max/sum answer from the manifest")
+  }
+
+  test("re-analyze refreshes analyzed columns and carries the rest untouched") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl2").toString
+    val t = s"$r/t"
+    VersionedLake.appendCommit(
+      (1L to 500L).map(i => (i, i * 2, s"g${i % 3}")).toDF("a", "b", "g"), t,
+      statsCols = Seq("a"))
+    val v1 = VersionedLake.analyzeStats(spark, t, Seq("b", "g"))
+    val stats = VersionedLake.dirStats(spark, t, v1)
+    assert(stats.values.head.keySet === Set("a", "b", "g"),
+      "analyzed columns ADD to the existing layer")
+    // a's entry carried; b gained its own exact layer
+    assert(stats.values.head("a")._1.contains("1"))
+    assert(stats.values.head("b") === ((Some("2"), Some("1000"))))
+    assert(VersionedLake.dirSums(spark, t, v1).values.head.get("b")
+      .exists(_.longValueExact() === (1L to 500L).map(_ * 2).sum))
+  }
+
+  test("analyze keys renamed columns by their CURRENT name through the variant bridge") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl3").toString
+    val t = s"$r/t"
+    VersionedLake.appendCommit(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("old_k", "v"), t)
+    VersionedLake.renameColumn(spark, t, "old_k", "k")
+    val v1 = VersionedLake.analyzeStats(spark, t, Seq("k"))
+    val stats = VersionedLake.dirStats(spark, t, v1)
+    assert(stats.values.head.contains("k"),
+      "the renamed column analyzes under its current name")
+    assert(stats.values.head("k") === ((Some("1"), Some("100"))))
+  }
+
+  test("analyze does not break MV stale-combine or exactly-once txn watermarks") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl4").toString
+    val corpus = s"$r/c"
+    VersionedLake.appendCommitTxn(
+      (1L to 100L).map(i => (i, s"t${i % 3}", i.toDouble)).toDF("id", "et", "value"),
+      corpus, appId = "ingest", batchId = 7L)
+    val viewDir = s"$r/view"
+    val mv = LakeMv.MvDef(corpus, viewDir, Seq("et"),
+      Map("total" -> ("sum", "value"), "cnt" -> ("count", "*")))
+    LakeView.sync(spark, corpus, viewDir, mv.stateOverGuarded)
+    val v1 = VersionedLake.analyzeStats(spark, corpus, Seq("id"))
+    // the watermark survived the metadata-only commit
+    assert(VersionedLake.txnWatermarks(spark, corpus, v1).get("ingest").contains(7L))
+    // the view is stale behind ONLY the analyze: the combine still serves
+    LakeMv.register(mv)
+    try {
+      val combined = LakeMv.readCombined(spark, mv)
+      assert(combined.isDefined,
+        "a stats-only analyze commit must not force the view off the combine path")
+      assert(combined.get.agg(sum("cnt")).head().getLong(0) === 100L)
+    } finally LakeMv.clear()
+  }
+}
