@@ -31,7 +31,7 @@ object GraftProcedures {
   /** Procedure names under the `system` namespace. */
   val Names: Seq[String] = Seq(
     "vacuum", "optimize", "rollback", "clone_table", "replicate",
-    "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv",
+    "tag", "drop_ref", "create_mv", "refresh_mv", "drop_mv", "alter_mv",
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
     "set_partition_spec", "explain_scan", "verify_constraints", "atomic",
@@ -105,9 +105,17 @@ object GraftProcedures {
   /** Split on ';' outside quoted strings. SQL's doubled-quote escape
     * ('it''s') splits correctly by construction: each quote toggles the
     * in-string state, and a doubled pair re-balances. Backslash escapes
-    * ('it\'s' under Spark's default non-escapedStringLiterals lexer) are
-    * honored too: inside a string, the character after a backslash never
-    * toggles the state, so a ';' later in the same literal cannot split.
+    * ('it\'s') are honored too: inside a string, the character after a
+    * backslash never toggles the state, so a ';' later in the same
+    * literal cannot split. This is deliberately UNCONDITIONAL —
+    * `spark.sql.parser.escapedStringLiterals` does NOT change the
+    * lexer's TOKEN boundaries, only how the token's value unescapes
+    * (verified against Spark 4.1.2: in escaped mode `'it\'s; x'` still
+    * lexes as ONE literal whose value keeps the backslash, and a
+    * trailing-backslash literal `'a\'` is unterminated in BOTH modes),
+    * so a conf-gated splitter would mis-split escaped-mode batches at a
+    * ';' the lexer keeps inside the string. Pinned by
+    * GraftProceduresSpec's escapedStringLiterals case.
     */
   private def splitSql(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -132,15 +140,21 @@ object GraftProcedures {
   /** Refuse non-statement SQL inside `system.atomic`: the batch exists
     * to stage WRITES behind one decision file, and a smuggled SELECT
     * would materialize unbounded rows on the driver for an answer the
-    * caller can't see anyway. Commands (DML, DDL, CALL) parse to
+    * caller can't see anyway. Commands (DML, DDL) parse to
     * [[org.apache.spark.sql.catalyst.plans.logical.Command]] or a
     * [[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]]
-    * (INSERT before resolution); anything else is a bare query.
+    * (INSERT before resolution); CALL parses to its own
+    * [[org.apache.spark.sql.catalyst.plans.logical.Call]] node — a
+    * UnaryNode that is ExecutableDuringAnalysis, NOT a Command — so the
+    * analysis-executable marker is part of the allow set (batching
+    * `refresh_mv` with the DML that feeds it is a legitimate atomic
+    * unit). Anything else is a bare query.
     */
   private def requireDml(spark: SparkSession, stmt: String): Unit = {
     val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
     val ok = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
-      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement] ||
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis]
     if (!ok) throw new IllegalArgumentException(
       s"system.atomic runs DML/DDL statements only; got a bare query: " +
         s"${stmt.take(120)} - run queries outside the atomic batch")
@@ -338,7 +352,7 @@ object GraftProcedures {
           // materializes any state; a failed first sync revokes the
           // registration so nothing dangles
           LakeMv.persist(spark, mv)
-          try LakeView.sync(spark, corpus, viewDir, mv.stateOverGuarded)
+          try LakeView.syncWith(spark, corpus, viewDir, mv.stateOverGuarded(spark))
             .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
           catch {
             case e: Throwable =>
@@ -355,8 +369,31 @@ object GraftProcedures {
           LakeMv.registerFromProps(spark, corpus)
           val mv = LakeMv.forCorpus(corpus).getOrElse(
             throw new IllegalArgumentException(s"no materialized view on ${str(in, 0)}"))
-          LakeView.sync(spark, corpus, mv.viewDir, mv.stateOverGuarded)
+          LakeView.syncWith(spark, corpus, mv.viewDir, mv.stateOverGuarded(spark))
             .getOrElse(throw new IllegalStateException(s"$corpus has no published version"))
+        }
+      case "alter_mv" =>
+        proc(name, "alter the table's materialized view WITHOUT losing its " +
+          "sync watermark: raise (or lower) the distinct-state cap - validated " +
+          "against the view's current merged per-group sets, O(groups), never a " +
+          "corpus scan - and/or evict one state column (the state table compacts " +
+          "to a merged frame without it; the other columns' state carries and " +
+          "the rewrite keeps routing). The recovery path when a group outgrows " +
+          "the declared cap, replacing drop_mv + recreate + full re-sync",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("distinct_cap", IntegerType).defaultValue("0")
+              .comment("new per-group cap for distinct state columns; 0 keeps " +
+                "the current cap").build(),
+            ProcedureParameter.in("drop_state_col", StringType).defaultValue("''")
+              .comment("state column to evict; '' keeps all").build())) { in =>
+          val corpus = resolve(str(in, 0))
+          val cap = in.getInt(1)
+          val dropCol = str(in, 2).trim
+          LakeMv.alter(spark, corpus,
+            if (cap > 0) Some(cap) else None,
+            if (dropCol.isEmpty) None else Some(dropCol))
+          VersionedLake.currentVersion(spark, corpus).getOrElse(-1L)
         }
       case "drop_mv" =>
         proc(name, "unregister the table's materialized view (the state table " +

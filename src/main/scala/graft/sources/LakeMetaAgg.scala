@@ -253,8 +253,11 @@ object LakeMetaAgg {
     case IntegerType => s.toIntOption
     case ShortType   => s.toShortOption
     case ByteType    => s.toByteOption
-    case DoubleType  => s.toDoubleOption
-    case FloatType   => s.toFloatOption
+    // -0.0 normalizes to 0.0: boxed compareTo distinguishes the two while
+    // Spark's own comparisons (and its UnsafeRow writer) treat them equal,
+    // so an unnormalized -0.0 render would wrongly fail a `c = 0.0` claim
+    case DoubleType  => s.toDoubleOption.map(d => if (d == 0.0d) 0.0d else d)
+    case FloatType   => s.toFloatOption.map(f => if (f == 0.0f) 0.0f else f)
     case StringType  => Some(UTF8String.fromString(s))
     case DateType =>
       scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toInt).toOption

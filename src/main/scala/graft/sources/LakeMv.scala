@@ -105,25 +105,57 @@ object LakeMv {
     }
 
     /** [[stateOver]] with the distinct-cap assertion — the MAINTENANCE
-      * path's state function: a delta whose per-group value set already
-      * busts the declared cap fails the sync itself (the view then lags
-      * and the rewrite declines by freshness — a metadata check at plan
+      * path's state function, shaped for [[LakeView.syncWith]]: a group
+      * whose MERGED value set (state already committed for the group ∪
+      * this delta's values, when the frame lands on a merge path) busts
+      * the declared cap fails the sync itself (the view then lags and
+      * the rewrite declines by freshness — a metadata check at plan
       * time), so the cap can never surface as a query-time error or a
-      * silently unbounded state row. The query-path tail combine
+      * silently unbounded state row. The per-delta check alone would let
+      * a group grow past the cap across many small appends with every
+      * sync passing — the invariant is per group across the view's
+      * LIFETIME, so the guard left-joins the delta against the current
+      * merged state (O(delta groups + view groups), distinct columns
+      * only) and asserts on the union. Rebuild/first-sync frames
+      * (`mergesWithPrior = false`) REPLACE all state, so they assert on
+      * the frame alone — unioning retired values in would wrongly fail
+      * a rebuild that just shrank the sets. The query-path tail combine
       * ([[readCombined]]) deliberately uses the unguarded [[stateOver]]:
       * the set is exact regardless of size, and a query must not throw.
       */
-    private[graft] def stateOverGuarded(df: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions._
-      val distinctCols = aggs.collect { case (c, ("distinct", _)) => c }.toSeq
-      distinctCols.foldLeft(stateOver(df)) { (d, c) =>
-        d.withColumn(c,
-          when(assert_true(size(col(c)) <= distinctCap,
-            lit(s"MV distinct state '$c' exceeds the declared cap " +
-              s"$distinctCap for a group - re-declare the view with a " +
-              "larger cap (or drop the distinct column)")).isNull,
-            col(c)))
-      }
+    private[graft] def stateOverGuarded(
+        spark: SparkSession): (DataFrame, Boolean) => DataFrame = {
+      (df, mergesWithPrior) =>
+        import org.apache.spark.sql.functions._
+        val distinctCols = aggs.collect { case (c, ("distinct", _)) => c }.toSeq
+        val delta = stateOver(df)
+        if (distinctCols.isEmpty) delta
+        else {
+          val prior: Option[DataFrame] =
+            if (!mergesWithPrior) None
+            else VersionedLake.currentVersion(spark, viewDir).map { _ =>
+              val sel = keys.map(col) ++
+                distinctCols.map(c => col(c).as(s"__prior_$c"))
+              LakeView.read(spark, viewDir, keys, mergeSpec, liveness = None)
+                .select(sel: _*)
+            }
+          val joined = prior.fold(delta)(st => delta.join(st, keys, "left"))
+          val guarded = distinctCols.foldLeft(joined) { (d, c) =>
+            val mergedSize =
+              if (prior.isEmpty) size(col(c))
+              else when(col(s"__prior_$c").isNull, size(col(c)))
+                .otherwise(size(array_distinct(concat(col(c), col(s"__prior_$c")))))
+            d.withColumn(c,
+              when(assert_true(mergedSize <= distinctCap,
+                lit(s"MV distinct state '$c' exceeds the declared cap " +
+                  s"$distinctCap for a group - raise it with " +
+                  "system.alter_mv(distinct_cap => ...) or evict the " +
+                  "column with system.alter_mv(drop_state_col => ...)")).isNull,
+                col(c)))
+          }
+          if (prior.isEmpty) guarded
+          else guarded.drop(distinctCols.map(c => s"__prior_$c"): _*)
+        }
     }
   }
 
@@ -234,6 +266,80 @@ object LakeMv {
     }
   }
 
+  /** Alter a persisted MV in place, WITHOUT losing the view's sync
+    * watermark — the recovery path when a group outgrows the declared
+    * distinct cap (the alternative used to be drop_mv + recreate + a
+    * full corpus re-sync). Two alterations, composable in one call:
+    *
+    *  - `newCap`: re-declare the distinct-state cap. Validated against
+    *    the view's CURRENT merged per-group set sizes (O(view groups),
+    *    never a corpus scan — the state already holds every value), so
+    *    a lowering that the very next sync would fail refuses here, at
+    *    the DDL moment, like the original create.
+    *  - `dropCol`: evict one state column. The registration drops the
+    *    entry first (readers and the rewrite only ever consult
+    *    registered columns, so a stale physical column is harmless if
+    *    the cleanup below dies), then the state table compacts to one
+    *    merged frame WITHOUT the column — an O(groups)
+    *    watermark-carrying replace ([[LakeView.compact]]) that also
+    *    keeps future sync partials' schema aligned with the table.
+    *
+    * Returns the updated registration. The watermark never moves: both
+    * edits are metadata + O(groups) state rewrites, so a fresh view
+    * stays fresh and the rewrite keeps routing.
+    */
+  def alter(
+      spark: SparkSession,
+      corpusDir: String,
+      newCap: Option[Int],
+      dropCol: Option[String]): MvDef = {
+    import org.apache.spark.sql.functions._
+    val dir = norm(corpusDir)
+    registerFromProps(spark, dir)
+    val mv = forCorpus(dir).getOrElse(throw new IllegalArgumentException(
+      s"no materialized view registered on $dir"))
+    require(newCap.nonEmpty || dropCol.nonEmpty,
+      "alter_mv: pass a new distinct_cap, a drop_state_col, or both")
+    var cur = mv
+    dropCol.foreach { c =>
+      require(cur.aggs.contains(c),
+        s"alter_mv: '$c' is not a state column of this view " +
+          s"(has: ${cur.aggs.keys.toSeq.sorted.mkString(", ")})")
+      require(cur.aggs.size > 1,
+        "alter_mv: cannot evict the last state column - drop_mv instead")
+      cur = cur.copy(aggs = cur.aggs - c)
+    }
+    newCap.foreach { cap =>
+      require(cap >= 1, s"alter_mv: distinct_cap must be >= 1, got $cap")
+      val distinctCols = cur.aggs.collect { case (c, ("distinct", _)) => c }.toSeq
+      if (distinctCols.nonEmpty &&
+          VersionedLake.currentVersion(spark, cur.viewDir).isDefined) {
+        val st = LakeView.read(spark, cur.viewDir, cur.keys, cur.mergeSpec,
+          liveness = None)
+        val tops = distinctCols.map(c => max(size(col(c))).as(c))
+        val maxes = st.agg(tops.head, tops.tail: _*).head()
+        distinctCols.zipWithIndex.foreach { case (c, i) =>
+          val mx = if (maxes.isNullAt(i)) 0 else maxes.getInt(i)
+          require(mx <= cap,
+            s"alter_mv: a group already holds $mx distinct values in '$c', " +
+              s"above the requested cap $cap - raise the cap or evict the column")
+        }
+      }
+      cur = cur.copy(distinctCap = cap)
+    }
+    LakeProps.set(spark, dir, PropKey, renderDef(cur))
+    register(cur)
+    consulted.put(dir, true): Unit
+    // state cleanup AFTER the registration is durable: merge/rewrite only
+    // consult registered columns, so a crash between the two leaves an
+    // unreferenced physical column, not a broken view
+    if (dropCol.nonEmpty &&
+        VersionedLake.currentVersion(spark, cur.viewDir).isDefined) {
+      LakeView.compact(spark, cur.viewDir, cur.keys, cur.mergeSpec): Unit
+    }
+    cur
+  }
+
   /** Drop the registration here AND from the corpus props. */
   def dropPersisted(spark: SparkSession, corpusDir: String): Unit = {
     LakeProps.unset(spark, norm(corpusDir), PropKey)
@@ -275,7 +381,7 @@ object LakeMv {
       .option("path", dir).option("readChanges", "true").load()
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        LakeView.sync(spark, dir, mv.viewDir, mv.stateOverGuarded): Unit
+        LakeView.syncWith(spark, dir, mv.viewDir, mv.stateOverGuarded(spark)): Unit
       }
       .start()
   }

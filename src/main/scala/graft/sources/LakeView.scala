@@ -63,13 +63,30 @@ object LakeView {
       corpusDir: String,
       viewDir: String,
       stateOf: DataFrame => DataFrame,
+      retractOf: Option[DataFrame => DataFrame] = None): Option[Long] =
+    syncWith(spark, corpusDir, viewDir, (df, _) => stateOf(df), retractOf)
+
+  /** [[sync]] whose state function also learns HOW its frame lands:
+    * `mergesWithPrior = true` on the append/feed paths (the frame joins
+    * state already committed for the same groups at read time) and
+    * `false` on the first-sync/rebuild paths (the frame REPLACES all
+    * state). A guard that must hold over the MERGED per-group state —
+    * the MV distinct cap — needs the distinction: unioning the prior
+    * state into a rebuild's assertion would wrongly count values the
+    * rebuild just retired.
+    */
+  def syncWith(
+      spark: SparkSession,
+      corpusDir: String,
+      viewDir: String,
+      stateOf: (DataFrame, Boolean) => DataFrame,
       retractOf: Option[DataFrame => DataFrame] = None): Option[Long] = {
     val corpusV = VersionedLake.currentVersion(spark, corpusDir).getOrElse(return None)
     VersionedLake.currentVersion(spark, viewDir) match {
       case None =>
         // first sync: the whole snapshot is the delta
         val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
-        VersionedLake.appendCommitTxn(stateOf(snapshot), viewDir,
+        VersionedLake.appendCommitTxn(stateOf(snapshot, false), viewDir,
           appId = ViewApp, batchId = corpusV)
         Some(corpusV)
       case Some(viewV) =>
@@ -120,7 +137,7 @@ object LakeView {
                 val adds = feed.filter(isAdd).drop("_change_type", "_commit_version")
                 val rems = feed.filter(!isAdd).drop("_change_type", "_commit_version")
                 VersionedLake.appendCommitTxn(
-                  stateOf(adds).unionByName(neg(rems)), viewDir,
+                  stateOf(adds, true).unionByName(neg(rems)), viewDir,
                   appId = ViewApp, batchId = corpusV)
               } finally feed.unpersist(blocking = false): Unit
             }
@@ -130,7 +147,7 @@ object LakeView {
             // rebuild from the snapshot, as ONE exactly-once-gated
             // full-snapshot commit
             val snapshot = VersionedLake.readVersion(spark, corpusDir, corpusV)
-            VersionedLake.commit(stateOf(snapshot), viewDir,
+            VersionedLake.commit(stateOf(snapshot, false), viewDir,
               txn = Some(ViewApp -> corpusV)): Unit
           }
         } else if (added.nonEmpty) {
@@ -139,7 +156,7 @@ object LakeView {
           val paths = added.map(d => s"$corpusDir/data/$d")
           val delta =
             schema.fold(reader.parquet(paths: _*))(s => reader.schema(s).parquet(paths: _*))
-          VersionedLake.appendCommitTxn(stateOf(delta), viewDir,
+          VersionedLake.appendCommitTxn(stateOf(delta, true), viewDir,
             appId = ViewApp, batchId = corpusV)
         }
         Some(corpusV)

@@ -1005,6 +1005,27 @@ object VersionedLake {
   private def columnStatsNdv(
       df: DataFrame, statsCols: Seq[String]): Option[(String, String)] = {
     if (statsCols.isEmpty) return None
+    val aggs = statsAggExprs(df, statsCols)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    Some(renderStatsRow(statsCols, row, 0))
+  }
+
+  /** [[columnStatsNdv]] for MANY directories in ONE aggregation job:
+    * the same agg expressions under `groupBy(tag)`, one result row per
+    * tag value. This is what keeps `analyzeStats` from submitting one
+    * Spark job per directory — the layers are per-directory aggregates,
+    * so a grouped pass over the tagged union emits every directory's
+    * `#stats`/`#ndv` payload from one job (the driver collect is
+    * O(directories in the chunk), manifest-sized by construction).
+    */
+  private def columnStatsNdvBy(
+      df: DataFrame, tag: String, statsCols: Seq[String]): Seq[(String, (String, String))] = {
+    val aggs = statsAggExprs(df, statsCols)
+    df.groupBy(col(tag)).agg(aggs.head, aggs.tail: _*).collect().toSeq
+      .map(row => row.getString(0) -> renderStatsRow(statsCols, row, 1))
+  }
+
+  private def statsAggExprs(df: DataFrame, statsCols: Seq[String]): Seq[Column] = {
     val missing = statsCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"statsCols not in the batch schema: ${missing.mkString(", ")}")
     val numeric = statsCols.map(c => df.schema.fields
@@ -1068,43 +1089,53 @@ object VersionedLake {
       else graft.functions.FreqSketch.freqSketchAgg(col(c).cast("string")),
       sumDomain(i).getOrElse(lit(null).cast("string")))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    aggs
+  }
+
+  /** Parse one aggregated stats row (7 slots per column, starting at
+    * `off` — 0 for a global agg, 1 under a groupBy whose key leads the
+    * row) into the (`#stats` json, `#ndv` json) pair.
+    */
+  private def renderStatsRow(
+      statsCols: Seq[String],
+      row: org.apache.spark.sql.Row,
+      off: Int): (String, String) = {
     import org.json4s.JsonAST._
     val statsObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       def v(j: Int): JValue =
         if (row.isNullAt(j)) JNull else JString(row.getString(j))
-      c -> (JArray(List(v(7 * i), v(7 * i + 1))): JValue)
+      c -> (JArray(List(v(off + 7 * i), v(off + 7 * i + 1))): JValue)
     }.toList)
     val ndvObj = JObject(statsCols.zipWithIndex.map { case (c, i) =>
       val h: JValue =
-        if (row.isNullAt(7 * i + 2)) JNull
+        if (row.isNullAt(off + 7 * i + 2)) JNull
         else JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](7 * i + 2)))
+          row.getAs[Array[Byte]](off + 7 * i + 2)))
       val base = List(
-        "h" -> h, "n" -> (JInt(row.getLong(7 * i + 3)): JValue))
+        "h" -> h, "n" -> (JInt(row.getLong(off + 7 * i + 3)): JValue))
       val edges =
-        if (row.isNullAt(7 * i + 4)) Nil
-        else row.getSeq[Double](7 * i + 4) match {
+        if (row.isNullAt(off + 7 * i + 4)) Nil
+        else row.getSeq[Double](off + 7 * i + 4) match {
           case es if es != null && es.nonEmpty && es.forall(e =>
             !java.lang.Double.isNaN(e) && !java.lang.Double.isInfinite(e)) =>
             List("e" -> (JArray(es.map(JDouble(_): JValue).toList): JValue))
           case _ => Nil
         }
       val freq =
-        if (row.isNullAt(7 * i + 5)) Nil
+        if (row.isNullAt(off + 7 * i + 5)) Nil
         else List("f" -> (JString(java.util.Base64.getEncoder.encodeToString(
-          row.getAs[Array[Byte]](7 * i + 5))): JValue))
+          row.getAs[Array[Byte]](off + 7 * i + 5))): JValue))
       // an absent "s" with non-null rows present = refused (overflow or
       // unsummable type); an all-null dir ALSO omits it — consumers
       // disambiguate via the exact null count (n == rows)
       val sums =
-        if (row.isNullAt(7 * i + 6)) Nil
-        else List("s" -> (JString(row.getString(7 * i + 6)): JValue))
+        if (row.isNullAt(off + 7 * i + 6)) Nil
+        else List("s" -> (JString(row.getString(off + 7 * i + 6)): JValue))
       c -> (JObject(base ++ edges ++ freq ++ sums): JValue)
     }.toList)
     def render(o: JObject) =
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
-    Some((render(statsObj), render(ndvObj)))
+    (render(statsObj), render(ndvObj))
   }
 
   /** Kirsch–Mitzenmacher double hashing: k bit positions for one value as
@@ -2838,9 +2869,9 @@ object VersionedLake {
       case "optimize" | "materialize" =>
         NoDelta // layout-only: identical logical rows before and after
       case "rename_column" | "drop_column" | "widen_column" | "watermark"
-           | "set_spec" | "set_default" =>
-        NoDelta // metadata-only: schema/spec declaration or txn watermark,
-                // no logical row
+           | "set_spec" | "set_default" | "analyze" =>
+        NoDelta // metadata-only: schema/spec declaration, txn watermark, or
+                // stats backfill — no logical row changes
       case "delete_mor" =>
         newDels.map(preImages).reduceOption(_.unionByName(_))
           .fold[VersionDelta](NoDelta)(p => FrameDelta(tagged(p, "delete")))
@@ -4797,19 +4828,29 @@ object VersionedLake {
     * frequent-values sketches + exact sums) on an EXISTING table WITHOUT
     * rewriting a byte of data — the stats-backfill a 100 TB table needs
     * when a column becomes filter-hot after ingest, where the only
-    * alternative today is an `optimize` rewrite of the whole table. One
-    * scan per live directory (reading LOGICAL rows through the variant
-    * bridge, so renamed columns analyze under their CURRENT names and
-    * rows already MoR-deleted don't widen the bounds) computes exactly
-    * the payloads every commit writes, and ONE metadata-only commit
-    * (`op = analyze`, zero data directories moved) publishes them —
-    * which also upgrades legacy directories to the full current layer
-    * set (a pre-sum-layer table gains its "s" entries here). Columns
-    * already analyzed refresh; other columns' entries carry untouched.
-    * Cost: O(dirs) single-directory scan jobs + one manifest write;
-    * concurrent commits win the slot and the analyze retries against
-    * the moved version like any read-modify-write committer.
+    * alternative today is an `optimize` rewrite of the whole table.
+    * Live directories read their LOGICAL rows through the variant
+    * bridge (renamed columns analyze under their CURRENT names, rows
+    * already MoR-deleted don't widen the bounds), tagged per directory
+    * and aggregated as ONE grouped job per [[AnalyzeChunkDirs]]-sized
+    * chunk — never a job per directory — computing exactly the payloads
+    * every commit writes; ONE metadata-only commit (`op = analyze`,
+    * zero data directories moved) publishes them, which also upgrades
+    * legacy directories to the full current layer set (a pre-sum-layer
+    * table gains its "s" entries here). Columns already analyzed
+    * refresh; other columns' entries carry untouched. Cost:
+    * ceil(dirs/64) grouped aggregation jobs (4 in flight) + one
+    * manifest write; concurrent commits win the slot and the analyze
+    * retries against the moved version like any read-modify-write
+    * committer.
     */
+  /** Directories per grouped analyze job (bounds union plan width) and
+    * how many chunk jobs run concurrently (bounds driver/job pressure).
+    */
+  private[graft] val AnalyzeChunkDirs = 64
+  private[graft] val AnalyzeJobConcurrency = 4
+  private val AnalyzeDirTag = "_graft_stats_dir"
+
   def analyzeStats(
       spark: SparkSession,
       tableDir: String,
@@ -4848,14 +4889,41 @@ object VersionedLake {
       val priorNdv = dirNdvRaw(spark, tableDir, v)
       val stats = scala.collection.mutable.Map[String, String]() ++ priorStatsRaw
       val ndv = scala.collection.mutable.Map[String, String]() ++ priorNdv
-      dirs.foreach { d =>
-        if (rowsMeta.get(d).forall(_._1 > 0)) {
-          val df = readDirsWithDeletes(spark, tableDir, v, Seq(d), Some(visible))
-          columnStatsNdv(df, cols).foreach { case (sj, nj) =>
-            stats(d) = overlay(priorStatsRaw.get(d), sj)
-            ndv(d) = overlay(priorNdv.get(d), nj)
-          }
+      // ONE grouped aggregation job per CHUNK of directories, chunks
+      // submitted with bounded concurrency — never one Spark job per
+      // directory. The layers are per-directory aggregates, so tagging
+      // each directory's (delete-applied, variant-bridged) rows and
+      // aggregating under groupBy(tag) emits a chunk's every manifest
+      // line from a single job: at the 10^4–10^5 directories of a real
+      // 100 TB table this is ~dirs/64 scheduler submissions instead of
+      // `dirs`, and the 4-way chunk overlap keeps the cluster fed while
+      // a chunk's final stage drains. The chunk size bounds the union's
+      // plan width (a 10^5-branch union would trade scheduler time for
+      // driver planning time); the per-dir tag is a literal on each
+      // branch, so no file-path parsing can misattribute rows.
+      val live = dirs.filter(d => rowsMeta.get(d).forall(_._1 > 0))
+      val chunks = live.grouped(AnalyzeChunkDirs).toSeq
+      val results: Seq[(String, (String, String))] =
+        if (chunks.isEmpty) Nil
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(AnalyzeJobConcurrency, chunks.size))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(chunks.map(chunk => Future {
+              val tagged = chunk.map { d =>
+                readDirsWithDeletes(spark, tableDir, v, Seq(d), Some(visible))
+                  .select(cols.map(col) :+ lit(d).as(AnalyzeDirTag): _*)
+              }
+              columnStatsNdvBy(tagged.reduce(_.unionByName(_)), AnalyzeDirTag, cols)
+            })), Duration.Inf).flatten
+          finally pool.shutdown()
         }
+      results.foreach { case (d, (sj, nj)) =>
+        stats(d) = overlay(priorStatsRaw.get(d), sj)
+        ndv(d) = overlay(priorNdv.get(d), nj)
       }
       publishManifest(spark, tableDir, dirs, schema0,
         stats = stats.toMap,

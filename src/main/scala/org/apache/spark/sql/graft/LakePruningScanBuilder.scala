@@ -315,8 +315,14 @@ object LakePruningScanBuilder {
       case (IntegerType, n: java.lang.Integer) => Some(n.intValue())
       case (ShortType, n: java.lang.Short)     => Some(n.shortValue())
       case (ByteType, n: java.lang.Byte)       => Some(n.byteValue())
-      case (DoubleType, n: java.lang.Double)   => Some(n.doubleValue())
-      case (FloatType, n: java.lang.Float)     => Some(n.floatValue())
+      // -0.0 → 0.0 on both sides of the claim (LakeMetaAgg.parse does the
+      // same for stored renders): boxed compareTo splits the two where
+      // Spark's comparisons don't, and a claimed conjunct is dropped from
+      // the post-scan filter, so a mismatch would silently return zero rows
+      case (DoubleType, n: java.lang.Double)   =>
+        val d = n.doubleValue(); Some(if (d == 0.0d) 0.0d else d)
+      case (FloatType, n: java.lang.Float)     =>
+        val f = n.floatValue(); Some(if (f == 0.0f) 0.0f else f)
       case (StringType, s: String) =>
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       case (DateType, d: java.sql.Date)        => Some(d.toLocalDate.toEpochDay.toInt)

@@ -389,7 +389,7 @@ class MvRewriteSpec extends SparkSpec {
     val mv = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
       Map("set_cust" -> ("distinct", "cust"), "cnt_cust" -> ("count", "cust")),
       distinctCap = 128)
-    LakeView.sync(s, corpus, viewDir, mv.stateOverGuarded)
+    LakeView.syncWith(s, corpus, viewDir, mv.stateOverGuarded(s))
     val sql =
       """SELECT event_type, CAST(count(DISTINCT cust) AS BIGINT) AS d,
         |  count(cust) AS n
@@ -438,13 +438,13 @@ class MvRewriteSpec extends SparkSpec {
     // declines by freshness — the query answers from the corpus, exactly
     val mvOk = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
       Map("set_cust" -> ("distinct", "cust")), distinctCap = 600)
-    LakeView.sync(s, corpus, viewDir, mvOk.stateOverGuarded)
+    LakeView.syncWith(s, corpus, viewDir, mvOk.stateOverGuarded(s))
     val wm0 = LakeView.watermark(s, viewDir)
     VersionedLake.appendCommit(
       (1 to 2000).map(i => (i + 10000L, "t0", (i + 1000).toLong))
         .toDF("id", "event_type", "cust"), corpus)
     val boom = intercept[Exception] {
-      LakeView.sync(s, corpus, viewDir, mvOk.stateOverGuarded)
+      LakeView.syncWith(s, corpus, viewDir, mvOk.stateOverGuarded(s))
     }
     assert(boom.getMessage != null)
     assert(LakeView.watermark(s, viewDir) === wm0,
@@ -459,5 +459,104 @@ class MvRewriteSpec extends SparkSpec {
     LakeMv.register(mvOk)
     try assert(sorted(s.sql(sql2)) === truth2)
     finally LakeMv.clear()
+  }
+
+  test("distinct cap holds on the MERGED per-group set across syncs, and alter_mv raises it without losing the watermark") {
+    val s = spark
+    import s.implicits._
+    val (catRoot, _, _) = roots
+    val corpus = s"$catRoot/dmerge"
+    // first batch: 60 distinct cust values for each group
+    VersionedLake.appendCommit(
+      (1 to 600).map(i => (i.toLong, s"t${i % 2}", ((i / 2) % 60).toLong))
+        .toDF("id", "event_type", "cust"), corpus)
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_dmerge").toString
+    val mv = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("set_cust" -> ("distinct", "cust"), "cnt_cust" -> ("count", "cust")),
+      distinctCap = 100)
+    LakeMv.persist(s, mv) // 60 <= 100: DDL accepts
+    try {
+      LakeView.syncWith(s, corpus, viewDir, mv.stateOverGuarded(s))
+      val wm0 = LakeView.watermark(s, viewDir)
+      // second batch: 60 NEW values per group — the DELTA alone fits the
+      // cap (60 <= 100), but the merged per-group set is 120 > 100. A
+      // per-delta check would pass and let the state row grow unbounded
+      // across appends; the invariant is per group across the view's
+      // lifetime, so this sync must FAIL.
+      VersionedLake.appendCommit(
+        (1 to 600).map(i => (i + 5000L, s"t${i % 2}", (100 + (i / 2) % 60).toLong))
+          .toDF("id", "event_type", "cust"), corpus)
+      val boom = intercept[Exception] {
+        LakeView.syncWith(s, corpus, viewDir, mv.stateOverGuarded(s))
+      }
+      assert(boom.getMessage != null)
+      assert(LakeView.watermark(s, viewDir) === wm0,
+        "a merged-cap bust must not advance the watermark")
+      // recovery WITHOUT drop+recreate+full re-sync: raise the cap in
+      // place — the next sync succeeds and the rewrite routes again
+      val altered = LakeMv.alter(s, corpus, newCap = Some(300), dropCol = None)
+      assert(altered.distinctCap === 300)
+      LakeView.syncWith(s, corpus, viewDir, altered.stateOverGuarded(s))
+      assert(LakeView.watermark(s, viewDir) ===
+        VersionedLake.currentVersion(s, corpus))
+      val sql = "SELECT event_type, CAST(count(DISTINCT cust) AS BIGINT) AS d, " +
+        "count(cust) AS n FROM mvcat.dmerge GROUP BY 1"
+      val truth = sorted(s.sql(sql))
+      LakeMv.register(altered)
+      val routed = s.sql(sql)
+      assert(scannedRoots(routed).exists(_.startsWith(viewDir)),
+        "after alter_mv + sync the rewrite must route to the view again")
+      assert(sorted(routed) === truth)
+      // lowering below a group's CURRENT merged set refuses at the DDL
+      // moment (O(view groups), the create-time contract)
+      val low = intercept[IllegalArgumentException] {
+        LakeMv.alter(s, corpus, newCap = Some(50), dropCol = None)
+      }
+      assert(low.getMessage.contains("above the requested cap"))
+    } finally LakeMv.clear()
+  }
+
+  test("alter_mv evicts one state column: other columns' state and the watermark carry; the evicted aggregate declines") {
+    val s = spark
+    import s.implicits._
+    val (catRoot, _, _) = roots
+    val corpus = s"$catRoot/devict"
+    VersionedLake.appendCommit(
+      (1 to 900).map(i => (i.toLong, s"t${i % 3}", (i % 40).toLong))
+        .toDF("id", "event_type", "cust"), corpus)
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_devict").toString
+    val mv = LakeMv.MvDef(corpus, viewDir, Seq("event_type"),
+      Map("set_cust" -> ("distinct", "cust"), "cnt_cust" -> ("count", "cust")),
+      distinctCap = 100)
+    LakeMv.persist(s, mv)
+    try {
+      LakeView.syncWith(s, corpus, viewDir, mv.stateOverGuarded(s))
+      val wm0 = LakeView.watermark(s, viewDir)
+      val cntSql = "SELECT event_type, count(cust) AS n FROM mvcat.devict GROUP BY 1"
+      val dstSql = "SELECT event_type, CAST(count(DISTINCT cust) AS BIGINT) AS d " +
+        "FROM mvcat.devict GROUP BY 1"
+      val cntTruth = sorted(s.sql(cntSql))
+      val dstTruth = sorted(s.sql(dstSql))
+      val altered = LakeMv.alter(s, corpus, newCap = None, dropCol = Some("set_cust"))
+      assert(altered.aggs.keySet === Set("cnt_cust"))
+      assert(LakeView.watermark(s, viewDir) === wm0,
+        "eviction compacts the state (watermark-carrying replace); it must not move the sync watermark")
+      // the compacted state table physically dropped the column
+      assert(!VersionedLake.read(s, viewDir).columns.contains("set_cust"))
+      LakeMv.register(altered)
+      val cnt = s.sql(cntSql)
+      assert(scannedRoots(cnt).exists(_.startsWith(viewDir)),
+        "the surviving state column must still route")
+      assert(sorted(cnt) === cntTruth)
+      val dst = s.sql(dstSql)
+      assert(scannedRoots(dst).exists(_.startsWith(corpus)),
+        "the evicted aggregate must decline to the corpus scan")
+      assert(sorted(dst) === dstTruth)
+      // evicting the LAST state column refuses (that's drop_mv's job)
+      val last = intercept[IllegalArgumentException] {
+        LakeMv.alter(s, corpus, newCap = None, dropCol = Some("cnt_cust"))
+      }
+      assert(last.getMessage.contains("last state column"))
+    } finally LakeMv.clear()
   }
 }

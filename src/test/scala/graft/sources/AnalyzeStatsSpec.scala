@@ -98,6 +98,45 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(stats.values.head("k") === ((Some("1"), Some("100"))))
   }
 
+  test("analyze submits a BOUNDED job count (grouped chunks), not one job per directory") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl5").toString
+    val t = s"$r/t"
+    // 10 live directories — the old per-directory loop submitted >= 10
+    // aggregation jobs; the grouped pass fits them all in ONE chunk
+    val n = 10
+    (0 until n).foreach { d =>
+      VersionedLake.appendCommit(
+        (1L to 50L).map(i => (d * 1000L + i, s"g${i % 3}")).toDF("k", "g"), t)
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    s.sparkContext.addSparkListener(listener)
+    val v1 =
+      try {
+        val v = VersionedLake.analyzeStats(spark, t, Seq("k", "g"))
+        Thread.sleep(500) // let the async listener bus drain
+        v
+      } finally s.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() < n,
+      s"analyze over $n dirs must aggregate grouped (one job per 64-dir chunk " +
+        s"+ AQE stages), not per-directory; saw ${jobs.get()} jobs")
+    // and the grouped pass writes exactly the per-directory layers: each
+    // dir's k-bounds are its own 1000-block, not the table's
+    val stats = VersionedLake.dirStats(spark, t, v1)
+    assert(stats.size === n)
+    val bounds = stats.values.map(m => m("k")).toSet
+    assert(bounds === (0 until n).map(d =>
+      (Some((d * 1000L + 1).toString), Some((d * 1000L + 50).toString))).toSet,
+      s"per-directory bounds must survive the grouped aggregation: $bounds")
+    val sums = VersionedLake.dirSums(spark, t, v1)
+    assert(sums.values.forall(m => m.contains("k")), "sum layer present per dir")
+  }
+
   test("analyze does not break MV stale-combine or exactly-once txn watermarks") {
     val s = spark
     import s.implicits._
@@ -109,7 +148,7 @@ class AnalyzeStatsSpec extends SparkSpec {
     val viewDir = s"$r/view"
     val mv = LakeMv.MvDef(corpus, viewDir, Seq("et"),
       Map("total" -> ("sum", "value"), "cnt" -> ("count", "*")))
-    LakeView.sync(spark, corpus, viewDir, mv.stateOverGuarded)
+    LakeView.syncWith(spark, corpus, viewDir, mv.stateOverGuarded(spark))
     val v1 = VersionedLake.analyzeStats(spark, corpus, Seq("id"))
     // the watermark survived the metadata-only commit
     assert(VersionedLake.txnWatermarks(spark, corpus, v1).get("ingest").contains(7L))

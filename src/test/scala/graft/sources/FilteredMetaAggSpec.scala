@@ -135,6 +135,35 @@ class FilteredMetaAggSpec extends SparkSpec {
       s"grouped+filtered sum must stay metadata-only:\n${plan(sm)}")
   }
 
+  test("-0.0 and 0.0 unify: a -0.0-uniform double directory satisfies a 0.0 claim") {
+    val s = spark
+    import s.implicits._
+    root
+    val dir0 = {
+      val r = java.nio.file.Files.createTempDirectory("graft_fma0").toString
+      spark.conf.set("spark.sql.catalog.gfz", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gfz.root", r)
+      s"$r/zeros"
+    }
+    // Spark's comparisons treat -0.0 = 0.0; a boxed compareTo does not.
+    // A directory uniformly -0.0 (stored render "-0.0") must satisfy a
+    // pushed `x = 0.0` — the claimed conjunct is dropped from the
+    // post-scan filter, so a mismatch would silently return ZERO rows.
+    VersionedLake.appendCommit(
+      Seq.fill(8)(-0.0d).zipWithIndex.map { case (x, i) => (x, i.toLong) }
+        .toDF("x", "v"), dir0, statsCols = Seq("x"))
+    VersionedLake.appendCommit(
+      Seq.fill(5)(1.5d).zipWithIndex.map { case (x, i) => (x, i.toLong) }
+        .toDF("x", "v"), dir0, statsCols = Seq("x"))
+    val n = spark.sql("SELECT count(*) AS n FROM gfz.zeros WHERE x = 0.0d")
+    assert(n.collect().head.getLong(0) === 8L,
+      "the -0.0-uniform directory must satisfy the 0.0 equality claim")
+    assert(plan(n).contains("LocalTableScan"), s"claim must stay metadata-only:\n${plan(n)}")
+    // and the plain read agrees with Spark's own comparison semantics
+    assert(spark.sql("SELECT count(*) AS n FROM gfz.zeros WHERE x = -0.0d")
+      .collect().head.getLong(0) === 8L)
+  }
+
   test("a directory mixing nulls and values blocks the claim (no uniform proof)") {
     val s = spark
     import s.implicits._

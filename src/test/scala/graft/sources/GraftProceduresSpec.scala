@@ -142,6 +142,87 @@ class GraftProceduresSpec extends SparkSpec {
     assert(answer() === Map("a" -> ((3.0, 2L)), "b" -> ((17.0, 2L))))
   }
 
+  test("CALL system.alter_mv: cap raise in place (watermark kept), column eviction, lowering refused") {
+    root
+    spark.sql("CREATE TABLE gproc.mvalt (g STRING, c BIGINT)")
+    spark.sql("INSERT INTO gproc.mvalt SELECT 'a', id % 6 FROM range(0, 60)")
+    spark.sql("CALL gproc.system.create_mv('mvalt', 'mv_alt', 'g', " +
+      "'dset=distinct(c), n=count(c)', distinct_cap => 8)")
+    // a delta of NEW values busts the MERGED per-group cap: the sync
+    // fails, the view lags
+    spark.sql("INSERT INTO gproc.mvalt SELECT 'a', 100 + id % 6 FROM range(0, 60)")
+    intercept[Exception](spark.sql("CALL gproc.system.refresh_mv('mvalt')"))
+    // recovery in place: raise the cap; refresh then succeeds and the
+    // exact distinct is served again
+    spark.sql("CALL gproc.system.alter_mv('mvalt', distinct_cap => 64)")
+    spark.sql("CALL gproc.system.refresh_mv('mvalt')")
+    val d = spark.sql(
+      "SELECT CAST(count(DISTINCT c) AS BIGINT) AS d FROM gproc.mvalt").head().getLong(0)
+    assert(d === 12L)
+    // lowering below a group's current merged set refuses at DDL time
+    val low = intercept[Exception](
+      spark.sql("CALL gproc.system.alter_mv('mvalt', distinct_cap => 4)"))
+    assert(low.getMessage.contains("above the requested cap"), low.getMessage)
+    // eviction keeps the other column's state and the watermark
+    spark.sql("CALL gproc.system.alter_mv('mvalt', drop_state_col => 'dset')")
+    assert(spark.sql("SELECT count(c) AS n FROM gproc.mvalt").head().getLong(0) === 120L)
+    assert(!VersionedLake.read(spark, s"$root/mv_alt").columns.contains("dset"),
+      "eviction compacts the physical state column away")
+    // altering with nothing to alter refuses
+    intercept[Exception](spark.sql("CALL gproc.system.alter_mv('mvalt')"))
+  }
+
+  test("CALL system.atomic accepts nested CALL statements (Spark 4 parses CALL to its own plan node)") {
+    root
+    spark.sql("CREATE TABLE gproc.atm_c (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE gproc.atm_d (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gproc.atm_d VALUES (1, 'seed')")
+    // CALL is not a Command/ParsedStatement in Spark 4 — it parses to
+    // logical.Call (ExecutableDuringAnalysis); the DML gate must accept
+    // it or batching maintenance with DML refuses with a misleading
+    // 'bare query' error
+    spark.sql(
+      "CALL gproc.system.atomic(" +
+        "'INSERT INTO gproc.atm_c VALUES (1, ''x''); " +
+        "CALL gproc.system.analyze(''atm_d'', ''v'')', 'atm_c')").collect()
+    assert(spark.sql("SELECT count(*) FROM gproc.atm_c").head().getLong(0) === 1L)
+    // a bare SELECT still refuses
+    val q = intercept[Exception](spark.sql(
+      "CALL gproc.system.atomic('SELECT 1', 'atm_c')"))
+    assert(q.getMessage.contains("DML"), q.getMessage)
+  }
+
+  test("system.atomic splitter matches the lexer under spark.sql.parser.escapedStringLiterals") {
+    root
+    spark.sql("CREATE TABLE gproc.atm_e (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE gproc.atm_f (k BIGINT, v STRING)")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      // escapedStringLiterals changes how a literal's VALUE unescapes,
+      // NOT where the lexer ends the token — so the splitter's quote
+      // tracking must behave identically in both modes. Inner literals
+      // are double-quoted so the OUTER single-quoted literal needs no
+      // escaping at all; one carries a ';' and a backslash (kept
+      // verbatim by escaped mode) that must stay inside the statement.
+      spark.sql(
+        "CALL gproc.system.atomic(" +
+          raw"""'INSERT INTO gproc.atm_e VALUES (1, "semi ; back\slash"); """ +
+          """INSERT INTO gproc.atm_f VALUES (2, "b")', 'atm_e')""").collect()
+      assert(spark.sql("SELECT v FROM gproc.atm_e WHERE k = 1")
+        .head().getString(0) === raw"semi ; back\slash",
+        "escaped mode keeps the backslash; the ';' inside the literal must not split")
+      assert(spark.sql("SELECT count(*) FROM gproc.atm_f").head().getLong(0) === 1L,
+        "the ';' between the two statements must still split")
+      // the refuted alternative (a conf-gated splitter) assumed `'a\'`
+      // is a complete literal in escaped mode — it is unterminated SQL
+      // in BOTH modes (the lexer always escape-consumes the quote after
+      // a backslash), so the splitter staying in-string there mirrors a
+      // statement the parser itself refuses
+      intercept[Exception](
+        spark.sql(raw"SELECT 'a\'").collect())
+    } finally spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+  }
+
   test("unknown procedures and wrong namespaces refuse loudly") {
     root
     val e1 = intercept[Exception](spark.sql("CALL gproc.system.nonsense()"))

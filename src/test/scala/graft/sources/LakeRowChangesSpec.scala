@@ -79,6 +79,23 @@ class LakeRowChangesSpec extends SparkSpec {
       (1L, "a", "delete", 1L), (5L, "e", "insert", 4L)))
   }
 
+  test("an analyze (stats backfill) version emits nothing; the feed spans it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_analyze").toString
+    VersionedLake.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,
+      statsCols = Seq("id"))
+    // metadata-only commit: op = "analyze", no added dirs, no change
+    // artifact — it must classify as NoDelta, NOT as an unclassifiable
+    // rewrite (which would wedge every CDC consumer — replication,
+    // streaming readChanges, $changes — on a window spanning it, after a
+    // maintenance call that changed ZERO rows)
+    VersionedLake.analyzeStats(s, dir, Seq("v"))
+    VersionedLake.appendCommit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(changes(dir, 0, 2) === Set((3L, "c", "insert", 2L)),
+      "the window spanning the analyze version must serve, emitting only the append")
+  }
+
   test("copy-on-write deleteWhere serves the feed from its change artifact") {
     val s = spark
     import s.implicits._
