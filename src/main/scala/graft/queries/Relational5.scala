@@ -3119,14 +3119,26 @@ object Relational5 {
       (s, dir) => {
         ensureCatalog(s, dir)
         ensureMetaOrders(s, dir)
-        s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+        // count(col) rides the #ndv layer's EXACT null counts
+        // (count = Σ rows − nulls per directory) and avg derives as
+        // exact-sum / exact-count — SELECT count(user_id) is a top-3
+        // profiling query, and it must not open a single file either
+        val df = s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
                 |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
-                |  sum(o_orderkey) AS tot
+                |  sum(o_orderkey) AS tot,
+                |  count(o_orderkey) AS nk,
+                |  round(avg(o_orderkey), 6) AS mean
                 |FROM graftcat.meta_orders""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+          s"count(*)/min/max/sum/count(col)/avg must stay metadata-only - got:\n$plan")
+        df.localCheckpoint()
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n,
              |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
-             |  CAST(sum(o_orderkey) AS BIGINT) AS tot
+             |  CAST(sum(o_orderkey) AS BIGINT) AS tot,
+             |  CAST(count(o_orderkey) AS BIGINT) AS nk,
+             |  round(avg(o_orderkey), 6) AS mean
              |FROM orders""".stripMargin),
       covers = Seq("ext-catalog-meta-agg")),
 
@@ -3238,6 +3250,66 @@ object Relational5 {
                 |FROM orders GROUP BY 1""".stripMargin)
       },
       covers = Seq("ext-catalog-meta-agg-grouped")),
+
+    // HYBRID METADATA AGGREGATES — the filtered fast path SURVIVING a
+    // real table lifecycle: three daily-uniform commits plus ONE
+    // compacted directory that merged two ingest days (what optimize()
+    // on an undeclared-spec table produces). The claim no longer stands
+    // down wholesale: the proven dirs answer from the manifest and the
+    // residual dir runs as a real filtered job over JUST its files at
+    // scan materialization, the two sides combined per group. The body
+    // REQUIRES the hybrid scan in the plan (and no parquet scan node) —
+    // at 100 TB this keeps `count(*) WHERE dt = today` metadata-fast
+    // after the first compaction instead of regressing to a full file
+    // scan forever. Oracle: the same filtered aggregate from source rows.
+    QueryDef(
+      "q_catalog_agg_meta_hybrid",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val tbl = s"${catalogLake(s, dir)}/hybrid_orders"
+        val q = maxOrderKey(s, dir) / 4
+        if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty) {
+          val o = t(s, dir, "orders").select("o_orderkey")
+          Seq(
+            (col("o_orderkey") <= q, "1994-01-01"),
+            (col("o_orderkey") > q && col("o_orderkey") <= 2 * q, "1994-01-02"),
+            (col("o_orderkey") > 2 * q && col("o_orderkey") <= 3 * q, "1994-01-03"))
+            .foreach { case (p, day) =>
+              graft.sources.VersionedLake.appendCommit(
+                o.filter(p).withColumn("ingest_day", to_date(lit(day))),
+                tbl, statsCols = Seq("o_orderkey", "ingest_day"))
+            }
+          // the "compacted" dir: one commit spanning days 3 AND 4
+          graft.sources.VersionedLake.appendCommit(
+            o.filter(col("o_orderkey") > 3 * q)
+              .withColumn("ingest_day", to_date(
+                when(col("o_orderkey") <= 3 * q + q / 2, lit("1994-01-03"))
+                  .otherwise(lit("1994-01-04")))),
+            tbl, statsCols = Seq("o_orderkey", "ingest_day"))
+        }
+        val df = s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n,
+            |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+            |  sum(o_orderkey) AS tot
+            |FROM graftcat.hybrid_orders
+            |WHERE ingest_day = DATE '1994-01-03'""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GraftLakeHybridMetaAgg"),
+          s"a compacted dir must engage the HYBRID path, not a full scan:\n$plan")
+        require(!plan.contains("ParquetScan") && !plan.toLowerCase.contains("file:"),
+          s"no table-wide scan node may appear:\n$plan")
+        df.localCheckpoint()
+      },
+      {
+        val q = "(SELECT max(o_orderkey) // 4 FROM orders)"
+        Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+                |  CAST(sum(o_orderkey) AS BIGINT) AS tot
+                |FROM orders
+                |WHERE (o_orderkey > 2 * $q AND o_orderkey <= 3 * $q)
+                |   OR (o_orderkey > 3 * $q AND o_orderkey <= 3 * $q + $q // 2)""".stripMargin)
+      },
+      covers = Seq("ext-catalog-meta-agg-hybrid")),
 
     // ROW-LEVEL CDC CHANGE FEED: readRowChanges replays the warm-up
     // lake's 5-version history (3 appends, one MoR upsert, one MoR

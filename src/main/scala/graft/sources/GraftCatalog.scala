@@ -1221,6 +1221,43 @@ final class LakeTable(
       rowMeta = rowMeta,
       aggAnswer = (agg, dirsScope) =>
         LakeMetaAgg.answer(spark, tableDir, v, schema(), agg, dirsScope),
+      // hybrid: proven dirs answer from the manifest, residual dirs run
+      // as a real filtered job at scan materialization — the compacted
+      // multi-day directory no longer kills the filtered fast path
+      hybridAggAnswer = (agg, proven, residual, filters) =>
+        LakeMetaAgg.answerHybrid(spark, tableDir, v, schema(), agg,
+          proven, residual, filters),
+      // exact read-through for hybrid claims without an aggregate: the
+      // claimed conjuncts are gone from Spark's post-scan Filter, so the
+      // bridged DataFrame applies them per row (and Catalyst pushes them
+      // into the inner parquet scans for row-group skipping)
+      hybridReadThrough = Some { (keptDirs, filters, required) =>
+        val fallbackSchema = schema()
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = required
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              ctx: org.apache.spark.sql.SQLContext): T =
+            (new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+              override def schema: StructType = required
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                import org.apache.spark.sql.functions.col
+                val visible = VersionedLake.visibleSchema(
+                  VersionedLake.versionSchema(ctx.sparkSession, tableDir, v)
+                    .getOrElse(fallbackSchema))
+                val base = VersionedLake.readDirsWithDeletes(
+                  ctx.sparkSession, tableDir, v, keptDirs, Some(visible))
+                val filtered = filters.flatMap(FilterToColumn(_))
+                  .foldLeft(base)(_.filter(_))
+                filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+              }
+            }).asInstanceOf[T]
+          override def description(): String =
+            s"GraftLakeHybridReadThrough($identName@v$v, ${keptDirs.size} dirs)"
+        }
+      },
       // storage-partitioned joins are a declared layout contract, like
       // bucket count: `spj.enabled` trades scan granularity (one task per
       // live partition value) for shuffle-free partition-keyed joins

@@ -613,20 +613,24 @@ object GraftProcedures {
           val visible = VersionedLake.visibleSchema(schema0)
           val ndv = VersionedLake.dirNdv(spark, dir, v)
           val stats = VersionedLake.dirStats(spark, dir, v)
+          val hists = VersionedLake.dirHist(spark, dir, v)
           // the scan's own uniform-column claims: when EVERY conjunct is
           // decided exactly at directory granularity, the estimate IS the
-          // satisfying directories' row sum — exact, like the plan
+          // satisfying directories' row sum — exact, like the plan (the
+          // exact path is checked FIRST, mirroring the plan's own decision
+          // order: a filter claimable on this table answers exactly even
+          // when the histogram CDF could also price it)
           val B = org.apache.spark.sql.graft.LakePruningScanBuilder
           if (filters.nonEmpty && filters.forall(f =>
-              B.exactlyDecidable(f, kept, rowMeta, ndv, stats, visible)))
+              B.exactlyDecidable(f, kept, rowMeta, ndv, stats, visible, hists)))
             kept.filter(d => filters.forall(f =>
-              B.dirSatisfies(f, d, rowMeta, ndv, stats, visible)))
+              B.dirSatisfies(f, d, rowMeta, ndv, stats, visible, hists)))
               .map(rowMeta(_)._1).sum
           else {
             val (refined, _) = B.refineForFilters(filters, kept, rowMeta, ndv,
               VersionedLake.dirFreq(spark, dir, v), visible, raw,
               math.max(1L, kept.map(rowMeta(_)._2).sum),
-              VersionedLake.dirHist(spark, dir, v))
+              hists)
             refined
           }
         }

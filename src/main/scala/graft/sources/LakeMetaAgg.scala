@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -115,6 +115,67 @@ object LakeMetaAgg {
       Some((StructField(s"sum($name)", resultType, nullable = true), out))
     }
 
+    // exact count(col) — non-null rows — from the `#ndv` layer's exact
+    // per-directory null counts: count = Σ(rows − nulls). Every live
+    // directory must carry BOTH its rows line and the column's ndv entry
+    // (a dir analyzed before the column existed omits it — it holds only
+    // nulls, but the conservative refusal stays the simple, correct
+    // answer, matching extremum's rule). Type-agnostic: null counting
+    // never parses a stored render, so even timestamp columns answer.
+    def countCol(
+        colExpr: org.apache.spark.sql.connector.expressions.Expression,
+        ds: Seq[String]): Option[(StructField, Any)] = {
+      val name = colExpr match {
+        case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+        case _ => return None
+      }
+      if (!schema.fields.exists(_.name == name)) return None
+      if (!ds.forall(rowCounts.contains)) return None
+      val live = ds.filter(d => rowCounts(d)._1 > 0)
+      val per = live.map(d =>
+        ndv.get(d).flatMap(_.get(name)).map(e => rowCounts(d)._1 - e._2))
+      if (per.exists(_.isEmpty)) return None
+      Some((StructField(s"count($name)", LongType, nullable = false),
+        java.lang.Long.valueOf(per.flatten.sum)))
+    }
+
+    // exact avg(col) = sum/count when BOTH answer — INTEGRAL columns
+    // only. Spark's Average sums an integral input in DoubleType (its
+    // sum buffer), so its own scan answer is bit-exact only while the
+    // running sums stay within 2^53 — beyond that it is accumulation-
+    // order-dependent (shuffle-order-nondeterministic). The metadata
+    // answer divides the EXACT integral total by the exact non-null
+    // count: bit-identical to the scan inside the 2^53 envelope, and the
+    // correctly-rounded (deterministic) value outside it, where the scan
+    // itself has no single answer. Totals past Long decline to the real
+    // scan. Decimal avg is deliberately excluded — Spark's decimal
+    // division carries its own scale/rounding that a metadata
+    // reproduction would have to mimic bit-for-bit to be safe.
+    def avgOver(
+        colExpr: org.apache.spark.sql.connector.expressions.Expression,
+        ds: Seq[String]): Option[(StructField, Any)] = {
+      val name = colExpr match {
+        case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+        case _ => return None
+      }
+      val integral = schema.fields.find(_.name == name).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      })
+      if (!integral) return None
+      for {
+        (_, s) <- sumOver(colExpr, ds)
+        (_, c) <- countCol(colExpr, ds)
+      } yield {
+        val cnt = c.asInstanceOf[java.lang.Long].longValue()
+        val out: Any =
+          if (cnt == 0L) null
+          else java.lang.Double.valueOf(
+            s.asInstanceOf[java.lang.Long].doubleValue() / cnt)
+        (StructField(s"avg($name)", DoubleType, nullable = true), out)
+      }
+    }
+
     def answerOver(ds: Seq[String]): Option[(Seq[StructField], Seq[Any])] = {
       val answered = funcs.map {
         case _: CountStar =>
@@ -126,6 +187,8 @@ object LakeMetaAgg {
         case m: Min => extremum(m.column, isMin = true, ds, stats, schema)
         case m: Max => extremum(m.column, isMin = false, ds, stats, schema)
         case s: Sum if !s.isDistinct => sumOver(s.column, ds)
+        case c: Count if !c.isDistinct => countCol(c.column, ds)
+        case a: Avg if !a.isDistinct => avgOver(a.column, ds)
         case _ => None
       }
       if (answered.exists(_.isEmpty)) None
@@ -151,12 +214,14 @@ object LakeMetaAgg {
       // its proven value IS its group key (all-null dirs group under
       // SQL's one null group); zero-row dirs contribute nothing
       if (!dirs.forall(rowCounts.contains)) return None
+      lazy val hists = VersionedLake.dirHist(spark, tableDir, version)
       val live = dirs.filter(d => rowCounts(d)._1 > 0)
       val keyed: Seq[(List[Any], String)] = live.map { d =>
         val key = groupCols.map { case (c, dt) =>
           val nulls = ndv.get(d).flatMap(_.get(c)).map(_._2).getOrElse(return None)
           val bounds = stats.get(d).flatMap(_.get(c)).getOrElse(return None)
-          uniformValue(dt, rowCounts(d)._1, nulls, bounds) match {
+          uniformValue(dt, rowCounts(d)._1, nulls, bounds,
+            hists.get(d).flatMap(_.get(c))) match {
             case Some(v) => v.orNull
             case None    => return None
           }
@@ -186,6 +251,164 @@ object LakeMetaAgg {
     }
   }
 
+  /** HYBRID metadata aggregate: the PROVEN directories (every claimed
+    * conjunct decided exactly by the uniform-column proof, and
+    * satisfying) answer from the manifest; the RESIDUAL directories —
+    * the one compacted dir that merged several ingest days, the legacy
+    * dir missing a stats entry — are aggregated by a real (filtered)
+    * Spark job over JUST their files, and the two sides combine
+    * per group with the aggregate's own merge algebra. This keeps
+    * `count(*) WHERE dt = today` metadata-fast through real table
+    * lifecycles: `optimize()` on an undeclared-spec table creates
+    * exactly the multi-day directory that used to silently send the
+    * whole query back to a full file scan.
+    *
+    * Returns the output schema at PLAN time and a THUNK for the rows —
+    * the residual job must not run during planning (EXPLAIN stays
+    * metadata-only); the scan materializes it at execution. Declines
+    * (None) unless the proven side answers completely, every aggregate
+    * is output-mergeable (count/min/max/sum — avg's outputs don't
+    * merge), and every claimed conjunct translates to a Column the
+    * residual job can apply per row.
+    *
+    * Overflow at combine time throws (ANSI semantics — the same total
+    * would overflow Spark's own sum); it cannot decline, the plan is
+    * already committed.
+    */
+  def answerHybrid(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long,
+      schema: StructType,
+      agg: Aggregation,
+      proven: Seq[String],
+      residual: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(StructType, () => Seq[Array[Any]])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    if (proven.isEmpty || residual.isEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq
+    if (funcs.isEmpty) return None
+    // every aggregate must carry an OUTPUT-mergeable algebra
+    val mergeable = funcs.forall {
+      case _: CountStar               => true
+      case c: Count if !c.isDistinct  => true
+      case _: Min | _: Max            => true
+      case s: Sum if !s.isDistinct    => true
+      case _                          => false
+    }
+    if (!mergeable) return None
+    val provenAns = answer(spark, tableDir, version, schema, agg, Some(proven))
+      .getOrElse(return None)
+    val filterCols = filters.map(FilterToColumn(_))
+    if (filterCols.exists(_.isEmpty)) return None
+    val groupNames = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return None
+    }
+    // the residual job's aggregates, in the SAME order and types as the
+    // proven schema (Spark's sum(integral) is LongType, sum(decimal(p,s))
+    // is decimal(min(38,p+10),s), counts are LongType — the exact result
+    // types LakeMetaAgg.answer emits)
+    val residualAggs = funcs.map {
+      case _: CountStar              => count(lit(1))
+      case c: Count                  => count(col(nameOf(c.column).getOrElse(return None)))
+      case m: Min                    => min(col(nameOf(m.column).getOrElse(return None)))
+      case m: Max                    => max(col(nameOf(m.column).getOrElse(return None)))
+      case s: Sum                    => sum(col(nameOf(s.column).getOrElse(return None)))
+    }
+    val outSchema = provenAns._1
+    val keyCount = groupNames.size
+    // per-agg-column output mergers (null = "no values on that side")
+    val mergers: Seq[(Any, Any) => Any] = funcs.zipWithIndex.map { case (f, i) =>
+      val dt = outSchema.fields(keyCount + i).dataType
+      f match {
+        case _: CountStar | _: Count =>
+          (a: Any, b: Any) => java.lang.Long.valueOf(math.addExact(
+            a.asInstanceOf[java.lang.Long].longValue(),
+            b.asInstanceOf[java.lang.Long].longValue())): Any
+        case _: Sum => dt match {
+          case LongType =>
+            (a: Any, b: Any) =>
+              if (a == null) b else if (b == null) a
+              else java.lang.Long.valueOf(math.addExact(
+                a.asInstanceOf[java.lang.Long].longValue(),
+                b.asInstanceOf[java.lang.Long].longValue())): Any
+          case d: DecimalType =>
+            (a: Any, b: Any) =>
+              if (a == null) b else if (b == null) a
+              else {
+                val s = Decimal(a.asInstanceOf[Decimal].toJavaBigDecimal.add(
+                  b.asInstanceOf[Decimal].toJavaBigDecimal))
+                if (!s.changePrecision(d.precision, d.scale))
+                  throw new ArithmeticException(
+                    s"hybrid metadata sum overflows ${d.sql} - the scan's own sum would too")
+                s: Any
+              }
+          case other => return None // unreachable: answer() only emits these
+        }
+        case _: Min =>
+          (a: Any, b: Any) =>
+            if (a == null) b else if (b == null) a
+            else if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+        case _: Max =>
+          (a: Any, b: Any) =>
+            if (a == null) b else if (b == null) a
+            else if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+        case _ => return None
+      }
+    }
+    val visible = VersionedLake.visibleSchema(
+      VersionedLake.versionSchema(spark, tableDir, version).getOrElse(return None))
+    val thunk: () => Seq[Array[Any]] = () => {
+      val df0 = VersionedLake.readDirsWithDeletes(
+        spark, tableDir, version, residual, Some(visible))
+      val df = filterCols.flatten.foldLeft(df0)(_.filter(_))
+      val out =
+        if (groupNames.isEmpty) df.agg(residualAggs.head, residualAggs.tail: _*)
+        else df.groupBy(groupNames.map(col): _*)
+          .agg(residualAggs.head, residualAggs.tail: _*)
+      // external → Catalyst-internal, so both sides share one comparable
+      // domain (UTF8String, Decimal, epoch ints/longs)
+      val convs = outSchema.fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType))
+      val residualRows: Seq[Array[Any]] = out.collect().toSeq.map { r =>
+        Array.tabulate[Any](outSchema.fields.length)(i =>
+          if (r.isNullAt(i)) null else convs(i)(r.get(i)))
+      }
+      val byKey = scala.collection.mutable.LinkedHashMap[List[Any], Array[Any]]()
+      (provenAns._2 ++ residualRows).foreach { row =>
+        val k = row.take(keyCount).toList
+        byKey.get(k) match {
+          case None => byKey(k) = row.clone()
+          case Some(acc) =>
+            var i = 0
+            while (i < mergers.length) {
+              acc(keyCount + i) = mergers(i)(acc(keyCount + i), row(keyCount + i))
+              i += 1
+            }
+        }
+      }
+      // deterministic key order (nulls first), matching the pure path
+      byKey.toSeq.sortWith { case ((a, _), (b, _)) =>
+        a.zip(b).collectFirst {
+          case (x, y) if !eq0(x, y) =>
+            if (x == null) true
+            else if (y == null) false
+            else x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        }.getOrElse(false)
+      }.map(_._2)
+    }
+    Some((outSchema, thunk))
+  }
+
+  private def nameOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+
   private def eq0(x: Any, y: Any): Boolean =
     if (x == null) y == null else y != null && x.equals(y)
 
@@ -195,14 +418,39 @@ object LakeMetaAgg {
     * uniform / not provable. The shared proof behind the scan builder's
     * exact filter claims and grouped metadata aggregates.
     */
+  /** Largest Long magnitude a Double holds exactly — the domain where a
+    * histogram edge (stored as double) is a faithful epoch-micros value.
+    */
+  val MaxExactDoubleLong: Long = 1L << 53
+
   def uniformValue(
       dt: DataType,
       rows: Long,
       nulls: Long,
-      bounds: (Option[String], Option[String])): Option[Option[Any]] =
+      bounds: (Option[String], Option[String]),
+      edges: Option[Array[Double]] = None): Option[Option[Any]] =
     (nulls, bounds._1, bounds._2) match {
       case (n, None, None) if n == rows => Some(None)
-      case (0L, Some(a), Some(b)) if a == b => parse(dt, a).map(v => Some(v))
+      case (0L, Some(a), Some(b)) if a == b =>
+        dt match {
+          case TimestampType =>
+            // session-TZ renders don't round-trip, so the VALUE comes
+            // from the histogram edges riding the #ndv layer on the
+            // CANONICAL epoch-micros domain: quantile summaries keep the
+            // exact min and max at the first/last edge, so head == last
+            // proves min == max (uniformity) and IS the value. The
+            // double domain is exact for |micros| <= 2^53 (roughly years
+            // 1685–2255); outside it — or on a dir analyzed before the
+            // histogram layer existed — the claim declines.
+            edges match {
+              case Some(es) if es.nonEmpty && es.head == es.last &&
+                  math.abs(es.head) <= MaxExactDoubleLong.toDouble &&
+                  es.head == es.head.toLong.toDouble =>
+                Some(Some(java.lang.Long.valueOf(es.head.toLong)))
+              case _ => None
+            }
+          case _ => parse(dt, a).map(v => Some(v))
+        }
       case _ => None
     }
 

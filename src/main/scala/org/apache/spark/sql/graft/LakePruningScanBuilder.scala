@@ -55,6 +55,18 @@ final class LakePruningScanBuilder(
     rowMeta: Map[String, (Long, Long)] = Map.empty,
     aggAnswer: (Aggregation, Option[Seq[String]]) => Option[(StructType, Seq[Array[Any]])] =
       (_, _) => None,
+    // HYBRID metadata aggregate: (agg, provenSatisfyingDirs, residualDirs,
+    // claimedFilters) → (output schema, deferred rows). Engaged when the
+    // uniform-column proof covers SOME but not ALL live directories — the
+    // proven side answers from the manifest, the residual side runs as a
+    // real filtered job over just its files at scan materialization.
+    hybridAggAnswer: (Aggregation, Seq[String], Seq[String], Seq[Filter]) =>
+      Option[(StructType, () => Seq[Array[Any]])] = (_, _, _, _) => None,
+    // exact read-through for hybrid claims WITHOUT an aggregate:
+    // (dirs, filters, requiredSchema) → a scan whose rows are exactly
+    // the filter-satisfying rows of the dirs (the claimed conjuncts are
+    // gone from Spark's post-scan Filter, so may-overlap is not enough)
+    hybridReadThrough: Option[(Seq[String], Seq[Filter], StructType) => Scan] = None,
     spjCols: Seq[String] = Nil,
     runtimeFilterCols: Seq[String] = Nil,
     ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]] = Map.empty,
@@ -106,8 +118,28 @@ final class LakePruningScanBuilder(
     aggCache match {
       case Some((a, r)) if a eq agg => r
       case _ =>
-        val r = aggAnswer(agg, exactKept.map(_.toSeq.sorted))
+        // pure path only: with a hybrid residual the exactKept set holds
+        // may-match residual dirs whose rows are NOT all-satisfying, so
+        // a manifest-only answer over it would overcount
+        val r =
+          if (hybridResidual.nonEmpty) None
+          else aggAnswer(agg, exactKept.map(_.toSeq.sorted))
         aggCache = Some((agg, r))
+        r
+    }
+
+  private var hybridCache:
+      Option[(Aggregation, Option[(StructType, () => Seq[Array[Any]])])] = None
+  private def hybridAnswerFor(
+      agg: Aggregation): Option[(StructType, () => Seq[Array[Any]])] =
+    hybridCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r =
+          if (hybridResidual.isEmpty) None
+          else hybridAggAnswer(agg, provenSatisfying.sorted, hybridResidual.sorted,
+            claimed)
+        hybridCache = Some((agg, r))
         r
     }
 
@@ -127,23 +159,65 @@ final class LakePruningScanBuilder(
     * builder's own evaluation over the stored renders, never the
     * pruner's may-overlap semantics; anything undecidable stays
     * post-scan and costs nothing.
+    *
+    * HYBRID claims: when the proof covers a MAJORITY of live dirs but
+    * not all (one `optimize()`-compacted dir merged several ingest
+    * days; a legacy dir predates the stats layer), the conjunct is
+    * still claimed — the proven dirs answer from the manifest and the
+    * RESIDUAL dirs are read exactly: an aggregate combines the manifest
+    * answer with a real filtered job over just the residual files
+    * ([[hybridAggAnswer]], deferred to scan materialization), and a
+    * plain read routes through [[hybridReadThrough]], which applies the
+    * claimed conjuncts per row. Either way the fast path survives real
+    * table lifecycles instead of standing down wholesale.
     */
+  // HYBRID claim state: directories where at least one claimed conjunct
+  // is NOT decidable (a compacted multi-day dir, a legacy dir missing
+  // its stats entry). Empty = every claim fully decided (the pure path).
+  private var hybridResidual: Seq[String] = Nil
+  // proven dirs that satisfy every claimed conjunct (the manifest side)
+  private var provenSatisfying: Seq[String] = Nil
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
     val allDirs = pruner(Nil)
+    val B = LakePruningScanBuilder
+    // a conjunct is claimable when its shape/type/values are decidable
+    // and the uniform proof holds on at least one live directory; dirs
+    // where any claim's proof fails become the hybrid RESIDUAL (scanned
+    // exactly — see build()), available only when the read-through and
+    // hybrid-answer callbacks exist to keep the claim sound
+    val hybridCapable = hybridReadThrough.isDefined
     val (claim, post) = filters.partition { e =>
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
-        .exists(f =>
-          LakePruningScanBuilder.exactlyDecidable(
-            f, allDirs, rowMeta, ndvMeta, statsMeta, schema))
+        .exists { f =>
+          // every exactlyDecidable shape (Eq/EqNullSafe/In/ranges/
+          // IsNull/IsNotNull) is also row-evaluable by the read-through
+          // bridge, so per-dir decidability gates the hybrid claim — but
+          // only when the proof covers a MAJORITY of live dirs: that is
+          // the compaction/legacy shape the hybrid exists for (most dirs
+          // daily-uniform, one merged), while a table where one tiny
+          // single-row dir happens to be uniform gains nothing and would
+          // pay the bridge's loss of SPJ/runtime-pruning/exact stats on
+          // its plain filtered reads
+          val decidableOn = allDirs.count(d => B.exactlyDecidable(
+            f, Seq(d), rowMeta, ndvMeta, statsMeta, schema, histMeta))
+          decidableOn == allDirs.size ||
+            (hybridCapable && decidableOn * 2 > allDirs.size)
+        }
     }
     postScan = post
     if (claim.nonEmpty) {
       claimed = claim.flatMap(e =>
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-      exactKept = Some(allDirs.filter(d => claimed.forall(f =>
-        LakePruningScanBuilder.dirSatisfies(
-          f, d, rowMeta, ndvMeta, statsMeta, schema))).toSet)
+      val proven = allDirs.filter(d => claimed.forall(f => B.exactlyDecidable(
+        f, Seq(d), rowMeta, ndvMeta, statsMeta, schema, histMeta)))
+      hybridResidual = allDirs.filterNot(proven.toSet)
+      provenSatisfying = proven.filter(d => claimed.forall(f =>
+        B.dirSatisfies(f, d, rowMeta, ndvMeta, statsMeta, schema, histMeta)))
+      // the dirs that may hold matching rows: proven satisfiers exactly,
+      // residual dirs conservatively (their rows re-filter downstream)
+      exactKept = Some((provenSatisfying ++ hybridResidual).toSet)
     }
     post
   }
@@ -159,15 +233,22 @@ final class LakePruningScanBuilder(
   // every pushed conjunct was claimed-exact — and the answer then scopes
   // to the surviving directories.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    postScan.isEmpty && answerFor(aggregation).isDefined
+    postScan.isEmpty &&
+      (answerFor(aggregation).isDefined || hybridAnswerFor(aggregation).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (postScan.nonEmpty) return false
     answerFor(aggregation) match {
       case Some(a) => answered = Some(a); true
-      case None    => false
+      case None =>
+        hybridAnswerFor(aggregation) match {
+          case Some(h) => answeredHybrid = Some(h); true
+          case None    => false
+        }
     }
   }
+
+  private var answeredHybrid: Option[(StructType, () => Seq[Array[Any]])] = None
 
   override def build(): Scan = answered match {
     case Some((aggSchema, rows0)) =>
@@ -179,6 +260,36 @@ final class LakePruningScanBuilder(
         override def description(): String =
           s"GraftLakeMetaAgg($identName: ${aggSchema.fieldNames.mkString(", ")})"
       }
+    case None if answeredHybrid.isDefined =>
+      // HYBRID: manifest answer over the proven dirs ⊕ a real filtered
+      // job over just the residual dirs, combined per group. Deferred to
+      // scan MATERIALIZATION (planInputPartitions) so EXPLAIN stays
+      // metadata-only and no job runs at plan time.
+      val (aggSchema, thunk) = answeredHybrid.get
+      LakePruningScanBuilder.lastMetaAgg.set(aggSchema.fieldNames.toSeq)
+      LakePruningScanBuilder.lastHybridResidual.set(hybridResidual.sorted)
+      new LakePruningScanBuilder.DeferredRowsScan(
+        s"GraftLakeHybridMetaAgg($identName: " +
+          s"${provenSatisfying.size} proven dirs from the manifest + " +
+          s"${hybridResidual.size} residual dirs scanned)",
+        aggSchema, thunk)
+    case None if hybridResidual.nonEmpty =>
+      // hybrid claims WITHOUT an answered aggregate: the claimed
+      // conjuncts are gone from Spark's post-scan Filter, and residual
+      // dirs' rows do NOT all satisfy them — so the scan itself must
+      // filter exactly. The read-through bridge applies the claimed
+      // filters per row (Catalyst still pushes them into the inner
+      // parquet scans for row-group skipping).
+      val translated = pushed.flatMap(e =>
+        DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+      val kept = {
+        val p = pruner(translated)
+        exactKept.fold(p)(ek => p.filter(ek))
+      }
+      LakePruningScanBuilder.lastKept.set(kept)
+      if (kept.isEmpty)
+        new LakePruningScanBuilder.EmptyLakeScan(identName, required)
+      else hybridReadThrough.get(kept, claimed, required)
     case None =>
       val translated = pushed.flatMap(e =>
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
@@ -327,6 +438,12 @@ object LakePruningScanBuilder {
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       case (DateType, d: java.sql.Date)        => Some(d.toLocalDate.toEpochDay.toInt)
       case (DateType, d: java.time.LocalDate)  => Some(d.toEpochDay.toInt)
+      // timestamps compare on CANONICAL epoch micros — the uniform value
+      // comes from the histogram-edge domain, never a session-TZ render
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case (TimestampType, i: java.time.Instant) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
       case (d: DecimalType, b: java.math.BigDecimal) =>
         scala.util.Try(org.apache.spark.sql.types.Decimal(b, d.precision, d.scale)).toOption
       case (d: DecimalType, b: scala.math.BigDecimal) =>
@@ -341,14 +458,16 @@ object LakePruningScanBuilder {
       dt: org.apache.spark.sql.types.DataType,
       rowMeta: Map[String, (Long, Long)],
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
-      statsMeta: Map[String, Map[String, (Option[String], Option[String])]])
+      statsMeta: Map[String, Map[String, (Option[String], Option[String])]],
+      histMeta: Map[String, Map[String, Array[Double]]])
       : Option[Uniform] =
     rowMeta.get(d).flatMap { case (rows, _) =>
       if (rows == 0L) Some(Vacuous)
       else for {
         nulls <- ndvMeta.get(d).flatMap(_.get(c)).map(_._2)
         bounds <- statsMeta.get(d).flatMap(_.get(c))
-        u <- graft.sources.LakeMetaAgg.uniformValue(dt, rows, nulls, bounds)
+        u <- graft.sources.LakeMetaAgg.uniformValue(dt, rows, nulls, bounds,
+          histMeta.get(d).flatMap(_.get(c)))
           .map(_.fold(AllNull: Uniform)(Single.apply))
       } yield u
     }
@@ -360,7 +479,8 @@ object LakePruningScanBuilder {
       rowMeta: Map[String, (Long, Long)],
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
       statsMeta: Map[String, Map[String, (Option[String], Option[String])]],
-      schema: StructType): Boolean =
+      schema: StructType,
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty): Boolean =
     shapeOf(f) match {
       case None => false
       case Some((c, vs)) =>
@@ -374,7 +494,7 @@ object LakePruningScanBuilder {
               case _ => vs.forall(v => v != null && toInternal(dt, v).isDefined)
             }
             valuesOk && dirs.forall(d =>
-              uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta).isDefined)
+              uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta, histMeta).isDefined)
         }
     }
 
@@ -387,10 +507,11 @@ object LakePruningScanBuilder {
       rowMeta: Map[String, (Long, Long)],
       ndvMeta: Map[String, Map[String, (Option[Array[Byte]], Long)]],
       statsMeta: Map[String, Map[String, (Option[String], Option[String])]],
-      schema: StructType): Boolean = {
+      schema: StructType,
+      histMeta: Map[String, Map[String, Array[Double]]] = Map.empty): Boolean = {
     val (c, _) = shapeOf(f).getOrElse(return false)
     val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return false)
-    uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta) match {
+    uniformOf(d, c, dt, rowMeta, ndvMeta, statsMeta, histMeta) match {
       case None          => false // unreachable after exactlyDecidable
       case Some(Vacuous) => true  // zero rows: nothing can leak
       case Some(AllNull) =>
@@ -860,6 +981,47 @@ object LakePruningScanBuilder {
   /** Observability hooks (specs assert pruning/meta-agg fired; harmless in prod). */
   val lastKept = new ThreadLocal[Seq[String]]
   val lastMetaAgg = new ThreadLocal[Seq[String]]
+  // the hybrid path's residual dirs (what the sub-job will scan) — set at
+  // plan time so specs can assert "only that dir's files are read"
+  val lastHybridResidual = new ThreadLocal[Seq[String]]
+
+  /** A scan whose rows come from a driver-side thunk run at scan
+    * MATERIALIZATION (one local partition) — the hybrid metadata
+    * aggregate's carrier: planning and EXPLAIN never run the residual
+    * job; the first execution does, exactly once per scan instance.
+    */
+  // top-level so the task-serialized partition does not capture the
+  // (non-serializable) scan instance as $outer
+  private case class DeferredRows(rows: Array[InternalRow])
+      extends org.apache.spark.sql.connector.read.InputPartition
+
+  private class DeferredRowsReaderFactory
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val rs = p.asInstanceOf[DeferredRows].rows
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rs.length }
+        override def get(): InternalRow = rs(i)
+        override def close(): Unit = ()
+      }
+  }
+
+  final class DeferredRowsScan(
+      desc: String,
+      aggSchema: StructType,
+      thunk: () => Seq[Array[Any]])
+      extends Scan with org.apache.spark.sql.connector.read.Batch {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+    override def readSchema(): StructType = aggSchema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def description(): String = desc
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(DeferredRows(thunk().map(vs => new GenericInternalRow(vs): InternalRow).toArray))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DeferredRowsReaderFactory
+  }
   // runtime pruning runs on the execution-prep thread, not the test
   // thread — a ThreadLocal would be invisible to the spec
   val lastRuntimeKept = new java.util.concurrent.atomic.AtomicReference[Seq[String]]

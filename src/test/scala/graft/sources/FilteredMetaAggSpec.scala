@@ -164,6 +164,121 @@ class FilteredMetaAggSpec extends SparkSpec {
       .collect().head.getLong(0) === 8L)
   }
 
+  test("TIMESTAMP uniform claims decide through the epoch-micros domain across session TZs") {
+    val s = spark
+    import s.implicits._
+    root
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    spark.conf.set("spark.sql.catalog.gft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gft.root", r2)
+    val dir = s"$r2/ts_ingest"
+    val base = 1700000000000000L // epoch micros, well inside the exact-double domain
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // COMMIT under one session TZ: the #stats strings render in it,
+      // which is exactly why the string domain can never prove the claim
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      Seq(0, 1, 2).foreach { k =>
+        VersionedLake.appendCommit(
+          (1 to 20 + k).map(i => (k * 1000L + i, "x")).toDF("id", "pad")
+            .withColumn("ingest_ts", timestamp_micros(lit(base + k * 3600000000L))),
+          dir, statsCols = Seq("ingest_ts", "id"))
+      }
+      // READ under a DIFFERENT session TZ: the claim must come from the
+      // canonical epoch-micros histogram edges, not the stored renders
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val n = spark.sql(
+        s"SELECT count(*) AS n FROM gft.ts_ingest " +
+          s"WHERE ingest_ts = timestamp_micros(${base + 3600000000L})")
+      assert(n.collect().head.getLong(0) === 21L)
+      assert(plan(n).contains("LocalTableScan"),
+        s"timestamp-uniform filtered count must stay metadata-only:\n${plan(n)}")
+      // range shapes ride the same domain
+      val ge = spark.sql(
+        s"SELECT count(*) AS n FROM gft.ts_ingest " +
+          s"WHERE ingest_ts >= timestamp_micros(${base + 3600000000L})")
+      assert(ge.collect().head.getLong(0) === 43L)
+      assert(plan(ge).contains("LocalTableScan"))
+      // grouped: GROUP BY the uniform timestamp answers per commit
+      val g = spark.sql(
+        "SELECT ingest_ts, CAST(count(*) AS BIGINT) AS n FROM gft.ts_ingest GROUP BY 1")
+      val rows = g.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      assert(rows === Set(0, 1, 2).map(k =>
+        ((base + k * 3600000000L) / 1000L, 20L + k)))
+      assert(plan(g).contains("LocalTableScan"),
+        s"timestamp-uniform GROUP BY must stay metadata-only:\n${plan(g)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
+  test("HYBRID: one compacted multi-day directory no longer kills the filtered fast path") {
+    val s = spark
+    import s.implicits._
+    root
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fmh").toString
+    spark.conf.set("spark.sql.catalog.gfh", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfh.root", r2)
+    val dir = s"$r2/days"
+    // three daily-uniform commits …
+    Seq("2026-01-01" -> 40, "2026-01-02" -> 25, "2026-01-03" -> 35).foreach {
+      case (day, n) =>
+        VersionedLake.appendCommit(
+          (1 to n).map(i => (day, i.toLong)).toDF("d", "v")
+            .select(to_date(col("d")).as("dt"), col("v")),
+          dir, statsCols = Seq("dt", "v"))
+    }
+    // … plus ONE compacted directory that merged two days (what
+    // optimize() on an undeclared-spec table produces): dt is NOT
+    // uniform there, which used to stand the whole claim down
+    VersionedLake.appendCommit(
+      ((1 to 10).map(i => ("2026-01-03", 100L + i)) ++
+        (1 to 20).map(i => ("2026-01-04", 200L + i))).toDF("d", "v")
+        .select(to_date(col("d")).as("dt"), col("v")),
+      dir, statsCols = Seq("dt", "v"))
+    val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+
+    // filtered count: proven dirs from the manifest + a real job over
+    // ONLY the residual dir
+    B.lastHybridResidual.remove()
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM gfh.days WHERE dt = DATE '2026-01-02'")
+    assert(n2.collect().head.getLong(0) === 25L)
+    val residual = B.lastHybridResidual.get()
+    assert(residual != null && residual.size === 1,
+      s"exactly the compacted dir must be the residual, got $residual")
+    assert(plan(n2).contains("GraftLakeHybridMetaAgg"),
+      s"the hybrid scan must carry the plan:\n${plan(n2)}")
+    assert(!plan(n2).toLowerCase.contains("parquet"),
+      s"EXPLAIN/plan must not show a table scan:\n${plan(n2)}")
+
+    // a day that SPANS both sides combines manifest + residual rows
+    val n3 = spark.sql(
+      "SELECT count(*) AS n FROM gfh.days WHERE dt = DATE '2026-01-03'")
+    assert(n3.collect().head.getLong(0) === 45L, "35 proven + 10 residual")
+
+    // grouped under the claim: proven groups from the manifest, residual
+    // groups from the job, merged per key
+    val g = spark.sql(
+      "SELECT dt, CAST(count(*) AS BIGINT) AS n, max(v) AS hi " +
+        "FROM gfh.days WHERE dt >= DATE '2026-01-02' GROUP BY dt")
+    val rows = g.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(("2026-01-02", 25L, 25L), ("2026-01-03", 45L, 110L),
+      ("2026-01-04", 20L, 220L)))
+
+    // plain (non-aggregate) reads under a hybrid claim return exactly
+    // the satisfying rows — the read-through applies the claimed
+    // conjunct per row on the residual dir
+    val sel = spark.sql(
+      "SELECT v FROM gfh.days WHERE dt = DATE '2026-01-03' ORDER BY v")
+    val vs = sel.collect().map(_.getLong(0)).toSeq
+    assert(vs === ((1L to 35L) ++ (101L to 110L)),
+      s"read-through must keep only day-3 rows, got ${vs.take(50)}")
+
+    // sums combine exactly across the two sides
+    val t = spark.sql(
+      "SELECT sum(v) AS tot FROM gfh.days WHERE dt = DATE '2026-01-03'")
+    assert(t.collect().head.getLong(0) === (1L to 35L).sum + (101L to 110L).sum)
+  }
+
   test("a directory mixing nulls and values blocks the claim (no uniform proof)") {
     val s = spark
     import s.implicits._

@@ -75,6 +75,48 @@ class LakeMetaAggSpec extends SparkSpec {
     assert(!ds.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("count(col) answers from the #ndv exact null counts; avg derives as sum/count") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/cntcol"
+    // every third k is null in dir 1, none in dir 2 — the exact per-dir
+    // null counts make count(k) = Σ(rows − nulls) manifest-exact
+    VersionedLake.appendCommit(
+      (1L to 90L).map(i => (if (i % 3 == 0) None else Some(i), s"v$i"))
+        .toDF("k", "s"), dir, statsCols = Seq("k"))
+    VersionedLake.appendCommit(
+      (91L to 130L).map(i => (Some(i), s"v$i")).toDF("k", "s"),
+      dir, statsCols = Seq("k"))
+    val df = spark.sql("SELECT count(k) AS nk, avg(k) AS mean FROM gma.cntcol")
+    val r = df.collect().head
+    val vals = ((1L to 90L).filter(_ % 3 != 0) ++ (91L to 130L))
+    assert(r.getLong(0) === vals.size.toLong)
+    assert(r.getDouble(1) === vals.sum.toDouble / vals.size)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+      s"count(col)/avg over declared stats must stay metadata-only:\n$plan")
+  }
+
+  test("count(col)/avg negatives: undeclared column and fractional avg fall back to a real scan") {
+    mkTable("cntneg") // stats on k only; x is double
+    // count of an UNDECLARED column: no null counts → real scan
+    val p1 = planOf("SELECT count(s) AS n FROM gma.cntneg")
+    assert(!p1.contains("LocalTableScan"), s"undeclared column must scan:\n$p1")
+    // avg over a fractional column: Spark's double accumulation is not
+    // reproducible from an exact sum → real scan even if declared
+    val dir = s"$root/avgfrac"
+    val s2 = spark
+    import s2.implicits._
+    VersionedLake.appendCommit(
+      (1L to 50L).map(i => (i, i * 1.5)).toDF("k", "x"), dir,
+      statsCols = Seq("k", "x"))
+    val p2 = planOf("SELECT avg(x) AS m FROM gma.avgfrac")
+    assert(!p2.contains("LocalTableScan"), s"fractional avg must scan:\n$p2")
+    // count(DISTINCT k) has no exact layer → real scan
+    val p3 = planOf("SELECT count(DISTINCT k) AS d FROM gma.cntneg")
+    assert(!p3.contains("LocalTableScan"), s"distinct count must scan:\n$p3")
+  }
+
   test("a filter forces a real scan (post-scan filters block aggregate pushdown)") {
     mkTable("flt")
     val df = spark.sql("SELECT count(*) AS n FROM gma.flt WHERE k <= 50")

@@ -134,4 +134,37 @@ class RangeStatsSpec extends SparkSpec {
     assert(est <= 6000L && est >= 1L,
       s"the SQL face must report the histogram-refined range estimate, got $est")
   }
+
+  test("estimate_rows: a claimed-exact conjunct reports the EXACT count even when the CDF could also price it") {
+    // a directory-uniform column carries BOTH proofs: uniform stats
+    // (claimable-exact) and histogram edges (CDF-priceable). The exact
+    // path must win, mirroring the plan's own decision order — the same
+    // filter stays CDF-priced on a table where the column is NOT uniform.
+    root
+    val r = java.nio.file.Files.createTempDirectory("graft_rng5").toString
+    spark.conf.set("spark.sql.catalog.grng5", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grng5.root", r)
+    val u = s"$r/uni"
+    // per-directory uniform `day`: 40 / 25 / 35 rows
+    Seq((10L, 40), (20L, 25), (30L, 35)).foreach { case (day, n) =>
+      VersionedLake.appendCommit(
+        spark.range(0, n).select(col("id").as("k"), lit(day).as("day")),
+        u, statsCols = Seq("day", "k"))
+    }
+    val exact = spark.sql(
+      "CALL grng5.system.estimate_rows('uni', 'day = 20')").head().getLong(0)
+    assert(exact === 25L,
+      s"a claimable equality must report the exact satisfying-row sum, got $exact")
+    // range shape on the uniform column: still decided exactly (20 and 30)
+    val exactRange = spark.sql(
+      "CALL grng5.system.estimate_rows('uni', 'day >= 20')").head().getLong(0)
+    assert(exactRange === 60L,
+      s"a claimable range must report the exact sum, got $exactRange")
+    // the non-uniform table cannot claim: the estimate is sketch/CDF
+    // PRICED — refined below the raw kept-dir sum, never the raw 60000
+    val approx = spark.sql(
+      "CALL grng.system.estimate_rows('fct', 'v = 3')").head().getLong(0)
+    assert(approx > 0L && approx < 60000L,
+      s"a non-uniform equality prices off the sketch/CDF layers, got $approx")
+  }
 }
