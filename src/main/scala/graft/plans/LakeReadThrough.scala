@@ -55,6 +55,26 @@ object LakeReadThroughRule extends Rule[LogicalPlan] {
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
     // pre-resolution INSERT wraps its target as a child relation too
     case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
+    // UNFILTERED count(*) over a table whose pending MoR deletes carry
+    // EXACT per-directory deleted counts (position deletes record them
+    // at commit — the matched scan already ran): logical rows =
+    // Σ physical #rows − Σ deleted, answered as a LocalRelation before
+    // the splice would plan the anti-join read. Strict shape: no
+    // grouping, no filter between the aggregate and the relation, every
+    // aggregate a plain non-distinct count(1) — anything else falls
+    // through to the spliced read, which is exact.
+    case agg: Aggregate if agg.resolved && agg.groupingExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(isBareCountStar) =>
+      bareLakeRelation(agg.child)
+        .flatMap(t => t.metaCountUnderPendingDeletes)
+        .map { n =>
+          LocalRelation(
+            agg.aggregateExpressions.map(_.toAttribute),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(
+              agg.aggregateExpressions.map(_ => n): _*)))
+        }
+        .getOrElse(agg.mapChildren(rewrite))
     case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
       splice(r, r.table.asInstanceOf[LakeTable]).getOrElse(r)
     case other =>
@@ -67,6 +87,35 @@ object LakeReadThroughRule extends Rule[LogicalPlan] {
             if se.plan.resolved =>
           se.withNewPlan(rewrite(se.plan))
       }
+  }
+
+  /** A resolved non-distinct, unfiltered `count(1)` output column. */
+  private def isBareCountStar(
+      e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    e match {
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case _                      => false
+        })
+      case _ => false
+    }
+  }
+
+  /** The lake relation under nothing but aliases/column-pruning — any
+    * Filter/Join/etc. in between disqualifies the count shortcut.
+    */
+  private def bareLakeRelation(p: LogicalPlan): Option[LakeTable] = p match {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
+      Some(r.table.asInstanceOf[LakeTable])
+    case s: SubqueryAlias => bareLakeRelation(s.child)
+    case pr: Project
+        if pr.projectList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+      bareLakeRelation(pr.child)
+    case _ => None
   }
 
   private def splice(

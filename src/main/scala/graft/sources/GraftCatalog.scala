@@ -1074,6 +1074,28 @@ final class LakeTable(
   private[graft] def readThrough(v: Long): org.apache.spark.sql.DataFrame =
     VersionedLake.readVersion(spark, tableDir, v)
 
+  /** EXACT logical row count from metadata ON a version with pending
+    * MoR deletes: Σ physical `#rows` − Σ recorded per-directory deleted
+    * counts. Defined only when pending deletes exist AND every one
+    * carries its exact counts (position deletes record them at commit;
+    * keyed deletes never read data, so they stand the shortcut down) AND
+    * every directory accounts its rows. The pending-free case is owned
+    * by the scan builder's ordinary metadata-aggregate path.
+    */
+  private[graft] def metaCountUnderPendingDeletes: Option[Long] = {
+    val v = resolvedVersion
+    val dirs = VersionedLake.manifest(spark, tableDir, v)
+    val pending = VersionedLake.dirEqDeletes(spark, tableDir, v)
+      .filter(_.dirs.exists(dirs.contains))
+    if (pending.isEmpty) return None
+    if (pending.exists(_.counts.isEmpty)) return None
+    val rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v)
+    if (!dirs.forall(rowMeta.contains)) return None
+    val deleted = pending.flatMap(_.counts.toSeq)
+      .collect { case (d, n) if dirs.contains(d) => n }.sum
+    Some(dirs.map(rowMeta(_)._1).sum - deleted)
+  }
+
   override def name(): String = identName
 
   override def schema(): StructType = {
@@ -1160,7 +1182,8 @@ final class LakeTable(
       VersionedLake.hasDecimalPartition(spark, tableDir, v))
       return new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
         import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
         private var pushed: Array[Filter] = Array.empty
         private var required: StructType = schema()
@@ -1171,7 +1194,53 @@ final class LakeTable(
         override def pushedFilters(): Array[Filter] = Array.empty
         override def pruneColumns(requiredSchema: StructType): Unit =
           required = requiredSchema
-        override def build(): org.apache.spark.sql.connector.read.Scan =
+        // PENDING MoR DELETES no longer stand down unfiltered count(*):
+        // position deletes record their EXACT per-directory deleted-row
+        // counts at commit time (the matched scan already ran), so
+        // logical rows = Σ physical #rows − Σ deleted — still zero file
+        // opens. A pending delete WITHOUT counts (keyed deletes never
+        // read data at commit) refuses, as does any filter/group/other
+        // aggregate: unknown stands down, it is never zero.
+        private var counted: Option[Long] = None
+        private def countAnswer(
+            agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+            : Option[Long] = {
+          if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+          val funcs = agg.aggregateExpressions.toSeq
+          if (funcs.isEmpty || !funcs.forall(_.isInstanceOf[
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar])) return None
+          if (pending.exists(_.counts.isEmpty)) return None
+          val rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v)
+          if (!dirs.forall(rowMeta.contains)) return None
+          val deleted = pending.flatMap(_.counts.toSeq)
+            .collect { case (d, n) if dirs.contains(d) => n }.sum
+          Some(dirs.map(rowMeta(_)._1).sum - deleted)
+        }
+        override def supportCompletePushDown(
+            agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+          countAnswer(agg).isDefined
+        override def pushAggregation(
+            agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+          countAnswer(agg) match {
+            case Some(n) => counted = Some(n); true
+            case None    => false
+          }
+        override def build(): org.apache.spark.sql.connector.read.Scan = counted match {
+          case Some(n) =>
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](java.lang.Long.valueOf(n).longValue())))
+              override def readSchema(): StructType = StructType(Seq(
+                org.apache.spark.sql.types.StructField("count(*)",
+                  org.apache.spark.sql.types.LongType, nullable = false)))
+              override def description(): String =
+                s"GraftLakeMetaAgg($identName@v$v: count(*) − " +
+                  s"${pending.size} pending deletes' exact counts)"
+            }
+          case None => buildReadThrough()
+        }
+        private def buildReadThrough(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.V1Scan {
             override def readSchema(): StructType = required
             override def toV1TableScan[T <: BaseRelation with TableScan](

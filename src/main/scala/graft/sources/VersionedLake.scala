@@ -205,8 +205,19 @@ object VersionedLake {
     * `table/deletes/` holds the key rows, `keys` names the equality
     * columns, `dirs` the data directories it applies to (pinned at
     * publish time — later appends are out of scope by construction).
+    * `counts` — when the COMMIT already paid the matched scan (position
+    * deletes from deleteWhereMor/updateWhereMor) — holds the EXACT
+    * per-directory deleted-row counts, which keeps `count(*)`
+    * metadata-only on a table with pending deletes (logical rows =
+    * physical `#rows` − deleted). Empty = unknown (keyed deletes never
+    * read data at commit — that is their whole point), and every
+    * consumer treats unknown as "stand down", never as zero.
     */
-  final case class EqDelete(dir: String, keys: Seq[String], dirs: Seq[String])
+  final case class EqDelete(
+      dir: String,
+      keys: Seq[String],
+      dirs: Seq[String],
+      counts: Map[String, Long] = Map.empty)
 
   /** Reserved "key" names marking a POSITION delete file (Iceberg v2
     * position deletes / Delta deletion vectors): instead of key rows,
@@ -236,6 +247,16 @@ object VersionedLake {
   private def posIdentityCols: Seq[org.apache.spark.sql.Column] = Seq(
     regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1).as("_pos_file"),
     col("_metadata.row_index").as("_pos_row"))
+
+  /** Exact per-directory tallies of a matched position-delete frame —
+    * `_pos_file` is the dir-relative path, so its first segment IS the
+    * data directory. O(matched) over a frame the caller already
+    * persisted for the write.
+    */
+  private def posDeleteCounts(matched: DataFrame): Map[String, Long] =
+    matched.groupBy(substring_index(col("_pos_file"), "/", 1).as("_d"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Manifest comment line carrying one data directory's EXACT row and
     * byte counts: `#rows=<dir>\t{"n":123,"bytes":4567}`. Rows come from
@@ -1682,9 +1703,15 @@ object VersionedLake {
             val m = fields.toMap
             (m.get("keys"), m.get("dirs")) match {
               case (Some(JArray(ks)), Some(JArray(ds))) =>
+                val cnt = m.get("cnt") match {
+                  case Some(JObject(cs)) => cs.collect {
+                    case (d, JInt(n)) => d -> n.toLong
+                  }.toMap
+                  case _ => Map.empty[String, Long]
+                }
                 EqDelete(rest.substring(0, tab),
                   ks.collect { case JString(s) => s },
-                  ds.collect { case JString(s) => s })
+                  ds.collect { case JString(s) => s }, cnt)
               case _ =>
                 sys.error(s"malformed eqdelete manifest line in $tableDir v=$version: $line")
             }
@@ -1851,10 +1878,18 @@ object VersionedLake {
       .filter(_.dirs.nonEmpty)
       .map { e =>
         import org.json4s.JsonAST._
+        // counts shrink with the scope: a rewritten-away dir's physical
+        // rows are gone, so its deleted-count must not survive either
+        val cnt = e.counts.filter { case (d, _) => e.dirs.contains(d) }
+        val fields = List(
+          "keys" -> (JArray(e.keys.map(JString(_): JValue).toList): JValue),
+          "dirs" -> (JArray(e.dirs.map(JString(_): JValue).toList): JValue)) ++
+          (if (cnt.isEmpty) Nil
+           else List("cnt" -> (JObject(cnt.toList.sortBy(_._1).map { case (d, n) =>
+             d -> (JInt(n): JValue)
+           }): JValue)))
         val j = org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(JObject(List(
-            "keys" -> (JArray(e.keys.map(JString(_): JValue).toList): JValue),
-            "dirs" -> (JArray(e.dirs.map(JString(_): JValue).toList): JValue)))))
+          org.json4s.jackson.JsonMethods.render(JObject(fields)))
         s"$EqDeleteHeader${e.dir}\t$j"
       }
     val changesLines = changes.map(c => s"$ChangesHeader$c").toSeq
@@ -3964,6 +3999,12 @@ object VersionedLake {
         val delName = java.util.UUID.randomUUID().toString
         matched.select(PosDeleteKeys.map(col): _*)
           .write.mode("error").parquet(s"$tableDir/deletes/$delName")
+        // the matched scan already ran (persisted): its per-directory
+        // tally is one cheap aggregate, and it keeps count(*)
+        // metadata-only while this delete is pending — positions are
+        // disjoint from earlier pending deletes by construction (the
+        // matched read applied them), so the counts sum exactly
+        val delCounts = posDeleteCounts(matched)
         // the commit-time artifact IS the CDC story for this op (the
         // feed's reconstruction path is keyed; positions are physical) —
         // with artifacts opted out, the feed refuses the window loudly
@@ -3979,7 +4020,7 @@ object VersionedLake {
           buckets = dirBuckets(spark, tableDir, base),
           txns = priorTxns ++ txn.toMap,
           eqdeletes = dirEqDeletes(spark, tableDir, base) :+
-            EqDelete(delName, PosDeleteKeys, dirs),
+            EqDelete(delName, PosDeleteKeys, dirs, delCounts),
           op = "delete_where_mor",
           changes = changesName)
       } finally matched.unpersist(blocking = false): Unit
@@ -4113,7 +4154,7 @@ object VersionedLake {
           buckets = dirBuckets(spark, tableDir, base),
           txns = priorTxns ++ txn.toMap,
           eqdeletes = dirEqDeletes(spark, tableDir, base) :+
-            EqDelete(delName, PosDeleteKeys, dirs),
+            EqDelete(delName, PosDeleteKeys, dirs, posDeleteCounts(matched)),
           op = "update_where_mor",
           changes = changesName,
           ndv = updStatsNdv.map { case (_, n) => updDir -> n }.toMap)

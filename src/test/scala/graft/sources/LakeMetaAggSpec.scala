@@ -153,6 +153,42 @@ class LakeMetaAggSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("count(*) stays metadata-only over a pending POSITION delete (exact per-dir counts)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/morcnt"
+    VersionedLake.appendCommit((1L to 100L).map(i => (i, s"v$i")).toDF("k", "vv"), dir)
+    VersionedLake.appendCommit((101L to 160L).map(i => (i, s"v$i")).toDF("k", "vv"), dir)
+    // deleteWhereMor's matched scan records EXACT per-dir deleted counts
+    // on the eqdelete line: logical rows = Σ #rows − Σ deleted
+    VersionedLake.deleteWhereMor(s, dir, col("k") % 10 === 0L)
+    val df = spark.sql("SELECT count(*) AS n FROM gma.morcnt")
+    assert(df.collect().head.getLong(0) === 144L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Parquet") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"pending position deletes must not stand down unfiltered count(*):\n$plan")
+    // the metadata answer matches the post-compaction truth exactly
+    VersionedLake.materializeDeletes(s, dir)
+    assert(spark.sql("SELECT count(*) AS n FROM gma.morcnt").head().getLong(0) === 144L)
+    // a SECOND pending delete stacks its counts (positions disjoint by
+    // construction: the matched read applies earlier pending deletes)
+    VersionedLake.appendCommit((161L to 170L).map(i => (i, s"v$i")).toDF("k", "vv"), dir)
+    VersionedLake.deleteWhereMor(s, dir, col("k") > 158L)
+    val df2 = spark.sql("SELECT count(*) AS n FROM gma.morcnt")
+    // 144 survivors + 10 appended − {159, 161..170} = 143
+    assert(df2.collect().head.getLong(0) === 143L)
+    assert(df2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // anything beyond unfiltered count(*) still reads through exactly
+    val mm = spark.sql("SELECT min(k) AS lo FROM gma.morcnt")
+    assert(!mm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "min/max cannot adjust for deleted rows' unknown values")
+    assert(mm.collect().head.getLong(0) === 1L)
+    val flt = spark.sql("SELECT count(*) AS n FROM gma.morcnt WHERE k > 50")
+    assert(flt.collect().head.getLong(0) ===
+      (51L to 158L).count(_ % 10 != 0).toLong)
+  }
+
   test("count over a version with pending MoR deletes bypasses the metadata path") {
     val s = spark
     import s.implicits._
