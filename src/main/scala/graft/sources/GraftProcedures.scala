@@ -199,10 +199,15 @@ object GraftProcedures {
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("cols", StringType)
-              .comment("comma-separated columns to analyze").build())) { in =>
+              .comment("comma-separated columns to analyze").build(),
+            ProcedureParameter.in("only_missing", BooleanType).defaultValue("false")
+              .comment("scan ONLY directories lacking a requested layer - the " +
+                "incremental cadence call; a no-op returning the current version " +
+                "when nothing is missing").build())) { in =>
           val dir = resolve(str(in, 0))
           val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          VersionedLake.analyzeStats(spark, dir, cols)
+          VersionedLake.analyzeStats(spark, dir, cols,
+            onlyMissing = in.getBoolean(2))
         }
       case "vacuum" =>
         proc(name, "retention: keep the newest versions, reclaim the rest",
@@ -636,10 +641,12 @@ object GraftProcedures {
         }
       case "explain_scan" =>
         procRows(name, "dry-run the manifest pruning for a predicate: per directory, " +
-          "its rows/bytes and whether the stats/bloom layer keeps it - the " +
-          "'why is this query reading N directories' answer, O(directories) " +
-          "metadata, zero file opens. Also reports predicate conjuncts the " +
-          "pushdown channel cannot translate (those prune nothing)",
+          "its rows/bytes, whether the stats/bloom layer keeps it, and the " +
+          "uniform-column CLAIM decision the plan would make (exact-keep / " +
+          "exact-skip / residual) - the 'why is this query reading N " +
+          "directories' answer, O(directories) metadata, zero file opens. " +
+          "Also reports predicate conjuncts the pushdown channel cannot " +
+          "translate (those prune nothing)",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("predicate", StringType).build())) { in =>
@@ -655,18 +662,53 @@ object GraftProcedures {
             StructField("bytes", LongType, nullable = false),
             StructField("kept", org.apache.spark.sql.types.BooleanType,
               nullable = false),
-            StructField("untranslated", StringType, nullable = true)))
+            StructField("untranslated", StringType, nullable = true),
+            StructField("claim", StringType, nullable = true)))
           val untrans =
             if (leftover.isEmpty) null
             else org.apache.spark.unsafe.types.UTF8String.fromString(
               leftover.map(_.sql).mkString(" AND "))
-          val rows = VersionedLake.manifest(spark, dir, v).map { d =>
+          // mirror the scan builder's own claim gate (exact on every live
+          // dir, or the hybrid majority rule): per directory, "exact-keep"
+          // = every claimed conjunct proven AND satisfied, "exact-skip" =
+          // proven, some conjunct fails (the dir never reads),
+          // "residual" = undecidable (the hybrid path would scan it);
+          // null = no conjunct claims on this table at all
+          val ndv = VersionedLake.dirNdv(spark, dir, v)
+          val stats = VersionedLake.dirStats(spark, dir, v)
+          val hists = VersionedLake.dirHist(spark, dir, v)
+          val visible = VersionedLake.visibleSchema(
+            VersionedLake.versionSchema(spark, dir, v).getOrElse(
+              new org.apache.spark.sql.types.StructType()))
+          val allDirs = VersionedLake.manifest(spark, dir, v)
+          val live = allDirs.filter(d => rowMeta.get(d).forall(_._1 > 0))
+          val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+          val claimedConj = filters.filter { f =>
+            val n = live.count(d =>
+              B.exactlyDecidable(f, Seq(d), rowMeta, ndv, stats, visible, hists))
+            n == live.size || (n > 0 && n * 2 > live.size)
+          }
+          def claimOf(d: String): Any =
+            if (claimedConj.isEmpty) null
+            else {
+              val proven = claimedConj.forall(f =>
+                B.exactlyDecidable(f, Seq(d), rowMeta, ndv, stats, visible, hists))
+              val label =
+                if (!proven) "residual"
+                else if (claimedConj.forall(f =>
+                  B.dirSatisfies(f, d, rowMeta, ndv, stats, visible, hists)))
+                  "exact-keep"
+                else "exact-skip"
+              org.apache.spark.unsafe.types.UTF8String.fromString(label)
+            }
+          val rows = allDirs.map { d =>
             new GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(d),
               rowMeta.get(d).map(_._1).getOrElse(-1L),
               rowMeta.get(d).map(_._2).getOrElse(-1L),
               kept.contains(d),
-              untrans)): InternalRow
+              untrans,
+              claimOf(d))): InternalRow
           }.toArray
           (schema, rows)
         }

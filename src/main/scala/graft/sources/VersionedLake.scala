@@ -4892,10 +4892,22 @@ object VersionedLake {
   private[graft] val AnalyzeJobConcurrency = 4
   private val AnalyzeDirTag = "_graft_stats_dir"
 
+  /** `onlyMissing = true` restricts the scan to directories that LACK a
+    * complete layer entry for any requested column — the steady-state
+    * incremental call: after the first full analyze, a daily
+    * `analyze(only_missing)` backfills just the dirs that arrived via
+    * stats-less writers (or predate a layer) and is a METADATA-ONLY
+    * NO-OP returning the current version when nothing is missing. On a
+    * 10^5-directory table this is the difference between re-reading the
+    * table per cadence call and reading only the new debt. Existing
+    * entries are immutable anyway (directories are immutable), so the
+    * restriction can never change an answer — only skip re-deriving it.
+    */
   def analyzeStats(
       spark: SparkSession,
       tableDir: String,
-      cols: Seq[String]): Long = {
+      cols: Seq[String],
+      onlyMissing: Boolean = false): Long = {
     require(cols.nonEmpty, "analyzeStats needs at least one column")
     retryOnConflict(maxAttempts = 4) {
       val v = currentVersion(spark, tableDir).getOrElse(
@@ -4942,7 +4954,20 @@ object VersionedLake {
       // plan width (a 10^5-branch union would trade scheduler time for
       // driver planning time); the per-dir tag is a literal on each
       // branch, so no file-path parsing can misattribute rows.
-      val live = dirs.filter(d => rowsMeta.get(d).forall(_._1 > 0))
+      val live0 = dirs.filter(d => rowsMeta.get(d).forall(_._1 > 0))
+      val live =
+        if (!onlyMissing) live0
+        else {
+          // "complete" = a #stats AND a #ndv entry for every requested
+          // column (layers riding #ndv — histogram/freq/sum — were all
+          // written by the same pass, so the ndv entry is the witness)
+          val haveStats = dirStats(spark, tableDir, v)
+          val haveNdv = dirNdv(spark, tableDir, v)
+          live0.filterNot(d => cols.forall(c =>
+            haveStats.get(d).exists(_.contains(c)) &&
+              haveNdv.get(d).exists(_.contains(c))))
+        }
+      if (onlyMissing && live.isEmpty) return v // nothing to backfill: no-op
       val chunks = live.grouped(AnalyzeChunkDirs).toSeq
       val results: Seq[(String, (String, String))] =
         if (chunks.isEmpty) Nil

@@ -137,6 +137,48 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(sums.values.forall(m => m.contains("k")), "sum layer present per dir")
   }
 
+  test("analyze(only_missing) backfills just the layer-less dirs; a fully-covered table no-ops") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl6").toString
+    spark.conf.set("spark.sql.catalog.ganl6", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ganl6.root", r)
+    val t = s"$r/t"
+    VersionedLake.appendCommit(
+      (1L to 200L).map(i => (i, s"g${i % 5}")).toDF("k", "g"), t,
+      statsCols = Seq("k", "g"))
+    val v0 = VersionedLake.currentVersion(spark, t).get
+    // fully covered: the incremental call is a METADATA no-op — no
+    // commit, no job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val same = spark.sql(
+        "CALL ganl6.system.analyze('t', 'k,g', only_missing => true)")
+        .head().getLong(0)
+      Thread.sleep(300)
+      assert(same === v0, "nothing missing: no new version")
+      assert(jobs.get() === 0, s"a covered table must run ZERO jobs, saw ${jobs.get()}")
+    } finally s.sparkContext.removeSparkListener(listener)
+    // one stats-less commit arrives: only IT backfills; prior entries carry
+    VersionedLake.appendCommit(
+      (201L to 260L).map(i => (i, s"g${i % 5}")).toDF("k", "g"), t)
+    val before = VersionedLake.dirStats(spark, t,
+      VersionedLake.currentVersion(spark, t).get)
+    val v2 = VersionedLake.analyzeStats(spark, t, Seq("k", "g"), onlyMissing = true)
+    val after = VersionedLake.dirStats(spark, t, v2)
+    assert(after.size === before.size + 1, "exactly the new dir gained a layer")
+    before.foreach { case (d, m) =>
+      assert(after(d) === m, s"prior entries must carry verbatim for $d")
+    }
+    val newDir = after.keySet.diff(before.keySet).head
+    assert(after(newDir)("k") === ((Some("201"), Some("260"))))
+  }
+
   test("analyze does not break MV stale-combine or exactly-once txn watermarks") {
     val s = spark
     import s.implicits._

@@ -320,6 +320,27 @@ class GraftProceduresSpec extends SparkSpec {
     assert(messy.count(_._1) === 1, "the translatable range still prunes")
     assert(messy.forall(_._2 != null) && messy.head._2.contains("%"),
       s"the modulo conjunct must be reported untranslated: ${messy.toSeq}")
+    // the claim column mirrors the plan's uniform-column decision: a
+    // range on a NON-uniform column never claims (null), while a
+    // uniform-column table reports exact-keep / exact-skip / residual
+    assert(spark.sql("CALL gproc.system.explain_scan('xscan', 'id >= 150')")
+      .collect().forall(_.getString(5) == null),
+      "id is not directory-uniform: no claim")
+    val cdir = s"$root/xclaim"
+    Seq(10L -> 30, 20L -> 40).foreach { case (day, n) =>
+      VersionedLake.appendCommit(
+        (1 to n).map(i => (i.toLong, day)).toDF("k", "day"),
+        cdir, statsCols = Seq("day"))
+    }
+    // one mixed dir → residual under the hybrid majority rule
+    VersionedLake.appendCommit(
+      Seq((100L, 20L), (101L, 30L)).toDF("k", "day"), cdir,
+      statsCols = Seq("day"))
+    val claims = spark.sql(
+      "CALL gproc.system.explain_scan('xclaim', 'day = 20')")
+      .collect().map(r => (r.getString(0), r.getString(5))).toMap
+    assert(claims.values.toSeq.sorted === Seq("exact-keep", "exact-skip", "residual"),
+      s"claim decisions must mirror the plan: $claims")
   }
 
   test("CALL system.set_partition_spec + replicate: the declaration propagates to mirrors") {
