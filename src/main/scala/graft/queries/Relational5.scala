@@ -3251,6 +3251,36 @@ object Relational5 {
       },
       covers = Seq("ext-catalog-meta-agg-grouped")),
 
+    // METADATA-ONLY DISTINCT — `SELECT DISTINCT ingest_day` (the "what
+    // days exist" profiling query): a group-by with NO aggregate
+    // functions rides the same uniform-column proof, so the proven
+    // per-directory values ARE the distinct set — one row per commit
+    // value, zero file opens, composing with claimed filters. The body
+    // REQUIRES the LocalTableScan. Oracle: the same distinct derived
+    // from source rows.
+    QueryDef(
+      "q_catalog_distinct_meta",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        ensureDailyOrders(s, dir)
+        val df = s.sql(
+          """SELECT DISTINCT ingest_day FROM graftcat.daily_orders
+            |WHERE ingest_day >= DATE '1994-01-02'""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+          s"DISTINCT over a uniform column must stay metadata-only - got:\n$plan")
+        df.localCheckpoint()
+      },
+      {
+        val third = "(SELECT max(o_orderkey) // 3 FROM orders)"
+        Some(s"""SELECT DISTINCT CASE WHEN o_orderkey <= $third THEN DATE '1994-01-01'
+                |  WHEN o_orderkey <= 2 * $third THEN DATE '1994-01-02'
+                |  ELSE DATE '1994-01-03' END AS ingest_day
+                |FROM orders
+                |WHERE o_orderkey > $third""".stripMargin)
+      },
+      covers = Seq("ext-catalog-distinct-meta")),
+
     // HYBRID METADATA AGGREGATES — the filtered fast path SURVIVING a
     // real table lifecycle: three daily-uniform commits plus ONE
     // compacted directory that merged two ingest days (what optimize()

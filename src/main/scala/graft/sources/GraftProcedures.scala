@@ -626,12 +626,37 @@ object GraftProcedures {
           // order: a filter claimable on this table answers exactly even
           // when the histogram CDF could also price it)
           val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+          def decidableOn(f: org.apache.spark.sql.sources.Filter, d: String) =
+            B.exactlyDecidable(f, Seq(d), rowMeta, ndv, stats, visible, hists)
           if (filters.nonEmpty && filters.forall(f =>
               B.exactlyDecidable(f, kept, rowMeta, ndv, stats, visible, hists)))
             kept.filter(d => filters.forall(f =>
               B.dirSatisfies(f, d, rowMeta, ndv, stats, visible, hists)))
               .map(rowMeta(_)._1).sum
-          else {
+          else if (filters.nonEmpty && filters.forall { f =>
+              val n = kept.count(d => decidableOn(f, d))
+              n == kept.size || n * 2 > kept.size
+            }) {
+            // HYBRID estimate, mirroring the plan's hybrid claims: dirs
+            // where every conjunct is proven count EXACTLY (satisfiers'
+            // row sum), the residual prices off the selectivity layers
+            // scoped to just those dirs
+            val proven = kept.filter(d => filters.forall(decidableOn(_, d)))
+            val residual = kept.filterNot(proven.toSet)
+            val exactPart = proven.filter(d => filters.forall(f =>
+              B.dirSatisfies(f, d, rowMeta, ndv, stats, visible, hists)))
+              .map(rowMeta(_)._1).sum
+            val residualPart =
+              if (residual.isEmpty) 0L
+              else {
+                val rRows = residual.map(rowMeta(_)._1).sum
+                val (refined, _) = B.refineForFilters(filters, residual, rowMeta,
+                  ndv, VersionedLake.dirFreq(spark, dir, v), visible, rRows,
+                  math.max(1L, residual.map(rowMeta(_)._2).sum), hists)
+                refined
+              }
+            exactPart + residualPart
+          } else {
             val (refined, _) = B.refineForFilters(filters, kept, rowMeta, ndv,
               VersionedLake.dirFreq(spark, dir, v), visible, raw,
               math.max(1L, kept.map(rowMeta(_)._2).sum),

@@ -58,7 +58,10 @@ object LakeMetaAgg {
       agg: Aggregation,
       dirsOverride: Option[Seq[String]] = None): Option[(StructType, Seq[Array[Any]])] = {
     val funcs = agg.aggregateExpressions.toSeq
-    if (funcs.isEmpty) return None
+    // funcs empty + group columns present = SELECT DISTINCT c — the
+    // "what ingest days exist" query: the proven uniform values ARE the
+    // distinct set, one row per value, zero file opens
+    if (funcs.isEmpty && agg.groupByExpressions.isEmpty) return None
     val dirs = dirsOverride.getOrElse(VersionedLake.manifest(spark, tableDir, version))
     lazy val rowCounts = VersionedLake.dirRowCounts(spark, tableDir, version)
     lazy val stats = VersionedLake.dirStats(spark, tableDir, version)
@@ -235,6 +238,7 @@ object LakeMetaAgg {
       if (perGroup.exists(_.isEmpty)) return None
       val rows = perGroup.flatten
       val aggFields = rows.headOption.map(_._2._1).getOrElse(return None)
+      if (rows.isEmpty) return None
       val keyFields = groupCols.map { case (c, dt) => StructField(c, dt, nullable = true) }
       // deterministic output (nulls first, then the comparable order) —
       // irrelevant to the aggregate's semantics, kind to hash-comparers
@@ -287,9 +291,34 @@ object LakeMetaAgg {
       : Option[(StructType, () => Seq[Array[Any]])] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     if (proven.isEmpty || residual.isEmpty) return None
-    val funcs = agg.aggregateExpressions.toSeq
-    if (funcs.isEmpty) return None
-    // every aggregate must carry an OUTPUT-mergeable algebra
+    val origFuncs = agg.aggregateExpressions.toSeq
+    // empty funcs + group columns = SELECT DISTINCT c under a claim:
+    // proven values ∪ the residual job's distinct — same merge machinery
+    // with zero aggregate columns
+    if (origFuncs.isEmpty && agg.groupByExpressions.isEmpty) return None
+    // avg's OUTPUTS don't merge — but its sum+count decomposition does:
+    // expand each integral avg into an internal (Sum, Count) pair, run
+    // both sides (and the combine) over the EXPANDED shape, and derive
+    // avg = sum/count in a final projection. `Right((name))` marks a
+    // slot pair to fold; `Left(f)` passes through.
+    val expansion: Seq[Either[AggregateFunc, String]] = origFuncs.map {
+      case a: Avg if !a.isDistinct =>
+        val n = nameOf(a.column).getOrElse(return None)
+        val integral = schema.fields.find(_.name == n).exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
+        })
+        if (!integral) return None // same decimal-avg refusal as the pure path
+        Right(n)
+      case f => Left(f)
+    }
+    val funcs: Seq[AggregateFunc] = expansion.flatMap {
+      case Left(f)  => Seq(f)
+      case Right(n) =>
+        val ref = org.apache.spark.sql.connector.expressions.Expressions.column(n)
+        Seq(new Sum(ref, false), new Count(ref, false))
+    }
+    // every (expanded) aggregate must carry an OUTPUT-mergeable algebra
     val mergeable = funcs.forall {
       case _: CountStar               => true
       case c: Count if !c.isDistinct  => true
@@ -298,7 +327,10 @@ object LakeMetaAgg {
       case _                          => false
     }
     if (!mergeable) return None
-    val provenAns = answer(spark, tableDir, version, schema, agg, Some(proven))
+    val expandedAgg =
+      if (expansion.forall(_.isLeft)) agg
+      else new Aggregation(funcs.toArray, agg.groupByExpressions)
+    val provenAns = answer(spark, tableDir, version, schema, expandedAgg, Some(proven))
       .getOrElse(return None)
     val filterCols = filters.map(FilterToColumn(_))
     if (filterCols.exists(_.isEmpty)) return None
@@ -365,7 +397,8 @@ object LakeMetaAgg {
         spark, tableDir, version, residual, Some(visible))
       val df = filterCols.flatten.foldLeft(df0)(_.filter(_))
       val out =
-        if (groupNames.isEmpty) df.agg(residualAggs.head, residualAggs.tail: _*)
+        if (funcs.isEmpty) df.select(groupNames.map(col): _*).distinct()
+        else if (groupNames.isEmpty) df.agg(residualAggs.head, residualAggs.tail: _*)
         else df.groupBy(groupNames.map(col): _*)
           .agg(residualAggs.head, residualAggs.tail: _*)
       // external → Catalyst-internal, so both sides share one comparable
@@ -391,7 +424,7 @@ object LakeMetaAgg {
         }
       }
       // deterministic key order (nulls first), matching the pure path
-      byKey.toSeq.sortWith { case ((a, _), (b, _)) =>
+      val sorted = byKey.toSeq.sortWith { case ((a, _), (b, _)) =>
         a.zip(b).collectFirst {
           case (x, y) if !eq0(x, y) =>
             if (x == null) true
@@ -399,8 +432,40 @@ object LakeMetaAgg {
             else x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
         }.getOrElse(false)
       }.map(_._2)
+      // fold each expanded (sum, count) pair back into avg = sum/count
+      if (expansion.forall(_.isLeft)) sorted
+      else sorted.map { row =>
+        val out = Array.newBuilder[Any]
+        out ++= row.take(keyCount)
+        var i = keyCount
+        expansion.foreach {
+          case Left(_) => out += row(i); i += 1
+          case Right(_) =>
+            val s = row(i); val c = row(i + 1); i += 2
+            out += (if (c == null || c.asInstanceOf[java.lang.Long] == 0L) null
+              else java.lang.Double.valueOf(
+                s.asInstanceOf[java.lang.Long].doubleValue() /
+                  c.asInstanceOf[java.lang.Long].longValue()))
+        }
+        out.result()
+      }
     }
-    Some((outSchema, thunk))
+    // the caller-visible schema folds each (sum, count) pair to avg
+    val finalSchema =
+      if (expansion.forall(_.isLeft)) outSchema
+      else {
+        val keys = outSchema.fields.take(keyCount)
+        val aggFields = {
+          var i = keyCount
+          expansion.map {
+            case Left(_)  => val f = outSchema.fields(i); i += 1; f
+            case Right(n) => i += 2
+              StructField(s"avg($n)", DoubleType, nullable = true)
+          }
+        }
+        StructType(keys ++ aggFields)
+      }
+    Some((finalSchema, thunk))
   }
 
   private def nameOf(

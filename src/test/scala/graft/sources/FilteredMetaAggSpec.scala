@@ -210,6 +210,47 @@ class FilteredMetaAggSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 
+  test("SELECT DISTINCT over a uniform column answers from the manifest; hybrid unions the residual") {
+    val s = spark
+    import s.implicits._
+    root
+    // pure: the three daily-uniform dirs' proven values ARE the set
+    val d = spark.sql("SELECT DISTINCT dt FROM gfma.days")
+    assert(d.collect().map(_.getDate(0).toString).sorted.toSeq ===
+      Seq("2026-01-01", "2026-01-02", "2026-01-03"))
+    assert(plan(d).contains("LocalTableScan") && !plan(d).contains("Parquet"),
+      s"DISTINCT over a uniform column must stay metadata-only:\n${plan(d)}")
+    // under a claimed filter the set scopes to satisfying dirs
+    val df = spark.sql(
+      "SELECT DISTINCT dt FROM gfma.days WHERE dt >= DATE '2026-01-02'")
+    assert(df.collect().map(_.getDate(0).toString).sorted.toSeq ===
+      Seq("2026-01-02", "2026-01-03"))
+    assert(plan(df).contains("LocalTableScan"))
+    // hybrid: a mixed dir contributes its real distinct values via the
+    // residual job, unioned with the proven values
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fmd").toString
+    spark.conf.set("spark.sql.catalog.gfd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfd.root", r2)
+    val dir = s"$r2/days"
+    Seq("2026-01-01" -> 30, "2026-01-02" -> 20).foreach { case (day, n) =>
+      VersionedLake.appendCommit(
+        (1 to n).map(i => (day, i.toLong)).toDF("d", "v")
+          .select(to_date(col("d")).as("dt"), col("v")),
+        dir, statsCols = Seq("dt", "v"))
+    }
+    VersionedLake.appendCommit(
+      ((1 to 5).map(i => ("2026-01-02", 50L + i)) ++
+        (1 to 5).map(i => ("2026-01-03", 60L + i))).toDF("d", "v")
+        .select(to_date(col("d")).as("dt"), col("v")),
+      dir, statsCols = Seq("dt", "v"))
+    val h = spark.sql(
+      "SELECT DISTINCT dt FROM gfd.days WHERE dt >= DATE '2026-01-02'")
+    assert(h.collect().map(_.getDate(0).toString).sorted.toSeq ===
+      Seq("2026-01-02", "2026-01-03"),
+      "proven value + the residual dir's two filtered values, deduped")
+    assert(plan(h).contains("GraftLakeHybridMetaAgg"), s"hybrid must carry:\n${plan(h)}")
+  }
+
   test("HYBRID: one compacted multi-day directory no longer kills the filtered fast path") {
     val s = spark
     import s.implicits._
@@ -277,6 +318,17 @@ class FilteredMetaAggSpec extends SparkSpec {
     val t = spark.sql(
       "SELECT sum(v) AS tot FROM gfh.days WHERE dt = DATE '2026-01-03'")
     assert(t.collect().head.getLong(0) === (1L to 35L).sum + (101L to 110L).sum)
+
+    // avg rides the hybrid through its sum+count decomposition (the
+    // outputs alone don't merge); count(col) merges directly
+    val av = spark.sql(
+      "SELECT avg(v) AS m, count(v) AS n FROM gfh.days WHERE dt = DATE '2026-01-03'")
+    val avr = av.collect().head
+    val vals = (1L to 35L) ++ (101L to 110L)
+    assert(avr.getLong(1) === vals.size.toLong)
+    assert(avr.getDouble(0) === vals.sum.toDouble / vals.size)
+    assert(plan(av).contains("GraftLakeHybridMetaAgg"),
+      s"avg must decompose through the hybrid:\n${plan(av)}")
   }
 
   test("a directory mixing nulls and values blocks the claim (no uniform proof)") {

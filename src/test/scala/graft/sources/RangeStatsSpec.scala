@@ -166,5 +166,15 @@ class RangeStatsSpec extends SparkSpec {
       "CALL grng.system.estimate_rows('fct', 'v = 3')").head().getLong(0)
     assert(approx > 0L && approx < 60000L,
       s"a non-uniform equality prices off the sketch/CDF layers, got $approx")
+    // HYBRID estimate, mirroring the plan's hybrid claims: proven dirs
+    // count exactly, the residual (mixed) dir prices off its own layers
+    VersionedLake.appendCommit(
+      spark.range(0, 10).select(col("id").as("k"),
+        when(col("id") < 7, lit(20L)).otherwise(lit(30L)).as("day")),
+      u, statsCols = Seq("day", "k"))
+    val hyb = spark.sql(
+      "CALL grng5.system.estimate_rows('uni', 'day = 20')").head().getLong(0)
+    assert(hyb >= 25L && hyb <= 35L,
+      s"exact 25 from the proven dir + a priced estimate of the mixed dir's ~7, got $hyb")
   }
 }
