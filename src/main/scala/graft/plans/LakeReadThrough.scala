@@ -55,19 +55,20 @@ object LakeReadThroughRule extends Rule[LogicalPlan] {
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
     // pre-resolution INSERT wraps its target as a child relation too
     case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
-    // UNFILTERED count(*) over a table whose pending MoR deletes carry
-    // EXACT per-directory deleted counts (position deletes record them
-    // at commit — the matched scan already ran): logical rows =
-    // Σ physical #rows − Σ deleted, answered as a LocalRelation before
-    // the splice would plan the anti-join read. Strict shape: no
-    // grouping, no filter between the aggregate and the relation, every
-    // aggregate a plain non-distinct count(1) — anything else falls
-    // through to the spliced read, which is exact.
+    // UNFILTERED count(*) over a READ-THROUGH version (pending MoR
+    // deletes with EXACT per-directory deleted counts recorded at
+    // commit; rename indirection; mixed specs; decimal partitions —
+    // none of which changes row counts): logical rows = Σ physical
+    // #rows − Σ deleted, answered as a LocalRelation before the splice
+    // would plan a real read. Strict shape: no grouping, no filter
+    // between the aggregate and the relation, every aggregate a plain
+    // non-distinct count(1) — anything else falls through to the
+    // spliced read, which is exact.
     case agg: Aggregate if agg.resolved && agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
         agg.aggregateExpressions.forall(isBareCountStar) =>
       bareLakeRelation(agg.child)
-        .flatMap(t => t.metaCountUnderPendingDeletes)
+        .flatMap(t => t.metaCountReadThrough)
         .map { n =>
           LocalRelation(
             agg.aggregateExpressions.map(_.toAttribute),

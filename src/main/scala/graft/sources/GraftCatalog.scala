@@ -1074,20 +1074,24 @@ final class LakeTable(
   private[graft] def readThrough(v: Long): org.apache.spark.sql.DataFrame =
     VersionedLake.readVersion(spark, tableDir, v)
 
-  /** EXACT logical row count from metadata ON a version with pending
-    * MoR deletes: Σ physical `#rows` − Σ recorded per-directory deleted
-    * counts. Defined only when pending deletes exist AND every one
-    * carries its exact counts (position deletes record them at commit;
-    * keyed deletes never read data, so they stand the shortcut down) AND
-    * every directory accounts its rows. The pending-free case is owned
-    * by the scan builder's ordinary metadata-aggregate path.
+  /** EXACT logical row count from metadata on a READ-THROUGH version —
+    * the versions whose scans bypass the normal builder (and so its
+    * metadata-aggregate path): Σ physical `#rows` − Σ recorded
+    * per-directory deleted counts. Rename indirection, mixed partition
+    * specs and decimal partition renders change nothing about row
+    * counts, so their only requirement is complete `#rows` coverage;
+    * pending MoR deletes additionally require every delete to carry its
+    * exact counts (position deletes record them at commit; keyed
+    * deletes never read data, so they stand the shortcut down). Clean
+    * versions return None — the scan builder's ordinary
+    * metadata-aggregate path owns those.
     */
-  private[graft] def metaCountUnderPendingDeletes: Option[Long] = {
+  private[graft] def metaCountReadThrough: Option[Long] = {
+    if (readThroughVersion.isEmpty) return None
     val v = resolvedVersion
     val dirs = VersionedLake.manifest(spark, tableDir, v)
     val pending = VersionedLake.dirEqDeletes(spark, tableDir, v)
       .filter(_.dirs.exists(dirs.contains))
-    if (pending.isEmpty) return None
     if (pending.exists(_.counts.isEmpty)) return None
     val rowMeta = VersionedLake.dirRowCounts(spark, tableDir, v)
     if (!dirs.forall(rowMeta.contains)) return None

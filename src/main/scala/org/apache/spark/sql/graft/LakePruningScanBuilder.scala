@@ -1017,8 +1017,13 @@ object LakePruningScanBuilder {
     override def readSchema(): StructType = aggSchema
     override def toBatch: org.apache.spark.sql.connector.read.Batch = this
     override def description(): String = desc
+    // memoized: re-planning (AQE, a retried stage) must not re-run the
+    // residual job — the snapshot is version-pinned, so the rows are
+    // stable for the scan's lifetime
+    private lazy val computed: Array[InternalRow] =
+      thunk().map(vs => new GenericInternalRow(vs): InternalRow).toArray
     override def planInputPartitions(): Array[InputPartition] =
-      Array(DeferredRows(thunk().map(vs => new GenericInternalRow(vs): InternalRow).toArray))
+      Array(DeferredRows(computed))
     override def createReaderFactory(): PartitionReaderFactory =
       new DeferredRowsReaderFactory
   }

@@ -189,6 +189,23 @@ class LakeMetaAggSpec extends SparkSpec {
       (51L to 158L).count(_ % 10 != 0).toLong)
   }
 
+  test("count(*) stays metadata-only on a RENAMED table (read-through versions don't change row counts)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/rencnt"
+    VersionedLake.appendCommit((1L to 80L).map(i => (i, s"v$i")).toDF("old_k", "vv"), dir)
+    VersionedLake.renameColumn(s, dir, "old_k", "k")
+    // rename indirection forces the read-through splice for data reads,
+    // but physical rows ARE logical rows — count(*) answers from #rows
+    val df = spark.sql("SELECT count(*) AS n FROM gma.rencnt")
+    assert(df.collect().head.getLong(0) === 80L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Parquet"),
+      s"rename indirection must not force a scan for bare count(*):\n$plan")
+    // the data read itself still goes through the splice, exactly
+    assert(spark.sql("SELECT max(k) AS hi FROM gma.rencnt").head().getLong(0) === 80L)
+  }
+
   test("count over a version with pending MoR deletes bypasses the metadata path") {
     val s = spark
     import s.implicits._
