@@ -134,7 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   private val MetaKinds =
-    Set("history", "files", "constraints", "stats", "refs", "partitions")
+    Set("history", "files", "constraints", "stats", "refs", "partitions", "deletes")
 
   // ---- procedures (CALL graft.system.<proc>) -----------------------------
 
@@ -214,6 +214,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           LakeConstraints.restrictsOf(s, dir).map { case (n, (cd, cc, pc)) =>
             n -> s"RESTRICT(${pc.mkString(",")}) <- $cd(${cc.mkString(",")})"
           }).toDF("name", "check")
+      case "deletes" =>
+        // pending MERGE-ON-READ delete debt: one row per delete file at
+        // the current version — kind (position/equality), key columns,
+        // scoped-directory count, and the EXACT recorded deleted-row
+        // total where the commit knew it (position deletes; null =
+        // unknown, keyed deletes never read data at commit). The
+        // "how much debt is materializeDeletes carrying" dashboard at
+        // 100 TB, straight off the manifest — and the explanation for
+        // why a count(*) did or didn't stay metadata-only.
+        val v = VersionedLake.currentVersion(s, dir).get
+        val live = VersionedLake.manifest(s, dir, v).toSet
+        VersionedLake.dirEqDeletes(s, dir, v)
+          .filter(_.dirs.exists(live.contains))
+          .map { e =>
+            val scoped = e.dirs.count(live.contains)
+            val counted = e.counts.filter { case (d, _) => live.contains(d) }
+            (e.dir,
+              if (VersionedLake.isPosDelete(e)) "position" else "equality",
+              e.keys.mkString(","),
+              scoped,
+              if (counted.isEmpty) null
+              else java.lang.Long.valueOf(counted.values.sum))
+          }.toDF("file", "kind", "keys", "scoped_dirs", "deleted_rows")
       case "refs" =>
         // named refs (tags + branches) with each target's commit op —
         // `` SELECT * FROM graft.`t$refs` `` answers "what can I VERSION

@@ -282,6 +282,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("price_pos"), "catalog INSERT must ride the constraint gate")
   }
 
+  test("metadata table $deletes surfaces pending MoR delete debt with recorded counts") {
+    root
+    val s = spark
+    import s.implicits._
+    val dir = s"$root/deb"
+    VersionedLake.appendCommit((1L to 50L).map(i => (i, s"v$i")).toDF("k", "vv"), dir)
+    assert(spark.sql("SELECT * FROM graft.`deb$deletes`").count() === 0L,
+      "no pending debt on a clean table")
+    // a position delete records its exact counts; a keyed delete doesn't
+    VersionedLake.deleteWhereMor(s, dir, org.apache.spark.sql.functions.col("k") <= 10L)
+    VersionedLake.deleteKeysMor(s, dir, Seq(11L, 12L).toDF("k"), Seq("k"))
+    val rows = spark.sql(
+      "SELECT kind, keys, scoped_dirs, deleted_rows FROM graft.`deb$deletes` ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.length === 2)
+    assert(rows(0) === (("equality", "k", 1, -1L)),
+      s"keyed deletes carry no counts (they never read data at commit): ${rows.toSeq}")
+    assert(rows(1) === (("position", "_pos_file,_pos_row", 1, 10L)),
+      s"position deletes surface their exact recorded total: ${rows.toSeq}")
+    // after materialization the debt is gone
+    VersionedLake.materializeDeletes(s, dir)
+    assert(spark.sql("SELECT * FROM graft.`deb$deletes`").count() === 0L)
+  }
+
   test("catalog INSERT carries the table's declared skipping layers") {
     val s = spark
     import s.implicits._
