@@ -35,7 +35,8 @@ object GraftProcedures {
     "create_text_index", "refresh_text_index", "drop_text_index", "text_search",
     "text_search_phrase", "text_search_near", "column_stats", "replicate_verify",
     "set_partition_spec", "explain_scan", "verify_constraints", "atomic",
-    "set_text_index_buckets", "migrate_text_index", "estimate_rows", "analyze")
+    "set_text_index_buckets", "migrate_text_index", "estimate_rows", "analyze",
+    "materialize_deletes")
 
   /** The text-index registration rides the corpus props like `mv.def`:
     * one CAS-guarded value, fields URL-encoded so paths/columns with
@@ -208,6 +209,15 @@ object GraftProcedures {
           val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           VersionedLake.analyzeStats(spark, dir, cols,
             onlyMissing = in.getBoolean(2))
+        }
+      case "materialize_deletes" =>
+        proc(name, "fold every pending merge-on-read delete into the data on the " +
+          "MINIMAL directory set (only dirs actually holding matching keys " +
+          "rewrite; the rest carry verbatim) and drop the eqdelete lines - the " +
+          "compaction half of the MoR bargain, the action t$deletes points at; " +
+          "a no-op returning the current version when no debt is pending",
+          Seq(ProcedureParameter.in("table", StringType).build())) { in =>
+          VersionedLake.materializeDeletes(spark, resolve(str(in, 0)))
         }
       case "vacuum" =>
         proc(name, "retention: keep the newest versions, reclaim the rest",

@@ -302,9 +302,13 @@ class GraftCatalogSpec extends SparkSpec {
       s"keyed deletes carry no counts (they never read data at commit): ${rows.toSeq}")
     assert(rows(1) === (("position", "_pos_file,_pos_row", 1, 10L)),
       s"position deletes surface their exact recorded total: ${rows.toSeq}")
-    // after materialization the debt is gone
-    VersionedLake.materializeDeletes(s, dir)
+    // the SQL face folds the debt; the dashboard empties
+    spark.sql("CALL graft.system.materialize_deletes('deb')").collect()
     assert(spark.sql("SELECT * FROM graft.`deb$deletes`").count() === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.deb").head().getLong(0) === 38L,
+      "50 − 10 predicate-deleted − 2 keyed-deleted")
+    // idempotent no-op when nothing is pending
+    spark.sql("CALL graft.system.materialize_deletes('deb')").collect()
   }
 
   test("catalog INSERT carries the table's declared skipping layers") {
