@@ -200,7 +200,8 @@ object GraftProcedures {
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("cols", StringType)
-              .comment("comma-separated columns to analyze").build(),
+              .comment("comma-separated columns to analyze, or '*' for every " +
+                "atomic-typed column").build(),
             ProcedureParameter.in("only_missing", BooleanType).defaultValue("false")
               .comment("scan ONLY directories lacking a requested layer - the " +
                 "incremental cadence call; a no-op returning the current version " +

@@ -4916,7 +4916,22 @@ object VersionedLake {
       val schema0 = versionSchema(spark, tableDir, v)
         .getOrElse(nullableAll(readVersion(spark, tableDir, v).schema))
       val visible = visibleSchema(schema0)
-      val missing = cols.filterNot(c => visible.fields.exists(_.name == c))
+      // "*" = every ATOMIC column (nested/array/map/binary types carry no
+      // useful min/max render and are skipped) — the "just make this
+      // table skippable" one-liner
+      val cols0 =
+        if (cols != Seq("*")) cols
+        else visible.fields.toSeq.filter { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: StructType | _: ArrayType | _: MapType | BinaryType |
+                NullType | _: UserDefinedType[_] => false
+            case _ => true
+          }
+        }.map(_.name)
+      require(cols0.nonEmpty,
+        "analyzeStats: '*' resolved to no analyzable (atomic-typed) columns")
+      val missing = cols0.filterNot(c => visible.fields.exists(_.name == c))
       require(missing.isEmpty,
         s"analyzeStats: columns not in the table schema: ${missing.mkString(", ")}")
       val rowsMeta = dirRowCounts(spark, tableDir, v)
@@ -4963,7 +4978,7 @@ object VersionedLake {
           // written by the same pass, so the ndv entry is the witness)
           val haveStats = dirStats(spark, tableDir, v)
           val haveNdv = dirNdv(spark, tableDir, v)
-          live0.filterNot(d => cols.forall(c =>
+          live0.filterNot(d => cols0.forall(c =>
             haveStats.get(d).exists(_.contains(c)) &&
               haveNdv.get(d).exists(_.contains(c))))
         }
@@ -4981,9 +4996,9 @@ object VersionedLake {
             Future.sequence(chunks.map(chunk => Future {
               val tagged = chunk.map { d =>
                 readDirsWithDeletes(spark, tableDir, v, Seq(d), Some(visible))
-                  .select(cols.map(col) :+ lit(d).as(AnalyzeDirTag): _*)
+                  .select(cols0.map(col) :+ lit(d).as(AnalyzeDirTag): _*)
               }
-              columnStatsNdvBy(tagged.reduce(_.unionByName(_)), AnalyzeDirTag, cols)
+              columnStatsNdvBy(tagged.reduce(_.unionByName(_)), AnalyzeDirTag, cols0)
             })), Duration.Inf).flatten
           finally pool.shutdown()
         }

@@ -401,7 +401,7 @@ object LakePruningScanBuilder {
   private case object AllNull extends Uniform
   private final case class Single(v: Any) extends Uniform
 
-  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 
   private def shapeOf(f: Filter): Option[(String, Seq[Any])] = f match {
     case EqualTo(a, v)            => Some((a, Seq(v)))
@@ -413,6 +413,12 @@ object LakePruningScanBuilder {
     case LessThanOrEqual(a, v)    => Some((a, Seq(v)))
     case IsNull(a)                => Some((a, Nil))
     case IsNotNull(a)             => Some((a, Nil))
+    // LIKE 'p%' / '%s' / '%c%' shapes — Spark only pushes these on
+    // string columns; a uniform string dir decides them by direct
+    // evaluation on the single value
+    case StringStartsWith(a, v)   => Some((a, Seq(v)))
+    case StringEndsWith(a, v)     => Some((a, Seq(v)))
+    case StringContains(a, v)     => Some((a, Seq(v)))
     case _                        => None
   }
 
@@ -523,6 +529,10 @@ object LakePruningScanBuilder {
       case Some(Single(u)) =>
         def cmp(v: Any): Option[Int] =
           toInternal(dt, v).map(i => u.asInstanceOf[Comparable[Any]].compareTo(i))
+        def u8: org.apache.spark.unsafe.types.UTF8String =
+          u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        def lit8(v: String): org.apache.spark.unsafe.types.UTF8String =
+          org.apache.spark.unsafe.types.UTF8String.fromString(v)
         f match {
           case _: IsNull                => false
           case _: IsNotNull             => true
@@ -534,6 +544,9 @@ object LakePruningScanBuilder {
           case GreaterThanOrEqual(_, v) => cmp(v).exists(_ >= 0)
           case LessThan(_, v)           => cmp(v).exists(_ < 0)
           case LessThanOrEqual(_, v)    => cmp(v).exists(_ <= 0)
+          case StringStartsWith(_, v)   => v != null && u8.startsWith(lit8(v))
+          case StringEndsWith(_, v)     => v != null && u8.endsWith(lit8(v))
+          case StringContains(_, v)     => v != null && u8.contains(lit8(v))
           case _                        => false
         }
     }

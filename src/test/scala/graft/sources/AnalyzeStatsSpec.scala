@@ -179,6 +179,23 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(after(newDir)("k") === ((Some("201"), Some("260"))))
   }
 
+  test("analyze('*') covers every atomic column and skips unanalyzable types") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl7").toString
+    spark.conf.set("spark.sql.catalog.ganl7", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ganl7.root", r)
+    val t = s"$r/t"
+    VersionedLake.appendCommit(
+      (1L to 60L).map(i => (i, s"g${i % 4}", Seq(i, i + 1), i.toDouble))
+        .toDF("k", "g", "arr", "x"), t)
+    val v1 = spark.sql("CALL ganl7.system.analyze('t', '*')").head().getLong(0)
+    val stats = VersionedLake.dirStats(spark, t, v1)
+    assert(stats.values.head.keySet === Set("k", "g", "x"),
+      "'*' analyzes every atomic column; the array column is skipped")
+    assert(VersionedLake.dirNdv(spark, t, v1).values.head.keySet === Set("k", "g", "x"))
+  }
+
   test("analyze does not break MV stale-combine or exactly-once txn watermarks") {
     val s = spark
     import s.implicits._

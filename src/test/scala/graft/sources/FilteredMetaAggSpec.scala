@@ -331,6 +331,40 @@ class FilteredMetaAggSpec extends SparkSpec {
       s"avg must decompose through the hybrid:\n${plan(av)}")
   }
 
+  test("LIKE shapes (prefix/suffix/contains) claim on uniform string columns") {
+    val s = spark
+    import s.implicits._
+    root
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fml").toString
+    spark.conf.set("spark.sql.catalog.gfl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfl.root", r2)
+    val dir = s"$r2/src"
+    // per-directory uniform `source` paths — the ingest-source column
+    Seq("s3://raw/web/2026" -> 12, "s3://raw/books/2026" -> 9,
+      "s3://curated/web/2025" -> 7).foreach { case (src, n) =>
+      VersionedLake.appendCommit(
+        (1 to n).map(i => (src, i.toLong)).toDF("source", "v"),
+        dir, statsCols = Seq("source"))
+    }
+    val pre = spark.sql(
+      "SELECT count(*) AS n FROM gfl.src WHERE source LIKE 's3://raw/%'")
+    assert(pre.collect().head.getLong(0) === 21L)
+    assert(plan(pre).contains("LocalTableScan"),
+      s"a prefix LIKE over a uniform column must stay metadata-only:\n${plan(pre)}")
+    val mid = spark.sql(
+      "SELECT count(*) AS n FROM gfl.src WHERE source LIKE '%/web/%'")
+    assert(mid.collect().head.getLong(0) === 19L)
+    assert(plan(mid).contains("LocalTableScan"))
+    val suf = spark.sql(
+      "SELECT count(*) AS n FROM gfl.src WHERE source LIKE '%2026'")
+    assert(suf.collect().head.getLong(0) === 21L)
+    assert(plan(suf).contains("LocalTableScan"))
+    // and plain reads under the claim return exactly the matching rows
+    assert(spark.sql(
+      "SELECT count(v) AS n FROM gfl.src WHERE source LIKE 's3://curated%'")
+      .head().getLong(0) === 7L)
+  }
+
   test("a directory mixing nulls and values blocks the claim (no uniform proof)") {
     val s = spark
     import s.implicits._
