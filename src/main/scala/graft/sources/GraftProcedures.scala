@@ -205,11 +205,17 @@ object GraftProcedures {
             ProcedureParameter.in("only_missing", BooleanType).defaultValue("false")
               .comment("scan ONLY directories lacking a requested layer - the " +
                 "incremental cadence call; a no-op returning the current version " +
-                "when nothing is missing").build())) { in =>
+                "when nothing is missing").build(),
+            ProcedureParameter.in("bloom_cols", StringType).defaultValue("''")
+              .comment("comma-separated columns to (re)build per-directory Bloom " +
+                "filters for - the point-lookup skipping layer the stats pass " +
+                "can't ride; reuses the table's existing (bits, k) so new " +
+                "filters stay probe-compatible").build())) { in =>
           val dir = resolve(str(in, 0))
           val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val bloomCols = str(in, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           VersionedLake.analyzeStats(spark, dir, cols,
-            onlyMissing = in.getBoolean(2))
+            onlyMissing = in.getBoolean(2), bloomCols = bloomCols)
         }
       case "materialize_deletes" =>
         proc(name, "fold every pending merge-on-read delete into the data on the " +

@@ -4907,8 +4907,10 @@ object VersionedLake {
       spark: SparkSession,
       tableDir: String,
       cols: Seq[String],
-      onlyMissing: Boolean = false): Long = {
-    require(cols.nonEmpty, "analyzeStats needs at least one column")
+      onlyMissing: Boolean = false,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "analyzeStats needs at least one column (or bloom column)")
     retryOnConflict(maxAttempts = 4) {
       val v = currentVersion(spark, tableDir).getOrElse(
         throw new IllegalStateException(s"no published version in $tableDir"))
@@ -4920,7 +4922,7 @@ object VersionedLake {
       // useful min/max render and are skipped) — the "just make this
       // table skippable" one-liner
       val cols0 =
-        if (cols != Seq("*")) cols
+        if (cols != Seq("*")) cols.filter(_.nonEmpty)
         else visible.fields.toSeq.filter { f =>
           import org.apache.spark.sql.types._
           f.dataType match {
@@ -4929,9 +4931,9 @@ object VersionedLake {
             case _ => true
           }
         }.map(_.name)
-      require(cols0.nonEmpty,
+      require(cols0.nonEmpty || bloomCols.nonEmpty,
         "analyzeStats: '*' resolved to no analyzable (atomic-typed) columns")
-      val missing = cols0.filterNot(c => visible.fields.exists(_.name == c))
+      val missing = (cols0 ++ bloomCols).filterNot(c => visible.fields.exists(_.name == c))
       require(missing.isEmpty,
         s"analyzeStats: columns not in the table schema: ${missing.mkString(", ")}")
       val rowsMeta = dirRowCounts(spark, tableDir, v)
@@ -4971,7 +4973,8 @@ object VersionedLake {
       // branch, so no file-path parsing can misattribute rows.
       val live0 = dirs.filter(d => rowsMeta.get(d).forall(_._1 > 0))
       val live =
-        if (!onlyMissing) live0
+        if (cols0.isEmpty) Nil // bloom-only call: no stats pass
+        else if (!onlyMissing) live0
         else {
           // "complete" = a #stats AND a #ndv entry for every requested
           // column (layers riding #ndv — histogram/freq/sum — were all
@@ -4982,7 +4985,35 @@ object VersionedLake {
             haveStats.get(d).exists(_.contains(c)) &&
               haveNdv.get(d).exists(_.contains(c))))
         }
-      if (onlyMissing && live.isEmpty) return v // nothing to backfill: no-op
+      // BLOOM BACKFILL: the one skipping layer the stats pass can't
+      // ride (a filter is a per-directory BITSET, not an aggregate row).
+      // One job per directory covering all requested columns, submitted
+      // with the same bounded concurrency — the driver fold per job is
+      // bounded by the filters' own capacity (distinct positions ≤ bits
+      // per column), never by data size, the bloomJson contract. Params
+      // reuse any existing bloom entry's (bits, k) so new filters stay
+      // probe-compatible with old ones; a bloom-less table gets the
+      // defaults.
+      val priorBloomsRaw = dirBloomsRaw(spark, tableDir, v)
+      val bloomDirs =
+        if (bloomCols.isEmpty) Nil
+        else if (!onlyMissing) live0
+        else {
+          val have = dirBlooms(spark, tableDir, v)
+          live0.filterNot(d => bloomCols.forall(c =>
+            have.get(d).exists(_.contains(c))))
+        }
+      if (live.isEmpty && bloomDirs.isEmpty)
+        return v // nothing to backfill (or a bloom-only no-op): metadata no-op
+      val bloomCfg: Option[BloomConfig] =
+        if (bloomCols.isEmpty) None
+        else {
+          val existing = dirBlooms(spark, tableDir, v).values
+            .flatMap(_.values).headOption
+          Some(existing.fold(BloomConfig(bloomCols)) { case (m, k, _) =>
+            BloomConfig(bloomCols, m, k)
+          })
+        }
       val chunks = live.grouped(AnalyzeChunkDirs).toSeq
       val results: Seq[(String, (String, String))] =
         if (chunks.isEmpty) Nil
@@ -5006,9 +5037,27 @@ object VersionedLake {
         stats(d) = overlay(priorStatsRaw.get(d), sj)
         ndv(d) = overlay(priorNdv.get(d), nj)
       }
+      val blooms = scala.collection.mutable.Map[String, String]() ++ priorBloomsRaw
+      if (bloomDirs.nonEmpty) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(AnalyzeJobConcurrency, bloomDirs.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val updates =
+          try Await.result(
+            Future.sequence(bloomDirs.map(d => Future {
+              val df = readDirsWithDeletes(spark, tableDir, v, Seq(d), Some(visible))
+              d -> bloomJson(df, bloomCfg)
+            })), Duration.Inf)
+          finally pool.shutdown()
+        updates.foreach { case (d, bj) =>
+          bj.foreach(j => blooms(d) = overlay(priorBloomsRaw.get(d), j))
+        }
+      }
       publishManifest(spark, tableDir, dirs, schema0,
         stats = stats.toMap,
-        blooms = dirBloomsRaw(spark, tableDir, v),
+        blooms = blooms.toMap,
         expectedBase = Some(Some(v)),
         buckets = dirBuckets(spark, tableDir, v),
         txns = txnsAt(spark, tableDir, Some(v)),

@@ -196,6 +196,49 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(VersionedLake.dirNdv(spark, t, v1).values.head.keySet === Set("k", "g", "x"))
   }
 
+  test("analyze(bloom_cols) backfills the point-lookup layer; only_missing composes") {
+    val s = spark
+    import s.implicits._
+    val r = java.nio.file.Files.createTempDirectory("graft_anl8").toString
+    spark.conf.set("spark.sql.catalog.ganl8", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ganl8.root", r)
+    val t = s"$r/t"
+    // overlapping ranges: min/max can never separate the dirs — only a
+    // bloom probe can prune the point lookup
+    VersionedLake.appendCommit(
+      (1L to 100L).map(i => (i * 2, s"v$i")).toDF("k", "vv"), t)
+    VersionedLake.appendCommit(
+      (1L to 100L).map(i => (i * 2 - 1, s"v$i")).toDF("k", "vv"), t)
+    val v1 = spark.sql(
+      "CALL ganl8.system.analyze('t', 'k', bloom_cols => 'k')").head().getLong(0)
+    val blooms = VersionedLake.dirBlooms(spark, t, v1)
+    assert(blooms.size === 2 && blooms.values.forall(_.contains("k")),
+      "every directory gains its bloom entry")
+    val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+    B.lastKept.remove()
+    val got = spark.sql("SELECT vv FROM ganl8.t WHERE k = 57").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("v29"))
+    val kept = B.lastKept.get()
+    assert(kept != null && kept.size === 1,
+      s"the backfilled bloom must prune the even-keys dir, kept $kept")
+    // bloom-only incremental call: fully covered → metadata no-op
+    val same = spark.sql(
+      "CALL ganl8.system.analyze('t', '', only_missing => true, bloom_cols => 'k')")
+      .head().getLong(0)
+    assert(same === v1, "bloom-covered table: no new version")
+    // a new stats-less commit: only IT gains a bloom (prior entries carry)
+    VersionedLake.appendCommit(
+      (201L to 260L).map(i => (i, s"v$i")).toDF("k", "vv"), t)
+    val v2 = VersionedLake.analyzeStats(spark, t, Seq("k"),
+      onlyMissing = true, bloomCols = Seq("k"))
+    val after = VersionedLake.dirBlooms(spark, t, v2)
+    assert(after.size === 3 && after.values.forall(_.contains("k")))
+    blooms.foreach { case (d, m) =>
+      assert(java.util.Arrays.equals(after(d)("k")._3, m("k")._3),
+        s"prior bloom bitsets must carry verbatim for $d")
+    }
+  }
+
   test("analyze does not break MV stale-combine or exactly-once txn watermarks") {
     val s = spark
     import s.implicits._
