@@ -3251,6 +3251,43 @@ object Relational5 {
       },
       covers = Seq("ext-catalog-meta-agg-grouped")),
 
+    // BLOOM BACKFILL — `CALL system.analyze(t, cols, bloom_cols => …)`
+    // builds per-directory Bloom filters for a column that became
+    // point-lookup-hot AFTER ingest (the alternative used to be an
+    // optimize rewrite of all data). The fixture's two directories have
+    // fully OVERLAPPING key ranges (even vs odd keys), so min/max stats
+    // can never separate them — the body REQUIRES that the point lookup
+    // pruned to ONE directory, which only the backfilled bloom can do.
+    // Oracle: the same point row from the source table.
+    QueryDef(
+      "q_catalog_bloom_backfill",
+      (s, dir) => {
+        ensureCatalog(s, dir)
+        val tbl = s"${catalogLake(s, dir)}/bloom_orders"
+        if (graft.sources.VersionedLake.currentVersion(s, tbl).isEmpty) {
+          val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+          graft.sources.VersionedLake.appendCommit(
+            o.filter(col("o_orderkey") % 2 === 0), tbl)
+          graft.sources.VersionedLake.appendCommit(
+            o.filter(col("o_orderkey") % 2 === 1), tbl)
+          s.sql("CALL graftcat.system.analyze('bloom_orders', 'o_orderkey', " +
+            "bloom_cols => 'o_orderkey')").collect()
+        }
+        val B = org.apache.spark.sql.graft.LakePruningScanBuilder
+        B.lastKept.remove()
+        val df = s.sql(
+          """SELECT o_orderkey, o_orderstatus FROM graftcat.bloom_orders
+            |WHERE o_orderkey = 7""".stripMargin)
+        val out = df.localCheckpoint()
+        val kept = B.lastKept.get()
+        require(kept != null && kept.size == 1,
+          s"the backfilled bloom must prune the even-keys dir (ranges fully " +
+            s"overlap - min/max cannot), kept $kept")
+        out
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey = 7"),
+      covers = Seq("ext-catalog-bloom-backfill")),
+
     // METADATA-ONLY DISTINCT — `SELECT DISTINCT ingest_day` (the "what
     // days exist" profiling query): a group-by with NO aggregate
     // functions rides the same uniform-column proof, so the proven

@@ -401,7 +401,7 @@ object LakePruningScanBuilder {
   private case object AllNull extends Uniform
   private final case class Single(v: Any) extends Uniform
 
-  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
+  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, StringContains, StringEndsWith, StringStartsWith}
 
   private def shapeOf(f: Filter): Option[(String, Seq[Any])] = f match {
     case EqualTo(a, v)            => Some((a, Seq(v)))
@@ -419,6 +419,11 @@ object LakePruningScanBuilder {
     case StringStartsWith(a, v)   => Some((a, Seq(v)))
     case StringEndsWith(a, v)     => Some((a, Seq(v)))
     case StringContains(a, v)     => Some((a, Seq(v)))
+    // single-level negation: `!=` / NOT IN / NOT LIKE / NOT BETWEEN
+    // arrive as Not over the shapes above. Single-level only — the
+    // optimizer eliminates double negation, and a nested Not would
+    // otherwise invert through a layer dirSatisfies can't see.
+    case Not(inner) if !inner.isInstanceOf[Not] => shapeOf(inner)
     case _                        => None
   }
 
@@ -497,6 +502,9 @@ object LakePruningScanBuilder {
               case EqualNullSafe(_, null) => true // <=> NULL: pure nullness
               case _: In => // null elements never match; the rest must convert
                 vs.filter(_ != null).forall(v => toInternal(dt, v).isDefined)
+              // a negation with a null literal anywhere three-values to
+              // row-dropping in subtle ways — decline rather than model it
+              case _: Not => vs.forall(v => v != null && toInternal(dt, v).isDefined)
               case _ => vs.forall(v => v != null && toInternal(dt, v).isDefined)
             }
             valuesOk && dirs.forall(d =>
@@ -524,6 +532,10 @@ object LakePruningScanBuilder {
         f match {
           case _: IsNull              => true
           case EqualNullSafe(_, null) => true
+          // NOT(value predicate) on a null row is NOT(null) = null: the
+          // row drops, so the dir never satisfies — except NOT IS NOT
+          // NULL, which is IS NULL
+          case Not(_: IsNotNull)      => true
           case _                      => false // value predicates and IS NOT NULL all fail on null
         }
       case Some(Single(u)) =>
@@ -533,7 +545,7 @@ object LakePruningScanBuilder {
           u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
         def lit8(v: String): org.apache.spark.unsafe.types.UTF8String =
           org.apache.spark.unsafe.types.UTF8String.fromString(v)
-        f match {
+        def satSingle(f2: Filter): Boolean = f2 match {
           case _: IsNull                => false
           case _: IsNotNull             => true
           case EqualNullSafe(_, null)   => false
@@ -548,6 +560,17 @@ object LakePruningScanBuilder {
           case StringEndsWith(_, v)     => v != null && u8.endsWith(lit8(v))
           case StringContains(_, v)     => v != null && u8.contains(lit8(v))
           case _                        => false
+        }
+        f match {
+          // the value is single and NON-null, and the decidability gate
+          // barred null literals inside a Not — so plain boolean
+          // negation of the inner decision is SQL-exact here
+          case Not(inner) => inner match {
+            case _: IsNull    => true
+            case _: IsNotNull => false
+            case _            => !satSingle(inner)
+          }
+          case other => satSingle(other)
         }
     }
   }

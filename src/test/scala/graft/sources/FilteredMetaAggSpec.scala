@@ -365,6 +365,48 @@ class FilteredMetaAggSpec extends SparkSpec {
       .head().getLong(0) === 7L)
   }
 
+  test("negated shapes (!=, NOT IN, NOT LIKE) claim with SQL null semantics") {
+    val s = spark
+    import s.implicits._
+    root
+    // the gfma.days fixture: three uniform day dirs (40/25/35 rows)
+    val ne = spark.sql(
+      "SELECT count(*) AS n FROM gfma.days WHERE dt != DATE '2026-01-02'")
+    assert(ne.collect().head.getLong(0) === 75L)
+    assert(plan(ne).contains("LocalTableScan"),
+      s"!= over a uniform column must stay metadata-only:\n${plan(ne)}")
+    val nin = spark.sql(
+      "SELECT count(*) AS n FROM gfma.days " +
+        "WHERE dt NOT IN (DATE '2026-01-01', DATE '2026-01-03')")
+    assert(nin.collect().head.getLong(0) === 25L)
+    assert(plan(nin).contains("LocalTableScan"))
+    // NOT LIKE on a uniform string column
+    val r2 = java.nio.file.Files.createTempDirectory("graft_fmn").toString
+    spark.conf.set("spark.sql.catalog.gfn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfn.root", r2)
+    val dir = s"$r2/src"
+    Seq("raw/web" -> 12, "raw/books" -> 9, "curated/web" -> 7).foreach {
+      case (src, n) =>
+        VersionedLake.appendCommit(
+          (1 to n).map(i => (src, i.toLong)).toDF("source", "v"),
+          dir, statsCols = Seq("source"))
+    }
+    val nl = spark.sql(
+      "SELECT count(*) AS n FROM gfn.src WHERE source NOT LIKE 'raw/%'")
+    assert(nl.collect().head.getLong(0) === 7L)
+    assert(plan(nl).contains("LocalTableScan"))
+    // null semantics: a dir holding ONLY nulls never satisfies a negated
+    // value predicate (NOT(null) = null drops the row)
+    VersionedLake.appendCommit(
+      (1 to 5).map(i => (Option.empty[String], 100L + i)).toDF("source", "v"),
+      dir, statsCols = Seq("source"))
+    val nl2 = spark.sql(
+      "SELECT count(*) AS n FROM gfn.src WHERE source NOT LIKE 'raw/%'")
+    assert(nl2.collect().head.getLong(0) === 7L,
+      "the all-null dir contributes nothing to a negated predicate")
+    assert(plan(nl2).contains("LocalTableScan"))
+  }
+
   test("a directory mixing nulls and values blocks the claim (no uniform proof)") {
     val s = spark
     import s.implicits._
