@@ -416,7 +416,7 @@ final case class MergePartialLakeCommand(
       // legally inserts twice). Cheap source-only probe first; the
       // target-key refinement — a pruned key-column scan — runs only
       // when duplicates exist at all.
-      if (matchedArms.nonEmpty) {
+      if (matchedArms.nonEmpty) VersionedLake.phase(spark, "merge: dup probe") {
         val dups = srcDf.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         if (dups.limit(1).collect().nonEmpty) {
@@ -555,8 +555,8 @@ final case class MergePartialLakeCommand(
       // the upsert's key-range probe reads next — one target anti-join
       // evaluation, not two.
       if (bySourceArms.nonEmpty) probe.foreach { p =>
-        val nullKeyed = p.filter(
-          keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect()
+        val nullKeyed = VersionedLake.phase(spark, "merge: null-key probe")(p.filter(
+          keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect())
         require(nullKeyed.isEmpty,
           "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
             "merge keys, which the keyed rewrite cannot address; clean NULL " +

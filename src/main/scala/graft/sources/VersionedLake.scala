@@ -1781,6 +1781,30 @@ object VersionedLake {
     name
   }
 
+  /** [[writeDataDir]] for frames that may be EMPTY (a CoW rewrite whose
+    * directory lost every row): write first, then count rows from the
+    * footers the write just produced (driver-side, O(files in the new
+    * directory)); an empty result deletes the directory and reports
+    * None. This replaces the previous `survivors.isEmpty` probe — a
+    * whole extra query execution (plan + job) per rewritten directory
+    * whose only purpose was to decide whether to run the write.
+    */
+  private def writeDataDirNonEmpty(
+      df: DataFrame,
+      tableDir: String,
+      parts: Seq[String],
+      maxRecordsPerFile: Long): Option[String] = {
+    val name = writeDataDir(df, tableDir, parts, maxRecordsPerFile)
+    if (dirRowMeta(spark = df.sparkSession, tableDir, name).exists(_._1 > 0L)) Some(name)
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/data/$name")
+      scala.util.Try(
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)): Unit
+      None
+    }
+  }
+
   /** Publish a manifest as the NEXT version via optimistic concurrency:
     * the version number is claimed create-exclusively, so of two
     * committers that both based on v=N exactly one wins v=N+1 — the other
@@ -2002,6 +2026,55 @@ object VersionedLake {
     * (re-reading the prior manifest, not re-writing data). Attempts are
     * bounded so a livelocked writer surfaces instead of spinning.
     */
+  /** Run `f` under a thread-local Spark job description so the
+    * multi-job write paths attribute their phases in listener/UI output
+    * (optimization guide: label your jobs); restores the previous
+    * description after. Pure metadata — nanoseconds per call.
+    */
+  private[graft] def phase[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f
+    finally sc.setJobDescription(prev)
+  }
+
+  /** Run independent commit-phase tasks CONCURRENTLY from a small,
+    * per-call thread pool (optimization guide §2.6: actions are only
+    * sequential because driver code calls them sequentially — a write
+    * commit's CDC artifact, appended-batch, per-directory rewrites and
+    * stats aggregations have no data dependencies, so running them
+    * serially leaves the cluster idle during each one's driver phase and
+    * tail). Results return in task order; the first failure rethrows
+    * after the pool drains (no half-submitted background work escapes
+    * the commit's try/catch). Each task runs under its own job
+    * description. Single-task lists run inline — zero thread overhead
+    * for the common one-directory commit.
+    */
+  private[graft] def inParallel[A](
+      spark: SparkSession,
+      tasks: Seq[(String, () => A)],
+      maxConcurrent: Int = 4): Seq[A] = {
+    if (tasks.isEmpty) return Nil
+    if (tasks.size == 1) return Seq(phase(spark, tasks.head._1)(tasks.head._2()))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tasks.size, maxConcurrent))
+    try {
+      val futures = tasks.map { case (label, f) =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          override def call(): A = phase(spark, label)(f())
+        })
+      }
+      futures.map { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   private[graft] def retryOnConflict[A](maxAttempts: Int = 16)(body: => A): A = {
     var attempt = 0
     while (true) {
@@ -3273,8 +3346,25 @@ object VersionedLake {
     // conditional-MERGE delete shape — gate-failing rows of a key ride
     // the batch as survivors, gate-passing rows just vanish). Default:
     // the batch's keys, the classic upsert.
+    //
+    // The batch is this commit's DELTA — bounded by design — and feeds
+    // every phase below: the key-range probe, the bloom probe, the CoW
+    // anti-join per affected directory, the CDC classification, the
+    // appended directory's write, and its stats/bloom aggregations.
+    // Un-cached, each of those ~8 evaluations re-runs a possibly
+    // join-heavy source plan (the SQL MERGE source is a target×source
+    // join); serialized blocks spill to disk, released on return.
+    // Callers that already persisted (MergePartialLakeCommand) are
+    // detected via storageLevel and left alone.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val cacheBatch = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (cacheBatch) updates.persist(ser)
+    val cacheProbe = probeKeys.exists(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    if (cacheProbe) probeKeys.foreach(_.persist(ser))
+    try {
     val keyDf = probeKeys.getOrElse(updates).select(keys.map(col): _*)
-    val ranges = keyRanges(keyDf, keys)
+    val ranges = phase(spark, "upsert: key ranges")(keyRanges(keyDf, keys))
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
         .getOrElse(throw new IllegalStateException(s"no published version in $tableDir"))
@@ -3285,7 +3375,8 @@ object VersionedLake {
         if (priorTxns.get(app).exists(_ >= b)) return base
       }
       requireNoEqDeletes(spark, tableDir, base, "upsert")
-      val kr = keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile)
+      val kr = phase(spark, "upsert: probe+rewrite")(
+        keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile))
       // steady-state no-op: nothing to rewrite AND nothing to append —
       // publishing a version (plus an empty data dir and artifact) for a
       // no-match empty batch would grow the manifest per idempotent call
@@ -3298,9 +3389,11 @@ object VersionedLake {
       // affected dirs never left). Zero cost without a restrict decl.
       if (kr.rewritten.nonEmpty &&
         LakeConstraints.restrictsOf(spark, tableDir).nonEmpty) {
+        // no distinct on the semi-join build side: semi-join semantics
+        // dedup for free, and the explicit distinct only added a shuffle
         val pre = readDirs(spark, tableDir,
           kr.rewritten.keySet.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
-          .join(keyDf.distinct(), keys, "left_semi")
+          .join(keyDf, keys, "left_semi")
         LakeConstraints.enforceRestrict(spark, tableDir, pre, Some(updates), "upsert")
       }
       // CDC artifact: pre-images are the matched rows of the affected
@@ -3313,41 +3406,59 @@ object VersionedLake {
       // update_preimage — replay (remove pre, add post) stays exact.
       // the per-call parameter AND the table-level `cdc.artifacts`
       // property both gate the artifact (SQL DML has no per-call knob)
-      val changesName = if (!changeArtifact ||
+      val cdcTask: () => Option[String] = () => if (!changeArtifact ||
         !LakeProps.cdcArtifacts(spark, tableDir)) None else Some {
         val affected = kr.rewritten.keySet
-        val frame =
-          if (affected.isEmpty) updates.withColumn("_change_type", lit("insert"))
-          else {
-            val pre = readDirs(spark, tableDir,
-              affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
-              .join(keyDf.distinct(), keys, "left_semi")
-            // NO broadcast hints: batchKeys/matchedKeys are the distinct
-            // key set of the whole upsert batch — unbounded on this bulk
-            // CoW path (unlike the MoR delete-key sets, which are deltas
-            // by design). A forced broadcast of a 10M-key batch would
-            // OOM the driver or trip the 8 GB broadcast hard limit AFTER
-            // the rewrite work is done; AQE broadcasts at runtime when
-            // the set really is small — the same discipline as the
-            // keyedRewrite probe's un-hinted joins.
-            val batchKeys = updates.select(keys.map(col): _*).distinct()
-            val matchedKeys = pre.select(keys.map(col): _*).distinct()
-            pre.join(batchKeys, keys, "left_semi")
-              .withColumn("_change_type", lit("update_preimage"))
-              .unionByName(
-                pre.join(batchKeys, keys, "left_anti")
-                  .withColumn("_change_type", lit("delete")),
-                allowMissingColumns = true)
-              .unionByName(
-                updates.join(matchedKeys, keys, "left_semi")
-                  .withColumn("_change_type", lit("update_postimage")),
-                allowMissingColumns = true)
-              .unionByName(
-                updates.join(matchedKeys, keys, "left_anti")
-                  .withColumn("_change_type", lit("insert")),
-                allowMissingColumns = true)
-          }
-        writeChangesDir(frame, tableDir)
+        if (affected.isEmpty)
+          writeChangesDir(updates.withColumn("_change_type", lit("insert")), tableDir)
+        else {
+          // matched pre-images: bounded by the affected directories'
+          // rows with probed keys — the same population the rewrite
+          // just removed. Persisted because it feeds BOTH its own
+          // classified branch and the matchedKeys set below; un-cached
+          // it would re-run the directory scan + semi-join twice.
+          val pre = readDirs(spark, tableDir,
+            affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
+            .join(keyDf, keys, "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          // NO broadcast hints: batchKeys/matchedKeys are the distinct
+          // key set of the whole upsert batch — unbounded on this bulk
+          // CoW path (unlike the MoR delete-key sets, which are deltas
+          // by design). A forced broadcast of a 10M-key batch would
+          // OOM the driver or trip the 8 GB broadcast hard limit AFTER
+          // the rewrite work is done; AQE broadcasts at runtime when
+          // the set really is small — the same discipline as the
+          // keyedRewrite probe's un-hinted joins.
+          //
+          // ONE left join classifies each side (key present → one type,
+          // absent → the other) where the previous shape paid a semi
+          // AND an anti pass per side — half the joins, and `pre` /
+          // `updates` each evaluate once per branch instead of twice.
+          // The explicit select pins the written column order to the
+          // pre-existing artifact layout (source columns then
+          // _change_type).
+          val batchKeys = updates.select(keys.map(col): _*).distinct()
+            .withColumn("_graft_in_batch", lit(true))
+          val matchedKeys = pre.select(keys.map(col): _*).distinct()
+            .withColumn("_graft_matched", lit(true))
+          val preCols = pre.columns
+          val preClassified = pre.join(batchKeys, keys, "left")
+            .withColumn("_change_type",
+              when(col("_graft_in_batch"), lit("update_preimage"))
+                .otherwise(lit("delete")))
+            .select((preCols.map(col) :+ col("_change_type")).toIndexedSeq: _*)
+          val updCols = updates.columns
+          val postClassified = updates.join(matchedKeys, keys, "left")
+            .withColumn("_change_type",
+              when(col("_graft_matched"), lit("update_postimage"))
+                .otherwise(lit("insert")))
+            .select((updCols.map(col) :+ col("_change_type")).toIndexedSeq: _*)
+          val name = writeChangesDir(
+            preClassified.unionByName(postClassified, allowMissingColumns = true),
+            tableDir)
+          pre.unpersist(blocking = false)
+          name
+        }
       }
       // phase 3 — the batch is one new directory, stat'd/bloom'd over the
       // same columns the manifest already declares (∩ the batch's schema).
@@ -3355,30 +3466,54 @@ object VersionedLake {
       // the probed keys vanished) — skip the empty append then; the
       // emptiness check is gated on probeKeys so the classic path never
       // pays a second batch evaluation
-      val updDirOpt =
-        if (probeKeys.isDefined && updates.isEmpty) None
-        else Some(writeDataDir(updates, tableDir, parts, maxRecordsPerFile,
-          sortWithin = sortWithin))
-      val newDirs = kr.survivingDirs ++ updDirOpt
-      val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
-      val (cowStats, cowBlooms, cowNdv) = carryRewriteMeta(spark, tableDir, kr.schemaOpt,
-        kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms, newDirs, kr.rewritten)
       val updStatCols = kr.priorStats.values.flatMap(_.keys).toSeq.distinct.sorted
         .filter(updates.columns.contains)
-      val updStatsNdv = updDirOpt.flatMap(d =>
-        columnStatsNdv(updates, updStatCols).map(d -> _))
+      val appendTask: () => (Option[String], Option[(String, (String, String))],
+          Option[(String, String)]) = () =>
+        if (probeKeys.isDefined && updates.isEmpty) (None, None, None)
+        else {
+          val d = writeDataDir(updates, tableDir, parts, maxRecordsPerFile,
+            sortWithin = sortWithin)
+          val st = columnStatsNdv(updates, updStatCols).map(d -> _)
+          val bl = {
+            val cols = kr.priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
+              .filter(updates.columns.contains)
+            if (cols.isEmpty) None
+            else {
+              val (m, k) = kr.priorBlooms.values.flatMap(_.values)
+                .map(t => (t._1, t._2)).maxBy(_._1)
+              bloomJson(updates, Some(BloomConfig(cols, m, k))).map(d -> _)
+            }
+          }
+          (Some(d), st, bl)
+        }
+      // the rewritten replacement dirs' stats recomputation only touches
+      // kr.survivingDirs (the appended dir has no prior stats line to
+      // carry or recompute — its layer comes from the append task)
+      val rewriteStatsTask: () => (Map[String, String], Map[String, String],
+          Map[String, String]) = () =>
+        carryRewriteMeta(spark, tableDir, kr.schemaOpt,
+          kr.priorStats, kr.priorBloomsRaw, kr.priorBlooms,
+          kr.survivingDirs, kr.rewritten)
+      // the three post-rewrite phases touch disjoint inputs (immutable
+      // committed dirs, the cached batch) and disjoint outputs (changes
+      // dir, data dir, driver-side maps) — run them concurrently (§2.6)
+      // instead of serially idling the pool through each driver phase
+      val results = inParallel[Any](spark, Seq(
+        "upsert: cdc artifact" -> (() => cdcTask()),
+        "upsert: append+stats" -> (() => appendTask()),
+        "upsert: rewrite stats" -> (() => rewriteStatsTask())))
+      val changesName = results(0).asInstanceOf[Option[String]]
+      val (updDirOpt, updStatsNdv, updBloomOpt) = results(1)
+        .asInstanceOf[(Option[String], Option[(String, (String, String))],
+          Option[(String, String)])]
+      val (cowStats, cowBlooms, cowNdv) = results(2)
+        .asInstanceOf[(Map[String, String], Map[String, String], Map[String, String])]
+      val newDirs = kr.survivingDirs ++ updDirOpt
+      val merged = mergeSchemas(kr.priorSchema, nullableAll(updates.schema))
       val updStats = updStatsNdv.map { case (d, (s, _)) => d -> s }.toMap
       val updNdv = updStatsNdv.map { case (d, (_, n)) => d -> n }.toMap
-      val updBloom = updDirOpt.flatMap { d =>
-        val cols = kr.priorBlooms.values.flatMap(_.keys).toSeq.distinct.sorted
-          .filter(updates.columns.contains)
-        if (cols.isEmpty) None
-        else {
-          val (m, k) = kr.priorBlooms.values.flatMap(_.values)
-            .map(t => (t._1, t._2)).maxBy(_._1)
-          bloomJson(updates, Some(BloomConfig(cols, m, k))).map(d -> _)
-        }
-      }.toMap
+      val updBloom = updBloomOpt.toMap
       if (newDirs.isEmpty) {
         // the probeKeys delete shape emptied the table: publish a
         // readable empty snapshot (the deleteKeys contract)
@@ -3396,6 +3531,12 @@ object VersionedLake {
           buckets = kr.priorBuckets.filter { case (d, _) => !kr.rewritten.contains(d) },
           txns = priorTxns ++ txn.toMap, op = "upsert",
           changes = changesName, ndv = cowNdv ++ updNdv)
+    }
+    } finally {
+      // release the phase-shared caches; early `return base` paths
+      // (exactly-once watermark, steady-state no-op) unwind through here
+      if (cacheBatch) updates.unpersist(blocking = false)
+      if (cacheProbe) probeKeys.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -3428,6 +3569,13 @@ object VersionedLake {
     require(keys.nonEmpty, "upsertMor needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
+    // the batch feeds the typed-key distinct, the delta write, the stats
+    // and bloom aggregations (and any constraint probes): persist the
+    // bounded delta once, released in the finally below
+    val cacheBatch = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (cacheBatch)
+      updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     LakeConstraints.enforce(spark, tableDir, updates, "upsertMor")
     LakeConstraints.enforceFk(spark, tableDir, updates, "upsertMor")
     requireUniqueCompatibleKeys(spark, tableDir, keys, "upsertMor")
@@ -3497,6 +3645,7 @@ object VersionedLake {
         op = "upsert_mor",
         ndv = updStatsNdv.map { case (_, n) => updDir -> n }.toMap)
     }
+    } finally if (cacheBatch) updates.unpersist(blocking = false)
   }
 
   /** Keyed DELETE — remove every row whose key appears in `keyDf` — with
@@ -3519,7 +3668,12 @@ object VersionedLake {
     require(keys.nonEmpty, "deleteKeys needs at least one key column")
     require(keys.forall(keyDf0.columns.contains),
       s"keyDf missing key columns: ${keys.filterNot(keyDf0.columns.contains).mkString(", ")}")
+    // the key set feeds the range probe, the bloom probe, the per-dir
+    // anti-joins and the CDC semi-join — persist once (bounded: it is
+    // the delete delta), released in the finally below
     val keyDf = keyDf0.select(keys.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     val ranges = keyRanges(keyDf, keys)
     retryOnConflict(maxAttempts = 8) {
       val base = currentVersion(spark, tableDir)
@@ -3543,7 +3697,8 @@ object VersionedLake {
               .withColumn("_change_type", lit("delete"))
           else readDirs(spark, tableDir,
             affected.toSeq.map(d => s"$tableDir/data/$d"), kr.schemaOpt)
-            .join(keyDf.distinct(), keys, "left_semi")
+            // semi-join dedups for free; distinct only added a shuffle
+            .join(keyDf, keys, "left_semi")
             .withColumn("_change_type", lit("delete"))
         writeChangesDir(frame, tableDir)
       }
@@ -3564,6 +3719,7 @@ object VersionedLake {
           txns = priorTxns ++ txn.toMap, op = "delete_keys",
           changes = changesName, ndv = rewriteNdv)
     }
+    } finally keyDf.unpersist(blocking = false)
   }
 
   /** Keyed DELETE as MERGE-ON-READ: O(delta) write, zero data rewrite.
@@ -3861,7 +4017,10 @@ object VersionedLake {
       }
       max(when(perCol.reduce(_ && _), 1).otherwise(0))
     }
-    val row = keyDf.distinct().agg(aggs.head, aggs.tail: _*).head()
+    // no distinct: max(when(...)) is duplicate-insensitive, and the
+    // explicit distinct only added a full shuffle of the key set before
+    // an aggregation that map-side-combines anyway
+    val row = keyDf.agg(aggs.head, aggs.tail: _*).head()
     val possible = testable.zipWithIndex.collect {
       case (d, i) if !row.isNullAt(i) && row.getInt(i) == 1 => d
     }.toSet
@@ -3887,23 +4046,32 @@ object VersionedLake {
     // (file → commit-dir attribution; collect bounded by the file count)
     val affected: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readDirs(spark, tableDir, candidates.map(d => s"$tableDir/data/$d"), schemaOpt)
+      else phase(spark, "keyedRewrite: probe")(
+        readDirs(spark, tableDir, candidates.map(d => s"$tableDir/data/$d"), schemaOpt)
         .withColumn("_graft_file", input_file_name())
-        .join(keyDf.distinct(), keys, "left_semi")
+        // no distinct on the build side: semi-join semantics dedup for
+        // free; the distinct only added a shuffle before the probe
+        .join(keyDf, keys, "left_semi")
         .select("_graft_file")
         .distinct()
         .collect()
         .map(_.getString(0))
         .flatMap(f => candidates.find(d => f.contains(s"/$d/")))
-        .toSet
-    val rewritten: Map[String, Option[String]] = affected.map { d =>
-      val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
-        .join(keyDf, keys, "left_anti")
-      if (survivors.isEmpty) d -> None
-      else
-        d -> Some(writeDataDir(survivors, tableDir,
-          rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
-    }.toMap
+        .toSet)
+    // write-then-footer-count: one query execution per directory where
+    // isEmpty-then-write paid two (the footer walk is driver-side and
+    // already paid again at publish time for new dirs). Directory
+    // rewrites are independent of each other — run them concurrently
+    // (§2.6) so one rewrite's driver phase overlaps another's tasks.
+    val rewritten: Map[String, Option[String]] =
+      inParallel(spark, affected.toSeq.map { d =>
+        s"keyedRewrite: rewrite $d" -> (() => {
+          val survivors = readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt)
+            .join(keyDf, keys, "left_anti")
+          d -> writeDataDirNonEmpty(survivors, tableDir,
+            rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile)
+        })
+      }).toMap
     KeyedRewrite(dirs, schemaOpt, priorSchema, priorStats,
       dirBloomsRaw(spark, tableDir, base), dirBlooms(spark, tableDir, base),
       dirBuckets(spark, tableDir, base), rewritten)
@@ -4299,51 +4467,55 @@ object VersionedLake {
         LakeConstraints.enforceRestrict(spark, tableDir,
           preAff.filter(coalesce(predicate, lit(false))), Some(post), op)
       }
-      val rewritten: Map[String, Option[String]] = affected.map { d =>
-        val survivors = rewriteDir(
-          readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt))
-        if (survivors.isEmpty) d -> None
-        else
-          // a rewrite keeps the directory's hive-partition layout (derived
-          // from its own k=v structure), so partition pruning survives
-          // row-level deletes/updates on partitioned tables
-          d -> Some(writeDataDir(survivors, tableDir,
-            rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile))
-      }.toMap
+      // per-directory rewrites are independent — run them concurrently
+      // (§2.6). A rewrite keeps the directory's hive-partition layout
+      // (derived from its own k=v structure), so partition pruning
+      // survives row-level deletes/updates on partitioned tables.
+      // write-then-footer-count replaces the isEmpty-then-write pair:
+      // one query execution per directory instead of two.
+      val rewritten: Map[String, Option[String]] =
+        inParallel(spark, affected.toSeq.map { d =>
+          s"$op: rewrite $d" -> (() => {
+            val survivors = rewriteDir(
+              readDirs(spark, tableDir, Seq(s"$tableDir/data/$d"), schemaOpt))
+            d -> writeDataDirNonEmpty(survivors, tableDir,
+              rewriteParts(spark, tableDir, d, schemaOpt), maxRecordsPerFile)
+          })
+        }).toMap
+      val survivingDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d)))
+      val baseSchema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
+      val schema = appendDf
+        .map(df => mergeSchemas(baseSchema, nullableAll(df.schema)))
+        .getOrElse(baseSchema)
       // the replace-where shape: the batch lands as one more directory in
       // the SAME commit (deletes + inserts atomically — readers never see
       // the half-applied state a deleteWhere-then-append pair would
       // expose). Layout and skipping layers continue: the table's hive
       // partitioning and declared stat columns apply to the new dir.
-      val appendedMeta = appendDf.map { df =>
-        // UNIQUE: the batch must not collide with rows OUTSIDE the
-        // replaced scope (rows matching `predicate` leave in this same
-        // commit). Probed inside the retry against the re-read base,
-        // like appendCommit — racing writers serialize on the slot.
-        LakeConstraints.enforceUnique(spark, tableDir, df, Some(base), op,
-          exclude = Some(predicate))
-        val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base,
-          df.columns.toSeq)
-        // declaredOrPhysicalParts, NOT partitionColumns: the first write
-        // onto an empty PARTITIONED BY table must follow the DECLARED
-        // layout (no self-describing chain exists yet to copy)
-        val d = writeDataDir(df, tableDir,
-          declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
-        (d, columnStatsNdv(df, statCols), bloomJson(df, bloomCfg))
-      }
-      val newDirs = dirs.flatMap(d => rewritten.getOrElse(d, Some(d))) ++
-        appendedMeta.map(_._1)
-      val baseSchema = schemaOpt.getOrElse(nullableAll(readVersion(spark, tableDir, base).schema))
-      val schema = appendDf
-        .map(df => mergeSchemas(baseSchema, nullableAll(df.schema)))
-        .getOrElse(baseSchema)
+      val appendTask: () => Option[(String, Option[(String, String)], Option[String])] =
+        () => appendDf.map { df =>
+          // UNIQUE: the batch must not collide with rows OUTSIDE the
+          // replaced scope (rows matching `predicate` leave in this same
+          // commit). Probed inside the retry against the re-read base,
+          // like appendCommit — racing writers serialize on the slot.
+          LakeConstraints.enforceUnique(spark, tableDir, df, Some(base), op,
+            exclude = Some(predicate))
+          val (statCols, bloomCfg) = continuedLayers(spark, tableDir, base,
+            df.columns.toSeq)
+          // declaredOrPhysicalParts, NOT partitionColumns: the first write
+          // onto an empty PARTITIONED BY table must follow the DECLARED
+          // layout (no self-describing chain exists yet to copy)
+          val d = writeDataDir(df, tableDir,
+            declaredOrPhysicalParts(spark, tableDir, base), maxRecordsPerFile)
+          (d, columnStatsNdv(df, statCols), bloomJson(df, bloomCfg))
+        }
       // CDC artifact from the rows this commit's probe already located:
       // the matched pre-images, scoped to the affected directories —
       // O(matched), written before publish like any data directory.
       // `changeArtifact = false` (tables with no feed consumer) skips
       // the extra matched-rows pass and the artifact write; the change
       // feed then refuses this window, like any artifact-less rewrite.
-      val changesName =
+      val cdcTask: () => Option[String] = () =>
         if (!changeArtifact || !LakeProps.cdcArtifacts(spark, tableDir)) None
         else {
           val matchedRows =
@@ -4360,9 +4532,24 @@ object VersionedLake {
               allowMissingColumns = true))
           Some(writeChangesDir(frame, tableDir))
         }
-      val (carriedStats, carriedBlooms, carriedNdv) = carryRewriteMeta(
-        spark, tableDir, schemaOpt,
-        priorStats, priorBloomsRaw, priorBlooms, newDirs, rewritten)
+      // the rewritten dirs' stats recomputation reads only survivingDirs
+      // (the appended dir's layer comes from the append task)
+      val rewriteStatsTask: () => (Map[String, String], Map[String, String],
+          Map[String, String]) = () =>
+        carryRewriteMeta(spark, tableDir, schemaOpt,
+          priorStats, priorBloomsRaw, priorBlooms, survivingDirs, rewritten)
+      // append, CDC artifact and rewritten-dir stats touch disjoint
+      // inputs and outputs — overlap them (§2.6)
+      val results = inParallel[Any](spark, Seq(
+        s"$op: cdc artifact" -> (() => cdcTask()),
+        s"$op: append batch" -> (() => appendTask()),
+        s"$op: rewrite stats" -> (() => rewriteStatsTask())))
+      val changesName = results(0).asInstanceOf[Option[String]]
+      val appendedMeta = results(1)
+        .asInstanceOf[Option[(String, Option[(String, String)], Option[String])]]
+      val (carriedStats, carriedBlooms, carriedNdv) = results(2)
+        .asInstanceOf[(Map[String, String], Map[String, String], Map[String, String])]
+      val newDirs = survivingDirs ++ appendedMeta.map(_._1)
       val stats = carriedStats ++
         appendedMeta.flatMap { case (d, st, _) => st.map { case (s, _) => d -> s } }
       val ndv = carriedNdv ++
