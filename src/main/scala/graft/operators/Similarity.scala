@@ -253,6 +253,11 @@ object Similarity {
       threshold: Double): DataFrame = {
     val normed = withNorm(df)
     val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    // persist the assignment: the k-dot argmax per row is the expensive
+    // fragment and it feeds BOTH sides of the pair join — the in-memory
+    // analog of the at-scale layout (assignment written partitioned by
+    // cell, pair join partition-local). Serialized blocks spill to disk;
+    // released after the eager materialization below.
     val withCells = normed
       .withColumn("dots", dots)
       .withColumn("c1", array_position(col("dots"), array_max(col("dots"))).cast("int"))
@@ -265,7 +270,8 @@ object Similarity {
         col("v"),
         col("norm"),
         explode(array(col("c1") - 1, col("c2") - 1)).as("cell"))
-    withCells.as("a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val out = withCells.as("a")
       .join(
         withCells.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -275,6 +281,12 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 3).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+      // eager: the pair table is O(candidates over threshold) — small next
+      // to the corpus — and materializing it here lets the assignment
+      // cache release instead of leaking past return
+      .localCheckpoint()
+    withCells.unpersist(blocking = false)
+    out
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540) — SEMANTIC dedup over an
@@ -319,13 +331,21 @@ object Similarity {
     val normed = withNorm(df)
     val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
     // 1-probe: SemDeDup clusters partition the corpus (first argmax —
-    // the same tie rule the frozen-literal oracle replays)
+    // the same tie rule the frozen-literal oracle replays).
+    // The assignment is persisted: the k-dot argmax is the expensive
+    // per-row fragment and it feeds THREE consumers (both pair-join
+    // sides — one via exchange reuse — and the verdict join below);
+    // un-cached, the verdict join recomputes the whole argmax pass.
+    // In-memory analog of the at-scale layout (assignment written
+    // partitioned by cell); serialized blocks spill to disk, released
+    // after the eager materialization below.
     val assigned = normed
       .withColumn("dots", dots)
       .withColumn(
         "cell",
         (array_position(col("dots"), array_max(col("dots"))) - 1).cast("int"))
       .select(col(idCol), col("v"), col("norm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dropped = assigned.as("a")
       .join(
         assigned.as("b"),
@@ -335,12 +355,17 @@ object Similarity {
           >= threshold)
       .select(col(s"b.$idCol").as(idCol))
       .distinct()
-    assigned
+    val out = assigned
       .join(dropped.withColumn("_dup", lit(true)), Seq(idCol), "left")
       .select(
         col(idCol),
         col("cell"),
         not(coalesce(col("_dup"), lit(false))).as("kept"))
+      // eager: the verdict table is 3 narrow columns per doc; material-
+      // izing it here lets the assignment cache release at return
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   def ivfTopK(

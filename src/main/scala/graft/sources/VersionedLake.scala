@@ -1187,16 +1187,21 @@ object VersionedLake {
     val missing = c.cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"bloom cols not in the batch schema: ${missing.mkString(", ")}")
     import org.json4s.JsonAST._
+    // ONE distributed pass for ALL bloom columns (was: one job per
+    // column): tag each column's positions, union, distinct — the
+    // shuffle/collect stays bounded at cols × bits positions
+    val posByCol = c.cols.toList.map { name =>
+      df.filter(col(name).isNotNull)
+        .select(lit(name).as("_graft_bc"),
+          explode(bloomPositions(col(name), c.bits, c.k)).as("p"))
+    }.reduce(_.union(_)).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (name, rows) => name -> rows.map(_.getLong(1).toInt) }
     val obj = JObject(c.cols.toList.map { name =>
       val bytes = new Array[Byte](c.bits / 8)
-      df.filter(col(name).isNotNull)
-        .select(explode(bloomPositions(col(name), c.bits, c.k)).as("p"))
-        .distinct()
-        .collect()
-        .foreach { r =>
-          val p = r.getLong(0).toInt
-          bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
-        }
+      posByCol.getOrElse(name, Array.empty[Int]).foreach { p =>
+        bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+      }
       name -> (JObject(List(
         "m" -> (JInt(c.bits): JValue),
         "k" -> (JInt(c.k): JValue),
@@ -2261,15 +2266,29 @@ object VersionedLake {
       txn: Option[(String, Long)],
       sortWithin: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    // the batch feeds the write, the stats aggregation, the bloom build
+    // and any constraint probe: persist the (bounded, delta-sized) batch
+    // once instead of re-running its source plan per consumer
+    val cacheBatch = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (cacheBatch)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     LakeConstraints.enforce(spark, tableDir, df, "appendCommit")
     LakeConstraints.enforceFk(spark, tableDir, df, "appendCommit")
     // the expensive work — writing the batch and aggregating its stats —
     // happens ONCE; the directory is immutable, so losing the publish race
-    // only costs re-reading the prior manifest and retrying the publish
-    val d = writeDataDir(df, tableDir, parts, maxRecordsPerFile,
-      sortWithin = sortWithin)
-    val batchStats = columnStatsNdv(df, statsCols)
-    val batchBloom = bloomJson(df, bloom)
+    // only costs re-reading the prior manifest and retrying the publish.
+    // Write, stats and bloom are independent consumers of the cached
+    // batch with disjoint outputs — overlap them (§2.6).
+    val appendResults = inParallel[Any](spark, Seq(
+      "append: write batch" -> (() =>
+        writeDataDir(df, tableDir, parts, maxRecordsPerFile,
+          sortWithin = sortWithin)),
+      "append: batch stats" -> (() => columnStatsNdv(df, statsCols)),
+      "append: batch bloom" -> (() => bloomJson(df, bloom))))
+    val d = appendResults(0).asInstanceOf[String]
+    val batchStats = appendResults(1).asInstanceOf[Option[(String, String)]]
+    val batchBloom = appendResults(2).asInstanceOf[Option[String]]
     val batchSchema = nullableAll(df.schema)
     retryOnConflict() {
       val cur = currentVersion(spark, tableDir)
@@ -2315,6 +2334,7 @@ object VersionedLake {
         txns = priorTxns ++ txn.toMap, eqdeletes = priorEq, op = "append",
         ndv = batchStats.map { case (_, n) => d -> n }.toMap)
     }
+    } finally if (cacheBatch) df.unpersist(blocking = false)
   }
 
   /** Re-encode parsed stats for carry-forward into the next manifest. */
