@@ -448,7 +448,7 @@ object IvfIndex {
     val cents = centroids(spark, indexDir)
     val probe = Similarity.probeCells(query, cents, nProbe)
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val qCol = array(query.map(lit): _*)
+    val qCol = typedLit(query)
     assigned
       .filter(col("cell").isin(probe.map(_.asInstanceOf[Any]): _*))
       .select(
@@ -504,7 +504,7 @@ object IvfIndex {
     val cents = centroids(spark, indexDir)
     val probe = Similarity.probeCells(query, cents, nProbe)
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val qCol = array(query.map(lit): _*)
+    val qCol = typedLit(query)
     // bounded collect: k×refine candidate ids (an ANN answer's size, not
     // the data's) — buys parquet id pushdown for the vector fetch
     val candIds = pqCandidates(spark, indexDir, query, k, nProbe, refine)

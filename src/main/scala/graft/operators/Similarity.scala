@@ -38,7 +38,7 @@ object Similarity {
       query: Seq[Double],
       k: Int): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val qCol = array(query.map(lit): _*)
+    val qCol = typedLit(query)
     withNorm(df)
       .select(
         col(idCol),
@@ -60,7 +60,7 @@ object Similarity {
   def lshBuckets(df: DataFrame, nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val ps = planes(nPlanes, dim, seed)
     val bits = ps.zipWithIndex.map { case (p, i) =>
-      val pCol = array(p.map(lit): _*)
+      val pCol = typedLit(p)
       when(dot(col("v"), pCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     withNorm(df).withColumn("bucket", bits.reduce(_ + _))
@@ -88,7 +88,7 @@ object Similarity {
     } yield qBucket ^ (1L << i) ^ (1L << j)
     val probe = (qBucket +: (flips1 ++ flips2)).distinct
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val qCol = array(query.map(lit): _*)
+    val qCol = typedLit(query)
     bucketed
       .filter(col("bucket").isin(probe.map(_.asInstanceOf[Any]): _*))
       .select(
@@ -178,7 +178,7 @@ object Similarity {
     var centroids: Seq[Seq[Double]] =
       unit.orderBy("_id").limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val dots = array(centroids.map(c => dot(col("u"), array(c.map(lit): _*))): _*)
+      val dots = array(centroids.map(c => dot(col("u"), typedLit(c))): _*)
       val means = unit
         .withColumn("cell", array_position(dots, array_max(dots)) - 1)
         .groupBy("cell")
@@ -202,7 +202,7 @@ object Similarity {
   /** Adds a `cell` column: argmax_c (v·centroid_c), 0-based. */
   def ivfAssign(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val normed = withNorm(df)
-    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    val dots = array(centroids.map(c => dot(col("v"), typedLit(c))): _*)
     normed
       .withColumn("cell_dots", dots)
       .withColumn(
@@ -252,7 +252,7 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       threshold: Double): DataFrame = {
     val normed = withNorm(df)
-    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    val dots = array(centroids.map(c => dot(col("v"), typedLit(c))): _*)
     // persist the assignment: the k-dot argmax per row is the expensive
     // fragment and it feeds BOTH sides of the pair join — the in-memory
     // analog of the at-scale layout (assignment written partitioned by
@@ -329,7 +329,7 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       threshold: Double): DataFrame = {
     val normed = withNorm(df)
-    val dots = array(centroids.map(c => dot(col("v"), array(c.map(lit): _*))): _*)
+    val dots = array(centroids.map(c => dot(col("v"), typedLit(c))): _*)
     // 1-probe: SemDeDup clusters partition the corpus (first argmax —
     // the same tie rule the frozen-literal oracle replays).
     // The assignment is persisted: the k-dot argmax is the expensive
@@ -377,7 +377,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val qn = math.sqrt(ddot(query, query))
     val probeCells = this.probeCells(query, centroids, nProbe)
-    val qCol = array(query.map(lit): _*)
+    val qCol = typedLit(query)
     assigned
       .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
       .select(

@@ -445,9 +445,15 @@ final case class MergePartialLakeCommand(
         * target column's old value, each arm-assignment's new value —
         * then derive (surviving batch rows, hit keys).
         */
+      // flats persisted for the upsert's lifetime (batch and probe both
+      // derive from them and materialize at different phases), released
+      // in the finally below
+      val persistedFlats =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       def armBatch(
           joined: org.apache.spark.sql.DataFrame,
-          arms: Seq[MergeArm]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+          arms: Seq[MergeArm],
+          persistFlat: Boolean): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
         val armCol = arms.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
           when(a.gate.map(h => GraftDmlShim.column(h.e)).getOrElse(lit(true)), lit(i))
             .otherwise(els)
@@ -464,12 +470,27 @@ final case class MergePartialLakeCommand(
               .as(s"_new_${i}_$n")
           }
         }
-        val flat = joined.select(
+        val flat0 = joined.select(
           (keys.map(k => GraftDmlShim.column(tgtAttr(k.toLowerCase)).as(s"_gk_$k")) ++
             Seq(armCol.as("_arm")) ++
             targetCols.map(c =>
               typed(GraftDmlShim.column(tgtAttr(c.toLowerCase)), c).as(s"_old_$c")) ++
             newCols): _*)
+        // the MATCHED flat (inner join: bounded by source matches — the
+        // CDC delta) is read by hitKeys, the candidate semi-join AND the
+        // probe's separate materialization: persist it once instead of
+        // re-running the target×source join (with its gate subqueries)
+        // three times. The BY SOURCE flat stays UNcached on purpose: its
+        // pre-gate population (target anti source) can approach the
+        // target's size, and caching it would not survive 100 TB.
+        val flat =
+          if (!persistFlat) flat0
+          else {
+            val p = flat0.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            persistedFlats += p
+            p
+          }
         // keys where at least one row hit an arm — everything else is
         // untouched by construction (absent from batch AND probe)
         val hitKeys = flat.filter(col("_arm") >= 0)
@@ -496,11 +517,13 @@ final case class MergePartialLakeCommand(
       val matchedPiece =
         if (matchedArms.isEmpty) None
         else Some(armBatch(
-          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner"), matchedArms))
+          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "inner"), matchedArms,
+          persistFlat = true))
       val bySourcePiece =
         if (bySourceArms.isEmpty) None
         else Some(armBatch(
-          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "left_anti"), bySourceArms))
+          tgtDf.join(srcDf, GraftDmlShim.column(cond.e), "left_anti"), bySourceArms,
+          persistFlat = false))
       val insertRows =
         if (insertArms.isEmpty) None
         else Some {
@@ -570,6 +593,7 @@ final case class MergePartialLakeCommand(
       } finally {
         probe.foreach(_.unpersist(blocking = false))
         batch.unpersist(blocking = false)
+        persistedFlats.foreach(_.unpersist(blocking = false))
       }
       Nil
     } finally srcDf.unpersist(blocking = false)
