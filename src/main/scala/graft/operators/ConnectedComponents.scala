@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a pair graph — the clustering step
@@ -17,9 +18,13 @@ import org.apache.spark.sql.functions._
   *   - '''small-star''': every node connects its smaller-or-equal neighbors
   *     (and itself) to the group minimum.
   *
-  * Each operation is ONE aggregation (`groupBy(src).agg(min(dst))`) plus a
-  * re-join — no `collect_set`, so a 100M-degree hub node never materializes
-  * its neighbor list in one task; the per-round shuffle volume is O(|E|).
+  * Each operation is ONE window (`min(v) over (partition by u)`) — the
+  * group minimum computed in the same exchange that co-locates the group,
+  * where the groupBy+re-join formulation paid a second pass over the edge
+  * set (aggregate exchange, then join the aggregate back, a broadcast
+  * build per star at small scale and a full extra edge exchange at large).
+  * No `collect_set`, so a 100M-degree hub node never materializes its
+  * neighbor list in one task; the per-round shuffle volume is O(|E|).
   * The edge set converges to per-component stars rooted at the component
   * minimum in O(log n) rounds (each round at least halves the height of the
   * implicit forest), vs O(diameter) for naive min-label propagation — the
@@ -92,33 +97,43 @@ object ConnectedComponents {
     * m = min(N(u) ∪ {u}). Keeps all inter-component connectivity (every
     * dropped edge is re-derivable through m) while pointing large nodes at
     * ever-smaller ones.
+    *
+    * Output is NOT deduplicated: as a set it equals the classic
+    * formulation (min over a group ignores multiplicity, so input
+    * duplicates never change what is emitted), and the loop's only
+    * consumer is
+    * [[smallStar]], whose own final `distinct` canonicalizes the round —
+    * deduplicating here would buy nothing but one more O(|E|) exchange
+    * per round.
     */
   def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min("v").as("mv"))
-      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    val w = Window.partitionBy("u")
     sym
-      .join(mins, "u")
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** small-star: orient every edge toward the smaller endpoint, then for
     * each node u connect its smaller neighbors (and u itself) to the group
     * minimum.
+    *
+    * The group-minimum row itself (exactly one per group: `v == m`, the
+    * input is set-distinct per (u,v) after the final `distinct`) doubles
+    * as the carrier of the identity edge (u,m), so every input row emits
+    * exactly one output row — no separate `mins` frame to union back.
     */
   def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(
       greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    val mins = oriented.groupBy("u").agg(min("v").as("m"))
-    val reattached = oriented
-      .join(mins, "u")
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-    reattached
-      .union(mins.select(col("u"), col("m").as("v")))
+    val w = Window.partitionBy("u")
+    oriented
+      .withColumn("m", min(col("v")).over(w))
+      .select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+        col("m").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
