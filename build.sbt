@@ -41,4 +41,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // tables) because this suite's live set is small; 8g is the sweet
   // spot. Override via SPARK_DRIVER_MEM for memory-hungry workloads.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: without it ParallelGC's adaptive
+  // sizing grows the heap through repeated stop-the-world full GCs under
+  // the first allocation burst (one official-path run attributed 130 s
+  // of task GC to a single PageRank execution while the same binary with
+  // a pre-grown heap ran the suite at 6.6 s total GC).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: this workload is classic batch — small live
+  // set (caches are serialized and short-lived), very high allocation
+  // rate, no pause-time requirement — exactly the profile ParallelGC
+  // beats G1 on. Measured back-to-back on the full 249-query sf0.1
+  // bench (same host window, ParallelGC run FIRST so any warm-cache
+  // bias favors the control): ParallelGC 107.1 s / gc 6.6 s vs G1
+  // 129.3 s / gc 8.9 s. The same choice applies to real-cluster
+  // executor JVMs running these operators; G1's advantage (bounded
+  // pauses on many-GB heaps) buys nothing for batch throughput.
+  "-XX:+UseParallelGC",
 )
