@@ -80,7 +80,19 @@ object Graph {
     // cache the edge list FIRST: nodes, degrees and the adjacency all
     // derive from it, and without the cache each one re-executes the
     // caller's (possibly join-heavy) edge construction pipeline.
-    val e = edges.select(col("src"), col("dst")).persist(IterStorage)
+    // EXCEPT when every leaf of the edge plan already reads a cache the
+    // caller installed (q_pagerank persists the directed half and unions
+    // both directions): then e has exactly two consumers (deg, adj) and
+    // re-running a narrow projection over cached blocks twice is cheaper
+    // than writing a second full copy of the edge list through the block
+    // manager — one less O(E) cache materialization and that much less
+    // storage churn per call (guide §5: cache only when recomputing costs
+    // more than the memory pressure the cache creates).
+    val leaves = edges.queryExecution.optimizedPlan.collectLeaves()
+    val inputCached = leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (inputCached) e0 else e0.persist(IterStorage)
     // every node appears as a src (the documented contract, trivially true
     // for undirected input) — so the degree aggregate's key set IS the
     // node set: one shuffle of the edge list yields degrees AND nodes,
@@ -154,7 +166,7 @@ object Graph {
     // the checkpoint cadence, and blocking there would serialize rounds.
     adj.unpersist(blocking = true)
     deg.unpersist(blocking = true)
-    e.unpersist(blocking = true)
+    if (!inputCached) e.unpersist(blocking = true)
     (ranks, executed)
   }
 

@@ -415,23 +415,29 @@ final case class MergePartialLakeCommand(
       // keys that actually MATCH a target row (an unmatched duplicate
       // legally inserts twice). Cheap source-only probe first; the
       // target-key refinement — a pruned key-column scan — runs only
-      // when duplicates exist at all.
-      if (matchedArms.nonEmpty) VersionedLake.phase(spark, "merge: dup probe") {
-        val dups = srcDf.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-        if (dups.limit(1).collect().nonEmpty) {
-          val offending = dups
-            .join(tgtDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
-            .limit(1).collect()
-          offending.foreach { r =>
-            val rendered = keys.zipWithIndex
-              .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
-            throw new IllegalArgumentException(
-              s"MERGE source has multiple rows for matched key ($rendered) - " +
-                "SQL MERGE requires at most one source match per target row")
+      // when duplicates exist at all. READ-ONLY refusal gate, so it runs
+      // on a background thread and is awaited by the upsert just before
+      // its first side effect (guide §2.6): the probe overlaps the arm
+      // flattening, the null-key probe and the upsert's own key-range /
+      // manifest phases instead of serializing ahead of them.
+      val dupGate: () => Unit =
+        if (matchedArms.isEmpty) VersionedLake.NoGate
+        else VersionedLake.backgroundGate(spark, "merge: dup probe") {
+          val dups = srcDf.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          if (dups.limit(1).collect().nonEmpty) {
+            val offending = dups
+              .join(tgtDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              .limit(1).collect()
+            offending.foreach { r =>
+              val rendered = keys.zipWithIndex
+                .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+              throw new IllegalArgumentException(
+                s"MERGE source has multiple rows for matched key ($rendered) - " +
+                  "SQL MERGE requires at most one source match per target row")
+            }
           }
         }
-      }
       val tgtAttr = target.output.map(a => a.name.toLowerCase -> a).toMap
       val committed = VersionedLake.versionSchema(spark, tableDir,
         VersionedLake.currentVersion(spark, tableDir).get)
@@ -576,20 +582,32 @@ final case class MergePartialLakeCommand(
       // an equi-join and cannot be NULL, so any NULL here is by-source),
       // which makes the refusal job the same job that warms the cache
       // the upsert's key-range probe reads next — one target anti-join
-      // evaluation, not two.
-      if (bySourceArms.nonEmpty) probe.foreach { p =>
-        val nullKeyed = VersionedLake.phase(spark, "merge: null-key probe")(p.filter(
-          keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect())
-        require(nullKeyed.isEmpty,
-          "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
-            "merge keys, which the keyed rewrite cannot address; clean NULL " +
-            "keys first (deleteWhere on the null predicate)")
-      }
+      // evaluation, not two (concurrent probe/key-range materialization
+      // of the same cache is block-granular: the block manager's write
+      // locks make the loser read the winner's block, not recompute it).
+      // Like the dup probe, this is a READ-ONLY refusal gate: it runs in
+      // the background and the upsert awaits it before its first side
+      // effect, so it overlaps the key-range and manifest phases.
+      val nullKeyGate: () => Unit =
+        if (bySourceArms.isEmpty) VersionedLake.NoGate
+        else probe.fold(VersionedLake.NoGate) { p =>
+          VersionedLake.backgroundGate(spark, "merge: null-key probe") {
+            val nullKeyed = p.filter(
+              keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).collect()
+            require(nullKeyed.isEmpty,
+              "MERGE ... NOT MATCHED BY SOURCE selected target rows with NULL " +
+                "merge keys, which the keyed rewrite cannot address; clean NULL " +
+                "keys first (deleteWhere on the null predicate)")
+          }
+        }
       try {
         // probe = the arms' hit keys (whole keys being replaced); an
         // insert-only MERGE probes its own batch keys, which match
-        // nothing by construction — a plain append in rewrite clothing
-        VersionedLake.upsert(spark, tableDir, batch, keys, probeKeys = probe): Unit
+        // nothing by construction — a plain append in rewrite clothing.
+        // Await order is fixed (dup, then null-key) so a doubly-refused
+        // statement reports the same error it always did.
+        VersionedLake.upsert(spark, tableDir, batch, keys, probeKeys = probe,
+          preWriteGate = () => { dupGate(); nullKeyGate() }): Unit
       } finally {
         probe.foreach(_.unpersist(blocking = false))
         batch.unpersist(blocking = false)
@@ -696,14 +714,22 @@ final case class MergeLakeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val src = GraftDmlShim.ofRows(spark, source)
-    val dups = src.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
-        "SQL MERGE requires at most one source match per target row")
-    if (delete)
+    // read-only refusal gate on a background thread (guide §2.6): the
+    // upsert awaits it before its first side effect, so the probe
+    // overlaps the key-range aggregation and manifest reads instead of
+    // serializing ahead of them; the delete path (no gate plumbing)
+    // awaits it inline, which is exactly the old serial order
+    val dupGate = VersionedLake.backgroundGate(spark, "merge: dup probe") {
+      val dups = src.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"MERGE source has multiple rows for key ${dups.headOption.getOrElse("")} — " +
+          "SQL MERGE requires at most one source match per target row")
+    }
+    if (delete) {
+      dupGate()
       VersionedLake.deleteKeys(spark, tableDir, src.select(keys.map(col): _*), keys)
-    else {
+    } else {
       // align the source to the target's committed types (a VALUES
       // source types small ints as INT; the analyzer's casts live on the
       // MERGE plan we replaced, so re-apply them here)
@@ -714,7 +740,7 @@ final case class MergeLakeCommand(
         val t = committed(committed.fieldIndex(c)).dataType
         col(c).cast(t).as(c)
       }: _*)
-      VersionedLake.upsert(spark, tableDir, aligned, keys)
+      VersionedLake.upsert(spark, tableDir, aligned, keys, preWriteGate = dupGate)
     }
     Nil
   }

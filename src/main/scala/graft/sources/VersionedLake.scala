@@ -2080,6 +2080,33 @@ object VersionedLake {
     } finally pool.shutdown()
   }
 
+  /** No-op [[upsert]] `preWriteGate`. */
+  private[graft] val NoGate: () => Unit = () => ()
+
+  /** Start `f` on a background thread NOW and return an await handle that
+    * rethrows `f`'s own exception (not the ExecutionException wrapper).
+    * For READ-ONLY refusal probes (SQL MERGE's dup/null-key gates) that
+    * must complete before a write's first side effect but need not
+    * complete before the write's own read-only phases — the await handle
+    * rides [[upsert]]'s `preWriteGate` so the probe overlaps the key-range
+    * aggregation, manifest reads and rewrite-probe planning (guide §2.6)
+    * instead of serializing ahead of them. The job description is set
+    * inside the task ([[phase]]), thread-locally, like [[inParallel]].
+    */
+  private[graft] def backgroundGate[A](
+      spark: SparkSession, label: String)(f: => A): () => A = {
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = phase(spark, label)(f)
+    })
+    pool.shutdown()
+    () => try fut.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
   private[graft] def retryOnConflict[A](maxAttempts: Int = 16)(body: => A): A = {
     var attempt = 0
     while (true) {
@@ -3351,7 +3378,14 @@ object VersionedLake {
       txn: Option[(String, Long)] = None,
       probeKeys: Option[DataFrame] = None,
       changeArtifact: Boolean = true,
-      sortWithin: Seq[String] = Nil): Long = {
+      sortWithin: Seq[String] = Nil,
+      // awaited before the first side effect AND before every successful
+      // return: callers park read-only refusal probes here (SQL MERGE's
+      // dup/null-key gates via [[backgroundGate]]) so they overlap the
+      // key-range aggregation and manifest reads instead of running ahead
+      // of them serially. Must be idempotent (re-invoked per conflict
+      // retry) and must contain NO side effects of its own.
+      preWriteGate: () => Unit = NoGate): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates missing key columns: ${keys.filterNot(updates.columns.contains).mkString(", ")}")
@@ -3392,9 +3426,15 @@ object VersionedLake {
       // batch whose commit landed must not merge its rows twice
       val priorTxns = txnWatermarks(spark, tableDir, base)
       txn.foreach { case (app, b) =>
-        if (priorTxns.get(app).exists(_ >= b)) return base
+        // the replay no-op still awaits the gate: a refused statement
+        // (duplicate matched keys) must fail even when its write would
+        // have been an exactly-once no-op
+        if (priorTxns.get(app).exists(_ >= b)) { preWriteGate(); return base }
       }
       requireNoEqDeletes(spark, tableDir, base, "upsert")
+      // last point before side effects: the caller's refusal probes must
+      // have passed before keyedRewrite writes its first replacement dir
+      preWriteGate()
       val kr = phase(spark, "upsert: probe+rewrite")(
         keyedRewrite(spark, tableDir, base, keyDf, keys, ranges, maxRecordsPerFile))
       // steady-state no-op: nothing to rewrite AND nothing to append —
