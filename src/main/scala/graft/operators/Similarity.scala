@@ -200,16 +200,16 @@ object Similarity {
   }
 
   /** Adds a `cell` column: argmax_c (v·centroid_c), 0-based. */
-  def ivfAssign(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    val normed = withNorm(df)
-    val dots = array(centroids.map(c => dot(col("v"), typedLit(c))): _*)
-    normed
-      .withColumn("cell_dots", dots)
-      .withColumn(
-        "cell",
-        (array_position(col("cell_dots"), array_max(col("cell_dots"))) - 1).cast("int"))
-      .drop("cell_dots")
-  }
+  def ivfAssign(df: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    // one ArgMaxDot kernel call, not a k-dot array + array_position scan:
+    // the expression form inlined k dot loops into whatever stage fuses
+    // around it — and the ivfPqTopK probe's pushed-down cell filter
+    // SUBSTITUTES the alias, duplicating all k loops into the filter —
+    // which pushed the fused method past HotSpot's 8000-byte JIT refusal
+    // (the PqEncode failure mode). Same first-argmax cell, bit-exact
+    // (SimilaritySpec pins it against the expression form).
+    withNorm(df).withColumn(
+      "cell", graft.functions.PqExprs.argMaxDot(col("v"), centroids))
 
   /** IVF ANN top-k: probe the nProbe cells whose centroids are closest to
     * the query, exact cosine re-rank inside them.

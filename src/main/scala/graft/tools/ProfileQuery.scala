@@ -15,6 +15,11 @@ object ProfileQuery {
   private final class JobLog extends SparkListener {
     final case class J(id: Int, desc: String, start: Long, var end: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    // per-stage rollup: wall, summed task time, GC, task count — the
+    // level that separates "one slow task" from "driver gap" inside a job
+    final case class S(id: Int, name: String, start: Long,
+        var end: Long, var taskMs: Long, var gcMs: Long, var tasks: Int)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, S]()
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val site = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
       val desc = Option(e.properties)
@@ -23,6 +28,23 @@ object ProfileQuery {
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = {
       val j = jobs.get(e.jobId); if (j != null) j.end = e.time
+    }
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+      val si = e.stageInfo
+      stages.put(si.stageId, S(si.stageId, si.name.takeWhile(_ != '\n').take(80),
+        System.currentTimeMillis(), -1L, 0L, 0L, 0))
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val s = stages.get(e.stageId)
+      if (s != null && e.taskMetrics != null) {
+        s.taskMs += e.taskMetrics.executorRunTime
+        s.gcMs += e.taskMetrics.jvmGCTime
+        s.tasks += 1
+      }
+    }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val s = stages.get(e.stageInfo.stageId)
+      if (s != null) s.end = System.currentTimeMillis()
     }
   }
 
@@ -87,6 +109,15 @@ object ProfileQuery {
         js.foreach { j =>
           val d = if (j.end < 0) -1.0 else (j.end - j.start) / 1e3
           println(f"  [${(j.start - first) / 1e3}%7.2f] job ${j.id}%4d $d%6.2fs  ${j.desc}")
+        }
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          val ss = log.stages.values.asScala.toSeq.sortBy(_.start)
+          ss.foreach { s =>
+            val d = if (s.end < 0) -1.0 else (s.end - s.start) / 1e3
+            println(f"    [${(s.start - first) / 1e3}%7.2f] stage ${s.id}%4d " +
+              f"$d%6.2fs taskSum=${s.taskMs / 1e3}%6.2fs gc=${s.gcMs / 1e3}%5.2fs " +
+              f"n=${s.tasks}%3d  ${s.name}")
+          }
         }
         import scala.jdk.CollectionConverters._
         qeLog.asScala.foreach(println)

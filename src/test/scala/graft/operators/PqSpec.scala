@@ -25,6 +25,45 @@ class PqSpec extends SparkSpec {
     enc.select(avg(err)).head().getDouble(0)
   }
 
+  test("kernel encode is bit-identical to the subDist expression-tree form") {
+    // the pre-kernel formulation, verbatim: m chained (dists array,
+    // array_position(array_min)) projections — the shape PqEncode replaced
+    def encodeExprForm(df: org.apache.spark.sql.DataFrame, b: Pq.Books) =
+      (0 until b.m).foldLeft(df) { (d, j) =>
+        val dists = array((0 until b.ksub)
+          .map(c => Pq.subDist(col("v"), j, b.books(j)(c), b.dsub)): _*)
+        d.withColumn("_d", dists)
+          .withColumn(s"code$j",
+            (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
+          .drop("_d")
+      }
+    val b = Pq.seededBooks(64)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cols = col("vec_id") +: (0 until b.m).map(j => col(s"code$j"))
+    val kernel = Pq.encode(v, b).select(cols: _*).orderBy("vec_id").collect()
+    val exprs = encodeExprForm(v, b).select(cols: _*).orderBy("vec_id").collect()
+    assert(kernel.sameElements(exprs))
+    // tie-break parity: duplicate centroids make equal distances — both
+    // forms must pick the FIRST minimal index; truncated vectors dot only
+    // the available prefix; a null vector yields null codes in both
+    val w = Seq.fill(8)(0.25)
+    val tieBooks = Pq.Books(1, 8, 4, Seq(Seq(w, w, Seq.fill(8)(9.0), w)))
+    val edge = spark.createDataFrame(Seq(
+      (1L, Seq.fill(8)(0.25)),          // exact centroid: ties at 0 distance
+      (2L, Seq(0.1, 0.2, 0.3)),         // shorter than dsub
+      (3L, Seq.empty[Double])           // empty
+    )).toDF("vec_id", "v")
+    val edgeNull = edge.unionByName(
+      spark.createDataFrame(Seq(Tuple1(4L))).toDF("vec_id")
+        .withColumn("v", lit(null).cast("array<double>")))
+    val ek = Pq.encode(edgeNull, tieBooks)
+      .select(col("vec_id"), col("code0")).orderBy("vec_id").collect()
+    val ee = encodeExprForm(edgeNull, tieBooks)
+      .select(col("vec_id"), col("code0")).orderBy("vec_id").collect()
+    assert(ek.sameElements(ee))
+    assert(ek.head.getInt(1) == 0) // first of the tied minimal centroids
+  }
+
   test("encode is deterministic and codes are in range") {
     val b = Pq.seededBooks(64)
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -12,6 +12,44 @@ class SimilaritySpec extends SparkSpec {
     Similarity.withNorm(emb).filter(col("vec_id") === id)
       .select("v").head().getSeq[Double](0).toSeq
 
+  test("ArgMaxDot cell assignment is bit-identical to the expression form") {
+    import org.apache.spark.sql.functions._
+    // the pre-kernel formulation ivfAssign replaced, verbatim
+    def assignExprForm(df: org.apache.spark.sql.DataFrame, cents: Seq[Seq[Double]]) = {
+      val dots = array(cents.map(c => Similarity.dot(col("v"), typedLit(c))): _*)
+      Similarity.withNorm(df)
+        .withColumn("cell_dots", dots)
+        .withColumn("cell",
+          (array_position(col("cell_dots"), array_max(col("cell_dots"))) - 1).cast("int"))
+        .drop("cell_dots")
+    }
+    val cents = Similarity.trainIvfDistributed(
+      Similarity.withNorm(emb), "vec_id", k = 16, iters = 2)
+    val kernel = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val exprs = assignExprForm(emb, cents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    assert(kernel.sameElements(exprs))
+    // tie parity: duplicate centroids dot equally — both pick the FIRST;
+    // short and empty vectors dot over the available prefix; null is null
+    val w = Seq(0.5, -0.5, 0.25)
+    val tieCents = Seq(Seq(9.0, 9.0, 9.0).map(-_), w, w)
+    val edge = spark.createDataFrame(Seq(
+      (1L, Seq(0.5, -0.5, 0.25)),
+      (2L, Seq(0.1)),
+      (3L, Seq.empty[Double])
+    )).toDF("vec_id", "embedding")
+    val edgeNull = edge.unionByName(
+      spark.createDataFrame(Seq(Tuple1(4L))).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<double>")))
+    val ek = Similarity.ivfAssign(edgeNull, tieCents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val ee = assignExprForm(edgeNull, tieCents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    assert(ek.sameElements(ee))
+    assert(ek.head.getInt(1) == 1) // first of the two tied best centroids
+  }
+
   test("brute-force top-k returns k rows in non-increasing cosine order") {
     val q = queryVec(0)
     val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", q, 10)
